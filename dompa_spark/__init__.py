@@ -1,0 +1,14 @@
+"""dompa_spark — a PySpark-native HTML parse/build + main-content
+extraction engine with the query semantics of askonomm/dompa (reference
+read-only at /root/reference), re-architected Spark-first:
+
+- `dompa_spark.oracle`   — char-exact pure-Python reference semantics (tests only)
+- `dompa_spark.kernel`   — vectorized numpy/Arrow batch kernels (the hot path)
+- `dompa_spark.schema`   — fixed StructType schemas (input/output/flat-DOM)
+- `dompa_spark.pipeline` — Spark jobs: mapInPandas wiring, salted
+                           repartition, checkpoint/resume manifest
+- `dompa_spark.corpus`   — deterministic synthetic corpus generator
+- `dompa_spark.textops`  — training-data ops (dedup, similarity, quality)
+"""
+
+__version__ = "0.1.0"
