@@ -1,0 +1,511 @@
+"""Vectorized parse/serialize/extract kernels — the engine's hot path.
+
+Semantics are identical to dompa_spark.oracle (differentially fuzzed in
+tests/test_kernel_differential.py); the implementation is different by
+design:
+
+- the reference / oracle walk the document char-by-char
+  (coordinates.cljc:16-85); here the tokenizer is EVENT-DRIVEN over the
+  positions of '<' and '>' found with one numpy scan of the UTF-32
+  codepoint buffer, so interpreted work is O(#boundaries), not O(#chars);
+- the reference builds trees by O(k²) interval filtering per level
+  (coordinates.cljc:169-187); here a single linear stack pass assigns
+  parents (valid because unified coordinates are properly nested or
+  disjoint — they come from one push/pop stack);
+- extraction drop-propagation uses numpy prefix-max over pre-order
+  subtree extents instead of per-node ancestor walks.
+
+Everything here is driver/executor-side pure Python+numpy, invoked only
+from inside Arrow-batched ``mapInPandas`` (see dompa_spark.pipeline) —
+there is no per-row Python UDF anywhere in the Spark plan.
+
+Char positions: the reference indexes by character. We build the numpy
+view via UTF-32-LE so indices are codepoint indices, matching the oracle
+exactly for any Unicode input.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .constants import (
+    ANCHOR_TAG,
+    ATTR_TRUE,
+    DROP_TAGS,
+    HTML_KIND,
+    LINK_DENSITY_MAX,
+    LINK_DENSITY_TEXT_EXEMPT,
+    MEDIA_KIND,
+    MEDIA_SRC_ATTR,
+    MEDIA_TAG,
+    PARSER_VOID,
+    SERIALIZER_VOID,
+    TEXT_DENSITY_MIN,
+    TEXT_KIND,
+    TEXT_NAME,
+)
+
+_LT = 60  # '<'
+_GT = 62  # '>'
+_SP = 32  # ' '
+_SLASH = 47  # '/'
+
+_NAME_STRIP = str.maketrans("", "", "</")
+
+
+def _codepoints(s: str) -> np.ndarray:
+    return np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer (event-driven equivalent of the reference compose FSM)
+# ---------------------------------------------------------------------------
+
+def compose_coords(s: str) -> list[tuple[int, int]]:
+    """Inclusive [start, end] coordinates, identical to oracle.compose.
+
+    Walks only boundary ('<'/'>') positions; the full FSM clause table
+    (SURVEY.md §2.2.1) collapses to the transitions below because between
+    boundaries only the no-op clause can fire (after the one clause-1
+    classification char following each reset, handled via `reset_pos`).
+    """
+    n = len(s)
+    if n == 0:
+        return []
+    cp = _codepoints(s)
+    bnd = np.flatnonzero((cp == _LT) | (cp == _GT))
+    coords: list[tuple[int, int]] = []
+    # states: 0 = undecided (clause 1 pending at reset_pos+1), 1 = text,
+    # 2 = tag
+    state = 0
+    start = 0
+    reset_pos = -1
+    is_lt = (cp[bnd] == _LT).tolist()
+    for e, lt in zip(bnd.tolist(), is_lt):
+        if state == 0:
+            nxt = reset_pos + 1
+            if nxt == e:
+                # clause 1 fires on the boundary char itself -> tag
+                state = 2
+                start = e
+                continue
+            # clause 1 fired earlier on a non-boundary char -> text
+            state = 1
+            start = nxt
+        if state == 1:
+            if lt:
+                coords.append((start, e - 1))  # clause 2
+                state = 2
+                start = e
+            else:
+                coords.append((start, e))  # clause 6 (or 3 at last idx)
+                state = 0
+                reset_pos = e
+        else:  # state == 2 (tag)
+            if lt:
+                coords.append((start, e - 1))  # clause 4: truncated tag
+                start = e
+            else:
+                coords.append((start, e))  # clause 6
+                state = 0
+                reset_pos = e
+    if state == 0:
+        # pending clause 1 after the last reset: a text run survives only
+        # if at least TWO chars remain (clause 1 consumes one, clause 3
+        # needs a later char — single trailing chars are dropped, Q2)
+        nxt = reset_pos + 1
+        if nxt <= n - 2:
+            coords.append((nxt, n - 1))
+    # state 2 at end: unterminated tag emits nothing
+    return coords
+
+
+# ---------------------------------------------------------------------------
+# Flat document: parse = classify + unify + tree in one pass
+# ---------------------------------------------------------------------------
+
+class FlatDoc:
+    """Flat pre-order DOM encoding of one parsed document.
+
+    Parallel arrays (length = node count, pre-order/document order):
+      name[i]   : tag name str, or TEXT_NAME
+      parent[i] : parent index, -1 for roots
+      depth[i]  : nesting depth
+      ext[i]    : pre-order index one past i's subtree (i+1 for leaves)
+      value[i]  : verbatim text (text nodes) or None
+      attrs[i]  : ordered dict {key: str|True} for elements, None for text
+    """
+
+    __slots__ = ("name", "parent", "depth", "ext", "value", "attrs")
+
+    def __init__(self, name, parent, depth, ext, value, attrs):
+        self.name = name
+        self.parent = parent
+        self.depth = depth
+        self.ext = ext
+        self.value = value
+        self.attrs = attrs
+
+    def __len__(self):
+        return len(self.name)
+
+
+def _tag_name(s: str, start: int, end_excl: int, name_stop: int) -> str:
+    """coordinates->tag-name semantics: over the END-EXCLUSIVE slice
+    s[start:end_excl], take chars up to the first space/'>' (precomputed
+    as name_stop), then remove ALL '<' and '/' chars.
+
+    Fast path: the leading char is always '<' (callers only pass tag
+    tokens); a closer's second char is '/'. Interior '<'/'/' are rare, so
+    slice past the prefix and only fall back to translate when needed."""
+    stop = name_stop if name_stop < end_excl else end_excl
+    skip = start + 1
+    if skip < stop and s[skip] == "/":
+        skip += 1
+    piece = s[skip:stop]
+    if "/" in piece or "<" in piece:
+        return piece.translate(_NAME_STRIP)
+    return piece
+
+
+# Fast-path shape: well-formed `key` / `key="value"` tokens separated by
+# single spaces, where keys contain no whitespace/quote/'=' and values do
+# not END with '=' (a value ending in '=' changes the slow FSM's
+# closing-quote clause — see the prev-char guard in the reference FSM at
+# coordinates.cljc:254-258). Anything else falls back to the exact FSM.
+import re as _re
+
+_ATTR_TOKEN = r'[^\s"=]+(?:="(?:[^"]*[^"=])?")?'
+_ATTR_FAST = _re.compile(rf"{_ATTR_TOKEN}(?: {_ATTR_TOKEN})*\Z")
+_ATTR_FIND = _re.compile(_ATTR_TOKEN)
+
+
+def _parse_attrs(s: str, start: int, gt_pos: int) -> dict:
+    """Attribute map for the element whose outer HTML starts at `start`;
+    gt_pos = position of the first '>' at/after start (or len(s)).
+
+    Reproduces html->attrs-html + the quote-aware splitting FSM +
+    normalize/parse (coordinates.cljc:200-314), including Q4-Q6 and Q15.
+    """
+    seg = s[start + 1 : gt_pos]
+    if seg:
+        first_is_space = seg[0] == " "
+        i = 0
+        m = len(seg)
+        while i < m and (seg[i] == " ") == first_is_space:
+            i += 1
+        seg = seg[i:]
+    seg = seg.strip()
+    if seg.endswith("/"):
+        seg = seg[:-1]
+    attrs: dict = {}
+    m = len(seg)
+    if m == 0:
+        return attrs
+    if _ATTR_FAST.match(seg):
+        for raw in _ATTR_FIND.findall(seg):
+            k, sep, v = raw.partition("=")
+            attrs[k] = True if sep == "" else v[1:-1]
+        return attrs
+    pos = 0
+    has = False
+    last = m - 1
+    raw_parts = []
+    idx = 0
+    while idx < m:
+        c = seg[idx]
+        if idx == last:
+            raw_parts.append(seg[pos : idx + 1])
+        elif c == " " and not has:
+            raw_parts.append(seg[pos:idx])
+            pos = idx + 1
+        elif c == "=" and seg[idx + 1] == '"':
+            has = True
+        elif (
+            c == '"'
+            and has
+            and (idx == 0 or seg[idx - 1] != "=")
+            and (idx + 1 >= m or seg[idx + 1] == " ")
+        ):
+            raw_parts.append(seg[pos : idx + 1])
+            pos = idx + 1
+            has = False
+        idx += 1
+    for raw in raw_parts:
+        if raw.strip() == "":
+            continue
+        k, sep, v = raw.partition("=")
+        if sep == "":
+            attrs[k] = True
+        elif v.startswith('"'):
+            q = v.find('"', 1)
+            attrs[k] = v[1:] if q < 0 else v[1:q]
+        else:
+            attrs[k] = v
+    return attrs
+
+
+def parse_flat(s: str) -> FlatDoc:
+    """compose ∘ unify ∘ tree-build in one combined pass -> FlatDoc."""
+    coords = compose_coords(s)
+    if not coords:
+        return FlatDoc([], np.empty(0, np.int32), np.empty(0, np.int32),
+                       np.empty(0, np.int32), [], [])
+    cp = _codepoints(s)
+    n = len(s)
+    starts = np.fromiter((c[0] for c in coords), np.int64, len(coords))
+    # stop position for names: first ' ' or '>' at/after each start
+    stops_sp = np.flatnonzero((cp == _SP) | (cp == _GT))
+    name_stop = np.full(len(coords), n, np.int64)
+    j = np.searchsorted(stops_sp, starts)
+    valid = j < len(stops_sp)
+    name_stop[valid] = stops_sp[j[valid]]
+    # first '>' at/after each start (for attr segment extraction)
+    gts = np.flatnonzero(cp == _GT)
+    gt_pos = np.full(len(coords), n, np.int64)
+    j = np.searchsorted(gts, starts)
+    valid = j < len(gts)
+    gt_pos[valid] = gts[j[valid]]
+
+    first = cp[starts]
+    has2 = starts + 1 < len(cp)
+    second = np.zeros(len(coords), np.uint32)
+    second[has2] = cp[starts[has2] + 1]
+
+    # --- unify: stack matcher over classified tokens -----------------------
+    # unified entries: (start, end, name_or_None, name_stop, gt)
+    stack: list[tuple[str, int, int, int]] = []  # (name, start, stop, gt)
+    unified: list[tuple[int, int, str | None, int, int]] = []
+    name_stop_l = name_stop.tolist()
+    gt_pos_l = gt_pos.tolist()
+    first_l = (first == _LT).tolist()
+    second_slash = (second == _SLASH).tolist()
+    for i, (cs, ce) in enumerate(coords):
+        if first_l[i]:
+            is_closing = ce > cs and second_slash[i]
+            name = _tag_name(s, cs, ce, name_stop_l[i])
+            if is_closing:
+                if stack and stack[-1][0] == name:
+                    oname, ostart, ostop, ogt = stack.pop()
+                    unified.append((ostart, ce, oname, ostop, ogt))
+            elif name in PARSER_VOID:
+                unified.append((cs, ce, name, name_stop_l[i], gt_pos_l[i]))
+            else:
+                stack.append((name, cs, name_stop_l[i], gt_pos_l[i]))
+        else:
+            unified.append((cs, ce, None, -1, -1))
+    if not unified:
+        return FlatDoc([], np.empty(0, np.int32), np.empty(0, np.int32),
+                       np.empty(0, np.int32), [], [])
+    unified.sort(key=lambda u: u[0])
+
+    # --- tree build: linear parent-assignment stack ------------------------
+    m = len(unified)
+    names: list[str] = []
+    values: list[str | None] = []
+    attrs_out: list[dict | None] = []
+    parent = np.empty(m, np.int32)
+    depth = np.empty(m, np.int32)
+    ext = np.empty(m, np.int32)
+    open_stack: list[tuple[int, int]] = []  # (end, node_idx)
+    for i, (us, ue, uname, ustop, ugt) in enumerate(unified):
+        while open_stack and us > open_stack[-1][0]:
+            ext[open_stack.pop()[1]] = i
+        parent[i] = open_stack[-1][1] if open_stack else -1
+        depth[i] = len(open_stack)
+        if uname is None:
+            # text node — but ->nodes re-derives the name from the outer
+            # html (html-str->node-name): a text token starting with '<'
+            # cannot exist (tokens starting '<' are tags), so TEXT always
+            names.append(TEXT_NAME)
+            values.append(s[us : ue + 1])
+            attrs_out.append(None)
+        else:
+            # element: name per html-str->node-name — chars after '<' up
+            # to first space/'>' WITHOUT removing '/' (it differs from the
+            # unify-side tag name only for pathological inputs)
+            stop = min(ustop, ue + 1)
+            names.append(s[us + 1 : stop])
+            values.append(None)
+            attrs_out.append(_parse_attrs(s, us, min(ugt, ue + 1)))
+            open_stack.append((ue, i))
+    while open_stack:
+        ext[open_stack.pop()[1]] = m
+    return FlatDoc(names, parent, depth, ext, values, attrs_out)
+
+
+# ---------------------------------------------------------------------------
+# Serializer (nodes.cljc:15-41,69-93 semantics over the flat encoding)
+# ---------------------------------------------------------------------------
+
+def serialize_flat(doc: FlatDoc, void_nodes=SERIALIZER_VOID) -> str:
+    """Flat pre-order -> HTML string. Iterative stack emit, list-join.
+
+    Mirrors oracle.to_html for parser-produced trees (no fragments/None
+    nodes can appear in a FlatDoc; those are authoring-DSL concerns).
+    """
+    parts: list[str] = []
+    close_stack: list[tuple[int, str]] = []  # (ext, "</name>")
+    n = len(doc)
+    for i in range(n):
+        while close_stack and close_stack[-1][0] == i:
+            parts.append(close_stack.pop()[1])
+        name = doc.name[i]
+        if name == TEXT_NAME:
+            parts.append(doc.value[i])
+            continue
+        a = doc.attrs[i]
+        if a:
+            abuf = []
+            for k, v in a.items():
+                if v is True:
+                    abuf.append(f" {k}")
+                else:
+                    abuf.append(f' {k}="{v}"')
+            astr = "".join(abuf)
+        else:
+            astr = ""
+        if name in void_nodes:
+            parts.append(f"<{name}{astr}>")
+        elif doc.ext[i] == i + 1:
+            parts.append(f"<{name}{astr}></{name}>")
+        else:
+            parts.append(f"<{name}{astr}>")
+            close_stack.append((doc.ext[i], f"</{name}>"))
+    while close_stack:
+        parts.append(close_stack.pop()[1])
+    return "".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Extraction (constants.py frozen spec) over the flat encoding
+# ---------------------------------------------------------------------------
+
+def extract_flat(doc: FlatDoc) -> list[tuple[str, str | None, str | None]]:
+    """Whitelist -> bottom-up text-density -> bottom-up link-density ->
+    span emission. Returns (kind, text, media_ref) tuples in doc order."""
+    n = len(doc)
+    if n == 0:
+        return []
+    names = doc.name
+    values = doc.value
+    is_text = [nm == TEXT_NAME for nm in names]
+    is_img = [nm == MEDIA_TAG for nm in names]
+    ext = doc.ext.tolist()
+    parent = doc.parent.tolist()
+    idx = np.arange(n)
+
+    # Pass 1: whitelist — vectorized drop propagation via prefix-max of
+    # subtree extents (a match at j kills [j, ext[j]))
+    dropmatch = np.fromiter(
+        (
+            (not is_text[i])
+            and (names[i] in DROP_TAGS or names[i].startswith("!--"))
+            for i in range(n)
+        ),
+        bool,
+        n,
+    )
+    drop_until = np.maximum.accumulate(np.where(dropmatch, doc.ext, 0))
+    alive = (~(drop_until > idx)).tolist()
+
+    # in_a: any STRICT ancestor named 'a' — an 'a' at j covers (j, ext[j]);
+    # prefix-max over j < i (shift by one). In pre-order any j < i is
+    # either an ancestor of i (ext[j] > i) or a completed earlier subtree
+    # (ext[j] <= i), so the comparison is exact.
+    a_ext = np.fromiter(
+        (ext[i] if (not is_text[i]) and names[i] == ANCHOR_TAG else 0
+         for i in range(n)),
+        np.int64,
+        n,
+    )
+    shifted = np.empty(n, np.int64)
+    shifted[0] = 0
+    np.maximum.accumulate(a_ext[:-1], out=shifted[1:])
+    in_a = (shifted > idx).tolist()
+
+    own_text = [len(values[i]) if is_text[i] else 0 for i in range(n)]
+
+    def bottom_up(decide_td: bool) -> None:
+        """Reverse pre-order sweep with per-node accumulators; decisions
+        for deeper nodes land before ancestors are scored (constants.py).
+        Plain-list arithmetic: numpy scalar indexing is ~10x slower here."""
+        text_c = [0] * n
+        elem_c = [0] * n
+        anchor_c = [0] * n
+        has_img = [False] * n
+        for i in range(n - 1, -1, -1):
+            if not alive[i]:
+                continue
+            t_i = is_text[i]
+            if not t_i:
+                img_i = is_img[i] or has_img[i]
+                if decide_td:
+                    if text_c[i] < TEXT_DENSITY_MIN * (elem_c[i] + 1) and not img_i:
+                        alive[i] = False
+                        continue
+                else:
+                    tc = text_c[i]
+                    if (
+                        anchor_c[i] > LINK_DENSITY_MAX * (tc if tc > 0 else 1)
+                        and tc < LINK_DENSITY_TEXT_EXEMPT
+                    ):
+                        alive[i] = False
+                        continue
+            p = parent[i]
+            if p >= 0:
+                ot = own_text[i]
+                text_c[p] += text_c[i] + ot
+                if in_a[i]:
+                    anchor_c[p] += anchor_c[i] + ot
+                else:
+                    anchor_c[p] += anchor_c[i]
+                if t_i:
+                    elem_c[p] += elem_c[i]
+                else:
+                    elem_c[p] += elem_c[i] + 1
+                    if is_img[i] or has_img[i]:
+                        has_img[p] = True
+        # propagate ancestor drops top-down
+        for i in range(n):
+            p = parent[i]
+            if p >= 0 and not alive[p]:
+                alive[i] = False
+
+    bottom_up(True)   # pass 2: text density
+    bottom_up(False)  # pass 3: link density
+
+    out: list[tuple[str, str | None, str | None]] = []
+    for i in range(n):
+        if not alive[i]:
+            continue
+        if is_text[i]:
+            v = values[i]
+            if v.strip() == "":
+                continue
+            out.append((TEXT_KIND, v, None))
+        elif is_img[i]:
+            src = doc.attrs[i].get(MEDIA_SRC_ATTR)
+            out.append((MEDIA_KIND, None, src if isinstance(src, str) else None))
+    return out
+
+
+def extract_document(spans_in) -> list[dict]:
+    """Per-document kernel: same contract as oracle.extract_document.
+
+    spans_in: iterable of {kind, text, media_ref, offset} dicts.
+    """
+    ordered = sorted(enumerate(spans_in), key=lambda t: (t[1]["offset"], t[0]))
+    out: list[tuple[str, str | None, str | None]] = []
+    for _, span in ordered:
+        kind = span["kind"]
+        if kind == HTML_KIND:
+            out.extend(extract_flat(parse_flat(span["text"] or "")))
+        elif kind == TEXT_KIND:
+            out.append((TEXT_KIND, span["text"], None))
+        else:
+            out.append((MEDIA_KIND, None, span["media_ref"]))
+    return [
+        {"kind": k, "text": t, "media_ref": m, "offset": i}
+        for i, (k, t, m) in enumerate(out)
+    ]
