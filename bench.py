@@ -1,0 +1,175 @@
+#!/usr/bin/env python3
+"""Benchmark harness.
+
+Default mode: one JSON line with end-to-end extraction throughput on a
+deterministic synthesized spans corpus (scaled by SF) plus per-query
+wall times at $SPARK_GRAFT_SF_DIR.
+
+    SPARK_GRAFT_SF_DIR  (default /root/testdata/sf0.1)
+    SPARK_GRAFT_CPUS    (default 32)
+
+--scaling: run the same extraction job at local[8] and local[32] on the
+same corpus and report throughput + scaling efficiency (the sandbox
+proxy for the N-vs-4N-executors criterion; see BASELINE.md), updating
+BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+BENCH_DOCS_PER_SF = 600_000  # sf0.1 -> 60k docs (~160 MB with heavy tail)
+
+
+def sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def ensure_corpus(sf: float) -> tuple[str, int]:
+    from dompa_spark import corpus
+
+    n_docs = max(1000, int(BENCH_DOCS_PER_SF * sf))
+    path = os.path.join(REPO, ".bench", f"corpus-{n_docs}")
+    marker = os.path.join(path, "_COMPLETE")
+    if not os.path.exists(marker):
+        shutil.rmtree(path, ignore_errors=True)
+        corpus.write_corpus(path, n_docs)
+        with open(marker, "w") as f:
+            f.write(str(n_docs))
+    return path, n_docs
+
+
+def make_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    from dompa_spark.pipeline import session_confs
+
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(f"dompa-bench-{cpus}")
+        .config("spark.driver.memory", "16g")
+        .config("spark.sql.shuffle.partitions", str(max(32, cpus * 4)))
+        .config("spark.ui.enabled", "false")
+    )
+    return session_confs(builder).getOrCreate()
+
+
+def corpus_stats(spark, corpus_path: str):
+    from pyspark.sql import functions as F
+
+    from dompa_spark import pipeline
+
+    df = pipeline.read_input(spark, corpus_path)
+    row = df.select(
+        F.count("*").alias("docs"),
+        F.sum(
+            F.aggregate(
+                "spans",
+                F.lit(0).cast("long"),
+                lambda a, s: a + F.coalesce(F.length(s["text"]), F.lit(0)),
+            )
+        ).alias("chars"),
+    ).first()
+    return row.docs, row.chars
+
+
+# Fixed partition layout across parallelism levels (the scaling runs must
+# shuffle the same layout; 80 parts >= 2 x 32 tasks — BASELINE.md protocol)
+BENCH_LIGHT_PARTS = 64
+BENCH_HEAVY_PARTS = 16
+
+
+def run_extraction(spark, corpus_path: str, out_path: str) -> float:
+    from dompa_spark import pipeline
+
+    shutil.rmtree(out_path, ignore_errors=True)
+    t0 = time.time()
+    pipeline.run_extract(
+        spark,
+        corpus_path,
+        out_path,
+        light_parts=BENCH_LIGHT_PARTS,
+        heavy_parts=BENCH_HEAVY_PARTS,
+        resume=False,
+    )
+    return time.time() - t0
+
+
+def time_queries(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as entry_mod
+
+    times = {}
+    for name, fn in entry_mod.queries().items():
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+    return times
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_of(sf_dir)
+    corpus_path, n_docs = ensure_corpus(sf)
+
+    if "--scaling" in sys.argv:
+        results = {}
+        docs = chars = 0
+        for n in (8, 32):
+            spark = make_spark(n)
+            docs, chars = corpus_stats(spark, corpus_path)
+            wall = run_extraction(spark, corpus_path, f"/tmp/dompa_bench_out_{n}")
+            results[n] = wall
+            spark.stop()
+        thr8 = docs / results[8]
+        thr32 = docs / results[32]
+        eff = (thr32 / thr8) / 4.0
+        out = {
+            "metric": "scaling efficiency local[8]->local[32]",
+            "value": round(eff, 3),
+            "unit": "ratio",
+            "docs": docs,
+            "chars": chars,
+            "wall_8": round(results[8], 2),
+            "wall_32": round(results[32], 2),
+            "docs_per_sec_8": round(thr8, 1),
+            "docs_per_sec_32": round(thr32, 1),
+            "sf": sf,
+        }
+        print(json.dumps(out))
+        return
+
+    spark = make_spark(cpus)
+    docs, chars = corpus_stats(spark, corpus_path)
+    wall = run_extraction(spark, corpus_path, "/tmp/dompa_bench_out")
+    qtimes = time_queries(spark, sf_dir)
+    spark.stop()
+    out = {
+        "metric": "end-to-end extraction wall (read->salted repartition->"
+        "kernel->write+manifest) on synthesized interleaved corpus",
+        "value": round(wall, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": sf,
+        "docs": docs,
+        "input_chars": chars,
+        "docs_per_sec": round(docs / wall, 1),
+        "mb_per_sec": round(chars / wall / 1e6, 2),
+        "cpus": cpus,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,434 @@
+"""Training-data pipeline operators over the documents/embeddings tables,
+plus deterministic HTML-template builders that feed the extraction engine
+from the plain-text documents table.
+
+Everything here is pure pyspark.sql.functions (JVM-side, codegen'd) —
+no Python UDFs. Each operator has a matching ANSI-SQL oracle in
+__spark_entry__.py; hash functions are built on md5 so Spark and DuckDB
+produce identical 60-bit integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 60-bit integer from md5 hex — portable across Spark and DuckDB
+def md5_int(col: Column) -> Column:
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+STOPWORDS = ["the", "a", "of", "and", "in", "over", "do", "sit", "sed"]
+
+
+# ---------------------------------------------------------------------------
+# HTML template builders (documents.text -> interleaved spans input)
+# ---------------------------------------------------------------------------
+
+def span(kind, text, media_ref, offset: int) -> Column:
+    return F.struct(
+        F.lit(kind).alias("kind") if isinstance(kind, str) else kind.alias("kind"),
+        text.alias("text"),
+        media_ref.alias("media_ref"),
+        F.lit(offset).cast("int").alias("offset"),
+    )
+
+
+def html_span(text: Column, offset: int) -> Column:
+    return span("html", text, F.lit(None).cast("string"), offset)
+
+
+BOILER_TEMPLATE_PRE = (
+    "<html><head><title>T</title><script>var x=1;</script></head>"
+    '<body><nav><a href="/">home</a> <a href="/about">about</a></nav>'
+    "<article><p>"
+)
+BOILER_TEMPLATE_POST = "</p></article></body></html>"
+
+# Survival threshold for text wrapped as html>body>p with a var-length
+# payload: the bottom-up chain html>body>article>p needs
+# len >= 10 * 4 = 40 (each wrapper adds one element to tag_count).
+# With payload length = n_chars % 80 the gate splits the corpus.
+MAIN_TEXT_GATE = 40
+
+
+def boiler_wrapped(df: DataFrame) -> DataFrame:
+    """Wrap a variable-length prefix of each doc's text in a boilerplate
+    page template; payload length = n_chars % 80 so the density gate
+    (>= 40 chars survives) actually discriminates."""
+    payload = F.expr("substring(text, 1, n_chars % 80)")
+    html = F.concat(
+        F.lit(BOILER_TEMPLATE_PRE), payload, F.lit(BOILER_TEMPLATE_POST)
+    )
+    return df.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(html_span(html, 0)).alias("spans"),
+    )
+
+
+ROUNDTRIP_PRE = '<div class="wrap main"><p id="c">'
+ROUNDTRIP_POST = '</p><img src="x.png"></div>'
+
+
+def roundtrip_wrapped(df: DataFrame) -> DataFrame:
+    html = F.concat(F.lit(ROUNDTRIP_PRE), F.col("text"), F.lit(ROUNDTRIP_POST))
+    return df.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(html_span(html, 0)).alias("spans"),
+    )
+
+
+def wordlist_wrapped(df: DataFrame) -> DataFrame:
+    """One <li> per word: node-count statistics become SQL-predictable."""
+    html = F.concat(
+        F.lit("<ul><li>"),
+        F.regexp_replace("text", " ", "</li><li>"),
+        F.lit("</li></ul>"),
+    )
+    return df.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(html_span(html, 0)).alias("spans"),
+    )
+
+
+LINKY_CLOSING = "Closing remarks long enough to pass the density gates."
+
+
+def interleaved_wrapped(df: DataFrame) -> DataFrame:
+    """Three spans per doc: html paragraph, media ref derived from the
+    source column, html closing paragraph."""
+    p1 = F.concat(F.lit("<p>"), F.col("text"), F.lit("</p>"))
+    p2 = F.lit(f"<p>{LINKY_CLOSING}</p>")
+    media = F.concat(F.lit("media://"), F.col("source"), F.lit("/"),
+                     F.col("doc_id").cast("string"))
+    return df.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(
+            html_span(p1, 0),
+            span("image", F.lit(None).cast("string"), media, 1),
+            html_span(p2, 2),
+        ).alias("spans"),
+    )
+
+
+# Anchor text length 150 + n_chars % 100 ∈ [150, 249]; the link-density
+# pass drops anchors with < 200 chars (LINK_DENSITY_TEXT_EXEMPT), keeps
+# the rest — SQL-predictable either way.
+def linkdense_wrapped(df: DataFrame) -> DataFrame:
+    anchor_text = F.expr(
+        "substring(repeat(concat(text, ' '), 6), 1, 150 + n_chars % 100)"
+    )
+    html = F.concat(
+        F.lit("<div><p>"), F.col("text"), F.lit('</p><div><a href="#">'),
+        anchor_text, F.lit("</a></div></div>"),
+    )
+    return df.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(html_span(html, 0)).alias("spans"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup / similarity / quality operators
+# ---------------------------------------------------------------------------
+
+def words(col="text") -> Column:
+    return F.split(F.col(col), " ")
+
+
+def shingles3(col="text") -> Column:
+    """Distinct 3-word shingles (empty array for docs under 3 words)."""
+    w = words(col)
+    return F.when(
+        F.size(w) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - 2),
+                lambda i: F.concat_ws(" ", F.slice(w, i, F.lit(3))),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def dedup_exact_prefix(df: DataFrame, prefix_words: int = 3) -> DataFrame:
+    """Exact dedup on a derived key (first N words): keep the lowest
+    doc_id per group. One shuffle on the key; at scale the groupBy is
+    partial-aggregated map-side."""
+    from pyspark.sql.window import Window
+
+    key = F.concat_ws(" ", F.slice(words(), 1, prefix_words))
+    w = Window.partitionBy("dedup_key").orderBy("doc_id")
+    return (
+        df.select(F.col("doc_id").cast("long").alias("doc_id"),
+                  key.alias("dedup_key"))
+        .withColumn("rank_in_group",
+                    F.row_number().over(w).cast("long"))
+        .withColumn("is_dup", (F.col("rank_in_group") > 1).cast("boolean"))
+        .select("doc_id", "dedup_key", "rank_in_group", "is_dup")
+    )
+
+
+def with_near_dups(df: DataFrame, id_offset: int = 1_000_000) -> DataFrame:
+    """Augment the corpus with a mutated copy of every 5th doc — gives the
+    near-dup detectors real positives, deterministically."""
+    mutated = (
+        df.filter(F.col("doc_id") % 5 == 0)
+        .select(
+            (F.col("doc_id") + id_offset).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" nearly duplicate suffix")).alias("text"),
+        )
+    )
+    return df.select(F.col("doc_id").cast("long"), "text").unionByName(mutated)
+
+
+N_MINHASH = 16
+LSH_BANDS = 4
+LSH_ROWS = 4  # N_MINHASH = LSH_BANDS * LSH_ROWS
+
+
+def minhash_sigs(df: DataFrame) -> DataFrame:
+    """16 md5-based minhashes over distinct 3-shingles."""
+    sh = shingles3()
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(N_MINHASH - 1)),
+        lambda j: F.array_min(
+            F.transform(
+                F.col("sh"),
+                lambda s: F.conv(
+                    F.substring(
+                        F.md5(F.concat(s, F.lit("#"), j.cast("string"))), 1, 15
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+            )
+        ),
+    )
+    return (
+        df.select(F.col("doc_id").cast("long").alias("doc_id"),
+                  F.col("text"), sh.alias("sh"))
+        .filter(F.size("sh") > 0)
+        .withColumn("sig", sig)
+    )
+
+
+def minhash_lsh_pairs(df: DataFrame, jaccard_min: float = 0.7) -> DataFrame:
+    """LSH banding: docs sharing any band signature become candidate
+    pairs; candidates are verified with exact shingle Jaccard. The join
+    is on the band key (bounded buckets), never all-pairs."""
+    sigs = minhash_sigs(df)
+    banded = sigs.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(F.col("sig"), b * LSH_ROWS + 1, LSH_ROWS),
+                            lambda v: v.cast("string"),
+                        ),
+                    ).alias("bkey"),
+                ),
+            )
+        ).alias("bs"),
+    ).select("doc_id", "sh", F.col("bs.band").alias("band"), F.col("bs.bkey").alias("bkey"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        cand.withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= jaccard_min)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+SIMHASH_BITS = 32
+
+
+def simhash(df: DataFrame) -> DataFrame:
+    """Word-level simhash (32 bits of md5-derived word hashes, sign-summed
+    per bit). Entirely JVM-side nested higher-order functions; expressed
+    as a SQL string because SQL lambdas allow column shift amounts."""
+    expr = f"""
+      aggregate(
+        transform(sequence(0, {SIMHASH_BITS - 1}),
+          b -> CASE WHEN
+                 aggregate(hs, 0L,
+                   (acc, h) -> acc + IF(shiftright(h, b) % 2 = 1, 1L, -1L)) > 0
+               THEN shiftleft(1L, b) ELSE 0L END),
+        0L, (acc, x) -> acc + x)
+    """
+    return (
+        df.select(F.col("doc_id").cast("long").alias("doc_id"), words().alias("ws"))
+        .withColumn("hs", F.transform(F.col("ws"), lambda w: F.conv(
+            F.substring(F.md5(w), 1, 15), 16, 10).cast("long")))
+        .withColumn("simhash", F.expr(expr))
+        .select("doc_id", "simhash")
+    )
+
+
+def ngram_jaccard_neighbors(df: DataFrame) -> DataFrame:
+    """Jaccard of 3-shingle sets between doc i and doc i+1 (a cheap,
+    SQL-checkable pairwise similarity probe)."""
+    sh = df.select(
+        F.col("doc_id").cast("long").alias("doc_id"), shingles3().alias("sh")
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    jac = F.when(
+        F.size(F.array_union("a.sh", "b.sh")) > 0,
+        F.size(F.array_intersect("a.sh", "b.sh"))
+        / F.size(F.array_union("a.sh", "b.sh")),
+    ).otherwise(F.lit(0.0))
+    return (
+        a.join(b, F.col("a.doc_id") + 1 == F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+    )
+
+
+def quality_scores(df: DataFrame) -> DataFrame:
+    """Shallow text-quality features + a deterministic composite score."""
+    w = words()
+    n_tokens = F.size(w).cast("long")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x))).cast("long")
+    mean_len = (F.length("text") - (n_tokens - 1)) / n_tokens  # avg word len
+    stop_ratio = F.round(n_stop / n_tokens, 4)
+    score = F.round(
+        F.least(F.lit(1.0), n_tokens / F.lit(64.0)) * 0.5
+        + stop_ratio * 0.3
+        + F.least(F.lit(1.0), mean_len / F.lit(8.0)) * 0.2,
+        4,
+    )
+    return df.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        n_tokens.alias("n_tokens"),
+        n_stop.alias("n_stop"),
+        stop_ratio.alias("stop_ratio"),
+        F.round(mean_len, 4).alias("mean_word_len"),
+        score.alias("quality_score"),
+    )
+
+
+def lang_id_heuristic(df: DataFrame) -> DataFrame:
+    """Deterministic stopword-hit language heuristic (the label column is
+    synthetic, so the heuristic is its own spec — oracle-checkable)."""
+    w = words()
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    hits = F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x)))
+    ratio = hits / F.size(w)
+    pred = (
+        F.when(ratio >= 0.12, F.lit("en"))
+        .when(ratio >= 0.05, F.lit("mixed"))
+        .otherwise(F.lit("other"))
+    )
+    return df.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round(ratio, 4).alias("stop_hit_ratio"),
+        pred.alias("lang_pred"),
+    )
+
+
+def doc_fingerprints(df: DataFrame) -> DataFrame:
+    """Position-weighted rolling fingerprint over word hashes, mod 2^31-1
+    (products stay < 2^63, portable to DuckDB arithmetic)."""
+    M = 2147483647
+    w = words()
+    hs = F.transform(
+        w,
+        lambda word: F.conv(F.substring(F.md5(word), 1, 7), 16, 10).cast("long"),
+    )
+    rolled = F.aggregate(
+        F.col("hs"),
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * 131 + h) % M,
+    )
+    return (
+        df.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.md5("text").alias("md5_hex"),
+            F.length("text").cast("long").alias("n_chars"),
+            hs.alias("hs"),
+        )
+        .withColumn("rolling_fp", rolled)
+        .select("doc_id", "md5_hex", "n_chars", "rolling_fp")
+    )
+
+
+def token_stats(df: DataFrame) -> DataFrame:
+    """Whitespace tokens + a BPE-ish proxy (4-char chunks) count."""
+    n_ws = F.size(words()).cast("long")
+    n_bpe = F.ceil(F.length("text") / F.lit(4.0)).cast("long")
+    return df.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.length("text").cast("long").alias("n_chars"),
+        n_ws.alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+def ann_cosine_topk(df: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
+    """Brute-force cosine top-k: the small query side is broadcast, the
+    corpus side streams — the scale path for 'give me neighbors of a few
+    probes over 10^9 vectors'. Dot products via zip_with/aggregate in
+    doubles (JVM, codegen)."""
+    from pyspark.sql.window import Window
+
+    emb = df.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    norm = F.sqrt(
+        F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    emb = emb.withColumn("norm", norm)
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    dot = F.aggregate(
+        F.zip_with("v", "qv", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sim = dot / (F.col("norm") * F.col("qnorm"))
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(sim, 4))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", F.col("vec_id").alias("neighbor_id"),
+                "cosine")
+    )

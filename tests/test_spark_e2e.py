@@ -1,0 +1,127 @@
+"""End-to-end Spark pipeline tests: the full Spark plan (scan -> salted
+repartition -> mapInPandas kernel -> write) must reproduce the oracle's
+per-row span sequences exactly, and resume-from-checkpoint must be
+exactly-once per partition.
+"""
+
+import pandas as pd
+import pytest
+
+from dompa_spark import corpus, oracle, pipeline
+
+
+def oracle_spans_for(n_docs):
+    expected = {}
+    for i in range(n_docs):
+        doc_id, spans = corpus.gen_doc(i)
+        expected[doc_id] = [
+            (s["kind"], s["text"], s["media_ref"], s["offset"])
+            for s in oracle.extract_document(spans)
+        ]
+    return expected
+
+
+def collected_spans(df):
+    got = {}
+    for row in df.collect():
+        got[row.doc_id] = [
+            (s.kind, s.text, s.media_ref, s.offset) for s in (row.spans or [])
+        ]
+    return got
+
+
+def test_corpus_deterministic():
+    a = corpus.gen_batch(0, 50)
+    b = corpus.gen_batch(0, 50)
+    assert a.equals(b)
+    # chunk-independence: generating a sub-range matches the full range
+    c = corpus.gen_batch(25, 50)
+    assert a.slice(25, 25).to_pydict() == c.to_pydict()
+
+
+def test_extract_df_matches_oracle(spark, small_corpus):
+    df = pipeline.read_input(spark, small_corpus)
+    got = collected_spans(pipeline.extract_df(df))
+    expected = oracle_spans_for(300)
+    assert len(got) == 300
+    mismatches = [d for d in expected if got.get(d) != expected[d]]
+    assert mismatches == [], f"{len(mismatches)} docs mismatch: {mismatches[:5]}"
+
+
+def test_roundtrip_df_matches_oracle(spark, small_corpus):
+    df = pipeline.read_input(spark, small_corpus)
+    got = {r.doc_id: r.html for r in pipeline.roundtrip_df(df).collect()}
+    for i in range(300):
+        doc_id, spans = corpus.gen_doc(i)
+        html = "".join(
+            s["text"] or ""
+            for s in sorted(
+                (s for s in spans if s["kind"] == "html"),
+                key=lambda s: s["offset"],
+            )
+        )
+        assert got[doc_id] == oracle.to_html(oracle.parse(html)), doc_id
+
+
+def test_parse_nodes_df_shape(spark, small_corpus):
+    df = pipeline.read_input(spark, small_corpus)
+    nodes = pipeline.parse_nodes_df(df)
+    row = nodes.filter("size(nodes) > 3").first()
+    ids = [n.node_id for n in row.nodes]
+    assert ids == sorted(ids)
+    assert all(n.parent_id < n.node_id for n in row.nodes)
+
+
+def test_run_extract_and_resume(spark, small_corpus, tmp_path):
+    out = str(tmp_path / "out")
+    stats = pipeline.run_extract(
+        spark, small_corpus, out, light_parts=6, heavy_parts=2, chunk_parts=4
+    )
+    assert stats["docs"] == 300
+    assert stats["parts_skipped"] == 0
+
+    first = collected_spans(
+        spark.read.parquet(f"{out}/data").select("doc_id", "spans")
+    )
+    assert len(first) == 300
+    expected = oracle_spans_for(300)
+    assert all(first[d] == expected[d] for d in expected)
+
+    # manifest covers every part that has data
+    manifest = spark.read.parquet(f"{out}/_manifest")
+    mparts = {r.part_id for r in manifest.select("part_id").collect()}
+    assert mparts == set(range(8))
+    checks0 = {
+        r.part_id: (r.doc_count, r.checksum) for r in manifest.collect()
+    }
+
+    # simulate a crash: wipe the manifest for the second chunk, resume
+    import shutil
+
+    shutil.rmtree(f"{out}/_manifest/chunk=1")
+    stats2 = pipeline.run_extract(
+        spark, small_corpus, out, light_parts=6, heavy_parts=2, chunk_parts=4
+    )
+    assert stats2["parts_skipped"] == 4 and stats2["chunks_run"] == 1
+
+    second = collected_spans(
+        spark.read.parquet(f"{out}/data").select("doc_id", "spans")
+    )
+    assert second == first  # exactly-once per part, byte-stable
+    manifest2 = {
+        r.part_id: (r.doc_count, r.checksum)
+        for r in spark.read.parquet(f"{out}/_manifest").collect()
+    }
+    assert manifest2 == checks0
+
+    # full resume: nothing to do
+    stats3 = pipeline.run_extract(
+        spark, small_corpus, out, light_parts=6, heavy_parts=2, chunk_parts=4
+    )
+    assert stats3["parts_skipped"] == 8 and stats3["docs"] == 0
+
+    # changed geometry must be refused (stale outputs would be unsound)
+    with pytest.raises(ValueError, match="geometry"):
+        pipeline.run_extract(
+            spark, small_corpus, out, light_parts=6, heavy_parts=2
+        )
