@@ -102,6 +102,22 @@ def q_extract_link_density(spark, sf_dir):
     )
 
 
+def _strip_img_upper(node):
+    """Traverser: delete img subtrees, uppercase text values."""
+    if node["name"] == "img":
+        return None
+    if node["name"] == TEXT_NAME:
+        return {**node, "value": node["value"].upper()}
+    return node
+
+
+def q_traverse_rewrite(spark, sf_dir):
+    wrapped = textops.roundtrip_wrapped(_docs(spark, sf_dir))
+    return pipeline.traverse_html_df(wrapped, _strip_img_upper).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "html"
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     return textops.dedup_exact_prefix(
         textops.with_near_dups(_docs(spark, sf_dir))
@@ -175,6 +191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_main_text": q_extract_main_text,
         "parse_roundtrip": q_parse_roundtrip,
+        "traverse_rewrite": q_traverse_rewrite,
         "parse_node_stats": q_parse_node_stats,
         "extract_interleaved": q_extract_interleaved,
         "extract_link_density": q_extract_link_density,
@@ -230,6 +247,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(doc_id AS BIGINT) AS doc_id,
                    '<div class="wrap main"><p id="c">' || text ||
                    '</p><img src="x.png"></div>' AS html
+            FROM documents
+        """,
+        "traverse_rewrite": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   '<div class="wrap main"><p id="c">' || upper(text) ||
+                   '</p></div>' AS html
             FROM documents
         """,
         "parse_node_stats": """

@@ -36,10 +36,11 @@ def sf_of(sf_dir: str) -> float:
         return 0.1
 
 
-def ensure_corpus(sf: float) -> tuple[str, int]:
+def ensure_corpus(sf: float, n_docs: int | None = None) -> tuple[str, int]:
     from dompa_spark import corpus
 
-    n_docs = max(1000, int(BENCH_DOCS_PER_SF * sf))
+    if n_docs is None:
+        n_docs = max(1000, int(BENCH_DOCS_PER_SF * sf))
     path = os.path.join(REPO, ".bench", f"corpus-{n_docs}")
     marker = os.path.join(path, "_COMPLETE")
     if not os.path.exists(marker):
@@ -121,19 +122,32 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_of(sf_dir)
-    corpus_path, n_docs = ensure_corpus(sf)
 
     if "--scaling" in sys.argv:
-        results = {}
+        # Scaling needs a corpus big enough that compute dominates fixed
+        # job overhead, else the 8-vs-32 signal drowns (~10 s of setup,
+        # scan and commit costs are parallelism-independent).
+        corpus_path, n_docs = ensure_corpus(
+            sf, int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "240000"))
+        )
+        # The sandbox VM shares a host (nonzero historical steal time), so
+        # single runs are noisy: alternate levels, take the best of 3.
+        reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
+        results = {8: [], 32: []}
         docs = chars = 0
-        for n in (8, 32):
-            spark = make_spark(n)
-            docs, chars = corpus_stats(spark, corpus_path)
-            wall = run_extraction(spark, corpus_path, f"/tmp/dompa_bench_out_{n}")
-            results[n] = wall
-            spark.stop()
-        thr8 = docs / results[8]
-        thr32 = docs / results[32]
+        for rep in range(reps):
+            for n in (8, 32):
+                spark = make_spark(n)
+                if rep == 0 and n == 8:
+                    docs, chars = corpus_stats(spark, corpus_path)
+                wall = run_extraction(
+                    spark, corpus_path, f"/tmp/dompa_bench_out_{n}"
+                )
+                results[n].append(round(wall, 2))
+                spark.stop()
+        best8, best32 = min(results[8]), min(results[32])
+        thr8 = docs / best8
+        thr32 = docs / best32
         eff = (thr32 / thr8) / 4.0
         out = {
             "metric": "scaling efficiency local[8]->local[32]",
@@ -141,8 +155,8 @@ def main() -> None:
             "unit": "ratio",
             "docs": docs,
             "chars": chars,
-            "wall_8": round(results[8], 2),
-            "wall_32": round(results[32], 2),
+            "walls_8": results[8],
+            "walls_32": results[32],
             "docs_per_sec_8": round(thr8, 1),
             "docs_per_sec_32": round(thr32, 1),
             "sf": sf,
@@ -150,6 +164,7 @@ def main() -> None:
         print(json.dumps(out))
         return
 
+    corpus_path, n_docs = ensure_corpus(sf)
     spark = make_spark(cpus)
     docs, chars = corpus_stats(spark, corpus_path)
     wall = run_extraction(spark, corpus_path, "/tmp/dompa_bench_out")

@@ -190,19 +190,34 @@ def gen_batch(lo: int, hi: int, seed: int = SEED) -> pa.Table:
     )
 
 
+def _write_one(args) -> None:
+    path, fidx, lo, hi, seed = args
+    table = gen_batch(lo, hi, seed)
+    pq.write_table(
+        table,
+        os.path.join(path, f"part-{fidx:05d}.parquet"),
+        row_group_size=2_000,
+        compression="zstd",
+    )
+
+
 def write_corpus(path: str, n_docs: int, seed: int = SEED,
-                 rows_per_file: int = 20_000) -> None:
+                 rows_per_file: int = 20_000, procs: int = 0) -> None:
     """Write the corpus as a parquet directory (row-group per ~2k docs so
-    Spark's maxPartitionBytes splitting keeps input splits balanced)."""
+    Spark's maxPartitionBytes splitting keeps input splits balanced).
+    Per-doc seeding makes parallel generation bit-identical to serial."""
     os.makedirs(path, exist_ok=True)
-    fidx = 0
-    for lo in range(0, n_docs, rows_per_file):
-        hi = min(lo + rows_per_file, n_docs)
-        table = gen_batch(lo, hi, seed)
-        pq.write_table(
-            table,
-            os.path.join(path, f"part-{fidx:05d}.parquet"),
-            row_group_size=2_000,
-            compression="zstd",
-        )
-        fidx += 1
+    jobs = [
+        (path, fidx, lo, min(lo + rows_per_file, n_docs), seed)
+        for fidx, lo in enumerate(range(0, n_docs, rows_per_file))
+    ]
+    if procs == 0:
+        procs = min(16, os.cpu_count() or 1, len(jobs))
+    if procs <= 1 or len(jobs) <= 1:
+        for j in jobs:
+            _write_one(j)
+    else:
+        import multiprocessing as mp
+
+        with mp.Pool(procs) as pool:
+            pool.map(_write_one, jobs)

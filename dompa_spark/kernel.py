@@ -54,6 +54,12 @@ _NAME_STRIP = str.maketrans("", "", "</")
 
 
 def _codepoints(s: str) -> np.ndarray:
+    """Codepoint view of s with CHAR indices. ASCII fast path: a uint8
+    view costs 1/4 the memory bandwidth and byte indices == char indices;
+    only non-ASCII strings pay for the UTF-32 expansion. All boundary
+    constants (_LT etc.) are < 128, valid in both dtypes."""
+    if s.isascii():
+        return np.frombuffer(s.encode("ascii"), dtype=np.uint8)
     return np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
 
 
@@ -61,7 +67,7 @@ def _codepoints(s: str) -> np.ndarray:
 # Tokenizer (event-driven equivalent of the reference compose FSM)
 # ---------------------------------------------------------------------------
 
-def compose_coords(s: str) -> list[tuple[int, int]]:
+def compose_coords(s: str, cp: np.ndarray | None = None) -> list[tuple[int, int]]:
     """Inclusive [start, end] coordinates, identical to oracle.compose.
 
     Walks only boundary ('<'/'>') positions; the full FSM clause table
@@ -72,7 +78,8 @@ def compose_coords(s: str) -> list[tuple[int, int]]:
     n = len(s)
     if n == 0:
         return []
-    cp = _codepoints(s)
+    if cp is None:
+        cp = _codepoints(s)
     bnd = np.flatnonzero((cp == _LT) | (cp == _GT))
     coords: list[tuple[int, int]] = []
     # states: 0 = undecided (clause 1 pending at reset_pos+1), 1 = text,
@@ -247,11 +254,11 @@ def _parse_attrs(s: str, start: int, gt_pos: int) -> dict:
 
 def parse_flat(s: str) -> FlatDoc:
     """compose ∘ unify ∘ tree-build in one combined pass -> FlatDoc."""
-    coords = compose_coords(s)
+    cp = _codepoints(s) if s else None
+    coords = compose_coords(s, cp)
     if not coords:
         return FlatDoc([], np.empty(0, np.int32), np.empty(0, np.int32),
                        np.empty(0, np.int32), [], [])
-    cp = _codepoints(s)
     n = len(s)
     starts = np.fromiter((c[0] for c in coords), np.int64, len(coords))
     # stop position for names: first ' ' or '>' at/after each start
@@ -490,22 +497,119 @@ def extract_flat(doc: FlatDoc) -> list[tuple[str, str | None, str | None]]:
     return out
 
 
+# ---------------------------------------------------------------------------
+# Nested-tree view + traverse (the reference's rewrite surface,
+# nodes.cljc:43-55) — the engine's "user-defined rewrite" path. Slower than
+# the flat kernels by design: the caller supplies arbitrary per-node Python.
+# ---------------------------------------------------------------------------
+
+def flat_to_nested(doc: FlatDoc) -> list[dict]:
+    """FlatDoc -> oracle-style nested dicts (presence semantics preserved:
+    text nodes have 'value' and no 'attrs'; elements always have 'attrs';
+    'children' present only when non-empty)."""
+    n = len(doc)
+    nodes: list[dict] = []
+    for i in range(n):
+        if doc.name[i] == TEXT_NAME:
+            nodes.append({"name": TEXT_NAME, "value": doc.value[i]})
+        else:
+            nodes.append({"name": doc.name[i], "attrs": doc.attrs[i]})
+    roots: list[dict] = []
+    parent = doc.parent
+    for i in range(n):
+        p = parent[i]
+        if p < 0:
+            roots.append(nodes[i])
+        else:
+            nodes[p].setdefault("children", []).append(nodes[i])
+    return roots
+
+
+def traverse(nodes, fn):
+    """Pre-order rewrite over nested nodes; returning None deletes the
+    subtree. Mirrors nodes.cljc:43-55 including Q9 (every surviving node,
+    text leaves included, gains a 'children' key)."""
+    updated = []
+    for node in nodes or []:
+        new_node = fn(node)
+        if new_node is None:
+            continue
+        new_node = dict(new_node)
+        new_node["children"] = traverse(new_node.get("children"), fn)
+        updated.append(new_node)
+    return updated
+
+
+def serialize_nodes(nodes, void_nodes=SERIALIZER_VOID) -> str:
+    """Serialize nested nodes (nodes.cljc:15-41,69-93): None resets the
+    accumulator (Q8); fragments splice; custom void set applies only at
+    this depth (Q10); no escaping anywhere (Q7)."""
+    parts: list[str] = []
+    for node in nodes or []:
+        if node is None:
+            parts = []
+            continue
+        name = node["name"]
+        if name == ":<>":
+            parts.append(serialize_nodes(node.get("children")))
+            continue
+        if name == TEXT_NAME:
+            parts.append(node.get("value", ""))
+            continue
+        a = node.get("attrs")
+        if a:
+            astr = "".join(
+                f" {k}" if v is True else f' {k}="{v}"' for k, v in a.items()
+            )
+        else:
+            astr = ""
+        if name in void_nodes:
+            parts.append(f"<{name}{astr}>")
+        else:
+            inner = serialize_nodes(node.get("children"))
+            parts.append(f"<{name}{astr}>{inner}</{name}>")
+    return "".join(parts)
+
+
+def extract_document_cols(kinds, texts, media_refs, offsets):
+    """Columnar per-document kernel: parallel lists in, (kinds, texts,
+    media_refs) lists out (output offsets are dense 0..k-1 by position).
+    This is the Arrow-boundary shape — no per-span dicts anywhere."""
+    order = sorted(range(len(kinds)), key=lambda i: (offsets[i], i))
+    ok: list[str] = []
+    ot: list[str | None] = []
+    om: list[str | None] = []
+    for i in order:
+        kind = kinds[i]
+        if kind == HTML_KIND:
+            for k, t, m in extract_flat(parse_flat(texts[i] or "")):
+                ok.append(k)
+                ot.append(t)
+                om.append(m)
+        elif kind == TEXT_KIND:
+            ok.append(TEXT_KIND)
+            ot.append(texts[i])
+            om.append(None)
+        else:
+            ok.append(MEDIA_KIND)
+            ot.append(None)
+            om.append(media_refs[i])
+    return ok, ot, om
+
+
 def extract_document(spans_in) -> list[dict]:
     """Per-document kernel: same contract as oracle.extract_document.
 
     spans_in: iterable of {kind, text, media_ref, offset} dicts.
     """
-    ordered = sorted(enumerate(spans_in), key=lambda t: (t[1]["offset"], t[0]))
-    out: list[tuple[str, str | None, str | None]] = []
-    for _, span in ordered:
-        kind = span["kind"]
-        if kind == HTML_KIND:
-            out.extend(extract_flat(parse_flat(span["text"] or "")))
-        elif kind == TEXT_KIND:
-            out.append((TEXT_KIND, span["text"], None))
-        else:
-            out.append((MEDIA_KIND, None, span["media_ref"]))
+    spans_in = list(spans_in)
+    ok, ot, om = extract_document_cols(
+        [s["kind"] for s in spans_in],
+        [s["text"] for s in spans_in],
+        [s["media_ref"] for s in spans_in],
+        [s["offset"] for s in spans_in],
+    )
     return [
         {"kind": k, "text": t, "media_ref": m, "offset": i}
-        for i, (k, t, m) in enumerate(out)
+        for i, (k, t, m) in enumerate(zip(ok, ot, om))
     ]

@@ -53,6 +53,9 @@ def session_confs(builder):
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
         .config("spark.sql.shuffle.partitions", "128")
+        # kernel cost per input byte is high (HTML parse), so feed the
+        # scan stage many small splits — parquet row groups are ~2k docs
+        .config("spark.sql.files.maxPartitionBytes", "16m")
     )
 
 
@@ -102,33 +105,149 @@ def _spans_cell_to_list(cell) -> list[dict]:
     return [dict(s) for s in cell] if cell is not None else []
 
 
-def _extract_iter(batches: Iterator[pd.DataFrame], keep_part: bool):
-    for pdf in batches:
-        out = [
-            kernel.extract_document(_spans_cell_to_list(cell))
-            for cell in pdf["spans"]
-        ]
-        cols = {"doc_id": pdf["doc_id"], "spans": out}
+def _doc_crc(doc_id: str, spans: list[dict]) -> int:
+    """Stable per-doc checksum over the ordered span tuples (zlib.crc32 —
+    C-speed, deterministic across processes/runs)."""
+    import zlib
+
+    crc = zlib.crc32(doc_id.encode())
+    for s in spans:
+        crc = zlib.crc32(
+            f"{s['kind']}\x00{s['text']}\x00{s['media_ref']}\x00{s['offset']}".encode(),
+            crc,
+        )
+    return crc
+
+
+_PA_SPAN_LIST = None
+
+
+def _pa_span_list_type():
+    global _PA_SPAN_LIST
+    if _PA_SPAN_LIST is None:
+        import pyarrow as pa
+
+        _PA_SPAN_LIST = pa.list_(
+            pa.struct(
+                [
+                    ("kind", pa.string()),
+                    ("text", pa.string()),
+                    ("media_ref", pa.string()),
+                    ("offset", pa.int32()),
+                ]
+            )
+        )
+    return _PA_SPAN_LIST
+
+
+def _extract_arrow_iter(batches, keep_part: bool, with_metrics: bool):
+    """Arrow-native kernel wrapper (mapInArrow): fully columnar at the
+    boundary — input struct children are read as four flat lists, output
+    spans are assembled with ListArray/StructArray.from_arrays. No
+    per-span dict is ever materialized; doc_id/part_id pass through as
+    untouched Arrow buffers."""
+    import zlib
+
+    import pyarrow as pa
+
+    span_struct = _pa_span_list_type().value_type
+    for batch in batches:
+        lv = batch.column("spans")
+        n = len(batch)
+        offs = lv.offsets.to_numpy(zero_copy_only=False)
+        st = lv.values
+        kinds = st.field("kind").to_pylist()
+        texts = st.field("text").to_pylist()
+        refs = st.field("media_ref").to_pylist()
+        in_offsets = st.field("offset").to_pylist()
+
+        out_kinds: list[str] = []
+        out_texts: list[str | None] = []
+        out_refs: list[str | None] = []
+        out_span_offsets: list[int] = []
+        list_offsets = [0]
+        doc_counts: list[int] = []
+        for i in range(n):
+            lo, hi = int(offs[i]), int(offs[i + 1])
+            ok, ot, om = kernel.extract_document_cols(
+                kinds[lo:hi], texts[lo:hi], refs[lo:hi], in_offsets[lo:hi]
+            )
+            out_kinds.extend(ok)
+            out_texts.extend(ot)
+            out_refs.extend(om)
+            out_span_offsets.extend(range(len(ok)))
+            list_offsets.append(len(out_kinds))
+            doc_counts.append(len(ok))
+
+        st_out = pa.StructArray.from_arrays(
+            [
+                pa.array(out_kinds, pa.string()),
+                pa.array(out_texts, pa.string()),
+                pa.array(out_refs, pa.string()),
+                pa.array(out_span_offsets, pa.int32()),
+            ],
+            fields=list(span_struct),
+        )
+        spans_out = pa.ListArray.from_arrays(
+            pa.array(list_offsets, pa.int32()), st_out
+        )
+        arrays = [batch.column("doc_id"), spans_out]
+        names = ["doc_id", "spans"]
         if keep_part:
-            cols["part_id"] = pdf["part_id"]
-        yield pd.DataFrame(cols)
+            arrays.append(batch.column("part_id"))
+            names.append("part_id")
+        if with_metrics:
+            # per-doc scalars so the manifest pass never has to re-read
+            # the nested spans column (parquet column pruning)
+            doc_ids = batch.column("doc_id").to_pylist()
+            out_chars: list[int] = []
+            crcs: list[int] = []
+            for i in range(n):
+                lo, hi = list_offsets[i], list_offsets[i + 1]
+                out_chars.append(
+                    sum(len(t) for t in out_texts[lo:hi] if t is not None)
+                )
+                crc = zlib.crc32(doc_ids[i].encode())
+                for j in range(lo, hi):
+                    crc = zlib.crc32(
+                        f"{out_kinds[j]}\x00{out_texts[j]}\x00{out_refs[j]}"
+                        f"\x00{j - lo}".encode(),
+                        crc,
+                    )
+                crcs.append(crc)
+            arrays += [
+                pa.array(doc_counts, pa.int32()),
+                pa.array(out_chars, pa.int64()),
+                pa.array(crcs, pa.int64()),
+            ]
+            names += ["n_spans", "out_chars", "doc_crc"]
+        yield pa.RecordBatch.from_arrays(arrays, names)
 
 
-def extract_df(df: DataFrame) -> DataFrame:
-    """(doc_id, spans[, part_id]) -> extracted (doc_id, spans[, part_id])."""
-    from pyspark.sql.types import IntegerType, StructField, StructType
+def extract_df(df: DataFrame, with_metrics: bool = False) -> DataFrame:
+    """(doc_id, spans[, part_id]) -> extracted (doc_id, spans[, part_id]
+    [, n_spans, out_chars, doc_crc])."""
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
 
     keep_part = "part_id" in df.columns
-    schema = (
-        OUTPUT_SCHEMA
-        if not keep_part
-        # build a fresh StructType — StructType.add mutates in place
-        else StructType(
-            OUTPUT_SCHEMA.fields + [StructField("part_id", IntegerType())]
-        )
-    )
-    return df.mapInPandas(
-        lambda it: _extract_iter(it, keep_part), schema=schema
+    fields = list(OUTPUT_SCHEMA.fields)
+    if keep_part:
+        fields.append(StructField("part_id", IntegerType()))
+    if with_metrics:
+        fields += [
+            StructField("n_spans", IntegerType()),
+            StructField("out_chars", LongType()),
+            StructField("doc_crc", LongType()),
+        ]
+    schema = StructType(fields)
+    return df.mapInArrow(
+        lambda it: _extract_arrow_iter(it, keep_part, with_metrics),
+        schema=schema,
     )
 
 
@@ -187,6 +306,32 @@ def _nodes_iter(batches: Iterator[pd.DataFrame]):
 def parse_nodes_df(df: DataFrame) -> DataFrame:
     """Flat-DOM table (FIXTURES.md §3) of each doc's concatenated html."""
     return df.mapInPandas(_nodes_iter, schema=NODES_SCHEMA)
+
+
+def traverse_html_df(df: DataFrame, traverser) -> DataFrame:
+    """The reference's rewrite surface (nodes.cljc:43-55) as a Spark
+    operator: parse each doc's html, apply the caller's node->node|None
+    rewriter pre-order, re-serialize. `traverser` runs inside the Arrow
+    batch kernel — per NODE Python, so this is the engine's deliberate
+    slow path for arbitrary rewrites (whitelist-style drops should use
+    extract_df's vectorized passes instead)."""
+
+    def _iter(batches: Iterator[pd.DataFrame]):
+        for pdf in batches:
+            htmls = [
+                kernel.serialize_nodes(
+                    kernel.traverse(
+                        kernel.flat_to_nested(
+                            kernel.parse_flat(_html_of_doc(cell))
+                        ),
+                        traverser,
+                    )
+                )
+                for cell in pdf["spans"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "html": htmls})
+
+    return df.mapInPandas(_iter, schema=ROUNDTRIP_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -291,27 +436,23 @@ def run_extract(
             F.col("part_id").isin(chunk)
         )
         sub = sub.repartition(len(chunk), F.col("part_id"))
-        res = extract_df(sub)
+        res = extract_df(sub, with_metrics=True)
         chunk_data = f"{data_path}/chunk={cid}"
         res.write.mode("overwrite").parquet(chunk_data)
         wall_ms = int((time.time() - t0) * 1000)
         # metrics/lineage from the files just written — no recompute, no
-        # caching of the full output (matters at 10^12 docs)
-        written = spark.read.parquet(chunk_data)
+        # caching of the full output, and (because the per-doc scalars were
+        # computed inside the kernel pass) the readback prunes down to four
+        # small columns, never touching the nested spans again
+        written = spark.read.parquet(chunk_data).select(
+            "part_id", "n_spans", "out_chars", "doc_crc"
+        )
         agg = written.groupBy("part_id").agg(
             F.count("*").alias("doc_count"),
-            F.sum(F.size("spans")).cast("long").alias("span_count"),
-            F.sum(
-                F.aggregate(
-                    F.col("spans"),
-                    F.lit(0).cast("long"),
-                    lambda acc, s: acc
-                    + F.coalesce(F.length(s["text"]), F.lit(0)),
-                )
-            ).cast("long").alias("out_chars"),
-            F.expr("bit_xor(xxhash64(doc_id, to_json(spans)))").alias(
-                "checksum"
-            ),
+            F.sum("n_spans").cast("long").alias("span_count"),
+            F.sum("out_chars").cast("long").alias("out_chars"),
+            # order-insensitive per-part checksum over per-doc crcs
+            F.expr("bit_xor(doc_crc)").alias("checksum"),
         )
         # every part in the chunk gets a manifest row — empty parts are
         # "done" too, otherwise resume would rescan them forever
@@ -322,10 +463,35 @@ def run_extract(
             .withColumn("chunk_wall_ms", F.lit(wall_ms).cast("long"))
             .withColumn("engine_version", F.lit(ENGINE_VERSION))
         )
+        # the manifest is ~one row per part: write it driver-side with
+        # pyarrow (atomic tmp+rename) instead of spawning a Spark job
         pdf = metrics.toPandas()
-        metrics_local = spark.createDataFrame(pdf, metrics.schema)
-        metrics_local.coalesce(1).write.mode("overwrite").parquet(
-            f"{manifest_path}/chunk={cid}"
-        )
+        _write_manifest_chunk(f"{manifest_path}/chunk={cid}", pdf)
         stats["docs"] += int(pdf["doc_count"].sum())
     return stats
+
+
+def _write_manifest_chunk(path: str, pdf: pd.DataFrame) -> None:
+    import os
+    import shutil
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table(
+        {
+            "part_id": pa.array(pdf["part_id"], pa.int32()),
+            "doc_count": pa.array(pdf["doc_count"], pa.int64()),
+            "span_count": pa.array(pdf["span_count"], pa.int64()),
+            "out_chars": pa.array(pdf["out_chars"], pa.int64()),
+            "checksum": pa.array(pdf["checksum"], pa.int64()),
+            "chunk_wall_ms": pa.array(pdf["chunk_wall_ms"], pa.int64()),
+            "engine_version": pa.array(pdf["engine_version"], pa.string()),
+        }
+    )
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(table, os.path.join(tmp, "manifest.parquet"))
+    shutil.rmtree(path, ignore_errors=True)
+    os.rename(tmp, path)

@@ -148,6 +148,27 @@ def random_doc(rng) -> str:
     return "".join(parts)
 
 
+def _rewriter(node):
+    """Deterministic traverser used for differential traverse tests."""
+    if node["name"] == "b":
+        return None
+    if node["name"] == TEXT_NAME:
+        return {**node, "value": node["value"][::-1]}
+    return node
+
+
+@pytest.mark.parametrize("html", GOLDEN, ids=range(len(GOLDEN)))
+def test_golden_traverse(html):
+    k_nodes = kernel.flat_to_nested(kernel.parse_flat(html))
+    o_nodes = oracle.parse(html)
+    assert kernel.traverse(k_nodes, _rewriter) == oracle.traverse(
+        o_nodes, _rewriter
+    )
+    assert kernel.serialize_nodes(
+        kernel.traverse(k_nodes, _rewriter)
+    ) == oracle.to_html(oracle.traverse(o_nodes, _rewriter))
+
+
 def test_fuzz_differential():
     rng = np.random.default_rng(42)
     for trial in range(3000):
