@@ -170,6 +170,10 @@ def q_ann_cosine_topk(spark, sf_dir):
     return textops.ann_cosine_topk(_emb(spark, sf_dir))
 
 
+def q_ann_lsh_topk(spark, sf_dir):
+    return textops.ann_lsh_topk(_emb(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full extraction pipeline (template-interleaved docs ->
     salted partitioning -> Arrow kernel -> spans) on sf0.001."""
@@ -205,6 +209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "corpus_stats": q_corpus_stats,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
     }
 
 
@@ -437,6 +442,48 @@ def oracle_sql() -> dict[str, str]:
                      (PARTITION BY query_id
                       ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank,
                    vec_id AS neighbor_id, cosine
+            FROM scored
+            QUALIFY rank <= 5
+        """,
+        "ann_lsh_topk": """
+            WITH emb AS (
+              SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+            buckets AS (
+              -- per-plane dot via ordered list_sum (same element order as
+              -- the engine's sequential aggregate), bucket bits integer-sum
+              SELECT e.vec_id,
+                     CAST(sum(CASE WHEN list_sum(list_transform(
+                            generate_series(1, len(e.v)),
+                            i -> e.v[i] * (CASE WHEN CAST('0x' ||
+                                 substr(md5(p.p::VARCHAR || ':' ||
+                                        (i-1)::VARCHAR), 1, 15) AS BIGINT)
+                                 % 2 = 1 THEN 1.0 ELSE -1.0 END))) > 0
+                          THEN (1 << p.p) ELSE 0 END) AS BIGINT) AS bucket
+              FROM emb e, (SELECT unnest(generate_series(0,3)) AS p) p
+              GROUP BY e.vec_id),
+            n AS (
+              SELECT e.vec_id, e.v,
+                     sqrt(list_sum(list_transform(e.v, x -> x*x))) AS norm,
+                     b.bucket
+              FROM emb e JOIN buckets b USING (vec_id)),
+            q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm,
+                         bucket AS qbucket
+                  FROM n WHERE vec_id < 10),
+            scored AS (
+              SELECT q.query_id, n.vec_id, n.bucket,
+                     round(list_sum(list_transform(
+                             generate_series(1, len(n.v)),
+                             i -> n.v[i] * q.qv[i])) / (n.norm * q.qnorm), 4)
+                       AS cosine
+              FROM n JOIN q ON n.bucket = q.qbucket
+              WHERE n.vec_id <> q.query_id)
+            SELECT query_id,
+                   CAST(row_number() OVER
+                     (PARTITION BY query_id
+                      ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank,
+                   vec_id AS neighbor_id, bucket, cosine
             FROM scored
             QUALIFY rank <= 5
         """,

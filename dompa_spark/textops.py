@@ -392,6 +392,79 @@ def token_stats(df: DataFrame) -> DataFrame:
 # Similarity search over embeddings
 # ---------------------------------------------------------------------------
 
+ANN_LSH_PLANES = 4
+
+
+def srp_plane(p: int, dim: int) -> list[float]:
+    """Deterministic ±1 signed-random-projection plane: component i is
+    +1 iff the md5-derived 60-bit int of "p:i" is odd (portable — the
+    DuckDB oracle derives the identical plane in SQL)."""
+    import hashlib
+
+    return [
+        1.0
+        if int(hashlib.md5(f"{p}:{i}".encode()).hexdigest()[:15], 16) % 2 == 1
+        else -1.0
+        for i in range(dim)
+    ]
+
+
+def ann_lsh_topk(
+    df: DataFrame, n_queries: int = 10, k: int = 5,
+    n_planes: int = ANN_LSH_PLANES,
+) -> DataFrame:
+    """LSH-bucketed ANN — the scale path: vectors hash into 2^n_planes
+    SRP buckets; each query only scores its own bucket (an equi-join on
+    the bucket key instead of a full cross join), then exact cosine
+    top-k within the bucket. Recall < 1 by design; the oracle computes
+    the same algorithm so results match exactly."""
+    from pyspark.sql.window import Window
+
+    dim = len(df.select("embedding").first()[0])
+    emb = df.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    norm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(c) for c in srp_plane(p, dim)])
+        dot_p = F.aggregate(
+            F.zip_with("v", plane, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(dot_p > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    emb = emb.withColumn("norm", norm).withColumn(
+        "bucket", bucket.cast("int")
+    )
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+        F.col("bucket").alias("qbucket"),
+    )
+    dot = F.aggregate(
+        F.zip_with("v", "qv", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        emb.join(
+            F.broadcast(q), F.col("bucket") == F.col("qbucket"), "inner"
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(dot / (F.col("norm") * F.col("qnorm")), 4))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", F.col("vec_id").alias("neighbor_id"),
+                F.col("bucket").cast("long").alias("bucket"), "cosine")
+    )
+
+
 def ann_cosine_topk(df: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
     """Brute-force cosine top-k: the small query side is broadcast, the
     corpus side streams — the scale path for 'give me neighbors of a few
