@@ -286,17 +286,23 @@ def to_nodes(html: str, coords: list[Coord]):
     if not coords:
         return None
     coords = sorted(coords, key=lambda c: c[0])
-    pf, pt = coords[0]
-    kids = sorted(
-        [c for c in coords if pf < c[0] and pt > c[1]], key=lambda c: c[0]
-    )
-    remaining = [
-        c for c in coords if not (c[0] == pf or (c[0] > pf and c[1] < pt))
-    ]
-    node_html = html[pf : pt + 1]
-    node_children = to_nodes(html, kids)
-    rest = to_nodes(html, remaining)
-    return [construct_node(node_html, node_children)] + (rest or [])
+    # The reference recurses for the sibling tail too
+    # (coordinates.cljc:349); that makes Python recursion depth O(#siblings)
+    # and overflows on wide documents, so the tail recursion is unrolled
+    # into a loop — output is element-wise identical.
+    out = []
+    while coords:
+        pf, pt = coords[0]
+        kids = sorted(
+            [c for c in coords if pf < c[0] and pt > c[1]], key=lambda c: c[0]
+        )
+        remaining = [
+            c for c in coords if not (c[0] == pf or (c[0] > pf and c[1] < pt))
+        ]
+        node_html = html[pf : pt + 1]
+        out.append(construct_node(node_html, to_nodes(html, kids)))
+        coords = remaining
+    return out
 
 
 def parse(html: str):

@@ -217,9 +217,11 @@ def minhash_lsh_pairs(df: DataFrame, jaccard_min: float = 0.7) -> DataFrame:
     pairs; candidates are verified with exact shingle Jaccard. The join
     is on the band key (bounded buckets), never all-pairs."""
     sigs = minhash_sigs(df)
+    # band on (band_idx, 4-minhash key) only — the heavy shingle arrays do
+    # NOT travel through the band join; they come back via two slim joins
+    # on the (usually tiny) deduped candidate-pair set
     banded = sigs.select(
         "doc_id",
-        "sh",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
@@ -235,7 +237,7 @@ def minhash_lsh_pairs(df: DataFrame, jaccard_min: float = 0.7) -> DataFrame:
                 ),
             )
         ).alias("bs"),
-    ).select("doc_id", "sh", F.col("bs.band").alias("band"), F.col("bs.bkey").alias("bkey"))
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.bkey").alias("bkey"))
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -244,10 +246,19 @@ def minhash_lsh_pairs(df: DataFrame, jaccard_min: float = 0.7) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sh_only = sigs.select("doc_id", "sh")
+    cand = (
+        cand.join(
+            sh_only.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
+            "doc_a",
+        )
+        .join(
+            sh_only.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")),
+            "doc_b",
+        )
     )
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
         F.array_union("sh_a", "sh_b")
