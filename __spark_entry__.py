@@ -22,12 +22,42 @@ from pyspark.sql import functions as F
 from dompa_spark import pipeline, textops
 from dompa_spark.constants import TEXT_NAME
 
+_PYFILES_SENT: set[int] = set()
+
+
+def _ensure_pyfiles(spark: SparkSession) -> None:
+    """Executor Python workers must be able to import dompa_spark even if
+    the driver wasn't launched from this repo (or without --py-files):
+    ship the package via addPyFile once per SparkContext."""
+    import os
+    import tempfile
+    import zipfile
+
+    sc = spark.sparkContext
+    key = id(sc)
+    if key in _PYFILES_SENT:
+        return
+    pkg_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "dompa_spark")
+    zpath = os.path.join(tempfile.gettempdir(), "dompa_spark_pkg.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    z.write(full, rel)
+    sc.addPyFile(zpath)
+    _PYFILES_SENT.add(key)
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_pyfiles(spark)
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_pyfiles(spark)
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
@@ -174,6 +204,10 @@ def q_ann_lsh_topk(spark, sf_dir):
     return textops.ann_lsh_topk(_emb(spark, sf_dir))
 
 
+def q_dedup_embedding_cosine(spark, sf_dir):
+    return textops.dedup_embedding_cosine(_emb(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full extraction pipeline (template-interleaved docs ->
     salted partitioning -> Arrow kernel -> spans) on sf0.001."""
@@ -210,6 +244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": q_corpus_stats,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
     }
 
 
@@ -486,5 +521,50 @@ def oracle_sql() -> dict[str, str]:
                    vec_id AS neighbor_id, bucket, cosine
             FROM scored
             QUALIFY rank <= 5
+        """,
+        "dedup_embedding_cosine": """
+            WITH base AS (
+              SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+            pert AS (
+              SELECT vec_id + 10000 AS new_id,
+                     list_transform(generate_series(1, len(v)),
+                       i -> v[i] + (CAST('0x' ||
+                              substr(md5(vec_id::VARCHAR || ':' ||
+                                     (i-1)::VARCHAR), 1, 15) AS BIGINT)
+                              % 1000 - 500) * CAST(0.00001 AS DOUBLE)) AS v
+              FROM base WHERE vec_id % 4 = 0),
+            aug AS (SELECT vec_id, v FROM base
+                    UNION ALL SELECT new_id AS vec_id, v FROM pert),
+            n AS (
+              -- list_reduce = sequential left fold, matching Spark's
+              -- aggregate() exactly (list_sum may sum pairwise; these
+              -- engineered near-dup cosines sit on round() boundaries)
+              SELECT a.vec_id, a.v,
+                     sqrt(list_reduce(list_transform(a.v, x -> x*x),
+                                      (acc, x) -> acc + x)) AS norm,
+                     b.bucket
+              FROM aug a JOIN (
+                SELECT e.vec_id,
+                       CAST(sum(CASE WHEN list_sum(list_transform(
+                              generate_series(1, len(e.v)),
+                              i -> e.v[i] * (CASE WHEN CAST('0x' ||
+                                   substr(md5(p.p::VARCHAR || ':' ||
+                                          (i-1)::VARCHAR), 1, 15) AS BIGINT)
+                                   % 2 = 1 THEN 1.0 ELSE -1.0 END))) > 0
+                            THEN (1 << p.p) ELSE 0 END) AS BIGINT) AS bucket
+                FROM aug e, (SELECT unnest(generate_series(0,3)) AS p) p
+                GROUP BY e.vec_id) b USING (vec_id)),
+            pairs AS (
+              SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                     round(list_reduce(list_transform(
+                             generate_series(1, len(a.v)),
+                             i -> a.v[i] * b.v[i]),
+                             (acc, x) -> acc + x) / (a.norm * b.norm), 4)
+                       AS cosine
+              FROM n a JOIN n b
+                ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+            SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.98
         """,
     }

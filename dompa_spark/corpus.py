@@ -118,6 +118,43 @@ def _gen_html(rng, target_chars: int, malformed: bool) -> str:
     return "".join(parts)
 
 
+def gen_roundtrip_html(i: int, seed: int = SEED, target_chars: int = 4000) -> str:
+    """Round-trip-SAFE page: properly nested, double-quoted single-spaced
+    attrs, voids without '/', no comments/malformed tokens — the subset
+    where parse∘serialize must be byte-identical (our own stand-in for
+    the reference's fixture test, independent of /root/reference)."""
+    rng = np.random.default_rng([seed, 7_000_003, i])
+    parts = ["<!DOCTYPE html><html><head>"]
+    parts.append(f"<title>{_text_run(rng, 5)}</title>")
+    parts.append('<meta charset="utf-8"><link href="c.css" rel="stylesheet">')
+    parts.append("</head><body>")
+    stack = ["body"]
+    size = 0
+    while size < target_chars:
+        r = rng.random()
+        if r < 0.3 and len(stack) < 10:
+            tag = _CONTENT_TAGS[int(rng.integers(0, len(_CONTENT_TAGS)))]
+            n_attrs = int(rng.integers(0, 3))
+            attrs = "".join(
+                f' data-k{j}="v{int(rng.integers(0, 99))}"' for j in range(n_attrs)
+            )
+            piece = f"<{tag}{attrs}>"
+            stack.append(tag)
+        elif r < 0.5 and len(stack) > 1:
+            piece = f"</{stack.pop()}>"
+        elif r < 0.58:
+            piece = f'<img src="i{int(rng.integers(0, 999))}.png">' \
+                if rng.random() < 0.5 else "<br>"
+        else:
+            piece = _text_run(rng)
+        parts.append(piece)
+        size += len(piece)
+    while len(stack) > 1:
+        parts.append(f"</{stack.pop()}>")
+    parts.append("</body></html>")
+    return "".join(parts)
+
+
 def gen_doc(i: int, seed: int = SEED):
     """Generate document i -> (doc_id, spans list). Pure in (seed, i)."""
     rng = np.random.default_rng([seed, i])

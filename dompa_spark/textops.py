@@ -403,6 +403,89 @@ def token_stats(df: DataFrame) -> DataFrame:
 # Similarity search over embeddings
 # ---------------------------------------------------------------------------
 
+def with_near_dup_vectors(df: DataFrame, id_offset: int = 10_000) -> DataFrame:
+    """Augment embeddings with deterministically perturbed copies of every
+    4th vector (delta_i = (md5int(orig_id:i) % 1000 - 500) * 1e-5) — gives
+    the cosine near-dup detector true positives, SQL-reproducibly."""
+    base = df.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    # NB: the delta hashes the ORIGINAL id. Spark 4 resolves lateral
+    # aliases, so `vec_id` inside the lambda would see the re-aliased
+    # (vec_id + offset) — rename first to keep it unambiguous.
+    perturbed = (
+        base.filter(F.col("vec_id") % 4 == 0)
+        .select(F.col("vec_id").alias("orig_id"), "v")
+        .select(
+            (F.col("orig_id") + id_offset).alias("vec_id"),
+            F.transform(
+                "v",
+                lambda x, i: x
+                + (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.col("orig_id").cast("string"),
+                                    F.lit(":"),
+                                    i.cast("string"),
+                                )
+                            ),
+                            1,
+                            15,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % 1000
+                    - 500
+                )
+                * 0.00001,
+            ).alias("v"),
+        )
+    )
+    return base.unionByName(perturbed)
+
+
+def dedup_embedding_cosine(df: DataFrame, threshold: float = 0.98) -> DataFrame:
+    """Embedding-cosine near-dup pairs: SRP-LSH buckets bound the candidate
+    set (same-bucket equi-join), exact cosine verifies. The scale shape for
+    'find semantic dups across 10^9 vectors'."""
+    aug = with_near_dup_vectors(df)
+    dim = len(df.select("embedding").first()[0])
+    norm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
+    bucket = F.lit(0)
+    for p in range(ANN_LSH_PLANES):
+        plane = F.array(*[F.lit(c) for c in srp_plane(p, dim)])
+        dot_p = F.aggregate(
+            F.zip_with("v", plane, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(dot_p > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    emb = aug.withColumn("norm", norm).withColumn("bucket", bucket.cast("int"))
+    a = emb.alias("a")
+    b = emb.alias("b")
+    dot = F.aggregate(
+        F.zip_with("a.v", "b.v", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = F.round(dot / (F.col("a.norm") * F.col("b.norm")), 4)
+    return (
+        a.join(b, F.col("a.bucket") == F.col("b.bucket"))
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            "cosine",
+        )
+    )
+
+
 ANN_LSH_PLANES = 4
 
 
