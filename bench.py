@@ -56,6 +56,12 @@ def make_spark(cpus: int):
 
     from dompa_spark.pipeline import session_confs
 
+    # local-mode python workers inherit the JVM's env, which inherits
+    # ours: make dompa_spark importable on executors regardless of the
+    # caller's cwd
+    os.environ["PYTHONPATH"] = (
+        REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+    )
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(f"dompa-bench-{cpus}")
