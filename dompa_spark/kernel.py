@@ -400,36 +400,30 @@ def extract_flat(doc: FlatDoc) -> list[tuple[str, str | None, str | None]]:
     is_img = [nm == MEDIA_TAG for nm in names]
     ext = doc.ext.tolist()
     parent = doc.parent.tolist()
-    idx = np.arange(n)
 
-    # Pass 1: whitelist — vectorized drop propagation via prefix-max of
-    # subtree extents (a match at j kills [j, ext[j]))
-    dropmatch = np.fromiter(
-        (
-            (not is_text[i])
-            and (names[i] in DROP_TAGS or names[i].startswith("!--"))
-            for i in range(n)
-        ),
-        bool,
-        n,
-    )
-    drop_until = np.maximum.accumulate(np.where(dropmatch, doc.ext, 0))
-    alive = (~(drop_until > idx)).tolist()
-
-    # in_a: any STRICT ancestor named 'a' — an 'a' at j covers (j, ext[j]);
-    # prefix-max over j < i (shift by one). In pre-order any j < i is
-    # either an ancestor of i (ext[j] > i) or a completed earlier subtree
-    # (ext[j] <= i), so the comparison is exact.
-    a_ext = np.fromiter(
-        (ext[i] if (not is_text[i]) and names[i] == ANCHOR_TAG else 0
-         for i in range(n)),
-        np.int64,
-        n,
-    )
-    shifted = np.empty(n, np.int64)
-    shifted[0] = 0
-    np.maximum.accumulate(a_ext[:-1], out=shifted[1:])
-    in_a = (shifted > idx).tolist()
+    # Pass 1 (whitelist drop, [j, ext[j]) per match) and in_a (any STRICT
+    # 'a' ancestor: an 'a' at j covers (j, ext[j])) as one scalar sweep —
+    # running prefix-max; in pre-order any j < i is either an ancestor
+    # (ext[j] > i) or a completed earlier subtree (ext[j] <= i).
+    alive = [True] * n
+    in_a = [False] * n
+    drop_until = 0
+    a_until = 0
+    for i in range(n):
+        if a_until > i:
+            in_a[i] = True
+        if not is_text[i]:
+            nm = names[i]
+            if nm in DROP_TAGS or nm.startswith("!--"):
+                e = ext[i]
+                if e > drop_until:
+                    drop_until = e
+            elif nm == ANCHOR_TAG:
+                e = ext[i]
+                if e > a_until:
+                    a_until = e
+        if drop_until > i:
+            alive[i] = False
 
     own_text = [len(values[i]) if is_text[i] else 0 for i in range(n)]
 
