@@ -8,10 +8,11 @@ Design (SURVEY.md §3.4):
          queues behind thousands of small ones (long-document compute
          skew is invisible to AQE because it happens inside the UDF)
       -> repartition(part_id)          [the only shuffle in the job]
-      -> mapInPandas(extract kernel)   [Arrow batches; no per-row Python]
-      -> write parquet partitioned by part_id, dynamic overwrite
-      -> manifest append per part_id   [checkpoint/lineage; resume =
-         anti-join on completed parts, idempotent via dynamic overwrite]
+      -> mapInArrow(extract kernel)    [columnar batches; no per-row
+         Python, per-doc metric scalars computed in the same pass]
+      -> write parquet per chunk dir   [plain overwrite = idempotent]
+      -> per-part manifest rows        [checkpoint/lineage; resume skips
+         chunks whose parts all appear in the manifest]
 
 Everything Catalyst can plan (scan, pruning, shuffle, write) stays
 declarative; the kernels are opaque Arrow-batch functions.
@@ -99,11 +100,6 @@ def with_part_id(
 # ---------------------------------------------------------------------------
 # Arrow-batched kernels behind mapInPandas
 # ---------------------------------------------------------------------------
-
-def _spans_cell_to_list(cell) -> list[dict]:
-    # Arrow -> pandas yields a numpy array of dicts per cell
-    return [dict(s) for s in cell] if cell is not None else []
-
 
 def _doc_crc(doc_id: str, spans: list[dict]) -> int:
     """Stable per-doc checksum over the ordered span tuples (zlib.crc32 —

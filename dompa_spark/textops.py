@@ -13,11 +13,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# 60-bit integer from md5 hex — portable across Spark and DuckDB
-def md5_int(col: Column) -> Column:
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
-
-
 STOPWORDS = ["the", "a", "of", "and", "in", "over", "do", "sit", "sed"]
 
 
@@ -216,7 +211,9 @@ def minhash_lsh_pairs(df: DataFrame, jaccard_min: float = 0.7) -> DataFrame:
     """LSH banding: docs sharing any band signature become candidate
     pairs; candidates are verified with exact shingle Jaccard. The join
     is on the band key (bounded buckets), never all-pairs."""
-    sigs = minhash_sigs(df)
+    # cache: the 16-minhash expression tree is the expensive part and the
+    # self-join + two shingle joins would otherwise recompute it 4x
+    sigs = minhash_sigs(df).cache()
     # band on (band_idx, 4-minhash key) only — the heavy shingle arrays do
     # NOT travel through the band join; they come back via two slim joins
     # on the (usually tiny) deduped candidate-pair set
