@@ -19,7 +19,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dompa_spark import pipeline, textops
+from dompa_spark import pdfops, pipeline, textops
 from dompa_spark.constants import TEXT_NAME
 
 _PYFILES_SENT: set[int] = set()
@@ -208,6 +208,17 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     return textops.dedup_embedding_cosine(_emb(spark, sf_dir))
 
 
+def q_pdf_layout(spark, sf_dir):
+    """PDF/layout parse end-to-end: render each document as a real PDF
+    (Flate streams, single- or two-column pages by doc_id) and recover
+    the text through the from-scratch object/content/layout parser. The
+    oracle is closed-form: text round-trips exactly; page/line counts
+    follow from the 80-char x 40-line grid."""
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+    return pdfops.pdf_layout_extract(pdfops.docs_to_pdf(docs))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full extraction pipeline (template-interleaved docs ->
     salted partitioning -> Arrow kernel -> spans) on sf0.001."""
@@ -245,6 +256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "pdf_layout": q_pdf_layout,
     }
 
 
@@ -566,5 +578,16 @@ def oracle_sql() -> dict[str, str]:
               FROM n a JOIN n b
                 ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
             SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.98
+        """,
+        # pdf_layout: generate->parse->layout round-trips the text exactly;
+        # page/line counts are closed-form in the 80x40 grid (pdfops.py)
+        "pdf_layout": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   GREATEST(CAST(1 AS BIGINT),
+                            CAST(CEIL(CEIL(LENGTH(text)/80.0)/40.0)
+                                 AS BIGINT)) AS n_pages,
+                   CAST(CEIL(LENGTH(text)/80.0) AS BIGINT) AS n_lines,
+                   text
+            FROM documents
         """,
     }
