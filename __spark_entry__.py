@@ -219,6 +219,48 @@ def q_pdf_layout(spark, sf_dir):
     return pdfops.pdf_layout_extract(pdfops.docs_to_pdf(docs))
 
 
+PDF_INTRO = "PDF intro. "
+PDF_OUTRO = " PDF outro."
+
+
+def q_pdf_interleaved(spark, sf_dir):
+    """Interleaved multi-format extraction: documents carry a text span,
+    a span referencing a PDF payload in the media table, and a closing
+    text span. The pipeline runs the normal extraction kernel (the pdf
+    ref passes through as a media placeholder), then splice_pdf_spans
+    broadcast-joins the layout-extracted PDF spans inline. Oracle: intro,
+    the 80-char line chunks of the text, outro — in order."""
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+    ref = F.concat(F.lit("pdf://doc/"), F.col("doc_id"))
+    media = pdfops.docs_to_pdf(docs).select(
+        F.concat(F.lit("pdf://doc/"), F.col("doc_id")).alias("media_ref"),
+        F.lit("pdf").alias("kind"),
+        F.col("pdf").alias("content"),
+    )
+    nul = F.lit(None).cast("string")
+    wrapped = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(
+            F.struct(F.lit("text").alias("kind"),
+                     F.lit(PDF_INTRO).alias("text"),
+                     nul.alias("media_ref"), F.lit(0).alias("offset")),
+            F.struct(F.lit("pdf").alias("kind"), nul.alias("text"),
+                     ref.alias("media_ref"), F.lit(1).alias("offset")),
+            F.struct(F.lit("text").alias("kind"),
+                     F.lit(PDF_OUTRO).alias("text"),
+                     nul.alias("media_ref"), F.lit(2).alias("offset")),
+        ).alias("spans"),
+    )
+    out = pdfops.splice_pdf_spans(pipeline.extract_df(wrapped), media)
+    return out.select("doc_id", F.explode("spans").alias("s")).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("s.offset").cast("long").alias("offset"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full extraction pipeline (template-interleaved docs ->
     salted partitioning -> Arrow kernel -> spans) on sf0.001."""
@@ -257,6 +299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "pdf_layout": q_pdf_layout,
+        "pdf_interleaved": q_pdf_interleaved,
     }
 
 
@@ -589,5 +632,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CEIL(LENGTH(text)/80.0) AS BIGINT) AS n_lines,
                    text
             FROM documents
+        """,
+        # pdf_interleaved: intro span, the PDF's 80-char line chunks
+        # (spliced inline at the media span's position), outro span
+        "pdf_interleaved": f"""
+            WITH base AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+                     CAST(CEIL(LENGTH(text)/80.0) AS BIGINT) AS n_lines
+              FROM documents)
+            SELECT doc_id, CAST(0 AS BIGINT) AS "offset", 'text' AS kind,
+                   '{PDF_INTRO}' AS text
+            FROM base
+            UNION ALL
+            SELECT doc_id, CAST(u.i AS BIGINT), 'text',
+                   substr(text, CAST((u.i-1)*80+1 AS BIGINT), 80)
+            FROM base, UNNEST(generate_series(1, n_lines)) AS u(i)
+            UNION ALL
+            SELECT doc_id, n_lines + 1, 'text', '{PDF_OUTRO}'
+            FROM base
         """,
     }

@@ -138,33 +138,41 @@ def main() -> None:
         )
         # The sandbox VM shares a host (nonzero historical steal time), so
         # single runs are noisy: alternate levels, take the best of 3.
+        # SPARK_GRAFT_SCALING_LEVELS picks the N,4N pair: "8,32" (default)
+        # stresses the shared DRAM bus at the top level; "2,8" keeps both
+        # levels under bus saturation — the closer proxy for adding
+        # machines, where 4x executors bring 4x memory buses (BENCH.md).
+        lo, hi = (
+            int(v) for v in os.environ.get(
+                "SPARK_GRAFT_SCALING_LEVELS", "8,32").split(",")
+        )
         reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
-        results = {8: [], 32: []}
+        results: dict[int, list[float]] = {lo: [], hi: []}
         docs = chars = 0
         for rep in range(reps):
-            for n in (8, 32):
+            for n in (lo, hi):
                 spark = make_spark(n)
-                if rep == 0 and n == 8:
+                if rep == 0 and n == lo:
                     docs, chars = corpus_stats(spark, corpus_path)
                 wall = run_extraction(
                     spark, corpus_path, f"/tmp/dompa_bench_out_{n}"
                 )
                 results[n].append(round(wall, 2))
                 spark.stop()
-        best8, best32 = min(results[8]), min(results[32])
-        thr8 = docs / best8
-        thr32 = docs / best32
-        eff = (thr32 / thr8) / 4.0
+        best_lo, best_hi = min(results[lo]), min(results[hi])
+        thr_lo = docs / best_lo
+        thr_hi = docs / best_hi
+        eff = (thr_hi / thr_lo) / (hi / lo)
         out = {
-            "metric": "scaling efficiency local[8]->local[32]",
+            "metric": f"scaling efficiency local[{lo}]->local[{hi}]",
             "value": round(eff, 3),
             "unit": "ratio",
             "docs": docs,
             "chars": chars,
-            "walls_8": results[8],
-            "walls_32": results[32],
-            "docs_per_sec_8": round(thr8, 1),
-            "docs_per_sec_32": round(thr32, 1),
+            f"walls_{lo}": results[lo],
+            f"walls_{hi}": results[hi],
+            f"docs_per_sec_{lo}": round(thr_lo, 1),
+            f"docs_per_sec_{hi}": round(thr_hi, 1),
             "sf": sf,
         }
         print(json.dumps(out))

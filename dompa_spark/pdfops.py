@@ -730,6 +730,82 @@ def pdf_layout_extract(df: DataFrame) -> DataFrame:
     return df.mapInPandas(_ex, schema=PDF_EXTRACT_SCHEMA)
 
 
+PDF_REF_SPANS_SCHEMA = StructType([
+    StructField("media_ref", StringType(), nullable=False),
+    StructField("pdf_spans", PDF_SPANS_SCHEMA["spans"].dataType),
+])
+
+
+def pdf_spans_by_ref(df: DataFrame) -> DataFrame:
+    """(media_ref, pdf) -> (media_ref, pdf_spans). The media-table-keyed
+    variant of pdf_layout_spans, for joining back into interleaved docs."""
+    import pandas as pd
+
+    def _ex(batches: Iterator["pd.DataFrame"]):
+        for pdf_b in batches:
+            spans = [extract_pdf(bytes(b) if b is not None else b"")["spans"]
+                     for b in pdf_b["pdf"]]
+            yield pd.DataFrame({"media_ref": pdf_b["media_ref"],
+                                "pdf_spans": spans})
+
+    return df.mapInPandas(_ex, schema=PDF_REF_SPANS_SCHEMA)
+
+
+def splice_pdf_spans(
+    docs: DataFrame, media: DataFrame, broadcast_media: bool = True
+) -> DataFrame:
+    """Resolve PDF payloads referenced by interleaved documents: every
+    span with kind='media' whose media_ref matches a kind='pdf' media row
+    is replaced, inline at its interleave position, by that PDF's layout-
+    extracted text spans; all other spans pass through. Offsets are
+    renumbered densely over the spliced sequence.
+
+    Scale shape: the PDF corpus is layout-extracted once per distinct
+    payload (mapInPandas over the media table — typically orders of
+    magnitude smaller than the doc table), then joined to the exploded
+    span table. With broadcast_media=True the join is a BroadcastHashJoin
+    (no shuffle of the big side); set False at 10^12-doc scale with a
+    huge PDF corpus to get a shuffled hash join on media_ref instead.
+    The single wide shuffle is the groupBy(doc_id) reassembly.
+    """
+    pdfs = media.filter(F.col("kind") == "pdf").select(
+        "media_ref", F.col("content").alias("pdf"))
+    ex = pdf_spans_by_ref(pdfs)
+    if broadcast_media:
+        ex = F.broadcast(ex)
+    sp = docs.select("doc_id", F.explode("spans").alias("s"))
+    joined = sp.join(ex, sp["s.media_ref"].eqNullSafe(ex["media_ref"]),
+                     "left")
+    # replacement sub-array: the pdf's spans, or the original span alone
+    sub = F.when(
+        (F.col("s.kind") == "media") & F.col("pdf_spans").isNotNull(),
+        F.col("pdf_spans"),
+    ).otherwise(F.array(F.col("s")))
+    # inner posexplode: an empty replacement (0-line PDF) contributes no
+    # spans; the doc itself survives via its other spans
+    exploded = joined.select(
+        "doc_id", F.col("s.offset").alias("pos"),
+        F.posexplode(sub).alias("sub_pos", "out"),
+    )
+    # deterministic reassembly: struct comparison is lexicographic, so
+    # sort_array orders by (pos, sub_pos); then renumber offsets densely
+    assembled = exploded.groupBy("doc_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("pos", "sub_pos", "out"))
+        ).alias("keyed")
+    )
+    renum = F.transform(
+        F.col("keyed"),
+        lambda kv, i: F.struct(
+            kv["out"]["kind"].alias("kind"),
+            kv["out"]["text"].alias("text"),
+            kv["out"]["media_ref"].alias("media_ref"),
+            i.cast("int").alias("offset"),
+        ),
+    )
+    return assembled.select("doc_id", renum.alias("spans"))
+
+
 def pdf_layout_spans(df: DataFrame) -> DataFrame:
     """(doc_id, pdf) -> (doc_id, spans) in the engine's span schema —
     the PDF counterpart of pipeline.extract_df, so PDF documents flow

@@ -204,3 +204,58 @@ def test_spark_pdf_pipeline(spark):
     # span text reassembles the document
     assert "".join(s["text"] for s in row["spans"]) == \
         got[3]["text"]
+
+
+def _span(kind, text, ref, off):
+    return {"kind": kind, "text": text, "media_ref": ref, "offset": off}
+
+
+def test_splice_pdf_spans(spark):
+    text_a = "alpha " * 30  # 180 chars -> 3 lines
+    text_b = "b" * 100      # 2 lines
+    media = spark.createDataFrame(
+        [("pdf://a", "pdf", bytearray(pdfops.build_pdf(text_a))),
+         ("pdf://b", "pdf", bytearray(pdfops.build_pdf(text_b, two_col=True))),
+         ("img://x", "image", bytearray(b"\x89PNG"))],
+        "media_ref string, kind string, content binary",
+    )
+    docs = spark.createDataFrame(
+        [  # doc 1: text, pdf, image, pdf — image ref must pass through
+            ("d1", [_span("text", "intro", None, 0),
+                    _span("media", None, "pdf://a", 1),
+                    _span("media", None, "img://x", 2),
+                    _span("media", None, "pdf://b", 3)]),
+            # doc 2: no pdf at all — unchanged
+            ("d2", [_span("text", "plain", None, 0),
+                    _span("media", None, "img://x", 1)]),
+        ],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    out = {r["doc_id"]: r["spans"]
+           for r in pdfops.splice_pdf_spans(docs, media).collect()}
+    d1 = out["d1"]
+    texts = [s["text"] for s in d1]
+    kinds = [s["kind"] for s in d1]
+    lines_a = [text_a[i:i + 80] for i in range(0, len(text_a), 80)]
+    lines_b = [text_b[i:i + 80] for i in range(0, len(text_b), 80)]
+    assert texts == ["intro"] + lines_a + [None] + lines_b
+    assert kinds == ["text"] + ["text"] * 3 + ["media"] + ["text"] * 2
+    assert [s["offset"] for s in d1] == list(range(len(d1)))
+    assert d1[4]["media_ref"] == "img://x"
+    assert [s["text"] for s in out["d2"]] == ["plain", None]
+
+
+def test_splice_plan_broadcasts_media(spark):
+    media = spark.createDataFrame(
+        [("pdf://a", "pdf", bytearray(pdfops.build_pdf("x" * 100)))],
+        "media_ref string, kind string, content binary",
+    )
+    docs = spark.createDataFrame(
+        [("d1", [_span("media", None, "pdf://a", 0)])],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    plan = pdfops.splice_pdf_spans(docs, media)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
