@@ -149,16 +149,31 @@ def main() -> None:
         reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
         results: dict[int, list[float]] = {lo: [], hi: []}
         docs = chars = 0
-        for rep in range(reps):
-            for n in (lo, hi):
-                spark = make_spark(n)
-                if rep == 0 and n == lo:
-                    docs, chars = corpus_stats(spark, corpus_path)
+        for n in (lo, hi):
+            spark = make_spark(n)
+            if n == lo:
+                docs, chars = corpus_stats(spark, corpus_path)
+            # Warm-up runs (untimed): the first jobs in a fresh JVM pay
+            # C2 JIT compilation + Python-worker pool spin-up — costs
+            # that are parallelism-independent and would otherwise
+            # masquerade as poor scaling. Measured on this box: cold wall
+            # is ~2x the warm wall at local[8], and the parquet-write
+            # path keeps JIT-compiling through the first full run, so a
+            # single warm-up still leaves ~2x on the table. A real
+            # 10^12-doc job runs warm for its entire life, so warm walls
+            # are the honest signal.
+            for _w in range(
+                int(os.environ.get("SPARK_GRAFT_SCALING_WARMUPS", "2"))
+            ):
+                run_extraction(
+                    spark, corpus_path, f"/tmp/dompa_bench_out_{n}"
+                )
+            for _rep in range(reps):
                 wall = run_extraction(
                     spark, corpus_path, f"/tmp/dompa_bench_out_{n}"
                 )
                 results[n].append(round(wall, 2))
-                spark.stop()
+            spark.stop()
         best_lo, best_hi = min(results[lo]), min(results[hi])
         thr_lo = docs / best_lo
         thr_hi = docs / best_hi
@@ -175,13 +190,30 @@ def main() -> None:
             f"docs_per_sec_{hi}": round(thr_hi, 1),
             "sf": sf,
         }
+        # Persist so default-mode bench runs (the per-round BENCH_r{N}.json)
+        # carry the latest measured N-vs-4N evidence alongside throughput.
+        try:
+            with open(os.path.join(REPO, "SCALING.json")) as f:
+                cache = json.load(f)
+        except (OSError, ValueError):
+            cache = {}
+        cache[f"local[{lo}]->local[{hi}]"] = out
+        with open(os.path.join(REPO, "SCALING.json"), "w") as f:
+            json.dump(cache, f, indent=1, sort_keys=True)
         print(json.dumps(out))
         return
 
     corpus_path, n_docs = ensure_corpus(sf)
     spark = make_spark(cpus)
     docs, chars = corpus_stats(spark, corpus_path)
+    # First run in a fresh JVM pays C2 JIT + worker-pool spin-up (~2x the
+    # warm wall); report the warm wall — the steady state a long job runs
+    # at — and keep the cold one as a separate field.
+    cold_wall = run_extraction(spark, corpus_path, "/tmp/dompa_bench_out")
     wall = run_extraction(spark, corpus_path, "/tmp/dompa_bench_out")
+    wall = min(
+        wall, run_extraction(spark, corpus_path, "/tmp/dompa_bench_out")
+    )
     qtimes = time_queries(spark, sf_dir)
     spark.stop()
     out = {
@@ -195,8 +227,21 @@ def main() -> None:
         "input_chars": chars,
         "docs_per_sec": round(docs / wall, 1),
         "mb_per_sec": round(chars / wall / 1e6, 2),
+        "cold_wall_sec": round(cold_wall, 3),
         "cpus": cpus,
     }
+    # Attach the latest measured N-vs-4N scaling evidence (written by
+    # `bench.py --scaling`; protocol in BASELINE.md).
+    try:
+        with open(os.path.join(REPO, "SCALING.json")) as f:
+            out["scaling"] = {
+                k: {kk: v[kk] for kk in v
+                    if kk.startswith(("value", "docs_per_sec", "walls"))
+                    or kk in ("docs", "chars")}
+                for k, v in json.load(f).items()
+            }
+    except (OSError, ValueError):
+        pass
     print(json.dumps(out))
 
 

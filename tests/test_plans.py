@@ -1,0 +1,121 @@
+"""Physical-plan assertions: lock in the plan properties BENCH.md claims.
+
+These don't execute the heavy queries — they compile each DataFrame and
+inspect `explain("formatted")` output. Guards against regressions like an
+accidental per-row Python UDF on the hot path, a lost broadcast hint, a
+second shuffle in the extraction pipeline, or a scan that stops pruning
+columns.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def nodes_of(plan: str) -> list[str]:
+    """Operator names from a formatted plan's detail headers
+    ('(3) Exchange' -> 'Exchange') — one entry per physical node, so
+    counting them is unambiguous (the tree rendering repeats names)."""
+    import re
+
+    return re.findall(r"^\(\d+\) (\S+)", plan, flags=re.MULTILINE)
+
+
+@pytest.fixture(scope="module")
+def entry_mod():
+    import __spark_entry__ as m
+
+    return m
+
+
+def test_extract_pipeline_has_exactly_one_exchange(spark, small_corpus):
+    from pyspark.sql import functions as F
+
+    from dompa_spark import pipeline
+
+    df = pipeline.read_input(spark, small_corpus)
+    df = pipeline.with_part_id(df, light_parts=8, heavy_parts=2)
+    df = df.repartition(10, F.col("part_id"))
+    out = pipeline.extract_df(df, with_metrics=True)
+    plan = plan_of(out)
+    exchanges = [n for n in nodes_of(plan) if "Exchange" in n]
+    assert exchanges == ["Exchange"], plan
+    assert "hashpartitioning(part_id" in plan, plan
+
+
+def test_extract_pipeline_prunes_scan_to_two_columns(spark, small_corpus):
+    from dompa_spark import pipeline
+
+    df = pipeline.read_input(spark, small_corpus)
+    out = pipeline.extract_df(pipeline.with_part_id(df))
+    plan = plan_of(out)
+    # the parquet scan must read only doc_id + spans
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan, plan
+    assert "doc_id" in scan[0] and "spans" in scan[0], scan[0]
+
+
+def test_no_row_at_a_time_python_anywhere(spark, entry_mod):
+    """BatchEvalPython = per-row Python UDF — banned on every query.
+    (ArrowEvalPython / MapInArrow / *InPandas are the vectorized paths.)"""
+    for name, fn in entry_mod.queries().items():
+        plan = plan_of(fn(spark, SF_DIR))
+        assert "BatchEvalPython" not in plan, f"{name} uses per-row Python"
+
+
+def test_no_unbounded_cartesian_products(spark, entry_mod):
+    """CartesianProduct (both sides shuffled, all-pairs) must never
+    appear. BroadcastNestedLoopJoin is tolerated only where the plan is
+    deliberately brute-force over a broadcast side (ann_cosine_topk)."""
+    allowed_bnlj = {"ann_cosine_topk"}
+    for name, fn in entry_mod.queries().items():
+        plan = plan_of(fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, f"{name} has a cartesian join"
+        if name not in allowed_bnlj:
+            assert "BroadcastNestedLoopJoin" not in plan, (
+                f"{name} has an all-pairs nested-loop join"
+            )
+
+
+def test_ann_cosine_broadcasts_queries_and_pushes_filter(spark, entry_mod):
+    plan = plan_of(entry_mod.q_ann_cosine_topk(spark, SF_DIR))
+    assert "BroadcastExchange" in plan, plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("vec_id" in ln for ln in pushed), plan
+    # rank<=k is pushed below the final sort via WindowGroupLimit
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_ann_lsh_is_equi_join_on_bucket(spark, entry_mod):
+    plan = plan_of(entry_mod.q_ann_lsh_topk(spark, SF_DIR))
+    assert "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_minhash_lsh_joins_on_band_key(spark, entry_mod):
+    plan = plan_of(entry_mod.q_dedup_minhash_lsh(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_scalar_queries_prune_unused_columns(spark, entry_mod):
+    """token_stats touches only doc_id+text; the documents scan must not
+    read lang/source/n_chars."""
+    plan = plan_of(entry_mod.q_token_stats(spark, SF_DIR))
+    scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scans, plan
+    assert "text" in scans[0], scans[0]
+    assert "lang" not in scans[0] and "source" not in scans[0], scans[0]
