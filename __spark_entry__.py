@@ -327,6 +327,9 @@ _SHINGLES = """
 
 _STOPLIST = "['" + "','".join(textops.STOPWORDS) + "']"
 
+_MINHASH_A_SQL = "[" + ",".join(map(str, textops.MINHASH_A)) + "]"
+_MINHASH_B_SQL = "[" + ",".join(map(str, textops.MINHASH_B)) + "]"
+
 
 def oracle_sql() -> dict[str, str]:
     return {
@@ -404,13 +407,22 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": f"""
             WITH aug AS ({_AUG}),
             sh AS ({_SHINGLES.format(src='aug')}),
-            sigs AS (
+            hb AS (
               SELECT doc_id, sh,
-                     list_transform(generate_series(0, 15),
-                       j -> list_min(list_transform(sh,
-                              s -> CAST('0x' || substr(md5(s || '#' || j), 1, 15)
-                                        AS BIGINT)))) AS sig
+                     list_transform(sh,
+                       s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)
+                            % {textops.MINHASH_P}) AS hbase
               FROM sh),
+            sigs AS (
+              -- universal-hash family over one md5 per shingle, identical
+              -- coefficients to textops.MINHASH_A/B (1-based list index)
+              SELECT doc_id, sh,
+                     list_transform(generate_series(1, {textops.N_MINHASH}),
+                       j -> list_min(list_transform(hbase,
+                              h -> ({_MINHASH_A_SQL}[j] * h +
+                                    {_MINHASH_B_SQL}[j])
+                                   % {textops.MINHASH_P}))) AS sig
+              FROM hb),
             banded AS (
               SELECT doc_id, sh, b.band,
                      array_to_string(

@@ -180,22 +180,44 @@ N_MINHASH = 16
 LSH_BANDS = 4
 LSH_ROWS = 4  # N_MINHASH = LSH_BANDS * LSH_ROWS
 
+# Universal-hash family over one base md5 per shingle: h_j(s) =
+# (a_j * (md5_60(s) mod P) + b_j) mod P with P = 2^31-1. One md5 per
+# shingle instead of N_MINHASH — at 10^12 docs the md5 calls are the
+# dominant minhash cost, and products stay < 2^62 (portable to DuckDB
+# BIGINT arithmetic). a_j/b_j are md5-derived so both engines can
+# rebuild the identical family.
+MINHASH_P = 2147483647
+
+
+def _minhash_coef(kind: str, j: int) -> int:
+    import hashlib
+
+    v = int(hashlib.md5(f"mh-{kind}:{j}".encode()).hexdigest()[:15], 16)
+    return v % (MINHASH_P - 1) + 1  # in [1, P-1]
+
+
+MINHASH_A = [_minhash_coef("a", j) for j in range(N_MINHASH)]
+MINHASH_B = [_minhash_coef("b", j) for j in range(N_MINHASH)]
+
 
 def minhash_sigs(df: DataFrame) -> DataFrame:
-    """16 md5-based minhashes over distinct 3-shingles."""
+    """16 minhashes over distinct 3-shingles (one md5 per shingle,
+    universal-hash family for the 16 permutations)."""
     sh = shingles3()
+    base = F.transform(
+        F.col("sh"),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10)
+        .cast("long") % F.lit(MINHASH_P),
+    )
+    a_arr = F.array(*[F.lit(a) for a in MINHASH_A])
+    b_arr = F.array(*[F.lit(b) for b in MINHASH_B])
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(N_MINHASH - 1)),
         lambda j: F.array_min(
             F.transform(
-                F.col("sh"),
-                lambda s: F.conv(
-                    F.substring(
-                        F.md5(F.concat(s, F.lit("#"), j.cast("string"))), 1, 15
-                    ),
-                    16,
-                    10,
-                ).cast("long"),
+                F.col("hbase"),
+                lambda h: (F.element_at(a_arr, j + 1) * h
+                           + F.element_at(b_arr, j + 1)) % F.lit(MINHASH_P),
             )
         ),
     )
@@ -203,7 +225,9 @@ def minhash_sigs(df: DataFrame) -> DataFrame:
         df.select(F.col("doc_id").cast("long").alias("doc_id"),
                   F.col("text"), sh.alias("sh"))
         .filter(F.size("sh") > 0)
+        .withColumn("hbase", base)
         .withColumn("sig", sig)
+        .drop("hbase")
     )
 
 
