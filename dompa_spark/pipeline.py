@@ -269,39 +269,92 @@ def roundtrip_df(df: DataFrame) -> DataFrame:
     return df.mapInPandas(_roundtrip_iter, schema=ROUNDTRIP_SCHEMA)
 
 
-def _nodes_iter(batches: Iterator[pd.DataFrame]):
-    from .constants import ATTR_TRUE
+def _nodes_arrow_iter(batches):
+    """Columnar flat-DOM kernel wrapper (mapInArrow): node fields are
+    accumulated as flat primitive lists and assembled with
+    StructArray/ListArray.from_arrays — no per-node Python dicts (the
+    dict-per-node pandas path was ~4x slower end-to-end)."""
+    import pyarrow as pa
 
-    for pdf in batches:
-        rows = []
-        for cell in pdf["spans"]:
-            flat = kernel.parse_flat(_html_of_doc(cell))
-            nodes = []
-            for i in range(len(flat)):
-                attrs = flat.attrs[i]
-                nodes.append(
-                    {
-                        "node_id": i,
-                        "parent_id": int(flat.parent[i]),
-                        "pos": i,
-                        "depth": int(flat.depth[i]),
-                        "name": flat.name[i],
-                        "value": flat.value[i],
-                        "attrs": None
-                        if attrs is None
-                        else [
-                            {"key": k, "val": ATTR_TRUE if v is True else v}
-                            for k, v in attrs.items()
-                        ],
-                    }
-                )
-            rows.append(nodes)
-        yield pd.DataFrame({"doc_id": pdf["doc_id"], "nodes": rows})
+    from .constants import ATTR_TRUE, HTML_KIND
+
+    for batch in batches:
+        lv = batch.column("spans")
+        n = len(batch)
+        offs = lv.offsets.to_numpy(zero_copy_only=False)
+        st = lv.values
+        kinds = st.field("kind").to_pylist()
+        texts = st.field("text").to_pylist()
+        soffs = st.field("offset").to_pylist()
+
+        node_ids: list[int] = []
+        parents: list[int] = []
+        depths: list[int] = []
+        names: list[str] = []
+        values: list[str | None] = []
+        node_offsets = [0]
+        attr_keys: list[str] = []
+        attr_vals: list[str] = []
+        attr_offsets = [0]
+        attr_null: list[bool] = []
+        for i in range(n):
+            lo, hi = int(offs[i]), int(offs[i + 1])
+            order = sorted(range(lo, hi), key=lambda k: (soffs[k], k))
+            html = "".join(
+                texts[k] or "" for k in order if kinds[k] == HTML_KIND
+            )
+            flat = kernel.parse_flat(html)
+            m = len(flat)
+            node_ids.extend(range(m))
+            parents.extend(flat.parent.tolist())
+            depths.extend(flat.depth.tolist())
+            names.extend(flat.name)
+            values.extend(flat.value)
+            for a in flat.attrs:
+                if a is None:
+                    attr_null.append(True)
+                else:
+                    attr_null.append(False)
+                    for k, v in a.items():
+                        attr_keys.append(k)
+                        attr_vals.append(ATTR_TRUE if v is True else v)
+                attr_offsets.append(len(attr_keys))
+            node_offsets.append(len(node_ids))
+
+        attrs_list = pa.ListArray.from_arrays(
+            pa.array(attr_offsets, pa.int32()),
+            pa.StructArray.from_arrays(
+                [pa.array(attr_keys, pa.string()),
+                 pa.array(attr_vals, pa.string())],
+                ["key", "val"],
+            ),
+            mask=pa.array(attr_null, pa.bool_()),
+        )
+        ids32 = pa.array(node_ids, pa.int32())
+        nodes_struct = pa.StructArray.from_arrays(
+            [
+                ids32,
+                pa.array(parents, pa.int32()),
+                ids32,  # pos == node_id (pre-order position)
+                pa.array(depths, pa.int32()),
+                pa.array(names, pa.string()),
+                pa.array(values, pa.string()),
+                attrs_list,
+            ],
+            ["node_id", "parent_id", "pos", "depth", "name", "value",
+             "attrs"],
+        )
+        nodes_list = pa.ListArray.from_arrays(
+            pa.array(node_offsets, pa.int32()), nodes_struct
+        )
+        yield pa.RecordBatch.from_arrays(
+            [batch.column("doc_id"), nodes_list], ["doc_id", "nodes"]
+        )
 
 
 def parse_nodes_df(df: DataFrame) -> DataFrame:
     """Flat-DOM table (FIXTURES.md §3) of each doc's concatenated html."""
-    return df.mapInPandas(_nodes_iter, schema=NODES_SCHEMA)
+    return df.mapInArrow(_nodes_arrow_iter, schema=NODES_SCHEMA)
 
 
 def traverse_html_df(df: DataFrame, traverser) -> DataFrame:

@@ -297,14 +297,21 @@ SIMHASH_BITS = 32
 def simhash(df: DataFrame) -> DataFrame:
     """Word-level simhash (32 bits of md5-derived word hashes, sign-summed
     per bit). Entirely JVM-side nested higher-order functions; expressed
-    as a SQL string because SQL lambdas allow column shift amounts."""
+    as a SQL string because SQL lambdas allow column shift amounts.
+
+    Single pass over the word hashes building a 32-counter array (the
+    per-bit-aggregate formulation — the oracle's spec shape — re-walks
+    the word array 32x and codegens a 3x larger expression; results are
+    identical, proven by the DuckDB parity check)."""
     expr = f"""
       aggregate(
-        transform(sequence(0, {SIMHASH_BITS - 1}),
-          b -> CASE WHEN
-                 aggregate(hs, 0L,
-                   (acc, h) -> acc + IF(shiftright(h, b) % 2 = 1, 1L, -1L)) > 0
-               THEN shiftleft(1L, b) ELSE 0L END),
+        zip_with(
+          aggregate(hs, array_repeat(0L, {SIMHASH_BITS}),
+            (acc, h) -> zip_with(acc, sequence(0, {SIMHASH_BITS - 1}),
+                          (a, b) -> a + IF(shiftright(h, b) % 2 = 1,
+                                           1L, -1L))),
+          sequence(0, {SIMHASH_BITS - 1}),
+          (c, b) -> IF(c > 0, shiftleft(1L, b), 0L)),
         0L, (acc, x) -> acc + x)
     """
     return (
