@@ -255,18 +255,35 @@ def _html_of_doc(cell) -> str:
     return "".join(s["text"] or "" for s in spans)
 
 
-def _roundtrip_iter(batches: Iterator[pd.DataFrame]):
-    for pdf in batches:
-        htmls = [
-            kernel.serialize_flat(kernel.parse_flat(_html_of_doc(cell)))
-            for cell in pdf["spans"]
-        ]
-        yield pd.DataFrame({"doc_id": pdf["doc_id"], "html": htmls})
+def _roundtrip_arrow_iter(batches):
+    import pyarrow as pa
+
+    from .constants import HTML_KIND
+
+    for batch in batches:
+        lv = batch.column("spans")
+        offs = lv.offsets.to_numpy(zero_copy_only=False)
+        st = lv.values
+        kinds = st.field("kind").to_pylist()
+        texts = st.field("text").to_pylist()
+        soffs = st.field("offset").to_pylist()
+        htmls = []
+        for i in range(len(batch)):
+            lo, hi = int(offs[i]), int(offs[i + 1])
+            order = sorted(range(lo, hi), key=lambda k: (soffs[k], k))
+            html = "".join(
+                texts[k] or "" for k in order if kinds[k] == HTML_KIND
+            )
+            htmls.append(kernel.serialize_flat(kernel.parse_flat(html)))
+        yield pa.RecordBatch.from_arrays(
+            [batch.column("doc_id"), pa.array(htmls, pa.string())],
+            ["doc_id", "html"],
+        )
 
 
 def roundtrip_df(df: DataFrame) -> DataFrame:
     """Parse + re-serialize each doc's concatenated html spans."""
-    return df.mapInPandas(_roundtrip_iter, schema=ROUNDTRIP_SCHEMA)
+    return df.mapInArrow(_roundtrip_arrow_iter, schema=ROUNDTRIP_SCHEMA)
 
 
 def _nodes_arrow_iter(batches):
