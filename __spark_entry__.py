@@ -196,6 +196,14 @@ def q_corpus_stats(spark, sf_dir):
     )
 
 
+def q_sample_stratified(spark, sf_dir):
+    return textops.sample_stratified(_docs(spark, sf_dir))
+
+
+def q_contamination(spark, sf_dir):
+    return textops.contamination_flags(_docs(spark, sf_dir))
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     return textops.ann_cosine_topk(_emb(spark, sf_dir))
 
@@ -295,6 +303,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "token_stats": q_token_stats,
         "corpus_stats": q_corpus_stats,
+        "sample_stratified": q_sample_stratified,
+        "contamination": q_contamination,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -520,6 +530,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_chars) AS BIGINT) AS total_chars,
                    round(avg(n_chars), 4) AS avg_chars
             FROM documents GROUP BY lang
+        """,
+        "sample_stratified": f"""
+            WITH base AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+                     CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                          AS BIGINT) % 100 AS sample_bucket,
+                     CAST(CASE lang
+                       {' '.join(f"WHEN '{k}' THEN {v}"
+                                 for k, v in sorted(
+                                     textops.SAMPLE_RATES.items()))}
+                       ELSE {textops.SAMPLE_RATE_DEFAULT} END
+                       AS BIGINT) AS sample_rate
+              FROM documents)
+            SELECT doc_id, lang, sample_bucket, sample_rate
+            FROM base WHERE sample_bucket < sample_rate
+        """,
+        "contamination": f"""
+            WITH docs2 AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text
+                           FROM documents),
+            sh AS ({_SHINGLES.format(src='docs2')}),
+            bench AS (
+              -- min shingle: order-independent benchmark key (Spark's
+              -- array_distinct keeps first-occurrence order, DuckDB's
+              -- list_distinct does not — sh[1] would diverge)
+              SELECT DISTINCT list_min(sh) AS shingle FROM sh
+              WHERE doc_id % {textops.CONTAM_BENCH_EVERY} = 0),
+            hits AS (
+              SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+              FROM (SELECT doc_id, unnest(sh) AS shingle FROM sh) s
+              JOIN bench b ON s.shingle = b.shingle
+              GROUP BY s.doc_id)
+            SELECT s.doc_id,
+                   CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+                   coalesce(h.n_hits, 0) > 0 AS contaminated
+            FROM sh s LEFT JOIN hits h ON s.doc_id = h.doc_id
         """,
         "ann_cosine_topk": """
             WITH emb AS (

@@ -427,6 +427,74 @@ def token_stats(df: DataFrame) -> DataFrame:
     )
 
 
+SAMPLE_RATES = {"en": 80, "de": 50, "fr": 50, "es": 50}  # percent
+SAMPLE_RATE_DEFAULT = 25
+
+
+def sample_stratified(df: DataFrame) -> DataFrame:
+    """Deterministic stratified sampling: keep a doc iff
+    md5_60(doc_id) % 100 < rate(lang). Hash-based (not rand()) so the
+    sample is reproducible across runs/engines and needs no shuffle —
+    the filter runs map-side in the scan stage; per-stratum rates
+    rebalance a skewed corpus (the 'mix weights' step of a training-data
+    pipeline). DuckDB oracle computes the identical predicate."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+               16, 10).cast("long") % 100
+    )
+    rate = F.lit(SAMPLE_RATE_DEFAULT)
+    for lang, r in sorted(SAMPLE_RATES.items()):
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    return (
+        df.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("lang"),
+            bucket.alias("sample_bucket"),
+            rate.cast("long").alias("sample_rate"),
+        )
+        .filter(F.col("sample_bucket") < F.col("sample_rate"))
+    )
+
+
+CONTAM_BENCH_EVERY = 97  # every 97th doc's lead shingle forms the benchmark
+
+
+def contamination_flags(df: DataFrame) -> DataFrame:
+    """Benchmark-contamination check: flag documents sharing any 3-word
+    shingle with a (small) benchmark set. The benchmark side is built
+    deterministically here (lead shingle of every 97th doc) so the oracle
+    can rebuild it; in production it would be read from a table. Shape:
+    explode doc shingles -> broadcast hash join on the shingle -> distinct
+    doc flags. The corpus side never shuffles: the benchmark set is
+    broadcast, matches are aggregated map-side."""
+    sh = df.select(
+        F.col("doc_id").cast("long").alias("doc_id"), shingles3().alias("sh")
+    ).filter(F.size("sh") > 0)
+    # benchmark key = lexicographic min shingle: order-independent, so any
+    # engine rebuilding it from the distinct shingle SET agrees (distinct
+    # preserves first-occurrence order in Spark but not in DuckDB)
+    bench = (
+        sh.filter(F.col("doc_id") % CONTAM_BENCH_EVERY == 0)
+        .select(F.array_min("sh").alias("shingle"))
+        .distinct()
+    )
+    exploded = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    hits = (
+        exploded.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+    return (
+        sh.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over embeddings
 # ---------------------------------------------------------------------------
