@@ -216,6 +216,45 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     return textops.dedup_embedding_cosine(_emb(spark, sf_dir))
 
 
+def q_media_dedup(spark, sf_dir):
+    """Multimodal path end-to-end: derive a media table from documents
+    (content = utf-8 text bytes; every 7th doc repeats the previous
+    doc's content — engineered duplicates), run the REAL Arrow-batched
+    featurize kernel (content sha + pseudo-embedding) and the exact
+    dedup operator. Oracle recomputes sha256/rank in DuckDB."""
+    from dompa_spark import media
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+    src = F.when(
+        F.col("doc_id") % 7 == 6, F.col("doc_id") - 1
+    ).otherwise(F.col("doc_id"))
+    base = docs.select(F.col("doc_id"), src.alias("src_id"))
+    tbl = (
+        base.join(
+            docs.select(F.col("doc_id").alias("src_id"),
+                        F.col("text").alias("src_text")),
+            "src_id",
+        )
+        .select(
+            F.concat(F.lit("blob://"), F.col("doc_id")).alias("media_ref"),
+            F.lit("image").alias("kind"),
+            F.encode("src_text", "utf-8").alias("content"),
+            F.lit("image/png").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        )
+    )
+    feats = media.featurize_media(tbl)
+    out = media.media_dedup(feats)
+    return out.select(
+        "media_ref", "content_sha",
+        F.col("rank_in_group").cast("long").alias("rank_in_group"),
+        F.col("is_dup"),
+    )
+
+
 def q_pdf_layout(spark, sf_dir):
     """PDF/layout parse end-to-end: render each document as a real PDF
     (Flate streams, single- or two-column pages by doc_id) and recover
@@ -308,6 +347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "media_dedup": q_media_dedup,
         "pdf_layout": q_pdf_layout,
         "pdf_interleaved": q_pdf_interleaved,
     }
@@ -678,6 +718,25 @@ def oracle_sql() -> dict[str, str]:
               FROM n a JOIN n b
                 ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
             SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.98
+        """,
+        "media_dedup": """
+            WITH m AS (
+              SELECT 'blob://' || CAST(d.doc_id AS BIGINT) AS media_ref,
+                     sha256(s.text) AS content_sha
+              FROM documents d
+              JOIN documents s
+                ON CAST(s.doc_id AS BIGINT) =
+                   CASE WHEN CAST(d.doc_id AS BIGINT) % 7 = 6
+                        THEN CAST(d.doc_id AS BIGINT) - 1
+                        ELSE CAST(d.doc_id AS BIGINT) END)
+            SELECT media_ref, content_sha,
+                   CAST(row_number() OVER
+                     (PARTITION BY content_sha ORDER BY media_ref)
+                     AS BIGINT) AS rank_in_group,
+                   (row_number() OVER
+                     (PARTITION BY content_sha ORDER BY media_ref)) > 1
+                     AS is_dup
+            FROM m
         """,
         # pdf_layout: generate->parse->layout round-trips the text exactly;
         # page/line counts are closed-form in the 80x40 grid (pdfops.py)
