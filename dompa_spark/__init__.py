@@ -8,7 +8,12 @@ read-only at /root/reference), re-architected Spark-first:
 - `dompa_spark.pipeline` — Spark jobs: mapInPandas wiring, salted
                            repartition, checkpoint/resume manifest
 - `dompa_spark.corpus`   — deterministic synthetic corpus generator
-- `dompa_spark.textops`  — training-data ops (dedup, similarity, quality)
+- `dompa_spark.textops`  — training-data ops (dedup, similarity, quality,
+                           sampling, contamination)
+- `dompa_spark.media`    — multimodal binary columns (featurize/frames/dedup)
+- `dompa_spark.pdfops`   — from-scratch ISO 32000 subset + XY-cut layout
+- `dompa_spark.streaming`— Structured Streaming front-end (same kernels)
+- `dompa_spark.dsl`      — node-construction DSL (the reference's $ / defhtml)
 """
 
 __version__ = "0.1.0"
