@@ -125,3 +125,27 @@ def test_run_extract_and_resume(spark, small_corpus, tmp_path):
         pipeline.run_extract(
             spark, small_corpus, out, light_parts=6, heavy_parts=2
         )
+
+
+def test_manifest_invariant_across_execution_slicing(
+    spark, small_corpus, tmp_path
+):
+    """Per-part lineage (doc/span counts, chars, order-insensitive crc
+    checksum) must not depend on how execution was sliced: one chunk vs
+    chunked runs produce identical manifests. (The same invariant holds
+    across parallelism levels — verified at 120k docs local[8] vs
+    local[32], all 80 part checksums identical; see BENCH.md.)"""
+
+    def manifest_of(chunk_parts):
+        out = str(tmp_path / f"out_cp{chunk_parts}")
+        pipeline.run_extract(
+            spark, small_corpus, out, light_parts=6, heavy_parts=2,
+            chunk_parts=chunk_parts, resume=False,
+        )
+        rows = spark.read.parquet(f"{out}/_manifest").collect()
+        return sorted(
+            (r.part_id, r.doc_count, r.span_count, r.out_chars, r.checksum)
+            for r in rows
+        )
+
+    assert manifest_of(0) == manifest_of(3)
