@@ -19,7 +19,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dompa_spark import pdfops, pipeline, textops
+from dompa_spark import eventops, pdfops, pipeline, textops
 from dompa_spark.constants import TEXT_NAME
 
 _PYFILES_SENT: set[int] = set()
@@ -204,6 +204,23 @@ def q_contamination(spark, sf_dir):
     return textops.contamination_flags(_docs(spark, sf_dir))
 
 
+def q_domain_cap(spark, sf_dir):
+    return textops.domain_cap(_docs(spark, sf_dir))
+
+
+def _events(spark, sf_dir):
+    _ensure_pyfiles(spark)
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def q_events_sessionize(spark, sf_dir):
+    return eventops.sessionize(_events(spark, sf_dir))
+
+
+def q_events_window_stats(spark, sf_dir):
+    return eventops.window_stats(_events(spark, sf_dir))
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     return textops.ann_cosine_topk(_emb(spark, sf_dir))
 
@@ -344,6 +361,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": q_corpus_stats,
         "sample_stratified": q_sample_stratified,
         "contamination": q_contamination,
+        "domain_cap": q_domain_cap,
+        "events_sessionize": q_events_sessionize,
+        "events_window_stats": q_events_window_stats,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -718,6 +738,51 @@ def oracle_sql() -> dict[str, str]:
               FROM n a JOIN n b
                 ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
             SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.98
+        """,
+        "domain_cap": f"""
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+                   CAST(row_number() OVER
+                     (PARTITION BY source ORDER BY doc_id) AS BIGINT)
+                     AS rank_in_source,
+                   (row_number() OVER
+                     (PARTITION BY source ORDER BY doc_id))
+                     <= {textops.DOMAIN_CAP} AS kept
+            FROM documents
+        """,
+        "events_sessionize": f"""
+            WITH e AS (
+              SELECT event_id, ts, user_id, value,
+                     lag(epoch_us(ts)) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS prev_us
+              FROM events),
+            flagged AS (
+              SELECT *, CASE WHEN prev_us IS NULL OR
+                          epoch_us(ts) - prev_us >
+                            {eventops.SESSION_GAP_MIN} * 60 * 1000000
+                        THEN 1 ELSE 0 END AS is_new
+              FROM e),
+            sess AS (
+              SELECT *, CAST(sum(is_new) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+              FROM flagged)
+            SELECT CAST(user_id AS BIGINT) AS user_id, session_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   min(epoch_us(ts)) AS start_us,
+                   max(epoch_us(ts)) AS end_us,
+                   round(sum(value), 4) AS total_value
+            FROM sess GROUP BY user_id, session_id
+        """,
+        "events_window_stats": """
+            SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts))
+                     AS window_start_us,
+                   event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                   round(sum(value), 4) AS total_value
+            FROM events
+            GROUP BY 1, 2
         """,
         "media_dedup": """
             WITH m AS (

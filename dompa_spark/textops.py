@@ -456,6 +456,26 @@ def sample_stratified(df: DataFrame) -> DataFrame:
     )
 
 
+DOMAIN_CAP = 5
+
+
+def domain_cap(df: DataFrame, cap: int = DOMAIN_CAP) -> DataFrame:
+    """Per-domain frequency cap: keep at most `cap` docs per source
+    (lowest doc_id wins) — the dedup-adjacent 'no domain dominates the
+    corpus' step. One shuffle on source; at scale, heavily skewed
+    domains are exactly the rows this drops, so the window never
+    materializes more than it ranks."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return (
+        df.select(F.col("doc_id").cast("long").alias("doc_id"), "source")
+        .withColumn("rank_in_source",
+                    F.row_number().over(w).cast("long"))
+        .withColumn("kept", F.col("rank_in_source") <= cap)
+    )
+
+
 CONTAM_BENCH_EVERY = 97  # every 97th doc's lead shingle forms the benchmark
 
 
