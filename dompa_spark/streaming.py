@@ -58,6 +58,95 @@ def extract_stream(
     return writer.start()
 
 
+EVENTS_SCHEMA_DDL = (
+    "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+    "value double, props string"
+)
+
+_SESSION_OUT_DDL = (
+    "user_id long, session_id long, n_events long, start_us long, "
+    "end_us long, total_value double"
+)
+_SESSION_STATE_DDL = (
+    "session_id long, last_us long, start_us long, n_events long, "
+    "total_value double"
+)
+
+
+def sessionize_stream(
+    spark: SparkSession,
+    in_path: str,
+    gap_min: int = 30,
+    max_files_per_trigger: int = 8,
+) -> DataFrame:
+    """Stateful streaming sessionization (applyInPandasWithState): the
+    custom-stateful-operator path, semantics identical to the batch
+    eventops.sessionize. Per user, events accumulate into the open
+    session held in state; a gap > gap_min minutes CLOSES the previous
+    session and emits it. Open sessions stay in state across
+    micro-batches (and across restarts via the checkpoint), so emitted
+    rows are exactly the closed sessions — the caller binds the returned
+    streaming DataFrame to a sink.
+
+    Engine-level addition: the reference has no streaming/state surface
+    at all (SURVEY §2.7)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = gap_min * 60 * 1_000_000
+
+    def fn(key, pdfs, state):
+        user_id = key[0]
+        if state.exists:
+            session_id, last_us, start_us, n_events, total_value = state.get
+        else:
+            session_id, last_us, start_us, n_events, total_value = (
+                0, None, None, 0, 0.0,
+            )
+        out = []
+        for pdf in pdfs:
+            # NTZ -> epoch micros, zone-free (matches eventops._EPOCH_US)
+            us_arr = pdf["ts"].astype("datetime64[us]").astype("int64")
+            order = sorted(
+                range(len(pdf)),
+                key=lambda i: (us_arr.iat[i], pdf["event_id"].iat[i]),
+            )
+            for i in order:
+                us = int(us_arr.iat[i])
+                if last_us is not None and us - last_us > gap_us:
+                    out.append(
+                        (user_id, session_id, n_events, start_us, last_us,
+                         round(total_value, 4))
+                    )
+                    session_id += 1
+                    start_us, n_events, total_value = None, 0, 0.0
+                if start_us is None:
+                    start_us = us
+                n_events += 1
+                total_value += float(pdf["value"].iat[i])
+                last_us = us
+        state.update((session_id, last_us, start_us, n_events, total_value))
+        cols = ["user_id", "session_id", "n_events", "start_us", "end_us",
+                "total_value"]
+        yield pd.DataFrame(out, columns=cols)
+
+    events = (
+        spark.readStream.schema(EVENTS_SCHEMA_DDL)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(in_path)
+    )
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=_SESSION_OUT_DDL,
+            stateStructType=_SESSION_STATE_DDL,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def span_rate_stream(
     spark: SparkSession, in_path: str, window: str = "10 seconds"
 ) -> DataFrame:

@@ -1,8 +1,10 @@
 """Structured Streaming path: drain a file-source corpus with
 availableNow and verify exact equality with the batch kernel output,
-then drop more files and verify incremental exactly-once processing."""
+then drop more files and verify incremental exactly-once processing.
+Plus the stateful path: applyInPandasWithState sessionization must
+emit exactly the sessions the batch operator closes."""
 
-from dompa_spark import corpus, oracle, streaming
+from dompa_spark import corpus, eventops, oracle, streaming
 
 
 def spans_map(rows):
@@ -43,3 +45,85 @@ def test_stream_matches_oracle_and_resumes(spark, tmp_path):
     )
     assert len(got2) == 200
     assert all(got2[d] == s for d, s in got.items())  # old rows untouched
+
+
+def _write_events(path, n, n_users=7, t0=0, file_idx=0):
+    """Deterministic events parquet: user i%n_users, timestamps spaced so
+    every user has multiple >30min gaps (session boundaries)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = {
+        "event_id": list(range(t0, t0 + n)),
+        "ts": [
+            # 11-min step; users assigned in blocks of 4 -> a user's 4
+            # block events are 11 min apart (one session), the next block
+            # arrives (n_users-1)*44+11 min later (gap > 30 -> new one)
+            (t0 + i) * 11 * 60 * 1_000_000 + (i % 3) * 7_000_000
+            for i in range(n)
+        ],
+        "user_id": [((t0 + i) // 4) % n_users for i in range(n)],
+        "event_type": ["click"] * n,
+        "value": [round((t0 + i) * 0.5, 2) for i in range(n)],
+        "props": ["{}"] * n,
+    }
+    table = pa.table(
+        {
+            **{k: rows[k] for k in ("event_id",)},
+            "ts": pa.array(rows["ts"], pa.timestamp("us")),
+            "user_id": rows["user_id"],
+            "event_type": rows["event_type"],
+            "value": rows["value"],
+            "props": rows["props"],
+        }
+    )
+    pq.write_table(table, f"{path}/events-{file_idx}.parquet")
+
+
+def test_sessionize_stream_matches_batch(spark, tmp_path):
+    import os
+
+    in_path = str(tmp_path / "events_in")
+    os.makedirs(in_path)
+    # two time-ordered file drops (stream processes in order)
+    _write_events(in_path, 60, t0=0, file_idx=0)
+    _write_events(in_path, 60, t0=60, file_idx=1)
+
+    q = (
+        streaming.sessionize_stream(spark, in_path, gap_min=30)
+        .writeStream.format("memory")
+        .queryName("sessions_stream")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.user_id, r.session_id): (
+            r.n_events, r.start_us, r.end_us, round(r.total_value, 4)
+        )
+        for r in spark.sql("SELECT * FROM sessions_stream").collect()
+    }
+
+    batch = eventops.sessionize(
+        spark.read.schema(streaming.EVENTS_SCHEMA_DDL).parquet(in_path),
+        gap_min=30,
+    ).collect()
+    # the stream emits CLOSED sessions; each user's last batch session is
+    # still open in state
+    last_per_user = {}
+    for r in batch:
+        cur = last_per_user.get(r.user_id)
+        if cur is None or r.session_id > cur:
+            last_per_user[r.user_id] = r.session_id
+    want = {
+        # batch session_id is 1-based (running sum), stream's 0-based
+        (r.user_id, r.session_id - 1): (
+            r.n_events, r.start_us, r.end_us, round(r.total_value, 4)
+        )
+        for r in batch
+        if r.session_id != last_per_user[r.user_id]
+    }
+    assert got == want
+    assert len(got) > 10  # the corpus really produces multiple sessions
