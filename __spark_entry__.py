@@ -168,6 +168,10 @@ def q_ngram_jaccard(spark, sf_dir):
     return textops.ngram_jaccard_neighbors(_docs(spark, sf_dir))
 
 
+def q_simhash_dedup(spark, sf_dir):
+    return textops.simhash_dedup(_docs(spark, sf_dir))
+
+
 def q_quality_score(spark, sf_dir):
     return textops.quality_scores(_docs(spark, sf_dir))
 
@@ -353,6 +357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "simhash": q_simhash,
+        "simhash_dedup": q_simhash_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
@@ -524,6 +529,34 @@ def oracle_sql() -> dict[str, str]:
                                  THEN 1 ELSE -1 END)) > 0
                      THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash
             FROM documents
+        """,
+        "simhash_dedup": f"""
+            WITH aug AS ({_AUG}),
+            sim AS (
+              SELECT doc_id,
+                CAST(list_sum(list_transform(
+                  generate_series(0, {textops.SIMHASH_BITS - 1}),
+                  b -> CASE WHEN list_sum(list_transform(
+                         string_split(text,' '),
+                         w -> CASE WHEN (CAST('0x' || substr(md5(w),1,15)
+                                   AS BIGINT) >> b) % 2 = 1
+                              THEN 1 ELSE -1 END)) > 0
+                       THEN (CAST(1 AS BIGINT) << b) ELSE 0 END))
+                  AS BIGINT) AS simhash
+              FROM aug),
+            bands AS (
+              SELECT doc_id, simhash, b.band,
+                     (simhash >> (b.band * 8)) & 255 AS byte
+              FROM sim, (SELECT unnest(generate_series(0,
+                           {textops.SIMHASH_BANDS - 1})) AS band) b)
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
+                     AS hamming
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.byte = b.byte
+                 AND a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash))
+                    <= {textops.SIMHASH_HAMMING_MAX}
         """,
         "ngram_jaccard": f"""
             WITH docs2 AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text

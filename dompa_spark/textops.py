@@ -323,6 +323,51 @@ def simhash(df: DataFrame) -> DataFrame:
     )
 
 
+SIMHASH_BANDS = 4  # 32 bits -> 4 bytes; hamming<=3 dups share >=1 band
+SIMHASH_HAMMING_MAX = 3
+
+
+def simhash_dedup(df: DataFrame, max_hamming: int = SIMHASH_HAMMING_MAX) -> DataFrame:
+    """SimHash near-dup pairs: pigeonhole banding (any pair within
+    `max_hamming` bits must agree on at least one of the 4 byte-bands,
+    since max_hamming < 4) makes the candidate join an equi-join on
+    (band, byte); candidates verify with exact popcount of the XOR.
+    Never an all-pairs comparison — the scale shape for simhash dedup
+    over 10^9 docs. Includes an augmented near-dup corpus (suffix
+    mutation flips few low-weight words -> small hamming distance)."""
+    sh = simhash(with_near_dups(df))
+    bands = sh.select(
+        "doc_id", "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(band).alias("band"),
+                    F.shiftright("simhash", band * 8)
+                    .bitwiseAND(F.lit(255)).alias("byte"),
+                )
+                for band in range(SIMHASH_BANDS)
+            ])
+        ).alias("bb"),
+    ).select("doc_id", "simhash", F.col("bb.band").alias("band"),
+             F.col("bb.byte").alias("byte"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).cast("long")
+    return (
+        a.join(b, ["band", "byte"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
 def ngram_jaccard_neighbors(df: DataFrame) -> DataFrame:
     """Jaccard of 3-shingle sets between doc i and doc i+1 (a cheap,
     SQL-checkable pairwise similarity probe)."""
