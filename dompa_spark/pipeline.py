@@ -48,9 +48,20 @@ HEAVY_CHARS = 200_000
 
 
 def session_confs(builder):
-    """Recommended session configs (AQE on, Arrow batches byte-bounded)."""
+    """Recommended session configs (AQE on, Arrow batches byte-bounded).
+
+    ParallelGC: this allocation-heavy batch workload (shuffle rows,
+    Arrow buffers, parquet encode) runs ~2x faster and far more stably
+    at 32 threads under throughput-oriented ParallelGC than under
+    default G1 (measured, order-controlled: walls [11.1, 11.2, 11.6] vs
+    [22.8, 16.6, 26.9] s on the 480k corpus) — G1's concurrent cycles
+    compete with 32 busy cores. Applied to both driver (covers local
+    mode) and executors (real clusters); ignored if the JVM is already
+    up."""
     return (
-        builder.config("spark.sql.adaptive.enabled", "true")
+        builder.config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
+        .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
         .config("spark.sql.shuffle.partitions", "128")
