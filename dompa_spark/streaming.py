@@ -104,7 +104,16 @@ def sessionize_stream(
                 0, None, None, 0, 0.0,
             )
         out = []
-        for pdf in pdfs:
+        # applyInPandasWithState delivers one group's micro-batch rows as
+        # MULTIPLE chunks (Arrow batches cap at 512 rows via session_confs)
+        # and post-shuffle chunk order is not time-ordered: sorting within
+        # each chunk would emit spurious session boundaries whenever a
+        # user's events straddle chunks out of order. Materialize the whole
+        # micro-batch for this key and sort ONCE by (us, event_id) — bounded
+        # by one user's events per trigger, the same bound the state itself
+        # already implies.
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf):
             # NTZ -> epoch micros, zone-free (matches eventops._EPOCH_US)
             us_arr = pdf["ts"].astype("datetime64[us]").astype("int64")
             order = sorted(

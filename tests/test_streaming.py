@@ -127,3 +127,75 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
     }
     assert got == want
     assert len(got) > 10  # the corpus really produces multiple sessions
+
+
+def test_sessionize_stream_chunked_out_of_order(spark, tmp_path):
+    """One user, 1200 events written in a deterministically shuffled
+    order inside a single file: applyInPandasWithState delivers the
+    group as multiple Arrow chunks (batch cap 512 via session_confs), so
+    any per-chunk sort sees overlapping time ranges and fabricates
+    session boundaries. The kernel must materialize the whole micro-batch
+    and sort once (ADVICE r01)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    in_path = str(tmp_path / "events_chunked")
+    os.makedirs(in_path)
+    n = 1200
+    # 7-min steps with a >30-min gap every 100 events -> 12 sessions
+    ts_sorted = []
+    t = 0
+    for i in range(n):
+        if i > 0 and i % 100 == 0:
+            t += 45 * 60 * 1_000_000
+        else:
+            t += 7 * 60 * 1_000_000
+        ts_sorted.append(t)
+    # stride permutation: event i gets written at position (i*7) % n --
+    # every 512-row Arrow chunk spans the full time range
+    perm = sorted(range(n), key=lambda i: (i * 7) % n)
+    table = pa.table(
+        {
+            "event_id": [perm[j] for j in range(n)],
+            "ts": pa.array([ts_sorted[perm[j]] for j in range(n)],
+                           pa.timestamp("us")),
+            "user_id": [1] * n,
+            "event_type": ["click"] * n,
+            "value": [round(perm[j] * 0.25, 2) for j in range(n)],
+            "props": ["{}"] * n,
+        }
+    )
+    pq.write_table(table, f"{in_path}/events-0.parquet")
+
+    q = (
+        streaming.sessionize_stream(spark, in_path, gap_min=30)
+        .writeStream.format("memory")
+        .queryName("sessions_chunked")
+        .option("checkpointLocation", str(tmp_path / "chunk_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.user_id, r.session_id): (
+            r.n_events, r.start_us, r.end_us, round(r.total_value, 4)
+        )
+        for r in spark.sql("SELECT * FROM sessions_chunked").collect()
+    }
+    batch = eventops.sessionize(
+        spark.read.schema(streaming.EVENTS_SCHEMA_DDL).parquet(in_path),
+        gap_min=30,
+    ).collect()
+    last = max(r.session_id for r in batch)
+    want = {
+        (r.user_id, r.session_id - 1): (
+            r.n_events, r.start_us, r.end_us, round(r.total_value, 4)
+        )
+        for r in batch
+        if r.session_id != last  # final session still open in state
+    }
+    assert got == want
+    assert len(got) == 11  # 12 sessions, last one open
