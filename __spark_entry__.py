@@ -472,11 +472,10 @@ def oracle_sql() -> dict[str, str]:
                        AS dedup_key
               FROM aug)
             SELECT doc_id, dedup_key,
-                   CAST(row_number() OVER
-                     (PARTITION BY dedup_key ORDER BY doc_id) AS BIGINT)
-                     AS rank_in_group,
-                   (row_number() OVER
-                     (PARTITION BY dedup_key ORDER BY doc_id)) > 1 AS is_dup
+                   min(doc_id) OVER (PARTITION BY dedup_key)
+                     AS keep_doc_id,
+                   doc_id > min(doc_id) OVER (PARTITION BY dedup_key)
+                     AS is_dup
             FROM keyed
         """,
         "dedup_minhash_lsh": f"""
@@ -546,14 +545,15 @@ def oracle_sql() -> dict[str, str]:
               FROM aug),
             bands AS (
               SELECT doc_id, simhash, b.band,
-                     (simhash >> (b.band * 8)) & 255 AS byte
+                     (simhash >> (b.band * {textops.SIMHASH_BAND_BITS}))
+                       & {textops.SIMHASH_BAND_MASK} AS bkey
               FROM sim, (SELECT unnest(generate_series(0,
                            {textops.SIMHASH_BANDS - 1})) AS band) b)
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
                      AS hamming
             FROM bands a JOIN bands b
-              ON a.band = b.band AND a.byte = b.byte
+              ON a.band = b.band AND a.bkey = b.bkey
                  AND a.doc_id < b.doc_id
             WHERE bit_count(xor(a.simhash, b.simhash))
                     <= {textops.SIMHASH_HAMMING_MAX}
@@ -773,14 +773,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.98
         """,
         "domain_cap": f"""
-            SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
-                   CAST(row_number() OVER
-                     (PARTITION BY source ORDER BY doc_id) AS BIGINT)
-                     AS rank_in_source,
-                   (row_number() OVER
-                     (PARTITION BY source ORDER BY doc_id))
-                     <= {textops.DOMAIN_CAP} AS kept
-            FROM documents
+            SELECT doc_id, source, rank_in_source FROM (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+                     CAST(row_number() OVER
+                       (PARTITION BY source ORDER BY doc_id) AS BIGINT)
+                       AS rank_in_source
+              FROM documents)
+            WHERE rank_in_source <= {textops.DOMAIN_CAP}
         """,
         "events_sessionize": f"""
             WITH e AS (

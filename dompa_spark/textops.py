@@ -147,19 +147,28 @@ def shingles3(col="text") -> Column:
 
 def dedup_exact_prefix(df: DataFrame, prefix_words: int = 3) -> DataFrame:
     """Exact dedup on a derived key (first N words): keep the lowest
-    doc_id per group. One shuffle on the key; at scale the groupBy is
-    partial-aggregated map-side."""
-    from pyspark.sql.window import Window
+    doc_id per group, flag the rest as dups.
 
+    Skew shape: the keeper per key comes from groupBy().agg(min) — a
+    map-side partial aggregation collapses even a mega-group (one viral
+    boilerplate prefix shared by 10^8 docs) to one row per key per task
+    BEFORE the shuffle, so no task ever sorts a whole group. The flag
+    join back on dedup_key is skewed on that same key, but joins (unlike
+    windows) are AQE-skew-splittable: spark.sql.adaptive.skewJoin splits
+    the fat partition across tasks. The previous row_number() window
+    formulation sorted every row of the heaviest key in one task."""
     key = F.concat_ws(" ", F.slice(words(), 1, prefix_words))
-    w = Window.partitionBy("dedup_key").orderBy("doc_id")
-    return (
-        df.select(F.col("doc_id").cast("long").alias("doc_id"),
-                  key.alias("dedup_key"))
-        .withColumn("rank_in_group",
-                    F.row_number().over(w).cast("long"))
-        .withColumn("is_dup", (F.col("rank_in_group") > 1).cast("boolean"))
-        .select("doc_id", "dedup_key", "rank_in_group", "is_dup")
+    keyed = df.select(
+        F.col("doc_id").cast("long").alias("doc_id"), key.alias("dedup_key")
+    )
+    keeper = keyed.groupBy("dedup_key").agg(
+        F.min("doc_id").alias("keep_doc_id")
+    )
+    return keyed.join(keeper, "dedup_key").select(
+        "doc_id",
+        "dedup_key",
+        "keep_doc_id",
+        (F.col("doc_id") != F.col("keep_doc_id")).alias("is_dup"),
     )
 
 
@@ -291,17 +300,20 @@ def minhash_lsh_pairs(df: DataFrame, jaccard_min: float = 0.7) -> DataFrame:
     )
 
 
-SIMHASH_BITS = 32
+# 60 bits: the md5-15-hex word hash carries exactly 60 significant bits
+# (the portable integer both Spark and DuckDB share); a "64-bit" simhash
+# would have 4 dead always-zero bits polluting one band's key space.
+SIMHASH_BITS = 60
 
 
 def simhash(df: DataFrame) -> DataFrame:
-    """Word-level simhash (32 bits of md5-derived word hashes, sign-summed
+    """Word-level simhash (60 bits of md5-derived word hashes, sign-summed
     per bit). Entirely JVM-side nested higher-order functions; expressed
     as a SQL string because SQL lambdas allow column shift amounts.
 
-    Single pass over the word hashes building a 32-counter array (the
+    Single pass over the word hashes building a 60-counter array (the
     per-bit-aggregate formulation — the oracle's spec shape — re-walks
-    the word array 32x and codegens a 3x larger expression; results are
+    the word array 60x and codegens a 3x larger expression; results are
     identical, proven by the DuckDB parity check)."""
     expr = f"""
       aggregate(
@@ -323,18 +335,25 @@ def simhash(df: DataFrame) -> DataFrame:
     )
 
 
-SIMHASH_BANDS = 4  # 32 bits -> 4 bytes; hamming<=3 dups share >=1 band
+SIMHASH_BANDS = 4  # 60 bits -> 4 x 15-bit bands; hamming<=3 share >=1 band
+SIMHASH_BAND_BITS = 15  # 32,768 key values per band: at n docs a bucket
+# holds ~n/2^15 rows, so the candidate self-join stays ~linear in n
+# (the previous 8-bit bands went quadratic at ~n/256 per bucket)
+SIMHASH_BAND_MASK = (1 << SIMHASH_BAND_BITS) - 1
 SIMHASH_HAMMING_MAX = 3
 
 
 def simhash_dedup(df: DataFrame, max_hamming: int = SIMHASH_HAMMING_MAX) -> DataFrame:
     """SimHash near-dup pairs: pigeonhole banding (any pair within
-    `max_hamming` bits must agree on at least one of the 4 byte-bands,
+    `max_hamming` bits must agree on at least one of the 4 15-bit bands,
     since max_hamming < 4) makes the candidate join an equi-join on
-    (band, byte); candidates verify with exact popcount of the XOR.
+    (band, bkey); candidates verify with exact popcount of the XOR.
     Never an all-pairs comparison — the scale shape for simhash dedup
-    over 10^9 docs. Includes an augmented near-dup corpus (suffix
-    mutation flips few low-weight words -> small hamming distance)."""
+    over 10^9 docs: bucket occupancy is ~n/32768 per band key, so the
+    within-bucket pair count grows ~n^2/2^15 per band, linear for any n
+    up to ~10^10 before buckets would need further splitting. Includes
+    an augmented near-dup corpus (suffix mutation flips few low-weight
+    words -> small hamming distance)."""
     sh = simhash(with_near_dups(df))
     bands = sh.select(
         "doc_id", "simhash",
@@ -342,21 +361,21 @@ def simhash_dedup(df: DataFrame, max_hamming: int = SIMHASH_HAMMING_MAX) -> Data
             F.array(*[
                 F.struct(
                     F.lit(band).alias("band"),
-                    F.shiftright("simhash", band * 8)
-                    .bitwiseAND(F.lit(255)).alias("byte"),
+                    F.shiftright("simhash", band * SIMHASH_BAND_BITS)
+                    .bitwiseAND(F.lit(SIMHASH_BAND_MASK)).alias("bkey"),
                 )
                 for band in range(SIMHASH_BANDS)
             ])
         ).alias("bb"),
     ).select("doc_id", "simhash", F.col("bb.band").alias("band"),
-             F.col("bb.byte").alias("byte"))
+             F.col("bb.bkey").alias("bkey"))
     a = bands.alias("a")
     b = bands.alias("b")
     ham = F.bit_count(
         F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
     ).cast("long")
     return (
-        a.join(b, ["band", "byte"])
+        a.join(b, ["band", "bkey"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"),
@@ -502,22 +521,48 @@ def sample_stratified(df: DataFrame) -> DataFrame:
 
 
 DOMAIN_CAP = 5
+DOMAIN_CAP_SALTS = 16
 
 
-def domain_cap(df: DataFrame, cap: int = DOMAIN_CAP) -> DataFrame:
+def domain_cap(
+    df: DataFrame, cap: int = DOMAIN_CAP, n_salts: int = DOMAIN_CAP_SALTS
+) -> DataFrame:
     """Per-domain frequency cap: keep at most `cap` docs per source
     (lowest doc_id wins) — the dedup-adjacent 'no domain dominates the
-    corpus' step. One shuffle on source; at scale, heavily skewed
-    domains are exactly the rows this drops, so the window never
-    materializes more than it ranks."""
+    corpus' step. Returns the KEPT rows with their exact rank.
+
+    Skew shape (salted two-phase rank): phase 1 ranks within
+    (source, salt) where salt = hash(doc_id) % n_salts, keeping <= cap
+    per salt bucket — a 10^9-doc domain splits across n_salts tasks
+    instead of sorting in one. Phase 2 re-ranks the <= cap*n_salts
+    survivors per domain, which is a bounded-size window whatever the
+    input skew. The composition is exact: every globally-top-cap row is
+    top-cap within its salt bucket (it has fewer competitors there), and
+    all rows smaller than a top-cap row are themselves top-cap, so the
+    survivor re-rank equals the global rank. (Emitting a rank for EVERY
+    row of a skewed domain is inherently a single-task sort, which is
+    why this operator emits the kept set — the product a corpus-mixing
+    pipeline consumes.)"""
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy("source").orderBy("doc_id")
+    salt = (F.abs(F.xxhash64(F.col("doc_id").cast("long"))) % n_salts)
+    base = df.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        salt.cast("int").alias("salt"),
+    )
+    w1 = Window.partitionBy("source", "salt").orderBy("doc_id")
+    survivors = (
+        base.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= cap)
+        .drop("r1", "salt")
+    )
+    w2 = Window.partitionBy("source").orderBy("doc_id")
     return (
-        df.select(F.col("doc_id").cast("long").alias("doc_id"), "source")
-        .withColumn("rank_in_source",
-                    F.row_number().over(w).cast("long"))
-        .withColumn("kept", F.col("rank_in_source") <= cap)
+        survivors.withColumn(
+            "rank_in_source", F.row_number().over(w2).cast("long")
+        )
+        .filter(F.col("rank_in_source") <= cap)
     )
 
 

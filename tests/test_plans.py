@@ -11,10 +11,17 @@ from __future__ import annotations
 
 import contextlib
 import io
+import os
 
 import pytest
 
-SF_DIR = "/root/testdata/sf0.001"
+SF_DIR = os.environ.get("SPARK_GRAFT_PLAN_SF_DIR", "/root/testdata/sf0.001")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR),
+    reason=f"plan fixture dir {SF_DIR} absent "
+    "(set SPARK_GRAFT_PLAN_SF_DIR to a testdata sf directory)",
+)
 
 
 def plan_of(df, mode: str = "formatted") -> str:

@@ -1,0 +1,174 @@
+"""Scale-shape assertions for the dedup/cap operator family (VERDICT r01):
+the properties that separate "passes at sf0.01" from "survives 10^9 docs".
+
+Each test builds a synthetic corpus engineered for the failure mode it
+guards (uniform vocab for bucket spread, a mega-domain / mega-prefix for
+skew) and asserts both the semantics (equality with the naive one-window
+formulation) and the plan/data shape (bounded bucket occupancy, salted
+partition keys, map-side partial aggregation).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dompa_spark import textops
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
+
+
+def _uniform_docs(spark, n=4000, words_per_doc=30):
+    """n docs with pairwise-disjoint word sets (stride > words_per_doc)
+    -> word hashes independent across docs -> simhash ~uniform."""
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(words_per_doc - 1)),
+                lambda j: F.concat(F.lit("w"), (F.col("id") * 31 + j)),
+            ),
+        ).alias("text"),
+    )
+
+
+def test_simhash_band_buckets_spread(spark):
+    """4 x 15-bit bands: on a 4k-doc uniform corpus every band must
+    occupy > 10^3 distinct bucket keys with single-digit max occupancy —
+    the candidate self-join stays ~linear in n. (The old 8-bit bands
+    collapsed 4k docs into <= 256 buckets per band: quadratic.)"""
+    sh = textops.simhash(_uniform_docs(spark))
+    bands = sh.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright("simhash", b * textops.SIMHASH_BAND_BITS)
+                    .bitwiseAND(F.lit(textops.SIMHASH_BAND_MASK))
+                    .alias("bkey"),
+                )
+                for b in range(textops.SIMHASH_BANDS)
+            ])
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bkey")
+    stats = (
+        bands.groupBy("band", "bkey")
+        .count()
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.max("count").alias("max_bucket"),
+        )
+        .collect()
+    )
+    assert len(stats) == textops.SIMHASH_BANDS
+    for r in stats:
+        assert r.n_buckets > 1000, (r.band, r.n_buckets)
+        assert r.max_bucket <= 8, (r.band, r.max_bucket)
+
+
+def _skewed_sources(spark, n=2000):
+    """One mega domain holds 50% of all rows; the rest spread over 17."""
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < n // 2, F.lit("mega"))
+        .otherwise(F.concat(F.lit("s"), F.col("id") % 17))
+        .alias("source"),
+    )
+
+
+def test_domain_cap_matches_naive_on_skewed_corpus(spark):
+    df = _skewed_sources(spark)
+    got = {
+        (r.doc_id, r.source, r.rank_in_source)
+        for r in textops.domain_cap(df).collect()
+    }
+    w = Window.partitionBy("source").orderBy("doc_id")
+    naive = (
+        df.select(F.col("doc_id").cast("long").alias("doc_id"), "source")
+        .withColumn("rank_in_source", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank_in_source") <= textops.DOMAIN_CAP)
+    )
+    want = {(r.doc_id, r.source, r.rank_in_source) for r in naive.collect()}
+    assert got == want
+    assert len(got) == textops.DOMAIN_CAP * 18  # mega + 17 tail domains
+
+
+def test_domain_cap_phase1_is_salted(spark):
+    """The first window must partition by (source, salt) — that's the
+    property that keeps the mega-domain sort off a single task."""
+    plan = plan_of(textops.domain_cap(_skewed_sources(spark)))
+    windows = [ln for ln in plan.splitlines() if "windowspecdefinition" in ln]
+    assert any("salt" in ln and "source" in ln for ln in windows), plan
+    # and phase 1 bounds every task's group: no (source, salt) bucket
+    # holds more than a hash-uniform share of the mega domain
+    df = _skewed_sources(spark)
+    salted = df.select(
+        "source",
+        (F.abs(F.xxhash64(F.col("doc_id").cast("long")))
+         % textops.DOMAIN_CAP_SALTS).alias("salt"),
+    )
+    max_bucket = (
+        salted.groupBy("source", "salt").count().agg(F.max("count")).first()[0]
+    )
+    # mega = 1000 rows / 16 salts ~ 62; allow generous hash wobble
+    assert max_bucket <= 150, max_bucket
+
+
+def test_dedup_exact_matches_naive_on_mega_prefix(spark):
+    """50% of docs share one viral 3-word prefix; groupBy-min + join must
+    reproduce the window formulation's keep/dup decisions exactly."""
+    n = 2000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") % 2 == 0,
+            F.concat(F.lit("viral boilerplate prefix tail"), F.col("id")),
+        )
+        .otherwise(
+            F.concat(F.lit("unique "), F.col("id"), F.lit(" head body"))
+        )
+        .alias("text"),
+    )
+    got = {
+        (r.doc_id, r.dedup_key, r.keep_doc_id, r.is_dup)
+        for r in textops.dedup_exact_prefix(df).collect()
+    }
+    key = F.concat_ws(" ", F.slice(F.split("text", " "), 1, 3))
+    keyed = df.select(
+        F.col("doc_id").cast("long").alias("doc_id"), key.alias("dedup_key")
+    )
+    w = Window.partitionBy("dedup_key")
+    naive = keyed.select(
+        "doc_id",
+        "dedup_key",
+        F.min("doc_id").over(w).alias("keep_doc_id"),
+        (F.col("doc_id") != F.min("doc_id").over(w)).alias("is_dup"),
+    )
+    want = {
+        (r.doc_id, r.dedup_key, r.keep_doc_id, r.is_dup)
+        for r in naive.collect()
+    }
+    assert got == want
+    assert sum(1 for t in got if t[3]) == n // 2 - 1  # the viral dups
+
+
+def test_dedup_exact_keeper_aggregates_map_side(spark):
+    """The keeper table must come from a partial (map-side) min — the
+    property that collapses a mega-group before the shuffle."""
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"), F.lit("same prefix here x").alias("text")
+    )
+    plan = plan_of(textops.dedup_exact_prefix(df))
+    assert "partial_min" in plan, plan
+    assert "windowspecdefinition" not in plan, plan  # no window at all
