@@ -225,16 +225,23 @@ def q_events_window_stats(spark, sf_dir):
     return eventops.window_stats(_events(spark, sf_dir))
 
 
+# The testdata embeddings tables are dim-64 at every SF; plane literals
+# are built from this at plan time (no driver-side data probe — VERDICT
+# r01 item 4). tests/test_textops_scale.py asserts the constant matches
+# the parquet payload.
+EMBED_DIM = 64
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     return textops.ann_cosine_topk(_emb(spark, sf_dir))
 
 
 def q_ann_lsh_topk(spark, sf_dir):
-    return textops.ann_lsh_topk(_emb(spark, sf_dir))
+    return textops.ann_lsh_topk(_emb(spark, sf_dir), dim=EMBED_DIM)
 
 
 def q_dedup_embedding_cosine(spark, sf_dir):
-    return textops.dedup_embedding_cosine(_emb(spark, sf_dir))
+    return textops.dedup_embedding_cosine(_emb(spark, sf_dir), dim=EMBED_DIM)
 
 
 def q_media_dedup(spark, sf_dir):
@@ -685,7 +692,7 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
             QUALIFY rank <= 5
         """,
-        "ann_lsh_topk": """
+        "ann_lsh_topk": f"""
             WITH emb AS (
               SELECT CAST(vec_id AS BIGINT) AS vec_id,
                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -701,7 +708,8 @@ def oracle_sql() -> dict[str, str]:
                                         (i-1)::VARCHAR), 1, 15) AS BIGINT)
                                  % 2 = 1 THEN 1.0 ELSE -1.0 END))) > 0
                           THEN (1 << p.p) ELSE 0 END) AS BIGINT) AS bucket
-              FROM emb e, (SELECT unnest(generate_series(0,3)) AS p) p
+              FROM emb e, (SELECT unnest(generate_series(0,
+                             {textops.ANN_LSH_PLANES - 1})) AS p) p
               GROUP BY e.vec_id),
             n AS (
               SELECT e.vec_id, e.v,
@@ -711,14 +719,22 @@ def oracle_sql() -> dict[str, str]:
             q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm,
                          bucket AS qbucket
                   FROM n WHERE vec_id < 10),
+            -- multi-probe: own bucket (j = -1) + every hamming-1 bucket
+            probes AS (
+              SELECT query_id, qv, qnorm,
+                     CASE WHEN pr.j = -1 THEN qbucket
+                          ELSE xor(qbucket, CAST(1 AS BIGINT) << pr.j)
+                     END AS probe_bucket
+              FROM q, (SELECT unnest(generate_series(-1,
+                         {textops.ANN_LSH_PLANES - 1})) AS j) pr),
             scored AS (
-              SELECT q.query_id, n.vec_id, n.bucket,
+              SELECT p.query_id, n.vec_id, n.bucket,
                      round(list_sum(list_transform(
                              generate_series(1, len(n.v)),
-                             i -> n.v[i] * q.qv[i])) / (n.norm * q.qnorm), 4)
+                             i -> n.v[i] * p.qv[i])) / (n.norm * p.qnorm), 4)
                        AS cosine
-              FROM n JOIN q ON n.bucket = q.qbucket
-              WHERE n.vec_id <> q.query_id)
+              FROM n JOIN probes p ON n.bucket = p.probe_bucket
+              WHERE n.vec_id <> p.query_id)
             SELECT query_id,
                    CAST(row_number() OVER
                      (PARTITION BY query_id
@@ -727,7 +743,7 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
             QUALIFY rank <= 5
         """,
-        "dedup_embedding_cosine": """
+        "dedup_embedding_cosine": f"""
             WITH base AS (
               SELECT CAST(vec_id AS BIGINT) AS vec_id,
                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -746,30 +762,59 @@ def oracle_sql() -> dict[str, str]:
               -- list_reduce = sequential left fold, matching Spark's
               -- aggregate() exactly (list_sum may sum pairwise; these
               -- engineered near-dup cosines sit on round() boundaries)
-              SELECT a.vec_id, a.v,
-                     sqrt(list_reduce(list_transform(a.v, x -> x*x),
-                                      (acc, x) -> acc + x)) AS norm,
-                     b.bucket
-              FROM aug a JOIN (
-                SELECT e.vec_id,
-                       CAST(sum(CASE WHEN list_sum(list_transform(
-                              generate_series(1, len(e.v)),
-                              i -> e.v[i] * (CASE WHEN CAST('0x' ||
-                                   substr(md5(p.p::VARCHAR || ':' ||
-                                          (i-1)::VARCHAR), 1, 15) AS BIGINT)
-                                   % 2 = 1 THEN 1.0 ELSE -1.0 END))) > 0
-                            THEN (1 << p.p) ELSE 0 END) AS BIGINT) AS bucket
-                FROM aug e, (SELECT unnest(generate_series(0,3)) AS p) p
-                GROUP BY e.vec_id) b USING (vec_id)),
+              SELECT vec_id, v,
+                     sqrt(list_reduce(list_transform(v, x -> x*x),
+                                      (acc, x) -> acc + x)) AS norm
+              FROM aug),
+            -- multi-table buckets: table t uses global plane ids
+            -- t*n_planes+p (mirrors textops.srp_candidate_pairs)
+            tb AS (
+              SELECT e.vec_id, t.t AS tbl,
+                     CAST(sum(CASE WHEN list_sum(list_transform(
+                            generate_series(1, len(e.v)),
+                            i -> e.v[i] * (CASE WHEN CAST('0x' ||
+                                 substr(md5((t.t * {textops.DEDUP_LSH_PLANES}
+                                        + p.p)::VARCHAR || ':' ||
+                                        (i-1)::VARCHAR), 1, 15) AS BIGINT)
+                                 % 2 = 1 THEN 1.0 ELSE -1.0 END))) > 0
+                          THEN (1 << p.p) ELSE 0 END) AS BIGINT) AS bucket
+              FROM aug e,
+                   (SELECT unnest(generate_series(0,
+                      {textops.DEDUP_LSH_TABLES - 1})) AS t) t,
+                   (SELECT unnest(generate_series(0,
+                      {textops.DEDUP_LSH_PLANES - 1})) AS p) p
+              GROUP BY e.vec_id, t.t),
+            counts AS (
+              SELECT tbl, bucket, count(*) AS bucket_n
+              FROM tb GROUP BY tbl, bucket),
+            -- hot buckets split into ceil(B/cap) salt groups by
+            -- hash(vec_id, table) — mirrors textops.srp_candidate_pairs
+            keyed AS (
+              SELECT tb.vec_id, tb.tbl,
+                     CASE WHEN c.bucket_n > {textops.DEDUP_BUCKET_CAP}
+                          THEN tb.bucket::VARCHAR || ':' ||
+                               (CAST('0x' || substr(md5(
+                                  tb.vec_id::VARCHAR || ':' ||
+                                  tb.tbl::VARCHAR), 1, 15) AS BIGINT)
+                                % CAST(ceil(c.bucket_n /
+                                    CAST({textops.DEDUP_BUCKET_CAP}
+                                         AS DOUBLE)) AS BIGINT))::VARCHAR
+                          ELSE tb.bucket::VARCHAR END AS bkey
+              FROM tb JOIN counts c USING (tbl, bucket)),
+            cand AS (
+              SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+              FROM keyed a JOIN keyed b
+                ON a.tbl = b.tbl AND a.bkey = b.bkey
+                   AND a.vec_id < b.vec_id),
             pairs AS (
-              SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+              SELECT c.vec_a, c.vec_b,
                      round(list_reduce(list_transform(
-                             generate_series(1, len(a.v)),
-                             i -> a.v[i] * b.v[i]),
-                             (acc, x) -> acc + x) / (a.norm * b.norm), 4)
+                             generate_series(1, len(na.v)),
+                             i -> na.v[i] * nb.v[i]),
+                             (acc, x) -> acc + x) / (na.norm * nb.norm), 4)
                        AS cosine
-              FROM n a JOIN n b
-                ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+              FROM cand c JOIN n na ON na.vec_id = c.vec_a
+                          JOIN n nb ON nb.vec_id = c.vec_b)
             SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.98
         """,
         "domain_cap": f"""

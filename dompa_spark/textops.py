@@ -654,95 +654,223 @@ def with_near_dup_vectors(df: DataFrame, id_offset: int = 10_000) -> DataFrame:
     return base.unionByName(perturbed)
 
 
-def dedup_embedding_cosine(df: DataFrame, threshold: float = 0.98) -> DataFrame:
-    """Embedding-cosine near-dup pairs: SRP-LSH buckets bound the candidate
-    set (same-bucket equi-join), exact cosine verifies. The scale shape for
-    'find semantic dups across 10^9 vectors'."""
-    aug = with_near_dup_vectors(df)
-    dim = len(df.select("embedding").first()[0])
-    norm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
-    bucket = F.lit(0)
-    for p in range(ANN_LSH_PLANES):
-        plane = F.array(*[F.lit(c) for c in srp_plane(p, dim)])
-        dot_p = F.aggregate(
-            F.zip_with("v", plane, lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bucket = bucket + F.when(dot_p > 0, F.lit(1 << p)).otherwise(F.lit(0))
-    emb = aug.withColumn("norm", norm).withColumn("bucket", bucket.cast("int"))
-    a = emb.alias("a")
-    b = emb.alias("b")
-    dot = F.aggregate(
-        F.zip_with("a.v", "b.v", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    cos = F.round(dot / (F.col("a.norm") * F.col("b.norm")), 4)
-    return (
-        a.join(b, F.col("a.bucket") == F.col("b.bucket"))
-        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
-        .withColumn("cosine", cos)
-        .filter(F.col("cosine") >= threshold)
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            "cosine",
-        )
-    )
+# SRP-LSH geometry. Plane counts are parameters because they must scale
+# ~log2(n): with b planes a bucket holds ~n/2^b vectors and the
+# within-bucket self-join produces ~n^2/2^b pairs — keeping b ≈ log2(n)+c
+# makes that ~n/2^c, i.e. linear. Recall lost to more planes is recovered
+# with n_tables independent plane sets OR'd together (dedup) / hamming-1
+# multi-probe (topk).
+DEDUP_LSH_PLANES = 12
+DEDUP_LSH_TABLES = 2
+DEDUP_BUCKET_CAP = 64
+ANN_LSH_PLANES = 8
 
 
-ANN_LSH_PLANES = 4
-
-
-def srp_plane(p: int, dim: int) -> list[float]:
+def srp_plane(key, dim: int) -> list[float]:
     """Deterministic ±1 signed-random-projection plane: component i is
-    +1 iff the md5-derived 60-bit int of "p:i" is odd (portable — the
-    DuckDB oracle derives the identical plane in SQL)."""
+    +1 iff the md5-derived 60-bit int of "{key}:{i}" is odd (portable —
+    the DuckDB oracle derives the identical plane in SQL). `key` is the
+    global plane id (table t, plane p -> t * n_planes + p)."""
     import hashlib
 
     return [
         1.0
-        if int(hashlib.md5(f"{p}:{i}".encode()).hexdigest()[:15], 16) % 2 == 1
+        if int(hashlib.md5(f"{key}:{i}".encode()).hexdigest()[:15], 16) % 2
+        == 1
         else -1.0
         for i in range(dim)
     ]
 
 
+def _srp_bucket(v_col, plane_keys: list, dim: int) -> Column:
+    """Integer bucket id: bit p set iff dot(v, plane_keys[p]) > 0. The
+    plane literals are baked into the expression (JVM-side zip_with/
+    aggregate, no Python at runtime, no driver-side data probe)."""
+    bucket = F.lit(0)
+    for p, key in enumerate(plane_keys):
+        plane = F.array(*[F.lit(c) for c in srp_plane(key, dim)])
+        dot_p = F.aggregate(
+            F.zip_with(v_col, plane, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(dot_p > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket.cast("int")
+
+
+def srp_candidate_pairs(
+    emb: DataFrame,
+    dim: int,
+    n_planes: int = DEDUP_LSH_PLANES,
+    n_tables: int = DEDUP_LSH_TABLES,
+    bucket_cap: int = DEDUP_BUCKET_CAP,
+) -> DataFrame:
+    """Candidate (vec_a < vec_b) pairs from multi-table SRP-LSH with
+    hot-bucket splitting. `emb` must carry (vec_id, v).
+
+    - n_tables independent plane sets; a pair is a candidate if it
+      collides in ANY table (union + dedup) — the OR construction that
+      buys recall back from the higher plane count.
+    - Hot-bucket guard: a bucket holding B > bucket_cap vectors (one
+      dense semantic cluster — near-identical boilerplate embeddings —
+      that more planes cannot separate, because every SRP plane sees the
+      same direction) is split into ceil(B/cap) salt groups by
+      hash(vec_id, table); the self-join runs within a salt group, so
+      the pair count is bounded by ~B*cap/2 — linear in B instead of
+      B^2/2. Pairs split across salt groups in one table can still
+      collide in another (the salt hashes the table id), so the
+      multi-table OR also mitigates the recall cost of the cap.
+    - Only (table, bkey, vec_id) travels through the self-join; vectors
+      join back later on the (small) candidate set.
+    """
+    tables = []
+    for t in range(n_tables):
+        keys = [t * n_planes + p for p in range(n_planes)]
+        tables.append(
+            emb.select(
+                "vec_id",
+                F.lit(t).alias("tbl"),
+                _srp_bucket(F.col("v"), keys, dim).alias("bucket"),
+            )
+        )
+    bucketed = tables[0]
+    for t in tables[1:]:
+        bucketed = bucketed.unionByName(t)
+    counts = bucketed.groupBy("tbl", "bucket").agg(
+        F.count("*").alias("bucket_n")
+    )
+    n_split = F.ceil(F.col("bucket_n") / F.lit(float(bucket_cap)))
+    salt = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("vec_id").cast("string"),
+                        F.lit(":"),
+                        F.col("tbl").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % n_split
+    )
+    keyed = (
+        bucketed.join(counts, ["tbl", "bucket"])
+        .withColumn(
+            "bkey",
+            F.when(
+                F.col("bucket_n") > bucket_cap,
+                F.concat_ws(":", F.col("bucket"), salt),
+            ).otherwise(F.col("bucket").cast("string")),
+        )
+        .select("vec_id", "tbl", "bkey")
+    )
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    return (
+        a.join(b, ["tbl", "bkey"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+
+
+def dedup_embedding_cosine(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.98,
+    n_planes: int = DEDUP_LSH_PLANES,
+    n_tables: int = DEDUP_LSH_TABLES,
+    bucket_cap: int = DEDUP_BUCKET_CAP,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs: multi-table SRP-LSH bounds the
+    candidate set (srp_candidate_pairs), exact cosine verifies. The
+    scale shape for 'find semantic dups across 10^9 vectors': size
+    n_planes ≈ log2(n) so candidates grow ~linearly with the corpus.
+    `dim` is a required parameter — plane literals are built at plan
+    time with no driver-side data probe."""
+    aug = with_near_dup_vectors(df)
+    norm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
+    emb = aug.withColumn("norm", norm)
+    cand = srp_candidate_pairs(
+        emb.select("vec_id", "v"), dim, n_planes, n_tables, bucket_cap
+    )
+    slim = emb.select("vec_id", "v", "norm")
+    cand = cand.join(
+        slim.select(
+            F.col("vec_id").alias("vec_a"),
+            F.col("v").alias("v_a"),
+            F.col("norm").alias("norm_a"),
+        ),
+        "vec_a",
+    ).join(
+        slim.select(
+            F.col("vec_id").alias("vec_b"),
+            F.col("v").alias("v_b"),
+            F.col("norm").alias("norm_b"),
+        ),
+        "vec_b",
+    )
+    dot = F.aggregate(
+        F.zip_with("v_a", "v_b", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.withColumn(
+            "cosine", F.round(dot / (F.col("norm_a") * F.col("norm_b")), 4)
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
 def ann_lsh_topk(
-    df: DataFrame, n_queries: int = 10, k: int = 5,
+    df: DataFrame, dim: int, n_queries: int = 10, k: int = 5,
     n_planes: int = ANN_LSH_PLANES,
 ) -> DataFrame:
     """LSH-bucketed ANN — the scale path: vectors hash into 2^n_planes
-    SRP buckets; each query only scores its own bucket (an equi-join on
-    the bucket key instead of a full cross join), then exact cosine
-    top-k within the bucket. Recall < 1 by design; the oracle computes
-    the same algorithm so results match exactly."""
+    SRP buckets; each query scores its own bucket plus the n_planes
+    hamming-1 probe buckets (multi-probe LSH — the recall knob that lets
+    n_planes scale with corpus size while a query still sees ~(n_planes
+    +1) * n/2^n_planes candidates, not one brittle bucket). The corpus
+    side streams (broadcast query side), candidates verify with exact
+    cosine, top-k per query. Recall < 1 by design; the oracle computes
+    the same algorithm so results match exactly. `dim` is a required
+    parameter — no driver-side data probe."""
     from pyspark.sql.window import Window
 
-    dim = len(df.select("embedding").first()[0])
     emb = df.select(
         F.col("vec_id").cast("long").alias("vec_id"),
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
     norm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
-    bucket = F.lit(0)
-    for p in range(n_planes):
-        plane = F.array(*[F.lit(c) for c in srp_plane(p, dim)])
-        dot_p = F.aggregate(
-            F.zip_with("v", plane, lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bucket = bucket + F.when(dot_p > 0, F.lit(1 << p)).otherwise(F.lit(0))
     emb = emb.withColumn("norm", norm).withColumn(
-        "bucket", bucket.cast("int")
+        "bucket", _srp_bucket(F.col("v"), list(range(n_planes)), dim)
     )
-    q = emb.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("norm").alias("qnorm"),
-        F.col("bucket").alias("qbucket"),
+    # each query probes its own bucket + every hamming-1 neighbor bucket
+    probes = F.array(
+        F.col("bucket"),
+        *[
+            F.col("bucket").bitwiseXOR(F.lit(1 << p))
+            for p in range(n_planes)
+        ],
+    )
+    q = (
+        emb.filter(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("norm").alias("qnorm"),
+            F.explode(probes).alias("probe_bucket"),
+        )
     )
     dot = F.aggregate(
         F.zip_with("v", "qv", lambda a, b: a * b),
@@ -751,7 +879,7 @@ def ann_lsh_topk(
     )
     scored = (
         emb.join(
-            F.broadcast(q), F.col("bucket") == F.col("qbucket"), "inner"
+            F.broadcast(q), F.col("bucket") == F.col("probe_bucket"), "inner"
         )
         .filter(F.col("vec_id") != F.col("query_id"))
         .withColumn("cosine", F.round(dot / (F.col("norm") * F.col("qnorm")), 4))
