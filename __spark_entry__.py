@@ -283,6 +283,31 @@ def q_media_dedup(spark, sf_dir):
     )
 
 
+def q_png_decode(spark, sf_dir):
+    """Real-bytes image decode end-to-end: render each document as a
+    deterministic grayscale PNG (encoder cycles filter types 0-4), then
+    recover width/height/pixel statistics through the from-scratch
+    stdlib PNG decoder (pngcodec.py) inside the Arrow kernel. Oracle is
+    closed-form: the pixel formula is a function of doc_id, so DuckDB
+    predicts the decoded stats without any decoder."""
+    from dompa_spark import media
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    out = media.decode_images(media.docs_to_png(docs))
+    return out.select(
+        F.element_at(F.split("media_ref", "/"), -1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "n_pixels",
+        "pixel_sum",
+        "pixel_checksum",
+    )
+
+
 def q_pdf_layout(spark, sf_dir):
     """PDF/layout parse end-to-end: render each document as a real PDF
     (Flate streams, single- or two-column pages by doc_id) and recover
@@ -380,6 +405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "media_dedup": q_media_dedup,
+        "png_decode": q_png_decode,
         "pdf_layout": q_pdf_layout,
         "pdf_interleaved": q_pdf_interleaved,
     }
@@ -879,6 +905,28 @@ def oracle_sql() -> dict[str, str]:
                      (PARTITION BY content_sha ORDER BY media_ref)) > 1
                      AS is_dup
             FROM m
+        """,
+        # png_decode: the PNG pixel payload is closed-form in doc_id
+        # (media.docs_to_png), so the oracle predicts what the real
+        # decoder must recover — any filter/inflate/chunk bug mismatches
+        "png_decode": """
+            WITH base AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     8 + CAST(doc_id AS BIGINT) % 9 AS w,
+                     8 + CAST(doc_id AS BIGINT) % 7 AS h
+              FROM documents)
+            SELECT doc_id,
+                   CAST(w AS BIGINT) AS width,
+                   CAST(h AS BIGINT) AS height,
+                   CAST(w * h AS BIGINT) AS n_pixels,
+                   CAST(list_sum(list_transform(
+                     generate_series(0, w*h - 1),
+                     j -> (doc_id*31 + j*7) % 251)) AS BIGINT) AS pixel_sum,
+                   CAST(list_sum(list_transform(
+                     generate_series(0, w*h - 1),
+                     j -> ((doc_id*31 + j*7) % 251) * (j+1))) AS BIGINT)
+                     AS pixel_checksum
+            FROM base
         """,
         # pdf_layout: generate->parse->layout round-trips the text exactly;
         # page/line counts are closed-form in the 80x40 grid (pdfops.py)

@@ -54,3 +54,109 @@ def test_sample_frames_batch_shape(spark, media_df):
 def test_strict_mode_raises(spark, media_df):
     with pytest.raises(Exception, match="NotImplementedError|no codec"):
         media.featurize_media(media_df, strict=True).collect()
+
+
+# ---------------------------------------------------------------------------
+# Real PNG codec (pngcodec.py — stdlib-only, filters 0-4)
+# ---------------------------------------------------------------------------
+
+def _pixels(w, h, seed=7):
+    return bytes((seed * 31 + j * 13) % 256 for j in range(w * h))
+
+
+def test_png_roundtrip_all_filter_types():
+    from dompa_spark import pngcodec
+
+    # height >= 5 so every filter type (y % 5) appears at least once
+    for w, h in [(1, 5), (3, 7), (16, 5), (40, 23), (8, 1), (2, 2)]:
+        px = _pixels(w, h, seed=w * 100 + h)
+        data = pngcodec.encode_png(px, w, h)
+        assert data[:8] == pngcodec.PNG_SIG
+        got = pngcodec.decode_png(data)
+        assert got == (w, h, px), (w, h)
+
+
+def test_png_roundtrip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dompa_spark import pngcodec
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        w=st.integers(1, 32),
+        h=st.integers(1, 32),
+        seed=st.integers(0, 2**20),
+    )
+    def check(w, h, seed):
+        px = bytes((seed + j * 7) % 256 for j in range(w * h))
+        assert pngcodec.decode_png(pngcodec.encode_png(px, w, h)) == (
+            w, h, px,
+        )
+
+    check()
+
+
+def test_png_rejects_corruption():
+    from dompa_spark import pngcodec
+
+    data = bytearray(pngcodec.encode_png(_pixels(9, 9), 9, 9))
+    with pytest.raises(ValueError, match="signature"):
+        pngcodec.decode_png(b"JUNK" + bytes(data[4:]))
+    flipped = bytearray(data)
+    flipped[40] ^= 0xFF  # inside IDAT payload -> CRC mismatch
+    with pytest.raises(ValueError, match="CRC"):
+        pngcodec.decode_png(bytes(flipped))
+    with pytest.raises(ValueError, match="truncated|missing|size"):
+        pngcodec.decode_png(bytes(data[:30]))
+
+
+def test_featurize_uses_real_pixels_for_png(spark):
+    """Two PNGs with identical intensity histograms but different byte
+    payloads must featurize identically (histogram of decoded pixels),
+    and differ from the sha-seeded pseudo path."""
+    from dompa_spark import pngcodec
+
+    w = h = 8
+    px_a = bytes(range(64))
+    px_b = bytes(reversed(range(64)))  # same histogram, different image
+    rows = [
+        ("png://a", "image", bytearray(pngcodec.encode_png(px_a, w, h)),
+         "image/png", None, None, None),
+        ("png://b", "image", bytearray(pngcodec.encode_png(px_b, w, h)),
+         "image/png", None, None, None),
+        ("blob://c", "image", bytearray(b"not a png"), "image/png",
+         None, None, None),
+    ]
+    df = spark.createDataFrame(rows, media.MEDIA_SCHEMA)
+    feats = {r.media_ref: r.feature
+             for r in media.featurize_media(df).collect()}
+    assert feats["png://a"] == feats["png://b"]
+    assert feats["png://a"] != feats["blob://c"]
+
+
+def test_decode_images_matches_formula(spark):
+    """docs_to_png -> decode_images must recover the closed-form stats
+    (exercises every filter type through the real decoder)."""
+    docs = spark.range(40).selectExpr("id AS doc_id")
+    out = {r.media_ref: r
+           for r in media.decode_images(media.docs_to_png(docs)).collect()}
+    assert len(out) == 40
+    for i in range(40):
+        w, h = 8 + i % 9, 8 + i % 7
+        px = [(i * 31 + j * 7) % 251 for j in range(w * h)]
+        r = out[f"png://doc/{i}"]
+        assert (r.width, r.height, r.n_pixels) == (w, h, w * h)
+        assert r.pixel_sum == sum(px)
+        assert r.pixel_checksum == sum(p * (j + 1) for j, p in enumerate(px))
+
+
+def test_decode_images_strict_vs_skip(spark):
+    rows = [
+        ("bad://1", "image", bytearray(b"\x89PNG\r\n\x1a\nbroken"),
+         "image/png", None, None, None),
+    ]
+    df = spark.createDataFrame(rows, media.MEDIA_SCHEMA)
+    with pytest.raises(Exception, match="ValueError|truncated|chunk"):
+        media.decode_images(df, strict=True).collect()
+    assert media.decode_images(df, strict=False).collect() == []
