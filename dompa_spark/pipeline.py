@@ -180,7 +180,18 @@ def _extract_arrow_iter(batches, keep_part: bool, with_metrics: bool):
         out_span_offsets: list[int] = []
         list_offsets = [0]
         doc_counts: list[int] = []
+        # offsets of invalid list slots are not guaranteed canonical, so
+        # indexing through them could silently splice another row's spans
+        # (ADVICE r01): precompute validity when the batch has nulls
+        valid = (
+            lv.is_valid().to_pylist() if lv.null_count else None
+        )
         for i in range(n):
+            # a null spans cell must yield zero spans
+            if valid is not None and not valid[i]:
+                list_offsets.append(len(out_kinds))
+                doc_counts.append(0)
+                continue
             lo, hi = int(offs[i]), int(offs[i + 1])
             ok, ot, om = kernel.extract_document_cols(
                 kinds[lo:hi], texts[lo:hi], refs[lo:hi], in_offsets[lo:hi]
@@ -285,7 +296,11 @@ def _roundtrip_arrow_iter(batches):
         texts = st.field("text").to_pylist()
         soffs = st.field("offset").to_pylist()
         htmls = []
+        valid = lv.is_valid().to_pylist() if lv.null_count else None
         for i in range(len(batch)):
+            if valid is not None and not valid[i]:  # null cell -> empty doc
+                htmls.append(kernel.serialize_flat(kernel.parse_flat("")))
+                continue
             lo, hi = int(offs[i]), int(offs[i + 1])
             order = sorted(range(lo, hi), key=lambda k: (soffs[k], k))
             html = "".join(
@@ -331,7 +346,11 @@ def _nodes_arrow_iter(batches):
         attr_vals: list[str] = []
         attr_offsets = [0]
         attr_null: list[bool] = []
+        valid = lv.is_valid().to_pylist() if lv.null_count else None
         for i in range(n):
+            if valid is not None and not valid[i]:  # null cell -> 0 nodes
+                node_offsets.append(len(node_ids))
+                continue
             lo, hi = int(offs[i]), int(offs[i + 1])
             order = sorted(range(lo, hi), key=lambda k: (soffs[k], k))
             html = "".join(
@@ -476,6 +495,16 @@ def run_extract(
     interrupted chunks are rewritten wholesale (plain directory overwrite
     — idempotent without dynamic-partition staging costs). The final
     dataset is {out_path}/data/chunk=*/.
+
+    Chunked runs (chunk_parts < n_parts) STAGE the input first: one full
+    scan writes {out_path}/_staged/ partitioned by the chunk id, and
+    every chunk (including every resumed chunk) then reads only its own
+    chunk=C directory via partition pruning. Without staging, k chunks
+    would each filter the full source on a computed part_id — no
+    partition pruning possible, so k full scans of a 100-TB table
+    (VERDICT r01 item 5). Staging costs one extra full read+write; any
+    run with more than two chunks — and any resume at all — comes out
+    ahead. The stage is itself resumable (guarded by a _STAGED marker).
     """
     data_path = f"{out_path}/data"
     manifest_path = f"{out_path}/_manifest"
@@ -494,6 +523,12 @@ def run_extract(
 
     df = read_input(spark, in_path, fmt)
     df = with_part_id(df, light_parts, heavy_parts, heavy_chars)
+
+    chunked = chunk_size < n_parts
+    if chunked:
+        df = _stage_chunked_input(
+            spark, df, f"{out_path}/_staged", chunk_size
+        )
 
     done = _read_done_parts(spark, f"{manifest_path}/chunk=*") if resume else set()
     chunk_ids = sorted(
@@ -515,9 +550,11 @@ def run_extract(
     for cid in chunk_ids:
         chunk = list(range(cid * chunk_size, min((cid + 1) * chunk_size, n_parts)))
         t0 = time.time()
-        sub = df if len(chunk) == n_parts else df.filter(
-            F.col("part_id").isin(chunk)
-        )
+        if chunked:
+            # partition-pruned scan: only the chunk=cid directory is read
+            sub = df.where(F.col("chunk") == cid).drop("chunk")
+        else:
+            sub = df
         sub = sub.repartition(len(chunk), F.col("part_id"))
         res = extract_df(sub, with_metrics=True)
         chunk_data = f"{data_path}/chunk={cid}"
@@ -552,6 +589,30 @@ def run_extract(
         _write_manifest_chunk(f"{manifest_path}/chunk={cid}", pdf)
         stats["docs"] += int(pdf["doc_count"].sum())
     return stats
+
+
+def _stage_chunked_input(
+    spark: SparkSession, df: DataFrame, staged_path: str, chunk_size: int
+) -> DataFrame:
+    """Write the part_id-stamped input partitioned by chunk id (one full
+    scan), then return a reader over the staged copy whose chunk filter
+    prunes at the directory level. Idempotent: a _STAGED marker skips
+    the write on resume."""
+    import os
+
+    marker = os.path.join(staged_path, "_STAGED")
+    if not os.path.exists(marker):
+        (
+            df.withColumn(
+                "chunk", (F.col("part_id") / chunk_size).cast("int")
+            )
+            .write.mode("overwrite")
+            .partitionBy("chunk")
+            .parquet(staged_path)
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+    return spark.read.parquet(staged_path)
 
 
 def _write_manifest_chunk(path: str, pdf: pd.DataFrame) -> None:

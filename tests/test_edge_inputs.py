@@ -36,3 +36,23 @@ def test_null_and_empty_spans(spark):
 def test_empty_input_partitions(spark):
     df = spark.createDataFrame([], INPUT_SCHEMA).repartition(4)
     assert pipeline.extract_df(df).count() == 0
+
+
+def test_null_spans_cell_roundtrip_and_nodes(spark):
+    """Null spans cells must behave as empty docs in ALL three Arrow
+    kernels — invalid list slots are skipped via the validity bitmap,
+    never indexed through possibly-non-canonical offsets (ADVICE r01)."""
+    rows = [
+        ("d-null", None),
+        ("d-ok", [{"kind": "html", "text": "<ul><li>a</li></ul>",
+                   "media_ref": None, "offset": 0}]),
+        ("d-null2", None),
+    ]
+    df = spark.createDataFrame(rows, INPUT_SCHEMA)
+    rt = {r.doc_id: r.html for r in pipeline.roundtrip_df(df).collect()}
+    assert rt == {
+        "d-null": "", "d-ok": "<ul><li>a</li></ul>", "d-null2": "",
+    }
+    nodes = {r.doc_id: r.nodes for r in pipeline.parse_nodes_df(df).collect()}
+    assert nodes["d-null"] == [] and nodes["d-null2"] == []
+    assert [n.name for n in nodes["d-ok"]] == ["ul", "li", ":dompa/text"]

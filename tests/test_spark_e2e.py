@@ -127,6 +127,37 @@ def test_run_extract_and_resume(spark, small_corpus, tmp_path):
         )
 
 
+def test_chunked_resume_scan_is_partition_pruned(spark, small_corpus, tmp_path):
+    """Chunked runs stage the input partitioned by chunk id; a (resumed)
+    chunk's scan must carry a partition filter on chunk — i.e. it reads
+    one chunk=C directory, not the whole 100-TB source (VERDICT r01)."""
+    import contextlib
+    import io
+    import os
+
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "out_pruned")
+    pipeline.run_extract(
+        spark, small_corpus, out, light_parts=6, heavy_parts=2, chunk_parts=4
+    )
+    staged = f"{out}/_staged"
+    assert os.path.exists(f"{staged}/_STAGED")
+    assert os.path.isdir(f"{staged}/chunk=0") and os.path.isdir(
+        f"{staged}/chunk=1"
+    )
+    df = spark.read.parquet(staged).where(F.col("chunk") == 1)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    plan = buf.getvalue()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "chunk" in pf[0], plan
+    # and the data actually read is only chunk 1's parts (4..7)
+    parts = {r.part_id for r in df.select("part_id").distinct().collect()}
+    assert parts <= set(range(4, 8)), parts
+
+
 def test_manifest_invariant_across_execution_slicing(
     spark, small_corpus, tmp_path
 ):
