@@ -45,7 +45,10 @@ def _is_attrs(v) -> bool:
 
 
 def _node_from_opt(opt):
-    """nodes-from-opt (nodes.cljc:145-159)."""
+    """nodes-from-opt (nodes.cljc:145-159). A None opt hits the :else
+    text branch with (str nil) = "" in the reference — NOT "None"
+    (nodes.cljc:157-159; reachable only via the element path, since
+    nodes-from-opts removes nils first, nodes.cljc:177)."""
     if isinstance(opt, dict):
         return opt
     if isinstance(opt, (list, tuple)):
@@ -53,7 +56,7 @@ def _node_from_opt(opt):
             return fragment([_node_from_opt(o) for o in opt])
         if len(opt) == 1:
             return _node_from_opt(opt[0])
-    return text(opt)
+    return text("" if opt is None else opt)
 
 
 def h(*opts):
