@@ -51,7 +51,7 @@ def ensure_corpus(sf: float, n_docs: int | None = None) -> tuple[str, int]:
     return path, n_docs
 
 
-def make_spark(cpus: int):
+def make_spark(cpus: int, event_log_dir: str | None = None):
     from pyspark.sql import SparkSession
 
     from dompa_spark.pipeline import session_confs
@@ -69,7 +69,61 @@ def make_spark(cpus: int):
         .config("spark.sql.shuffle.partitions", str(max(32, cpus * 4)))
         .config("spark.ui.enabled", "false")
     )
+    if event_log_dir:
+        os.makedirs(event_log_dir, exist_ok=True)
+        builder = (
+            builder.config("spark.eventLog.enabled", "true")
+            .config("spark.eventLog.dir", f"file://{event_log_dir}")
+            .config("spark.eventLog.compress", "false")
+        )
     return session_confs(builder).getOrCreate()
+
+
+def parse_event_log(event_log_dir: str) -> dict:
+    """Sum task metrics over every application log in the dir:
+    executor run/CPU/GC time and shuffle bytes. CPU time is reported by
+    Spark in ns; run/GC in ms — all normalized to ms here."""
+    agg = {
+        "executor_run_ms": 0,
+        "executor_cpu_ms": 0,
+        "jvm_gc_ms": 0,
+        "shuffle_write_bytes": 0,
+        "shuffle_read_bytes": 0,
+        "tasks": 0,
+    }
+    paths = []
+    for root, _dirs, files in os.walk(event_log_dir):
+        for name in files:
+            # Spark 4 rolling layout: eventlog_v2_<app>/events_1_<app>
+            # plus an empty appstatus_* marker
+            if name.startswith("appstatus"):
+                continue
+            paths.append(os.path.join(root, name))
+    for path in paths:
+        with open(path) as f:
+            for line in f:
+                try:
+                    ev = json.loads(line)
+                except ValueError:
+                    continue
+                if ev.get("Event") != "SparkListenerTaskEnd":
+                    continue
+                m = ev.get("Task Metrics") or {}
+                agg["tasks"] += 1
+                agg["executor_run_ms"] += m.get("Executor Run Time", 0)
+                agg["executor_cpu_ms"] += int(
+                    m.get("Executor CPU Time", 0) / 1e6
+                )
+                agg["jvm_gc_ms"] += m.get("JVM GC Time", 0)
+                sw = m.get("Shuffle Write Metrics") or {}
+                agg["shuffle_write_bytes"] += sw.get(
+                    "Shuffle Bytes Written", 0
+                )
+                sr = m.get("Shuffle Read Metrics") or {}
+                agg["shuffle_read_bytes"] += sr.get(
+                    "Remote Bytes Read", 0
+                ) + sr.get("Local Bytes Read", 0)
+    return agg
 
 
 def corpus_stats(spark, corpus_path: str):
@@ -97,7 +151,9 @@ BENCH_LIGHT_PARTS = 64
 BENCH_HEAVY_PARTS = 16
 
 
-def run_extraction(spark, corpus_path: str, out_path: str) -> float:
+def run_extraction(
+    spark, corpus_path: str, out_path: str, passthrough: bool = False
+) -> float:
     from dompa_spark import pipeline
 
     shutil.rmtree(out_path, ignore_errors=True)
@@ -109,6 +165,7 @@ def run_extraction(spark, corpus_path: str, out_path: str) -> float:
         light_parts=BENCH_LIGHT_PARTS,
         heavy_parts=BENCH_HEAVY_PARTS,
         resume=False,
+        passthrough=passthrough,
     )
     return time.time() - t0
 
@@ -136,8 +193,10 @@ def main() -> None:
         corpus_path, n_docs = ensure_corpus(
             sf, int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "240000"))
         )
-        # The sandbox VM shares a host (nonzero historical steal time), so
-        # single runs are noisy: alternate levels, take the best of 3.
+        # --noop: swap the parse/extract kernel for an identity copy —
+        # measures the JVM/shuffle/Arrow/parquet ceiling in isolation so
+        # BENCH.md can split "kernel scaling" from "JVM overhead scaling".
+        passthrough = "--noop" in sys.argv
         # SPARK_GRAFT_SCALING_LEVELS picks the N,4N pair: "8,32" (default)
         # stresses the shared DRAM bus at the top level; "2,8" keeps both
         # levels under bus saturation — the closer proxy for adding
@@ -147,39 +206,50 @@ def main() -> None:
                 "SPARK_GRAFT_SCALING_LEVELS", "8,32").split(",")
         )
         reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
+        # Warm-JVM protocol: per level, untimed warm-up runs absorb C2
+        # JIT + Python-worker spin-up (parallelism-independent costs that
+        # would masquerade as poor scaling; a real 10^12-doc job runs
+        # warm its whole life), then `reps` timed runs in the same warm
+        # JVM; best-of-reps guards against host-load spikes (the sandbox
+        # VM shares a host with nonzero steal time). All lo reps run
+        # before all hi reps — slow host drift between the level blocks
+        # is visible as rep-to-rep spread, which we report.
+        # The timed reps run in a SECOND SparkContext with the event log
+        # enabled (same JVM — py4j gateway survives stop()), so per-task
+        # run/CPU/GC/shuffle metrics cover exactly the timed reps.
         results: dict[int, list[float]] = {lo: [], hi: []}
+        metrics: dict[int, dict] = {}
         docs = chars = 0
         for n in (lo, hi):
+            out_dir = f"/tmp/dompa_bench_out_{n}"
             spark = make_spark(n)
             if n == lo:
                 docs, chars = corpus_stats(spark, corpus_path)
-            # Warm-up runs (untimed): the first jobs in a fresh JVM pay
-            # C2 JIT compilation + Python-worker pool spin-up — costs
-            # that are parallelism-independent and would otherwise
-            # masquerade as poor scaling. Measured on this box: cold wall
-            # is ~2x the warm wall at local[8], and the parquet-write
-            # path keeps JIT-compiling through the first full run, so a
-            # single warm-up still leaves ~2x on the table. A real
-            # 10^12-doc job runs warm for its entire life, so warm walls
-            # are the honest signal.
             for _w in range(
                 int(os.environ.get("SPARK_GRAFT_SCALING_WARMUPS", "2"))
             ):
-                run_extraction(
-                    spark, corpus_path, f"/tmp/dompa_bench_out_{n}"
-                )
+                run_extraction(spark, corpus_path, out_dir, passthrough)
+            spark.stop()
+            elog = f"/tmp/dompa_bench_elog_{n}"
+            shutil.rmtree(elog, ignore_errors=True)
+            spark = make_spark(n, event_log_dir=elog)
             for _rep in range(reps):
                 wall = run_extraction(
-                    spark, corpus_path, f"/tmp/dompa_bench_out_{n}"
+                    spark, corpus_path, out_dir, passthrough
                 )
                 results[n].append(round(wall, 2))
             spark.stop()
+            m = parse_event_log(elog)
+            m["walls"] = results[n]
+            metrics[n] = m
         best_lo, best_hi = min(results[lo]), min(results[hi])
         thr_lo = docs / best_lo
         thr_hi = docs / best_hi
         eff = (thr_hi / thr_lo) / (hi / lo)
+        label = "noop" if passthrough else "extract"
         out = {
-            "metric": f"scaling efficiency local[{lo}]->local[{hi}]",
+            "metric": f"scaling efficiency local[{lo}]->local[{hi}]"
+            + (" (noop kernel)" if passthrough else ""),
             "value": round(eff, 3),
             "unit": "ratio",
             "docs": docs,
@@ -188,6 +258,8 @@ def main() -> None:
             f"walls_{hi}": results[hi],
             f"docs_per_sec_{lo}": round(thr_lo, 1),
             f"docs_per_sec_{hi}": round(thr_hi, 1),
+            f"task_metrics_{lo}": metrics[lo],
+            f"task_metrics_{hi}": metrics[hi],
             "sf": sf,
         }
         # Persist so default-mode bench runs (the per-round BENCH_r{N}.json)
@@ -197,7 +269,7 @@ def main() -> None:
                 cache = json.load(f)
         except (OSError, ValueError):
             cache = {}
-        cache[f"local[{lo}]->local[{hi}]"] = out
+        cache[f"local[{lo}]->local[{hi}]:{label}"] = out
         with open(os.path.join(REPO, "SCALING.json"), "w") as f:
             json.dump(cache, f, indent=1, sort_keys=True)
         print(json.dumps(out))
@@ -236,7 +308,8 @@ def main() -> None:
         with open(os.path.join(REPO, "SCALING.json")) as f:
             out["scaling"] = {
                 k: {kk: v[kk] for kk in v
-                    if kk.startswith(("value", "docs_per_sec", "walls"))
+                    if kk.startswith(("value", "docs_per_sec", "walls",
+                                      "task_metrics"))
                     or kk in ("docs", "chars")}
                 for k, v in json.load(f).items()
             }

@@ -153,7 +153,9 @@ def _pa_span_list_type():
     return _PA_SPAN_LIST
 
 
-def _extract_arrow_iter(batches, keep_part: bool, with_metrics: bool):
+def _extract_arrow_iter(
+    batches, keep_part: bool, with_metrics: bool, passthrough: bool = False
+):
     """Arrow-native kernel wrapper (mapInArrow): fully columnar at the
     boundary — input struct children are read as four flat lists, output
     spans are assembled with ListArray/StructArray.from_arrays. No
@@ -193,9 +195,16 @@ def _extract_arrow_iter(batches, keep_part: bool, with_metrics: bool):
                 doc_counts.append(0)
                 continue
             lo, hi = int(offs[i]), int(offs[i + 1])
-            ok, ot, om = kernel.extract_document_cols(
-                kinds[lo:hi], texts[lo:hi], refs[lo:hi], in_offsets[lo:hi]
-            )
+            if passthrough:
+                # benchmark instrumentation: skip the parse/extract CPU
+                # but keep every byte moving through the same Arrow
+                # disassembly/reassembly — isolates JVM+shuffle+IO
+                # overhead from kernel compute (BENCH.md scaling split)
+                ok, ot, om = kinds[lo:hi], texts[lo:hi], refs[lo:hi]
+            else:
+                ok, ot, om = kernel.extract_document_cols(
+                    kinds[lo:hi], texts[lo:hi], refs[lo:hi], in_offsets[lo:hi]
+                )
             out_kinds.extend(ok)
             out_texts.extend(ot)
             out_refs.extend(om)
@@ -248,9 +257,12 @@ def _extract_arrow_iter(batches, keep_part: bool, with_metrics: bool):
         yield pa.RecordBatch.from_arrays(arrays, names)
 
 
-def extract_df(df: DataFrame, with_metrics: bool = False) -> DataFrame:
+def extract_df(
+    df: DataFrame, with_metrics: bool = False, passthrough: bool = False
+) -> DataFrame:
     """(doc_id, spans[, part_id]) -> extracted (doc_id, spans[, part_id]
-    [, n_spans, out_chars, doc_crc])."""
+    [, n_spans, out_chars, doc_crc]). passthrough=True swaps the parse/
+    extract kernel for an identity copy (bench instrumentation only)."""
     from pyspark.sql.types import (
         IntegerType,
         LongType,
@@ -270,7 +282,8 @@ def extract_df(df: DataFrame, with_metrics: bool = False) -> DataFrame:
         ]
     schema = StructType(fields)
     return df.mapInArrow(
-        lambda it: _extract_arrow_iter(it, keep_part, with_metrics),
+        lambda it: _extract_arrow_iter(it, keep_part, with_metrics,
+                                       passthrough),
         schema=schema,
     )
 
@@ -483,6 +496,7 @@ def run_extract(
     heavy_chars: int = HEAVY_CHARS,
     chunk_parts: int = 0,
     resume: bool = True,
+    passthrough: bool = False,
 ) -> dict:
     """End-to-end extraction job with per-partition checkpoint/lineage.
 
@@ -556,7 +570,7 @@ def run_extract(
         else:
             sub = df
         sub = sub.repartition(len(chunk), F.col("part_id"))
-        res = extract_df(sub, with_metrics=True)
+        res = extract_df(sub, with_metrics=True, passthrough=passthrough)
         chunk_data = f"{data_path}/chunk={cid}"
         res.write.mode("overwrite").parquet(chunk_data)
         wall_ms = int((time.time() - t0) * 1000)
