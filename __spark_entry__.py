@@ -308,6 +308,29 @@ def q_png_decode(spark, sf_dir):
     )
 
 
+def q_wav_decode(spark, sf_dir):
+    """Real-bytes audio decode end-to-end: render each document as a
+    deterministic PCM WAV clip (mono/stereo alternating), recover sample
+    statistics through the from-scratch RIFF/PCM decoder (wavcodec.py)
+    inside the Arrow kernel. Oracle is closed-form in doc_id."""
+    from dompa_spark import media
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    out = media.decode_audio(media.docs_to_wav(docs))
+    return out.select(
+        F.element_at(F.split("media_ref", "/"), -1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        F.col("n_channels").cast("long").alias("n_channels"),
+        "n_samples",
+        "sample_sum",
+        "sample_checksum",
+    )
+
+
 def q_pdf_layout(spark, sf_dir):
     """PDF/layout parse end-to-end: render each document as a real PDF
     (Flate streams, single- or two-column pages by doc_id) and recover
@@ -406,6 +429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "media_dedup": q_media_dedup,
         "png_decode": q_png_decode,
+        "wav_decode": q_wav_decode,
         "pdf_layout": q_pdf_layout,
         "pdf_interleaved": q_pdf_interleaved,
     }
@@ -926,6 +950,31 @@ def oracle_sql() -> dict[str, str]:
                      generate_series(0, w*h - 1),
                      j -> ((doc_id*31 + j*7) % 251) * (j+1))) AS BIGINT)
                      AS pixel_checksum
+            FROM base
+        """,
+        # wav_decode: PCM sample payload is closed-form in doc_id
+        # (media.docs_to_wav), so the oracle predicts what the real
+        # RIFF/PCM decoder must recover
+        "wav_decode": """
+            WITH base AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     8000 + (CAST(doc_id AS BIGINT) % 3) * 4000 AS rate,
+                     1 + CAST(doc_id AS BIGINT) % 2 AS nch,
+                     (120 + CAST(doc_id AS BIGINT) % 80)
+                       * (1 + CAST(doc_id AS BIGINT) % 2) AS n
+              FROM documents)
+            SELECT doc_id,
+                   CAST(rate AS BIGINT) AS sample_rate,
+                   CAST(nch AS BIGINT) AS n_channels,
+                   CAST(n AS BIGINT) AS n_samples,
+                   CAST(list_sum(list_transform(
+                     generate_series(0, n - 1),
+                     j -> (doc_id*13 + j*11) % 2003 - 1001)) AS BIGINT)
+                     AS sample_sum,
+                   CAST(list_sum(list_transform(
+                     generate_series(0, n - 1),
+                     j -> ((doc_id*13 + j*11) % 2003 - 1001) * (j+1)))
+                     AS BIGINT) AS sample_checksum
             FROM base
         """,
         # pdf_layout: generate->parse->layout round-trips the text exactly;

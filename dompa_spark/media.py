@@ -23,7 +23,7 @@ from typing import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from . import pngcodec
+from . import pngcodec, wavcodec
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -119,6 +119,16 @@ def _pixel_feature(width: int, height: int, pixels: bytes) -> list[float]:
     return [float(c / norm) for c in counts]
 
 
+def _sample_feature(samples: list[int]) -> list[float]:
+    """Unit-norm FEATURE_DIM-bin amplitude histogram of real decoded PCM
+    samples — the WAV replacement for the pseudo-embedding."""
+    counts = [0] * FEATURE_DIM
+    for s in samples:
+        counts[(s + 32768) * FEATURE_DIM // 65536] += 1
+    norm = sum(c * c for c in counts) ** 0.5 or 1.0
+    return [float(c / norm) for c in counts]
+
+
 def featurize_media(df: DataFrame, strict: bool = False) -> DataFrame:
     """(MEDIA_SCHEMA rows) -> per-media content hash + pseudo-embedding.
 
@@ -134,9 +144,22 @@ def featurize_media(df: DataFrame, strict: bool = False) -> DataFrame:
             shas, feats, sizes = [], [], []
             for content, kind in zip(pdf["content"], pdf["kind"]):
                 content = bytes(content) if content is not None else b""
-                decoded = _decode_stub(content, kind, strict)
                 shas.append(hashlib.sha256(content).hexdigest())
                 sizes.append(len(content))
+                if content[:4] == wavcodec.RIFF_MAGIC:
+                    try:
+                        _rate, _nch, samples = wavcodec.decode_wav(content)
+                        feats.append(_sample_feature(samples))
+                        continue
+                    except ValueError:
+                        pass  # broken RIFF -> stub/fake path below
+
+                try:
+                    decoded = _decode_stub(content, kind, strict)
+                except ValueError:  # corrupt PNG payload
+                    if strict:
+                        raise
+                    decoded = None
                 if decoded is not None:  # real PNG pixels
                     feats.append(_pixel_feature(*decoded))
                 else:
@@ -245,6 +268,98 @@ def decode_images(df: DataFrame, strict: bool = True) -> DataFrame:
             )
 
     return df.mapInPandas(_iter, schema=IMAGE_STATS_SCHEMA)
+
+
+AUDIO_STATS_SCHEMA = StructType(
+    [
+        StructField("media_ref", StringType(), nullable=False),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("sample_sum", LongType()),
+        StructField("sample_checksum", LongType()),
+    ]
+)
+
+
+def decode_audio(df: DataFrame, strict: bool = True) -> DataFrame:
+    """(MEDIA_SCHEMA rows) -> per-clip decoded-sample statistics via the
+    REAL WAV/PCM codec (Arrow-batched). sample_checksum =
+    sum(sample_j * (j+1)) — position-sensitive over interleaved frames.
+    strict=True raises on undecodable bytes; strict=False drops them."""
+    import pandas as pd
+
+    def _iter(batches: Iterator["pd.DataFrame"]):
+        for pdf in batches:
+            refs, rates, chans, ns, sums, cks = [], [], [], [], [], []
+            for ref, content in zip(pdf["media_ref"], pdf["content"]):
+                content = bytes(content) if content is not None else b""
+                try:
+                    rate, nch, samples = wavcodec.decode_wav(content)
+                except ValueError:
+                    if strict:
+                        raise
+                    continue
+                refs.append(ref)
+                rates.append(rate)
+                chans.append(nch)
+                ns.append(len(samples))
+                sums.append(sum(samples))
+                cks.append(
+                    sum(s * (j + 1) for j, s in enumerate(samples))
+                )
+            yield pd.DataFrame(
+                {
+                    "media_ref": refs,
+                    "sample_rate": rates,
+                    "n_channels": chans,
+                    "n_samples": ns,
+                    "sample_sum": sums,
+                    "sample_checksum": cks,
+                }
+            )
+
+    return df.mapInPandas(_iter, schema=AUDIO_STATS_SCHEMA)
+
+
+def docs_to_wav(docs: DataFrame) -> DataFrame:
+    """Render each document row as a deterministic PCM WAV clip
+    (MEDIA_SCHEMA): closed-form in doc_id so a SQL oracle can predict
+    the decoded statistics without a decoder:
+        rate = 8000 + (doc_id % 3) * 4000
+        channels = 1 + doc_id % 2     (stereo clips have 2n samples)
+        n_frames = 120 + doc_id % 80
+        sample[j] = ((doc_id * 13 + j * 11) % 2003) - 1001
+    (j indexes interleaved samples 0..n_frames*channels-1.)"""
+    import pandas as pd
+
+    def _iter(batches: Iterator["pd.DataFrame"]):
+        for pdf in batches:
+            refs, contents, durs = [], [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                rate = 8000 + (doc_id % 3) * 4000
+                nch = 1 + doc_id % 2
+                n = (120 + doc_id % 80) * nch
+                samples = [
+                    ((doc_id * 13 + j * 11) % 2003) - 1001 for j in range(n)
+                ]
+                refs.append(f"wav://doc/{doc_id}")
+                contents.append(wavcodec.encode_wav(samples, rate, nch))
+                durs.append((n // nch) * 1000 // rate)
+            yield pd.DataFrame(
+                {
+                    "media_ref": refs,
+                    "kind": ["audio"] * len(refs),
+                    "content": contents,
+                    "mime": ["audio/wav"] * len(refs),
+                    "width": pd.array([None] * len(refs), dtype="Int32"),
+                    "height": pd.array([None] * len(refs), dtype="Int32"),
+                    "duration_ms": durs,
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(_iter, schema=MEDIA_SCHEMA)
 
 
 def docs_to_png(docs: DataFrame) -> DataFrame:

@@ -151,6 +151,101 @@ def test_decode_images_matches_formula(spark):
         assert r.pixel_checksum == sum(p * (j + 1) for j, p in enumerate(px))
 
 
+# ---------------------------------------------------------------------------
+# Real WAV/PCM codec (wavcodec.py — stdlib-only RIFF walk)
+# ---------------------------------------------------------------------------
+
+def test_wav_roundtrip_mono_and_stereo():
+    from dompa_spark import wavcodec
+
+    for nch in (1, 2):
+        samples = [((j * 37) % 65536) - 32768 for j in range(240 * nch)]
+        data = wavcodec.encode_wav(samples, 16000, nch)
+        assert wavcodec.decode_wav(data) == (16000, nch, samples)
+
+
+def test_wav_roundtrip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dompa_spark import wavcodec
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        n=st.integers(1, 400),
+        nch=st.sampled_from([1, 2]),
+        seed=st.integers(0, 2**20),
+        rate=st.sampled_from([8000, 16000, 44100]),
+    )
+    def check(n, nch, seed, rate):
+        samples = [((seed + j * 31) % 65536) - 32768 for j in range(n * nch)]
+        assert wavcodec.decode_wav(wavcodec.encode_wav(samples, rate, nch)) \
+            == (rate, nch, samples)
+
+    check()
+
+
+def test_wav_rejects_corruption():
+    from dompa_spark import wavcodec
+
+    data = wavcodec.encode_wav([1, -2, 3, -4], 8000, 1)
+    with pytest.raises(ValueError, match="RIFF"):
+        wavcodec.decode_wav(b"JUNK" + data[4:])
+    with pytest.raises(ValueError, match="truncated"):
+        wavcodec.decode_wav(data[:20])
+    # 8-bit fmt rejected
+    import struct
+
+    bad = bytearray(data)
+    # bits-per-sample field sits at the end of the fmt chunk payload
+    fmt_off = data.index(b"fmt ") + 8
+    struct.pack_into("<H", bad, fmt_off + 14, 8)
+    with pytest.raises(ValueError, match="unsupported"):
+        wavcodec.decode_wav(bytes(bad))
+
+
+def test_decode_audio_matches_formula(spark):
+    docs = spark.range(30).selectExpr("id AS doc_id")
+    out = {r.media_ref: r
+           for r in media.decode_audio(media.docs_to_wav(docs)).collect()}
+    assert len(out) == 30
+    for i in range(30):
+        nch = 1 + i % 2
+        n = (120 + i % 80) * nch
+        samples = [((i * 13 + j * 11) % 2003) - 1001 for j in range(n)]
+        r = out[f"wav://doc/{i}"]
+        assert (r.sample_rate, r.n_channels, r.n_samples) == (
+            8000 + (i % 3) * 4000, nch, n,
+        )
+        assert r.sample_sum == sum(samples)
+        assert r.sample_checksum == sum(
+            s * (j + 1) for j, s in enumerate(samples)
+        )
+
+
+def test_featurize_uses_real_samples_for_wav(spark):
+    """Two clips with identical amplitude histograms but different
+    orderings featurize identically; a truncated RIFF falls back to the
+    byte-hash pseudo path instead of crashing (strict=False)."""
+    from dompa_spark import wavcodec
+
+    samples = [((j * 97) % 2000) - 1000 for j in range(200)]
+    rev = list(reversed(samples))
+    rows = [
+        ("wav://a", "audio", bytearray(wavcodec.encode_wav(samples, 8000)),
+         "audio/wav", None, None, None),
+        ("wav://b", "audio", bytearray(wavcodec.encode_wav(rev, 8000)),
+         "audio/wav", None, None, None),
+        ("wav://bad", "audio", bytearray(b"RIFFxxxx"), "audio/wav",
+         None, None, None),
+    ]
+    df = spark.createDataFrame(rows, media.MEDIA_SCHEMA)
+    feats = {r.media_ref: r.feature
+             for r in media.featurize_media(df).collect()}
+    assert feats["wav://a"] == feats["wav://b"]
+    assert feats["wav://a"] != feats["wav://bad"]
+
+
 def test_decode_images_strict_vs_skip(spark):
     rows = [
         ("bad://1", "image", bytearray(b"\x89PNG\r\n\x1a\nbroken"),
