@@ -308,6 +308,36 @@ def q_png_decode(spark, sf_dir):
     )
 
 
+RESIZE_W, RESIZE_H = 16, 12
+
+
+def q_png_resize(spark, sf_dir):
+    """Image resize end-to-end through the real codec: deterministic
+    PNGs -> nearest-neighbor resize to 16x12 (decode -> resample ->
+    re-encode) -> decode the RESIZED bytes and report pixel statistics.
+    Oracle: resampled pixel (x,y) = src(x*W//16, y*H//12), all
+    closed-form in doc_id."""
+    from dompa_spark import media
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    resized = media.resize_images(
+        media.docs_to_png(docs), RESIZE_W, RESIZE_H
+    )
+    out = media.decode_images(resized)
+    return out.select(
+        F.element_at(F.split("media_ref", "/"), -1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "n_pixels",
+        "pixel_sum",
+        "pixel_checksum",
+    )
+
+
 def q_wav_decode(spark, sf_dir):
     """Real-bytes audio decode end-to-end: render each document as a
     deterministic PCM WAV clip (mono/stereo alternating), recover sample
@@ -429,6 +459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "media_dedup": q_media_dedup,
         "png_decode": q_png_decode,
+        "png_resize": q_png_resize,
         "wav_decode": q_wav_decode,
         "pdf_layout": q_pdf_layout,
         "pdf_interleaved": q_pdf_interleaved,
@@ -950,6 +981,34 @@ def oracle_sql() -> dict[str, str]:
                      generate_series(0, w*h - 1),
                      j -> ((doc_id*31 + j*7) % 251) * (j+1))) AS BIGINT)
                      AS pixel_checksum
+            FROM base
+        """,
+        # png_resize: nearest-neighbor resample of the closed-form PNG
+        # pixels — out(x,y) = src(x*W//16, y*H//12); the oracle computes
+        # the resampled grid directly, the engine goes decode->resample->
+        # re-encode->decode through the real codec twice
+        "png_resize": f"""
+            WITH base AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     8 + CAST(doc_id AS BIGINT) % 9 AS w,
+                     8 + CAST(doc_id AS BIGINT) % 7 AS h
+              FROM documents)
+            SELECT doc_id,
+                   CAST({RESIZE_W} AS BIGINT) AS width,
+                   CAST({RESIZE_H} AS BIGINT) AS height,
+                   CAST({RESIZE_W * RESIZE_H} AS BIGINT) AS n_pixels,
+                   CAST(list_sum(list_transform(
+                     generate_series(0, {RESIZE_W * RESIZE_H - 1}),
+                     k -> (doc_id*31 +
+                           (((k // {RESIZE_W}) * h // {RESIZE_H}) * w
+                            + ((k % {RESIZE_W}) * w // {RESIZE_W})) * 7)
+                          % 251)) AS BIGINT) AS pixel_sum,
+                   CAST(list_sum(list_transform(
+                     generate_series(0, {RESIZE_W * RESIZE_H - 1}),
+                     k -> ((doc_id*31 +
+                            (((k // {RESIZE_W}) * h // {RESIZE_H}) * w
+                             + ((k % {RESIZE_W}) * w // {RESIZE_W})) * 7)
+                           % 251) * (k+1))) AS BIGINT) AS pixel_checksum
             FROM base
         """,
         # wav_decode: PCM sample payload is closed-form in doc_id

@@ -362,6 +362,57 @@ def docs_to_wav(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(_iter, schema=MEDIA_SCHEMA)
 
 
+def resize_images(
+    df: DataFrame, out_w: int, out_h: int, strict: bool = True
+) -> DataFrame:
+    """(MEDIA_SCHEMA rows with PNG content) -> MEDIA_SCHEMA rows resized
+    to out_w x out_h via nearest-neighbor resampling through the REAL
+    codec: decode -> sample src[floor(y*H/out_h)][floor(x*W/out_w)] ->
+    re-encode. Arrow-batched; width/height metadata updated to match the
+    re-encoded payload. strict=False drops undecodable rows."""
+    import pandas as pd
+
+    def _iter(batches: Iterator["pd.DataFrame"]):
+        for pdf in batches:
+            keep = {
+                "media_ref": [], "kind": [], "content": [], "mime": [],
+                "width": [], "height": [], "duration_ms": [],
+            }
+            for row in pdf.itertuples(index=False):
+                content = (
+                    bytes(row.content) if row.content is not None else b""
+                )
+                try:
+                    w, h, px = pngcodec.decode_png(content)
+                except ValueError:
+                    if strict:
+                        raise
+                    continue
+                out = bytearray(out_w * out_h)
+                for y in range(out_h):
+                    sy = y * h // out_h
+                    base = sy * w
+                    for x in range(out_w):
+                        out[y * out_w + x] = px[base + x * w // out_w]
+                keep["media_ref"].append(row.media_ref)
+                keep["kind"].append(row.kind)
+                keep["content"].append(
+                    pngcodec.encode_png(bytes(out), out_w, out_h)
+                )
+                keep["mime"].append(row.mime)
+                keep["width"].append(out_w)
+                keep["height"].append(out_h)
+                keep["duration_ms"].append(row.duration_ms)
+            keep["width"] = pd.array(keep["width"], dtype="Int32")
+            keep["height"] = pd.array(keep["height"], dtype="Int32")
+            keep["duration_ms"] = pd.array(
+                keep["duration_ms"], dtype="Int64"
+            )
+            yield pd.DataFrame(keep)
+
+    return df.mapInPandas(_iter, schema=MEDIA_SCHEMA)
+
+
 def docs_to_png(docs: DataFrame) -> DataFrame:
     """Render each document row as a deterministic grayscale PNG
     (MEDIA_SCHEMA): width/height/pixels are closed-form in doc_id so a

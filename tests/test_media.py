@@ -204,6 +204,37 @@ def test_wav_rejects_corruption():
         wavcodec.decode_wav(bytes(bad))
 
 
+def test_resize_images_nearest_neighbor(spark):
+    """Resize through the real codec must equal the closed-form
+    nearest-neighbor resample, both up- and down-scaling."""
+    from dompa_spark import pngcodec
+
+    w, h = 10, 6
+    px = bytes((j * 41) % 256 for j in range(w * h))
+    rows = [("png://r", "image", bytearray(pngcodec.encode_png(px, w, h)),
+             "image/png", None, None, None)]
+    df = spark.createDataFrame(rows, media.MEDIA_SCHEMA)
+    for ow, oh in [(5, 3), (20, 12), (7, 7)]:
+        out = media.resize_images(df, ow, oh).collect()
+        assert len(out) == 1 and (out[0].width, out[0].height) == (ow, oh)
+        got = pngcodec.decode_png(bytes(out[0].content))
+        want = bytes(
+            px[(y * h // oh) * w + (x * w // ow)]
+            for y in range(oh)
+            for x in range(ow)
+        )
+        assert got == (ow, oh, want), (ow, oh)
+
+
+def test_resize_images_strict_vs_skip(spark):
+    rows = [("bad://r", "image", bytearray(b"nope"), "image/png",
+             None, None, None)]
+    df = spark.createDataFrame(rows, media.MEDIA_SCHEMA)
+    with pytest.raises(Exception, match="signature|ValueError"):
+        media.resize_images(df, 4, 4, strict=True).collect()
+    assert media.resize_images(df, 4, 4, strict=False).collect() == []
+
+
 def test_decode_audio_matches_formula(spark):
     docs = spark.range(30).selectExpr("id AS doc_id")
     out = {r.media_ref: r
