@@ -160,6 +160,17 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup pair graph -> per-doc cluster decision (connected
+    components by min-label propagation; see graphops.py)."""
+    from dompa_spark import graphops
+
+    pairs = textops.minhash_lsh_pairs(
+        textops.with_near_dups(_docs(spark, sf_dir))
+    )
+    return graphops.dedup_components(pairs)
+
+
 def q_simhash(spark, sf_dir):
     return textops.simhash(_docs(spark, sf_dir))
 
@@ -441,6 +452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_link_density": q_extract_link_density,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
         "simhash_dedup": q_simhash_dedup,
         "ngram_jaccard": q_ngram_jaccard,
@@ -492,6 +504,53 @@ _STOPLIST = "['" + "','".join(textops.STOPWORDS) + "']"
 
 _MINHASH_A_SQL = "[" + ",".join(map(str, textops.MINHASH_A)) + "]"
 _MINHASH_B_SQL = "[" + ",".join(map(str, textops.MINHASH_B)) + "]"
+
+
+def _minhash_pairs_sql() -> str:
+    """The dedup_minhash_lsh oracle, shared verbatim by dedup_clusters
+    (which wraps it in a recursive-CTE connected-components pass)."""
+    return f"""
+            WITH aug AS ({_AUG}),
+            sh AS ({_SHINGLES.format(src='aug')}),
+            hb AS (
+              SELECT doc_id, sh,
+                     list_transform(sh,
+                       s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)
+                            % {textops.MINHASH_P}) AS hbase
+              FROM sh),
+            sigs AS (
+              -- universal-hash family over one md5 per shingle, identical
+              -- coefficients to textops.MINHASH_A/B (1-based list index)
+              SELECT doc_id, sh,
+                     list_transform(generate_series(1, {textops.N_MINHASH}),
+                       j -> list_min(list_transform(hbase,
+                              h -> ({_MINHASH_A_SQL}[j] * h +
+                                    {_MINHASH_B_SQL}[j])
+                                   % {textops.MINHASH_P}))) AS sig
+              FROM hb),
+            banded AS (
+              SELECT doc_id, sh, b.band,
+                     array_to_string(
+                       list_transform(
+                         list_slice(sig, b.band*4 + 1, b.band*4 + 4),
+                         v -> CAST(v AS VARCHAR)), ',') AS bkey
+              FROM sigs, (SELECT unnest(generate_series(0,3)) AS band) b),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+            withsh AS (
+              SELECT c.doc_a, c.doc_b, sa.sh AS sh_a, sb.sh AS sh_b
+              FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
+                          JOIN sh sb ON sb.doc_id = c.doc_b)
+            SELECT doc_a, doc_b,
+                   round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
+                         len(list_distinct(list_concat(sh_a, sh_b))), 4)
+                     AS jaccard
+            FROM withsh
+            WHERE round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
+                        len(list_distinct(list_concat(sh_a, sh_b))), 4) >= 0.7
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -566,47 +625,26 @@ def oracle_sql() -> dict[str, str]:
                      AS is_dup
             FROM keyed
         """,
-        "dedup_minhash_lsh": f"""
-            WITH aug AS ({_AUG}),
-            sh AS ({_SHINGLES.format(src='aug')}),
-            hb AS (
-              SELECT doc_id, sh,
-                     list_transform(sh,
-                       s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)
-                            % {textops.MINHASH_P}) AS hbase
-              FROM sh),
-            sigs AS (
-              -- universal-hash family over one md5 per shingle, identical
-              -- coefficients to textops.MINHASH_A/B (1-based list index)
-              SELECT doc_id, sh,
-                     list_transform(generate_series(1, {textops.N_MINHASH}),
-                       j -> list_min(list_transform(hbase,
-                              h -> ({_MINHASH_A_SQL}[j] * h +
-                                    {_MINHASH_B_SQL}[j])
-                                   % {textops.MINHASH_P}))) AS sig
-              FROM hb),
-            banded AS (
-              SELECT doc_id, sh, b.band,
-                     array_to_string(
-                       list_transform(
-                         list_slice(sig, b.band*4 + 1, b.band*4 + 4),
-                         v -> CAST(v AS VARCHAR)), ',') AS bkey
-              FROM sigs, (SELECT unnest(generate_series(0,3)) AS band) b),
-            cand AS (
-              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-              FROM banded a JOIN banded b
-                ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-            withsh AS (
-              SELECT c.doc_a, c.doc_b, sa.sh AS sh_a, sb.sh AS sh_b
-              FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
-                          JOIN sh sb ON sb.doc_id = c.doc_b)
-            SELECT doc_a, doc_b,
-                   round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
-                         len(list_distinct(list_concat(sh_a, sh_b))), 4)
-                     AS jaccard
-            FROM withsh
-            WHERE round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
-                        len(list_distinct(list_concat(sh_a, sh_b))), 4) >= 0.7
+        "dedup_minhash_lsh": _minhash_pairs_sql(),
+        # dedup_clusters: connected components over the minhash pair
+        # graph — transitive closure by recursive CTE, component = min
+        # reachable doc_id (mirrors graphops.connected_components'
+        # min-label-propagation fixpoint)
+        "dedup_clusters": f"""
+            WITH RECURSIVE
+            pairs AS (SELECT * FROM ({_minhash_pairs_sql()}) q),
+            edges AS (
+              SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION
+              SELECT doc_b AS src, doc_a AS dst FROM pairs),
+            reach(src, dst) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN edges e
+                ON r.dst = e.src)
+            SELECT src AS doc_id, min(dst) AS component,
+                   src = min(dst) AS is_canonical
+            FROM reach GROUP BY src
         """,
         "simhash": f"""
             SELECT CAST(doc_id AS BIGINT) AS doc_id,

@@ -1,0 +1,102 @@
+"""Graph operators for dedup clustering.
+
+Near-dup detectors (minhash/simhash/cosine) emit PAIRS; the decision a
+training-data pipeline actually consumes is per-document: which cluster
+does each doc belong to and which doc is the cluster's canonical
+representative. That is connected components over the pair graph.
+
+Implementation: iterative min-label propagation — per iteration each
+vertex takes min(own label, neighbors' labels), expressed as one
+aggregate + two joins (all shuffle-on-key, AQE-splittable, no windows).
+Converges in O(component diameter) iterations; near-dup clusters are
+shallow (diameter rarely above a few hops), and `max_iter` bounds the
+worst case. Each iteration ends in localCheckpoint(eager) — truncating
+lineage is what keeps the plan from growing linearly with iterations —
+and a single count() action reads the convergence flag (driver-side
+control flow is the honest shape for an iterative algorithm; the data
+itself never leaves the cluster). At 10^12-doc scale the same loop runs
+with the alternating large-star/small-star optimization; the per-round
+operators here are already those building blocks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame, max_iter: int | None = None
+) -> DataFrame:
+    """(doc_a, doc_b) pair edges -> (doc_id, component) where component
+    is the minimum doc_id reachable in the undirected pair graph.
+    Vertices are the docs appearing in at least one pair. Runs until
+    convergence (O(diameter) iterations) unless max_iter caps it."""
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    it = 0
+    while max_iter is None or it < max_iter:
+        it += 1
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("dst"),
+                    F.col("label").alias("dst_label"),
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dst_label").alias("nbr_label"))
+        )
+        updated = (
+            labels.join(
+                nbr_min.select(
+                    F.col("src").alias("doc_id"), "nbr_label"
+                ),
+                "doc_id",
+                "left",
+            )
+            .select(
+                "doc_id",
+                F.least(
+                    "label", F.coalesce("nbr_label", "label")
+                ).alias("label"),
+                (
+                    F.coalesce("nbr_label", "label") < F.col("label")
+                ).alias("changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_changed = updated.filter("changed").count()
+        labels = updated.drop("changed")
+        if n_changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("component"))
+
+
+def dedup_components(
+    pairs: DataFrame, max_iter: int | None = None
+) -> DataFrame:
+    """Pair edges -> per-doc dedup decision:
+    (doc_id, component, is_canonical) — keep the canonical (minimum)
+    doc per near-dup cluster, drop the rest."""
+    cc = connected_components(pairs, max_iter)
+    return cc.select(
+        "doc_id",
+        "component",
+        (F.col("doc_id") == F.col("component")).alias("is_canonical"),
+    )
