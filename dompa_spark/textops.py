@@ -354,7 +354,10 @@ def simhash_dedup(df: DataFrame, max_hamming: int = SIMHASH_HAMMING_MAX) -> Data
     up to ~10^10 before buckets would need further splitting. Includes
     an augmented near-dup corpus (suffix mutation flips few low-weight
     words -> small hamming distance)."""
-    sh = simhash(with_near_dups(df))
+    # cache: (doc_id, simhash) is ~16 bytes/doc, but the simhash
+    # expression behind it walks every word x 60 bits — without the
+    # cache the self-join evaluates it once per join side
+    sh = simhash(with_near_dups(df)).cache()
     bands = sh.select(
         "doc_id", "simhash",
         F.explode(
@@ -577,25 +580,30 @@ def contamination_flags(df: DataFrame) -> DataFrame:
     explode doc shingles -> broadcast hash join on the shingle -> distinct
     doc flags. The corpus side never shuffles: the benchmark set is
     broadcast, matches are aggregated map-side."""
-    sh = df.select(
-        F.col("doc_id").cast("long").alias("doc_id"), shingles3().alias("sh")
-    ).filter(F.size("sh") > 0)
+    # base rows carry only (doc_id, text); the >=3-words gate (equivalent
+    # to "has at least one 3-shingle") is a cheap split+size so branches
+    # that don't need shingle ARRAYS never build them — the heavy shingle
+    # expression is evaluated once on the explode branch plus the 1/97
+    # benchmark slice, not three times
+    base = df.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    ).filter(F.size(words()) >= 3)
     # benchmark key = lexicographic min shingle: order-independent, so any
     # engine rebuilding it from the distinct shingle SET agrees (distinct
     # preserves first-occurrence order in Spark but not in DuckDB)
     bench = (
-        sh.filter(F.col("doc_id") % CONTAM_BENCH_EVERY == 0)
-        .select(F.array_min("sh").alias("shingle"))
+        base.filter(F.col("doc_id") % CONTAM_BENCH_EVERY == 0)
+        .select(F.array_min(shingles3()).alias("shingle"))
         .distinct()
     )
-    exploded = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    exploded = base.select("doc_id", F.explode(shingles3()).alias("shingle"))
     hits = (
         exploded.join(F.broadcast(bench), "shingle")
         .groupBy("doc_id")
         .agg(F.count("*").cast("long").alias("n_hits"))
     )
     return (
-        sh.select("doc_id")
+        base.select("doc_id")
         .join(hits, "doc_id", "left")
         .select(
             "doc_id",
@@ -698,6 +706,42 @@ def _srp_bucket(v_col, plane_keys: list, dim: int) -> Column:
     return bucket.cast("int")
 
 
+def _srp_buckets_udf(dim: int, plane_sets: list[list]):
+    """Arrow-vectorized SRP bucketing: one pandas_udf computing every
+    table's bucket in a single numpy matmul per batch (Spark's
+    higher-order array functions are interpreted, not codegen'd — at
+    24+ plane dots per row the HOF walk costs ~100x the BLAS product).
+    Returns array<int>, one bucket per plane set. Sign decisions agree
+    with the fold/list_sum formulations: summation-order error is
+    ~1e-15 relative while |dot| is O(1) — a sign flip would need a dot
+    within float-epsilon of zero."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    n_tables = len(plane_sets)
+    n_planes = len(plane_sets[0])
+    flat = np.array(
+        [srp_plane(key, dim) for keys in plane_sets for key in keys]
+    )  # (T*P, dim)
+    weights = 1 << np.arange(n_planes)
+
+    def f(vs):
+        if not len(vs):
+            return pd.Series([], dtype=object)
+        V = np.vstack(vs.to_numpy())  # (n, dim) float64
+        bits = (V @ flat.T) > 0  # (n, T*P)
+        buckets = (
+            bits.reshape(len(vs), n_tables, n_planes) * weights
+        ).sum(axis=2).astype("int32")
+        return pd.Series(list(buckets))
+
+    # real annotation objects: `from __future__ import annotations`
+    # stringifies inline hints, which pandas_udf cannot resolve
+    f.__annotations__ = {"vs": pd.Series, "return": pd.Series}
+    return pandas_udf(f, "array<int>")
+
+
 def srp_candidate_pairs(
     emb: DataFrame,
     dim: int,
@@ -723,19 +767,22 @@ def srp_candidate_pairs(
     - Only (table, bkey, vec_id) travels through the self-join; vectors
       join back later on the (small) candidate set.
     """
-    tables = []
-    for t in range(n_tables):
-        keys = [t * n_planes + p for p in range(n_planes)]
-        tables.append(
-            emb.select(
-                "vec_id",
-                F.lit(t).alias("tbl"),
-                _srp_bucket(F.col("v"), keys, dim).alias("bucket"),
-            )
+    plane_sets = [
+        [t * n_planes + p for p in range(n_planes)] for t in range(n_tables)
+    ]
+    buckets_udf = _srp_buckets_udf(dim, plane_sets)
+    bucketed = (
+        emb.select("vec_id", F.posexplode(buckets_udf("v")))
+        .select(
+            "vec_id",
+            F.col("pos").alias("tbl"),
+            F.col("col").alias("bucket"),
         )
-    bucketed = tables[0]
-    for t in tables[1:]:
-        bucketed = bucketed.unionByName(t)
+    )
+    # cache: (vec_id, tbl, bucket) is tiny, but each bucket value costs
+    # n_planes dim-length dot products — consumed 3x below (counts +
+    # both self-join sides) without the cache
+    bucketed = bucketed.cache()
     counts = bucketed.groupBy("tbl", "bucket").agg(
         F.count("*").alias("bucket_n")
     )
@@ -798,7 +845,11 @@ def dedup_embedding_cosine(
     time with no driver-side data probe."""
     aug = with_near_dup_vectors(df)
     norm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
-    emb = aug.withColumn("norm", norm)
+    # cache: (vec_id, v, norm) feeds the bucketing pass plus both sides
+    # of the candidate verify join — without it the md5 perturbation +
+    # norm fold is evaluated 3x. (Spark caches spill to disk, so this
+    # stays safe when the vector table outgrows executor memory.)
+    emb = aug.withColumn("norm", norm).cache()
     cand = srp_candidate_pairs(
         emb.select("vec_id", "v"), dim, n_planes, n_tables, bucket_cap
     )
@@ -852,8 +903,9 @@ def ann_lsh_topk(
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
     norm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
+    buckets_udf = _srp_buckets_udf(dim, [list(range(n_planes))])
     emb = emb.withColumn("norm", norm).withColumn(
-        "bucket", _srp_bucket(F.col("v"), list(range(n_planes)), dim)
+        "bucket", F.element_at(buckets_udf("v"), 1)
     )
     # each query probes its own bucket + every hamming-1 neighbor bucket
     probes = F.array(
