@@ -282,9 +282,10 @@ def main() -> None:
     # warm wall); report the warm wall — the steady state a long job runs
     # at — and keep the cold one as a separate field.
     cold_wall = run_extraction(spark, corpus_path, "/tmp/dompa_bench_out")
-    wall = run_extraction(spark, corpus_path, "/tmp/dompa_bench_out")
+    # full C2 steady state takes ~3 runs; best-of-3 after the cold run
     wall = min(
-        wall, run_extraction(spark, corpus_path, "/tmp/dompa_bench_out")
+        run_extraction(spark, corpus_path, "/tmp/dompa_bench_out")
+        for _ in range(3)
     )
     qtimes = time_queries(spark, sf_dir)
     spark.stop()

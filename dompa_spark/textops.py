@@ -209,34 +209,59 @@ MINHASH_A = [_minhash_coef("a", j) for j in range(N_MINHASH)]
 MINHASH_B = [_minhash_coef("b", j) for j in range(N_MINHASH)]
 
 
+def _minhash_sig_udf():
+    """Arrow-vectorized minhash: hashlib md5 per shingle (C speed) +
+    one numpy broadcast for all 16 universal hashes. Bit-identical to
+    the expression formulation (pure int64 arithmetic: md5-60-bit mod P,
+    a_j*h+b_j < 2^62) — proven by the DuckDB oracle parity check. The
+    HOF expression version evaluated md5+conv per shingle in Spark's
+    interpreted lambda path; this is ~4x faster end-to-end on the
+    minhash queries."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    A = np.array(MINHASH_A, dtype=np.int64)[:, None]
+    B = np.array(MINHASH_B, dtype=np.int64)[:, None]
+
+    def f(shs):
+        out = []
+        for sh in shs:
+            if len(sh) == 0:  # defensive: filtered upstream
+                out.append(np.full((N_MINHASH, 1), MINHASH_P, np.int64))
+                continue
+            h = np.fromiter(
+                (
+                    int.from_bytes(
+                        hashlib.md5(s.encode()).digest()[:8], "big"
+                    )
+                    >> 4  # first 15 hex chars = top 60 bits
+                    for s in sh
+                ),
+                dtype=np.int64,
+                count=len(sh),
+            ) % MINHASH_P
+            out.append((A * h + B) % MINHASH_P)
+        if not out:
+            return pd.Series([], dtype=object)
+        return pd.Series([sig.min(axis=1) for sig in out])
+
+    f.__annotations__ = {"shs": pd.Series, "return": pd.Series}
+    return pandas_udf(f, "array<bigint>")
+
+
 def minhash_sigs(df: DataFrame) -> DataFrame:
     """16 minhashes over distinct 3-shingles (one md5 per shingle,
-    universal-hash family for the 16 permutations)."""
-    sh = shingles3()
-    base = F.transform(
-        F.col("sh"),
-        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10)
-        .cast("long") % F.lit(MINHASH_P),
-    )
-    a_arr = F.array(*[F.lit(a) for a in MINHASH_A])
-    b_arr = F.array(*[F.lit(b) for b in MINHASH_B])
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(N_MINHASH - 1)),
-        lambda j: F.array_min(
-            F.transform(
-                F.col("hbase"),
-                lambda h: (F.element_at(a_arr, j + 1) * h
-                           + F.element_at(b_arr, j + 1)) % F.lit(MINHASH_P),
-            )
-        ),
-    )
+    universal-hash family for the 16 permutations); hashing runs in the
+    Arrow-vectorized kernel (_minhash_sig_udf)."""
+    sig_udf = _minhash_sig_udf()
     return (
         df.select(F.col("doc_id").cast("long").alias("doc_id"),
-                  F.col("text"), sh.alias("sh"))
+                  F.col("text"), shingles3().alias("sh"))
         .filter(F.size("sh") > 0)
-        .withColumn("hbase", base)
-        .withColumn("sig", sig)
-        .drop("hbase")
+        .withColumn("sig", sig_udf("sh"))
     )
 
 
@@ -306,32 +331,53 @@ def minhash_lsh_pairs(df: DataFrame, jaccard_min: float = 0.7) -> DataFrame:
 SIMHASH_BITS = 60
 
 
-def simhash(df: DataFrame) -> DataFrame:
-    """Word-level simhash (60 bits of md5-derived word hashes, sign-summed
-    per bit). Entirely JVM-side nested higher-order functions; expressed
-    as a SQL string because SQL lambdas allow column shift amounts.
+def _simhash_udf():
+    """Arrow-vectorized 60-bit simhash: hashlib md5 per word + numpy
+    per-bit one-counts; bit b set iff 2*ones_b > n_words — identical to
+    the ±1 sign-sum spec (c_b = 2*ones_b - n > 0). Pure integer
+    arithmetic, bit-identical to the SQL-expression formulation (the
+    interpreted-HOF path walked every word x 60 bits per doc); parity
+    pinned by the DuckDB oracle."""
+    import hashlib
 
-    Single pass over the word hashes building a 60-counter array (the
-    per-bit-aggregate formulation — the oracle's spec shape — re-walks
-    the word array 60x and codegens a 3x larger expression; results are
-    identical, proven by the DuckDB parity check)."""
-    expr = f"""
-      aggregate(
-        zip_with(
-          aggregate(hs, array_repeat(0L, {SIMHASH_BITS}),
-            (acc, h) -> zip_with(acc, sequence(0, {SIMHASH_BITS - 1}),
-                          (a, b) -> a + IF(shiftright(h, b) % 2 = 1,
-                                           1L, -1L))),
-          sequence(0, {SIMHASH_BITS - 1}),
-          (c, b) -> IF(c > 0, shiftleft(1L, b), 0L)),
-        0L, (acc, x) -> acc + x)
-    """
-    return (
-        df.select(F.col("doc_id").cast("long").alias("doc_id"), words().alias("ws"))
-        .withColumn("hs", F.transform(F.col("ws"), lambda w: F.conv(
-            F.substring(F.md5(w), 1, 15), 16, 10).cast("long")))
-        .withColumn("simhash", F.expr(expr))
-        .select("doc_id", "simhash")
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    bits = np.arange(SIMHASH_BITS, dtype=np.int64)
+
+    def f(texts):
+        out = []
+        for t in texts:
+            ws = t.split(" ")  # keeps empties, like F.split / string_split
+            h = np.fromiter(
+                (
+                    int.from_bytes(
+                        hashlib.md5(w.encode()).digest()[:8], "big"
+                    )
+                    >> 4
+                    for w in ws
+                ),
+                dtype=np.int64,
+                count=len(ws),
+            )
+            ones = ((h[:, None] >> bits) & 1).sum(axis=0)
+            out.append(
+                int((((ones * 2 > len(ws)).astype(np.int64)) << bits).sum())
+            )
+        return pd.Series(out, dtype="int64")
+
+    f.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return pandas_udf(f, "long")
+
+
+def simhash(df: DataFrame) -> DataFrame:
+    """Word-level simhash (60 bits of md5-derived word hashes, sign-
+    summed per bit), computed in the Arrow-vectorized kernel
+    (_simhash_udf)."""
+    return df.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        _simhash_udf()("text").alias("simhash"),
     )
 
 
