@@ -439,9 +439,11 @@ def simhash_dedup(df: DataFrame, max_hamming: int = SIMHASH_HAMMING_MAX) -> Data
 def ngram_jaccard_neighbors(df: DataFrame) -> DataFrame:
     """Jaccard of 3-shingle sets between doc i and doc i+1 (a cheap,
     SQL-checkable pairwise similarity probe)."""
+    # cache: the interpreted shingle expression would otherwise run once
+    # per self-join side
     sh = df.select(
         F.col("doc_id").cast("long").alias("doc_id"), shingles3().alias("sh")
-    )
+    ).cache()
     a = sh.alias("a")
     b = sh.alias("b")
     jac = F.when(
