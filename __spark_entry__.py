@@ -211,6 +211,10 @@ def q_corpus_stats(spark, sf_dir):
     )
 
 
+def q_vocab_topk(spark, sf_dir):
+    return textops.vocab_topk(_docs(spark, sf_dir))
+
+
 def q_sample_stratified(spark, sf_dir):
     return textops.sample_stratified(_docs(spark, sf_dir))
 
@@ -291,6 +295,34 @@ def q_media_dedup(spark, sf_dir):
         "media_ref", "content_sha",
         F.col("rank_in_group").cast("long").alias("rank_in_group"),
         F.col("is_dup"),
+    )
+
+
+def q_media_frames(spark, sf_dir):
+    """Frame-sampling kernel end-to-end: derive a video table from
+    documents (duration closed-form in doc_id), run the Arrow frame
+    sampler, emit the frame table shape. Oracle: one row per doc per
+    500 ms up to duration (thumb bytes are kernel-internal, excluded)."""
+    from dompa_spark import media
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+    tbl = docs.select(
+        F.concat(F.lit("vid://doc/"), F.col("doc_id")).alias("media_ref"),
+        F.lit("video").alias("kind"),
+        F.encode("text", "utf-8").alias("content"),
+        F.lit("video/mp4").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        (F.lit(1500) + (F.col("doc_id") % 5) * 700)
+        .cast("long").alias("duration_ms"),
+    )
+    out = media.sample_frames(tbl, every_ms=500)
+    return out.select(
+        F.element_at(F.split("media_ref", "/"), -1)
+        .cast("long").alias("doc_id"),
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("ts_ms").cast("long").alias("ts_ms"),
     )
 
 
@@ -461,6 +493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "token_stats": q_token_stats,
         "corpus_stats": q_corpus_stats,
+        "vocab_topk": q_vocab_topk,
         "sample_stratified": q_sample_stratified,
         "contamination": q_contamination,
         "domain_cap": q_domain_cap,
@@ -470,6 +503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "media_dedup": q_media_dedup,
+        "media_frames": q_media_frames,
         "png_decode": q_png_decode,
         "png_resize": q_png_resize,
         "wav_decode": q_wav_decode,
@@ -750,6 +784,22 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(n_chars), 4) AS avg_chars
             FROM documents GROUP BY lang
         """,
+        "vocab_topk": f"""
+            WITH w AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     unnest(string_split(text, ' ')) AS word
+              FROM documents),
+            counts AS (
+              SELECT word, CAST(count(*) AS BIGINT) AS n_occurrences
+              FROM w GROUP BY word),
+            docfreq AS (
+              SELECT word, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+              FROM w GROUP BY word)
+            SELECT c.word, c.n_occurrences, d.n_docs
+            FROM counts c JOIN docfreq d USING (word)
+            ORDER BY n_occurrences DESC, word ASC
+            LIMIT {textops.VOCAB_TOPK}
+        """,
         "sample_stratified": f"""
             WITH base AS (
               SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
@@ -998,6 +1048,18 @@ def oracle_sql() -> dict[str, str]:
                      (PARTITION BY content_sha ORDER BY media_ref)) > 1
                      AS is_dup
             FROM m
+        """,
+        # media_frames: one frame per 500 ms of the closed-form duration
+        "media_frames": """
+            WITH base AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     1500 + (CAST(doc_id AS BIGINT) % 5) * 700 AS dur
+              FROM documents)
+            SELECT doc_id, CAST(u.k AS BIGINT) AS frame_idx,
+                   CAST(u.k * 500 AS BIGINT) AS ts_ms
+            FROM base,
+                 UNNEST(generate_series(0,
+                   CAST(greatest(1, dur // 500) AS BIGINT) - 1)) AS u(k)
         """,
         # png_decode: the PNG pixel payload is closed-form in doc_id
         # (media.docs_to_png), so the oracle predicts what the real

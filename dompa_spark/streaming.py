@@ -156,6 +156,70 @@ def sessionize_stream(
     )
 
 
+_DEDUP_OUT_DDL = "dedup_key string, keep_doc_id string, n_seen long"
+_DEDUP_STATE_DDL = "n_seen long, keep_doc_id string"
+
+
+def content_key() -> F.Column:
+    """Deterministic content key over a doc's ordered span texts
+    (JVM-side md5; NUL joints so span boundaries can't alias)."""
+    return F.md5(
+        F.concat_ws(
+            "\x00",
+            F.transform("spans", lambda s: F.coalesce(s["text"], F.lit(""))),
+        )
+    )
+
+
+def dedup_doc_stream(
+    spark: SparkSession, in_path: str, max_files_per_trigger: int = 8
+) -> DataFrame:
+    """Streaming exact dedup (applyInPandasWithState): groups by a
+    JVM-computed content key; state remembers the keeper and how many
+    copies have arrived. Each micro-batch emits one row per key touched
+    in that batch: the keeper (first-batch minimum doc_id, sticky across
+    batches) and the cumulative copy count — the streaming complement of
+    textops.dedup_exact_prefix (same one-shuffle-on-key shape; the state
+    store IS the groupBy). Downstream consumers treat the LAST emitted
+    row per key as current (standard upsert-stream contract)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdfs, state):
+        if state.exists:
+            n_seen, keeper = state.get
+        else:
+            n_seen, keeper = 0, None
+        batch_ids = []
+        for pdf in pdfs:
+            batch_ids.extend(str(d) for d in pdf["doc_id"])
+        if batch_ids:
+            if keeper is None:
+                keeper = min(batch_ids)
+            n_seen += len(batch_ids)
+        state.update((n_seen, keeper))
+        yield pd.DataFrame(
+            {
+                "dedup_key": [key[0]],
+                "keep_doc_id": [keeper],
+                "n_seen": [n_seen],
+            }
+        )
+
+    docs = read_doc_stream(spark, in_path, max_files_per_trigger)
+    return (
+        docs.withColumn("dedup_key", content_key())
+        .groupBy("dedup_key")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=_DEDUP_OUT_DDL,
+            stateStructType=_DEDUP_STATE_DDL,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def span_rate_stream(
     spark: SparkSession, in_path: str, window: str = "10 seconds"
 ) -> DataFrame:

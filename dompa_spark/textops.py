@@ -542,6 +542,35 @@ def token_stats(df: DataFrame) -> DataFrame:
     )
 
 
+VOCAB_TOPK = 50
+
+
+def vocab_topk(df: DataFrame, k: int = VOCAB_TOPK) -> DataFrame:
+    """Corpus vocabulary statistics: the k most frequent words with
+    document frequency. Scale shape: explode -> two-level aggregate —
+    the (word, doc) distinct and the word counts both partial-aggregate
+    map-side, so the shuffle carries one row per distinct (word, doc) /
+    word per task, never the raw token stream; the final top-k is a
+    single ORDER BY LIMIT over #vocab rows (tiny)."""
+    w = df.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(words()).alias("word"),
+    )
+    counts = w.groupBy("word").agg(
+        F.count("*").cast("long").alias("n_occurrences")
+    )
+    docfreq = (
+        w.dropDuplicates(["word", "doc_id"])
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+    return (
+        counts.join(docfreq, "word")
+        .orderBy(F.desc("n_occurrences"), F.asc("word"))
+        .limit(k)
+    )
+
+
 SAMPLE_RATES = {"en": 80, "de": 50, "fr": 50, "es": 50}  # percent
 SAMPLE_RATE_DEFAULT = 25
 

@@ -129,6 +129,90 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
     assert len(got) > 10  # the corpus really produces multiple sessions
 
 
+def _dup_docs(spark, n, start=0):
+    from pyspark.sql import functions as F
+
+    # content index is start-relative: a second wave (start=1000) repeats
+    # the first wave's contents under new doc_ids
+    c = F.col("id") - start
+    return spark.range(start, start + n).select(
+        F.format_string("d%04d", F.col("id")).alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("html").alias("kind"),
+                # every 3rd doc repeats the previous doc's content
+                F.format_string(
+                    "<p>content %d</p>",
+                    c - (c % 3 == 2).cast("int"),
+                ).alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )
+
+
+def test_dedup_doc_stream_matches_batch(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    in_path = str(tmp_path / "dedup_in")
+    os.makedirs(in_path)
+    _dup_docs(spark, 90).coalesce(1).write.mode("append").parquet(in_path)
+
+    out_path = str(tmp_path / "dedup_out")
+
+    def drain():
+        q = (
+            streaming.dedup_doc_stream(spark, in_path)
+            .writeStream.format("parquet")
+            .option("path", out_path)
+            .option("checkpointLocation", str(tmp_path / "dedup_ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        # the row with the highest n_seen per key is current (upsert
+        # contract; n_seen is cumulative, so it orders emissions)
+        cur = {}
+        for r in spark.read.parquet(out_path).collect():
+            old = cur.get(r.dedup_key)
+            if old is None or r.n_seen > old[1]:
+                cur[r.dedup_key] = (r.keep_doc_id, r.n_seen)
+        return cur
+
+    got = drain()
+    batch = (
+        spark.read.parquet(in_path)
+        .withColumn("dedup_key", streaming.content_key())
+        .groupBy("dedup_key")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("n_seen"),
+        )
+    )
+    want = {
+        r.dedup_key: (r.keep_doc_id, r.n_seen) for r in batch.collect()
+    }
+    assert got == want
+    assert len(got) == 60  # 90 docs, 30 dups collapse onto predecessors
+
+    # second wave duplicates EXISTING content: keeper must stay sticky,
+    # counts must accumulate across triggers via state
+    _dup_docs(spark, 90, start=1000).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_path)
+    got2 = drain()
+    # wave 2 repeats wave-1 contents under larger doc_ids: every emitted
+    # key must keep its original (smaller) keeper and accumulate counts
+    assert set(got2) == set(got)
+    for k, (keep, n) in got2.items():
+        assert keep == got[k][0], k
+        assert n > got[k][1], k
+
+
 def test_sessionize_stream_chunked_out_of_order(spark, tmp_path):
     """One user, 1200 events written in a deterministically shuffled
     order inside a single file: applyInPandasWithState delivers the
