@@ -5,18 +5,26 @@ training-data pipeline actually consumes is per-document: which cluster
 does each doc belong to and which doc is the cluster's canonical
 representative. That is connected components over the pair graph.
 
-Implementation: iterative min-label propagation — per iteration each
-vertex takes min(own label, neighbors' labels), expressed as one
-aggregate + two joins (all shuffle-on-key, AQE-splittable, no windows).
-Converges in O(component diameter) iterations; near-dup clusters are
-shallow (diameter rarely above a few hops), and `max_iter` bounds the
-worst case. Each iteration ends in localCheckpoint(eager) — truncating
-lineage is what keeps the plan from growing linearly with iterations —
-and a single count() action reads the convergence flag (driver-side
-control flow is the honest shape for an iterative algorithm; the data
-itself never leaves the cluster). At 10^12-doc scale the same loop runs
-with the alternating large-star/small-star optimization; the per-round
-operators here are already those building blocks.
+Implementation: iterative min-label propagation with pointer jumping.
+Per iteration each vertex takes min(own label, neighbors' labels) (one
+aggregate + two joins), then compresses paths with one label-to-label
+join (label(u) <- min(label(u), label(label(u))) — every label is a
+vertex id, so the lookup is total). The neighbor step moves information
+one hop; the jump step halves every pointer chain — convergence is
+O(log diameter) rounds instead of O(diameter), the property that makes
+a 10^12-edge run's round count single-digit. All steps are
+shuffle-on-key aggregates/joins (AQE-splittable, no windows). Each
+iteration ends in localCheckpoint(eager) — truncating lineage is what
+keeps the plan from growing with iterations — and a single count()
+action reads the convergence flag (driver-side control flow is the
+honest shape for an iterative algorithm; the data itself never leaves
+the cluster).
+
+Safety argument for the jump step: labels only ever decrease, and every
+new label is the id of a vertex already known to be in the same
+component (a neighbor's label or a label's label), so the invariant
+"label(u) is in u's component" holds throughout; the unique fixpoint
+under the neighbor step is label = component minimum.
 """
 
 from __future__ import annotations
@@ -62,27 +70,34 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("dst_label").alias("nbr_label"))
         )
-        updated = (
-            labels.join(
-                nbr_min.select(
-                    F.col("src").alias("doc_id"), "nbr_label"
-                ),
-                "doc_id",
-                "left",
-            )
+        stepped = labels.join(
+            nbr_min.select(F.col("src").alias("doc_id"), "nbr_label"),
+            "doc_id",
+            "left",
+        ).select(
+            "doc_id",
+            F.col("label").alias("old_label"),
+            F.least("label", F.coalesce("nbr_label", "label")).alias(
+                "label"
+            ),
+        )
+        # pointer jump: label(u) <- min(label(u), label(label(u)))
+        ptr = stepped.select(
+            F.col("doc_id").alias("ptr"), F.col("label").alias("ptr_label")
+        )
+        jumped = (
+            stepped.join(ptr, stepped["label"] == ptr["ptr"], "left")
             .select(
                 "doc_id",
+                "old_label",
                 F.least(
-                    "label", F.coalesce("nbr_label", "label")
+                    "label", F.coalesce("ptr_label", "label")
                 ).alias("label"),
-                (
-                    F.coalesce("nbr_label", "label") < F.col("label")
-                ).alias("changed"),
             )
             .localCheckpoint(eager=True)
         )
-        n_changed = updated.filter("changed").count()
-        labels = updated.drop("changed")
+        n_changed = jumped.filter("label < old_label").count()
+        labels = jumped.drop("old_label")
         if n_changed == 0:
             break
     return labels.select("doc_id", F.col("label").alias("component"))
