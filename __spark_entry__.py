@@ -326,6 +326,18 @@ def q_media_frames(spark, sf_dir):
     )
 
 
+def q_dedup_clusters_lsh(spark, sf_dir):
+    """Linear-edge LSH clustering: star edges to each band bucket's
+    minimum doc (<=4 edges/doc regardless of dup density) -> connected
+    components. The web-scale variant of dedup_clusters."""
+    from dompa_spark import graphops
+
+    edges = textops.minhash_band_edges(
+        textops.with_near_dups(_docs(spark, sf_dir))
+    )
+    return graphops.dedup_components(edges)
+
+
 def q_png_decode(spark, sf_dir):
     """Real-bytes image decode end-to-end: render each document as a
     deterministic grayscale PNG (encoder cycles filter types 0-4), then
@@ -485,6 +497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_clusters_lsh": q_dedup_clusters_lsh,
         "simhash": q_simhash,
         "simhash_dedup": q_simhash_dedup,
         "ngram_jaccard": q_ngram_jaccard,
@@ -540,11 +553,10 @@ _MINHASH_A_SQL = "[" + ",".join(map(str, textops.MINHASH_A)) + "]"
 _MINHASH_B_SQL = "[" + ",".join(map(str, textops.MINHASH_B)) + "]"
 
 
-def _minhash_pairs_sql() -> str:
-    """The dedup_minhash_lsh oracle, shared verbatim by dedup_clusters
-    (which wraps it in a recursive-CTE connected-components pass)."""
-    return f"""
-            WITH aug AS ({_AUG}),
+def _minhash_banded_cte() -> str:
+    """Shared CTE chain: augmented corpus -> shingles -> minhash sigs ->
+    banded keys. Used by the pair, cluster, and band-edge oracles."""
+    return f"""aug AS ({_AUG}),
             sh AS ({_SHINGLES.format(src='aug')}),
             hb AS (
               SELECT doc_id, sh,
@@ -568,7 +580,14 @@ def _minhash_pairs_sql() -> str:
                        list_transform(
                          list_slice(sig, b.band*4 + 1, b.band*4 + 4),
                          v -> CAST(v AS VARCHAR)), ',') AS bkey
-              FROM sigs, (SELECT unnest(generate_series(0,3)) AS band) b),
+              FROM sigs, (SELECT unnest(generate_series(0,3)) AS band) b)"""
+
+
+def _minhash_pairs_sql() -> str:
+    """The dedup_minhash_lsh oracle, shared verbatim by dedup_clusters
+    (which wraps it in a recursive-CTE connected-components pass)."""
+    return f"""
+            WITH {_minhash_banded_cte()},
             cand AS (
               SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
               FROM banded a JOIN banded b
@@ -671,6 +690,30 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_a AS src, doc_b AS dst FROM pairs
               UNION
               SELECT doc_b AS src, doc_a AS dst FROM pairs),
+            reach(src, dst) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN edges e
+                ON r.dst = e.src)
+            SELECT src AS doc_id, min(dst) AS component,
+                   src = min(dst) AS is_canonical
+            FROM reach GROUP BY src
+        """,
+        # dedup_clusters_lsh: star edges to band-bucket minima (linear
+        # in corpus size) -> recursive-CTE transitive closure
+        "dedup_clusters_lsh": f"""
+            WITH RECURSIVE {_minhash_banded_cte()},
+            bucket_min AS (
+              SELECT band, bkey, min(doc_id) AS doc_a
+              FROM banded GROUP BY band, bkey),
+            star AS (
+              SELECT DISTINCT m.doc_a AS src, b.doc_id AS dst
+              FROM banded b JOIN bucket_min m USING (band, bkey)
+              WHERE b.doc_id <> m.doc_a),
+            edges AS (
+              SELECT src, dst FROM star
+              UNION
+              SELECT dst AS src, src AS dst FROM star),
             reach(src, dst) AS (
               SELECT src, src FROM edges
               UNION

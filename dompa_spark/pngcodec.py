@@ -110,6 +110,8 @@ def decode_png(data: bytes) -> tuple[int, int, bytes]:
             raise ValueError(f"bad CRC in {tag!r} chunk")
         pos += 12 + length
         if tag == b"IHDR":
+            if length != 13:
+                raise ValueError(f"bad IHDR length {length}")
             width, height, depth, ctype, comp, filt, inter = struct.unpack(
                 ">IIBBBBB", payload
             )
@@ -124,7 +126,10 @@ def decode_png(data: bytes) -> tuple[int, int, bytes]:
             break
     if width is None:
         raise ValueError("missing IHDR")
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:  # valid-CRC chunk, garbage deflate stream
+        raise ValueError(f"bad IDAT deflate stream: {exc}") from exc
     if len(raw) != (width + 1) * height:
         raise ValueError(
             f"inflated size {len(raw)} != {(width + 1) * height}"

@@ -265,6 +265,48 @@ def minhash_sigs(df: DataFrame) -> DataFrame:
     )
 
 
+def minhash_band_edges(df: DataFrame) -> DataFrame:
+    """LINEAR-size dedup edge list: each doc contributes at most one
+    star edge per band, to the minimum doc_id of its band bucket. The
+    connected components of this graph equal those of the full
+    same-bucket candidate-pair graph (any same-bucket pair is joined
+    through the bucket minimum), but a clique of B identical docs costs
+    B edges instead of B^2/2 pairs — the web-scale clustering path when
+    the pair output itself would be the quadratic object. No Jaccard
+    verification (bucket collisions merge clusters); use
+    minhash_lsh_pairs + dedup_components when verified precision
+    matters at moderate dup density."""
+    sigs = minhash_sigs(df)
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(F.col("sig"), b * LSH_ROWS + 1, LSH_ROWS),
+                            lambda v: v.cast("string"),
+                        ),
+                    ).alias("bkey"),
+                ),
+            )
+        ).alias("bs"),
+    ).select("doc_id", F.col("bs.band").alias("band"),
+             F.col("bs.bkey").alias("bkey"))
+    bucket_min = banded.groupBy("band", "bkey").agg(
+        F.min("doc_id").alias("doc_a")
+    )
+    return (
+        banded.join(bucket_min, ["band", "bkey"])
+        .filter(F.col("doc_id") != F.col("doc_a"))
+        .select("doc_a", F.col("doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
 def minhash_lsh_pairs(df: DataFrame, jaccard_min: float = 0.7) -> DataFrame:
     """LSH banding: docs sharing any band signature become candidate
     pairs; candidates are verified with exact shingle Jaccard. The join

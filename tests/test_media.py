@@ -277,6 +277,62 @@ def test_featurize_uses_real_samples_for_wav(spark):
     assert feats["wav://a"] != feats["wav://bad"]
 
 
+def test_codecs_reject_garbage_with_valueerror_only():
+    """Arbitrary bytes (including ones starting with valid magic) must
+    raise ValueError, never IndexError/struct.error/zlib.error — the
+    strict=False paths in the Spark kernels catch exactly ValueError."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dompa_spark import pngcodec, wavcodec
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        payload=st.binary(min_size=0, max_size=300),
+        prefix=st.sampled_from(
+            [b"", pngcodec.PNG_SIG, b"RIFF", b"RIFF\x10\x00\x00\x00WAVE"]
+        ),
+    )
+    def check(payload, prefix):
+        data = prefix + payload
+        for decoder in (pngcodec.decode_png, wavcodec.decode_wav):
+            try:
+                decoder(data)
+            except ValueError:
+                pass  # the contract
+
+    check()
+
+
+def test_png_rejects_valid_crc_garbage_chunks():
+    """Chunks whose CRC is right but whose CONTENT is wrong (garbage
+    deflate stream, short IHDR) — reachable in the wild, unreachable by
+    blind fuzzing — must still raise ValueError."""
+    import struct
+    import zlib
+
+    from dompa_spark import pngcodec
+
+    def chunk(tag, payload):
+        return (
+            struct.pack(">I", len(payload)) + tag + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+    with pytest.raises(ValueError, match="deflate"):
+        pngcodec.decode_png(
+            pngcodec.PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", b"not deflate data")
+            + chunk(b"IEND", b"")
+        )
+    with pytest.raises(ValueError, match="IHDR length"):
+        pngcodec.decode_png(
+            pngcodec.PNG_SIG + chunk(b"IHDR", ihdr + b"xx")
+            + chunk(b"IEND", b"")
+        )
+
+
 def test_decode_images_strict_vs_skip(spark):
     rows = [
         ("bad://1", "image", bytearray(b"\x89PNG\r\n\x1a\nbroken"),

@@ -241,6 +241,25 @@ def test_srp_hot_bucket_salt_bounds_candidates(spark):
     assert capped < uncapped / 3, (capped, uncapped)
 
 
+def test_minhash_band_edges_linear_on_clique(spark):
+    """200 identical docs: the pair graph is the quadratic object
+    (C(200,2) pairs); the star-edge list must stay linear (199 edges)
+    while producing one cluster."""
+    from dompa_spark import graphops
+
+    n = 200
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same viral boilerplate text repeated verbatim").alias(
+            "text"
+        ),
+    )
+    edges = textops.minhash_band_edges(df)
+    assert edges.count() == n - 1
+    cc = graphops.connected_components(edges).collect()
+    assert len(cc) == n and all(r.component == 0 for r in cc)
+
+
 def test_lsh_construction_runs_no_spark_job(spark):
     """VERDICT r01 item 4: building the ANN/dedup plans must not fire a
     driver-side job (the old dim probe ran df.first() per construction)."""
