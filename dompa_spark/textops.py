@@ -2,10 +2,17 @@
 plus deterministic HTML-template builders that feed the extraction engine
 from the plain-text documents table.
 
-Everything here is pure pyspark.sql.functions (JVM-side, codegen'd) —
-no Python UDFs. Each operator has a matching ANSI-SQL oracle in
-__spark_entry__.py; hash functions are built on md5 so Spark and DuckDB
-produce identical 60-bit integers.
+Operators are pyspark.sql.functions expressions (JVM-side) except three
+deliberately Arrow-vectorized kernels — minhash signatures, simhash, and
+SRP bucketing — where the expression formulation forces Spark's
+interpreted higher-order-function path over per-element md5/dot work
+(measured 4-100x slower than the hashlib/numpy batch equivalent; see
+each kernel's docstring). Never row-at-a-time Python: the plan suite
+asserts no BatchEvalPython on any query. Each operator has a matching
+ANSI-SQL oracle in __spark_entry__.py; hash functions are built on md5
+so Spark and DuckDB produce identical 60-bit integers, and the
+vectorized kernels use pure int64 arithmetic so the parity is
+bit-exact.
 """
 
 from __future__ import annotations

@@ -279,6 +279,21 @@ def test_lsh_construction_runs_no_spark_job(spark):
     assert ids == [], ids
 
 
+def test_vocab_topk_aggregates_map_side(spark):
+    """Both aggregation levels must partial-aggregate before their
+    shuffles — the raw token stream never crosses the wire."""
+    df = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.lit("alpha beta gamma alpha").alias("text"),
+    )
+    plan = plan_of(textops.vocab_topk(df))
+    assert "partial_count" in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+    got = {r.word: (r.n_occurrences, r.n_docs)
+           for r in textops.vocab_topk(df).collect()}
+    assert got == {"alpha": (100, 50), "beta": (50, 50), "gamma": (50, 50)}
+
+
 def test_embed_dim_constant_matches_testdata():
     import os
 
