@@ -531,6 +531,9 @@ def run_extract(
             "heavy_parts": heavy_parts,
             "heavy_chars": heavy_chars,
             "chunk_size": chunk_size,
+            # a resumed run against a different source would silently mix
+            # lineages (and, when chunked, read a stale staged copy)
+            "in_path": in_path,
             "engine": ENGINE_VERSION,
         },
     )
@@ -540,8 +543,11 @@ def run_extract(
 
     chunked = chunk_size < n_parts
     if chunked:
+        # resume=False means "recompute everything" — that includes the
+        # staged copy, which may be stale if the input changed
         df = _stage_chunked_input(
-            spark, df, f"{out_path}/_staged", chunk_size
+            spark, df, f"{out_path}/_staged", chunk_size,
+            force=not resume,
         )
 
     done = _read_done_parts(spark, f"{manifest_path}/chunk=*") if resume else set()
@@ -606,16 +612,24 @@ def run_extract(
 
 
 def _stage_chunked_input(
-    spark: SparkSession, df: DataFrame, staged_path: str, chunk_size: int
+    spark: SparkSession,
+    df: DataFrame,
+    staged_path: str,
+    chunk_size: int,
+    force: bool = False,
 ) -> DataFrame:
     """Write the part_id-stamped input partitioned by chunk id (one full
     scan), then return a reader over the staged copy whose chunk filter
     prunes at the directory level. Idempotent: a _STAGED marker skips
-    the write on resume."""
+    the write on resume; force=True rewrites regardless."""
     import os
 
     marker = os.path.join(staged_path, "_STAGED")
-    if not os.path.exists(marker):
+    if force or not os.path.exists(marker):
+        # drop the marker first: a crash mid-rewrite must not leave a
+        # valid marker over partial data
+        if os.path.exists(marker):
+            os.remove(marker)
         (
             df.withColumn(
                 "chunk", (F.col("part_id") / chunk_size).cast("int")

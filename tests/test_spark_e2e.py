@@ -158,6 +158,53 @@ def test_chunked_resume_scan_is_partition_pruned(spark, small_corpus, tmp_path):
     assert parts <= set(range(4, 8)), parts
 
 
+def test_resume_refuses_different_input_path(spark, small_corpus, tmp_path):
+    """The config guard pins in_path: resuming the same out_path against
+    a different source would mix lineages / read stale staging."""
+    out = str(tmp_path / "out_inpath")
+    pipeline.run_extract(
+        spark, small_corpus, out, light_parts=6, heavy_parts=2
+    )
+    other = str(tmp_path / "other_corpus")
+    from dompa_spark import corpus as corpus_mod
+
+    corpus_mod.write_corpus(other, 10)
+    with pytest.raises(ValueError, match="geometry"):
+        pipeline.run_extract(
+            spark, other, out, light_parts=6, heavy_parts=2
+        )
+
+
+def test_nonresume_rebuilds_staging(spark, tmp_path):
+    """resume=False must rewrite the staged copy — a stale staging from
+    a previous run over different input data would silently win."""
+    import os
+
+    from dompa_spark import corpus as corpus_mod
+
+    in_path = str(tmp_path / "mutable_in")
+    out = str(tmp_path / "out_restage")
+    corpus_mod.write_corpus(in_path, 40)
+    pipeline.run_extract(
+        spark, in_path, out, light_parts=6, heavy_parts=2, chunk_parts=4,
+        resume=False,
+    )
+    n1 = spark.read.parquet(f"{out}/data").count()
+    # grow the input in place; resume=False must see the new docs
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        corpus_mod.gen_batch(40, 80),
+        os.path.join(in_path, "part-extra.parquet"),
+    )
+    pipeline.run_extract(
+        spark, in_path, out, light_parts=6, heavy_parts=2, chunk_parts=4,
+        resume=False,
+    )
+    n2 = spark.read.parquet(f"{out}/data").count()
+    assert (n1, n2) == (40, 80)
+
+
 def test_manifest_invariant_across_execution_slicing(
     spark, small_corpus, tmp_path
 ):
