@@ -10,7 +10,12 @@ read-only at /root/reference), re-architected Spark-first:
 - `dompa_spark.corpus`   — deterministic synthetic corpus generator
 - `dompa_spark.textops`  — training-data ops (dedup, similarity, quality,
                            sampling, contamination)
-- `dompa_spark.media`    — multimodal binary columns (featurize/frames/dedup)
+- `dompa_spark.graphops` — dedup clustering (connected components with
+                           pointer jumping over near-dup pair graphs)
+- `dompa_spark.media`    — multimodal binary columns
+                           (featurize/frames/resize/dedup)
+- `dompa_spark.pngcodec` — from-scratch stdlib PNG codec (filters 0-4)
+- `dompa_spark.wavcodec` — from-scratch stdlib RIFF/PCM WAV codec
 - `dompa_spark.pdfops`   — from-scratch ISO 32000 subset + XY-cut layout
 - `dompa_spark.streaming`— Structured Streaming front-end (same kernels)
 - `dompa_spark.dsl`      — node-construction DSL (the reference's $ / defhtml)

@@ -18,7 +18,10 @@ iteration ends in localCheckpoint(eager) — truncating lineage is what
 keeps the plan from growing with iterations — and a single count()
 action reads the convergence flag (driver-side control flow is the
 honest shape for an iterative algorithm; the data itself never leaves
-the cluster).
+the cluster). localCheckpoint trades fault tolerance for speed (executor
+loss loses the materialization — the right call in local mode and for
+short loops); a multi-hour 10^12-edge run would flip to reliable
+`checkpoint()` against the cluster checkpoint dir, same call shape.
 
 Safety argument for the jump step: labels only ever decrease, and every
 new label is the id of a vertex already known to be in the same

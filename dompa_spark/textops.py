@@ -284,6 +284,9 @@ def minhash_band_edges(df: DataFrame) -> DataFrame:
     minhash_lsh_pairs + dedup_components when verified precision
     matters at moderate dup density."""
     sigs = minhash_sigs(df)
+    # cached: (doc_id, band, bkey) is 4 slim rows/doc, but deriving it
+    # costs the full shingle+minhash pass — consumed twice below
+    # (bucket minima + the join back)
     banded = sigs.select(
         "doc_id",
         F.explode(
@@ -302,7 +305,7 @@ def minhash_band_edges(df: DataFrame) -> DataFrame:
             )
         ).alias("bs"),
     ).select("doc_id", F.col("bs.band").alias("band"),
-             F.col("bs.bkey").alias("bkey"))
+             F.col("bs.bkey").alias("bkey")).cache()
     bucket_min = banded.groupBy("band", "bkey").agg(
         F.min("doc_id").alias("doc_a")
     )
