@@ -211,6 +211,10 @@ def q_corpus_stats(spark, sf_dir):
     )
 
 
+def q_curate_corpus(spark, sf_dir):
+    return textops.curate_corpus(_docs(spark, sf_dir))
+
+
 def q_vocab_topk(spark, sf_dir):
     return textops.vocab_topk(_docs(spark, sf_dir))
 
@@ -506,6 +510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "token_stats": q_token_stats,
         "corpus_stats": q_corpus_stats,
+        "curate_corpus": q_curate_corpus,
         "vocab_topk": q_vocab_topk,
         "sample_stratified": q_sample_stratified,
         "contamination": q_contamination,
@@ -826,6 +831,69 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_chars) AS BIGINT) AS total_chars,
                    round(avg(n_chars), 4) AS avg_chars
             FROM documents GROUP BY lang
+        """,
+        # curate_corpus: the four standalone-stage predicates composed
+        # (quality gate, stratified sample, domain cap, exact dedup)
+        "curate_corpus": f"""
+            WITH base AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id, text, lang, source
+              FROM documents),
+            q AS (
+              SELECT doc_id,
+                     round(least(1.0, n_tokens / 64.0) * 0.5 +
+                           round(n_stop / CAST(n_tokens AS DOUBLE), 4) * 0.3 +
+                           least(1.0, mean_len / 8.0) * 0.2, 4)
+                       >= {textops.CURATE_QUALITY_MIN} AS quality_ok
+              FROM (
+                SELECT doc_id,
+                       CAST(len(string_split(text,' ')) AS BIGINT)
+                         AS n_tokens,
+                       CAST(len(list_filter(string_split(text,' '),
+                            w -> list_contains({_STOPLIST}, w))) AS BIGINT)
+                         AS n_stop,
+                       (length(text) - (len(string_split(text,' ')) - 1)) /
+                         CAST(len(string_split(text,' ')) AS DOUBLE)
+                         AS mean_len
+                FROM base)),
+            s AS (
+              SELECT doc_id FROM (
+                SELECT doc_id,
+                       CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                            1, 15) AS BIGINT) % 100 AS bucket,
+                       CAST(CASE lang
+                         {' '.join(f"WHEN '{k}' THEN {v}"
+                                   for k, v in sorted(
+                                       textops.SAMPLE_RATES.items()))}
+                         ELSE {textops.SAMPLE_RATE_DEFAULT} END AS BIGINT)
+                         AS rate
+                FROM base)
+              WHERE bucket < rate),
+            c AS (
+              SELECT doc_id FROM (
+                SELECT doc_id, row_number() OVER
+                  (PARTITION BY source ORDER BY doc_id) AS rn
+                FROM base)
+              WHERE rn <= {textops.DOMAIN_CAP}),
+            d AS (
+              SELECT doc_id,
+                     doc_id > min(doc_id) OVER (PARTITION BY
+                       array_to_string(
+                         list_slice(string_split(text,' '), 1, 3), ' '))
+                       AS is_dup
+              FROM base)
+            SELECT b.doc_id,
+                   q.quality_ok,
+                   s.doc_id IS NOT NULL AS sampled,
+                   c.doc_id IS NOT NULL AS capped_in,
+                   coalesce(d.is_dup, FALSE) AS is_dup,
+                   q.quality_ok AND s.doc_id IS NOT NULL
+                     AND c.doc_id IS NOT NULL
+                     AND NOT coalesce(d.is_dup, FALSE) AS kept
+            FROM base b
+            JOIN q ON q.doc_id = b.doc_id
+            LEFT JOIN s ON s.doc_id = b.doc_id
+            LEFT JOIN c ON c.doc_id = b.doc_id
+            LEFT JOIN d ON d.doc_id = b.doc_id
         """,
         "vocab_topk": f"""
             WITH w AS (

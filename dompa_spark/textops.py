@@ -698,6 +698,51 @@ def domain_cap(
     )
 
 
+CURATE_QUALITY_MIN = 0.5
+
+
+def curate_corpus(
+    df: DataFrame, quality_min: float = CURATE_QUALITY_MIN
+) -> DataFrame:
+    """The composed curation decision a training-data pipeline ships:
+    quality gate AND stratified sample AND per-domain cap AND exact
+    dedup, one row per document with the per-stage verdicts and the
+    final keep bit. Every stage is the corresponding standalone operator
+    (same code path, same scale shape); the composition is four
+    doc_id-keyed left joins — each side is slim (doc_id + flags), and
+    the stages' own shuffles (salted cap, map-side dedup min, shuffle-
+    free sample) are unchanged."""
+    base = df.select(F.col("doc_id").cast("long").alias("doc_id"))
+    q = quality_scores(df).select(
+        "doc_id", (F.col("quality_score") >= quality_min).alias("quality_ok")
+    )
+    s = sample_stratified(df).select(
+        "doc_id", F.lit(True).alias("sampled")
+    )
+    c = domain_cap(df).select("doc_id", F.lit(True).alias("capped_in"))
+    d = dedup_exact_prefix(df).select("doc_id", "is_dup")
+    out = (
+        base.join(q, "doc_id", "left")
+        .join(s, "doc_id", "left")
+        .join(c, "doc_id", "left")
+        .join(d, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("quality_ok", F.lit(False)).alias("quality_ok"),
+            F.coalesce("sampled", F.lit(False)).alias("sampled"),
+            F.coalesce("capped_in", F.lit(False)).alias("capped_in"),
+            F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
+        )
+    )
+    return out.withColumn(
+        "kept",
+        F.col("quality_ok")
+        & F.col("sampled")
+        & F.col("capped_in")
+        & ~F.col("is_dup"),
+    )
+
+
 CONTAM_BENCH_EVERY = 97  # every 97th doc's lead shingle forms the benchmark
 
 
