@@ -219,6 +219,10 @@ def q_vocab_topk(spark, sf_dir):
     return textops.vocab_topk(_docs(spark, sf_dir))
 
 
+def q_tfidf_top_terms(spark, sf_dir):
+    return textops.tfidf_top_terms(_docs(spark, sf_dir))
+
+
 def q_sample_stratified(spark, sf_dir):
     return textops.sample_stratified(_docs(spark, sf_dir))
 
@@ -512,6 +516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": q_corpus_stats,
         "curate_corpus": q_curate_corpus,
         "vocab_topk": q_vocab_topk,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "sample_stratified": q_sample_stratified,
         "contamination": q_contamination,
         "domain_cap": q_domain_cap,
@@ -910,6 +915,29 @@ def oracle_sql() -> dict[str, str]:
             FROM counts c JOIN docfreq d USING (word)
             ORDER BY n_occurrences DESC, word ASC
             LIMIT {textops.VOCAB_TOPK}
+        """,
+        "tfidf_top_terms": f"""
+            WITH w AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     unnest(string_split(text, ' ')) AS word
+              FROM documents),
+            tf AS (
+              SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+              FROM w GROUP BY doc_id, word),
+            dfreq AS (
+              SELECT word, CAST(count(DISTINCT doc_id) AS BIGINT) AS df_w
+              FROM w GROUP BY word),
+            n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+                  FROM documents)
+            SELECT doc_id,
+                   CAST(row_number() OVER
+                     (PARTITION BY doc_id
+                      ORDER BY round(tf * ln(n_docs / CAST(df_w AS DOUBLE)),
+                                     4) DESC, word ASC) AS BIGINT) AS rank,
+                   word, tf, df_w,
+                   round(tf * ln(n_docs / CAST(df_w AS DOUBLE)), 4) AS tfidf
+            FROM tf JOIN dfreq USING (word), n
+            QUALIFY rank <= {textops.TFIDF_TOPK}
         """,
         "sample_stratified": f"""
             WITH base AS (

@@ -623,6 +623,52 @@ def vocab_topk(df: DataFrame, k: int = VOCAB_TOPK) -> DataFrame:
     )
 
 
+TFIDF_TOPK = 3
+
+
+def tfidf_top_terms(df: DataFrame, k: int = TFIDF_TOPK) -> DataFrame:
+    """Per-document top-k TF-IDF terms: score = tf * ln(N / df_w).
+    Scale shape: explode -> two partial-aggregating groupBys (term
+    frequency per (doc, word); document frequency per word); N arrives
+    as a broadcast single-row aggregate (no driver-side count); the
+    final per-doc top-k window partitions on doc_id — uniformly small
+    groups (a doc's distinct words), never a skewed key. Ties inside a
+    doc break on (score desc, word asc), so output is deterministic."""
+    from pyspark.sql.window import Window
+
+    w = df.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(words()).alias("word"),
+    )
+    tf = w.groupBy("doc_id", "word").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    dfreq = (
+        w.dropDuplicates(["word", "doc_id"])
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("df_w"))
+    )
+    n_docs = df.select(
+        F.countDistinct(F.col("doc_id").cast("long")).alias("n_docs")
+    )
+    scored = (
+        tf.join(dfreq, "word")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df_w")), 4),
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("word")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "rank", "word", "tf", "df_w", "tfidf")
+    )
+
+
 SAMPLE_RATES = {"en": 80, "de": 50, "fr": 50, "es": 50}  # percent
 SAMPLE_RATE_DEFAULT = 25
 
