@@ -86,7 +86,11 @@ def test_no_unbounded_cartesian_products(spark, entry_mod):
     """CartesianProduct (both sides shuffled, all-pairs) must never
     appear. BroadcastNestedLoopJoin is tolerated only where the plan is
     deliberately brute-force over a broadcast side (ann_cosine_topk)."""
-    allowed_bnlj = {"ann_cosine_topk"}
+    # ann_cosine_topk: deliberate brute-force over a broadcast query side
+    # tfidf_top_terms: corpus size N joins in as a broadcast SINGLE-ROW
+    #   aggregate (the no-driver-count way to get a global scalar) — a
+    #   1-row BNLJ is a constant, not an all-pairs join
+    allowed_bnlj = {"ann_cosine_topk", "tfidf_top_terms"}
     for name, fn in entry_mod.queries().items():
         plan = plan_of(fn(spark, SF_DIR))
         assert "CartesianProduct" not in plan, f"{name} has a cartesian join"
@@ -116,6 +120,26 @@ def test_minhash_lsh_joins_on_band_key(spark, entry_mod):
     plan = plan_of(entry_mod.q_dedup_minhash_lsh(spark, SF_DIR))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_simhash_dedup_joins_on_band_key_with_cached_sigs(spark, entry_mod):
+    """The r01-flagged quadratic shape is gone: candidate join is an
+    equi-join on (band, bkey) over the CACHED (doc_id, simhash)
+    projection — the hash expression must not re-evaluate per side."""
+    plan = plan_of(entry_mod.q_simhash_dedup(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "InMemoryTableScan" in plan, plan  # sig cache feeds both sides
+
+
+def test_embedding_dedup_vectorized_bucketing(spark, entry_mod):
+    """SRP bucketing must be the Arrow-vectorized kernel (ArrowEvalPython
+    / scalar pandas_udf), never row-at-a-time Python, and the bucketed
+    projection must be cached for its three consumers."""
+    plan = plan_of(entry_mod.q_dedup_embedding_cosine(spark, SF_DIR))
+    assert "ArrowEvalPython" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "InMemoryTableScan" in plan, plan
 
 
 def test_scalar_queries_prune_unused_columns(spark, entry_mod):
