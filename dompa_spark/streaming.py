@@ -181,7 +181,17 @@ def dedup_doc_stream(
     batches) and the cumulative copy count — the streaming complement of
     textops.dedup_exact_prefix (same one-shuffle-on-key shape; the state
     store IS the groupBy). Downstream consumers treat the LAST emitted
-    row per key as current (standard upsert-stream contract)."""
+    row per key as current (standard upsert-stream contract).
+
+    State sizing: exact dedup inherently remembers every distinct
+    content key ever seen (~50 bytes/key here), sharded across
+    executors by the groupBy hash. At 10^12 docs that is tens of TB of
+    state — the production configuration is the RocksDB state store
+    (spark.sql.streaming.stateStore.providerClass), which keeps state
+    on local disk with block-cache reads instead of executor heap; the
+    operator code is unchanged. Keys cannot be expired without
+    reintroducing dups (no timeout is the correct semantic, not an
+    oversight)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
