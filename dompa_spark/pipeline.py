@@ -611,6 +611,25 @@ def run_extract(
     return stats
 
 
+def write_bucketed(
+    df: DataFrame, table_name: str, bucket_col: str, n_buckets: int
+) -> None:
+    """Persist a DataFrame hash-bucketed (and sorted) on `bucket_col`.
+    Two tables bucketed the same way join WITHOUT any exchange — the
+    co-location is baked into the files, so a recurring join key (e.g.
+    doc_id between the extracted spans and a metadata/quality table)
+    pays its shuffle once at write time instead of on every query.
+    Spark's bucketed-scan join requires a catalog table, hence
+    saveAsTable (parquet, in-catalog; no Hive needed)."""
+    (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .saveAsTable(table_name)
+    )
+
+
 def _stage_chunked_input(
     spark: SparkSession,
     df: DataFrame,

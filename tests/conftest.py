@@ -13,6 +13,9 @@ def spark():
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "4g")
+        # bucketed-table tests write catalog tables; keep the warehouse
+        # out of the repo working tree
+        .config("spark.sql.warehouse.dir", "/tmp/dompa_spark_warehouse")
     )
     s = session_confs(builder).getOrCreate()
     yield s

@@ -205,6 +205,54 @@ def test_nonresume_rebuilds_staging(spark, tmp_path):
     assert (n1, n2) == (40, 80)
 
 
+def test_bucketed_join_has_no_exchange(spark):
+    """Two tables bucketed on the same key join with ZERO exchanges —
+    the co-location technique a recurring doc_id join pays for once at
+    write time. The unbucketed control plan shuffles both sides."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from dompa_spark import pipeline
+
+    docs = spark.range(500).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).alias("meta")
+    )
+    scores = spark.range(500).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 3 % 11).alias("score")
+    )
+    pipeline.write_bucketed(docs, "t_docs_b", "doc_id", 8)
+    pipeline.write_bucketed(scores, "t_scores_b", "doc_id", 8)
+    # tiny test tables would otherwise broadcast-join, which proves
+    # nothing about co-location; force the sort-merge path both ways
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("t_docs_b").join(
+            spark.table("t_scores_b"), "doc_id"
+        )
+
+        def exchanges(df):
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain(mode="formatted")
+            import re
+
+            return len(
+                re.findall(r"^\(\d+\) Exchange", buf.getvalue(), re.M)
+            )
+
+        assert exchanges(joined) == 0, "bucketed join must not shuffle"
+        control = docs.join(scores, "doc_id")
+        assert exchanges(control) >= 2, "control should shuffle both sides"
+        assert joined.count() == 500
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_docs_b")
+        spark.sql("DROP TABLE IF EXISTS t_scores_b")
+
+
 def test_manifest_invariant_across_execution_slicing(
     spark, small_corpus, tmp_path
 ):
