@@ -178,6 +178,10 @@ def time_queries(spark, sf_dir: str) -> dict[str, float]:
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         times[name] = round(time.time() - t0, 3)
+        # operator-internal .cache() calls are scoped to one invocation;
+        # drop their blocks so the loop doesn't accumulate dead cached
+        # partitions across 36 queries (caller-owned cache lifecycle)
+        spark.catalog.clearCache()
     return times
 
 
@@ -304,13 +308,15 @@ def main() -> None:
         "cpus": cpus,
     }
     # Attach the latest measured N-vs-4N scaling evidence (written by
-    # `bench.py --scaling`; protocol in BASELINE.md).
+    # `bench.py --scaling`; protocol in BASELINE.md). Headline numbers
+    # only — the per-task metrics stay in SCALING.json so the final
+    # stdout line stays small enough for the driver's JSON parser
+    # (r02's line embedded task_metrics and came back "parsed": null).
     try:
         with open(os.path.join(REPO, "SCALING.json")) as f:
             out["scaling"] = {
                 k: {kk: v[kk] for kk in v
-                    if kk.startswith(("value", "docs_per_sec", "walls",
-                                      "task_metrics"))
+                    if kk.startswith(("value", "docs_per_sec", "walls"))
                     or kk in ("docs", "chars")}
                 for k, v in json.load(f).items()
             }

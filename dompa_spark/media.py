@@ -95,9 +95,12 @@ def _fake_feature(content: bytes) -> list[float]:
 
 
 def _decode_stub(content: bytes, kind: str, strict: bool):
-    """Decode dispatch: PNG bytes hit the real from-scratch codec and
-    return (width, height, pixels); everything else is stubbed."""
-    if content[:8] == pngcodec.PNG_SIG:
+    """Decode dispatch: PNG bytes of an image row hit the real
+    from-scratch codec and return (width, height, pixels); everything
+    else is stubbed. The real-PNG path is gated on kind == "image" so a
+    video/audio payload that merely starts with the PNG magic can't
+    crash a non-strict pipeline on decode_png's format checks."""
+    if kind == "image" and content[:8] == pngcodec.PNG_SIG:
         return pngcodec.decode_png(content)
     if _HAS_CODECS:  # pragma: no cover
         raise NotImplementedError("real codec path not wired in sandbox")
@@ -195,7 +198,13 @@ def sample_frames(df: DataFrame, every_ms: int = 1000,
                 if kind != "video" or dur is None:
                     continue
                 content = bytes(content) if content is not None else b""
-                _decode_stub(content, kind, strict)
+                try:
+                    _decode_stub(content, kind, strict)
+                except ValueError:
+                    # corrupt payload: strict surfaces it, non-strict
+                    # falls through to the deterministic fake thumbs
+                    if strict:
+                        raise
                 n = max(1, int(dur) // every_ms)
                 for k in range(n):
                     refs.append(ref)

@@ -640,15 +640,21 @@ def _stage_chunked_input(
     """Write the part_id-stamped input partitioned by chunk id (one full
     scan), then return a reader over the staged copy whose chunk filter
     prunes at the directory level. Idempotent: a _STAGED marker skips
-    the write on resume; force=True rewrites regardless."""
-    import os
+    the write on resume; force=True rewrites regardless.
 
-    marker = os.path.join(staged_path, "_STAGED")
-    if force or not os.path.exists(marker):
+    The marker goes through the Hadoop FileSystem API (resolved from the
+    path's scheme + the session's Hadoop conf), so staging resume works
+    on any filesystem Spark itself can write — HDFS, s3a, file:// — not
+    just the driver's local disk."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    marker = jvm.org.apache.hadoop.fs.Path(staged_path + "/_STAGED")
+    fs = marker.getFileSystem(hconf)
+    if force or not fs.exists(marker):
         # drop the marker first: a crash mid-rewrite must not leave a
         # valid marker over partial data
-        if os.path.exists(marker):
-            os.remove(marker)
+        if fs.exists(marker):
+            fs.delete(marker, False)
         (
             df.withColumn(
                 "chunk", (F.col("part_id") / chunk_size).cast("int")
@@ -657,8 +663,9 @@ def _stage_chunked_input(
             .partitionBy("chunk")
             .parquet(staged_path)
         )
-        with open(marker, "w") as f:
-            f.write("ok")
+        out = fs.create(marker, True)
+        out.write(bytearray(b"ok"))
+        out.close()
     return spark.read.parquet(staged_path)
 
 

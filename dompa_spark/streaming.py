@@ -191,7 +191,14 @@ def dedup_doc_stream(
     on local disk with block-cache reads instead of executor heap; the
     operator code is unchanged. Keys cannot be expired without
     reintroducing dups (no timeout is the correct semantic, not an
-    oversight)."""
+    oversight).
+
+    Keeper contract: the minimum doc_id under SHORTLEX order (length,
+    then lexicographic) among the key's first-batch arrivals. For
+    decimal numeric ids shortlex equals numeric order, so the streaming
+    keeper agrees with batch dedup_exact_prefix's numeric min ("9" <
+    "10" here, unlike plain string min); for arbitrary string ids it is
+    a deterministic, documented total order."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -205,7 +212,7 @@ def dedup_doc_stream(
             batch_ids.extend(str(d) for d in pdf["doc_id"])
         if batch_ids:
             if keeper is None:
-                keeper = min(batch_ids)
+                keeper = min(batch_ids, key=lambda s: (len(s), s))
             n_seen += len(batch_ids)
         state.update((n_seen, keeper))
         yield pd.DataFrame(

@@ -236,13 +236,13 @@ def _minhash_sig_udf():
     def f(shs):
         out = []
         for sh in shs:
-            if len(sh) == 0:  # defensive: filtered upstream
+            if sh is None or len(sh) == 0:  # defensive: filtered upstream
                 out.append(np.full((N_MINHASH, 1), MINHASH_P, np.int64))
                 continue
             h = np.fromiter(
                 (
                     int.from_bytes(
-                        hashlib.md5(s.encode()).digest()[:8], "big"
+                        hashlib.md5((s or "").encode()).digest()[:8], "big"
                     )
                     >> 4  # first 15 hex chars = top 60 bits
                     for s in sh
@@ -401,6 +401,9 @@ def _simhash_udf():
     def f(texts):
         out = []
         for t in texts:
+            if t is None:  # null text -> null simhash, like the old
+                out.append(None)  # JVM expression formulation
+                continue
             ws = t.split(" ")  # keeps empties, like F.split / string_split
             h = np.fromiter(
                 (
@@ -417,7 +420,7 @@ def _simhash_udf():
             out.append(
                 int((((ones * 2 > len(ws)).astype(np.int64)) << bits).sum())
             )
-        return pd.Series(out, dtype="int64")
+        return pd.Series(out, dtype="Int64")  # nullable: null rows pass through
 
     f.__annotations__ = {"texts": pd.Series, "return": pd.Series}
     return pandas_udf(f, "long")

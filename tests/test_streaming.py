@@ -283,3 +283,43 @@ def test_sessionize_stream_chunked_out_of_order(spark, tmp_path):
     }
     assert got == want
     assert len(got) == 11  # 12 sessions, last one open
+
+
+def test_dedup_stream_keeper_numeric_like_ids(spark, tmp_path):
+    """Keeper contract regression: with variable-width numeric ids ("9"
+    vs "12"), the shortlex keeper equals the numeric min — plain string
+    min() would pick "12" over "9" and diverge from batch
+    dedup_exact_prefix's numeric-min keeper."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    in_path = str(tmp_path / "widths_in")
+    os.makedirs(in_path)
+    # ids 8..13 (no padding), all sharing ONE content -> one dedup key
+    docs = spark.range(8, 14).select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("html").alias("kind"),
+                F.lit("<p>same content</p>").alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )
+    docs.coalesce(1).write.mode("append").parquet(in_path)
+    q = (
+        streaming.dedup_doc_stream(spark, in_path)
+        .writeStream.format("memory")
+        .queryName("dedup_widths")
+        .option("checkpointLocation", str(tmp_path / "widths_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = spark.sql("SELECT * FROM dedup_widths").collect()
+    assert len(rows) == 1
+    assert rows[0].keep_doc_id == "8"  # numeric min; string min is "10"
+    assert rows[0].n_seen == 6

@@ -319,3 +319,20 @@ def test_dedup_exact_keeper_aggregates_map_side(spark):
     plan = plan_of(textops.dedup_exact_prefix(df))
     assert "partial_min" in plan, plan
     assert "windowspecdefinition" not in plan, plan  # no window at all
+
+
+def test_arrow_kernels_tolerate_null_text(spark):
+    """Null-tolerance regression (ADVICE r02): a null text row must not
+    kill the Arrow batch. simhash propagates null (like the old JVM
+    expression); the minhash path filters null-shingle rows upstream."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, None), (3, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r.simhash for r in textops.simhash(df).collect()}
+    assert rows[2] is None
+    assert rows[1] is not None and rows[3] is not None
+    # minhash: null text -> words(null)=null -> size filter drops the row
+    sigs = textops.minhash_sigs(df).collect()
+    assert sorted(r.doc_id for r in sigs) == [1, 3]
+    assert all(len(r.sig) == textops.N_MINHASH for r in sigs)
