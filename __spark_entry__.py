@@ -183,6 +183,19 @@ def q_simhash_dedup(spark, sf_dir):
     return textops.simhash_dedup(_docs(spark, sf_dir))
 
 
+def q_minhash_bucket_stats(spark, sf_dir):
+    """Hot-bucket telemetry for the minhash-LSH dedup run (same
+    augmented corpus as q_dedup_minhash_lsh sees)."""
+    return textops.minhash_bucket_stats(
+        textops.with_near_dups(_docs(spark, sf_dir))
+    )
+
+
+def q_simhash_bucket_stats(spark, sf_dir):
+    """Hot-bucket telemetry for the wide-simhash dedup run."""
+    return textops.simhash_bucket_stats(_docs(spark, sf_dir))
+
+
 def q_quality_score(spark, sf_dir):
     return textops.quality_scores(_docs(spark, sf_dir))
 
@@ -508,6 +521,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_lsh": q_dedup_clusters_lsh,
         "simhash": q_simhash,
         "simhash_dedup": q_simhash_dedup,
+        "minhash_bucket_stats": q_minhash_bucket_stats,
+        "simhash_bucket_stats": q_simhash_bucket_stats,
         "ngram_jaccard": q_ngram_jaccard,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
@@ -593,15 +608,86 @@ def _minhash_banded_cte() -> str:
               FROM sigs, (SELECT unnest(generate_series(0,3)) AS band) b)"""
 
 
+def _salted_keyed_cte(cap: int, src: str = "banded",
+                      key: str = "bkey") -> str:
+    """Shared hot-bucket salt CTE chain (counts + keyed): buckets over
+    `cap` rows split into ceil(B/cap) md5(doc_id:band) salt groups —
+    mirrors textops._salt_hot_buckets exactly."""
+    return f"""counts AS (
+              SELECT band, {key}, count(*) AS bucket_n
+              FROM {src} GROUP BY band, {key}),
+            keyed AS (
+              SELECT s.doc_id, s.band,
+                     CASE WHEN c.bucket_n > {cap}
+                          THEN s.{key}::VARCHAR || ':' ||
+                               (CAST('0x' || substr(md5(
+                                  s.doc_id::VARCHAR || ':' ||
+                                  s.band::VARCHAR), 1, 15) AS BIGINT)
+                                % CAST(ceil(c.bucket_n /
+                                    CAST({cap} AS DOUBLE)) AS BIGINT)
+                               )::VARCHAR
+                          ELSE s.{key}::VARCHAR END AS skey
+              FROM {src} s JOIN counts c USING (band, {key}))"""
+
+
+def _simhash_half_sql(salt: str, text_col: str = "text") -> str:
+    """One 60-bit simhash half: per-word md5 of (salt + word), majority
+    rule per bit — mirrors textops._simhash_wide_udf's half()."""
+    w_expr = f"'{salt}' || w" if salt else "w"
+    return f"""CAST(list_sum(list_transform(
+                  generate_series(0, {textops.SIMHASH_BITS - 1}),
+                  b -> CASE WHEN list_sum(list_transform(
+                         string_split({text_col},' '),
+                         w -> CASE WHEN (CAST('0x' ||
+                                   substr(md5({w_expr}),1,15)
+                                   AS BIGINT) >> b) % 2 = 1
+                              THEN 1 ELSE -1 END)) > 0
+                       THEN (CAST(1 AS BIGINT) << b) ELSE 0 END))
+                  AS BIGINT)"""
+
+
+def _bucket_stats_sql(banded_src: str, cap: int) -> str:
+    """Telemetry tail shared by the minhash/simhash bucket-stats
+    oracles: per-band occupancy extremes + raw/capped pair bounds
+    (mirrors textops._bucket_stats)."""
+    return f"""per_bucket AS (
+              SELECT band, bkey, count(*) AS bucket_n
+              FROM {banded_src} GROUP BY band, bkey),
+            parts AS (
+              SELECT band, bucket_n,
+                     CAST(ceil(bucket_n / CAST({cap} AS DOUBLE)) AS BIGINT)
+                       AS g,
+                     bucket_n // CAST(ceil(bucket_n /
+                       CAST({cap} AS DOUBLE)) AS BIGINT) AS lo
+              FROM per_bucket)
+            SELECT CAST(band AS BIGINT) AS band,
+                   CAST(count(*) AS BIGINT) AS n_buckets,
+                   CAST(sum(bucket_n) AS BIGINT) AS n_rows,
+                   CAST(max(bucket_n) AS BIGINT) AS max_bucket_n,
+                   CAST(sum(CASE WHEN bucket_n > {cap} THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_hot_buckets,
+                   CAST(sum(bucket_n * (bucket_n - 1) / 2) AS BIGINT)
+                     AS raw_pair_bound,
+                   CAST(sum(
+                     (bucket_n - lo * g) * ((lo + 1) * lo) / 2 +
+                     (g - (bucket_n - lo * g)) * (lo * (lo - 1)) / 2)
+                     AS BIGINT) AS capped_pair_bound
+            FROM parts GROUP BY band ORDER BY band"""
+
+
 def _minhash_pairs_sql() -> str:
     """The dedup_minhash_lsh oracle, shared verbatim by dedup_clusters
-    (which wraps it in a recursive-CTE connected-components pass)."""
+    (which wraps it in a recursive-CTE connected-components pass).
+    Candidate generation goes through the salted hot-bucket keys
+    (textops._salt_hot_buckets / TEXT_LSH_BUCKET_CAP)."""
     return f"""
             WITH {_minhash_banded_cte()},
+            {_salted_keyed_cte(textops.TEXT_LSH_BUCKET_CAP)},
             cand AS (
               SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-              FROM banded a JOIN banded b
-                ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+              FROM keyed a JOIN keyed b
+                ON a.band = b.band AND a.skey = b.skey
+                   AND a.doc_id < b.doc_id),
             withsh AS (
               SELECT c.doc_a, c.doc_b, sa.sh AS sh_a, sb.sh AS sh_b
               FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
@@ -742,34 +828,64 @@ def oracle_sql() -> dict[str, str]:
                      THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash
             FROM documents
         """,
+        # simhash_dedup: 120-bit wide fingerprint (two md5 salts, lo =
+        # md5(w), hi = md5('w2:'+w)) -> 4 x 30-bit bands -> salted
+        # hot-bucket keys -> slim candidate self-join -> exact two-half
+        # popcount verify (textops.simhash_dedup in lock-step)
         "simhash_dedup": f"""
             WITH aug AS ({_AUG}),
             sim AS (
               SELECT doc_id,
-                CAST(list_sum(list_transform(
-                  generate_series(0, {textops.SIMHASH_BITS - 1}),
-                  b -> CASE WHEN list_sum(list_transform(
-                         string_split(text,' '),
-                         w -> CASE WHEN (CAST('0x' || substr(md5(w),1,15)
-                                   AS BIGINT) >> b) % 2 = 1
-                              THEN 1 ELSE -1 END)) > 0
-                       THEN (CAST(1 AS BIGINT) << b) ELSE 0 END))
-                  AS BIGINT) AS simhash
+                {_simhash_half_sql('')} AS lo,
+                {_simhash_half_sql(textops.SIMHASH_WIDE_SALT)} AS hi
               FROM aug),
             bands AS (
-              SELECT doc_id, simhash, b.band,
-                     (simhash >> (b.band * {textops.SIMHASH_BAND_BITS}))
-                       & {textops.SIMHASH_BAND_MASK} AS bkey
-              FROM sim, (SELECT unnest(generate_series(0,
-                           {textops.SIMHASH_BANDS - 1})) AS band) b)
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                   CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
-                     AS hamming
-            FROM bands a JOIN bands b
-              ON a.band = b.band AND a.bkey = b.bkey
-                 AND a.doc_id < b.doc_id
-            WHERE bit_count(xor(a.simhash, b.simhash))
+              SELECT doc_id, b.band,
+                     CASE b.band
+                       WHEN 0 THEN lo & {textops.SIMHASH_WIDE_BAND_MASK}
+                       WHEN 1 THEN lo >> {textops.SIMHASH_WIDE_BAND_BITS}
+                       WHEN 2 THEN hi & {textops.SIMHASH_WIDE_BAND_MASK}
+                       ELSE hi >> {textops.SIMHASH_WIDE_BAND_BITS}
+                     END AS bkey
+              FROM sim, (SELECT unnest(generate_series(0, 3)) AS band) b),
+            {_salted_keyed_cte(textops.TEXT_LSH_BUCKET_CAP, src='bands')},
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM keyed a JOIN keyed b
+                ON a.band = b.band AND a.skey = b.skey
+                   AND a.doc_id < b.doc_id)
+            SELECT c.doc_a, c.doc_b,
+                   CAST(bit_count(xor(sa.lo, sb.lo)) +
+                        bit_count(xor(sa.hi, sb.hi)) AS BIGINT) AS hamming
+            FROM cand c JOIN sim sa ON sa.doc_id = c.doc_a
+                        JOIN sim sb ON sb.doc_id = c.doc_b
+            WHERE bit_count(xor(sa.lo, sb.lo)) +
+                  bit_count(xor(sa.hi, sb.hi))
                     <= {textops.SIMHASH_HAMMING_MAX}
+        """,
+        # bucket telemetry: per-band occupancy + pair bounds over the
+        # exact banded keys the dedup candidate joins use
+        "minhash_bucket_stats": f"""
+            WITH {_minhash_banded_cte()},
+            {_bucket_stats_sql('banded', textops.TEXT_LSH_BUCKET_CAP)}
+        """,
+        "simhash_bucket_stats": f"""
+            WITH aug AS ({_AUG}),
+            sim AS (
+              SELECT doc_id,
+                {_simhash_half_sql('')} AS lo,
+                {_simhash_half_sql(textops.SIMHASH_WIDE_SALT)} AS hi
+              FROM aug),
+            bands AS (
+              SELECT doc_id, b.band,
+                     CASE b.band
+                       WHEN 0 THEN lo & {textops.SIMHASH_WIDE_BAND_MASK}
+                       WHEN 1 THEN lo >> {textops.SIMHASH_WIDE_BAND_BITS}
+                       WHEN 2 THEN hi & {textops.SIMHASH_WIDE_BAND_MASK}
+                       ELSE hi >> {textops.SIMHASH_WIDE_BAND_BITS}
+                     END AS bkey
+              FROM sim, (SELECT unnest(generate_series(0, 3)) AS band) b),
+            {_bucket_stats_sql('bands', textops.TEXT_LSH_BUCKET_CAP)}
         """,
         "ngram_jaccard": f"""
             WITH docs2 AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text

@@ -272,22 +272,10 @@ def minhash_sigs(df: DataFrame) -> DataFrame:
     )
 
 
-def minhash_band_edges(df: DataFrame) -> DataFrame:
-    """LINEAR-size dedup edge list: each doc contributes at most one
-    star edge per band, to the minimum doc_id of its band bucket. The
-    connected components of this graph equal those of the full
-    same-bucket candidate-pair graph (any same-bucket pair is joined
-    through the bucket minimum), but a clique of B identical docs costs
-    B edges instead of B^2/2 pairs — the web-scale clustering path when
-    the pair output itself would be the quadratic object. No Jaccard
-    verification (bucket collisions merge clusters); use
-    minhash_lsh_pairs + dedup_components when verified precision
-    matters at moderate dup density."""
-    sigs = minhash_sigs(df)
-    # cached: (doc_id, band, bkey) is 4 slim rows/doc, but deriving it
-    # costs the full shingle+minhash pass — consumed twice below
-    # (bucket minima + the join back)
-    banded = sigs.select(
+def _minhash_banded(sigs: DataFrame) -> DataFrame:
+    """(doc_id, sig) -> one slim (doc_id, band, bkey) row per band; the
+    band key is the comma-joined 4-minhash slice."""
+    return sigs.select(
         "doc_id",
         F.explode(
             F.transform(
@@ -305,7 +293,123 @@ def minhash_band_edges(df: DataFrame) -> DataFrame:
             )
         ).alias("bs"),
     ).select("doc_id", F.col("bs.band").alias("band"),
-             F.col("bs.bkey").alias("bkey")).cache()
+             F.col("bs.bkey").alias("bkey"))
+
+
+# Text-LSH hot-bucket cap (same role as DEDUP_BUCKET_CAP for SRP-LSH):
+# a bucket of B > cap same-key docs — one viral boilerplate cluster —
+# would emit B^2/2 candidate pairs; splitting it into ceil(B/cap) salt
+# groups bounds the bucket's pair count at ~B*cap/2, linear in B.
+TEXT_LSH_BUCKET_CAP = 64
+
+
+def _salt_hot_buckets(
+    banded: DataFrame, cap: int, group_col: str = "band"
+) -> DataFrame:
+    """(doc_id, <group_col>, bkey) -> same rows with bkey replaced by a
+    salted string key: buckets holding > cap rows split into
+    ceil(B/cap) salt groups by md5(doc_id:group). The within-salt
+    self-join then emits at most ~B*cap/2 pairs per hot bucket instead
+    of B^2/2 — the srp_candidate_pairs guard, shared by the text-LSH
+    pair operators. Recall cost: only pairs split across salt groups in
+    EVERY band they co-occur in are lost, and only inside
+    over-cap buckets (which exact-dup handling should collapse first)."""
+    counts = banded.groupBy(group_col, "bkey").agg(
+        F.count("*").alias("bucket_n")
+    )
+    n_split = F.ceil(F.col("bucket_n") / F.lit(float(cap)))
+    salt = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        F.col(group_col).cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % n_split
+    )
+    return (
+        banded.join(counts, [group_col, "bkey"])
+        .withColumn(
+            "skey",
+            F.when(
+                F.col("bucket_n") > cap,
+                F.concat_ws(":", F.col("bkey").cast("string"), salt),
+            ).otherwise(F.col("bkey").cast("string")),
+        )
+        .select("doc_id", group_col, F.col("skey").alias("bkey"))
+    )
+
+
+def _bucket_stats(
+    banded: DataFrame, cap: int, group_col: str = "band"
+) -> DataFrame:
+    """Hot-bucket telemetry per band/table: occupancy extremes plus the
+    raw vs capped candidate-pair bounds. At 100 TB the cap firing
+    silently is the difference between 'ran fine' and 'silently dropped
+    recall' — ship this row next to every LSH dedup output."""
+    per_bucket = banded.groupBy(group_col, "bkey").agg(
+        F.count("*").alias("bucket_n")
+    )
+    n_split = F.ceil(F.col("bucket_n") / F.lit(float(cap)))
+    # capped bound: B split into g=ceil(B/cap) salt groups of ~B/g rows
+    # -> g * (B/g choose 2) <= B*cap/2; computed exactly per bucket on
+    # the even split floor/ceil partition
+    b, g = F.col("bucket_n"), n_split
+    lo = F.floor(b / g)
+    hi_cnt = b - lo * g  # groups holding lo+1 rows
+    capped = (
+        hi_cnt * ((lo + 1) * lo) / 2 + (g - hi_cnt) * (lo * (lo - 1)) / 2
+    )
+    return (
+        per_bucket.groupBy(F.col(group_col).cast("long").alias(group_col))
+        .agg(
+            F.count("*").cast("long").alias("n_buckets"),
+            F.sum("bucket_n").cast("long").alias("n_rows"),
+            F.max("bucket_n").cast("long").alias("max_bucket_n"),
+            F.sum((F.col("bucket_n") > cap).cast("long"))
+            .cast("long")
+            .alias("n_hot_buckets"),
+            F.sum(F.col("bucket_n") * (F.col("bucket_n") - 1) / 2)
+            .cast("long")
+            .alias("raw_pair_bound"),
+            F.sum(capped).cast("long").alias("capped_pair_bound"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def minhash_bucket_stats(
+    df: DataFrame, cap: int = TEXT_LSH_BUCKET_CAP
+) -> DataFrame:
+    """Per-band minhash-LSH bucket telemetry (see _bucket_stats)."""
+    return _bucket_stats(_minhash_banded(minhash_sigs(df)), cap)
+
+
+def minhash_band_edges(df: DataFrame) -> DataFrame:
+    """LINEAR-size dedup edge list: each doc contributes at most one
+    star edge per band, to the minimum doc_id of its band bucket. The
+    connected components of this graph equal those of the full
+    same-bucket candidate-pair graph (any same-bucket pair is joined
+    through the bucket minimum), but a clique of B identical docs costs
+    B edges instead of B^2/2 pairs — the web-scale clustering path when
+    the pair output itself would be the quadratic object. No Jaccard
+    verification (bucket collisions merge clusters); use
+    minhash_lsh_pairs + dedup_components when verified precision
+    matters at moderate dup density."""
+    sigs = minhash_sigs(df)
+    # cached: (doc_id, band, bkey) is 4 slim rows/doc, but deriving it
+    # costs the full shingle+minhash pass — consumed twice below
+    # (bucket minima + the join back)
+    banded = _minhash_banded(sigs).cache()
     bucket_min = banded.groupBy("band", "bkey").agg(
         F.min("doc_id").alias("doc_a")
     )
@@ -317,34 +421,25 @@ def minhash_band_edges(df: DataFrame) -> DataFrame:
     )
 
 
-def minhash_lsh_pairs(df: DataFrame, jaccard_min: float = 0.7) -> DataFrame:
+def minhash_lsh_pairs(
+    df: DataFrame,
+    jaccard_min: float = 0.7,
+    bucket_cap: int = TEXT_LSH_BUCKET_CAP,
+) -> DataFrame:
     """LSH banding: docs sharing any band signature become candidate
     pairs; candidates are verified with exact shingle Jaccard. The join
-    is on the band key (bounded buckets), never all-pairs."""
+    is on the band key (bounded buckets), never all-pairs; buckets over
+    `bucket_cap` rows are salt-split (_salt_hot_buckets) so a clique of
+    B identical docs emits ~B*cap/2 candidates, not B^2/2 — without the
+    guard a viral 10^6-doc boilerplate cluster lands in one (band, bkey)
+    bucket and emits 5x10^11 pairs before any Jaccard filter."""
     # cache: the 16-minhash expression tree is the expensive part and the
     # self-join + two shingle joins would otherwise recompute it 4x
     sigs = minhash_sigs(df).cache()
     # band on (band_idx, 4-minhash key) only — the heavy shingle arrays do
     # NOT travel through the band join; they come back via two slim joins
     # on the (usually tiny) deduped candidate-pair set
-    banded = sigs.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.slice(F.col("sig"), b * LSH_ROWS + 1, LSH_ROWS),
-                            lambda v: v.cast("string"),
-                        ),
-                    ).alias("bkey"),
-                ),
-            )
-        ).alias("bs"),
-    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.bkey").alias("bkey"))
+    banded = _salt_hot_buckets(_minhash_banded(sigs), bucket_cap)
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -443,51 +538,160 @@ SIMHASH_BAND_BITS = 15  # 32,768 key values per band: at n docs a bucket
 SIMHASH_BAND_MASK = (1 << SIMHASH_BAND_BITS) - 1
 SIMHASH_HAMMING_MAX = 3
 
+# Wide fingerprint for the 10^9+ tier: two independently-salted md5s per
+# word give 120 bits -> 4 x 30-bit bands. The hamming<=3 pigeonhole still
+# allows exactly 4 bands, but each band key now spans 2^30 values, so
+# uniform-corpus candidate growth is ~n^2/2^32 — linear to ~10^10 docs
+# before the hot-bucket cap even fires. Each 60-bit half stays a separate
+# BIGINT (DuckDB-portable; a single 120-bit int is not).
+SIMHASH_WIDE_SALT = "w2:"  # second-half md5 salt prefix
+SIMHASH_WIDE_BAND_BITS = 30
+SIMHASH_WIDE_BAND_MASK = (1 << SIMHASH_WIDE_BAND_BITS) - 1
 
-def simhash_dedup(df: DataFrame, max_hamming: int = SIMHASH_HAMMING_MAX) -> DataFrame:
-    """SimHash near-dup pairs: pigeonhole banding (any pair within
-    `max_hamming` bits must agree on at least one of the 4 15-bit bands,
-    since max_hamming < 4) makes the candidate join an equi-join on
-    (band, bkey); candidates verify with exact popcount of the XOR.
-    Never an all-pairs comparison — the scale shape for simhash dedup
-    over 10^9 docs: bucket occupancy is ~n/32768 per band key, so the
-    within-bucket pair count grows ~n^2/2^15 per band, linear for any n
-    up to ~10^10 before buckets would need further splitting. Includes
-    an augmented near-dup corpus (suffix mutation flips few low-weight
-    words -> small hamming distance)."""
-    # cache: (doc_id, simhash) is ~16 bytes/doc, but the simhash
-    # expression behind it walks every word x 60 bits — without the
-    # cache the self-join evaluates it once per join side
-    sh = simhash(with_near_dups(df)).cache()
-    bands = sh.select(
-        "doc_id", "simhash",
+
+def _simhash_wide_udf():
+    """Arrow-vectorized 120-bit simhash as two 60-bit halves: half 1
+    from md5(w), half 2 from md5('w2:'+w) — independent bit families
+    from one extra md5 per word. Majority rule per bit as in
+    _simhash_udf; returns array<bigint> [lo, hi]."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    bits = np.arange(SIMHASH_BITS, dtype=np.int64)
+
+    def half(ws, salt: bytes):
+        h = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.md5(salt + w.encode()).digest()[:8], "big"
+                )
+                >> 4
+                for w in ws
+            ),
+            dtype=np.int64,
+            count=len(ws),
+        )
+        ones = ((h[:, None] >> bits) & 1).sum(axis=0)
+        return int((((ones * 2 > len(ws)).astype(np.int64)) << bits).sum())
+
+    def f(texts):
+        out = []
+        for t in texts:
+            if t is None:  # null text -> null fingerprint
+                out.append(None)
+                continue
+            ws = t.split(" ")
+            out.append(
+                [half(ws, b""), half(ws, SIMHASH_WIDE_SALT.encode())]
+            )
+        return pd.Series(out, dtype=object)
+
+    f.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return pandas_udf(f, "array<bigint>")
+
+
+def simhash_wide(df: DataFrame) -> DataFrame:
+    """120-bit simhash as (simhash_lo, simhash_hi) BIGINT halves."""
+    arr = _simhash_wide_udf()(F.col("text"))
+    return df.select(
+        F.col("doc_id").cast("long").alias("doc_id"), arr.alias("wh")
+    ).select(
+        "doc_id",
+        F.element_at("wh", 1).alias("simhash_lo"),
+        F.element_at("wh", 2).alias("simhash_hi"),
+    )
+
+
+def _simhash_wide_banded(sh: DataFrame) -> DataFrame:
+    """(doc_id, simhash_lo, simhash_hi) -> 4 slim (doc_id, band, bkey)
+    rows: bands 0/1 are the low/high 30 bits of the lo half, 2/3 of the
+    hi half."""
+    halves = [("simhash_lo", 0), ("simhash_lo", SIMHASH_WIDE_BAND_BITS),
+              ("simhash_hi", 0), ("simhash_hi", SIMHASH_WIDE_BAND_BITS)]
+    return sh.select(
+        "doc_id",
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(band).alias("band"),
-                    F.shiftright("simhash", band * SIMHASH_BAND_BITS)
-                    .bitwiseAND(F.lit(SIMHASH_BAND_MASK)).alias("bkey"),
+                    F.shiftright(col, shift)
+                    .bitwiseAND(F.lit(SIMHASH_WIDE_BAND_MASK))
+                    .alias("bkey"),
                 )
-                for band in range(SIMHASH_BANDS)
+                for band, (col, shift) in enumerate(halves)
             ])
         ).alias("bb"),
-    ).select("doc_id", "simhash", F.col("bb.band").alias("band"),
+    ).select("doc_id", F.col("bb.band").alias("band"),
              F.col("bb.bkey").alias("bkey"))
-    a = bands.alias("a")
-    b = bands.alias("b")
-    ham = F.bit_count(
-        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-    ).cast("long")
-    return (
+
+
+def simhash_bucket_stats(
+    df: DataFrame, cap: int = TEXT_LSH_BUCKET_CAP
+) -> DataFrame:
+    """Per-band wide-simhash bucket telemetry (see _bucket_stats);
+    includes the near-dup augmentation so the numbers describe exactly
+    what simhash_dedup's self-join will see."""
+    sh = simhash_wide(with_near_dups(df))
+    return _bucket_stats(_simhash_wide_banded(sh), cap)
+
+
+def simhash_dedup(
+    df: DataFrame,
+    max_hamming: int = SIMHASH_HAMMING_MAX,
+    bucket_cap: int = TEXT_LSH_BUCKET_CAP,
+) -> DataFrame:
+    """SimHash near-dup pairs over the 120-bit wide fingerprint:
+    pigeonhole banding (any pair within `max_hamming` < 4 bits must
+    agree on at least one of the 4 disjoint 30-bit bands) makes the
+    candidate join an equi-join on (band, bkey); candidates verify with
+    exact popcount over both 60-bit halves. Scale shape: uniform-corpus
+    buckets hold ~n/2^30 rows (candidates ~n^2/2^32, linear to ~10^10
+    docs), and any over-`bucket_cap` bucket — a viral boilerplate
+    cluster banding cannot split — is salt-capped to ~B*cap/2 pairs
+    (_salt_hot_buckets). Never an all-pairs comparison. Includes an
+    augmented near-dup corpus (suffix mutation flips few low-margin
+    bits -> small hamming distance)."""
+    # cache: (doc_id, lo, hi) is ~24 bytes/doc, but the fingerprint
+    # behind it costs 2 md5s per word — consumed by the banding pass
+    # plus both sides of the verify join
+    sh = simhash_wide(with_near_dups(df)).cache()
+    banded = _salt_hot_buckets(_simhash_wide_banded(sh), bucket_cap)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
         a.join(b, ["band", "bkey"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            ham.alias("hamming"),
         )
-        .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    # fingerprints come back on the (small) deduped candidate set only —
+    # the band self-join moves nothing but (doc_id, band, bkey)
+    ham = (
+        F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+        + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+    ).cast("long")
+    return (
+        cand.join(
+            sh.select(F.col("doc_id").alias("doc_a"),
+                      F.col("simhash_lo").alias("lo_a"),
+                      F.col("simhash_hi").alias("hi_a")),
+            "doc_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"),
+                      F.col("simhash_lo").alias("lo_b"),
+                      F.col("simhash_hi").alias("hi_b")),
+            "doc_b",
+        )
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
     )
 
 
