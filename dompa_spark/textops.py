@@ -152,6 +152,25 @@ def shingles3(col="text") -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def dedup_key_col(prefix_words: int = 3) -> Column:
+    """The exact-dedup key: first N words of the text."""
+    return F.concat_ws(" ", F.slice(words(), 1, prefix_words))
+
+
+def _dedup_flags(keyed: DataFrame) -> DataFrame:
+    """(doc_id, dedup_key) -> keep/dup flags; see dedup_exact_prefix
+    for the skew argument (map-side min + AQE-splittable flag join)."""
+    keeper = keyed.groupBy("dedup_key").agg(
+        F.min("doc_id").alias("keep_doc_id")
+    )
+    return keyed.join(keeper, "dedup_key").select(
+        "doc_id",
+        "dedup_key",
+        "keep_doc_id",
+        (F.col("doc_id") != F.col("keep_doc_id")).alias("is_dup"),
+    )
+
+
 def dedup_exact_prefix(df: DataFrame, prefix_words: int = 3) -> DataFrame:
     """Exact dedup on a derived key (first N words): keep the lowest
     doc_id per group, flag the rest as dups.
@@ -164,19 +183,11 @@ def dedup_exact_prefix(df: DataFrame, prefix_words: int = 3) -> DataFrame:
     windows) are AQE-skew-splittable: spark.sql.adaptive.skewJoin splits
     the fat partition across tasks. The previous row_number() window
     formulation sorted every row of the heaviest key in one task."""
-    key = F.concat_ws(" ", F.slice(words(), 1, prefix_words))
     keyed = df.select(
-        F.col("doc_id").cast("long").alias("doc_id"), key.alias("dedup_key")
+        F.col("doc_id").cast("long").alias("doc_id"),
+        dedup_key_col(prefix_words).alias("dedup_key"),
     )
-    keeper = keyed.groupBy("dedup_key").agg(
-        F.min("doc_id").alias("keep_doc_id")
-    )
-    return keyed.join(keeper, "dedup_key").select(
-        "doc_id",
-        "dedup_key",
-        "keep_doc_id",
-        (F.col("doc_id") != F.col("keep_doc_id")).alias("is_dup"),
-    )
+    return _dedup_flags(keyed)
 
 
 def with_near_dups(df: DataFrame, id_offset: int = 1_000_000) -> DataFrame:
@@ -720,20 +731,37 @@ def ngram_jaccard_neighbors(df: DataFrame) -> DataFrame:
     )
 
 
-def quality_scores(df: DataFrame) -> DataFrame:
-    """Shallow text-quality features + a deterministic composite score."""
+def _quality_parts() -> tuple[Column, Column, Column]:
+    """(n_tokens, n_stop, mean_len) over the text column — the shared
+    inputs of quality_scores and the curate quality gate."""
     w = words()
     n_tokens = F.size(w).cast("long")
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    n_stop = F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x))).cast("long")
+    n_stop = F.size(
+        F.filter(w, lambda x: F.array_contains(stop_arr, x))
+    ).cast("long")
     mean_len = (F.length("text") - (n_tokens - 1)) / n_tokens  # avg word len
+    return n_tokens, n_stop, mean_len
+
+
+def quality_score_col() -> Column:
+    """The deterministic composite quality score as a single map-side
+    expression (identical arithmetic to quality_scores' score column)."""
+    n_tokens, n_stop, mean_len = _quality_parts()
     stop_ratio = F.round(n_stop / n_tokens, 4)
-    score = F.round(
+    return F.round(
         F.least(F.lit(1.0), n_tokens / F.lit(64.0)) * 0.5
         + stop_ratio * 0.3
         + F.least(F.lit(1.0), mean_len / F.lit(8.0)) * 0.2,
         4,
     )
+
+
+def quality_scores(df: DataFrame) -> DataFrame:
+    """Shallow text-quality features + a deterministic composite score."""
+    n_tokens, n_stop, mean_len = _quality_parts()
+    stop_ratio = F.round(n_stop / n_tokens, 4)
+    score = quality_score_col()
     return df.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         n_tokens.alias("n_tokens"),
@@ -815,16 +843,18 @@ def vocab_topk(df: DataFrame, k: int = VOCAB_TOPK) -> DataFrame:
         F.col("doc_id").cast("long").alias("doc_id"),
         F.explode(words()).alias("word"),
     )
-    counts = w.groupBy("word").agg(
-        F.count("*").cast("long").alias("n_occurrences")
-    )
-    docfreq = (
-        w.dropDuplicates(["word", "doc_id"])
-        .groupBy("word")
-        .agg(F.count("*").cast("long").alias("n_docs"))
-    )
+    # one explode, two cascaded shuffles, NO join: occurrences and
+    # docfreq both derive from the per-(word, doc) counts — sum(c) and
+    # row count per word in a single second-level aggregate. The old
+    # plan ran the explode (the dominant byte volume) twice, once per
+    # aggregate branch, then joined them back.
+    wd = w.groupBy("word", "doc_id").agg(F.count("*").alias("c"))
     return (
-        counts.join(docfreq, "word")
+        wd.groupBy("word")
+        .agg(
+            F.sum("c").cast("long").alias("n_occurrences"),
+            F.count("*").cast("long").alias("n_docs"),
+        )
         .orderBy(F.desc("n_occurrences"), F.asc("word"))
         .limit(k)
     )
@@ -850,10 +880,18 @@ def tfidf_top_terms(df: DataFrame, k: int = TFIDF_TOPK) -> DataFrame:
     tf = w.groupBy("doc_id", "word").agg(
         F.count("*").cast("long").alias("tf")
     )
-    dfreq = (
-        w.dropDuplicates(["word", "doc_id"])
-        .groupBy("word")
-        .agg(F.count("*").cast("long").alias("df_w"))
+    # df_w derives from tf (a doc contributes exactly one tf row per
+    # distinct word), so the explode — the dominant byte volume — runs
+    # once: AQE reuses the tf shuffle stage for both consumers. The
+    # count argument must GENUINELY reference tf (a predicate the
+    # optimizer cannot fold away; tf >= 1 always holds but is not
+    # provable statically): count("tf") gets rewritten to count(*)
+    # because count(1) results are non-null, column pruning then strips
+    # tf from this branch's partial aggregate, and the two exchange
+    # subtrees stop being canonically identical — no stage reuse, two
+    # explodes. N stays a 1-column pruned scan of the source.
+    dfreq = tf.groupBy("word").agg(
+        F.count(F.when(F.col("tf") >= 1, 1)).cast("long").alias("df_w")
     )
     n_docs = df.select(
         F.countDistinct(F.col("doc_id").cast("long")).alias("n_docs")
@@ -880,13 +918,9 @@ SAMPLE_RATES = {"en": 80, "de": 50, "fr": 50, "es": 50}  # percent
 SAMPLE_RATE_DEFAULT = 25
 
 
-def sample_stratified(df: DataFrame) -> DataFrame:
-    """Deterministic stratified sampling: keep a doc iff
-    md5_60(doc_id) % 100 < rate(lang). Hash-based (not rand()) so the
-    sample is reproducible across runs/engines and needs no shuffle —
-    the filter runs map-side in the scan stage; per-stratum rates
-    rebalance a skewed corpus (the 'mix weights' step of a training-data
-    pipeline). DuckDB oracle computes the identical predicate."""
+def _sample_parts() -> tuple[Column, Column]:
+    """(bucket, rate) of the deterministic stratified sample — shared
+    by sample_stratified and the curate sample gate."""
     bucket = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
                16, 10).cast("long") % 100
@@ -894,6 +928,23 @@ def sample_stratified(df: DataFrame) -> DataFrame:
     rate = F.lit(SAMPLE_RATE_DEFAULT)
     for lang, r in sorted(SAMPLE_RATES.items()):
         rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    return bucket, rate
+
+
+def sample_keep_col() -> Column:
+    """Map-side boolean: does the stratified sample keep this doc?"""
+    bucket, rate = _sample_parts()
+    return bucket < rate
+
+
+def sample_stratified(df: DataFrame) -> DataFrame:
+    """Deterministic stratified sampling: keep a doc iff
+    md5_60(doc_id) % 100 < rate(lang). Hash-based (not rand()) so the
+    sample is reproducible across runs/engines and needs no shuffle —
+    the filter runs map-side in the scan stage; per-stratum rates
+    rebalance a skewed corpus (the 'mix weights' step of a training-data
+    pipeline). DuckDB oracle computes the identical predicate."""
+    bucket, rate = _sample_parts()
     return (
         df.select(
             F.col("doc_id").cast("long").alias("doc_id"),
@@ -960,23 +1011,31 @@ def curate_corpus(
     """The composed curation decision a training-data pipeline ships:
     quality gate AND stratified sample AND per-domain cap AND exact
     dedup, one row per document with the per-stage verdicts and the
-    final keep bit. Every stage is the corresponding standalone operator
-    (same code path, same scale shape); the composition is four
-    doc_id-keyed left joins — each side is slim (doc_id + flags), and
-    the stages' own shuffles (salted cap, map-side dedup min, shuffle-
-    free sample) are unchanged."""
-    base = df.select(F.col("doc_id").cast("long").alias("doc_id"))
-    q = quality_scores(df).select(
-        "doc_id", (F.col("quality_score") >= quality_min).alias("quality_ok")
+    final keep bit.
+
+    Single-scan shape (VERDICT r02 #3): the two map-side stages
+    (quality gate, stratified sample — quality_score_col /
+    sample_keep_col, the standalone operators' own expressions) are
+    computed in ONE projection over the input, together with the keys
+    the two shuffle stages need (source for the cap, dedup_key for the
+    dedup). That slim projection is cached, so `documents` is read once
+    instead of ~5x — at 100 TB the rescans were the dominant cost. The
+    shuffle stages themselves are the standalone operators' plans
+    (salted two-phase cap via domain_cap, map-side groupBy-min dedup
+    via _dedup_flags) fed from the cached slim columns."""
+    slim = df.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        (quality_score_col() >= quality_min).alias("quality_ok"),
+        sample_keep_col().alias("sampled"),
+        dedup_key_col().alias("dedup_key"),
+    ).cache()
+    c = domain_cap(slim).select("doc_id", F.lit(True).alias("capped_in"))
+    d = _dedup_flags(slim.select("doc_id", "dedup_key")).select(
+        "doc_id", "is_dup"
     )
-    s = sample_stratified(df).select(
-        "doc_id", F.lit(True).alias("sampled")
-    )
-    c = domain_cap(df).select("doc_id", F.lit(True).alias("capped_in"))
-    d = dedup_exact_prefix(df).select("doc_id", "is_dup")
     out = (
-        base.join(q, "doc_id", "left")
-        .join(s, "doc_id", "left")
+        slim.select("doc_id", "quality_ok", "sampled")
         .join(c, "doc_id", "left")
         .join(d, "doc_id", "left")
         .select(
