@@ -29,7 +29,20 @@ def sessionize(df: DataFrame, gap_min: int = SESSION_GAP_MIN) -> DataFrame:
     the same (user_id, ts) partitioning — Catalyst plans ONE shuffle,
     both windows reuse the exchange — then a groupBy on (user_id,
     session_id) that partial-aggregates map-side. Timestamps surface as
-    epoch micros (engine-portable, hash-stable)."""
+    epoch micros (engine-portable, hash-stable).
+
+    Skew contract (explicit, by design): ordered sessionization is
+    inherently a per-user sequential fold, so ONE user's events are
+    sorted and folded in ONE task — a pathological mega-user (10^8
+    events) is a single-task sort, and no salting can fix that without
+    breaking session continuity at salt boundaries. The practical
+    bound: a task must hold the mega-user's (event_id, user_id, value,
+    us) rows, ~40 B/event — 10^7 events/user (~400 MB) is the
+    recommended ceiling per batch; beyond that, pre-split the input by
+    time range and stitch boundary sessions, or use the streaming
+    sessionizer (streaming.sessionize_stream), whose state folds
+    incrementally per trigger. tests/test_eventops_property.py pins
+    this contract with a mega-user corpus."""
     from pyspark.sql.window import Window
 
     base = df.select(

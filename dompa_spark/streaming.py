@@ -255,3 +255,74 @@ def span_rate_stream(
             F.sum("out_chars").cast("long").alias("chars"),
         )
     )
+
+
+def doc_text() -> F.Column:
+    """Whitespace-joined span texts — the text column the batch text
+    operators (minhash/simhash/quality) consume."""
+    return F.concat_ws(
+        " ",
+        F.transform("spans", lambda s: F.coalesce(s["text"], F.lit(""))),
+    )
+
+
+_NEAR_DEDUP_OUT_DDL = "doc_a long, doc_b long"
+_NEAR_DEDUP_STATE_DDL = "anchor long"
+
+
+def dedup_near_stream(
+    spark: SparkSession, in_path: str, max_files_per_trigger: int = 8
+) -> DataFrame:
+    """Streaming NEAR-dup dedup: minhash band keys (the exact batch
+    banding — textops.minhash_sigs + _minhash_banded) become the state
+    key; each occupied (band, bkey) bucket keeps one anchor (the
+    minimum doc_id seen so far) and every arrival emits a star edge to
+    the current anchor. When a later trigger brings a smaller doc_id,
+    the anchor moves and a splice edge (new_anchor, old_anchor) keeps
+    the chain connected — so the connected components of the emitted
+    edge multiset equal those of the batch minhash_band_edges star
+    graph over the union of all arrivals (each bucket's members form
+    one chain of anchors with all members attached). Linear output:
+    <= 1 edge per (doc, band) + <= 1 splice per anchor move, never the
+    B^2/2 pair object.
+
+    Edges may repeat across bands/triggers (stateless global dedup is
+    impossible in append mode); consumers dropDuplicates or feed
+    connected components, which is insensitive to multiplicity.
+
+    State sizing: one long per occupied (band, bkey) — at most
+    LSH_BANDS longs per distinct doc, usually far fewer (dups share
+    buckets); RocksDB state store for 10^12-doc keyspaces, as with
+    dedup_doc_stream."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from . import textops
+
+    def fn(key, pdfs, state):
+        ids = []
+        for pdf in pdfs:
+            ids.extend(int(d) for d in pdf["doc_id"])
+        anchor = state.get[0] if state.exists else None
+        out = []
+        if ids:
+            new_anchor = min(ids) if anchor is None else min(anchor, *ids)
+            out = [(new_anchor, d) for d in sorted(set(ids))
+                   if d != new_anchor]
+            if anchor is not None and anchor != new_anchor:
+                out.append((new_anchor, anchor))
+            state.update((new_anchor,))
+        yield pd.DataFrame(out, columns=["doc_a", "doc_b"])
+
+    docs = read_doc_stream(spark, in_path, max_files_per_trigger).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        doc_text().alias("text"),
+    )
+    banded = textops._minhash_banded(textops.minhash_sigs(docs))
+    return banded.groupBy("band", "bkey").applyInPandasWithState(
+        fn,
+        outputStructType=_NEAR_DEDUP_OUT_DDL,
+        stateStructType=_NEAR_DEDUP_STATE_DDL,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -77,3 +77,47 @@ def test_sessionize_matches_python_fold(spark, events):
         for r in eventops.sessionize(df).collect()
     )
     assert got == python_sessions(rows)
+
+
+def test_sessionize_mega_user_single_task_contract(spark):
+    """Skew contract (eventops.sessionize docstring): one user owning
+    most of the corpus is an inherent single-task sort for ordered
+    sessionization — the operator must stay CORRECT under that skew
+    (exact session boundaries, counts, sums), and the documented
+    mitigation is time-range pre-split or the streaming sessionizer.
+    50k events for one user (~80% of rows) + 20 small users."""
+    from pyspark.sql import functions as F
+
+    n_mega, n_small_users = 50_000, 20
+    mega = spark.range(n_mega).select(
+        F.col("id").alias("event_id"),
+        # 10-min steps, a >30-min gap every 1000 events -> 50 sessions
+        F.timestamp_micros(
+            (F.col("id") * 600 + (F.col("id") / 1000).cast("long") * 3600)
+            * 1_000_000
+        ).cast("timestamp_ntz").alias("ts"),
+        F.lit(0).alias("user_id"),
+        F.lit("click").alias("event_type"),
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    small = spark.range(n_small_users * 600).select(
+        (F.col("id") + 1_000_000).alias("event_id"),
+        F.timestamp_micros(
+            (F.col("id") / n_small_users).cast("long") * 600 * 1_000_000
+        ).cast("timestamp_ntz").alias("ts"),
+        (F.col("id") % n_small_users + 1).alias("user_id"),
+        F.lit("click").alias("event_type"),
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    out = eventops.sessionize(mega.unionByName(small)).collect()
+    mega_sessions = sorted(
+        (r.session_id, r.n_events) for r in out if r.user_id == 0
+    )
+    # 50 sessions of exactly 1000 events each — boundaries exact
+    assert mega_sessions == [(i + 1, 1000) for i in range(50)]
+    assert sum(n for _, n in mega_sessions) == n_mega
+    small_out = [r for r in out if r.user_id != 0]
+    assert {r.user_id for r in small_out} == set(range(1, 21))
+    assert all(r.n_events == 600 for r in small_out)  # 10-min steps: 1 session

@@ -323,3 +323,93 @@ def test_dedup_stream_keeper_numeric_like_ids(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0].keep_doc_id == "8"  # numeric min; string min is "10"
     assert rows[0].n_seen == 6
+
+
+def _near_docs(spark, ids):
+    """Docs whose text repeats in groups of 3 (content c = id//3 within
+    a wave-independent numbering), as interleaved span rows."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.createDataFrame([(i,) for i in ids], "id long")
+        .select(
+            F.col("id").cast("string").alias("doc_id"),
+            F.array(
+                F.struct(
+                    F.lit("html").alias("kind"),
+                    F.format_string(
+                        "shared near dup boilerplate cluster number %d "
+                        "with enough words for shingles",
+                        F.floor((F.col("id") % 100) / 3).cast("long"),
+                    ).alias("text"),
+                    F.lit(None).cast("string").alias("media_ref"),
+                    F.lit(0).alias("offset"),
+                )
+            ).alias("spans"),
+        )
+    )
+
+
+def test_dedup_near_stream_components_match_batch(spark, tmp_path):
+    """Stream==batch for near-dup dedup: the connected components of the
+    streamed star/splice edges must equal those of the batch
+    minhash_band_edges graph over the union of all arrivals — including
+    anchor movement (wave 2 delivers SMALLER doc_ids into wave-1
+    buckets)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dompa_spark import graphops, textops
+
+    in_path = str(tmp_path / "near_in")
+    os.makedirs(in_path)
+    _near_docs(spark, range(100, 190)).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_path)
+
+    out_path = str(tmp_path / "near_out")
+
+    def drain():
+        q = (
+            streaming.dedup_near_stream(spark, in_path)
+            .writeStream.format("parquet")
+            .option("path", out_path)
+            .option("checkpointLocation", str(tmp_path / "near_ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return spark.read.parquet(out_path).dropDuplicates(
+            ["doc_a", "doc_b"]
+        )
+
+    def components(edges):
+        return {
+            r.doc_id: r.component
+            for r in graphops.connected_components(edges).collect()
+        }
+
+    def batch_components():
+        docs = spark.read.parquet(in_path).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            streaming.doc_text().alias("text"),
+        )
+        return components(textops.minhash_band_edges(docs))
+
+    got1 = components(drain())
+    want1 = batch_components()
+    assert got1 == want1
+    assert len(got1) >= 60  # groups of 3 really collapse
+
+    # wave 2: smaller ids, same contents -> anchors must move and the
+    # splice edges must keep old members connected to the new minimum
+    _near_docs(spark, range(0, 90)).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_path)
+    got2 = components(drain())
+    want2 = batch_components()
+    assert got2 == want2
+    # every wave-1 doc now clusters under a wave-2 (smaller-id) anchor
+    assert all(c < 90 for c in got2.values())
