@@ -2,12 +2,14 @@
 plus deterministic HTML-template builders that feed the extraction engine
 from the plain-text documents table.
 
-Operators are pyspark.sql.functions expressions (JVM-side) except three
-deliberately Arrow-vectorized kernels — minhash signatures, simhash, and
-SRP bucketing — where the expression formulation forces Spark's
+Operators are pyspark.sql.functions expressions (JVM-side) except four
+deliberately Arrow-vectorized kernels — shingle construction + minhash
+signatures (fused), shingle sets, simhash (narrow + wide), and SRP
+bucketing — where the expression formulation forces Spark's
 interpreted higher-order-function path over per-element md5/dot work
-(measured 4-100x slower than the hashlib/numpy batch equivalent; see
-each kernel's docstring). Never row-at-a-time Python: the plan suite
+(measured 4-100x slower than the hashlib/numpy batch equivalent; the
+flattened-batch reduceat forms avoid per-row numpy call overhead too —
+see each kernel's docstring). Never row-at-a-time Python: the plan suite
 asserts no BatchEvalPython on any query. Each operator has a matching
 ANSI-SQL oracle in __spark_entry__.py; hash functions are built on md5
 so Spark and DuckDB produce identical 60-bit integers, and the
@@ -227,60 +229,82 @@ MINHASH_A = [_minhash_coef("a", j) for j in range(N_MINHASH)]
 MINHASH_B = [_minhash_coef("b", j) for j in range(N_MINHASH)]
 
 
-def _minhash_sig_udf():
-    """Arrow-vectorized minhash: hashlib md5 per shingle (C speed) +
-    one numpy broadcast for all 16 universal hashes. Bit-identical to
-    the expression formulation (pure int64 arithmetic: md5-60-bit mod P,
-    a_j*h+b_j < 2^62) — proven by the DuckDB oracle parity check. The
-    HOF expression version evaluated md5+conv per shingle in Spark's
-    interpreted lambda path; this is ~4x faster end-to-end on the
-    minhash queries."""
+def minhash_sigs(df: DataFrame) -> DataFrame:
+    """16 minhashes over distinct 3-shingles (one md5 per shingle,
+    universal-hash family for the 16 permutations). One fused
+    mapInPandas kernel builds the shingle arrays AND the signatures:
+    Spark's higher-order array expressions are interpreted, not
+    codegen'd, so the shingles3() expression alone cost more than all
+    the hashing — Python's split/join + C-speed md5 with a segmented
+    numpy minimum is ~2x faster end-to-end. Semantics are identical:
+    str.split(' ') == F.split(text, ' ', -1) (keeps empties),
+    dict.fromkeys == array_distinct (first-occurrence order), <3-word
+    docs are dropped exactly like the old F.size(sh) > 0 filter, and
+    the hash family matches the DuckDB oracle bit-for-bit."""
     import hashlib
 
     import numpy as np
     import pandas as pd
-    from pyspark.sql.functions import pandas_udf
 
-    A = np.array(MINHASH_A, dtype=np.int64)[:, None]
-    B = np.array(MINHASH_B, dtype=np.int64)[:, None]
+    A = list(MINHASH_A)
+    B = list(MINHASH_B)
 
-    def f(shs):
-        out = []
-        for sh in shs:
-            if sh is None or len(sh) == 0:  # defensive: filtered upstream
-                out.append(np.full((N_MINHASH, 1), MINHASH_P, np.int64))
+    def gen(batches):
+        for pdf in batches:
+            ids, shs = [], []
+            for did, t in zip(pdf["doc_id"], pdf["text"]):
+                if t is None:
+                    continue
+                ws = t.split(" ")
+                if len(ws) < 3:
+                    continue
+                ids.append(int(did))
+                shs.append(
+                    list(
+                        dict.fromkeys(
+                            " ".join(ws[i:i + 3])
+                            for i in range(len(ws) - 2)
+                        )
+                    )
+                )
+            if not ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series([], dtype="int64"),
+                        "sh": pd.Series([], dtype=object),
+                        "sig": pd.Series([], dtype=object),
+                    }
+                )
                 continue
+            n = len(ids)
+            lens = np.fromiter((len(s) for s in shs), np.int64, count=n)
             h = np.fromiter(
                 (
                     int.from_bytes(
-                        hashlib.md5((s or "").encode()).digest()[:8], "big"
+                        hashlib.md5(s.encode()).digest()[:8], "big"
                     )
                     >> 4  # first 15 hex chars = top 60 bits
+                    for sh in shs
                     for s in sh
                 ),
                 dtype=np.int64,
-                count=len(sh),
+                count=int(lens.sum()),
             ) % MINHASH_P
-            out.append((A * h + B) % MINHASH_P)
-        if not out:
-            return pd.Series([], dtype=object)
-        return pd.Series([sig.min(axis=1) for sig in out])
+            starts = np.zeros(n, np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            # one universal hash at a time: O(total) transient memory
+            mins = np.empty((N_MINHASH, n), np.int64)
+            for j in range(N_MINHASH):
+                mins[j] = np.minimum.reduceat(
+                    (A[j] * h + B[j]) % MINHASH_P, starts
+                )
+            yield pd.DataFrame(
+                {"doc_id": ids, "sh": shs, "sig": list(mins.T)}
+            )
 
-    f.__annotations__ = {"shs": pd.Series, "return": pd.Series}
-    return pandas_udf(f, "array<bigint>")
-
-
-def minhash_sigs(df: DataFrame) -> DataFrame:
-    """16 minhashes over distinct 3-shingles (one md5 per shingle,
-    universal-hash family for the 16 permutations); hashing runs in the
-    Arrow-vectorized kernel (_minhash_sig_udf)."""
-    sig_udf = _minhash_sig_udf()
-    return (
-        df.select(F.col("doc_id").cast("long").alias("doc_id"),
-                  F.col("text"), shingles3().alias("sh"))
-        .filter(F.size("sh") > 0)
-        .withColumn("sig", sig_udf("sh"))
-    )
+    return df.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    ).mapInPandas(gen, "doc_id long, sh array<string>, sig array<bigint>")
 
 
 def _minhash_banded(sigs: DataFrame) -> DataFrame:
@@ -324,9 +348,19 @@ def _salt_hot_buckets(
     of B^2/2 — the srp_candidate_pairs guard, shared by the text-LSH
     pair operators. Recall cost: only pairs split across salt groups in
     EVERY band they co-occur in are lost, and only inside
-    over-cap buckets (which exact-dup handling should collapse first)."""
-    counts = banded.groupBy(group_col, "bkey").agg(
-        F.count("*").alias("bucket_n")
+    over-cap buckets (which exact-dup handling should collapse first).
+
+    Cost shape: the counts side is filtered to the HOT buckets only
+    before the join — in the common regime (dup clusters are rare)
+    that's a handful of rows, so AQE converts the left join to a
+    runtime broadcast and the salt step costs one aggregate plus a
+    map-side join; in the pathological every-bucket-hot regime (n >
+    cap * keyspace) it degrades gracefully to a shuffle join of two
+    slim tables. bucket_n is non-null exactly for hot rows."""
+    hot = (
+        banded.groupBy(group_col, "bkey")
+        .agg(F.count("*").alias("bucket_n"))
+        .filter(F.col("bucket_n") > cap)
     )
     n_split = F.ceil(F.col("bucket_n") / F.lit(float(cap)))
     salt = (
@@ -348,11 +382,11 @@ def _salt_hot_buckets(
         % n_split
     )
     return (
-        banded.join(counts, [group_col, "bkey"])
+        banded.join(hot, [group_col, "bkey"], "left")
         .withColumn(
             "skey",
             F.when(
-                F.col("bucket_n") > cap,
+                F.col("bucket_n").isNotNull(),
                 F.concat_ws(":", F.col("bkey").cast("string"), salt),
             ).otherwise(F.col("bkey").cast("string")),
         )
@@ -449,8 +483,12 @@ def minhash_lsh_pairs(
     sigs = minhash_sigs(df).cache()
     # band on (band_idx, 4-minhash key) only — the heavy shingle arrays do
     # NOT travel through the band join; they come back via two slim joins
-    # on the (usually tiny) deduped candidate-pair set
-    banded = _salt_hot_buckets(_minhash_banded(sigs), bucket_cap)
+    # on the (usually tiny) deduped candidate-pair set. The salted keys
+    # are cached (4 slim rows/doc) so the explode + hot-join + salt md5
+    # run once, not once per self-join side.
+    banded = _salt_hot_buckets(
+        _minhash_banded(sigs), bucket_cap
+    ).cache()
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -489,43 +527,67 @@ def minhash_lsh_pairs(
 SIMHASH_BITS = 60
 
 
-def _simhash_udf():
-    """Arrow-vectorized 60-bit simhash: hashlib md5 per word + numpy
-    per-bit one-counts; bit b set iff 2*ones_b > n_words — identical to
-    the ±1 sign-sum spec (c_b = 2*ones_b - n > 0). Pure integer
-    arithmetic, bit-identical to the SQL-expression formulation (the
-    interpreted-HOF path walked every word x 60 bits per doc); parity
-    pinned by the DuckDB oracle."""
+def _simhash_halves(texts, salts: list[bytes]):
+    """Shared flattened simhash kernel: one md5 stream per salt over
+    ALL words of the Arrow batch, per-doc bit one-counts via a
+    segmented add.reduceat, majority rule per bit (2*ones_b > n_words —
+    identical to the ±1 sign-sum spec). Returns (null_mask, [per-salt
+    int64 arrays over the non-null rows]). Per-row numpy calls are the
+    old kernel's dominant overhead; this does three numpy ops per salt
+    per batch."""
     import hashlib
 
     import numpy as np
+
+    null_mask = [t is None for t in texts]
+    split = [t.split(" ") for t in texts if t is not None]
+    m = len(split)
+    if m == 0:
+        return null_mask, [np.empty(0, np.int64) for _ in salts]
+    lens = np.fromiter((len(ws) for ws in split), np.int64, count=m)
+    flat = [w for ws in split for w in ws]
+    starts = np.zeros(m, np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    outs = []
+    for salt in salts:
+        h = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.md5(salt + w.encode()).digest()[:8], "big"
+                )
+                >> 4
+                for w in flat
+            ),
+            dtype=np.int64,
+            count=len(flat),
+        )
+        # one bit-plane at a time: O(total) transient memory (the
+        # (total, 60) matrix would hit GBs on heavy-tail batches)
+        sim = np.zeros(m, np.int64)
+        for b in range(SIMHASH_BITS):
+            ones_b = np.add.reduceat((h >> b) & 1, starts)
+            sim |= (ones_b * 2 > lens).astype(np.int64) << b
+        outs.append(sim)
+    return null_mask, outs
+
+
+def _simhash_udf():
+    """Arrow-vectorized 60-bit simhash (see _simhash_halves). Pure
+    integer arithmetic, bit-identical to the SQL-expression formulation
+    (the interpreted-HOF path walked every word x 60 bits per doc);
+    parity pinned by the DuckDB oracle."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    bits = np.arange(SIMHASH_BITS, dtype=np.int64)
-
     def f(texts):
-        out = []
-        for t in texts:
-            if t is None:  # null text -> null simhash, like the old
+        null_mask, (sims,) = _simhash_halves(texts, [b""])
+        out, i = [], 0
+        for is_null in null_mask:
+            if is_null:  # null text -> null simhash, like the old
                 out.append(None)  # JVM expression formulation
-                continue
-            ws = t.split(" ")  # keeps empties, like F.split / string_split
-            h = np.fromiter(
-                (
-                    int.from_bytes(
-                        hashlib.md5(w.encode()).digest()[:8], "big"
-                    )
-                    >> 4
-                    for w in ws
-                ),
-                dtype=np.int64,
-                count=len(ws),
-            )
-            ones = ((h[:, None] >> bits) & 1).sum(axis=0)
-            out.append(
-                int((((ones * 2 > len(ws)).astype(np.int64)) << bits).sum())
-            )
+            else:
+                out.append(int(sims[i]))
+                i += 1
         return pd.Series(out, dtype="Int64")  # nullable: null rows pass through
 
     f.__annotations__ = {"texts": pd.Series, "return": pd.Series}
@@ -563,41 +625,22 @@ SIMHASH_WIDE_BAND_MASK = (1 << SIMHASH_WIDE_BAND_BITS) - 1
 def _simhash_wide_udf():
     """Arrow-vectorized 120-bit simhash as two 60-bit halves: half 1
     from md5(w), half 2 from md5('w2:'+w) — independent bit families
-    from one extra md5 per word. Majority rule per bit as in
-    _simhash_udf; returns array<bigint> [lo, hi]."""
-    import hashlib
-
-    import numpy as np
+    from one extra md5 per word. Flattened batch kernel
+    (_simhash_halves); returns array<bigint> [lo, hi]."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    bits = np.arange(SIMHASH_BITS, dtype=np.int64)
-
-    def half(ws, salt: bytes):
-        h = np.fromiter(
-            (
-                int.from_bytes(
-                    hashlib.md5(salt + w.encode()).digest()[:8], "big"
-                )
-                >> 4
-                for w in ws
-            ),
-            dtype=np.int64,
-            count=len(ws),
-        )
-        ones = ((h[:, None] >> bits) & 1).sum(axis=0)
-        return int((((ones * 2 > len(ws)).astype(np.int64)) << bits).sum())
-
     def f(texts):
-        out = []
-        for t in texts:
-            if t is None:  # null text -> null fingerprint
+        null_mask, (lo, hi) = _simhash_halves(
+            texts, [b"", SIMHASH_WIDE_SALT.encode()]
+        )
+        out, i = [], 0
+        for is_null in null_mask:
+            if is_null:  # null text -> null fingerprint
                 out.append(None)
-                continue
-            ws = t.split(" ")
-            out.append(
-                [half(ws, b""), half(ws, SIMHASH_WIDE_SALT.encode())]
-            )
+            else:
+                out.append([int(lo[i]), int(hi[i])])
+                i += 1
         return pd.Series(out, dtype=object)
 
     f.__annotations__ = {"texts": pd.Series, "return": pd.Series}
@@ -669,7 +712,11 @@ def simhash_dedup(
     # behind it costs 2 md5s per word — consumed by the banding pass
     # plus both sides of the verify join
     sh = simhash_wide(with_near_dups(df)).cache()
-    banded = _salt_hot_buckets(_simhash_wide_banded(sh), bucket_cap)
+    # salted keys cached: band explode + hot-join + salt md5 run once,
+    # not once per self-join side
+    banded = _salt_hot_buckets(
+        _simhash_wide_banded(sh), bucket_cap
+    ).cache()
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -706,14 +753,58 @@ def simhash_dedup(
     )
 
 
+def shingle_sets(df: DataFrame, keep_empty: bool = False) -> DataFrame:
+    """(doc_id, sh): distinct 3-word shingles per doc via a fused
+    mapInPandas kernel — same set, order, and empty-doc semantics as
+    the shingles3() expression (str.split(' ') keeps empties,
+    dict.fromkeys preserves first occurrence), but without Spark's
+    interpreted per-element HOF walk. keep_empty=True emits <3-word
+    docs with an empty array (shingles3's behavior); False drops them
+    (the minhash/contamination filter)."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            ids, shs = [], []
+            for did, t in zip(pdf["doc_id"], pdf["text"]):
+                if t is None:
+                    if keep_empty:
+                        ids.append(int(did))
+                        shs.append([])
+                    continue
+                ws = t.split(" ")
+                if len(ws) < 3:
+                    if keep_empty:
+                        ids.append(int(did))
+                        shs.append([])
+                    continue
+                ids.append(int(did))
+                shs.append(
+                    list(
+                        dict.fromkeys(
+                            " ".join(ws[i:i + 3])
+                            for i in range(len(ws) - 2)
+                        )
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "sh": pd.Series(shs, dtype=object),
+                }
+            )
+
+    return df.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    ).mapInPandas(gen, "doc_id long, sh array<string>")
+
+
 def ngram_jaccard_neighbors(df: DataFrame) -> DataFrame:
     """Jaccard of 3-shingle sets between doc i and doc i+1 (a cheap,
     SQL-checkable pairwise similarity probe)."""
-    # cache: the interpreted shingle expression would otherwise run once
-    # per self-join side
-    sh = df.select(
-        F.col("doc_id").cast("long").alias("doc_id"), shingles3().alias("sh")
-    ).cache()
+    # cache: the shingle kernel would otherwise run once per self-join
+    # side; keep_empty matches shingles3 (empty-set docs score 0.0)
+    sh = shingle_sets(df, keep_empty=True).cache()
     a = sh.alias("a")
     b = sh.alias("b")
     jac = F.when(
@@ -1068,9 +1159,9 @@ def contamination_flags(df: DataFrame) -> DataFrame:
     broadcast, matches are aggregated map-side."""
     # base rows carry only (doc_id, text); the >=3-words gate (equivalent
     # to "has at least one 3-shingle") is a cheap split+size so branches
-    # that don't need shingle ARRAYS never build them — the heavy shingle
-    # expression is evaluated once on the explode branch plus the 1/97
-    # benchmark slice, not three times
+    # that don't need shingle ARRAYS never build them — the shingle
+    # arrays come from the fused Python kernel (shingle_sets) on the
+    # explode branch plus the 1/97 benchmark slice, not three times
     base = df.select(
         F.col("doc_id").cast("long").alias("doc_id"), "text"
     ).filter(F.size(words()) >= 3)
@@ -1078,11 +1169,13 @@ def contamination_flags(df: DataFrame) -> DataFrame:
     # engine rebuilding it from the distinct shingle SET agrees (distinct
     # preserves first-occurrence order in Spark but not in DuckDB)
     bench = (
-        base.filter(F.col("doc_id") % CONTAM_BENCH_EVERY == 0)
-        .select(F.array_min(shingles3()).alias("shingle"))
+        shingle_sets(df.filter(F.col("doc_id") % CONTAM_BENCH_EVERY == 0))
+        .select(F.array_min("sh").alias("shingle"))
         .distinct()
     )
-    exploded = base.select("doc_id", F.explode(shingles3()).alias("shingle"))
+    exploded = shingle_sets(df).select(
+        "doc_id", F.explode("sh").alias("shingle")
+    )
     hits = (
         exploded.join(F.broadcast(bench), "shingle")
         .groupBy("doc_id")
