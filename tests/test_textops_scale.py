@@ -516,3 +516,79 @@ def test_vocab_and_tfidf_explode_once(spark, tmp_path):
         .split("== Initial Plan ==")[0]
     )
     assert tplan.count("Generate") == 1, tplan
+
+
+def test_fused_shingle_kernel_matches_expression(spark):
+    """Differential guard for the fused Python shingle kernel
+    (shingle_sets / minhash_sigs) vs the shingles3() Catalyst
+    expression it replaced: str.split(' ') must equal
+    F.split(text, ' ', -1) (keeps empties, no regex collapsing) and
+    dict.fromkeys must equal array_distinct (first-occurrence order)
+    on adversarial texts — doubled/leading/trailing spaces, unicode,
+    empties, shared shingles."""
+    texts = [
+        "a b c d e",
+        "a  b c",              # doubled space -> empty words
+        " a b c ",             # leading/trailing spaces
+        "",                    # single empty word
+        "x y",                 # under 3 words
+        "ünï çödé wörds ünï çödé wörds",  # unicode + repeat shingles
+        "p q r p q r p q r",   # all shingles repeat
+        "tab\tand newline\nare not separators x y z",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    fused = {r.doc_id: list(r.sh)
+             for r in textops.shingle_sets(df, keep_empty=True).collect()}
+    expr = {r.doc_id: list(r.sh)
+            for r in df.select("doc_id",
+                               textops.shingles3().alias("sh")).collect()}
+    assert fused == expr
+    # and the fused minhash drops exactly the <3-word docs
+    sig_ids = sorted(r.doc_id
+                     for r in textops.minhash_sigs(df).collect())
+    assert sig_ids == sorted(i for i, t in enumerate(texts)
+                             if len(t.split(" ")) >= 3)
+
+
+def test_flattened_simhash_matches_per_row_reference(spark):
+    """Differential guard for the flattened simhash kernels: the
+    reduceat batch form must be bit-identical to a per-row Python
+    reference of the spec (majority rule over md5-per-word bit
+    families) on adversarial texts, for both the 60-bit hash and the
+    120-bit halves."""
+    import hashlib
+
+    texts = [
+        "a", "", "a  b", " lead", "trail ",
+        "many words spread over a longer document with repeats repeats",
+        "ünï çödé", "x " * 300 + "tail",
+    ]
+
+    def ref_half(t, salt):
+        ws = t.split(" ")
+        out = 0
+        for b in range(60):
+            ones = sum(
+                (int.from_bytes(
+                    hashlib.md5(salt + w.encode()).digest()[:8], "big")
+                 >> 4 >> b) & 1
+                for w in ws
+            )
+            if ones * 2 > len(ws):
+                out |= 1 << b
+        return out
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got60 = {r.doc_id: r.simhash for r in textops.simhash(df).collect()}
+    assert got60 == {i: ref_half(t, b"") for i, t in enumerate(texts)}
+    gotw = {r.doc_id: (r.simhash_lo, r.simhash_hi)
+            for r in textops.simhash_wide(df).collect()}
+    assert gotw == {
+        i: (ref_half(t, b""),
+            ref_half(t, textops.SIMHASH_WIDE_SALT.encode()))
+        for i, t in enumerate(texts)
+    }
