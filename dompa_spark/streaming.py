@@ -270,34 +270,28 @@ _NEAR_DEDUP_OUT_DDL = "doc_a long, doc_b long"
 _NEAR_DEDUP_STATE_DDL = "anchor long"
 
 
-def dedup_near_stream(
-    spark: SparkSession, in_path: str, max_files_per_trigger: int = 8
-) -> DataFrame:
-    """Streaming NEAR-dup dedup: minhash band keys (the exact batch
-    banding — textops.minhash_sigs + _minhash_banded) become the state
-    key; each occupied (band, bkey) bucket keeps one anchor (the
-    minimum doc_id seen so far) and every arrival emits a star edge to
-    the current anchor. When a later trigger brings a smaller doc_id,
-    the anchor moves and a splice edge (new_anchor, old_anchor) keeps
-    the chain connected — so the connected components of the emitted
-    edge multiset equal those of the batch minhash_band_edges star
-    graph over the union of all arrivals (each bucket's members form
-    one chain of anchors with all members attached). Linear output:
-    <= 1 edge per (doc, band) + <= 1 splice per anchor move, never the
-    B^2/2 pair object.
+def _anchor_edge_stream(banded: DataFrame) -> DataFrame:
+    """(doc_id, band, bkey) streaming rows -> star/splice edge stream.
+
+    Each occupied (band, bkey) bucket keeps one anchor (the minimum
+    doc_id seen so far) and every arrival emits a star edge to the
+    current anchor. When a later trigger brings a smaller doc_id, the
+    anchor moves and a splice edge (new_anchor, old_anchor) keeps the
+    chain connected — so the connected components of the emitted edge
+    multiset equal those of the batch bucket-min star graph over the
+    union of all arrivals. Linear output: <= 1 edge per (doc, band) +
+    <= 1 splice per anchor move, never the B^2/2 pair object.
 
     Edges may repeat across bands/triggers (stateless global dedup is
     impossible in append mode); consumers dropDuplicates or feed
     connected components, which is insensitive to multiplicity.
 
     State sizing: one long per occupied (band, bkey) — at most
-    LSH_BANDS longs per distinct doc, usually far fewer (dups share
+    #bands longs per distinct doc, usually far fewer (dups share
     buckets); RocksDB state store for 10^12-doc keyspaces, as with
     dedup_doc_stream."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
-
-    from . import textops
 
     def fn(key, pdfs, state):
         ids = []
@@ -314,11 +308,6 @@ def dedup_near_stream(
             state.update((new_anchor,))
         yield pd.DataFrame(out, columns=["doc_a", "doc_b"])
 
-    docs = read_doc_stream(spark, in_path, max_files_per_trigger).select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        doc_text().alias("text"),
-    )
-    banded = textops._minhash_banded(textops.minhash_sigs(docs))
     return banded.groupBy("band", "bkey").applyInPandasWithState(
         fn,
         outputStructType=_NEAR_DEDUP_OUT_DDL,
@@ -326,3 +315,32 @@ def dedup_near_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def dedup_near_stream(
+    spark: SparkSession,
+    in_path: str,
+    max_files_per_trigger: int = 8,
+    method: str = "minhash",
+) -> DataFrame:
+    """Streaming NEAR-dup dedup: LSH band keys become the state key of
+    an anchor-edge stream (_anchor_edge_stream). method="minhash" uses
+    the exact batch minhash banding (textops.minhash_sigs +
+    _minhash_banded; components == batch minhash_band_edges);
+    method="simhash" uses the 120-bit wide simhash 4x30-bit banding
+    (textops.simhash_wide + _simhash_wide_banded) — same state/edge
+    semantics over hamming-band buckets (no hamming verify, like the
+    batch band-edge path: bucket collisions merge clusters)."""
+    from . import textops
+
+    docs = read_doc_stream(spark, in_path, max_files_per_trigger).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        doc_text().alias("text"),
+    )
+    if method == "minhash":
+        banded = textops._minhash_banded(textops.minhash_sigs(docs))
+    elif method == "simhash":
+        banded = textops._simhash_wide_banded(textops.simhash_wide(docs))
+    else:
+        raise ValueError(f"unknown near-dup stream method: {method!r}")
+    return _anchor_edge_stream(banded)

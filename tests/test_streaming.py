@@ -413,3 +413,58 @@ def test_dedup_near_stream_components_match_batch(spark, tmp_path):
     assert got2 == want2
     # every wave-1 doc now clusters under a wave-2 (smaller-id) anchor
     assert all(c < 90 for c in got2.values())
+
+
+def test_dedup_near_stream_simhash_components_match_batch(spark, tmp_path):
+    """simhash-banded variant of the near-dup stream: components of
+    the streamed edges == batch bucket-min star graph over the wide
+    simhash banding."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dompa_spark import graphops, textops
+
+    in_path = str(tmp_path / "near_sh_in")
+    os.makedirs(in_path)
+    _near_docs(spark, range(50, 110)).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_path)
+    _near_docs(spark, range(0, 50)).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_path)
+
+    q = (
+        streaming.dedup_near_stream(spark, in_path, method="simhash")
+        .writeStream.format("memory")
+        .queryName("near_sh")
+        .option("checkpointLocation", str(tmp_path / "near_sh_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got_edges = spark.sql(
+        "SELECT DISTINCT doc_a, doc_b FROM near_sh"
+    )
+    got = {r.doc_id: r.component
+           for r in graphops.connected_components(got_edges).collect()}
+
+    docs = spark.read.parquet(in_path).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        streaming.doc_text().alias("text"),
+    )
+    banded = textops._simhash_wide_banded(textops.simhash_wide(docs))
+    bucket_min = banded.groupBy("band", "bkey").agg(
+        F.min("doc_id").alias("doc_a")
+    )
+    star = (
+        banded.join(bucket_min, ["band", "bkey"])
+        .filter(F.col("doc_id") != F.col("doc_a"))
+        .select("doc_a", F.col("doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    want = {r.doc_id: r.component
+            for r in graphops.connected_components(star).collect()}
+    assert got == want
+    assert len(got) >= 30  # identical-text groups really collapse
