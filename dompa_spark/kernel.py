@@ -350,7 +350,13 @@ def parse_flat(s: str) -> FlatDoc:
             stop = min(ustop, ue + 1)
             names.append(s[us + 1 : stop])
             values.append(None)
-            attrs_out.append(_parse_attrs(s, us, min(ugt, ue + 1)))
+            # no chars between the name stop and '>' -> no attr segment
+            # (identical to _parse_attrs stripping the name to ""):
+            # skips the call for the common attribute-less element
+            gt = min(ugt, ue + 1)
+            attrs_out.append(
+                {} if ustop >= gt else _parse_attrs(s, us, gt)
+            )
             open_stack.append((ue, i))
     while open_stack:
         ext[open_stack.pop()[1]] = m
