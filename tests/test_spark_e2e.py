@@ -275,3 +275,39 @@ def test_manifest_invariant_across_execution_slicing(
         )
 
     assert manifest_of(0) == manifest_of(3)
+
+
+def test_staging_marker_on_scheme_qualified_path(spark, small_corpus, tmp_path):
+    """The _STAGED marker goes through the Hadoop FileSystem API, so a
+    scheme-qualified URI (file:///) must stage, mark, and short-circuit
+    the rewrite exactly like a bare local path — the contract that
+    makes chunked-input resume work on hdfs:///s3a:// too."""
+    from dompa_spark import pipeline
+    from pyspark.sql import functions as F
+
+    staged = f"file://{tmp_path}/staged_uri"
+    df = pipeline.with_part_id(
+        pipeline.read_input(spark, small_corpus), 6, 2
+    )
+    out1 = pipeline._stage_chunked_input(spark, df, staged, 4)
+    n1 = out1.count()
+    assert n1 == df.count()
+    # marker exists through the Hadoop API -> second call must NOT
+    # rewrite (mutate the staged copy; an overwrite would drop the file)
+    import glob
+    import os
+
+    files1 = sorted(glob.glob(f"{tmp_path}/staged_uri/**/*.parquet",
+                              recursive=True))
+    mtimes1 = [os.path.getmtime(f) for f in files1]
+    out2 = pipeline._stage_chunked_input(spark, df, staged, 4)
+    assert out2.count() == n1
+    files2 = sorted(glob.glob(f"{tmp_path}/staged_uri/**/*.parquet",
+                              recursive=True))
+    assert files2 == files1
+    assert [os.path.getmtime(f) for f in files2] == mtimes1
+    # chunk filter prunes at directory level on the URI path too
+    pruned = out2.filter(F.col("chunk") == 0)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(chunk" in plan or \
+        "chunk#" in plan.split("PartitionFilters")[1][:80], plan

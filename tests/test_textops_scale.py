@@ -592,3 +592,26 @@ def test_flattened_simhash_matches_per_row_reference(spark):
             ref_half(t, textops.SIMHASH_WIDE_SALT.encode()))
         for i, t in enumerate(texts)
     }
+
+
+def test_fused_shingle_kernel_fuzz_vs_expression(spark):
+    """Seeded fuzz: 300 random texts over an alphabet that stresses the
+    split semantics (runs of spaces, unicode, quotes, empty) — the
+    fused kernel and the shingles3() expression must agree exactly."""
+    import random
+
+    rng = random.Random(42)
+    alphabet = ["a", "b", "ü", "€", '"', " ", "  ", "", "w1", "longword"]
+    texts = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 30)))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    fused = {r.doc_id: list(r.sh)
+             for r in textops.shingle_sets(df, keep_empty=True).collect()}
+    expr = {r.doc_id: list(r.sh)
+            for r in df.select(
+                "doc_id", textops.shingles3().alias("sh")).collect()}
+    assert fused == expr
