@@ -196,6 +196,10 @@ def q_simhash_bucket_stats(spark, sf_dir):
     return textops.simhash_bucket_stats(_docs(spark, sf_dir))
 
 
+def q_repetition_score(spark, sf_dir):
+    return textops.repetition_scores(_docs(spark, sf_dir))
+
+
 def q_quality_score(spark, sf_dir):
     return textops.quality_scores(_docs(spark, sf_dir))
 
@@ -525,6 +529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_bucket_stats": q_simhash_bucket_stats,
         "ngram_jaccard": q_ngram_jaccard,
         "quality_score": q_quality_score,
+        "repetition_score": q_repetition_score,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "token_stats": q_token_stats,
@@ -914,6 +919,44 @@ def oracle_sql() -> dict[str, str]:
                          round(n_stop / CAST(n_tokens AS DOUBLE), 4) * 0.3 +
                          least(1.0, mean_len / 8.0) * 0.2, 4) AS quality_score
             FROM base
+        """,
+        # repetition_score: Gopher-style repetition gates; bigram mode
+        # via per-doc max over grouped bigram counts (the engine does
+        # the same inside a map-side Counter kernel)
+        "repetition_score": f"""
+            WITH base AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     string_split(text, ' ') AS ws
+              FROM documents),
+            w AS (
+              SELECT doc_id,
+                     CAST(len(ws) AS BIGINT) AS n_words,
+                     round(1.0 - len(list_distinct(ws)) /
+                           CAST(len(ws) AS DOUBLE), 4) AS dup_word_ratio
+              FROM base),
+            big AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       generate_series(1, len(ws) - 1),
+                       i -> ws[i] || ' ' || ws[i + 1])) AS bg
+              FROM base WHERE len(ws) >= 2),
+            cnt AS (
+              SELECT doc_id, bg, count(*) AS c
+              FROM big GROUP BY doc_id, bg),
+            top AS (
+              SELECT doc_id,
+                     round(max(c) / CAST(sum(c) AS DOUBLE), 4)
+                       AS top_bigram_frac
+              FROM cnt GROUP BY doc_id)
+            SELECT w.doc_id, w.n_words, w.dup_word_ratio,
+                   coalesce(t.top_bigram_frac, 0.0) AS top_bigram_frac,
+                   w.n_words >= {textops.REP_MIN_WORDS}
+                     AND w.n_words <= {textops.REP_MAX_WORDS}
+                     AND w.dup_word_ratio <= {textops.REP_DUP_WORD_MAX}
+                     AND coalesce(t.top_bigram_frac, 0.0)
+                           <= {textops.REP_TOP_BIGRAM_MAX}
+                     AS repetition_ok
+            FROM w LEFT JOIN top t ON t.doc_id = w.doc_id
         """,
         "lang_id": f"""
             WITH base AS (

@@ -1564,3 +1564,80 @@ def ann_cosine_topk(df: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame
         .select("query_id", "rank", F.col("vec_id").alias("neighbor_id"),
                 "cosine")
     )
+
+
+# Gopher-style repetition gates (Rae et al. 2021, "Scaling Language
+# Models: ... Gopher", §A1.1 repetition filters — public spec; thresholds
+# are constants of this repo so the oracle is reproducible).
+REP_MIN_WORDS = 20
+REP_MAX_WORDS = 100_000
+REP_DUP_WORD_MAX = 0.30
+REP_TOP_BIGRAM_MAX = 0.20
+
+
+def repetition_scores(df: DataFrame) -> DataFrame:
+    """Repetition-based quality signals per document: duplicate-word
+    ratio (1 - distinct/total) and the corpus-classic top-bigram
+    fraction (occurrences of the most frequent word bigram / total
+    bigrams), plus the composed Gopher-style keep bit.
+
+    Scale shape: ENTIRELY map-side — the per-doc bigram mode is
+    computed inside an Arrow-batched kernel (a Counter per doc), so no
+    explode ever reaches a shuffle; output is one slim row per doc.
+    The expression alternative (explode bigrams -> groupBy(doc, bigram)
+    -> window max) would shuffle the full token stream twice. Ties in
+    the bigram mode don't matter: only the max COUNT is emitted."""
+    import pandas as pd
+
+    def gen(batches):
+        from collections import Counter
+
+        for pdf in batches:
+            ids, n_words, dup_ratio, top_big = [], [], [], []
+            for did, t in zip(pdf["doc_id"], pdf["text"]):
+                if t is None:
+                    continue
+                ws = t.split(" ")
+                n = len(ws)
+                ids.append(int(did))
+                n_words.append(n)
+                # NO Python round() here: it rounds half-to-even, while
+                # Spark's F.round and DuckDB's round are HALF_UP — a
+                # ratio like 2/64 = 0.03125 would diverge at 4 decimals.
+                # Raw doubles out; F.round below keeps both engines on
+                # the same IEEE value + the same rounding rule.
+                dup_ratio.append(1.0 - len(set(ws)) / n)
+                if n >= 2:
+                    c = Counter(zip(ws, ws[1:]))
+                    top_big.append(max(c.values()) / (n - 1))
+                else:
+                    top_big.append(0.0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_words": pd.Series(n_words, dtype="int64"),
+                    "dup_word_ratio": pd.Series(dup_ratio, dtype="float64"),
+                    "top_bigram_frac": pd.Series(top_big, dtype="float64"),
+                }
+            )
+
+    scored = df.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    ).mapInPandas(
+        gen,
+        "doc_id long, n_words long, dup_word_ratio double, "
+        "top_bigram_frac double",
+    )
+    scored = scored.select(
+        "doc_id",
+        "n_words",
+        F.round("dup_word_ratio", 4).alias("dup_word_ratio"),
+        F.round("top_bigram_frac", 4).alias("top_bigram_frac"),
+    )
+    return scored.withColumn(
+        "repetition_ok",
+        (F.col("n_words") >= REP_MIN_WORDS)
+        & (F.col("n_words") <= REP_MAX_WORDS)
+        & (F.col("dup_word_ratio") <= REP_DUP_WORD_MAX)
+        & (F.col("top_bigram_frac") <= REP_TOP_BIGRAM_MAX),
+    )

@@ -615,3 +615,28 @@ def test_fused_shingle_kernel_fuzz_vs_expression(spark):
             for r in df.select(
                 "doc_id", textops.shingles3().alias("sh")).collect()}
     assert fused == expr
+
+
+def test_repetition_scores_semantics_and_mapside_plan(spark):
+    """Gopher-style repetition gates: a boilerplate doc (one bigram
+    dominating) must fail, a diverse doc must pass; and the whole
+    operator is map-side — NO exchange anywhere in the plan (the
+    bigram mode lives in the Arrow kernel, not in an explode+groupBy)."""
+    diverse = " ".join(f"w{i}" for i in range(60))
+    spammy = "buy now " * 40  # trailing empty word too
+    df = spark.createDataFrame(
+        [(1, diverse), (2, spammy.strip()), (3, "tiny doc")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in textops.repetition_scores(df).collect()}
+    assert out[1].repetition_ok
+    assert out[1].dup_word_ratio == 0.0
+    # "buy now buy now ...": bigram "now buy" (39x) and "buy now" (40x)
+    # over 79 bigrams -> top fraction > 0.5; dup ratio ~ 1 - 2/80
+    assert not out[2].repetition_ok
+    assert out[2].top_bigram_frac > textops.REP_TOP_BIGRAM_MAX
+    assert out[2].dup_word_ratio > textops.REP_DUP_WORD_MAX
+    assert not out[3].repetition_ok  # under REP_MIN_WORDS
+    assert out[3].top_bigram_frac == 1.0  # one bigram, once
+    plan = plan_of(textops.repetition_scores(df))
+    assert "Exchange" not in plan, plan
