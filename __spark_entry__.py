@@ -280,6 +280,10 @@ def q_ann_lsh_topk(spark, sf_dir):
     return textops.ann_lsh_topk(_emb(spark, sf_dir), dim=EMBED_DIM)
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    return textops.ann_ivf_topk(_emb(spark, sf_dir))
+
+
 def q_dedup_embedding_cosine(spark, sf_dir):
     return textops.dedup_embedding_cosine(_emb(spark, sf_dir), dim=EMBED_DIM)
 
@@ -544,6 +548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window_stats": q_events_window_stats,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "media_dedup": q_media_dedup,
         "media_frames": q_media_frames,
@@ -1207,6 +1212,62 @@ def oracle_sql() -> dict[str, str]:
                      (PARTITION BY query_id
                       ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank,
                    vec_id AS neighbor_id, bucket, cosine
+            FROM scored
+            QUALIFY rank <= 5
+        """,
+        # ann_ivf_topk: seeded-centroid IVF-flat (centroids = vec_id in
+        # [10, 10+16), cid = vec_id - 10); argmin assignment by (d2,
+        # cid); each query probes its 2 nearest lists; exact-cosine
+        # top-5. d2/dot via list_reduce = sequential fold, matching
+        # Spark's aggregate() exactly.
+        "ann_ivf_topk": f"""
+            WITH emb AS (
+              SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+            n AS (
+              SELECT vec_id, v,
+                     sqrt(list_reduce(list_transform(v, x -> x*x),
+                                      (acc, x) -> acc + x)) AS norm
+              FROM emb),
+            cents AS (
+              SELECT vec_id - 10 AS cid, v AS cv
+              FROM emb WHERE vec_id >= 10 AND vec_id < {10 + textops.IVF_CENTROIDS}),
+            pairs AS (
+              SELECT e.vec_id, e.v, e.norm, c.cid,
+                     list_reduce(list_transform(
+                       generate_series(1, len(e.v)),
+                       i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])),
+                       (acc, x) -> acc + x) AS d2
+              FROM n e, cents c),
+            assigned AS (
+              SELECT vec_id, v, norm, cid
+              FROM (SELECT *, row_number() OVER
+                      (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+                    FROM pairs)
+              WHERE rn = 1),
+            qprobe AS (
+              SELECT vec_id AS query_id, cid AS probe_cid,
+                     v AS qv, norm AS qnorm
+              FROM (SELECT *, row_number() OVER
+                      (PARTITION BY vec_id ORDER BY d2, cid) AS pr
+                    FROM pairs WHERE vec_id < 10)
+              WHERE pr <= {textops.IVF_PROBE}),
+            scored AS (
+              SELECT q.query_id, a.vec_id, a.cid,
+                     round(list_reduce(list_transform(
+                             generate_series(1, len(a.v)),
+                             i -> a.v[i] * q.qv[i]),
+                             (acc, x) -> acc + x)
+                           / (a.norm * q.qnorm), 4) AS cosine
+              FROM assigned a JOIN qprobe q ON a.cid = q.probe_cid
+              WHERE a.vec_id <> q.query_id)
+            SELECT query_id,
+                   CAST(row_number() OVER
+                     (PARTITION BY query_id
+                      ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank,
+                   vec_id AS neighbor_id, CAST(cid AS BIGINT) AS cid,
+                   cosine
             FROM scored
             QUALIFY rank <= 5
         """,

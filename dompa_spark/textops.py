@@ -1641,3 +1641,98 @@ def repetition_scores(df: DataFrame) -> DataFrame:
         & (F.col("dup_word_ratio") <= REP_DUP_WORD_MAX)
         & (F.col("top_bigram_frac") <= REP_TOP_BIGRAM_MAX),
     )
+
+
+IVF_CENTROIDS = 16
+IVF_PROBE = 2
+
+
+def ann_ivf_topk(
+    df: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_centroids: int = IVF_CENTROIDS,
+    n_probe: int = IVF_PROBE,
+) -> DataFrame:
+    """IVF-flat ANN — the coarse-quantizer variant of the scale path
+    (complement of the SRP ann_lsh_topk): vectors partition into
+    `n_centroids` inverted lists by nearest centroid; each query scans
+    only its `n_probe` nearest lists (~n_probe/n_centroids of the
+    corpus), candidates verify with exact cosine, top-k per query.
+
+    Centroids are SEEDED deterministically (the vectors with vec_id in
+    [n_queries, n_queries + n_centroids) — no training job, so index
+    construction stays action-free and the DuckDB oracle can rebuild
+    the identical index; a production build would Lloyd-iterate the
+    same assignment plan). Scale shape: the argmin assignment is a
+    map-side partial aggregation — the crossJoin against the broadcast
+    centroid table collapses to one row per vector BEFORE any shuffle
+    (min over (d2, cid) structs, deterministic under ties) — and the
+    probe join streams the corpus against a broadcast query side.
+    Distances fold sequentially (F.aggregate == list_reduce) so engine
+    parity is exact."""
+    from pyspark.sql.window import Window
+
+    emb = df.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    norm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
+    emb = emb.withColumn("norm", norm)
+    cents = emb.filter(
+        (F.col("vec_id") >= n_queries)
+        & (F.col("vec_id") < n_queries + n_centroids)
+    ).select(
+        (F.col("vec_id") - n_queries).alias("cid"),
+        F.col("v").alias("cv"),
+    )
+    d2 = F.aggregate(
+        F.zip_with("v", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = emb.crossJoin(F.broadcast(cents)).withColumn("d2", d2)
+    assigned = (
+        pairs.groupBy("vec_id")
+        .agg(
+            F.min(F.struct("d2", "cid")).alias("m"),
+            F.first("v").alias("v"),
+            F.first("norm").alias("norm"),
+        )
+        .select("vec_id", F.col("m.cid").alias("cid"), "v", "norm")
+    )
+    probe_w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    qprobe = (
+        pairs.filter(F.col("vec_id") < n_queries)
+        .withColumn("pr", F.row_number().over(probe_w))
+        .filter(F.col("pr") <= n_probe)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("cid").alias("probe_cid"),
+            F.col("v").alias("qv"),
+            F.col("norm").alias("qnorm"),
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with("v", "qv", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        assigned.join(
+            F.broadcast(qprobe), F.col("cid") == F.col("probe_cid")
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cosine", F.round(dot / (F.col("norm") * F.col("qnorm")), 4)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", F.col("vec_id").alias("neighbor_id"),
+                F.col("cid").cast("long").alias("cid"), "cosine")
+    )

@@ -90,7 +90,11 @@ def test_no_unbounded_cartesian_products(spark, entry_mod):
     # tfidf_top_terms: corpus size N joins in as a broadcast SINGLE-ROW
     #   aggregate (the no-driver-count way to get a global scalar) — a
     #   1-row BNLJ is a constant, not an all-pairs join
-    allowed_bnlj = {"ann_cosine_topk", "tfidf_top_terms"}
+    # ann_ivf_topk: the coarse-quantizer assignment joins every vector
+    #   against the broadcast n_centroids-row (16) centroid table by
+    #   construction — a bounded-constant fanout that collapses map-side
+    #   (partial_min) before any shuffle, not an all-pairs join
+    allowed_bnlj = {"ann_cosine_topk", "tfidf_top_terms", "ann_ivf_topk"}
     for name, fn in entry_mod.queries().items():
         plan = plan_of(fn(spark, SF_DIR))
         assert "CartesianProduct" not in plan, f"{name} has a cartesian join"

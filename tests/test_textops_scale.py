@@ -640,3 +640,28 @@ def test_repetition_scores_semantics_and_mapside_plan(spark):
     assert out[3].top_bigram_frac == 1.0  # one bigram, once
     plan = plan_of(textops.repetition_scores(df))
     assert "Exchange" not in plan, plan
+
+
+def test_ann_ivf_assignment_is_mapside_and_prunes(spark):
+    """IVF-flat: the centroid argmin must partial-aggregate BEFORE its
+    shuffle (a vector's K centroid rows collapse map-side — the plan
+    carries partial_min), and each query must score only its probed
+    inverted lists (~n_probe/n_centroids of the corpus), not the whole
+    table."""
+    emb = _pseudo_vectors(spark, 800).select(
+        "vec_id", F.col("v").alias("embedding")
+    )
+    out = textops.ann_ivf_topk(emb, n_queries=6, k=5)
+    plan = plan_of(out)
+    assert "partial_min" in plan, plan
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == set(range(6))
+    for q, rs in by_q.items():
+        assert [r.rank for r in sorted(rs, key=lambda r: r.rank)] == [1, 2, 3, 4, 5]
+        cos = [r.cosine for r in sorted(rs, key=lambda r: r.rank)]
+        assert cos == sorted(cos, reverse=True)
+        # every neighbor lives in one of the query's probed lists
+        assert len({r.cid for r in rs}) <= textops.IVF_PROBE
