@@ -311,3 +311,58 @@ def test_staging_marker_on_scheme_qualified_path(spark, small_corpus, tmp_path):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(chunk" in plan or \
         "chunk#" in plan.split("PartitionFilters")[1][:80], plan
+
+
+def test_curate_job_cli(spark, tmp_path, capsys):
+    """The curation spark-submit entry point end-to-end in-process:
+    decisions parquet equals the operator composition (incl. the
+    --with-repetition AND), --kept-only writes the slim join list."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from dompa_spark import textops
+    from dompa_spark.jobs import curate
+
+    in_path = str(tmp_path / "docs_in")
+    spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(0), (F.col("id") % 50 + 5).cast("int")),
+                lambda j: F.concat(F.lit("the word"), F.col("id") * 3 + j),
+            ),
+        ).alias("text"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("other").alias("lang"),
+        F.concat(F.lit("s"), F.col("id") % 7).alias("source"),
+    ).write.mode("overwrite").parquet(in_path)
+
+    out1 = str(tmp_path / "decisions")
+    rc = curate.main([
+        "--input", in_path, "--output", out1, "--with-repetition",
+        "--master", "local[2]",
+    ])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    got = {r.doc_id: (r.kept, r.repetition_ok)
+           for r in spark.read.parquet(out1).collect()}
+    docs = spark.read.parquet(in_path)
+    want_cur = {r.doc_id: r.kept
+                for r in textops.curate_corpus(docs).collect()}
+    want_rep = {r.doc_id: r.repetition_ok
+                for r in textops.repetition_scores(docs).collect()}
+    assert len(got) == 200 and stats["docs"] == 200
+    for d, (kept, rep_ok) in got.items():
+        assert rep_ok == want_rep[d]
+        assert kept == (want_cur[d] and want_rep[d])
+    assert stats["kept"] == sum(1 for k, r in got.values() if k)
+
+    out2 = str(tmp_path / "kept_only")
+    rc = curate.main([
+        "--input", in_path, "--output", out2, "--with-repetition",
+        "--kept-only", "--master", "local[2]",
+    ])
+    assert rc == 0
+    kept_ids = {r.doc_id for r in spark.read.parquet(out2).collect()}
+    assert kept_ids == {d for d, (k, _) in got.items() if k}
