@@ -1,0 +1,188 @@
+#!/usr/bin/env python3
+"""spark-submit entry point for the COMPOSED training-corpus pipeline:
+
+    raw interleaved docs -> extraction (resumable, chunked)
+                         -> doc text assembly + language-ID
+                         -> curation (quality / sample / domain cap /
+                            exact dedup, optional repetition gate)
+                         -> near-dup dedup (linear LSH star edges ->
+                            connected components, canonical keeper)
+                         -> kept corpus + one JSON stats line
+
+    spark-submit --py-files dompa_spark.zip \
+        dompa_spark/jobs/pretrain_corpus.py \
+        --input /path/raw_docs --workdir /path/work \
+        [--chunk-parts N] [--with-repetition] [--no-resume]
+
+Every stage is the corresponding tested operator (pipeline.run_extract,
+textops.lang_id_heuristic / curate_corpus / repetition_scores /
+minhash_band_edges, graphops.connected_components) — this job only
+sequences them and owns the stage directories. Stage outputs land under
+{workdir}/{extracted,docs,decisions,kept}; a completed stage (parquet
+_SUCCESS marker) is skipped on resume, so a killed run restarts where
+it stopped — extraction itself resumes at chunk granularity below that.
+
+Scale notes: the assembled docs table is written once and re-read by
+the two consumer stages (cheaper than recomputing the concat at 100 TB
+— and it gives the stage boundary durability); near-dup clustering
+uses the linear star-edge path (B edges per B-clique), never the
+quadratic pair object; the final keep join is doc_id-keyed and
+AQE-managed.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _stage_done(spark, path: str) -> bool:
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path + "/_SUCCESS")
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()).exists(p)
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(
+        description="dompa_spark composed pretraining-corpus pipeline"
+    )
+    p.add_argument("--input", required=True)
+    p.add_argument("--workdir", required=True)
+    p.add_argument("--chunk-parts", type=int, default=0)
+    p.add_argument("--light-parts", type=int, default=None)
+    p.add_argument("--heavy-parts", type=int, default=None)
+    p.add_argument("--with-repetition", action="store_true")
+    p.add_argument("--domain-cap", type=int, default=None,
+                   help="docs kept per source domain (default: the "
+                        "operator's DOMAIN_CAP; raise for corpora with "
+                        "few distinct sources)")
+    p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--master", default=None)
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from dompa_spark import graphops, pipeline, textops
+
+    builder = SparkSession.builder.appName("dompa-spark-pretrain-corpus")
+    if args.master:
+        builder = builder.master(args.master)
+    owns_session = SparkSession.getActiveSession() is None
+    spark = pipeline.session_confs(builder).getOrCreate()
+    resume = not args.no_resume
+
+    extracted = f"{args.workdir}/extracted"
+    docs_path = f"{args.workdir}/docs"
+    decisions = f"{args.workdir}/decisions"
+    kept_path = f"{args.workdir}/kept"
+
+    # 1. extraction (chunk-resumable on its own manifest)
+    kwargs = {}
+    if args.light_parts is not None:
+        kwargs["light_parts"] = args.light_parts
+    if args.heavy_parts is not None:
+        kwargs["heavy_parts"] = args.heavy_parts
+    pipeline.run_extract(
+        spark, args.input, extracted,
+        chunk_parts=args.chunk_parts, resume=resume, **kwargs,
+    )
+
+    # 2. doc assembly: spans -> text; source from the first media ref
+    # (media://<source>/<id>); lang from the language-ID heuristic —
+    # the operators' own composition (lang feeds stratified sampling)
+    if not (resume and _stage_done(spark, docs_path)):
+        ext = spark.read.parquet(extracted)
+        text = F.concat_ws(
+            " ",
+            F.filter(
+                F.transform("spans", lambda s: s["text"]),
+                lambda t: t.isNotNull(),
+            ),
+        )
+        # F.get is null-safe on empty arrays (docs without media spans);
+        # element_at would throw under ANSI mode
+        first_media = F.get(
+            F.filter(
+                F.transform("spans", lambda s: s["media_ref"]),
+                lambda m: m.isNotNull(),
+            ),
+            0,
+        )
+        source = F.coalesce(
+            F.regexp_extract(first_media, r"^([a-z]+://[^/]+)", 1),
+            F.lit("unknown"),
+        )
+        # the text operators key on a LONG doc_id; string identities get
+        # a deterministic xxhash64 surrogate (collision odds ~(n^2)/2^65
+        # — negligible below ~10^9 docs; a 10^12-doc deployment would
+        # assign a monotonic surrogate at ingest instead), with the
+        # original id carried alongside for the final output
+        base = ext.select(
+            F.xxhash64(F.col("doc_id").cast("string")).alias("doc_id"),
+            F.col("doc_id").cast("string").alias("orig_doc_id"),
+            text.alias("text"),
+            F.when(source == "", "unknown").otherwise(source).alias("source"),
+        )
+        lang = textops.lang_id_heuristic(base).select(
+            "doc_id", F.col("lang_pred").alias("lang")
+        )
+        base.join(lang, "doc_id").write.mode("overwrite").parquet(docs_path)
+
+    # 3. curation decisions (single-scan composition + optional
+    # repetition gate), AND near-dup canonical flags
+    if not (resume and _stage_done(spark, decisions)):
+        docs = spark.read.parquet(docs_path)
+        ckw = {}
+        if args.domain_cap is not None:
+            ckw["domain_cap_n"] = args.domain_cap
+        cur = textops.curate_corpus(docs, **ckw)
+        if args.with_repetition:
+            rep = textops.repetition_scores(docs).select(
+                "doc_id", "repetition_ok"
+            )
+            cur = cur.join(rep, "doc_id", "left").withColumn(
+                "repetition_ok", F.coalesce("repetition_ok", F.lit(False))
+            ).withColumn("kept", F.col("kept") & F.col("repetition_ok"))
+        # linear near-dup clustering; non-canonical cluster members drop
+        edges = textops.minhash_band_edges(docs)
+        cc = graphops.dedup_components(edges).select(
+            "doc_id", "is_canonical"
+        )
+        out = cur.join(cc, "doc_id", "left").withColumn(
+            "near_dup_drop", ~F.coalesce("is_canonical", F.lit(True))
+        ).withColumn(
+            "kept", F.col("kept") & ~F.col("near_dup_drop")
+        ).drop("is_canonical")
+        out.write.mode("overwrite").parquet(decisions)
+
+    # 4. kept corpus: the curated, deduped documents (original string
+    # ids restored as the identity column)
+    if not (resume and _stage_done(spark, kept_path)):
+        docs = spark.read.parquet(docs_path)
+        keep = spark.read.parquet(decisions).filter("kept").select("doc_id")
+        (
+            docs.join(keep, "doc_id")
+            .select(
+                F.col("orig_doc_id").alias("doc_id"),
+                "text", "source", "lang",
+            )
+            .write.mode("overwrite")
+            .parquet(kept_path)
+        )
+
+    dec = spark.read.parquet(decisions)
+    stats = {
+        "docs": dec.count(),
+        "kept": dec.filter("kept").count(),
+        "near_dup_dropped": dec.filter("near_dup_drop").count(),
+    }
+    print(json.dumps(stats))
+    if owns_session:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1097,7 +1097,9 @@ CURATE_QUALITY_MIN = 0.5
 
 
 def curate_corpus(
-    df: DataFrame, quality_min: float = CURATE_QUALITY_MIN
+    df: DataFrame,
+    quality_min: float = CURATE_QUALITY_MIN,
+    domain_cap_n: int = DOMAIN_CAP,
 ) -> DataFrame:
     """The composed curation decision a training-data pipeline ships:
     quality gate AND stratified sample AND per-domain cap AND exact
@@ -1121,7 +1123,9 @@ def curate_corpus(
         sample_keep_col().alias("sampled"),
         dedup_key_col().alias("dedup_key"),
     ).cache()
-    c = domain_cap(slim).select("doc_id", F.lit(True).alias("capped_in"))
+    c = domain_cap(slim, cap=domain_cap_n).select(
+        "doc_id", F.lit(True).alias("capped_in")
+    )
     d = _dedup_flags(slim.select("doc_id", "dedup_key")).select(
         "doc_id", "is_dup"
     )

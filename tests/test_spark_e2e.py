@@ -366,3 +366,69 @@ def test_curate_job_cli(spark, tmp_path, capsys):
     assert rc == 0
     kept_ids = {r.doc_id for r in spark.read.parquet(out2).collect()}
     assert kept_ids == {d for d, (k, _) in got.items() if k}
+
+
+def test_pretrain_corpus_pipeline_end_to_end(spark, small_corpus, tmp_path,
+                                             capsys):
+    """The composed pipeline job: extract -> assemble+lang -> curate ->
+    near-dup dedup -> kept corpus. Final kept set must equal the manual
+    operator composition over the assembled docs table; a rerun resumes
+    (stage outputs untouched, same stats)."""
+    import glob
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dompa_spark import graphops, textops
+    from dompa_spark.jobs import pretrain_corpus
+
+    wd = str(tmp_path / "work")
+    rc = pretrain_corpus.main([
+        "--input", small_corpus, "--workdir", wd,
+        "--chunk-parts", "4", "--with-repetition",
+        "--domain-cap", "100",
+        "--light-parts", "6", "--heavy-parts", "2",
+        "--master", "local[2]",
+    ])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["docs"] == 300
+    assert 0 < stats["kept"] < 300
+
+    docs = spark.read.parquet(f"{wd}/docs")
+    cur = {r.doc_id: r.kept
+           for r in textops.curate_corpus(docs, domain_cap_n=100).collect()}
+    rep = {r.doc_id: r.repetition_ok
+           for r in textops.repetition_scores(docs).collect()}
+    cc = {r.doc_id: r.is_canonical
+          for r in graphops.dedup_components(
+              textops.minhash_band_edges(docs)).collect()}
+    key_of = {r.doc_id: r.orig_doc_id for r in docs.collect()}
+    want_kept = {
+        key_of[d]
+        for d in cur
+        if cur[d] and rep[d] and cc.get(d, True)
+    }
+    got_kept = {r.doc_id
+                for r in spark.read.parquet(f"{wd}/kept").collect()}
+    assert got_kept == want_kept
+    # kept corpus carries the original string identities
+    assert all(d.startswith("doc-") for d in got_kept)
+
+    # resume: stage parquet files untouched on rerun, same stats
+    files1 = sorted(glob.glob(f"{wd}/docs/**/*.parquet", recursive=True))
+    mtimes1 = [os.path.getmtime(f) for f in files1]
+    rc = pretrain_corpus.main([
+        "--input", small_corpus, "--workdir", wd,
+        "--chunk-parts", "4", "--with-repetition",
+        "--domain-cap", "100",
+        "--light-parts", "6", "--heavy-parts", "2",
+        "--master", "local[2]",
+    ])
+    assert rc == 0
+    stats2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats2 == stats
+    files2 = sorted(glob.glob(f"{wd}/docs/**/*.parquet", recursive=True))
+    assert files2 == files1
+    assert [os.path.getmtime(f) for f in files2] == mtimes1
