@@ -104,3 +104,47 @@ def test_spark_submit_resume_skips_done_chunks(workdir):
     assert stats["parts_skipped"] == stats["parts_total"] == 6
     assert stats["chunks_run"] == 0
     assert stats["docs"] == 0
+
+
+def test_spark_submit_pretrain_corpus_pipeline(workdir):
+    """The composed pipeline job under REAL spark-submit --py-files —
+    the production invocation for the full extract->curate->dedup->kept
+    flow. Runs from the clean workdir: imports come only from the zip."""
+    shutil.copy(
+        os.path.join(REPO, "dompa_spark", "jobs", "pretrain_corpus.py"),
+        os.path.join(str(workdir), "pretrain_corpus.py"),
+    )
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["PYSPARK_PYTHON"] = env["PYSPARK_DRIVER_PYTHON"] = sys.executable
+    proc = subprocess.run(
+        [
+            _spark_submit(),
+            "--master", "local[4]",
+            "--conf", "spark.sql.shuffle.partitions=8",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", str(workdir / "dompa_spark.zip"),
+            str(workdir / "pretrain_corpus.py"),
+            "--input", str(workdir / "corpus"),
+            "--workdir", str(workdir / "pipeline_work"),
+            "--chunk-parts", "4",
+            "--light-parts", "4", "--heavy-parts", "2",
+            "--with-repetition", "--domain-cap", "100",
+        ],
+        cwd=str(workdir),
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    stats = json.loads(
+        [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
+    )
+    assert stats["docs"] == N_DOCS
+    assert 0 < stats["kept"] < N_DOCS
+    con = duckdb.connect()
+    n_kept = con.execute(
+        f"SELECT count(DISTINCT doc_id) FROM "
+        f"'{workdir}/pipeline_work/kept/*.parquet'"
+    ).fetchone()[0]
+    assert n_kept == stats["kept"]
