@@ -640,16 +640,17 @@ def _salted_keyed_cte(cap: int, src: str = "banded",
               FROM {src} s JOIN counts c USING (band, {key}))"""
 
 
-def _simhash_half_sql(salt: str, text_col: str = "text") -> str:
-    """One 60-bit simhash half: per-word md5 of (salt + word), majority
-    rule per bit — mirrors textops._simhash_wide_udf's half()."""
-    w_expr = f"'{salt}' || w" if salt else "w"
+def _simhash_half_sql(hex_start: int, text_col: str = "text") -> str:
+    """One 60-bit simhash half from a 15-hex-char range of the per-word
+    md5 digest (hex_start 1 = the narrow hash's bits, 17 = the wide
+    fingerprint's second family), majority rule per bit — mirrors
+    textops._simhash_halves."""
     return f"""CAST(list_sum(list_transform(
                   generate_series(0, {textops.SIMHASH_BITS - 1}),
                   b -> CASE WHEN list_sum(list_transform(
                          string_split({text_col},' '),
                          w -> CASE WHEN (CAST('0x' ||
-                                   substr(md5({w_expr}),1,15)
+                                   substr(md5(w),{hex_start},15)
                                    AS BIGINT) >> b) % 2 = 1
                               THEN 1 ELSE -1 END)) > 0
                        THEN (CAST(1 AS BIGINT) << b) ELSE 0 END))
@@ -838,16 +839,16 @@ def oracle_sql() -> dict[str, str]:
                      THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash
             FROM documents
         """,
-        # simhash_dedup: 120-bit wide fingerprint (two md5 salts, lo =
-        # md5(w), hi = md5('w2:'+w)) -> 4 x 30-bit bands -> salted
+        # simhash_dedup: 120-bit wide fingerprint (two disjoint hex
+        # ranges of one md5 per word) -> 4 x 30-bit bands -> salted
         # hot-bucket keys -> slim candidate self-join -> exact two-half
         # popcount verify (textops.simhash_dedup in lock-step)
         "simhash_dedup": f"""
             WITH aug AS ({_AUG}),
             sim AS (
               SELECT doc_id,
-                {_simhash_half_sql('')} AS lo,
-                {_simhash_half_sql(textops.SIMHASH_WIDE_SALT)} AS hi
+                {_simhash_half_sql(1)} AS lo,
+                {_simhash_half_sql(textops.SIMHASH_WIDE_HALF2_HEX_START)} AS hi
               FROM aug),
             bands AS (
               SELECT doc_id, b.band,
@@ -883,8 +884,8 @@ def oracle_sql() -> dict[str, str]:
             WITH aug AS ({_AUG}),
             sim AS (
               SELECT doc_id,
-                {_simhash_half_sql('')} AS lo,
-                {_simhash_half_sql(textops.SIMHASH_WIDE_SALT)} AS hi
+                {_simhash_half_sql(1)} AS lo,
+                {_simhash_half_sql(textops.SIMHASH_WIDE_HALF2_HEX_START)} AS hi
               FROM aug),
             bands AS (
               SELECT doc_id, b.band,

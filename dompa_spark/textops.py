@@ -527,14 +527,17 @@ def minhash_lsh_pairs(
 SIMHASH_BITS = 60
 
 
-def _simhash_halves(texts, salts: list[bytes]):
-    """Shared flattened simhash kernel: one md5 stream per salt over
-    ALL words of the Arrow batch, per-doc bit one-counts via a
+def _simhash_halves(texts, n_halves: int = 1):
+    """Shared flattened simhash kernel: ONE md5 digest per word for up
+    to two independent 60-bit families — half 1 is hex chars 1-15 of
+    the digest (bytes [0:8] >> 4), half 2 is hex chars 17-31 (bytes
+    [8:16] >> 4). md5's avalanche makes disjoint digest bit ranges
+    independent families, so the wide fingerprint costs NO extra
+    hashing over the narrow one (a salted second md5 stream would
+    double the kernel's dominant cost). Per-doc bit one-counts via a
     segmented add.reduceat, majority rule per bit (2*ones_b > n_words —
-    identical to the ±1 sign-sum spec). Returns (null_mask, [per-salt
-    int64 arrays over the non-null rows]). Per-row numpy calls are the
-    old kernel's dominant overhead; this does three numpy ops per salt
-    per batch."""
+    identical to the ±1 sign-sum spec). Returns (null_mask, [per-half
+    int64 arrays over the non-null rows])."""
     import hashlib
 
     import numpy as np
@@ -543,30 +546,32 @@ def _simhash_halves(texts, salts: list[bytes]):
     split = [t.split(" ") for t in texts if t is not None]
     m = len(split)
     if m == 0:
-        return null_mask, [np.empty(0, np.int64) for _ in salts]
+        return null_mask, [np.empty(0, np.int64) for _ in range(n_halves)]
     lens = np.fromiter((len(ws) for ws in split), np.int64, count=m)
-    flat = [w for ws in split for w in ws]
+    digs = [hashlib.md5(w.encode()).digest() for ws in split for w in ws]
     starts = np.zeros(m, np.int64)
     np.cumsum(lens[:-1], out=starts[1:])
     outs = []
-    for salt in salts:
+    for half in range(n_halves):
+        b0, b1 = (0, 8) if half == 0 else (8, 16)
         h = np.fromiter(
-            (
-                int.from_bytes(
-                    hashlib.md5(salt + w.encode()).digest()[:8], "big"
-                )
-                >> 4
-                for w in flat
-            ),
+            (int.from_bytes(d[b0:b1], "big") >> 4 for d in digs),
             dtype=np.int64,
-            count=len(flat),
+            count=len(digs),
         )
-        # one bit-plane at a time: O(total) transient memory (the
-        # (total, 60) matrix would hit GBs on heavy-tail batches)
+        # bit-planes in chunks of 4: one 2-D reduceat covers 4 planes
+        # (15 numpy passes instead of 60) while transient memory stays
+        # ~32 B/word — the full (total, 60) matrix would hit GBs on
+        # heavy-tail batches
         sim = np.zeros(m, np.int64)
-        for b in range(SIMHASH_BITS):
-            ones_b = np.add.reduceat((h >> b) & 1, starts)
-            sim |= (ones_b * 2 > lens).astype(np.int64) << b
+        for c in range(0, SIMHASH_BITS, 4):
+            bits = np.arange(c, c + 4, dtype=np.int64)
+            ones = np.add.reduceat(
+                (h[:, None] >> bits) & 1, starts, axis=0
+            )  # (m, 4)
+            sim |= (
+                ((ones * 2 > lens[:, None]).astype(np.int64) << bits)
+            ).sum(axis=1)
         outs.append(sim)
     return null_mask, outs
 
@@ -580,7 +585,7 @@ def _simhash_udf():
     from pyspark.sql.functions import pandas_udf
 
     def f(texts):
-        null_mask, (sims,) = _simhash_halves(texts, [b""])
+        null_mask, (sims,) = _simhash_halves(texts, 1)
         out, i = [], 0
         for is_null in null_mask:
             if is_null:  # null text -> null simhash, like the old
@@ -611,29 +616,28 @@ SIMHASH_BAND_BITS = 15  # 32,768 key values per band: at n docs a bucket
 SIMHASH_BAND_MASK = (1 << SIMHASH_BAND_BITS) - 1
 SIMHASH_HAMMING_MAX = 3
 
-# Wide fingerprint for the 10^9+ tier: two independently-salted md5s per
-# word give 120 bits -> 4 x 30-bit bands. The hamming<=3 pigeonhole still
-# allows exactly 4 bands, but each band key now spans 2^30 values, so
-# uniform-corpus candidate growth is ~n^2/2^32 — linear to ~10^10 docs
-# before the hot-bucket cap even fires. Each 60-bit half stays a separate
-# BIGINT (DuckDB-portable; a single 120-bit int is not).
-SIMHASH_WIDE_SALT = "w2:"  # second-half md5 salt prefix
+# Wide fingerprint for the 10^9+ tier: two disjoint 60-bit ranges of ONE
+# md5 digest per word give 120 bits -> 4 x 30-bit bands. The hamming<=3
+# pigeonhole still allows exactly 4 bands, but each band key now spans
+# 2^30 values, so uniform-corpus candidate growth is ~n^2/2^32 — linear
+# to ~10^10 docs before the hot-bucket cap even fires. Each 60-bit half
+# stays a separate BIGINT (DuckDB-portable: substr(md5, 1|17, 15); a
+# single 120-bit int is not).
+SIMHASH_WIDE_HALF2_HEX_START = 17  # 1-based hex offset of the hi half
 SIMHASH_WIDE_BAND_BITS = 30
 SIMHASH_WIDE_BAND_MASK = (1 << SIMHASH_WIDE_BAND_BITS) - 1
 
 
 def _simhash_wide_udf():
-    """Arrow-vectorized 120-bit simhash as two 60-bit halves: half 1
-    from md5(w), half 2 from md5('w2:'+w) — independent bit families
-    from one extra md5 per word. Flattened batch kernel
-    (_simhash_halves); returns array<bigint> [lo, hi]."""
+    """Arrow-vectorized 120-bit simhash as two 60-bit halves from the
+    two disjoint hex ranges of one md5 digest per word (see
+    _simhash_halves — no extra hashing over the narrow simhash).
+    Returns array<bigint> [lo, hi]."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     def f(texts):
-        null_mask, (lo, hi) = _simhash_halves(
-            texts, [b"", SIMHASH_WIDE_SALT.encode()]
-        )
+        null_mask, (lo, hi) = _simhash_halves(texts, 2)
         out, i = [], 0
         for is_null in null_mask:
             if is_null:  # null text -> null fingerprint

@@ -566,13 +566,14 @@ def test_flattened_simhash_matches_per_row_reference(spark):
         "ünï çödé", "x " * 300 + "tail",
     ]
 
-    def ref_half(t, salt):
+    def ref_half(t, half):
+        b0, b1 = (0, 8) if half == 0 else (8, 16)
         ws = t.split(" ")
         out = 0
         for b in range(60):
             ones = sum(
                 (int.from_bytes(
-                    hashlib.md5(salt + w.encode()).digest()[:8], "big")
+                    hashlib.md5(w.encode()).digest()[b0:b1], "big")
                  >> 4 >> b) & 1
                 for w in ws
             )
@@ -584,13 +585,11 @@ def test_flattened_simhash_matches_per_row_reference(spark):
         [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
     )
     got60 = {r.doc_id: r.simhash for r in textops.simhash(df).collect()}
-    assert got60 == {i: ref_half(t, b"") for i, t in enumerate(texts)}
+    assert got60 == {i: ref_half(t, 0) for i, t in enumerate(texts)}
     gotw = {r.doc_id: (r.simhash_lo, r.simhash_hi)
             for r in textops.simhash_wide(df).collect()}
     assert gotw == {
-        i: (ref_half(t, b""),
-            ref_half(t, textops.SIMHASH_WIDE_SALT.encode()))
-        for i, t in enumerate(texts)
+        i: (ref_half(t, 0), ref_half(t, 1)) for i, t in enumerate(texts)
     }
 
 
