@@ -1,0 +1,78 @@
+"""The driver captures only the LAST 2,000 bytes of bench stdout; a
+final line longer than that is truncated mid-line and json.load fails
+("parsed": null — it happened in r02 and r03). Pin the byte budget of
+the line bench.py emits, with headroom for query-count growth."""
+
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import bench  # noqa: E402
+
+# 48 realistic query names (the live set is 40+; headroom for growth),
+# at the live set's name-length distribution.
+_QUERY_NAMES = [
+    "extract_main_text", "parse_roundtrip", "traverse_rewrite",
+    "parse_node_stats", "extract_interleaved", "extract_link_density",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_clusters",
+    "dedup_clusters_lsh", "simhash", "simhash_dedup",
+    "minhash_bucket_stats", "simhash_bucket_stats", "ngram_jaccard",
+    "quality_score", "repetition_score", "lang_id", "fingerprint",
+    "token_stats", "corpus_stats", "curate_corpus", "vocab_topk",
+    "tfidf_top_terms", "sample_stratified", "contamination",
+    "domain_cap", "events_sessionize", "events_window_stats",
+    "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
+    "dedup_embedding_cosine", "media_dedup", "media_frames",
+    "png_decode", "png_resize", "wav_decode", "pdf_layout",
+    "pdf_interleaved", "ann_recall_at_k", "minhash_lsh_fused_stats",
+    "simhash_fused_stats", "extra_query_name_a", "extra_query_name_b",
+    "extra_query_name_c", "extra_query_name_d", "extra_query_name_e",
+]
+
+# Worst-case scaling cache: 4 pairs (2->8 / 8->32, extract + noop),
+# every numeric field at max realistic width.
+_SCALING = {
+    "local[2]->local[8]:extract": {
+        "value": 0.853, "docs_per_sec_2": 12345.6,
+        "docs_per_sec_8": 98765.4, "walls_2": [99.99] * 3,
+        "task_metrics_2": {"executor_run_ms": 10**9},
+    },
+    "local[2]->local[8]:noop": {
+        "value": 0.975, "docs_per_sec_2": 12345.6,
+        "docs_per_sec_8": 98765.4,
+    },
+    "local[8]->local[32]:extract": {
+        "value": 0.503, "docs_per_sec_8": 98765.4,
+        "docs_per_sec_32": 198765.4,
+    },
+    "local[8]->local[32]:noop": {
+        "value": 0.434, "docs_per_sec_8": 98765.4,
+        "docs_per_sec_32": 198765.4,
+    },
+}
+
+
+def test_bench_line_under_driver_tail_buffer():
+    qtimes = {name: 99.999 for name in _QUERY_NAMES}
+    out = bench.build_output(
+        wall=99.999, qtimes=qtimes, sf=0.1, docs=600000,
+        chars=1_600_000_000, cold_wall=99.999, cpus=32,
+        scaling_cache=_SCALING,
+    )
+    line = json.dumps(out)
+    assert len(line) < 1900, (
+        f"bench final line is {len(line)} bytes; driver tail buffer is "
+        "2000 — trim fields (see build_output docstring)"
+    )
+    # and it survives the driver's parse
+    assert json.loads(line)["metric"] == "e2e_extract_wall"
+
+
+def test_bench_line_strips_scaling_detail():
+    out = bench.build_output(
+        wall=1.0, qtimes={}, sf=0.1, docs=1, chars=1, cold_wall=1.0,
+        cpus=32, scaling_cache=_SCALING,
+    )
+    attach = out["scaling"]["local[2]->local[8]:extract"]
+    assert set(attach) == {"value", "docs_per_sec_2", "docs_per_sec_8"}
