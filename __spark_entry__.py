@@ -185,15 +185,21 @@ def q_simhash_dedup(spark, sf_dir):
 
 def q_minhash_bucket_stats(spark, sf_dir):
     """Hot-bucket telemetry for the minhash-LSH dedup run (same
-    augmented corpus as q_dedup_minhash_lsh sees)."""
-    return textops.minhash_bucket_stats(
+    augmented corpus as q_dedup_minhash_lsh sees), via the FUSED
+    accessor: the stats side of minhash_lsh_with_stats, so the oracle
+    pins the exact path a dedup+telemetry pipeline runs (one hashing
+    pass shared with the pair output)."""
+    _pairs, stats = textops.minhash_lsh_with_stats(
         textops.with_near_dups(_docs(spark, sf_dir))
     )
+    return stats
 
 
 def q_simhash_bucket_stats(spark, sf_dir):
-    """Hot-bucket telemetry for the wide-simhash dedup run."""
-    return textops.simhash_bucket_stats(_docs(spark, sf_dir))
+    """Hot-bucket telemetry for the wide-simhash dedup run, via the
+    FUSED accessor (stats side of simhash_dedup_with_stats)."""
+    _pairs, stats = textops.simhash_dedup_with_stats(_docs(spark, sf_dir))
+    return stats
 
 
 def q_repetition_score(spark, sf_dir):

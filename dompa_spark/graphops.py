@@ -43,21 +43,39 @@ def connected_components(
     is the minimum doc_id reachable in the undirected pair graph.
     Vertices are the docs appearing in at least one pair. Runs until
     convergence (O(diameter) iterations) unless max_iter caps it."""
+    # ONE pass over the pair pipeline: the two edge directions come
+    # from an explode, not a self-union — a union's branches each
+    # evaluate the (expensive: shingle+minhash+verify) pair plan, and
+    # operator-internal caches only soften that to ~2x the join work.
+    # The localCheckpoint then materializes the symmetric edge list so
+    # the O(log d) iterations below never touch the pair plan again.
     edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionByName(
-            pairs.select(
-                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
-            )
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_a").alias("src"),
+                        F.col("doc_b").alias("dst"),
+                    ),
+                    F.struct(
+                        F.col("doc_b").alias("src"),
+                        F.col("doc_a").alias("dst"),
+                    ),
+                )
+            ).alias("e")
         )
+        .select("e.src", "e.dst")
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # non-eager: the first round's convergence count materializes this
+    # as part of its own job — an eager checkpoint here would spend a
+    # whole extra job launch on a table the next action computes anyway
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     it = 0
     while max_iter is None or it < max_iter:
@@ -88,6 +106,12 @@ def connected_components(
         ptr = stepped.select(
             F.col("doc_id").alias("ptr"), F.col("label").alias("ptr_label")
         )
+        # non-eager checkpoint + count in ONE action: the count job
+        # computes the round AND persists the truncated lineage — the
+        # eager form launched a separate materialization job per round,
+        # doubling the loop's fixed job-scheduling cost (which, not
+        # data volume, dominates the iterative phase: each round moves
+        # only (doc_id, label) rows)
         jumped = (
             stepped.join(ptr, stepped["label"] == ptr["ptr"], "left")
             .select(
@@ -97,7 +121,7 @@ def connected_components(
                     "label", F.coalesce("ptr_label", "label")
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         n_changed = jumped.filter("label < old_label").count()
         labels = jumped.drop("old_label")

@@ -145,8 +145,15 @@ def main(argv=None) -> int:
             cur = cur.join(rep, "doc_id", "left").withColumn(
                 "repetition_ok", F.coalesce("repetition_ok", F.lit(False))
             ).withColumn("kept", F.col("kept") & F.col("repetition_ok"))
-        # linear near-dup clustering; non-canonical cluster members drop
-        edges = textops.minhash_band_edges(docs)
+        # linear near-dup clustering; non-canonical cluster members
+        # drop. Fused accessor: the hot-bucket telemetry rides the SAME
+        # shingle+minhash pass as the edges (minhash_band_edges_with_
+        # stats) — the 4-row stats table is the observability contract
+        # (did a viral cluster appear? how big?) at zero extra hashing.
+        edges, bstats = textops.minhash_band_edges_with_stats(docs)
+        bstats.coalesce(1).write.mode("overwrite").parquet(
+            f"{args.workdir}/dedup_bucket_stats"
+        )
         cc = graphops.dedup_components(edges).select(
             "doc_id", "is_canonical"
         )

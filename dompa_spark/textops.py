@@ -455,6 +455,10 @@ def minhash_band_edges(df: DataFrame) -> DataFrame:
     # costs the full shingle+minhash pass — consumed twice below
     # (bucket minima + the join back)
     banded = _minhash_banded(sigs).cache()
+    return _band_star_edges(banded)
+
+
+def _band_star_edges(banded: DataFrame) -> DataFrame:
     bucket_min = banded.groupBy("band", "bkey").agg(
         F.min("doc_id").alias("doc_a")
     )
@@ -466,31 +470,29 @@ def minhash_band_edges(df: DataFrame) -> DataFrame:
     )
 
 
-def minhash_lsh_pairs(
-    df: DataFrame,
-    jaccard_min: float = 0.7,
-    bucket_cap: int = TEXT_LSH_BUCKET_CAP,
+def minhash_band_edges_with_stats(
+    df: DataFrame, cap: int = TEXT_LSH_BUCKET_CAP
+) -> tuple[DataFrame, DataFrame]:
+    """Fused linear-edge clustering input + telemetry: (star edges,
+    bucket_stats) off ONE shingle+minhash pass, via the same cached
+    banded projection minhash_band_edges already holds. The star-edge
+    path has no salt cap (its output is linear by construction), but
+    the telemetry still matters at 100 TB: max_bucket_n tells you how
+    big the viral clusters the clustering is about to merge are, for
+    free."""
+    banded = _minhash_banded(minhash_sigs(df)).cache()
+    return _band_star_edges(banded), _bucket_stats(banded, cap)
+
+
+def _minhash_pairs_from(
+    sigs: DataFrame, banded_salted: DataFrame, jaccard_min: float
 ) -> DataFrame:
-    """LSH banding: docs sharing any band signature become candidate
-    pairs; candidates are verified with exact shingle Jaccard. The join
-    is on the band key (bounded buckets), never all-pairs; buckets over
-    `bucket_cap` rows are salt-split (_salt_hot_buckets) so a clique of
-    B identical docs emits ~B*cap/2 candidates, not B^2/2 — without the
-    guard a viral 10^6-doc boilerplate cluster lands in one (band, bkey)
-    bucket and emits 5x10^11 pairs before any Jaccard filter."""
-    # cache: the 16-minhash expression tree is the expensive part and the
-    # self-join + two shingle joins would otherwise recompute it 4x
-    sigs = minhash_sigs(df).cache()
-    # band on (band_idx, 4-minhash key) only — the heavy shingle arrays do
-    # NOT travel through the band join; they come back via two slim joins
-    # on the (usually tiny) deduped candidate-pair set. The salted keys
-    # are cached (4 slim rows/doc) so the explode + hot-join + salt md5
-    # run once, not once per self-join side.
-    banded = _salt_hot_buckets(
-        _minhash_banded(sigs), bucket_cap
-    ).cache()
-    a = banded.alias("a")
-    b = banded.alias("b")
+    """Candidate + verify stages shared by minhash_lsh_pairs and
+    minhash_lsh_with_stats: self-join on the (salted) band key, then
+    exact shingle Jaccard on the deduped candidate set. Both inputs
+    are expected cached by the caller (each is consumed twice)."""
+    a = banded_salted.alias("a")
+    b = banded_salted.alias("b")
     cand = (
         a.join(b, ["band", "bkey"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
@@ -519,6 +521,61 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= jaccard_min)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    jaccard_min: float = 0.7,
+    bucket_cap: int = TEXT_LSH_BUCKET_CAP,
+) -> DataFrame:
+    """LSH banding: docs sharing any band signature become candidate
+    pairs; candidates are verified with exact shingle Jaccard. The join
+    is on the band key (bounded buckets), never all-pairs; buckets over
+    `bucket_cap` rows are salt-split (_salt_hot_buckets) so a clique of
+    B identical docs emits ~B*cap/2 candidates, not B^2/2 — without the
+    guard a viral 10^6-doc boilerplate cluster lands in one (band, bkey)
+    bucket and emits 5x10^11 pairs before any Jaccard filter.
+
+    Shipping telemetry next to the pair output? Use
+    minhash_lsh_with_stats — it emits the _bucket_stats row off the
+    SAME hashing pass instead of re-shingling the corpus."""
+    # cache: the 16-minhash expression tree is the expensive part and the
+    # self-join + two shingle joins would otherwise recompute it 4x
+    sigs = minhash_sigs(df).cache()
+    # band on (band_idx, 4-minhash key) only — the heavy shingle arrays do
+    # NOT travel through the band join; they come back via two slim joins
+    # on the (usually tiny) deduped candidate-pair set. The salted keys
+    # are cached (4 slim rows/doc) so the explode + hot-join + salt md5
+    # run once, not once per self-join side.
+    banded = _salt_hot_buckets(
+        _minhash_banded(sigs), bucket_cap
+    ).cache()
+    return _minhash_pairs_from(sigs, banded, jaccard_min)
+
+
+def minhash_lsh_with_stats(
+    df: DataFrame,
+    jaccard_min: float = 0.7,
+    bucket_cap: int = TEXT_LSH_BUCKET_CAP,
+) -> tuple[DataFrame, DataFrame]:
+    """Fused dedup + telemetry: (pairs, bucket_stats) off ONE
+    shingle+minhash pass. The standalone minhash_bucket_stats rebuilds
+    the full signature stage the dedup just ran — at 100 TB that
+    doubles the pipeline's most expensive hashing pass for any job that
+    (correctly) ships the hot-bucket telemetry next to its dedup
+    output. Here the pre-salt banded projection (4 slim rows/doc) is
+    cached and feeds BOTH the _bucket_stats aggregate and the salt
+    step, so materializing pairs first makes the stats side a pure
+    cache read (pinned by test_minhash_fused_single_hash_pass).
+
+    Results are independent DataFrames: identical values to the
+    standalone minhash_lsh_pairs / minhash_bucket_stats (same plans
+    below the shared cache), so the oracles are unchanged."""
+    sigs = minhash_sigs(df).cache()
+    banded = _minhash_banded(sigs).cache()
+    stats = _bucket_stats(banded, bucket_cap)
+    salted = _salt_hot_buckets(banded, bucket_cap).cache()
+    return _minhash_pairs_from(sigs, salted, jaccard_min), stats
 
 
 # 60 bits: the md5-15-hex word hash carries exactly 60 significant bits
@@ -711,7 +768,11 @@ def simhash_dedup(
     cluster banding cannot split — is salt-capped to ~B*cap/2 pairs
     (_salt_hot_buckets). Never an all-pairs comparison. Includes an
     augmented near-dup corpus (suffix mutation flips few low-margin
-    bits -> small hamming distance)."""
+    bits -> small hamming distance).
+
+    Shipping telemetry next to the pair output? Use
+    simhash_dedup_with_stats — it emits the _bucket_stats row off the
+    SAME fingerprint pass instead of re-hashing the corpus."""
     # cache: (doc_id, lo, hi) is ~24 bytes/doc, but the fingerprint
     # behind it costs 2 md5s per word — consumed by the banding pass
     # plus both sides of the verify join
@@ -721,8 +782,18 @@ def simhash_dedup(
     banded = _salt_hot_buckets(
         _simhash_wide_banded(sh), bucket_cap
     ).cache()
-    a = banded.alias("a")
-    b = banded.alias("b")
+    return _simhash_pairs_from(sh, banded, max_hamming)
+
+
+def _simhash_pairs_from(
+    sh: DataFrame, banded_salted: DataFrame, max_hamming: int
+) -> DataFrame:
+    """Candidate + verify stages shared by simhash_dedup and
+    simhash_dedup_with_stats: self-join on the (salted) band key, then
+    exact popcount over both 60-bit halves on the deduped candidate
+    set. Both inputs are expected cached by the caller."""
+    a = banded_salted.alias("a")
+    b = banded_salted.alias("b")
     cand = (
         a.join(b, ["band", "bkey"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
@@ -755,6 +826,25 @@ def simhash_dedup(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def simhash_dedup_with_stats(
+    df: DataFrame,
+    max_hamming: int = SIMHASH_HAMMING_MAX,
+    bucket_cap: int = TEXT_LSH_BUCKET_CAP,
+) -> tuple[DataFrame, DataFrame]:
+    """Fused dedup + telemetry: (pairs, bucket_stats) off ONE wide-
+    fingerprint pass (see minhash_lsh_with_stats for the rationale —
+    the standalone simhash_bucket_stats re-hashes every word of the
+    corpus the dedup just fingerprinted). The pre-salt banded
+    projection is cached and feeds both the _bucket_stats aggregate and
+    the salt step; values are identical to the standalone operators, so
+    the oracles are unchanged."""
+    sh = simhash_wide(with_near_dups(df)).cache()
+    banded = _simhash_wide_banded(sh).cache()
+    stats = _bucket_stats(banded, bucket_cap)
+    salted = _salt_hot_buckets(banded, bucket_cap).cache()
+    return _simhash_pairs_from(sh, salted, max_hamming), stats
 
 
 def shingle_sets(df: DataFrame, keep_empty: bool = False) -> DataFrame:

@@ -664,3 +664,58 @@ def test_ann_ivf_assignment_is_mapside_and_prunes(spark):
         assert cos == sorted(cos, reverse=True)
         # every neighbor lives in one of the query's probed lists
         assert len({r.cid for r in rs}) <= textops.IVF_PROBE
+
+
+# ---------------------------------------------------------------------------
+# fused dedup + telemetry (VERDICT r03 #2)
+# ---------------------------------------------------------------------------
+
+
+def _fused_plan_is_cache_fed(stats) -> None:
+    """Every file/kernel scan in the stats plan must sit under an
+    InMemoryTableScan (the cached banded/sig relations' stored
+    definitions), i.e. materializing the pair side first makes the
+    telemetry side a pure cache read — one hashing pass total."""
+    plan = stats._jdf.queryExecution().executedPlan().toString()
+    n_inmem = plan.count("InMemoryTableScan")
+    assert n_inmem > 0, plan
+    # an unfused stats plan has standalone scans with NO cache above
+    # them; in the fused plan each printed scan is a cached relation's
+    # stored plan (curate_corpus single-scan idiom)
+    for scan in ("FileScan", "MapInPandas", "Scan ExistingRDD"):
+        assert plan.count(scan) <= n_inmem, (scan, plan)
+
+
+def test_minhash_fused_single_hash_pass(spark):
+    docs = _clique_docs(spark)
+    pairs, stats = textops.minhash_lsh_with_stats(docs, bucket_cap=10)
+    _fused_plan_is_cache_fed(stats)
+    # values identical to the standalone operators (same plans below
+    # the shared cache) — the CORRECTNESS oracles transfer unchanged
+    want_pairs = {(r.doc_a, r.doc_b, r.jaccard)
+                  for r in textops.minhash_lsh_pairs(
+                      docs, bucket_cap=10).collect()}
+    got_pairs = {(r.doc_a, r.doc_b, r.jaccard) for r in pairs.collect()}
+    assert got_pairs == want_pairs and got_pairs
+    want_stats = {tuple(r) for r in textops.minhash_bucket_stats(
+        docs, cap=10).collect()}
+    got_stats = {tuple(r) for r in stats.collect()}
+    assert got_stats == want_stats
+    spark.catalog.clearCache()
+
+
+def test_simhash_fused_single_hash_pass(spark):
+    # clique corpus: identical docs -> hamming-0 pairs exist, and the
+    # deterministic salt cap fires identically on both paths
+    docs = _clique_docs(spark, n=200, clique=60)
+    pairs, stats = textops.simhash_dedup_with_stats(docs)
+    _fused_plan_is_cache_fed(stats)
+    want_pairs = {(r.doc_a, r.doc_b, r.hamming)
+                  for r in textops.simhash_dedup(docs).collect()}
+    got_pairs = {(r.doc_a, r.doc_b, r.hamming) for r in pairs.collect()}
+    assert got_pairs == want_pairs and got_pairs
+    want_stats = {tuple(r) for r in textops.simhash_bucket_stats(
+        docs).collect()}
+    got_stats = {tuple(r) for r in stats.collect()}
+    assert got_stats == want_stats
+    spark.catalog.clearCache()
