@@ -287,7 +287,19 @@ def q_ann_lsh_topk(spark, sf_dir):
 
 
 def q_ann_ivf_topk(spark, sf_dir):
-    return textops.ann_ivf_topk(_emb(spark, sf_dir))
+    return textops.ann_ivf_topk(_emb(spark, sf_dir), dim=EMBED_DIM)
+
+
+def q_ann_recall(spark, sf_dir):
+    """recall@5 of the LSH and IVF approximate paths vs the exact
+    brute-force answer — the ANN family's quality gauge."""
+    return textops.ann_recall(_emb(spark, sf_dir), dim=EMBED_DIM)
+
+
+def q_ivf_list_sizes(spark, sf_dir):
+    """IVF inverted-list occupancy after Lloyd training — the balance
+    telemetry behind the n_probe cost model."""
+    return textops.ivf_list_sizes(_emb(spark, sf_dir), dim=EMBED_DIM)
 
 
 def q_dedup_embedding_cosine(spark, sf_dir):
@@ -555,6 +567,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_recall": q_ann_recall,
+        "ivf_list_sizes": q_ivf_list_sizes,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "media_dedup": q_media_dedup,
         "media_frames": q_media_frames,
@@ -717,6 +731,256 @@ def _minhash_pairs_sql() -> str:
             WHERE round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
                         len(list_distinct(list_concat(sh_a, sh_b))), 4) >= 0.7
     """
+
+
+# --- ANN family: shared SQL pieces -----------------------------------
+# The three top-k queries are module constants so ann_recall can compose
+# them (it joins each approximate answer against the exact one).
+
+_ANN_EMB_N = """emb AS (
+              SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+            n AS (
+              SELECT vec_id, v,
+                     sqrt(list_reduce(list_transform(v, x -> x*x),
+                                      (acc, x) -> acc + x)) AS norm
+              FROM emb)"""
+
+
+def _ivf_trained_cents_cte(iters: int) -> str:
+    """CTE chain c0 -> c{iters}: deterministic seed centroids refined by
+    `iters` Lloyd iterations, mirroring textops._ivf_cents exactly —
+    argmin by (d2, cid) with sequential-fold d2, then per-list means
+    over micro-quantized fixed-point sums (IVF_CENT_SCALE) so the
+    centroid doubles are bit-identical in both engines regardless of
+    aggregation order; empty lists keep their previous centroid."""
+    scale = textops.IVF_CENT_SCALE
+    parts = [f"""dims AS (SELECT unnest(generate_series(1, {EMBED_DIM}))
+                          AS i),
+            c0 AS (
+              SELECT vec_id - 10 AS cid, v AS cv
+              FROM emb WHERE vec_id >= 10
+                AND vec_id < {10 + textops.IVF_CENTROIDS})"""]
+    for it in range(1, iters + 1):
+        prev = f"c{it - 1}"
+        parts.append(f"""p{it} AS (
+              SELECT e.vec_id, e.v, c.cid,
+                     list_reduce(list_transform(
+                       generate_series(1, len(e.v)),
+                       i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])),
+                       (acc, x) -> acc + x) AS d2
+              FROM emb e, {prev} c),
+            a{it} AS (
+              SELECT vec_id, v, cid
+              FROM (SELECT *, row_number() OVER
+                      (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+                    FROM p{it})
+              WHERE rn = 1),
+            q{it} AS (
+              SELECT cid, d.i,
+                     sum(CAST(round(v[d.i] * {scale}.0, 0) AS BIGINT))
+                       AS s,
+                     count(*) AS cnt
+              FROM a{it}, dims d GROUP BY cid, d.i),
+            m{it} AS (
+              SELECT cid, list(s / (cnt * {scale}.0) ORDER BY i)
+                       AS cv_new
+              FROM q{it} GROUP BY cid),
+            c{it} AS (
+              SELECT b.cid, coalesce(m.cv_new, b.cv) AS cv
+              FROM {prev} b LEFT JOIN m{it} m USING (cid))""")
+    return ",\n            ".join(parts)
+
+
+_ANN_COSINE_Q = """
+            WITH emb AS (
+              SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+            n AS (
+              SELECT vec_id, v,
+                     sqrt(list_sum(list_transform(v, x -> x*x))) AS norm
+              FROM emb),
+            q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm
+                  FROM n WHERE vec_id < 10),
+            scored AS (
+              SELECT q.query_id, n.vec_id,
+                     round(list_sum(list_transform(
+                             generate_series(1, len(n.v)),
+                             i -> n.v[i] * q.qv[i])) / (n.norm * q.qnorm), 4)
+                       AS cosine
+              FROM n, q WHERE n.vec_id <> q.query_id)
+            SELECT query_id,
+                   CAST(row_number() OVER
+                     (PARTITION BY query_id
+                      ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank,
+                   vec_id AS neighbor_id, cosine
+            FROM scored
+            QUALIFY rank <= 5
+        """
+
+_ANN_LSH_Q: str  # assigned below (needs textops plane count)
+
+
+def _ann_lsh_q() -> str:
+    return f"""
+            WITH emb AS (
+              SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+            buckets AS (
+              -- per-plane dot via ordered list_sum (same element order as
+              -- the engine's sequential aggregate), bucket bits integer-sum
+              SELECT e.vec_id,
+                     CAST(sum(CASE WHEN list_sum(list_transform(
+                            generate_series(1, len(e.v)),
+                            i -> e.v[i] * (CASE WHEN CAST('0x' ||
+                                 substr(md5(p.p::VARCHAR || ':' ||
+                                        (i-1)::VARCHAR), 1, 15) AS BIGINT)
+                                 % 2 = 1 THEN 1.0 ELSE -1.0 END))) > 0
+                          THEN (1 << p.p) ELSE 0 END) AS BIGINT) AS bucket
+              FROM emb e, (SELECT unnest(generate_series(0,
+                             {textops.ANN_LSH_PLANES - 1})) AS p) p
+              GROUP BY e.vec_id),
+            n AS (
+              SELECT e.vec_id, e.v,
+                     sqrt(list_sum(list_transform(e.v, x -> x*x))) AS norm,
+                     b.bucket
+              FROM emb e JOIN buckets b USING (vec_id)),
+            q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm,
+                         bucket AS qbucket
+                  FROM n WHERE vec_id < 10),
+            -- multi-probe: own bucket (j = -1) + every hamming-1 bucket
+            probes AS (
+              SELECT query_id, qv, qnorm,
+                     CASE WHEN pr.j = -1 THEN qbucket
+                          ELSE xor(qbucket, CAST(1 AS BIGINT) << pr.j)
+                     END AS probe_bucket
+              FROM q, (SELECT unnest(generate_series(-1,
+                         {textops.ANN_LSH_PLANES - 1})) AS j) pr),
+            scored AS (
+              SELECT p.query_id, n.vec_id, n.bucket,
+                     round(list_sum(list_transform(
+                             generate_series(1, len(n.v)),
+                             i -> n.v[i] * p.qv[i])) / (n.norm * p.qnorm), 4)
+                       AS cosine
+              FROM n JOIN probes p ON n.bucket = p.probe_bucket
+              WHERE n.vec_id <> p.query_id)
+            SELECT query_id,
+                   CAST(row_number() OVER
+                     (PARTITION BY query_id
+                      ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank,
+                   vec_id AS neighbor_id, bucket, cosine
+            FROM scored
+            QUALIFY rank <= 5
+        """
+
+
+_ANN_LSH_Q = _ann_lsh_q()
+
+
+def _ann_ivf_q() -> str:
+    """IVF-flat with Lloyd-trained centroids (seeds = vec_id in
+    [10, 10+16), cid = vec_id - 10, refined IVF_TRAIN_ITERS times);
+    argmin assignment by (d2, cid); each query probes its n_probe
+    nearest lists; exact-cosine top-5. d2/dot via list_reduce =
+    sequential fold, matching Spark's aggregate() exactly."""
+    t = textops.IVF_TRAIN_ITERS
+    return f"""
+            WITH {_ANN_EMB_N},
+            {_ivf_trained_cents_cte(t)},
+            pairs AS (
+              SELECT e.vec_id, e.v, e.norm, c.cid,
+                     list_reduce(list_transform(
+                       generate_series(1, len(e.v)),
+                       i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])),
+                       (acc, x) -> acc + x) AS d2
+              FROM n e, c{t} c),
+            assigned AS (
+              SELECT vec_id, v, norm, cid
+              FROM (SELECT *, row_number() OVER
+                      (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+                    FROM pairs)
+              WHERE rn = 1),
+            qprobe AS (
+              SELECT vec_id AS query_id, cid AS probe_cid,
+                     v AS qv, norm AS qnorm
+              FROM (SELECT *, row_number() OVER
+                      (PARTITION BY vec_id ORDER BY d2, cid) AS pr
+                    FROM pairs WHERE vec_id < 10)
+              WHERE pr <= {textops.IVF_PROBE}),
+            scored AS (
+              SELECT q.query_id, a.vec_id, a.cid,
+                     round(list_reduce(list_transform(
+                             generate_series(1, len(a.v)),
+                             i -> a.v[i] * q.qv[i]),
+                             (acc, x) -> acc + x)
+                           / (a.norm * q.qnorm), 4) AS cosine
+              FROM assigned a JOIN qprobe q ON a.cid = q.probe_cid
+              WHERE a.vec_id <> q.query_id)
+            SELECT query_id,
+                   CAST(row_number() OVER
+                     (PARTITION BY query_id
+                      ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank,
+                   vec_id AS neighbor_id, CAST(cid AS BIGINT) AS cid,
+                   cosine
+            FROM scored
+            QUALIFY rank <= 5
+        """
+
+
+_ANN_IVF_Q = _ann_ivf_q()
+
+
+def _ivf_list_sizes_q() -> str:
+    """Inverted-list occupancy after the same Lloyd training: final
+    argmin assignment of every vector, counted per list."""
+    t = textops.IVF_TRAIN_ITERS
+    return f"""
+            WITH {_ANN_EMB_N},
+            {_ivf_trained_cents_cte(t)},
+            pairs AS (
+              SELECT e.vec_id, c.cid,
+                     list_reduce(list_transform(
+                       generate_series(1, len(e.v)),
+                       i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])),
+                       (acc, x) -> acc + x) AS d2
+              FROM emb e, c{t} c),
+            assigned AS (
+              SELECT vec_id, cid
+              FROM (SELECT *, row_number() OVER
+                      (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+                    FROM pairs)
+              WHERE rn = 1)
+            SELECT CAST(cid AS BIGINT) AS cid,
+                   CAST(count(*) AS BIGINT) AS list_n
+            FROM assigned GROUP BY cid ORDER BY cid
+        """
+
+
+def _ann_recall_q() -> str:
+    """recall@5 of each approximate method against the exact answer —
+    composes the three full top-k queries as subselects; per-method
+    aggregates (not GROUP BY) so a zero-hit method still emits a row,
+    mirroring textops.ann_recall's per-method agg + union."""
+    return f"""
+            WITH exact AS (
+              SELECT query_id, neighbor_id FROM ({_ANN_COSINE_Q})),
+            ivf AS (
+              SELECT query_id, neighbor_id FROM ({_ANN_IVF_Q})),
+            lsh AS (
+              SELECT query_id, neighbor_id FROM ({_ANN_LSH_Q}))
+            SELECT * FROM (
+              SELECT 'ivf' AS method, CAST(count(*) AS BIGINT) AS hits,
+                     round(count(*) / 50.0, 4) AS recall_at_k
+              FROM ivf JOIN exact USING (query_id, neighbor_id)
+              UNION ALL
+              SELECT 'lsh' AS method, CAST(count(*) AS BIGINT) AS hits,
+                     round(count(*) / 50.0, 4) AS recall_at_k
+              FROM lsh JOIN exact USING (query_id, neighbor_id))
+            ORDER BY method
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1145,139 +1409,11 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(h.n_hits, 0) > 0 AS contaminated
             FROM sh s LEFT JOIN hits h ON s.doc_id = h.doc_id
         """,
-        "ann_cosine_topk": """
-            WITH emb AS (
-              SELECT CAST(vec_id AS BIGINT) AS vec_id,
-                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-              FROM embeddings),
-            n AS (
-              SELECT vec_id, v,
-                     sqrt(list_sum(list_transform(v, x -> x*x))) AS norm
-              FROM emb),
-            q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm
-                  FROM n WHERE vec_id < 10),
-            scored AS (
-              SELECT q.query_id, n.vec_id,
-                     round(list_sum(list_transform(
-                             generate_series(1, len(n.v)),
-                             i -> n.v[i] * q.qv[i])) / (n.norm * q.qnorm), 4)
-                       AS cosine
-              FROM n, q WHERE n.vec_id <> q.query_id)
-            SELECT query_id,
-                   CAST(row_number() OVER
-                     (PARTITION BY query_id
-                      ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank,
-                   vec_id AS neighbor_id, cosine
-            FROM scored
-            QUALIFY rank <= 5
-        """,
-        "ann_lsh_topk": f"""
-            WITH emb AS (
-              SELECT CAST(vec_id AS BIGINT) AS vec_id,
-                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-              FROM embeddings),
-            buckets AS (
-              -- per-plane dot via ordered list_sum (same element order as
-              -- the engine's sequential aggregate), bucket bits integer-sum
-              SELECT e.vec_id,
-                     CAST(sum(CASE WHEN list_sum(list_transform(
-                            generate_series(1, len(e.v)),
-                            i -> e.v[i] * (CASE WHEN CAST('0x' ||
-                                 substr(md5(p.p::VARCHAR || ':' ||
-                                        (i-1)::VARCHAR), 1, 15) AS BIGINT)
-                                 % 2 = 1 THEN 1.0 ELSE -1.0 END))) > 0
-                          THEN (1 << p.p) ELSE 0 END) AS BIGINT) AS bucket
-              FROM emb e, (SELECT unnest(generate_series(0,
-                             {textops.ANN_LSH_PLANES - 1})) AS p) p
-              GROUP BY e.vec_id),
-            n AS (
-              SELECT e.vec_id, e.v,
-                     sqrt(list_sum(list_transform(e.v, x -> x*x))) AS norm,
-                     b.bucket
-              FROM emb e JOIN buckets b USING (vec_id)),
-            q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm,
-                         bucket AS qbucket
-                  FROM n WHERE vec_id < 10),
-            -- multi-probe: own bucket (j = -1) + every hamming-1 bucket
-            probes AS (
-              SELECT query_id, qv, qnorm,
-                     CASE WHEN pr.j = -1 THEN qbucket
-                          ELSE xor(qbucket, CAST(1 AS BIGINT) << pr.j)
-                     END AS probe_bucket
-              FROM q, (SELECT unnest(generate_series(-1,
-                         {textops.ANN_LSH_PLANES - 1})) AS j) pr),
-            scored AS (
-              SELECT p.query_id, n.vec_id, n.bucket,
-                     round(list_sum(list_transform(
-                             generate_series(1, len(n.v)),
-                             i -> n.v[i] * p.qv[i])) / (n.norm * p.qnorm), 4)
-                       AS cosine
-              FROM n JOIN probes p ON n.bucket = p.probe_bucket
-              WHERE n.vec_id <> p.query_id)
-            SELECT query_id,
-                   CAST(row_number() OVER
-                     (PARTITION BY query_id
-                      ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank,
-                   vec_id AS neighbor_id, bucket, cosine
-            FROM scored
-            QUALIFY rank <= 5
-        """,
-        # ann_ivf_topk: seeded-centroid IVF-flat (centroids = vec_id in
-        # [10, 10+16), cid = vec_id - 10); argmin assignment by (d2,
-        # cid); each query probes its 2 nearest lists; exact-cosine
-        # top-5. d2/dot via list_reduce = sequential fold, matching
-        # Spark's aggregate() exactly.
-        "ann_ivf_topk": f"""
-            WITH emb AS (
-              SELECT CAST(vec_id AS BIGINT) AS vec_id,
-                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-              FROM embeddings),
-            n AS (
-              SELECT vec_id, v,
-                     sqrt(list_reduce(list_transform(v, x -> x*x),
-                                      (acc, x) -> acc + x)) AS norm
-              FROM emb),
-            cents AS (
-              SELECT vec_id - 10 AS cid, v AS cv
-              FROM emb WHERE vec_id >= 10 AND vec_id < {10 + textops.IVF_CENTROIDS}),
-            pairs AS (
-              SELECT e.vec_id, e.v, e.norm, c.cid,
-                     list_reduce(list_transform(
-                       generate_series(1, len(e.v)),
-                       i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])),
-                       (acc, x) -> acc + x) AS d2
-              FROM n e, cents c),
-            assigned AS (
-              SELECT vec_id, v, norm, cid
-              FROM (SELECT *, row_number() OVER
-                      (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-                    FROM pairs)
-              WHERE rn = 1),
-            qprobe AS (
-              SELECT vec_id AS query_id, cid AS probe_cid,
-                     v AS qv, norm AS qnorm
-              FROM (SELECT *, row_number() OVER
-                      (PARTITION BY vec_id ORDER BY d2, cid) AS pr
-                    FROM pairs WHERE vec_id < 10)
-              WHERE pr <= {textops.IVF_PROBE}),
-            scored AS (
-              SELECT q.query_id, a.vec_id, a.cid,
-                     round(list_reduce(list_transform(
-                             generate_series(1, len(a.v)),
-                             i -> a.v[i] * q.qv[i]),
-                             (acc, x) -> acc + x)
-                           / (a.norm * q.qnorm), 4) AS cosine
-              FROM assigned a JOIN qprobe q ON a.cid = q.probe_cid
-              WHERE a.vec_id <> q.query_id)
-            SELECT query_id,
-                   CAST(row_number() OVER
-                     (PARTITION BY query_id
-                      ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank,
-                   vec_id AS neighbor_id, CAST(cid AS BIGINT) AS cid,
-                   cosine
-            FROM scored
-            QUALIFY rank <= 5
-        """,
+        "ann_cosine_topk": _ANN_COSINE_Q,
+        "ann_lsh_topk": _ANN_LSH_Q,
+        "ann_ivf_topk": _ANN_IVF_Q,
+        "ann_recall": _ann_recall_q(),
+        "ivf_list_sizes": _ivf_list_sizes_q(),
         "dedup_embedding_cosine": f"""
             WITH base AS (
               SELECT CAST(vec_id AS BIGINT) AS vec_id,

@@ -1743,6 +1743,126 @@ def repetition_scores(df: DataFrame) -> DataFrame:
 
 IVF_CENTROIDS = 16
 IVF_PROBE = 2
+IVF_TRAIN_ITERS = 2
+# Fixed-point scale for Lloyd centroid means: coordinates quantize to
+# micro units and sum as exact longs, so the mean is a ratio of two
+# integers — identical in ANY aggregation order and in both engines.
+# A float mean would depend on Spark's nondeterministic partition-sum
+# order (and differ from DuckDB's), poisoning the downstream argmin.
+IVF_CENT_SCALE = 1_000_000
+
+
+def _ivf_d2() -> Column:
+    """Squared L2 distance v<->cv as a sequential fold (list_reduce
+    parity with the DuckDB oracle)."""
+    return F.aggregate(
+        F.zip_with("v", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _ivf_cents(
+    emb: DataFrame,
+    n_queries: int,
+    n_centroids: int,
+    dim: int | None,
+    train_iters: int,
+) -> DataFrame:
+    """(cid, cv) centroid table: deterministic seeds (the vectors with
+    vec_id in [n_queries, n_queries + n_centroids)), refined by
+    `train_iters` Lloyd iterations. Each iteration is the SAME argmin
+    plan the index assignment uses (crossJoin against the broadcast
+    centroid table -> map-side min-struct partial agg) followed by a
+    per-list mean over micro-quantized fixed-point sums (IVF_CENT_SCALE
+    — exact integer arithmetic, so the whole training is deterministic
+    and action-free; the DuckDB oracle replays the identical
+    iterations). Lists that go empty keep their previous centroid.
+    Scale shape per iteration: one slim shuffle of (vec_id -> cid)
+    argmin rows plus a dim-wide partial-agg shuffle of n_centroids
+    rows; nothing driver-side."""
+    cents = emb.filter(
+        (F.col("vec_id") >= n_queries)
+        & (F.col("vec_id") < n_queries + n_centroids)
+    ).select(
+        (F.col("vec_id") - n_queries).alias("cid"),
+        F.col("v").alias("cv"),
+    )
+    if train_iters <= 0:
+        return cents
+    if dim is None:
+        raise ValueError("ann_ivf training requires dim (no data probe)")
+    scale = float(IVF_CENT_SCALE)
+    for _ in range(train_iters):
+        pairs = (
+            emb.select("vec_id", "v")
+            .crossJoin(F.broadcast(cents))
+            .withColumn("d2", _ivf_d2())
+        )
+        assign = (
+            pairs.groupBy("vec_id")
+            .agg(
+                F.min(F.struct("d2", "cid")).alias("m"),
+                F.first("v").alias("v"),
+            )
+            .select(F.col("m.cid").alias("cid"), "v")
+        )
+        upd = (
+            assign.groupBy("cid")
+            .agg(
+                F.count("*").alias("n"),
+                *[
+                    F.sum(
+                        F.round(F.col("v")[i] * scale, 0).cast("long")
+                    ).alias(f"s{i}")
+                    for i in range(dim)
+                ],
+            )
+            .select(
+                "cid",
+                F.array(
+                    *[
+                        F.col(f"s{i}") / (F.col("n") * F.lit(scale))
+                        for i in range(dim)
+                    ]
+                ).alias("cv_new"),
+            )
+        )
+        cents = cents.join(upd, "cid", "left").select(
+            "cid", F.coalesce("cv_new", "cv").alias("cv")
+        )
+    return cents
+
+
+def ivf_list_sizes(
+    df: DataFrame,
+    dim: int | None = None,
+    n_queries: int = 10,
+    n_centroids: int = IVF_CENTROIDS,
+    train_iters: int = IVF_TRAIN_ITERS,
+) -> DataFrame:
+    """(cid, list_n) inverted-list occupancy of the IVF index — the
+    balance telemetry that says whether the coarse quantizer is doing
+    its job (a max list >> mean list means probes scan far more than
+    n_probe/n_centroids of the corpus). Pinned by the list-balance
+    test: Lloyd training shrinks the imbalance on clustered corpora."""
+    emb = df.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    ).cache()
+    cents = _ivf_cents(emb, n_queries, n_centroids, dim, train_iters)
+    pairs = (
+        emb.select("vec_id", "v")
+        .crossJoin(F.broadcast(cents))
+        .withColumn("d2", _ivf_d2())
+    )
+    return (
+        pairs.groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cid")).alias("m"))
+        .groupBy(F.col("m.cid").alias("cid"))
+        .agg(F.count("*").alias("list_n"))
+        .orderBy("cid")
+    )
 
 
 def ann_ivf_topk(
@@ -1751,6 +1871,8 @@ def ann_ivf_topk(
     k: int = 5,
     n_centroids: int = IVF_CENTROIDS,
     n_probe: int = IVF_PROBE,
+    dim: int | None = None,
+    train_iters: int = IVF_TRAIN_ITERS,
 ) -> DataFrame:
     """IVF-flat ANN — the coarse-quantizer variant of the scale path
     (complement of the SRP ann_lsh_topk): vectors partition into
@@ -1758,17 +1880,19 @@ def ann_ivf_topk(
     only its `n_probe` nearest lists (~n_probe/n_centroids of the
     corpus), candidates verify with exact cosine, top-k per query.
 
-    Centroids are SEEDED deterministically (the vectors with vec_id in
-    [n_queries, n_queries + n_centroids) — no training job, so index
-    construction stays action-free and the DuckDB oracle can rebuild
-    the identical index; a production build would Lloyd-iterate the
-    same assignment plan). Scale shape: the argmin assignment is a
-    map-side partial aggregation — the crossJoin against the broadcast
-    centroid table collapses to one row per vector BEFORE any shuffle
-    (min over (d2, cid) structs, deterministic under ties) — and the
-    probe join streams the corpus against a broadcast query side.
-    Distances fold sequentially (F.aggregate == list_reduce) so engine
-    parity is exact."""
+    Centroids are SEEDED deterministically and Lloyd-refined for
+    `train_iters` iterations (_ivf_cents — exact fixed-point means, so
+    index construction stays action-free and the DuckDB oracle rebuilds
+    the identical index; pass train_iters=0 for the untrained seeds,
+    which on clustered corpora leave badly unbalanced lists — see
+    ivf_list_sizes). `dim` is required when training (plan-time
+    literals, no driver-side data probe). Scale shape: the argmin
+    assignment is a map-side partial aggregation — the crossJoin
+    against the broadcast centroid table collapses to one row per
+    vector BEFORE any shuffle (min over (d2, cid) structs,
+    deterministic under ties) — and the probe join streams the corpus
+    against a broadcast query side. Distances fold sequentially
+    (F.aggregate == list_reduce) so engine parity is exact."""
     from pyspark.sql.window import Window
 
     emb = df.select(
@@ -1776,20 +1900,11 @@ def ann_ivf_topk(
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
     norm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
-    emb = emb.withColumn("norm", norm)
-    cents = emb.filter(
-        (F.col("vec_id") >= n_queries)
-        & (F.col("vec_id") < n_queries + n_centroids)
-    ).select(
-        (F.col("vec_id") - n_queries).alias("cid"),
-        F.col("v").alias("cv"),
-    )
-    d2 = F.aggregate(
-        F.zip_with("v", "cv", lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    pairs = emb.crossJoin(F.broadcast(cents)).withColumn("d2", d2)
+    # cache: consumed by every training iteration plus the final
+    # assignment and probe passes
+    emb = emb.withColumn("norm", norm).cache()
+    cents = _ivf_cents(emb, n_queries, n_centroids, dim, train_iters)
+    pairs = emb.crossJoin(F.broadcast(cents)).withColumn("d2", _ivf_d2())
     assigned = (
         pairs.groupBy("vec_id")
         .agg(
@@ -1834,3 +1949,47 @@ def ann_ivf_topk(
         .select("query_id", "rank", F.col("vec_id").alias("neighbor_id"),
                 F.col("cid").cast("long").alias("cid"), "cosine")
     )
+
+
+def ann_recall(
+    df: DataFrame,
+    dim: int,
+    n_queries: int = 10,
+    k: int = 5,
+    lsh_planes: int | None = None,
+    ivf_probe: int = IVF_PROBE,
+) -> DataFrame:
+    """recall@k of the two approximate ANN paths against the exact
+    brute-force answer, one row per method: (method, hits, recall_at_k).
+    This is the quality gauge the approximate indexes' knobs (multi-
+    probe planes, n_probe) are tuned against — without it a pipeline
+    dedups/searches blind (VERDICT r03 #3). Cost: the three top-k
+    queries themselves (each streams the corpus once against a
+    broadcast query side) plus two joins on the tiny (n_queries x k)
+    result tables; recall floors are pinned by
+    test_ann_recall_floor."""
+    kw = {} if lsh_planes is None else {"n_planes": lsh_planes}
+    exact = ann_cosine_topk(df, n_queries, k).select(
+        "query_id", "neighbor_id"
+    )
+    approx = {
+        "ivf": ann_ivf_topk(
+            df, n_queries, k, n_probe=ivf_probe, dim=dim
+        ).select("query_id", "neighbor_id"),
+        "lsh": ann_lsh_topk(df, dim, n_queries, k, **kw).select(
+            "query_id", "neighbor_id"
+        ),
+    }
+    denom = float(n_queries * k)
+    per_method = [
+        a.join(exact, ["query_id", "neighbor_id"]).agg(
+            F.lit(m).alias("method"),
+            F.count("*").cast("long").alias("hits"),
+            F.round(F.count("*") / denom, 4).alias("recall_at_k"),
+        )
+        for m, a in approx.items()
+    ]
+    out = per_method[0]
+    for p in per_method[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("method")
