@@ -1205,10 +1205,14 @@ def oracle_sql() -> dict[str, str]:
                      string_split(text, ' ') AS ws
               FROM documents),
             w AS (
+              -- null text -> explicit zeros row (n_words=0 fails the
+              -- floor => repetition_ok false), matching the kernel's
+              -- one-row-per-doc contract
               SELECT doc_id,
-                     CAST(len(ws) AS BIGINT) AS n_words,
-                     round(1.0 - len(list_distinct(ws)) /
-                           CAST(len(ws) AS DOUBLE), 4) AS dup_word_ratio
+                     CAST(coalesce(len(ws), 0) AS BIGINT) AS n_words,
+                     coalesce(round(1.0 - len(list_distinct(ws)) /
+                           CAST(len(ws) AS DOUBLE), 4), 0.0)
+                       AS dup_word_ratio
               FROM base),
             big AS (
               SELECT doc_id,

@@ -52,22 +52,25 @@ def main(argv=None) -> int:
     kwargs = {}
     if args.quality_min is not None:
         kwargs["quality_min"] = args.quality_min
-    out = textops.curate_corpus(docs, **kwargs)
-    if args.with_repetition:
-        rep = textops.repetition_scores(docs).select(
-            "doc_id", "repetition_ok"
-        )
-        out = (
-            out.join(rep, "doc_id", "left")
-            .withColumn(
-                "repetition_ok",
-                F.coalesce("repetition_ok", F.lit(False)),
+    # scoped: the curation cache unpersists once the write inside the
+    # block materializes it — repeated main() calls in one long-lived
+    # session stay cache-bounded (ADVICE r03)
+    with textops.curate_corpus_scoped(docs, **kwargs) as out:
+        if args.with_repetition:
+            rep = textops.repetition_scores(docs).select(
+                "doc_id", "repetition_ok"
             )
-            .withColumn("kept", F.col("kept") & F.col("repetition_ok"))
-        )
-    if args.kept_only:
-        out = out.filter("kept").select("doc_id")
-    out.write.mode("overwrite").parquet(args.output)
+            out = (
+                out.join(rep, "doc_id", "left")
+                .withColumn(
+                    "repetition_ok",
+                    F.coalesce("repetition_ok", F.lit(False)),
+                )
+                .withColumn("kept", F.col("kept") & F.col("repetition_ok"))
+            )
+        if args.kept_only:
+            out = out.filter("kept").select("doc_id")
+        out.write.mode("overwrite").parquet(args.output)
 
     written = spark.read.parquet(args.output)
     n_docs = written.count()

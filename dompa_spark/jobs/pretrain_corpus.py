@@ -137,32 +137,37 @@ def main(argv=None) -> int:
         ckw = {}
         if args.domain_cap is not None:
             ckw["domain_cap_n"] = args.domain_cap
-        cur = textops.curate_corpus(docs, **ckw)
-        if args.with_repetition:
-            rep = textops.repetition_scores(docs).select(
-                "doc_id", "repetition_ok"
+        # scoped: the curation cache unpersists after the stage write
+        # materializes it — resumed/multi-stage sessions stay
+        # cache-bounded (ADVICE r03)
+        with textops.curate_corpus_scoped(docs, **ckw) as cur:
+            if args.with_repetition:
+                rep = textops.repetition_scores(docs).select(
+                    "doc_id", "repetition_ok"
+                )
+                cur = cur.join(rep, "doc_id", "left").withColumn(
+                    "repetition_ok",
+                    F.coalesce("repetition_ok", F.lit(False)),
+                ).withColumn("kept", F.col("kept") & F.col("repetition_ok"))
+            # linear near-dup clustering; non-canonical cluster members
+            # drop. Fused accessor: the hot-bucket telemetry rides the
+            # SAME shingle+minhash pass as the edges (minhash_band_
+            # edges_with_stats) — the 4-row stats table is the
+            # observability contract (did a viral cluster appear? how
+            # big?) at zero extra hashing.
+            edges, bstats = textops.minhash_band_edges_with_stats(docs)
+            bstats.coalesce(1).write.mode("overwrite").parquet(
+                f"{args.workdir}/dedup_bucket_stats"
             )
-            cur = cur.join(rep, "doc_id", "left").withColumn(
-                "repetition_ok", F.coalesce("repetition_ok", F.lit(False))
-            ).withColumn("kept", F.col("kept") & F.col("repetition_ok"))
-        # linear near-dup clustering; non-canonical cluster members
-        # drop. Fused accessor: the hot-bucket telemetry rides the SAME
-        # shingle+minhash pass as the edges (minhash_band_edges_with_
-        # stats) — the 4-row stats table is the observability contract
-        # (did a viral cluster appear? how big?) at zero extra hashing.
-        edges, bstats = textops.minhash_band_edges_with_stats(docs)
-        bstats.coalesce(1).write.mode("overwrite").parquet(
-            f"{args.workdir}/dedup_bucket_stats"
-        )
-        cc = graphops.dedup_components(edges).select(
-            "doc_id", "is_canonical"
-        )
-        out = cur.join(cc, "doc_id", "left").withColumn(
-            "near_dup_drop", ~F.coalesce("is_canonical", F.lit(True))
-        ).withColumn(
-            "kept", F.col("kept") & ~F.col("near_dup_drop")
-        ).drop("is_canonical")
-        out.write.mode("overwrite").parquet(decisions)
+            cc = graphops.dedup_components(edges).select(
+                "doc_id", "is_canonical"
+            )
+            out = cur.join(cc, "doc_id", "left").withColumn(
+                "near_dup_drop", ~F.coalesce("is_canonical", F.lit(True))
+            ).withColumn(
+                "kept", F.col("kept") & ~F.col("near_dup_drop")
+            ).drop("is_canonical")
+            out.write.mode("overwrite").parquet(decisions)
 
     # 4. kept corpus: the curated, deduped documents (original string
     # ids restored as the identity column)

@@ -317,11 +317,41 @@ def _anchor_edge_stream(banded: DataFrame) -> DataFrame:
     )
 
 
+def _long_doc_id(id_mode: str) -> F.Column:
+    """Long dedup key from the (string) input doc_id. "cast" keeps
+    numeric-string ids as-is but raises a clear runtime error on the
+    first non-numeric id (a silent NULL used to crash the minhash
+    kernel with a cryptic NaN ValueError); "hash" derives the same
+    deterministic xxhash64 surrogate pretrain_corpus uses (collision
+    odds ~(n^2)/2^65 — negligible to 10^9 docs), for corpora with
+    'doc-...'-style ids."""
+    if id_mode == "hash":
+        return F.xxhash64(F.col("doc_id").cast("string"))
+    if id_mode == "cast":
+        # try_cast: NULL (not an ANSI CAST_INVALID_INPUT) on bad input,
+        # so the raise_error branch owns the message in any SQL mode
+        cast = F.col("doc_id").try_cast("long")
+        return F.when(cast.isNotNull(), cast).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "dedup_near_stream(id_mode='cast'): non-numeric "
+                        "doc_id "
+                    ),
+                    F.col("doc_id"),
+                    F.lit(" — use id_mode='hash' for string ids"),
+                )
+            )
+        )
+    raise ValueError(f"unknown id_mode: {id_mode!r}")
+
+
 def dedup_near_stream(
     spark: SparkSession,
     in_path: str,
     max_files_per_trigger: int = 8,
     method: str = "minhash",
+    id_mode: str = "cast",
 ) -> DataFrame:
     """Streaming NEAR-dup dedup: LSH band keys become the state key of
     an anchor-edge stream (_anchor_edge_stream). method="minhash" uses
@@ -330,11 +360,25 @@ def dedup_near_stream(
     method="simhash" uses the 120-bit wide simhash 4x30-bit banding
     (textops.simhash_wide + _simhash_wide_banded) — same state/edge
     semantics over hamming-band buckets (no hamming verify, like the
-    batch band-edge path: bucket collisions merge clusters)."""
+    batch band-edge path: bucket collisions merge clusters). id_mode:
+    see _long_doc_id ("cast" for numeric ids, fails fast otherwise;
+    "hash" for xxhash64 surrogates over arbitrary string ids).
+
+    HOT-BUCKET CONTRACT (the streaming analogue of sessionize's
+    per-user bound, in lieu of the batch operators' salt cap, which
+    needs bucket counts a stream doesn't have): a viral bucket is ONE
+    state group, so all of its arrivals in a trigger pass through one
+    applyInPandasWithState task. Per-trigger work per group is bounded
+    by the trigger's batch size (max_files_per_trigger x rows/file) —
+    size the trigger so the hottest plausible bucket's per-trigger
+    membership fits one task. Output and state stay linear regardless:
+    <= 1 star edge per (doc, band) arrival, one long of state per
+    occupied bucket, never a B^2/2 pair object
+    (test_dedup_near_stream_viral_bucket_linear)."""
     from . import textops
 
     docs = read_doc_stream(spark, in_path, max_files_per_trigger).select(
-        F.col("doc_id").cast("long").alias("doc_id"),
+        _long_doc_id(id_mode).alias("doc_id"),
         doc_text().alias("text"),
     )
     if method == "minhash":

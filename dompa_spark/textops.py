@@ -19,6 +19,8 @@ bit-exact.
 
 from __future__ import annotations
 
+import contextlib
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -1194,6 +1196,7 @@ def curate_corpus(
     df: DataFrame,
     quality_min: float = CURATE_QUALITY_MIN,
     domain_cap_n: int = DOMAIN_CAP,
+    _slim_out: dict | None = None,
 ) -> DataFrame:
     """The composed curation decision a training-data pipeline ships:
     quality gate AND stratified sample AND per-domain cap AND exact
@@ -1209,7 +1212,15 @@ def curate_corpus(
     instead of ~5x — at 100 TB the rescans were the dominant cost. The
     shuffle stages themselves are the standalone operators' plans
     (salted two-phase cap via domain_cap, map-side groupBy-min dedup
-    via _dedup_flags) fed from the cached slim columns."""
+    via _dedup_flags) fed from the cached slim columns.
+
+    CACHE LIFECYCLE (ADVICE r03): the slim projection stays cached
+    after the returned DataFrame is materialized — the return is lazy,
+    so this function cannot know when it is safe to unpersist. The
+    cache belongs to the caller's session: one-shot scripts can ignore
+    it (session teardown frees it); long-lived sessions invoking this
+    repeatedly should use curate_corpus_scoped (targeted unpersist on
+    exit) or clear caches between invocations as bench.py does."""
     slim = df.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         "source",
@@ -1217,6 +1228,8 @@ def curate_corpus(
         sample_keep_col().alias("sampled"),
         dedup_key_col().alias("dedup_key"),
     ).cache()
+    if _slim_out is not None:
+        _slim_out["slim"] = slim
     c = domain_cap(slim, cap=domain_cap_n).select(
         "doc_id", F.lit(True).alias("capped_in")
     )
@@ -1242,6 +1255,24 @@ def curate_corpus(
         & F.col("capped_in")
         & ~F.col("is_dup"),
     )
+
+
+@contextlib.contextmanager
+def curate_corpus_scoped(df: DataFrame, **kwargs):
+    """curate_corpus with a bounded cache lifecycle: yields the output
+    DataFrame, and unpersists the internal slim-projection cache on
+    exit — the fix for unbounded cache growth when a long-lived session
+    (e.g. repeated jobs.curate.main) invokes curation repeatedly
+    (ADVICE r03). Materialize the output INSIDE the with-block; after
+    exit the returned plan recomputes from source instead of the
+    cache."""
+    holder: dict = {}
+    try:
+        yield curate_corpus(df, _slim_out=holder, **kwargs)
+    finally:
+        slim = holder.get("slim")
+        if slim is not None:
+            slim.unpersist()
 
 
 CONTAM_BENCH_EVERY = 97  # every 97th doc's lead shingle forms the benchmark
@@ -1694,6 +1725,16 @@ def repetition_scores(df: DataFrame) -> DataFrame:
             ids, n_words, dup_ratio, top_big = [], [], [], []
             for did, t in zip(pdf["doc_id"], pdf["text"]):
                 if t is None:
+                    # one row per doc, like quality_scores: a null-text
+                    # doc is REPORTED as rejected (n_words=0 fails the
+                    # floor), not silently dropped — downstream
+                    # left-join+coalesce gates (curate/pretrain) would
+                    # otherwise reject it with no surfaced signal
+                    # (ADVICE r03)
+                    ids.append(int(did))
+                    n_words.append(0)
+                    dup_ratio.append(0.0)
+                    top_big.append(0.0)
                     continue
                 ws = t.split(" ")
                 n = len(ws)

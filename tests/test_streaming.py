@@ -468,3 +468,105 @@ def test_dedup_near_stream_simhash_components_match_batch(spark, tmp_path):
             for r in graphops.connected_components(star).collect()}
     assert got == want
     assert len(got) >= 30  # identical-text groups really collapse
+
+
+def _identical_docs(spark, ids, text="viral boilerplate shared by every "
+                                     "doc with enough words for shingles"):
+    from pyspark.sql import functions as F
+
+    return spark.createDataFrame([(i,) for i in ids], "id long").select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("html").alias("kind"),
+                F.lit(text).alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )
+
+
+def test_dedup_near_stream_viral_bucket_linear(spark, tmp_path):
+    """The hot-bucket contract (VERDICT r03 #6): a 100%-viral corpus —
+    every doc identical, so ONE bucket per band holds everything — must
+    still emit a LINEAR edge multiset across triggers (star edges + one
+    splice per anchor move), never the B^2/2 pair object; waves arrive
+    in DESCENDING id order to force an anchor move every trigger."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dompa_spark import graphops
+
+    in_path = str(tmp_path / "viral_in")
+    os.makedirs(in_path)
+    waves = [range(200, 300), range(100, 200), range(0, 100)]
+    for w in waves:
+        _identical_docs(spark, w).coalesce(1).write.mode("append").parquet(
+            in_path
+        )
+
+    out_path = str(tmp_path / "viral_out")
+    q = (
+        streaming.dedup_near_stream(spark, in_path, max_files_per_trigger=1)
+        .writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", str(tmp_path / "viral_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    edges = spark.read.parquet(out_path).dropDuplicates(["doc_a", "doc_b"])
+    n_docs, n_triggers, n_bands = 300, len(waves), 4
+    n_edges = edges.count()
+    # linear: per band, <= (n-1) star edges + one splice per anchor move
+    assert n_edges <= (n_docs - 1) + n_bands * n_triggers, n_edges
+    assert n_edges < n_docs * (n_docs - 1) // 20  # nowhere near B^2/2
+    comp = {r.doc_id: r.component
+            for r in graphops.connected_components(edges).collect()}
+    assert set(comp.values()) == {0}  # one cluster under the global min
+    assert len(comp) == n_docs
+
+
+def test_dedup_near_stream_string_ids(spark, tmp_path):
+    """ADVICE r03: non-numeric doc_ids. id_mode='hash' runs the stream
+    over xxhash64 surrogates (identical-text docs still cluster);
+    id_mode='cast' fails FAST with a clear error instead of feeding
+    NULL keys into the minhash kernel."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dompa_spark import graphops
+
+    in_path = str(tmp_path / "strid_in")
+    os.makedirs(in_path)
+    docs = _near_docs(spark, range(60)).select(
+        F.concat(F.lit("doc-"), F.col("doc_id")).alias("doc_id"), "spans"
+    )
+    docs.coalesce(1).write.mode("append").parquet(in_path)
+
+    out_path = str(tmp_path / "strid_out")
+    q = (
+        streaming.dedup_near_stream(spark, in_path, id_mode="hash")
+        .writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", str(tmp_path / "strid_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    edges = spark.read.parquet(out_path).dropDuplicates(["doc_a", "doc_b"])
+    comp = graphops.connected_components(edges).count()
+    assert comp >= 60  # every doc present: groups of 3 collapsed
+
+    # cast mode on the same ids: loud plan-level error, not NULL keys
+    import pytest
+
+    with pytest.raises(Exception, match="non-numeric doc_id"):
+        spark.createDataFrame([("doc-7",)], "doc_id string").select(
+            streaming._long_doc_id("cast").alias("doc_id")
+        ).collect()

@@ -336,6 +336,13 @@ def test_arrow_kernels_tolerate_null_text(spark):
     sigs = textops.minhash_sigs(df).collect()
     assert sorted(r.doc_id for r in sigs) == [1, 3]
     assert all(len(r.sig) == textops.N_MINHASH for r in sigs)
+    # repetition: one row per doc — a null-text doc is REPORTED as
+    # rejected (n_words=0 fails the floor), never silently dropped
+    # (ADVICE r03)
+    rep = {r.doc_id: r for r in textops.repetition_scores(df).collect()}
+    assert sorted(rep) == [1, 2, 3]
+    assert rep[2].n_words == 0 and rep[2].repetition_ok is False
+    assert rep[2].dup_word_ratio == 0.0 and rep[2].top_bigram_frac == 0.0
 
 
 def _clique_docs(spark, n=500, clique=200):
@@ -809,3 +816,31 @@ def test_ivf_training_balances_lists(spark):
     assert untrained > 4.5, untrained
     assert trained < 3.0, trained
     assert trained < untrained / 1.8, (untrained, trained)
+
+
+def test_curate_corpus_scoped_unpersists(spark, tmp_path):
+    """ADVICE r03: the scoped variant must release the slim-projection
+    cache on exit (repeated invocations in a long-lived session stay
+    cache-bounded), while yielding the same verdicts as the plain
+    call."""
+    path = str(tmp_path / "docs")
+    spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text body of doc "), F.col("id"),
+                 F.lit(" with several words")).alias("text"),
+        F.when(F.col("id") % 3 == 0, F.lit("en"))
+        .otherwise(F.lit("de")).alias("lang"),
+        F.concat(F.lit("s"), F.col("id") % 7).alias("source"),
+    ).write.parquet(path)
+    docs = spark.read.parquet(path)
+
+    jsm = spark._jsparkSession.sharedState().cacheManager()
+    want = {(r.doc_id, r.kept)
+            for r in textops.curate_corpus(docs).collect()}
+    spark.catalog.clearCache()
+    assert jsm.isEmpty()
+    with textops.curate_corpus_scoped(docs) as out:
+        got = {(r.doc_id, r.kept) for r in out.collect()}
+        assert not jsm.isEmpty()  # slim cache live inside the block
+    assert jsm.isEmpty(), "scoped exit must unpersist the slim cache"
+    assert got == want
