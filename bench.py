@@ -279,6 +279,10 @@ def main() -> None:
         print(json.dumps(out))
         return
 
+    if "--recall" in sys.argv:
+        run_recall_sweep(sf_dir, cpus, sf)
+        return
+
     corpus_path, n_docs = ensure_corpus(sf)
     spark = make_spark(cpus)
     docs, chars = corpus_stats(spark, corpus_path)
@@ -302,6 +306,50 @@ def main() -> None:
         build_output(wall, qtimes, sf, docs, chars, cold_wall, cpus,
                      scaling_cache)
     ))
+
+
+def run_recall_sweep(sf_dir: str, cpus: int, sf: float) -> None:
+    """--recall: recall@5 of the approximate ANN paths vs exact brute
+    force across their quality knobs (LSH multi-probe planes, IVF
+    n_probe) on $SPARK_GRAFT_SF_DIR's embeddings — the table a pipeline
+    tunes dedup/search aggressiveness against (VERDICT r03 #3). Writes
+    RECALL.json and prints one JSON line; the default-knob floor is
+    pinned by test_ann_recall_floor, the BENCH.md table is pasted from
+    this output."""
+    from __spark_entry__ import EMBED_DIM, _emb
+    from dompa_spark import textops
+
+    spark = make_spark(cpus)
+    emb = _emb(spark, sf_dir).cache()
+    n_vecs = emb.count()  # materialize once; every sweep point reuses it
+    rows = []
+    for planes in (4, 6, 8, 10):
+        r = {x["method"]: x for x in map(
+            lambda p: p.asDict(),
+            textops.ann_recall(emb, dim=EMBED_DIM, lsh_planes=planes)
+            .collect(),
+        )}
+        rows.append({"knob": "lsh_planes", "value": planes,
+                     "recall_at_5": r["lsh"]["recall_at_k"]})
+    for probe in (1, 2, 4, 8, 16):
+        r = {x["method"]: x for x in map(
+            lambda p: p.asDict(),
+            textops.ann_recall(emb, dim=EMBED_DIM, ivf_probe=probe)
+            .collect(),
+        )}
+        rows.append({"knob": "ivf_probe", "value": probe,
+                     "recall_at_5": r["ivf"]["recall_at_k"]})
+    emb.unpersist()
+    spark.stop()
+    out = {"metric": "ann_recall_sweep", "unit": "recall@5", "sf": sf,
+           "n_vecs": n_vecs, "dim": EMBED_DIM,
+           "defaults": {"lsh_planes": textops.ANN_LSH_PLANES,
+                        "ivf_probe": textops.IVF_PROBE,
+                        "ivf_centroids": textops.IVF_CENTROIDS},
+           "sweep": rows}
+    with open(os.path.join(REPO, "RECALL.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
 
 
 def build_output(
