@@ -80,6 +80,7 @@ def test_no_row_at_a_time_python_anywhere(spark, entry_mod):
     for name, fn in entry_mod.queries().items():
         plan = plan_of(fn(spark, SF_DIR))
         assert "BatchEvalPython" not in plan, f"{name} uses per-row Python"
+    spark.catalog.clearCache()  # drop the loop's lazy cache marks
 
 
 def test_no_unbounded_cartesian_products(spark, entry_mod):
@@ -94,7 +95,11 @@ def test_no_unbounded_cartesian_products(spark, entry_mod):
     #   against the broadcast n_centroids-row (16) centroid table by
     #   construction — a bounded-constant fanout that collapses map-side
     #   (partial_min) before any shuffle, not an all-pairs join
-    allowed_bnlj = {"ann_cosine_topk", "tfidf_top_terms", "ann_ivf_topk"}
+    # ivf_list_sizes: same centroid-assignment subplan as ann_ivf_topk
+    # ann_recall: composes ann_cosine_topk + ann_ivf_topk, so it
+    #   inherits exactly their allowed broadcast nested loops
+    allowed_bnlj = {"ann_cosine_topk", "tfidf_top_terms", "ann_ivf_topk",
+                    "ivf_list_sizes", "ann_recall"}
     for name, fn in entry_mod.queries().items():
         plan = plan_of(fn(spark, SF_DIR))
         assert "CartesianProduct" not in plan, f"{name} has a cartesian join"
@@ -102,6 +107,10 @@ def test_no_unbounded_cartesian_products(spark, entry_mod):
             assert "BroadcastNestedLoopJoin" not in plan, (
                 f"{name} has an all-pairs nested-loop join"
             )
+    # building these plans registers operator-internal .cache() marks;
+    # drop them so later plan tests see canonical (uncached) plans with
+    # their PushedFilters/scan lines intact, as bench.py's loop does
+    spark.catalog.clearCache()
 
 
 def test_ann_cosine_broadcasts_queries_and_pushes_filter(spark, entry_mod):
