@@ -1715,7 +1715,18 @@ def repetition_scores(df: DataFrame) -> DataFrame:
     explode ever reaches a shuffle; output is one slim row per doc.
     The expression alternative (explode bigrams -> groupBy(doc, bigram)
     -> window max) would shuffle the full token stream twice. Ties in
-    the bigram mode don't matter: only the max COUNT is emitted."""
+    the bigram mode don't matter: only the max COUNT is emitted.
+
+    The Counter-per-doc loop is a MEASURED choice, not a default: the
+    house flattened-batch form (factorize words once, np.unique over
+    (doc, code) keys for distincts, sort + run-length + maximum.reduceat
+    for the bigram mode) was built and A/B'd bit-identical — it ties on
+    the 5k-doc bench table and is 2x SLOWER on a heavy-tail batch (one
+    2M-word doc + 500 short: 1.7 s loop vs 3.3 s vectorized), because
+    Counter's C-level dict ops beat the O(n log n) packed-key sort and
+    the object-array flatten that feeds factorize. Per-doc dict ops are
+    the right kernel when the reduction is per-doc modes over unbounded
+    vocab, unlike the fixed-width hash folds where reduceat wins."""
     import pandas as pd
 
     def gen(batches):
