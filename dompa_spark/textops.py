@@ -481,7 +481,8 @@ def minhash_band_edges_with_stats(
     path has no salt cap (its output is linear by construction), but
     the telemetry still matters at 100 TB: max_bucket_n tells you how
     big the viral clusters the clustering is about to merge are, for
-    free."""
+    free. Cache lifecycle is caller-owned (see curate_corpus's CACHE
+    LIFECYCLE note)."""
     banded = _minhash_banded(minhash_sigs(df)).cache()
     return _band_star_edges(banded), _bucket_stats(banded, cap)
 
@@ -572,7 +573,12 @@ def minhash_lsh_with_stats(
 
     Results are independent DataFrames: identical values to the
     standalone minhash_lsh_pairs / minhash_bucket_stats (same plans
-    below the shared cache), so the oracles are unchanged."""
+    below the shared cache), so the oracles are unchanged.
+
+    Cache lifecycle is caller-owned, as for every operator-internal
+    cache here (see curate_corpus's CACHE LIFECYCLE note): one-shot
+    jobs can ignore it; long-lived sessions invoking this repeatedly
+    should clear caches between invocations as bench.py does."""
     sigs = minhash_sigs(df).cache()
     banded = _minhash_banded(sigs).cache()
     stats = _bucket_stats(banded, bucket_cap)
@@ -841,7 +847,8 @@ def simhash_dedup_with_stats(
     corpus the dedup just fingerprinted). The pre-salt banded
     projection is cached and feeds both the _bucket_stats aggregate and
     the salt step; values are identical to the standalone operators, so
-    the oracles are unchanged."""
+    the oracles are unchanged. Cache lifecycle is caller-owned (see
+    curate_corpus's CACHE LIFECYCLE note)."""
     sh = simhash_wide(with_near_dups(df)).cache()
     banded = _simhash_wide_banded(sh).cache()
     stats = _bucket_stats(banded, bucket_cap)
