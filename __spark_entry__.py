@@ -246,6 +246,13 @@ def q_tfidf_top_terms(spark, sf_dir):
     return textops.tfidf_top_terms(_docs(spark, sf_dir))
 
 
+def q_lm_surprisal(spark, sf_dir):
+    """CCNet-style LM quality gate: per-doc mean token surprisal under
+    the corpus's own top-k unigram LM, in exact integer bit buckets
+    (engine-parity-safe log2; see textops.lm_surprisal_scores)."""
+    return textops.lm_surprisal_scores(_docs(spark, sf_dir))
+
+
 def q_sample_stratified(spark, sf_dir):
     return textops.sample_stratified(_docs(spark, sf_dir))
 
@@ -559,6 +566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_corpus": q_curate_corpus,
         "vocab_topk": q_vocab_topk,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "lm_surprisal": q_lm_surprisal,
         "sample_stratified": q_sample_stratified,
         "contamination": q_contamination,
         "domain_cap": q_domain_cap,
@@ -1377,6 +1385,46 @@ def oracle_sql() -> dict[str, str]:
                    round(tf * ln(n_docs / CAST(df_w AS DOUBLE)), 4) AS tfidf
             FROM tf JOIN dfreq USING (word), n
             QUALIFY rank <= {textops.TFIDF_TOPK}
+        """,
+        "lm_surprisal": f"""
+            WITH base AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id, text
+              FROM documents),
+            tok AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS word
+              FROM base),
+            counts AS (
+              SELECT word, CAST(count(*) AS BIGINT) AS c
+              FROM tok GROUP BY word),
+            n AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM counts),
+            lm AS (
+              SELECT word, c FROM counts
+              ORDER BY c DESC, word ASC
+              LIMIT {textops.LM_VOCAB_K}),
+            -- surprisal = integer bit bucket floor(log2(N // count)):
+            -- exact BIGINT math in both engines (ln would flap on
+            -- last-ulp libm differences); OOV takes count=1
+            scored AS (
+              SELECT t.doc_id,
+                     length(bin((SELECT n_total FROM n)
+                                // coalesce(l.c, 1))) - 1 AS surp,
+                     CASE WHEN l.word IS NULL THEN 1 ELSE 0 END AS oov
+              FROM tok t LEFT JOIN lm l USING (word)),
+            agg AS (
+              SELECT doc_id,
+                     CAST(count(*) AS BIGINT) AS n_tokens,
+                     CAST(sum(oov) AS BIGINT) AS oov_n,
+                     round(avg(surp), 4) AS mean_surprisal
+              FROM scored GROUP BY doc_id)
+            SELECT b.doc_id,
+                   CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   coalesce(round(a.oov_n / a.n_tokens, 4), 0.0)
+                     AS oov_ratio,
+                   coalesce(a.mean_surprisal, 0.0) AS mean_surprisal,
+                   coalesce(a.n_tokens, 0) > 0
+                     AND coalesce(a.mean_surprisal, 0.0)
+                         <= {textops.LM_SURPRISAL_MAX} AS lm_ok
+            FROM base b LEFT JOIN agg a USING (doc_id)
         """,
         "sample_stratified": f"""
             WITH base AS (

@@ -1108,6 +1108,86 @@ def tfidf_top_terms(df: DataFrame, k: int = TFIDF_TOPK) -> DataFrame:
     )
 
 
+LM_VOCAB_K = 2048
+# keep-gate ceiling on mean surprisal, in bits (~= log2 perplexity):
+# 12 bits ~ unigram perplexity 4096 — far above any coherent document
+# under its own corpus LM, failed only by docs dominated by ultra-rare
+# or OOV tokens (mojibake, hex dumps, tag soup the extractor missed)
+LM_SURPRISAL_MAX = 12.0
+
+
+def lm_surprisal_scores(
+    df: DataFrame,
+    vocab_k: int = LM_VOCAB_K,
+    surprisal_max: float = LM_SURPRISAL_MAX,
+) -> DataFrame:
+    """CCNet-style LM quality gate: score every document by its mean
+    per-token surprisal under the corpus's OWN unigram LM (top-vocab_k
+    words by count), one row per doc — (doc_id, n_tokens, oov_ratio,
+    mean_surprisal, lm_ok). Docs dominated by ultra-rare/OOV tokens
+    (mojibake, hex dumps, extraction failures) score high and fail the
+    gate; boilerplate scores low. Null-text docs report n_tokens=0 and
+    fail (one row per doc, like quality/repetition — never silently
+    dropped).
+
+    ENGINE-EXACT surprisal: instead of ln(count/N) — whose last-ulp
+    behavior differs between the JVM's Math.log and DuckDB's libm, so
+    a value-hash oracle could flap — a token's surprisal is the integer
+    bit bucket floor(log2(N div count)) = length(bin(N div count)) - 1,
+    computed in exact BIGINT arithmetic identically by both engines
+    (ranking-equivalent to log-prob at 1-bit granularity; OOV tokens
+    take count=1, the maximum bucket). The mean is then a single
+    sum/count double division — the same IEEE op everywhere.
+
+    Scale shape: two passes over the token stream, both explode ->
+    map-side partial aggregation (the LM build shuffles one row per
+    distinct word per task; the scoring pass collapses to one row per
+    doc before its shuffle). The LM itself is a distributed top-k
+    (TakeOrderedAndProject, deterministic count-desc/word-asc
+    tie-break) broadcast to the scoring join, bounded by vocab_k at any
+    corpus size; total token count N rides a broadcast 1-row aggregate
+    (the tfidf pattern). The word-count table is cached to feed the LM,
+    N, and nothing else twice — cache lifecycle is caller-owned (see
+    curate_corpus's CACHE LIFECYCLE note)."""
+    docs = df.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+    tok = docs.select("doc_id", F.explode(words()).alias("word"))
+    counts = tok.groupBy("word").agg(
+        F.count("*").cast("long").alias("c")
+    ).cache()
+    lm = counts.orderBy(F.desc("c"), F.asc("word")).limit(vocab_k)
+    n_tot = counts.agg(F.sum("c").cast("long").alias("n_total"))
+    scored = (
+        tok.join(F.broadcast(lm), "word", "left")
+        .join(F.broadcast(n_tot))
+        .withColumn("c_eff", F.coalesce("c", F.lit(1)).cast("long"))
+        .withColumn(
+            "surp",
+            (F.length(F.bin(F.expr("n_total div c_eff"))) - 1).cast(
+                "long"
+            ),
+        )
+        .withColumn("oov", F.when(F.col("c").isNull(), 1).otherwise(0))
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum("oov").cast("long").alias("oov_n"),
+        F.round(F.avg("surp"), 4).alias("mean_surprisal"),
+    )
+    out = docs.select("doc_id").join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce(
+            F.round(F.col("oov_n") / F.col("n_tokens"), 4), F.lit(0.0)
+        ).alias("oov_ratio"),
+        F.coalesce("mean_surprisal", F.lit(0.0)).alias("mean_surprisal"),
+    )
+    return out.withColumn(
+        "lm_ok",
+        (F.col("n_tokens") > 0)
+        & (F.col("mean_surprisal") <= F.lit(float(surprisal_max))),
+    )
+
+
 SAMPLE_RATES = {"en": 80, "de": 50, "fr": 50, "es": 50}  # percent
 SAMPLE_RATE_DEFAULT = 25
 

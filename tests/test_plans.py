@@ -98,8 +98,10 @@ def test_no_unbounded_cartesian_products(spark, entry_mod):
     # ivf_list_sizes: same centroid-assignment subplan as ann_ivf_topk
     # ann_recall: composes ann_cosine_topk + ann_ivf_topk, so it
     #   inherits exactly their allowed broadcast nested loops
+    # lm_surprisal: total token count N joins in as a broadcast 1-row
+    #   aggregate (the tfidf pattern)
     allowed_bnlj = {"ann_cosine_topk", "tfidf_top_terms", "ann_ivf_topk",
-                    "ivf_list_sizes", "ann_recall"}
+                    "ivf_list_sizes", "ann_recall", "lm_surprisal"}
     for name, fn in entry_mod.queries().items():
         plan = plan_of(fn(spark, SF_DIR))
         assert "CartesianProduct" not in plan, f"{name} has a cartesian join"

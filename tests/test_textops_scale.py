@@ -844,3 +844,57 @@ def test_curate_corpus_scoped_unpersists(spark, tmp_path):
         assert not jsm.isEmpty()  # slim cache live inside the block
     assert jsm.isEmpty(), "scoped exit must unpersist the slim cache"
     assert got == want
+
+
+def test_lm_surprisal_exact_buckets_and_oov(spark):
+    """The LM quality gate computes EXACT integer surprisal buckets:
+    a hand-built corpus where every count, N, and floor(log2(N//c)) is
+    known in closed form, plus the OOV path via a small vocab_k cutoff
+    (deterministic count-desc/word-asc tie-break) and the one-row-per-
+    doc null-text contract."""
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a b"),       # 4x a, 1x b
+            (2, "a a b c"),         # 2x a, 1x b, 1x c
+            (3, None),              # null text -> zeros row, lm_ok false
+            (4, "zzz"),             # the rarest word
+        ],
+        "doc_id long, text string",
+    )
+    # corpus: N=10; counts a=6, b=2, c=1, zzz=1
+    # vocab_k=2 keeps {a (6), b (2)}; c and zzz are OOV (count=1)
+    # surprisal: a -> floor(log2(10//6=1))=0; b -> floor(log2(5))=2
+    #            OOV -> floor(log2(10//1))=3
+    rows = {r.doc_id: r for r in textops.lm_surprisal_scores(
+        df, vocab_k=2, surprisal_max=2.5).collect()}
+    assert sorted(rows) == [1, 2, 3, 4]
+    r1 = rows[1]
+    assert r1.n_tokens == 5 and r1.oov_ratio == 0.0
+    assert r1.mean_surprisal == round((0 * 4 + 2) / 5, 4)  # 0.4
+    assert r1.lm_ok is True
+    r2 = rows[2]
+    assert r2.n_tokens == 4 and r2.oov_ratio == 0.25
+    assert r2.mean_surprisal == round((0 + 0 + 2 + 3) / 4, 4)  # 1.25
+    assert r2.lm_ok is True
+    r3 = rows[3]
+    assert (r3.n_tokens, r3.oov_ratio, r3.mean_surprisal, r3.lm_ok) == (
+        0, 0.0, 0.0, False)
+    r4 = rows[4]  # single OOV token: mean=3.0 > 2.5 -> gated out
+    assert r4.n_tokens == 1 and r4.oov_ratio == 1.0
+    assert r4.mean_surprisal == 3.0 and r4.lm_ok is False
+
+
+def test_lm_surprisal_vocab_tiebreak_deterministic(spark):
+    """Equal-count words at the vocab_k boundary resolve by word ASC —
+    the LM is identical across engines/partitionings, never dependent
+    on which tied word a top-k heap happened to keep."""
+    df = spark.createDataFrame(
+        [(1, "x y"), (2, "y x"), (3, "x y z")],
+        "doc_id long, text string",
+    )
+    # counts: x=3, y=3, z=1. vocab_k=1 must keep x (tie x/y -> word asc)
+    rows = {r.doc_id: r for r in textops.lm_surprisal_scores(
+        df, vocab_k=1).collect()}
+    # N=7; x in-vocab: floor(log2(7//3=2))=1; y,z OOV: floor(log2(7))=2
+    assert rows[1].mean_surprisal == round((1 + 2) / 2, 4)
+    assert rows[3].oov_ratio == round(2 / 3, 4)
