@@ -4,14 +4,15 @@
     spark-submit --py-files dompa_spark.zip dompa_spark/jobs/curate.py \
         --input  /path/to/documents \
         --output /path/to/decisions \
-        [--quality-min F] [--with-repetition] [--kept-only]
+        [--quality-min F] [--with-repetition] [--with-lm] [--kept-only]
 
 Input: a parquet table with (doc_id, text, lang, source) columns (the
 documents shape). Output: one decision row per document — the
 single-scan curate_corpus verdicts (quality/sample/cap/dedup + kept),
-optionally ANDed with the Gopher-style repetition gate — or, with
---kept-only, just the kept doc_ids (the slim join list a downstream
-mixing job consumes). Prints one JSON stats line.
+optionally ANDed with the Gopher-style repetition gate and/or the
+CCNet-style LM-surprisal gate — or, with --kept-only, just the kept
+doc_ids (the slim join list a downstream mixing job consumes). Prints
+one JSON stats line.
 """
 
 from __future__ import annotations
@@ -28,6 +29,8 @@ def main(argv=None) -> int:
     p.add_argument("--quality-min", type=float, default=None)
     p.add_argument("--with-repetition", action="store_true",
                    help="AND the repetition gate into `kept`")
+    p.add_argument("--with-lm", action="store_true",
+                   help="AND the LM-surprisal gate into `kept`")
     p.add_argument("--kept-only", action="store_true",
                    help="write only kept doc_ids instead of all verdicts")
     p.add_argument("--master", default=None,
@@ -67,6 +70,18 @@ def main(argv=None) -> int:
                     F.coalesce("repetition_ok", F.lit(False)),
                 )
                 .withColumn("kept", F.col("kept") & F.col("repetition_ok"))
+            )
+        if args.with_lm:
+            # lm_ok already reports one row per doc (null text included),
+            # so the left join only goes NULL for docs absent from the
+            # input itself — coalesce(False) keeps the gate conservative
+            lm = textops.lm_surprisal_scores(docs).select(
+                "doc_id", "lm_ok"
+            )
+            out = (
+                out.join(lm, "doc_id", "left")
+                .withColumn("lm_ok", F.coalesce("lm_ok", F.lit(False)))
+                .withColumn("kept", F.col("kept") & F.col("lm_ok"))
             )
         if args.kept_only:
             out = out.filter("kept").select("doc_id")

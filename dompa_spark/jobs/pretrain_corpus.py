@@ -12,7 +12,7 @@
     spark-submit --py-files dompa_spark.zip \
         dompa_spark/jobs/pretrain_corpus.py \
         --input /path/raw_docs --workdir /path/work \
-        [--chunk-parts N] [--with-repetition] [--no-resume]
+        [--chunk-parts N] [--with-repetition] [--with-lm] [--no-resume]
 
 Every stage is the corresponding tested operator (pipeline.run_extract,
 textops.lang_id_heuristic / curate_corpus / repetition_scores /
@@ -53,6 +53,8 @@ def main(argv=None) -> int:
     p.add_argument("--light-parts", type=int, default=None)
     p.add_argument("--heavy-parts", type=int, default=None)
     p.add_argument("--with-repetition", action="store_true")
+    p.add_argument("--with-lm", action="store_true",
+                   help="AND the LM-surprisal gate into `kept`")
     p.add_argument("--domain-cap", type=int, default=None,
                    help="docs kept per source domain (default: the "
                         "operator's DOMAIN_CAP; raise for corpora with "
@@ -149,6 +151,13 @@ def main(argv=None) -> int:
                     "repetition_ok",
                     F.coalesce("repetition_ok", F.lit(False)),
                 ).withColumn("kept", F.col("kept") & F.col("repetition_ok"))
+            if args.with_lm:
+                lm = textops.lm_surprisal_scores(docs).select(
+                    "doc_id", "lm_ok"
+                )
+                cur = cur.join(lm, "doc_id", "left").withColumn(
+                    "lm_ok", F.coalesce("lm_ok", F.lit(False))
+                ).withColumn("kept", F.col("kept") & F.col("lm_ok"))
             # linear near-dup clustering; non-canonical cluster members
             # drop. Fused accessor: the hot-bucket telemetry rides the
             # SAME shingle+minhash pass as the edges (minhash_band_

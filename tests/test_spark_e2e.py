@@ -367,6 +367,22 @@ def test_curate_job_cli(spark, tmp_path, capsys):
     kept_ids = {r.doc_id for r in spark.read.parquet(out2).collect()}
     assert kept_ids == {d for d, (k, _) in got.items() if k}
 
+    # --with-lm: the CCNet-style LM-surprisal gate ANDs in the same way
+    out3 = str(tmp_path / "decisions_lm")
+    rc = curate.main([
+        "--input", in_path, "--output", out3, "--with-repetition",
+        "--with-lm", "--master", "local[2]",
+    ])
+    assert rc == 0
+    got_lm = {r.doc_id: (r.kept, r.lm_ok)
+              for r in spark.read.parquet(out3).collect()}
+    want_lm = {r.doc_id: r.lm_ok
+               for r in textops.lm_surprisal_scores(docs).collect()}
+    assert len(got_lm) == 200
+    for d, (kept, lm_ok) in got_lm.items():
+        assert lm_ok == want_lm[d]
+        assert kept == (want_cur[d] and want_rep[d] and want_lm[d])
+
 
 def test_pretrain_corpus_pipeline_end_to_end(spark, small_corpus, tmp_path,
                                              capsys):
@@ -386,7 +402,7 @@ def test_pretrain_corpus_pipeline_end_to_end(spark, small_corpus, tmp_path,
     wd = str(tmp_path / "work")
     rc = pretrain_corpus.main([
         "--input", small_corpus, "--workdir", wd,
-        "--chunk-parts", "4", "--with-repetition",
+        "--chunk-parts", "4", "--with-repetition", "--with-lm",
         "--domain-cap", "100",
         "--light-parts", "6", "--heavy-parts", "2",
         "--master", "local[2]",
@@ -401,6 +417,8 @@ def test_pretrain_corpus_pipeline_end_to_end(spark, small_corpus, tmp_path,
            for r in textops.curate_corpus(docs, domain_cap_n=100).collect()}
     rep = {r.doc_id: r.repetition_ok
            for r in textops.repetition_scores(docs).collect()}
+    lm = {r.doc_id: r.lm_ok
+          for r in textops.lm_surprisal_scores(docs).collect()}
     cc = {r.doc_id: r.is_canonical
           for r in graphops.dedup_components(
               textops.minhash_band_edges(docs)).collect()}
@@ -408,7 +426,7 @@ def test_pretrain_corpus_pipeline_end_to_end(spark, small_corpus, tmp_path,
     want_kept = {
         key_of[d]
         for d in cur
-        if cur[d] and rep[d] and cc.get(d, True)
+        if cur[d] and rep[d] and lm[d] and cc.get(d, True)
     }
     got_kept = {r.doc_id
                 for r in spark.read.parquet(f"{wd}/kept").collect()}
@@ -421,7 +439,7 @@ def test_pretrain_corpus_pipeline_end_to_end(spark, small_corpus, tmp_path,
     mtimes1 = [os.path.getmtime(f) for f in files1]
     rc = pretrain_corpus.main([
         "--input", small_corpus, "--workdir", wd,
-        "--chunk-parts", "4", "--with-repetition",
+        "--chunk-parts", "4", "--with-repetition", "--with-lm",
         "--domain-cap", "100",
         "--light-parts", "6", "--heavy-parts", "2",
         "--master", "local[2]",
