@@ -253,6 +253,13 @@ def q_lm_surprisal(spark, sf_dir):
     return textops.lm_surprisal_scores(_docs(spark, sf_dir))
 
 
+def q_segment_dedup(spark, sf_dir):
+    """CCNet/RefinedWeb-style repeated-line removal: segments occurring
+    verbatim in >=2 distinct docs are stripped; slim hashed explode so
+    the full text is never shuffled (see textops.segment_dedup)."""
+    return textops.segment_dedup(_docs(spark, sf_dir))
+
+
 def q_sample_stratified(spark, sf_dir):
     return textops.sample_stratified(_docs(spark, sf_dir))
 
@@ -567,6 +574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "tfidf_top_terms": q_tfidf_top_terms,
         "lm_surprisal": q_lm_surprisal,
+        "segment_dedup": q_segment_dedup,
         "sample_stratified": q_sample_stratified,
         "contamination": q_contamination,
         "domain_cap": q_domain_cap,
@@ -1425,6 +1433,49 @@ def oracle_sql() -> dict[str, str]:
                      AND coalesce(a.mean_surprisal, 0.0)
                          <= {textops.LM_SURPRISAL_MAX} AS lm_ok
             FROM base b LEFT JOIN agg a USING (doc_id)
+        """,
+        "segment_dedup": f"""
+            WITH segs AS (
+              SELECT doc_id, text,
+                CASE WHEN text IS NULL THEN [] ELSE
+                  list_transform(
+                    generate_series(1,
+                      CAST(ceil(len(string_split(text,' '))
+                           / CAST({textops.SEGDEDUP_WORDS} AS DOUBLE))
+                        AS BIGINT)),
+                    i -> array_to_string(
+                           list_slice(string_split(text,' '),
+                             (i-1)*{textops.SEGDEDUP_WORDS}+1,
+                             (i-1)*{textops.SEGDEDUP_WORDS}
+                               +{textops.SEGDEDUP_WORDS}), ' '))
+                END AS ss
+              FROM documents),
+            ex AS (
+              SELECT doc_id, unnest(ss) AS s,
+                     generate_subscripts(ss, 1) AS pos
+              FROM segs),
+            hot AS (
+              SELECT s FROM (
+                SELECT s, count(DISTINCT doc_id) AS c FROM ex
+                WHERE length(s) >= {textops.SEGDEDUP_MIN_CHARS}
+                GROUP BY s) t
+              WHERE c >= {textops.SEGDEDUP_MIN_DOCS}),
+            clean AS (
+              SELECT e.doc_id,
+                     count(*) AS n_segments,
+                     sum(CASE WHEN h.s IS NOT NULL THEN 1 ELSE 0 END)
+                       AS n_removed,
+                     COALESCE(string_agg(e.s, ' ' ORDER BY e.pos)
+                              FILTER (WHERE h.s IS NULL), '')
+                       AS text_clean
+              FROM ex e LEFT JOIN hot h ON e.s = h.s
+              GROUP BY e.doc_id)
+            SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+                   CAST(COALESCE(c.n_segments, 0) AS BIGINT)
+                     AS n_segments,
+                   CAST(COALESCE(c.n_removed, 0) AS BIGINT) AS n_removed,
+                   COALESCE(c.text_clean, '') AS text_clean
+            FROM documents d LEFT JOIN clean c ON d.doc_id = c.doc_id
         """,
         "sample_stratified": f"""
             WITH base AS (

@@ -1188,6 +1188,120 @@ def lm_surprisal_scores(
     )
 
 
+SEGDEDUP_WORDS = 5
+SEGDEDUP_MIN_DOCS = 2
+SEGDEDUP_MIN_CHARS = 1
+
+
+def _segments_col(mode: str, seg_words: int) -> tuple[Column, str]:
+    """(segments array, rejoin separator) for segment_dedup. 'newline'
+    splits on \\n (the CCNet line unit for real web text); 'words'
+    chunks the token stream into fixed seg_words windows (the
+    deterministic line proxy for single-line corpora). Both splits are
+    lossless under rejoin with the same separator, so docs with no
+    removed segment reconstruct byte-identically."""
+    if mode == "newline":
+        segs, sep = F.split(F.col("text"), "\n"), "\n"
+    elif mode == "words":
+        w = words()
+        n_segs = F.ceil(F.size(w) / F.lit(float(seg_words))).cast("int")
+        segs = F.transform(
+            F.sequence(F.lit(1), n_segs),
+            lambda i: F.concat_ws(
+                " ",
+                F.slice(w, (i - F.lit(1)) * seg_words + F.lit(1),
+                        F.lit(seg_words)),
+            ),
+        )
+        sep = " "
+    else:
+        raise ValueError(f"segment_dedup mode must be 'newline' or "
+                         f"'words', got {mode!r}")
+    empty = F.array().cast("array<string>")
+    return F.when(F.col("text").isNotNull(), segs).otherwise(empty), sep
+
+
+def segment_dedup(
+    df: DataFrame,
+    seg_words: int = SEGDEDUP_WORDS,
+    min_docs: int = SEGDEDUP_MIN_DOCS,
+    min_chars: int = SEGDEDUP_MIN_CHARS,
+    mode: str = "words",
+) -> DataFrame:
+    """CCNet/RefinedWeb-style repeated-line removal: drop every segment
+    (line) that occurs verbatim in >= min_docs DISTINCT documents —
+    navigation chrome, cookie banners, boilerplate headers — and emit
+    one row per document: (doc_id, n_segments, n_removed, text_clean)
+    with the surviving segments rejoined in original order. Segments
+    shorter than min_chars are exempt from counting (so empty lines are
+    never stripped). Null-text docs report n_segments=0/text_clean=''
+    (one row per doc, like quality/repetition — never silently
+    dropped). A segment repeated WITHIN one doc only is kept: the count
+    is per distinct doc, which is what separates site boilerplate from
+    in-doc repetition (repetition_scores covers the latter).
+
+    Scale shape — the counting and candidate passes never touch the
+    text: the explode carries only (doc_id, pos, xxhash64(seg)), so
+    both of those shuffles move slim fixed-width rows. Pass 1 counts
+    distinct docs per segment hash (two-phase distinct aggregate,
+    map-side partials); the hot set is bounded above by
+    total_segments/min_docs rows of one hash each. Pass 2 left-semi
+    joins the slim explode against the hot set (AQE broadcasts it when
+    it fits, which at sane thresholds it does) and collects per-doc
+    bad positions. Only docs that HAVE a hot segment reach the final
+    doc_id equi-join — when boilerplate is sparse AQE broadcasts that
+    side and the text side stays map-side; when most docs carry a hot
+    segment it degrades to ONE text shuffle at doc granularity (the
+    naive explode-and-reassemble shape always shuffles the text TWICE
+    at segment granularity, which is why the slim-hash split exists).
+    Reconstruction is a per-row HOF filter over the re-derived segment
+    array (docs with no hot segment take a constant-time original-text
+    fast path, the common case). xxhash64 stands in for the segment
+    string on the count/join path; a collision needs ~2^32 distinct
+    segments per the birthday bound and at worst removes one innocent
+    segment — the same documented surrogate-key tradeoff as
+    jobs/pretrain_corpus."""
+    docs = df.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+    segs, sep = _segments_col(mode, seg_words)
+    ex = docs.select(
+        "doc_id", F.posexplode(segs).alias("pos", "seg")
+    ).select(
+        "doc_id", "pos",
+        F.xxhash64("seg").alias("h"),
+        F.length("seg").alias("seg_len"),
+    )
+    hot = (
+        ex.where(F.col("seg_len") >= min_chars)
+        .groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("c"))
+        .where(F.col("c") >= min_docs)
+        .select("h")
+    )
+    bad = (
+        ex.join(hot, "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("bad_pos"))
+    )
+    bad_arr = F.col("bad_pos")
+    kept = F.filter(
+        segs, lambda s, i: ~F.array_contains(bad_arr, i)
+    )
+    text_clean = F.when(F.col("text").isNull(), F.lit("")).otherwise(
+        # fast path: no hot segment in this doc -> original text verbatim
+        F.when(bad_arr.isNull(), F.col("text")).otherwise(
+            F.array_join(kept, sep)
+        )
+    )
+    return docs.join(bad, "doc_id", "left").select(
+        "doc_id",
+        F.when(F.col("text").isNull(), F.lit(0))
+        .otherwise(F.size(segs)).cast("long").alias("n_segments"),
+        F.coalesce(F.size(bad_arr), F.lit(0)).cast("long")
+        .alias("n_removed"),
+        text_clean.alias("text_clean"),
+    )
+
+
 SAMPLE_RATES = {"en": 80, "de": 50, "fr": 50, "es": 50}  # percent
 SAMPLE_RATE_DEFAULT = 25
 

@@ -898,3 +898,92 @@ def test_lm_surprisal_vocab_tiebreak_deterministic(spark):
     # N=7; x in-vocab: floor(log2(7//3=2))=1; y,z OOV: floor(log2(7))=2
     assert rows[1].mean_surprisal == round((1 + 2) / 2, 4)
     assert rows[3].oov_ratio == round(2 / 3, 4)
+
+
+# ---------------------------------------------------------------------------
+# segment_dedup (CCNet-style repeated-line removal)
+# ---------------------------------------------------------------------------
+
+
+def test_segment_dedup_newline_boilerplate(spark):
+    """Lines shared verbatim across docs are stripped; unique lines
+    survive in order; empty lines are min_chars-exempt; null-text docs
+    report one row (n_segments=0, text_clean='') — never dropped."""
+    rows = [
+        (1, "COOKIE BANNER\nalpha unique one\nfooter text"),
+        (2, "COOKIE BANNER\nbeta unique two\nfooter text"),
+        (3, "gamma unique three\n\ndelta line"),
+        (4, None),
+        (5, "epsilon line\n\nzeta line"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           textops.segment_dedup(df, mode="newline").collect()}
+    assert out[1].text_clean == "alpha unique one"
+    assert out[1].n_segments == 3 and out[1].n_removed == 2
+    assert out[2].text_clean == "beta unique two"
+    # docs 3 and 5 share only the empty line -> exempt, both untouched
+    assert out[3].text_clean == "gamma unique three\n\ndelta line"
+    assert out[3].n_removed == 0 and out[5].n_removed == 0
+    assert out[4].n_segments == 0 and out[4].n_removed == 0
+    assert out[4].text_clean == ""
+
+
+def test_segment_dedup_within_doc_repeat_kept(spark):
+    """The hot count is per DISTINCT doc: a segment repeated only
+    within one document is site-unique content, not boilerplate, and
+    must survive (in-doc repetition is repetition_scores' job)."""
+    df = spark.createDataFrame(
+        [(1, "dup line\ndup line\nuniq one"), (2, "other text")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in
+           textops.segment_dedup(df, mode="newline").collect()}
+    assert out[1].text_clean == "dup line\ndup line\nuniq one"
+    assert out[1].n_removed == 0
+
+
+def test_segment_dedup_words_mode_roundtrip_and_removal(spark):
+    """words mode: fixed seg_words windows; a shared 5-word run at a
+    window boundary is stripped from every doc carrying it, and docs
+    with no hot window reconstruct byte-identically (fast path)."""
+    shared = "v w x y z"
+    df = spark.createDataFrame(
+        [
+            (1, shared + " a1 b1 c1 d1 e1 f1 g1"),
+            (2, shared + " a2 b2 c2 d2 e2"),
+            (3, "p q r s t u1 v1 w1"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in
+           textops.segment_dedup(df, seg_words=5).collect()}
+    assert out[1].text_clean == "a1 b1 c1 d1 e1 f1 g1"
+    assert out[1].n_segments == 3 and out[1].n_removed == 1
+    assert out[2].text_clean == "a2 b2 c2 d2 e2"
+    # untouched doc: byte-identical original (split/rejoin is lossless,
+    # and the fast path short-circuits to the source column anyway)
+    assert out[3].text_clean == "p q r s t u1 v1 w1"
+    assert out[3].n_removed == 0
+
+
+def test_segment_dedup_shuffles_are_slim(spark):
+    """The counting/candidate passes must shuffle only (doc_id, pos,
+    hash) — at most ONE Exchange (the final doc-side equi-join, which
+    AQE broadcasts away when boilerplate is sparse) may carry the text
+    column, and the distinct-doc count must partial-aggregate map-side."""
+    import re
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e g")],
+        "doc_id long, text string",
+    )
+    plan = plan_of(textops.segment_dedup(df))
+    assert "xxhash64" in plan, plan
+    assert "partial_count" in plan, plan  # two-phase distinct agg
+    blocks = re.findall(
+        r"\(\d+\) Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]", plan
+    )
+    assert blocks, plan
+    texty = [b for b in blocks if re.search(r"\btext#\d+", b)]
+    assert len(texty) <= 1, (texty, plan)
