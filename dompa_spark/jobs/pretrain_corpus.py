@@ -7,12 +7,14 @@
                             exact dedup, optional repetition gate)
                          -> near-dup dedup (linear LSH star edges ->
                             connected components, canonical keeper)
-                         -> kept corpus + one JSON stats line
+                         -> kept corpus (optional repeated-line strip)
+                            + one JSON stats line
 
     spark-submit --py-files dompa_spark.zip \
         dompa_spark/jobs/pretrain_corpus.py \
         --input /path/raw_docs --workdir /path/work \
-        [--chunk-parts N] [--with-repetition] [--with-lm] [--no-resume]
+        [--chunk-parts N] [--with-repetition] [--with-lm] \
+        [--with-line-dedup] [--no-resume]
 
 Every stage is the corresponding tested operator (pipeline.run_extract,
 textops.lang_id_heuristic / curate_corpus / repetition_scores /
@@ -55,6 +57,14 @@ def main(argv=None) -> int:
     p.add_argument("--with-repetition", action="store_true")
     p.add_argument("--with-lm", action="store_true",
                    help="AND the LM-surprisal gate into `kept`")
+    p.add_argument("--with-line-dedup", action="store_true",
+                   help="strip segments repeated across kept docs "
+                        "(textops.segment_dedup) when writing the kept "
+                        "corpus. Runs AFTER near-dup dedup on purpose: "
+                        "hot-segment votes come from the kept set only, "
+                        "so a dropped 50-copy near-dup cluster cannot "
+                        "mark its canonical survivor's text as "
+                        "boilerplate and gut it")
     p.add_argument("--domain-cap", type=int, default=None,
                    help="docs kept per source domain (default: the "
                         "operator's DOMAIN_CAP; raise for corpora with "
@@ -183,15 +193,18 @@ def main(argv=None) -> int:
     if not (resume and _stage_done(spark, kept_path)):
         docs = spark.read.parquet(docs_path)
         keep = spark.read.parquet(decisions).filter("kept").select("doc_id")
-        (
-            docs.join(keep, "doc_id")
-            .select(
-                F.col("orig_doc_id").alias("doc_id"),
-                "text", "source", "lang",
+        kept_docs = docs.join(keep, "doc_id")
+        cols = [F.col("orig_doc_id").alias("doc_id"),
+                "text", "source", "lang"]
+        if args.with_line_dedup:
+            sd = textops.segment_dedup(kept_docs).select(
+                "doc_id",
+                F.col("text_clean").alias("text"),
+                F.col("n_removed").alias("boilerplate_segments_removed"),
             )
-            .write.mode("overwrite")
-            .parquet(kept_path)
-        )
+            kept_docs = kept_docs.drop("text").join(sd, "doc_id")
+            cols.append("boilerplate_segments_removed")
+        kept_docs.select(*cols).write.mode("overwrite").parquet(kept_path)
 
     dec = spark.read.parquet(decisions)
     stats = {
@@ -199,6 +212,11 @@ def main(argv=None) -> int:
         "kept": dec.filter("kept").count(),
         "near_dup_dropped": dec.filter("near_dup_drop").count(),
     }
+    if args.with_line_dedup:
+        stats["line_segments_removed"] = int(
+            spark.read.parquet(kept_path)
+            .agg(F.sum("boilerplate_segments_removed")).first()[0] or 0
+        )
     print(json.dumps(stats))
     if owns_session:
         spark.stop()

@@ -403,7 +403,7 @@ def test_pretrain_corpus_pipeline_end_to_end(spark, small_corpus, tmp_path,
     rc = pretrain_corpus.main([
         "--input", small_corpus, "--workdir", wd,
         "--chunk-parts", "4", "--with-repetition", "--with-lm",
-        "--domain-cap", "100",
+        "--with-line-dedup", "--domain-cap", "100",
         "--light-parts", "6", "--heavy-parts", "2",
         "--master", "local[2]",
     ])
@@ -428,11 +428,21 @@ def test_pretrain_corpus_pipeline_end_to_end(spark, small_corpus, tmp_path,
         for d in cur
         if cur[d] and rep[d] and lm[d] and cc.get(d, True)
     }
-    got_kept = {r.doc_id
-                for r in spark.read.parquet(f"{wd}/kept").collect()}
+    kept_rows = spark.read.parquet(f"{wd}/kept").collect()
+    got_kept = {r.doc_id for r in kept_rows}
     assert got_kept == want_kept
     # kept corpus carries the original string identities
     assert all(d.startswith("doc-") for d in got_kept)
+    # --with-line-dedup: kept text equals segment_dedup over the KEPT
+    # set (hot votes from kept docs only — post-near-dup by design)
+    kept_long = [d for d in key_of if key_of[d] in want_kept]
+    sd = {key_of[r.doc_id]: (r.text_clean, r.n_removed)
+          for r in textops.segment_dedup(
+              docs.filter(F.col("doc_id").isin(kept_long))).collect()}
+    for r in kept_rows:
+        assert (r.text, r.boilerplate_segments_removed) == sd[r.doc_id]
+    assert stats["line_segments_removed"] == sum(
+        v[1] for v in sd.values())
 
     # resume: stage parquet files untouched on rerun, same stats
     files1 = sorted(glob.glob(f"{wd}/docs/**/*.parquet", recursive=True))
@@ -440,7 +450,7 @@ def test_pretrain_corpus_pipeline_end_to_end(spark, small_corpus, tmp_path,
     rc = pretrain_corpus.main([
         "--input", small_corpus, "--workdir", wd,
         "--chunk-parts", "4", "--with-repetition", "--with-lm",
-        "--domain-cap", "100",
+        "--with-line-dedup", "--domain-cap", "100",
         "--light-parts", "6", "--heavy-parts", "2",
         "--master", "local[2]",
     ])

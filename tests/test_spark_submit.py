@@ -128,7 +128,8 @@ def test_spark_submit_pretrain_corpus_pipeline(workdir):
             "--workdir", str(workdir / "pipeline_work"),
             "--chunk-parts", "4",
             "--light-parts", "4", "--heavy-parts", "2",
-            "--with-repetition", "--domain-cap", "100",
+            "--with-repetition", "--with-line-dedup",
+            "--domain-cap", "100",
         ],
         cwd=str(workdir),
         env=env,
