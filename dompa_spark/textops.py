@@ -2242,11 +2242,21 @@ def ann_recall(
     queries themselves (each streams the corpus once against a
     broadcast query side) plus two joins on the tiny (n_queries x k)
     result tables; recall floors are pinned by
-    test_ann_recall_floor."""
+    test_ann_recall_floor.
+
+    Cache shape: the input is cached so the three methods' passes (and
+    the IVF Lloyd iterations) read one materialization instead of
+    re-scanning the source per branch, and the exact answer is cached
+    so the per-method comparison join doesn't replay the brute-force
+    pass per method. A production gauge runs on a bounded sample of
+    the corpus (recall needs statistical, not exhaustive, coverage),
+    so both caches are sample-sized; lifecycle is caller-owned (see
+    curate_corpus's CACHE LIFECYCLE note)."""
     kw = {} if lsh_planes is None else {"n_planes": lsh_planes}
+    df = df.cache()
     exact = ann_cosine_topk(df, n_queries, k).select(
         "query_id", "neighbor_id"
-    )
+    ).cache()
     approx = {
         "ivf": ann_ivf_topk(
             df, n_queries, k, n_probe=ivf_probe, dim=dim
