@@ -253,6 +253,32 @@ def q_lm_surprisal(spark, sf_dir):
     return textops.lm_surprisal_scores(_docs(spark, sf_dir))
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction over deterministically templated PII (the corpus
+    itself is PII-free, so the query plants emails/IPs/phones keyed on
+    doc_id — the same template algebra both engines compute — and the
+    oracle checks the redacted text + per-pattern counts exactly)."""
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("long")
+    pii_text = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), did.cast("string"), F.lit("@example.org"),
+        F.when(
+            (did % 2) == 0,
+            F.concat(F.lit(" from 10."), (did % 200).cast("string"),
+                     F.lit(".0."), (did % 250).cast("string")),
+        ).otherwise(F.lit("")),
+        F.when(
+            (did % 3) == 0,
+            F.concat(F.lit(" call 555-"),
+                     F.lpad((did % 1000).cast("string"), 3, "0"),
+                     F.lit("-4567")),
+        ).otherwise(F.lit("")),
+    )
+    aug = docs.select(did.alias("doc_id"), pii_text.alias("text"))
+    return textops.pii_scrub(aug)
+
+
 def q_segment_dedup(spark, sf_dir):
     """CCNet/RefinedWeb-style repeated-line removal: segments occurring
     verbatim in >=2 distinct docs are stripped; slim hashed explode so
@@ -574,6 +600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "tfidf_top_terms": q_tfidf_top_terms,
         "lm_surprisal": q_lm_surprisal,
+        "pii_scrub": q_pii_scrub,
         "segment_dedup": q_segment_dedup,
         "sample_stratified": q_sample_stratified,
         "contamination": q_contamination,
@@ -1433,6 +1460,36 @@ def oracle_sql() -> dict[str, str]:
                      AND coalesce(a.mean_surprisal, 0.0)
                          <= {textops.LM_SURPRISAL_MAX} AS lm_ok
             FROM base b LEFT JOIN agg a USING (doc_id)
+        """,
+        "pii_scrub": f"""
+            WITH aug AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     text || ' contact user'
+                       || CAST(CAST(doc_id AS BIGINT) AS VARCHAR)
+                       || '@example.org'
+                       || CASE WHEN doc_id % 2 = 0 THEN
+                            ' from 10.' || CAST(doc_id % 200 AS VARCHAR)
+                            || '.0.' || CAST(doc_id % 250 AS VARCHAR)
+                          ELSE '' END
+                       || CASE WHEN doc_id % 3 = 0 THEN
+                            ' call 555-'
+                            || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                            || '-4567'
+                          ELSE '' END AS text
+              FROM documents)
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                     '{textops.PII_EMAIL}')) AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(text,
+                     '{textops.PII_IPV4}')) AS BIGINT) AS n_ips,
+                   CAST(len(regexp_extract_all(text,
+                     '{textops.PII_PHONE}')) AS BIGINT) AS n_phones,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                     '{textops.PII_EMAIL}', '<EMAIL>', 'g'),
+                     '{textops.PII_IPV4}', '<IP>', 'g'),
+                     '{textops.PII_PHONE}', '<PHONE>', 'g')
+                     AS text_redacted
+            FROM aug
         """,
         "segment_dedup": f"""
             WITH segs AS (

@@ -1188,6 +1188,48 @@ def lm_surprisal_scores(
     )
 
 
+# PII patterns are deliberately restricted to constructs with identical
+# semantics in Java regex (Spark) and RE2 (DuckDB): character classes,
+# bounded quantifiers, \b on ASCII — no alternation, backrefs, or
+# lookaround, so the match sets (and therefore the oracle hash) agree.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII redaction for a training corpus: replace emails, IPv4
+    addresses, and NANP-style phone numbers with typed placeholder
+    tokens, one row per doc — (doc_id, n_emails, n_ips, n_phones,
+    text_redacted). Counts are per-pattern matches on the ORIGINAL
+    text (telemetry for a removal-rate dashboard); redaction applies
+    sequentially email -> ip -> phone, so an address-like host inside
+    a non-matching email (u@1.2.3.4 — digit TLD, not an email) still
+    gets its IP masked. Null text passes through as null with zero
+    counts (one row per doc, never dropped).
+
+    Scale shape: pure map-side Catalyst expressions (regexp_count /
+    regexp_replace), zero shuffles, whole-stage-codegen eligible —
+    the per-byte regex cost is the floor for this op on any engine."""
+    t = F.col(text_col)
+    red = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
+    red = F.regexp_replace(red, PII_IPV4, "<IP>")
+    red = F.regexp_replace(red, PII_PHONE, "<PHONE>")
+
+    def cnt(pat: str) -> Column:
+        return F.coalesce(
+            F.regexp_count(t, F.lit(pat)), F.lit(0)
+        ).cast("long")
+
+    return df.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        cnt(PII_EMAIL).alias("n_emails"),
+        cnt(PII_IPV4).alias("n_ips"),
+        cnt(PII_PHONE).alias("n_phones"),
+        red.alias("text_redacted"),
+    )
+
+
 SEGDEDUP_WORDS = 5
 SEGDEDUP_MIN_DOCS = 2
 SEGDEDUP_MIN_CHARS = 1

@@ -987,3 +987,28 @@ def test_segment_dedup_shuffles_are_slim(spark):
     assert blocks, plan
     texty = [b for b in blocks if re.search(r"\btext#\d+", b)]
     assert len(texty) <= 1, (texty, plan)
+
+
+def test_pii_scrub_semantics_and_mapside_plan(spark):
+    """Redaction order (email -> ip -> phone), digit-TLD non-emails
+    falling through to the IP rule, null-text passthrough with zero
+    counts, and a shuffle-free whole-stage-codegen plan."""
+    rows = [
+        (1, "mail a.b+c@ex-1.org or x@y.io ok"),
+        (2, "host u@1.2.3.4 is not an email"),
+        (3, "ip 192.168.10.250. call 555-123-4567 now"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in textops.pii_scrub(df).collect()}
+    assert out[1].text_redacted == "mail <EMAIL> or <EMAIL> ok"
+    assert out[1].n_emails == 2 and out[1].n_ips == 0
+    # digit TLD fails the email pattern; the IP inside gets masked
+    assert out[2].text_redacted == "host u@<IP> is not an email"
+    assert out[2].n_emails == 0 and out[2].n_ips == 1
+    assert out[3].text_redacted == "ip <IP>. call <PHONE> now"
+    assert out[3].n_ips == 1 and out[3].n_phones == 1
+    assert out[4].text_redacted is None
+    assert (out[4].n_emails, out[4].n_ips, out[4].n_phones) == (0, 0, 0)
+    plan = plan_of(textops.pii_scrub(df))
+    assert "Exchange" not in plan, plan  # pure map-side
