@@ -109,6 +109,45 @@ def q_parse_node_stats(spark, sf_dir):
     )
 
 
+def q_extract_outlinks(spark, sf_dir):
+    """Outlink/anchor extraction from the REAL parsed DOM: hrefs via
+    the attr parser, anchor text via parent-pointer child text nodes,
+    all map-side HOFs over the flat nodes array (no per-link shuffle).
+    The href-less name-anchor in the template must not surface."""
+    wrapped = textops.outlinks_wrapped(_docs(spark, sf_dir))
+    nodes = pipeline.parse_nodes_df(wrapped)
+
+    def href_of(a):
+        return F.get(
+            F.filter(a["attrs"], lambda kv: kv["key"] == "href"), 0
+        )["val"]
+
+    def anchor_of(a):
+        kids = F.filter(
+            F.col("nodes"),
+            lambda n: (n["parent_id"] == a["node_id"])
+            & (n["name"] == TEXT_NAME),
+        )
+        return F.array_join(F.transform(kids, lambda n: n["value"]), "")
+
+    per = F.transform(
+        F.filter("nodes", lambda n: n["name"] == "a"),
+        lambda a: F.struct(
+            href_of(a).alias("href"), anchor_of(a).alias("anchor_text")
+        ),
+    )
+    ex = nodes.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.posexplode(per).alias("link_pos", "l"),
+    )
+    return ex.where(F.col("l.href").isNotNull()).select(
+        "doc_id",
+        F.col("link_pos").cast("long").alias("link_pos"),
+        F.col("l.href").alias("href"),
+        F.col("l.anchor_text").alias("anchor_text"),
+    )
+
+
 def q_extract_interleaved(spark, sf_dir):
     wrapped = textops.interleaved_wrapped(_docs(spark, sf_dir))
     out = pipeline.extract_df(wrapped)
@@ -580,6 +619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "traverse_rewrite": q_traverse_rewrite,
         "parse_node_stats": q_parse_node_stats,
         "extract_interleaved": q_extract_interleaved,
+        "extract_outlinks": q_extract_outlinks,
         "extract_link_density": q_extract_link_density,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1071,6 +1111,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(doc_id AS BIGINT), 2, 'text',
                    '{textops.LINKY_CLOSING}', NULL
             FROM documents
+        """,
+        "extract_outlinks": """
+            WITH base AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     CAST(doc_id AS VARCHAR) AS sid,
+                     string_split(text, ' ')[1] AS w1
+              FROM documents)
+            SELECT doc_id, CAST(0 AS BIGINT) AS link_pos,
+                   'https://ex.org/' || sid || '/0' AS href,
+                   'first ' || w1 AS anchor_text
+            FROM base
+            UNION ALL
+            SELECT doc_id, CAST(1 AS BIGINT),
+                   'https://ex.org/' || sid || '/1', 'second link'
+            FROM base
         """,
         "extract_link_density": """
             WITH base AS (

@@ -134,6 +134,28 @@ def linkdense_wrapped(df: DataFrame) -> DataFrame:
     )
 
 
+def outlinks_wrapped(df: DataFrame) -> DataFrame:
+    """Template with two href'd anchors (one carrying a second
+    attribute) plus a bare name-anchor — the outlink-extraction
+    fixture: hrefs and anchor text must come back through the REAL
+    attr parser and parent-pointer tree, and the href-less <a> must
+    not surface as an outlink."""
+    sid = F.col("doc_id").cast("string")
+    first_word = F.expr("element_at(split(text, ' '), 1)")
+    html = F.concat(
+        F.lit("<div><p>"), F.col("text"),
+        F.lit('</p><ul><li><a href="https://ex.org/'), sid,
+        F.lit('/0">first '), first_word,
+        F.lit('</a></li><li><a href="https://ex.org/'), sid,
+        F.lit('/1" rel="nofollow">second link</a></li></ul>'
+              '<a name="top"></a></div>'),
+    )
+    return df.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(html_span(html, 0)).alias("spans"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dedup / similarity / quality operators
 # ---------------------------------------------------------------------------
