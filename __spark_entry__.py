@@ -292,6 +292,12 @@ def q_lm_surprisal(spark, sf_dir):
     return textops.lm_surprisal_scores(_docs(spark, sf_dir))
 
 
+def q_corpus_mixture(spark, sf_dir):
+    """Data-mixing weights: per-lang token shares + target/actual
+    reweighting factors (textops.corpus_mixture)."""
+    return textops.corpus_mixture(_docs(spark, sf_dir))
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII redaction over deterministically templated PII (the corpus
     itself is PII-free, so the query plants emails/IPs/phones keyed on
@@ -640,6 +646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "tfidf_top_terms": q_tfidf_top_terms,
         "lm_surprisal": q_lm_surprisal,
+        "corpus_mixture": q_corpus_mixture,
         "pii_scrub": q_pii_scrub,
         "segment_dedup": q_segment_dedup,
         "sample_stratified": q_sample_stratified,
@@ -1515,6 +1522,30 @@ def oracle_sql() -> dict[str, str]:
                      AND coalesce(a.mean_surprisal, 0.0)
                          <= {textops.LM_SURPRISAL_MAX} AS lm_ok
             FROM base b LEFT JOIN agg a USING (doc_id)
+        """,
+        "corpus_mixture": f"""
+            WITH per_lang AS (
+              SELECT lang,
+                     CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(CASE WHEN text IS NULL THEN 0
+                              ELSE len(string_split(text, ' ')) END)
+                          AS BIGINT) AS n_tokens
+              FROM documents GROUP BY lang),
+            tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot
+                    FROM per_lang)
+            SELECT lang, n_docs, n_tokens,
+                   round(n_tokens / (SELECT tot FROM tot), 6)
+                     AS token_share,
+                   CASE lang
+                     {' '.join(f"WHEN '{k}' THEN {v}" for k, v in
+                               sorted(textops.MIXTURE_TARGETS.items()))}
+                     ELSE 0.0 END AS target_share,
+                   round((CASE lang
+                     {' '.join(f"WHEN '{k}' THEN {v}" for k, v in
+                               sorted(textops.MIXTURE_TARGETS.items()))}
+                     ELSE 0.0 END)
+                     / (n_tokens / (SELECT tot FROM tot)), 6) AS weight
+            FROM per_lang
         """,
         "pii_scrub": f"""
             WITH aug AS (

@@ -1210,6 +1210,63 @@ def lm_surprisal_scores(
     )
 
 
+MIXTURE_TARGETS = {"en": 0.4, "zh": 0.2, "es": 0.15, "de": 0.15,
+                   "fr": 0.1}
+
+
+def corpus_mixture(
+    df: DataFrame, targets: dict[str, float] | None = None
+) -> DataFrame:
+    """Data-mixing weights for a pretraining corpus: per-language doc
+    and token counts, each language's actual token share, its target
+    share, and the sampling weight (target/actual) a mixing job
+    multiplies into per-doc sampling rates to reshape the corpus
+    toward the target mixture — (lang, n_docs, n_tokens, token_share,
+    target_share, weight), one row per observed language. Languages
+    missing from `targets` get target_share 0.0 (weight 0 — excluded
+    from the mix); weight > 1 means the language is under-represented
+    and must be up-sampled/repeated.
+
+    Scale shape: the per-doc token count is a map-side expression that
+    collapses into a partial-aggregated groupBy(lang) — the only
+    shuffle moves one slim row per lang per task. The corpus total
+    rides a broadcast 1-row aggregate (the tfidf/lm pattern), so the
+    share division never re-shuffles. Null text counts 0 tokens; null
+    lang groups under its own NULL row like any SQL GROUP BY."""
+    tmap = MIXTURE_TARGETS if targets is None else targets
+    n_tok = F.when(
+        F.col("text").isNull(), F.lit(0)
+    ).otherwise(F.size(words())).cast("long")
+    per_lang = (
+        df.select("lang", n_tok.alias("t"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("t").cast("long").alias("n_tokens"),
+        )
+    )
+    total = per_lang.agg(F.sum("n_tokens").cast("long").alias("tot"))
+    target = F.coalesce(
+        *[
+            F.when(F.col("lang") == k, F.lit(float(v)))
+            for k, v in sorted(tmap.items())
+        ],
+        F.lit(0.0),
+    )
+    share = F.round(F.col("n_tokens") / F.col("tot"), 6)
+    return (
+        per_lang.join(F.broadcast(total))
+        .select(
+            "lang", "n_docs", "n_tokens",
+            share.alias("token_share"),
+            target.alias("target_share"),
+            F.round(
+                target / (F.col("n_tokens") / F.col("tot")), 6
+            ).alias("weight"),
+        )
+    )
+
+
 # PII patterns are deliberately restricted to constructs with identical
 # semantics in Java regex (Spark) and RE2 (DuckDB): character classes,
 # bounded quantifiers, \b on ASCII — no alternation, backrefs, or

@@ -1012,3 +1012,35 @@ def test_pii_scrub_semantics_and_mapside_plan(spark):
     assert (out[4].n_emails, out[4].n_ips, out[4].n_phones) == (0, 0, 0)
     plan = plan_of(textops.pii_scrub(df))
     assert "Exchange" not in plan, plan  # pure map-side
+
+
+def test_corpus_mixture_weights_and_slim_shuffle(spark):
+    """weight = target_share / actual token share; languages missing
+    from the target mix get weight 0; null text counts 0 tokens. The
+    only shuffle carries partial (lang, counts) rows — the token sum
+    must partial-aggregate map-side."""
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d", "en"),      # 4 tokens
+            (2, "e f", "en"),          # 2
+            (3, "g h i j", "de"),      # 4
+            (4, None, "xx"),           # null text -> 0 tokens
+            (5, "k l", "xx"),          # 2
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {r.lang: r for r in textops.corpus_mixture(
+        df, targets={"en": 0.7, "de": 0.3}).collect()}
+    assert out["en"].n_docs == 2 and out["en"].n_tokens == 6
+    assert out["xx"].n_docs == 2 and out["xx"].n_tokens == 2
+    assert out["en"].token_share == 0.5  # 6 of 12
+    assert out["en"].weight == round(0.7 / 0.5, 6)
+    assert out["de"].weight == round(0.3 / (4 / 12), 6)
+    # not in the target mix -> excluded
+    assert out["xx"].target_share == 0.0 and out["xx"].weight == 0.0
+    plan = plan_of(textops.corpus_mixture(df))
+    assert "partial_sum" in plan, plan
+    blocks = __import__("re").findall(
+        r"\(\d+\) Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]", plan
+    )
+    assert all("text#" not in b for b in blocks), blocks
