@@ -1044,3 +1044,92 @@ def test_corpus_mixture_weights_and_slim_shuffle(spark):
         r"\(\d+\) Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]", plan
     )
     assert all("text#" not in b for b in blocks), blocks
+
+
+def test_segment_dedup_fuzz_vs_naive(spark):
+    """Differential fuzz: segment_dedup must equal a direct Python
+    reimplementation (split -> count distinct docs -> threshold ->
+    ordered rebuild) on a corpus engineered for heavy segment
+    collisions (tiny vocab, mixed doc lengths, exact-dup docs)."""
+    import random
+
+    rng = random.Random(1234)
+    vocab = [f"w{i}" for i in range(7)]
+    docs = []
+    for i in range(120):
+        n = rng.randrange(1, 18)
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    docs += [(200 + i, docs[i][1]) for i in range(10)]  # exact dups
+    docs.append((300, None))
+
+    W, K, C = 3, 2, 1
+    segs = {}
+    for did, text in docs:
+        if text is None:
+            segs[did] = []
+            continue
+        w = text.split(" ")
+        segs[did] = [" ".join(w[j:j + W]) for j in range(0, len(w), W)]
+    from collections import defaultdict
+    seen = defaultdict(set)
+    for did, ss in segs.items():
+        for s in ss:
+            if len(s) >= C:
+                seen[s].add(did)
+    hot = {s for s, d in seen.items() if len(d) >= K}
+    want = {}
+    for did, text in docs:
+        ss = segs[did]
+        keep = [s for s in ss if s not in hot]
+        removed = len(ss) - len(keep)
+        clean = "" if text is None else (
+            text if removed == 0 else " ".join(keep))
+        want[did] = (len(ss), removed, clean)
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = textops.segment_dedup(df, seg_words=W, min_docs=K,
+                                min_chars=C).collect()
+    assert len(out) == len(docs)
+    for r in out:
+        assert (r.n_segments, r.n_removed, r.text_clean) == want[r.doc_id], \
+            (r.doc_id, (r.n_segments, r.n_removed, r.text_clean),
+             want[r.doc_id])
+
+
+def test_pii_scrub_fuzz_vs_python_re(spark):
+    """Differential fuzz: planted emails/IPs/phones at random positions
+    must redact and count exactly as Python's re module (whose
+    semantics match Java regex for the restricted pattern subset)."""
+    import random
+    import re as pyre
+
+    rng = random.Random(99)
+    fillers = ["lorem", "ipsum", "dolor", "sit99", "a.b", "x-y", "@@",
+               "1.2", "12.34.56", "555-12-3456", "u@v", "t.co"]
+    pii = [
+        lambda i: f"user{i}@mail-{i % 7}.example.org",
+        lambda i: f"{10 + i % 240}.{i % 250}.0.{(i * 7) % 250}",
+        lambda i: f"{200 + i % 700:03d}-{100 + i % 900:03d}-{1000 + i % 9000:04d}",
+    ]
+    docs = []
+    for i in range(150):
+        toks = [rng.choice(fillers) for _ in range(rng.randrange(0, 12))]
+        for _ in range(rng.randrange(0, 4)):
+            toks.insert(rng.randrange(0, len(toks) + 1),
+                        rng.choice(pii)(rng.randrange(0, 5000)))
+        docs.append((i, " ".join(toks)))
+
+    em, ip, ph = (textops.PII_EMAIL, textops.PII_IPV4, textops.PII_PHONE)
+    want = {}
+    for did, text in docs:
+        red = pyre.sub(em, "<EMAIL>", text)
+        red = pyre.sub(ip, "<IP>", red)
+        red = pyre.sub(ph, "<PHONE>", red)
+        want[did] = (len(pyre.findall(em, text)),
+                     len(pyre.findall(ip, text)),
+                     len(pyre.findall(ph, text)), red)
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for r in textops.pii_scrub(df).collect():
+        assert (r.n_emails, r.n_ips, r.n_phones,
+                r.text_redacted) == want[r.doc_id], (r.doc_id,)
