@@ -113,7 +113,11 @@ def q_extract_outlinks(spark, sf_dir):
     """Outlink/anchor extraction from the REAL parsed DOM: hrefs via
     the attr parser, anchor text via parent-pointer child text nodes,
     all map-side HOFs over the flat nodes array (no per-link shuffle).
-    The href-less name-anchor in the template must not surface."""
+    The href-less name-anchor in the template must not surface.
+    Anchor-text contract: DIRECT child text nodes only — text nested
+    in markup inside the anchor (<a>x <b>y</b></a> -> "x ") belongs to
+    the inner element, matching the flat DOM's parent pointers
+    (test_outlinks_anchor_text_direct_children_only)."""
     wrapped = textops.outlinks_wrapped(_docs(spark, sf_dir))
     nodes = pipeline.parse_nodes_df(wrapped)
 

@@ -14,7 +14,7 @@
         dompa_spark/jobs/pretrain_corpus.py \
         --input /path/raw_docs --workdir /path/work \
         [--chunk-parts N] [--with-repetition] [--with-lm] \
-        [--with-line-dedup] [--no-resume]
+        [--with-line-dedup] [--with-pii-scrub] [--no-resume]
 
 Every stage is the corresponding tested operator (pipeline.run_extract,
 textops.lang_id_heuristic / curate_corpus / repetition_scores /
@@ -57,6 +57,11 @@ def main(argv=None) -> int:
     p.add_argument("--with-repetition", action="store_true")
     p.add_argument("--with-lm", action="store_true",
                    help="AND the LM-surprisal gate into `kept`")
+    p.add_argument("--with-pii-scrub", action="store_true",
+                   help="redact emails/IPs/phones (textops.pii_scrub) "
+                        "in the kept corpus text; applied last (after "
+                        "the optional line dedup) so placeholders "
+                        "never feed the hot-segment vote")
     p.add_argument("--with-line-dedup", action="store_true",
                    help="strip segments repeated across kept docs "
                         "(textops.segment_dedup) when writing the kept "
@@ -204,6 +209,15 @@ def main(argv=None) -> int:
             )
             kept_docs = kept_docs.drop("text").join(sd, "doc_id")
             cols.append("boilerplate_segments_removed")
+        if args.with_pii_scrub:
+            pii = textops.pii_scrub(kept_docs).select(
+                "doc_id",
+                F.col("text_redacted").alias("text"),
+                (F.col("n_emails") + F.col("n_ips") + F.col("n_phones"))
+                .alias("pii_redactions"),
+            )
+            kept_docs = kept_docs.drop("text").join(pii, "doc_id")
+            cols.append("pii_redactions")
         kept_docs.select(*cols).write.mode("overwrite").parquet(kept_path)
 
     dec = spark.read.parquet(decisions)
@@ -216,6 +230,11 @@ def main(argv=None) -> int:
         stats["line_segments_removed"] = int(
             spark.read.parquet(kept_path)
             .agg(F.sum("boilerplate_segments_removed")).first()[0] or 0
+        )
+    if args.with_pii_scrub:
+        stats["pii_redactions"] = int(
+            spark.read.parquet(kept_path)
+            .agg(F.sum("pii_redactions")).first()[0] or 0
         )
     print(json.dumps(stats))
     if owns_session:

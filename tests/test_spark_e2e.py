@@ -403,7 +403,7 @@ def test_pretrain_corpus_pipeline_end_to_end(spark, small_corpus, tmp_path,
     rc = pretrain_corpus.main([
         "--input", small_corpus, "--workdir", wd,
         "--chunk-parts", "4", "--with-repetition", "--with-lm",
-        "--with-line-dedup", "--domain-cap", "100",
+        "--with-line-dedup", "--with-pii-scrub", "--domain-cap", "100",
         "--light-parts", "6", "--heavy-parts", "2",
         "--master", "local[2]",
     ])
@@ -439,10 +439,22 @@ def test_pretrain_corpus_pipeline_end_to_end(spark, small_corpus, tmp_path,
     sd = {key_of[r.doc_id]: (r.text_clean, r.n_removed)
           for r in textops.segment_dedup(
               docs.filter(F.col("doc_id").isin(kept_long))).collect()}
+    # --with-pii-scrub composes last: expected text = pii over the
+    # line-deduped text (Python re matches the restricted patterns)
+    import re as pyre
+    pats = [(textops.PII_EMAIL, "<EMAIL>"), (textops.PII_IPV4, "<IP>"),
+            (textops.PII_PHONE, "<PHONE>")]
     for r in kept_rows:
-        assert (r.text, r.boilerplate_segments_removed) == sd[r.doc_id]
+        clean, n_rm = sd[r.doc_id]
+        n_pii = sum(len(pyre.findall(p, clean)) for p, _ in pats)
+        red = clean
+        for p, tok in pats:
+            red = pyre.sub(p, tok, red)
+        assert (r.text, r.boilerplate_segments_removed,
+                r.pii_redactions) == (red, n_rm, n_pii)
     assert stats["line_segments_removed"] == sum(
         v[1] for v in sd.values())
+    assert stats["pii_redactions"] >= 0
 
     # resume: stage parquet files untouched on rerun, same stats
     files1 = sorted(glob.glob(f"{wd}/docs/**/*.parquet", recursive=True))
@@ -450,7 +462,7 @@ def test_pretrain_corpus_pipeline_end_to_end(spark, small_corpus, tmp_path,
     rc = pretrain_corpus.main([
         "--input", small_corpus, "--workdir", wd,
         "--chunk-parts", "4", "--with-repetition", "--with-lm",
-        "--with-line-dedup", "--domain-cap", "100",
+        "--with-line-dedup", "--with-pii-scrub", "--domain-cap", "100",
         "--light-parts", "6", "--heavy-parts", "2",
         "--master", "local[2]",
     ])

@@ -1133,3 +1133,54 @@ def test_pii_scrub_fuzz_vs_python_re(spark):
     for r in textops.pii_scrub(df).collect():
         assert (r.n_emails, r.n_ips, r.n_phones,
                 r.text_redacted) == want[r.doc_id], (r.doc_id,)
+
+
+def test_outlinks_anchor_text_direct_children_only(spark):
+    """The outlinks query's anchor text is the concat of DIRECT child
+    text nodes; markup-nested text belongs to the inner element.
+    Exercised through the real parse kernel on hand-built HTML with a
+    nested element and an href-less anchor."""
+    from pyspark.sql import Row
+
+    from dompa_spark import pipeline
+    from dompa_spark.constants import TEXT_NAME
+
+    html = ('<div><a href="https://e.x/1">pre <b>bold</b> post</a>'
+            '<a name="top">skip</a><a href="https://e.x/2"></a></div>')
+    df = spark.createDataFrame(
+        [Row(doc_id="7", spans=[Row(kind="html", text=html,
+                                    media_ref=None, offset=0)])],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    nodes = pipeline.parse_nodes_df(df)
+
+    def href_of(a):
+        return F.get(
+            F.filter(a["attrs"], lambda kv: kv["key"] == "href"), 0
+        )["val"]
+
+    def anchor_of(a):
+        kids = F.filter(
+            F.col("nodes"),
+            lambda n: (n["parent_id"] == a["node_id"])
+            & (n["name"] == TEXT_NAME),
+        )
+        return F.array_join(F.transform(kids, lambda n: n["value"]), "")
+
+    per = F.transform(
+        F.filter("nodes", lambda n: n["name"] == "a"),
+        lambda a: F.struct(
+            href_of(a).alias("href"), anchor_of(a).alias("anchor_text")
+        ),
+    )
+    rows = (
+        nodes.select(F.posexplode(per).alias("link_pos", "l"))
+        .where(F.col("l.href").isNotNull())
+        .select("link_pos", "l.href", "l.anchor_text")
+        .collect()
+    )
+    got = [(r.link_pos, r.href, r.anchor_text) for r in rows]
+    # nested <b>bold</b> text excluded; empty anchor yields ''
+    assert got == [(0, "https://e.x/1", "pre  post"),
+                   (2, "https://e.x/2", "")], got
