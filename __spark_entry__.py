@@ -296,6 +296,12 @@ def q_lm_surprisal(spark, sf_dir):
     return textops.lm_surprisal_scores(_docs(spark, sf_dir))
 
 
+def q_token_histogram(spark, sf_dir):
+    """Corpus length profile in exact log2 buckets
+    (textops.token_histogram)."""
+    return textops.token_histogram(_docs(spark, sf_dir))
+
+
 def q_corpus_mixture(spark, sf_dir):
     """Data-mixing weights: per-lang token shares + target/actual
     reweighting factors (textops.corpus_mixture)."""
@@ -651,6 +657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "lm_surprisal": q_lm_surprisal,
         "corpus_mixture": q_corpus_mixture,
+        "token_histogram": q_token_histogram,
         "pii_scrub": q_pii_scrub,
         "segment_dedup": q_segment_dedup,
         "sample_stratified": q_sample_stratified,
@@ -1526,6 +1533,18 @@ def oracle_sql() -> dict[str, str]:
                      AND coalesce(a.mean_surprisal, 0.0)
                          <= {textops.LM_SURPRISAL_MAX} AS lm_ok
             FROM base b LEFT JOIN agg a USING (doc_id)
+        """,
+        "token_histogram": """
+            WITH t AS (
+              SELECT CASE WHEN text IS NULL THEN 0
+                     ELSE len(string_split(text, ' ')) END AS t
+              FROM documents)
+            SELECT CAST(CASE WHEN t = 0 THEN -1
+                        ELSE length(bin(t)) - 1 END AS BIGINT)
+                     AS token_bucket,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(t) AS BIGINT) AS n_tokens
+            FROM t GROUP BY 1
         """,
         "corpus_mixture": f"""
             WITH per_lang AS (

@@ -1210,6 +1210,35 @@ def lm_surprisal_scores(
     )
 
 
+def token_histogram(df: DataFrame) -> DataFrame:
+    """Corpus length profile: docs and tokens per log2 token-count
+    bucket — (token_bucket, n_docs, n_tokens), the telemetry a
+    sequence-packing/truncation decision reads (how much of the corpus
+    sits beyond the context length?). Bucket is the exact integer
+    floor(log2(t)) = length(bin(t)) - 1 in BIGINT math (the
+    lm_surprisal trick — no libm last-ulp flap between engines);
+    zero-token/null docs land in bucket -1, never dropped.
+
+    Scale shape: one map-side expression collapsing into a
+    partial-aggregated groupBy over at most ~40 distinct buckets — the
+    smallest shuffle an aggregation can have (one row per bucket per
+    task)."""
+    t = F.when(
+        F.col("text").isNull(), F.lit(0)
+    ).otherwise(F.size(words())).cast("long")
+    bucket = F.when(
+        t == F.lit(0), F.lit(-1)
+    ).otherwise(F.length(F.bin(t)) - 1).cast("long")
+    return (
+        df.select(bucket.alias("token_bucket"), t.alias("t"))
+        .groupBy("token_bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("t").cast("long").alias("n_tokens"),
+        )
+    )
+
+
 MIXTURE_TARGETS = {"en": 0.4, "zh": 0.2, "es": 0.15, "de": 0.15,
                    "fr": 0.1}
 

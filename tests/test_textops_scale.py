@@ -1184,3 +1184,42 @@ def test_outlinks_anchor_text_direct_children_only(spark):
     # nested <b>bold</b> text excluded; empty anchor yields ''
     assert got == [(0, "https://e.x/1", "pre  post"),
                    (2, "https://e.x/2", "")], got
+
+
+def test_segment_dedup_universal_boilerplate(spark):
+    """Worst-case skew: EVERY doc carries the same hot segment. The
+    hot set stays one row, output stays one row per doc with exactly
+    the boilerplate stripped, and the degradation is the documented
+    one (per-doc bad-position rows, linear — not a pair blowup)."""
+    n = 2000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("shared banner line x "),
+            F.concat_ws(" ", F.array(
+                *[F.concat(F.lit(f"u{j}_"), F.col("id")) for j in range(5)]
+            )),
+        ).alias("text"),
+    )
+    out = textops.segment_dedup(df, seg_words=4).collect()
+    assert len(out) == n
+    for r in out:
+        # first 4-word window 'shared banner line x' is hot everywhere;
+        # the per-doc unique tail survives
+        assert r.n_removed == 1 and r.n_segments == 3
+        assert r.text_clean.startswith("u0_") and "banner" not in r.text_clean
+
+
+def test_token_histogram_buckets_exact(spark):
+    """Closed-form buckets: 1 token -> 0, 2-3 -> 1, 4-7 -> 2; zero/null
+    docs land in bucket -1 and are never dropped."""
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a b"), (3, "a b c"), (4, "a b c d"),
+         (5, None)],
+        "doc_id long, text string",
+    )
+    out = {r.token_bucket: (r.n_docs, r.n_tokens)
+           for r in textops.token_histogram(df).collect()}
+    assert out == {0: (1, 1), 1: (2, 5), 2: (1, 4), -1: (1, 0)}
+    plan = plan_of(textops.token_histogram(df))
+    assert "partial_count" in plan or "partial_sum" in plan, plan
