@@ -370,9 +370,10 @@ def build_output(
     task_metrics, r03's 110-char metric prose + 3-decimal walls pushed
     the line to 2,133 bytes). Everything here is therefore byte-budgeted:
     slug metric, 2-decimal walls, and a scaling attach holding ONLY
-    value + docs_per_sec per pair (full protocol detail — walls,
-    task metrics, corpus size — lives in SCALING.json / BENCH.md).
-    tests/test_bench_output.py pins the budget at < 1,900 bytes.
+    the efficiency value per pair under a shortened key (full protocol
+    detail — walls, docs/sec, task metrics, corpus size — lives in
+    SCALING.json / BENCH.md). tests/test_bench_output.py pins the
+    budget at < 1,900 bytes with 54 query keys.
     """
     out = {
         "metric": "e2e_extract_wall",  # read->salt->kernel->write+manifest
@@ -385,9 +386,10 @@ def build_output(
         "mb_per_sec": round(chars / wall / 1e6, 2),
         "cold_wall_sec": round(cold_wall, 2),
         "cpus": cpus,
+        # key "local[2]->local[8]:extract" -> "2->8:extract"; one
+        # efficiency number per pair (detail in SCALING.json)
         "scaling": {
-            k: {kk: v[kk] for kk in v
-                if kk == "value" or kk.startswith("docs_per_sec")}
+            k.replace("local[", "").replace("]", ""): v["value"]
             for k, v in scaling_cache.items()
         },
     }

@@ -10,7 +10,7 @@ sys.path.insert(0, "/root/repo")
 
 import bench  # noqa: E402
 
-# 48 realistic query names (the live set is 40+; headroom for growth),
+# 54 realistic query names (the live set is 48; headroom for growth),
 # at the live set's name-length distribution.
 _QUERY_NAMES = [
     "extract_main_text", "parse_roundtrip", "traverse_rewrite",
@@ -28,6 +28,8 @@ _QUERY_NAMES = [
     "pdf_interleaved", "ann_recall_at_k", "minhash_lsh_fused_stats",
     "simhash_fused_stats", "extra_query_name_a", "extra_query_name_b",
     "extra_query_name_c", "extra_query_name_d", "extra_query_name_e",
+    "segment_dedup", "pii_scrub", "extract_outlinks", "corpus_mixture",
+    "token_histogram", "lm_surprisal",
 ]
 
 # Worst-case scaling cache: 4 pairs (2->8 / 8->32, extract + noop),
@@ -74,5 +76,9 @@ def test_bench_line_strips_scaling_detail():
         wall=1.0, qtimes={}, sf=0.1, docs=1, chars=1, cold_wall=1.0,
         cpus=32, scaling_cache=_SCALING,
     )
-    attach = out["scaling"]["local[2]->local[8]:extract"]
-    assert set(attach) == {"value", "docs_per_sec_2", "docs_per_sec_8"}
+    # one efficiency number per pair under a shortened key; walls,
+    # docs/sec, and task metrics stay in SCALING.json
+    assert out["scaling"]["2->8:extract"] == _SCALING[
+        "local[2]->local[8]:extract"]["value"]
+    assert set(out["scaling"]) == {
+        "2->8:extract", "2->8:noop", "8->32:extract", "8->32:noop"}
