@@ -70,6 +70,14 @@ def main(argv=None) -> int:
                         "so a dropped 50-copy near-dup cluster cannot "
                         "mark its canonical survivor's text as "
                         "boilerplate and gut it")
+    p.add_argument("--line-seg-mode", default="words",
+                   choices=["words", "newline"],
+                   help="segment unit for --with-line-dedup: 'newline' "
+                        "for real multi-line web text, 'words' "
+                        "(fixed windows) for single-line corpora")
+    p.add_argument("--line-seg-words", type=int, default=None,
+                   help="window size for --line-seg-mode=words "
+                        "(default: textops.SEGDEDUP_WORDS)")
     p.add_argument("--domain-cap", type=int, default=None,
                    help="docs kept per source domain (default: the "
                         "operator's DOMAIN_CAP; raise for corpora with "
@@ -202,7 +210,10 @@ def main(argv=None) -> int:
         cols = [F.col("orig_doc_id").alias("doc_id"),
                 "text", "source", "lang"]
         if args.with_line_dedup:
-            sd = textops.segment_dedup(kept_docs).select(
+            sdkw = {"mode": args.line_seg_mode}
+            if args.line_seg_words is not None:
+                sdkw["seg_words"] = args.line_seg_words
+            sd = textops.segment_dedup(kept_docs, **sdkw).select(
                 "doc_id",
                 F.col("text_clean").alias("text"),
                 F.col("n_removed").alias("boilerplate_segments_removed"),

@@ -100,8 +100,11 @@ def test_no_unbounded_cartesian_products(spark, entry_mod):
     #   inherits exactly their allowed broadcast nested loops
     # lm_surprisal: total token count N joins in as a broadcast 1-row
     #   aggregate (the tfidf pattern)
+    # corpus_mixture: corpus token total joins in as a broadcast 1-row
+    #   aggregate (same pattern)
     allowed_bnlj = {"ann_cosine_topk", "tfidf_top_terms", "ann_ivf_topk",
-                    "ivf_list_sizes", "ann_recall", "lm_surprisal"}
+                    "ivf_list_sizes", "ann_recall", "lm_surprisal",
+                    "corpus_mixture"}
     for name, fn in entry_mod.queries().items():
         plan = plan_of(fn(spark, SF_DIR))
         assert "CartesianProduct" not in plan, f"{name} has a cartesian join"
