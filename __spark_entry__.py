@@ -296,6 +296,12 @@ def q_lm_surprisal(spark, sf_dir):
     return textops.lm_surprisal_scores(_docs(spark, sf_dir))
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Training-example assembly: deterministic per-source token
+    offsets + fixed-ctx sequence ids (textops.pack_sequences)."""
+    return textops.pack_sequences(_docs(spark, sf_dir))
+
+
 def q_token_histogram(spark, sf_dir):
     """Corpus length profile in exact log2 buckets
     (textops.token_histogram)."""
@@ -657,6 +663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "lm_surprisal": q_lm_surprisal,
         "corpus_mixture": q_corpus_mixture,
+        "pack_sequences": q_pack_sequences,
         "token_histogram": q_token_histogram,
         "pii_scrub": q_pii_scrub,
         "segment_dedup": q_segment_dedup,
@@ -1533,6 +1540,24 @@ def oracle_sql() -> dict[str, str]:
                      AND coalesce(a.mean_surprisal, 0.0)
                          <= {textops.LM_SURPRISAL_MAX} AS lm_ok
             FROM base b LEFT JOIN agg a USING (doc_id)
+        """,
+        "pack_sequences": f"""
+            WITH base AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+                     CAST(CASE WHEN text IS NULL THEN 0
+                          ELSE len(string_split(text, ' ')) END
+                       AS BIGINT) AS n_tokens
+              FROM documents)
+            SELECT doc_id, source, n_tokens,
+                   CAST(sum(n_tokens) OVER
+                     (PARTITION BY source ORDER BY doc_id
+                      ROWS UNBOUNDED PRECEDING) - n_tokens
+                     AS BIGINT) AS tok_offset,
+                   CAST((sum(n_tokens) OVER
+                     (PARTITION BY source ORDER BY doc_id
+                      ROWS UNBOUNDED PRECEDING) - n_tokens)
+                     // {textops.PACK_CTX} AS BIGINT) AS seq_id
+            FROM base
         """,
         "token_histogram": """
             WITH t AS (

@@ -1210,6 +1210,51 @@ def lm_surprisal_scores(
     )
 
 
+PACK_CTX = 512
+
+
+def pack_sequences(df: DataFrame, ctx: int = PACK_CTX) -> DataFrame:
+    """Training-example assembly: assign every document a token offset
+    in its source shard's concatenated token stream and the id of the
+    fixed-ctx training sequence its first token lands in — (doc_id,
+    source, n_tokens, tok_offset, seq_id). This is the deterministic
+    contiguous-packing rule (docs in doc_id order, exclusive prefix
+    sum, seq_id = tok_offset div ctx): a downstream shard writer cuts
+    the stream at ctx boundaries, so docs may straddle sequences —
+    offset assignment is the distributed part; the straddle handling
+    is the (local, per-sequence) writer's. Null text counts 0 tokens
+    and still gets an offset (one row per doc).
+
+    Skew contract (the sessionize contract, eventops.py): the prefix
+    sum is a per-source single-task sort, exact and deterministic, so
+    one source shard must fit one task's sort (~10^7 docs) — a 100 TB
+    run packs per (source, date-shard) keys, which is also what keeps
+    training shards reproducible under re-partitioning. The shuffle
+    carries only (doc_id, source, n_tokens) — never the text."""
+    from pyspark.sql.window import Window
+
+    n_tok = F.when(
+        F.col("text").isNull(), F.lit(0)
+    ).otherwise(F.size(words())).cast("long")
+    base = df.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        n_tok.alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    off = (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long")
+    return base.select(
+        "doc_id", "source", "n_tokens", off.alias("tok_offset")
+    ).withColumn(
+        # exact BIGINT division — no double rounding at 10^13+ offsets
+        "seq_id", F.expr(f"tok_offset div {int(ctx)}").cast("long")
+    )
+
+
 def token_histogram(df: DataFrame) -> DataFrame:
     """Corpus length profile: docs and tokens per log2 token-count
     bucket — (token_bucket, n_docs, n_tokens), the telemetry a

@@ -1223,3 +1223,34 @@ def test_token_histogram_buckets_exact(spark):
     assert out == {0: (1, 1), 1: (2, 5), 2: (1, 4), -1: (1, 0)}
     plan = plan_of(textops.token_histogram(df))
     assert "partial_count" in plan or "partial_sum" in plan, plan
+
+
+def test_pack_sequences_offsets_and_contract(spark):
+    """Per-source exclusive prefix offsets in doc_id order; seq_id is
+    exact BIGINT division by ctx; null text takes 0 tokens but keeps
+    its slot; the window is partitioned by source (the sessionize-style
+    per-shard skew contract) and the shuffle never carries text."""
+    import re
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c", "s1"),       # 3 tokens, offset 0, seq 0
+            (2, None, "s1"),          # 0 tokens, offset 3, seq 0
+            (3, "d e f g", "s1"),     # offset 3, seq 0
+            (4, "h i", "s1"),         # offset 7, seq 1 (ctx=4)
+            (10, "x y z w v", "s2"),  # other shard restarts at 0
+            (11, "q", "s2"),          # offset 5, seq 1
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r.doc_id: (r.tok_offset, r.seq_id)
+           for r in textops.pack_sequences(df, ctx=4).collect()}
+    assert out == {1: (0, 0), 2: (3, 0), 3: (3, 0), 4: (7, 1),
+                   10: (0, 0), 11: (5, 1)}
+    plan = plan_of(textops.pack_sequences(df, ctx=4))
+    assert "windowspecdefinition(source" in plan, plan
+    blocks = re.findall(
+        r"\(\d+\) Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]", plan
+    )
+    assert blocks and all(
+        not re.search(r"\btext#\d+", b) for b in blocks), blocks
