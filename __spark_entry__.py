@@ -203,6 +203,20 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Crawl-over-crawl dedup: the augmented corpus split into a NEW
+    snapshot (doc_id % 3 == 0) and the accumulated OLD corpus (the
+    rest); every new doc is flagged against its best verified old
+    match. The every-5th mutated copies land on opposite sides of the
+    split for two of the three doc_id residues — engineered cross-
+    snapshot positives."""
+    aug = textops.with_near_dups(_docs(spark, sf_dir))
+    return textops.dedup_incremental(
+        aug.filter(F.col("doc_id") % 3 == 0),
+        aug.filter(F.col("doc_id") % 3 != 0),
+    )
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup pair graph -> per-doc cluster decision (connected
     components by min-label propagation; see graphops.py)."""
@@ -645,6 +659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_link_density": q_extract_link_density,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_incremental": q_dedup_incremental,
         "dedup_clusters": q_dedup_clusters,
         "dedup_clusters_lsh": q_dedup_clusters_lsh,
         "simhash": q_simhash,
@@ -1179,6 +1194,41 @@ def oracle_sql() -> dict[str, str]:
             FROM keyed
         """,
         "dedup_minhash_lsh": _minhash_pairs_sql(),
+        # dedup_incremental: same banded+salted keys, but candidates are
+        # new-side x old-side only (doc_id % 3 splits the snapshots) and
+        # the output is one row per hashable NEW doc with its best
+        # verified old match (max jaccard, ties -> lowest old doc_id)
+        "dedup_incremental": f"""
+            WITH {_minhash_banded_cte()},
+            {_salted_keyed_cte(textops.TEXT_LSH_BUCKET_CAP)},
+            k2 AS (
+              SELECT doc_id, band, skey, doc_id % 3 = 0 AS is_new
+              FROM keyed),
+            cand AS (
+              SELECT DISTINCT n.doc_id AS doc_id, o.doc_id AS match_id
+              FROM k2 n JOIN k2 o
+                ON n.band = o.band AND n.skey = o.skey
+              WHERE n.is_new AND NOT o.is_new),
+            scored AS (
+              SELECT c.doc_id, c.match_id,
+                     round(CAST(len(list_intersect(sn.sh, so.sh))
+                                AS DOUBLE) /
+                           len(list_distinct(list_concat(sn.sh, so.sh))),
+                           4) AS jaccard
+              FROM cand c JOIN sh sn ON sn.doc_id = c.doc_id
+                          JOIN sh so ON so.doc_id = c.match_id),
+            best AS (
+              SELECT doc_id, match_id, jaccard,
+                     row_number() OVER (PARTITION BY doc_id
+                       ORDER BY jaccard DESC, match_id ASC) AS rn
+              FROM scored WHERE jaccard >= 0.7)
+            SELECT n.doc_id,
+                   b.match_id IS NOT NULL AS is_dup_of_prior,
+                   CAST(b.match_id AS BIGINT) AS match_id,
+                   b.jaccard AS jaccard
+            FROM (SELECT doc_id FROM sh WHERE doc_id % 3 = 0) n
+            LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+        """,
         # dedup_clusters: connected components over the minhash pair
         # graph — transitive closure by recursive CTE, component = min
         # reachable doc_id (mirrors graphops.connected_components'

@@ -363,14 +363,17 @@ TEXT_LSH_BUCKET_CAP = 64
 
 
 def _salt_hot_buckets(
-    banded: DataFrame, cap: int, group_col: str = "band"
+    banded: DataFrame, cap: int, group_col: str = "band",
+    extras: tuple = (),
 ) -> DataFrame:
     """(doc_id, <group_col>, bkey) -> same rows with bkey replaced by a
     salted string key: buckets holding > cap rows split into
     ceil(B/cap) salt groups by md5(doc_id:group). The within-salt
     self-join then emits at most ~B*cap/2 pairs per hot bucket instead
     of B^2/2 — the srp_candidate_pairs guard, shared by the text-LSH
-    pair operators. Recall cost: only pairs split across salt groups in
+    pair operators. `extras` columns are carried through unchanged
+    (they never affect the salt — dedup_incremental uses this for its
+    old/new side tag). Recall cost: only pairs split across salt groups in
     EVERY band they co-occur in are lost, and only inside
     over-cap buckets (which exact-dup handling should collapse first).
 
@@ -414,7 +417,7 @@ def _salt_hot_buckets(
                 F.concat_ws(":", F.col("bkey").cast("string"), salt),
             ).otherwise(F.col("bkey").cast("string")),
         )
-        .select("doc_id", group_col, F.col("skey").alias("bkey"))
+        .select("doc_id", group_col, F.col("skey").alias("bkey"), *extras)
     )
 
 
@@ -606,6 +609,107 @@ def minhash_lsh_with_stats(
     stats = _bucket_stats(banded, bucket_cap)
     salted = _salt_hot_buckets(banded, bucket_cap).cache()
     return _minhash_pairs_from(sigs, salted, jaccard_min), stats
+
+
+def dedup_incremental(
+    new_docs: DataFrame,
+    old_docs: DataFrame = None,
+    *,
+    old_sigs: DataFrame = None,
+    jaccard_min: float = 0.7,
+    bucket_cap: int = TEXT_LSH_BUCKET_CAP,
+) -> DataFrame:
+    """Crawl-over-crawl dedup: flag each NEW doc that is a near-dup
+    (exact shingle Jaccard >= jaccard_min) of ANY doc in the OLD
+    (prior-snapshot) corpus, WITHOUT pairing new-vs-new — the monthly
+    re-crawl shape, where the incoming snapshot must be deduped against
+    the 100x-larger accumulated corpus but not against itself (that is
+    minhash_lsh_pairs' job, run separately on the survivors).
+
+    Output: one row per hashable new doc (>= 3 words and non-null text,
+    minhash_sigs' dropped-row contract):
+      (doc_id, is_dup_of_prior, match_id, jaccard)
+    where match is the verified old doc with the highest Jaccard
+    (ties -> lowest old doc_id); match_id/jaccard are NULL for novel
+    docs. doc_id must be unique across BOTH corpora (use xxhash64
+    surrogates as jobs/pretrain_corpus.py does for string ids).
+
+    Scale shape: candidate generation is a band equi-join of two SLIM
+    (doc_id, band, bkey) projections — the old corpus's text/shingles
+    reach only the verify join, and only for docs that band-collided
+    with a new doc (AQE-broadcastable when the new crawl is small
+    relative to the index). Hot buckets (viral boilerplate present in
+    BOTH snapshots) are salt-split over the UNION of the two sides with
+    the shared _salt_hot_buckets cap, so a B_old x B_new bucket emits
+    ~(B/g)^2 * g cross-candidates instead of B_old*B_new; the recall
+    cost is the documented salt-cap contract. At 10^12 docs you would
+    persist `minhash_sigs(old)` once and pass it via `old_sigs=` — the
+    signatures are a pure deterministic function of the text, so a
+    stored table and a recompute are interchangeable.
+    """
+    if old_sigs is None:
+        if old_docs is None:
+            raise ValueError("dedup_incremental needs old_docs or old_sigs")
+        old_sigs = minhash_sigs(old_docs)
+    # both sig tables feed the band join AND the verify join
+    new_sigs = minhash_sigs(new_docs).cache()
+    old_sigs = old_sigs.cache()
+    banded = (
+        _minhash_banded(new_sigs)
+        .withColumn("is_new", F.lit(True))
+        .unionByName(
+            _minhash_banded(old_sigs).withColumn("is_new", F.lit(False))
+        )
+    )
+    salted = _salt_hot_buckets(
+        banded, bucket_cap, extras=("is_new",)
+    ).cache()
+    n = salted.filter(F.col("is_new")).alias("n")
+    o = salted.filter(~F.col("is_new")).alias("o")
+    cand = (
+        n.join(o, ["band", "bkey"])
+        .select(
+            F.col("n.doc_id").alias("doc_id"),
+            F.col("o.doc_id").alias("match_id"),
+        )
+        .dropDuplicates(["doc_id", "match_id"])
+    )
+    withsh = cand.join(
+        new_sigs.select("doc_id", F.col("sh").alias("sh_n")), "doc_id"
+    ).join(
+        old_sigs.select(
+            F.col("doc_id").alias("match_id"), F.col("sh").alias("sh_o")
+        ),
+        "match_id",
+    )
+    jac = F.size(F.array_intersect("sh_n", "sh_o")) / F.size(
+        F.array_union("sh_n", "sh_o")
+    )
+    # best verified match per new doc: max jaccard, ties -> lowest old
+    # doc_id. max(struct) keeps the aggregate partial (map-side combine)
+    # where a window would shuffle-and-sort the candidate set.
+    best = (
+        withsh.withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= jaccard_min)
+        .groupBy("doc_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("jaccard"), (-F.col("match_id")).alias("neg_id")
+                )
+            ).alias("m")
+        )
+    )
+    return (
+        new_sigs.select("doc_id")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("m").isNotNull().alias("is_dup_of_prior"),
+            (-F.col("m.neg_id")).cast("long").alias("match_id"),
+            F.col("m.jaccard").alias("jaccard"),
+        )
+    )
 
 
 # 60 bits: the md5-15-hex word hash carries exactly 60 significant bits

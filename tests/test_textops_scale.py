@@ -1254,3 +1254,41 @@ def test_pack_sequences_offsets_and_contract(spark):
     )
     assert blocks and all(
         not re.search(r"\btext#\d+", b) for b in blocks), blocks
+
+
+def test_dedup_incremental_cross_only_best_match_and_sig_reuse(spark):
+    """dedup_incremental pins: (a) pairing is cross-snapshot ONLY — two
+    byte-identical NEW docs stay novel when the old corpus lacks their
+    text (new-vs-new is minhash_lsh_pairs' job); (b) the reported match
+    is the highest verified Jaccard with ties broken to the LOWEST old
+    doc_id; (c) <3-word new docs follow minhash_sigs' dropped-row
+    contract; (d) passing a persisted signature table via old_sigs=
+    (the 10^12-doc shape: hash the accumulated corpus once) yields
+    identical rows."""
+    base = "a b c d e f g h i j k l"
+    old = spark.createDataFrame(
+        [(1, base), (2, base),
+         (5, "a b c d e f g h i j k m")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(10, base),
+         (12, "m n o p q r s t u v w x"),
+         (13, "m n o p q r s t u v w x"),
+         (14, "one two")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in
+            textops.dedup_incremental(new, old).collect()}
+    assert set(rows) == {10, 12, 13}  # 14 dropped (<3 words)
+    # max jaccard 1.0 against BOTH old 1 and old 2 -> lowest id wins
+    assert (rows[10].is_dup_of_prior, rows[10].match_id,
+            rows[10].jaccard) == (True, 1, 1.0)
+    # identical new-new pair, no old match -> both novel
+    for did in (12, 13):
+        assert rows[did].is_dup_of_prior is False
+        assert rows[did].match_id is None and rows[did].jaccard is None
+    via_sigs = {r.doc_id: r for r in textops.dedup_incremental(
+        new, old_sigs=textops.minhash_sigs(old)).collect()}
+    assert {k: tuple(v) for k, v in rows.items()} == \
+           {k: tuple(v) for k, v in via_sigs.items()}
