@@ -203,6 +203,43 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+def q_url_normalize(spark, sf_dir):
+    """URL-frontier dedup: messy URLs templated closed-form in doc_id
+    (scheme/host case noise, default ports, trailing slashes, utm_*
+    params, fragments), canonicalized and grouped by the operator. The
+    template engineers every canonicalization rule to fire AND real
+    dup groups (odd docs collide every 182 ids; %4=1 vs %4=3 and the
+    port/frag/slash variants collapse systematically)."""
+    d = F.col("doc_id").cast("long")
+    url = F.concat(
+        F.when(d % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("http")),
+        F.lit("://WWW.Site"),
+        (d % 13).cast("string"),
+        F.lit(".Example.COM"),
+        F.when(
+            d % 5 == 0,
+            F.when(d % 2 == 0, F.lit(":443")).otherwise(F.lit(":80")),
+        ).otherwise(F.lit("")),
+        F.lit("/A/b"),
+        (d % 7).cast("string"),
+        F.when(d % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            d % 4 == 0,
+            F.concat(
+                F.lit("?utm_source=x&id="),
+                (d % 11).cast("string"),
+                F.lit("&utm_campaign=y"),
+            ),
+        )
+        .when(d % 4 == 2, F.concat(F.lit("?id="), (d % 11).cast("string")))
+        .when(d % 4 == 3, F.lit("?utm_only=1"))
+        .otherwise(F.lit("")),
+        F.when(d % 6 == 0, F.lit("#Frag")).otherwise(F.lit("")),
+    )
+    docs = _docs(spark, sf_dir).select(d.alias("doc_id"), url.alias("url"))
+    return textops.url_normalize(docs)
+
+
 def q_dedup_incremental(spark, sf_dir):
     """Crawl-over-crawl dedup: the augmented corpus split into a NEW
     snapshot (doc_id % 3 == 0) and the accumulated OLD corpus (the
@@ -681,6 +718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "token_histogram": q_token_histogram,
         "pii_scrub": q_pii_scrub,
+        "url_normalize": q_url_normalize,
         "segment_dedup": q_segment_dedup,
         "sample_stratified": q_sample_stratified,
         "contamination": q_contamination,
@@ -1228,6 +1266,86 @@ def oracle_sql() -> dict[str, str]:
                    b.jaccard AS jaccard
             FROM (SELECT doc_id FROM sh WHERE doc_id % 3 = 0) n
             LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+        """,
+        # url_normalize: the same messy-URL template, canonicalized with
+        # the same rule set (defrag -> lower scheme/host -> default-port
+        # strip -> utm filter -> trailing-slash strip); dup groups by
+        # min-doc keeper. Regexes restricted to the Java/RE2-identical
+        # subset (see pii_scrub's parity note).
+        "url_normalize": """
+            WITH u AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END)
+                || '://WWW.Site' || CAST(doc_id % 13 AS VARCHAR)
+                || '.Example.COM'
+                || (CASE WHEN doc_id % 5 = 0 THEN
+                      (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END)
+                    ELSE '' END)
+                || '/A/b' || CAST(doc_id % 7 AS VARCHAR)
+                || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+                || (CASE WHEN doc_id % 4 = 0 THEN
+                      '?utm_source=x&id=' || CAST(doc_id % 11 AS VARCHAR)
+                      || '&utm_campaign=y'
+                    WHEN doc_id % 4 = 2 THEN
+                      '?id=' || CAST(doc_id % 11 AS VARCHAR)
+                    WHEN doc_id % 4 = 3 THEN '?utm_only=1'
+                    ELSE '' END)
+                || (CASE WHEN doc_id % 6 = 0 THEN '#Frag' ELSE '' END)
+                  AS url
+              FROM documents),
+            c AS (
+              SELECT doc_id, regexp_replace(url, '#.*$', '') AS defrag
+              FROM u),
+            p AS (
+              SELECT doc_id,
+                lower(regexp_extract(defrag,
+                  '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                lower(regexp_extract(defrag,
+                  '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+                regexp_replace(defrag,
+                  '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') AS rest
+              FROM c),
+            q AS (
+              SELECT doc_id, scheme,
+                regexp_replace(hostport, ':[0-9]+$', '') AS host,
+                regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+                regexp_extract(rest, '^([^?]*)', 1) AS path,
+                regexp_extract(rest, '^[^?]*[?](.*)$', 1) AS query
+              FROM p),
+            k AS (
+              SELECT *,
+                list_filter(string_split(query, '&'),
+                            x -> NOT starts_with(x, 'utm_')) AS kept,
+                -- array_to_string([]) is NULL in DuckDB but '' in
+                -- Spark's array_join: coalesce to keep parity
+                coalesce(array_to_string(
+                  list_filter(string_split(query, '&'),
+                              x -> NOT starts_with(x, 'utm_')), '&'),
+                  '') AS qcanon
+              FROM q),
+            canon AS (
+              SELECT doc_id,
+                scheme || '://' || host ||
+                (CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                        OR (scheme = 'https' AND port = '443')
+                      THEN '' ELSE ':' || port END) ||
+                (CASE WHEN path = '' THEN '/'
+                      WHEN path <> '/' AND path LIKE '%/'
+                      THEN substr(path, 1, length(path) - 1)
+                      ELSE path END) ||
+                (CASE WHEN query = '' OR qcanon = ''
+                      THEN '' ELSE '?' || qcanon END)
+                  AS url_canon,
+                host,
+                CAST(CASE WHEN query = '' THEN 0
+                     ELSE len(string_split(query, '&')) - len(kept) END
+                     AS BIGINT) AS n_utm_dropped
+              FROM k)
+            SELECT doc_id, url_canon, host, n_utm_dropped,
+                   min(doc_id) OVER (PARTITION BY url_canon) AS keeper_id,
+                   doc_id <> min(doc_id) OVER (PARTITION BY url_canon)
+                     AS is_dup
+            FROM canon
         """,
         # dedup_clusters: connected components over the minhash pair
         # graph — transitive closure by recursive CTE, component = min

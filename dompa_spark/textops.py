@@ -1487,6 +1487,97 @@ def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def url_normalize(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """URL canonicalization + duplicate grouping — the step BEFORE any
+    content fetch in a crawl pipeline (CCNet/RefinedWeb dedup their URL
+    frontier first; at 10^12 candidate URLs this is the cheapest dedup
+    you will ever run). Canonical form:
+
+      1. strip the fragment ('#...'),
+      2. lowercase scheme and host (ONLY those — path/query case is
+         significant per RFC 3986),
+      3. drop a default port (:80 for http, :443 for https),
+      4. drop utm_* tracking params, keeping the rest in order (no '?'
+         if none survive),
+      5. strip one trailing '/' from a non-root path ('' -> '/').
+
+    Output: (doc_id, url_canon, host, n_utm_dropped, keeper_id,
+    is_dup) — keeper_id is the minimum doc_id sharing the canonical
+    URL, so `is_dup` drops every fetch but one per group.
+
+    Scale shape: canonicalization is pure map-side Catalyst regex /
+    string expressions (zero shuffles, codegen); the group step is a
+    partial-aggregatable groupBy(min) on the canonical string plus one
+    equi-join back — no window sort, so a viral URL repeated 10^8
+    times costs a map-side combine, not a single-task sort (the
+    media_dedup rank window would serialize exactly that group).
+    Regexes use the Java/RE2-identical subset only (see PII_EMAIL's
+    oracle-parity note)."""
+    u = F.col(url_col)
+    defrag = F.regexp_replace(u, r"#.*$", "")
+    scheme = F.lower(
+        F.regexp_extract(defrag, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    )
+    hostport = F.lower(
+        F.regexp_extract(defrag, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    )
+    host = F.regexp_replace(hostport, r":[0-9]+$", "")
+    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    rest = F.regexp_replace(
+        defrag, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", ""
+    )
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    query = F.regexp_extract(rest, r"^[^?]*[?](.*)$", 1)
+    params = F.split(query, "&")
+    kept = F.filter(params, lambda p: ~F.startswith(p, F.lit("utm_")))
+    n_dropped = F.when(
+        query == "", F.lit(0)
+    ).otherwise(F.size(params) - F.size(kept)).cast("long")
+    qcanon = F.when(query == "", F.lit("")).otherwise(
+        F.array_join(kept, "&")
+    )
+    path_canon = (
+        F.when(path == "", F.lit("/"))
+        .when(
+            (path != "/") & F.endswith(path, F.lit("/")),
+            path.substr(F.lit(1), F.length(path) - 1),
+        )
+        .otherwise(path)
+    )
+    default_port = (
+        (port == "")
+        | ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+    )
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(default_port, F.lit("")).otherwise(F.concat(F.lit(":"), port)),
+        path_canon,
+        F.when(qcanon == "", F.lit("")).otherwise(
+            F.concat(F.lit("?"), qcanon)
+        ),
+    )
+    canon_df = df.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        canon.alias("url_canon"),
+        host.alias("host"),
+        n_dropped.alias("n_utm_dropped"),
+    )
+    keepers = canon_df.groupBy("url_canon").agg(
+        F.min("doc_id").alias("keeper_id")
+    )
+    return canon_df.join(keepers, "url_canon").select(
+        "doc_id",
+        "url_canon",
+        "host",
+        "n_utm_dropped",
+        "keeper_id",
+        (F.col("doc_id") != F.col("keeper_id")).alias("is_dup"),
+    )
+
+
 SEGDEDUP_WORDS = 5
 SEGDEDUP_MIN_DOCS = 2
 SEGDEDUP_MIN_CHARS = 1

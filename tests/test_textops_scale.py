@@ -1292,3 +1292,38 @@ def test_dedup_incremental_cross_only_best_match_and_sig_reuse(spark):
         new, old_sigs=textops.minhash_sigs(old)).collect()}
     assert {k: tuple(v) for k, v in rows.items()} == \
            {k: tuple(v) for k, v in via_sigs.items()}
+
+
+def test_url_normalize_rules_and_mapside_group(spark):
+    """Each canonicalization rule pinned on a hand-built URL, plus the
+    scale shape: dup grouping is a partial-aggregatable groupBy(min) +
+    equi-join, NOT a rank window (a viral URL repeated 10^8 times must
+    cost a map-side combine, not one task's sort)."""
+    df = spark.createDataFrame(
+        [
+            (1, "HTTP://EXAMPLE.com:80/Path/"),
+            (2, "http://example.com/Path#frag"),
+            (3, "https://Example.COM:8443/a?utm_source=t&x=1&utm_medium=m"),
+            (4, "https://example.com"),
+            (5, "http://example.com/?utm_only=1"),
+        ],
+        "doc_id long, url string",
+    )
+    out = {r.doc_id: r for r in textops.url_normalize(df).collect()}
+    # lower scheme/host, strip default port + trailing slash; path case kept
+    assert out[1].url_canon == "http://example.com/Path"
+    # fragment stripped -> same group; min-doc keeper
+    assert out[2].url_canon == out[1].url_canon
+    assert (out[1].is_dup, out[2].is_dup) == (False, True)
+    assert out[2].keeper_id == 1
+    # non-default port kept; utm_* dropped, other params kept in order
+    assert out[3].url_canon == "https://example.com:8443/a?x=1"
+    assert out[3].n_utm_dropped == 2
+    # empty path -> '/'; root path not stripped; all-utm query vanishes
+    assert out[4].url_canon == "https://example.com/"
+    assert out[5].url_canon == "http://example.com/"
+    assert out[5].n_utm_dropped == 1
+    assert out[3].host == "example.com"
+    plan = plan_of(textops.url_normalize(df))
+    assert "Window" not in plan, plan
+    assert "partial_min" in plan, plan
