@@ -497,6 +497,29 @@ def q_media_dedup(spark, sf_dir):
     )
 
 
+def q_media_dhash(spark, sf_dir):
+    """Perceptual image near-dup end-to-end through the REAL codec:
+    textured deterministic PNGs (every 7th doc is a brightness-shifted
+    re-render of the previous doc — different bytes, so media_dedup's
+    sha misses it; same picture) -> pngcodec decode -> 56-bit dHash ->
+    banded + salted hamming pairs. The oracle predicts every dhash
+    closed-form from the pixel formula and mirrors the banded
+    pairing."""
+    from dompa_spark import media
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    h = media.dhash_images(media.docs_to_png_textured(docs))
+    ids = h.select(
+        F.element_at(F.split("media_ref", "/"), -1)
+        .cast("long")
+        .alias("doc_id"),
+        "dhash",
+    )
+    return media.media_near_dup(ids, id_col="doc_id")
+
+
 def q_media_frames(spark, sf_dir):
     """Frame-sampling kernel end-to-end: derive a video table from
     documents (duration closed-form in doc_id), run the Arrow frame
@@ -732,6 +755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_list_sizes": q_ivf_list_sizes,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "media_dedup": q_media_dedup,
+        "media_dhash": q_media_dhash,
         "media_frames": q_media_frames,
         "png_decode": q_png_decode,
         "png_resize": q_png_resize,
@@ -2012,6 +2036,56 @@ def oracle_sql() -> dict[str, str]:
                      (PARTITION BY content_sha ORDER BY media_ref)) > 1
                      AS is_dup
             FROM m
+        """,
+        # media_dhash: the textured-PNG pixel payload is closed-form in
+        # doc_id (media.docs_to_png_textured), so the oracle predicts
+        # each 56-bit dhash without a decoder, then mirrors the banded
+        # + salted hamming pairing (media.media_near_dup)
+        "media_dhash": f"""
+            WITH base AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     CASE WHEN doc_id % 7 = 6
+                          THEN CAST(doc_id AS BIGINT) - 1
+                          ELSE CAST(doc_id AS BIGINT) END AS src,
+                     CASE WHEN doc_id % 7 = 6 THEN 1 ELSE 0 END AS shift
+              FROM documents),
+            dims AS (
+              SELECT doc_id, src, shift,
+                     8 + src % 9 AS w, 8 + src % 7 AS h,
+                     1 + src % 17 AS m
+              FROM base),
+            dh AS (
+              SELECT doc_id,
+                CAST(list_sum(list_transform(generate_series(0, 55), i ->
+                  CASE WHEN cells[CAST(i//8*9 + i%8 AS INT) + 1] <
+                            cells[CAST(i//8*9 + i%8 AS INT) + 2]
+                  THEN CAST(1 AS BIGINT) << CAST(i AS INT)
+                  ELSE 0 END)) AS BIGINT) AS dhash
+              FROM (
+                SELECT doc_id,
+                  list_transform(
+                    list_transform(generate_series(0, 62),
+                      c -> c//9*h//7*w + (c%9)*w//9),
+                    j -> least((src*31 + j*7 + j*j*m) % 251 + shift,
+                               250)) AS cells
+                FROM dims)),
+            dbanded AS (
+              SELECT doc_id, b.band,
+                     CAST((dhash >> CAST(b.band * 14 AS INT)) & 16383
+                          AS VARCHAR) AS bkey
+              FROM dh, (SELECT unnest(generate_series(0, 3)) AS band) b),
+            {_salted_keyed_cte(64, src='dbanded')},
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_id_a, bb.doc_id AS doc_id_b
+              FROM keyed a JOIN keyed bb
+                ON a.band = bb.band AND a.skey = bb.skey
+                   AND a.doc_id < bb.doc_id)
+            SELECT c.doc_id_a, c.doc_id_b,
+                   CAST(bit_count(xor(x.dhash, y.dhash)) AS BIGINT)
+                     AS hamming
+            FROM cand c JOIN dh x ON x.doc_id = c.doc_id_a
+                        JOIN dh y ON y.doc_id = c.doc_id_b
+            WHERE bit_count(xor(x.dhash, y.dhash)) <= 4
         """,
         # media_frames: one frame per 500 ms of the closed-form duration
         "media_frames": """

@@ -458,6 +458,182 @@ def docs_to_png(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(_iter, schema=MEDIA_SCHEMA)
 
 
+def docs_to_png_textured(docs: DataFrame) -> DataFrame:
+    """Render deterministic grayscale PNGs with engineered PERCEPTUAL
+    near-duplicates: every 7th doc (doc_id % 7 == 6) re-renders the
+    PREVIOUS doc's image with a +1 brightness shift clamped at 250 —
+    different bytes (and different byte hash, so media_dedup misses
+    it), visually the same image. Closed-form for the SQL oracle, with
+    src = doc_id - 1 on the shifted copies and shift in {0, 1}:
+        w = 8 + src % 9,  h = 8 + src % 7
+        px[j] = min((src*31 + j*7 + j*j*(1 + src % 17)) % 251 + shift,
+                    250)
+    The quadratic term decorrelates the gradient signs across doc_ids
+    (docs_to_png's arithmetic ramp would make every same-(w,h) image
+    dhash-identical: a constant offset mod 251 preserves almost every
+    pairwise comparison)."""
+    import pandas as pd
+
+    def _iter(batches: Iterator["pd.DataFrame"]):
+        for pdf in batches:
+            refs, contents = [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                shift = 1 if doc_id % 7 == 6 else 0
+                src = doc_id - shift
+                w = 8 + src % 9
+                h = 8 + src % 7
+                m = 1 + src % 17
+                px = bytes(
+                    min((src * 31 + j * 7 + j * j * m) % 251 + shift, 250)
+                    for j in range(w * h)
+                )
+                refs.append(f"png://doc/{doc_id}")
+                contents.append(pngcodec.encode_png(px, w, h))
+            yield pd.DataFrame(
+                {
+                    "media_ref": refs,
+                    "kind": ["image"] * len(refs),
+                    "content": contents,
+                    "mime": ["image/png"] * len(refs),
+                    "width": pd.array([None] * len(refs), dtype="Int32"),
+                    "height": pd.array([None] * len(refs), dtype="Int32"),
+                    "duration_ms": pd.array([None] * len(refs),
+                                            dtype="Int64"),
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(_iter, schema=MEDIA_SCHEMA)
+
+
+# dHash geometry: sample a 9x7 pixel grid (nearest-neighbor, the
+# resize_images resampling rule), emit one horizontal-gradient bit per
+# adjacent column pair -> 8x7 = 56 bits. 56 keeps the hash a
+# non-negative BIGINT portable to the DuckDB oracle (same reason
+# textops.SIMHASH_BITS is 60, not 64).
+DHASH_GRID_W = 9
+DHASH_GRID_H = 7
+DHASH_BITS = (DHASH_GRID_W - 1) * DHASH_GRID_H  # 56
+DHASH_BANDS = 4
+DHASH_BAND_BITS = DHASH_BITS // DHASH_BANDS  # 14
+DHASH_BAND_MASK = (1 << DHASH_BAND_BITS) - 1
+
+
+def dhash_images(df: DataFrame, strict: bool = True) -> DataFrame:
+    """(MEDIA_SCHEMA rows with PNG content) -> (media_ref, dhash): a
+    56-bit difference hash over the REAL decoded pixels. Robust to
+    re-encoding and global brightness shifts (gradient SIGNS, not
+    values), which is exactly what byte-exact media_dedup cannot see.
+    Arrow-batched; per image the hash reads 63 sampled pixels, so the
+    PNG decode dominates — pair it with media_near_dup for the banded
+    near-dup join. strict=False drops undecodable rows."""
+    import pandas as pd
+
+    gw, gh = DHASH_GRID_W, DHASH_GRID_H
+
+    def _iter(batches: Iterator["pd.DataFrame"]):
+        for pdf in batches:
+            refs, hashes = [], []
+            for ref, content in zip(pdf["media_ref"], pdf["content"]):
+                content = bytes(content) if content is not None else b""
+                try:
+                    w, h, px = pngcodec.decode_png(content)
+                except ValueError:
+                    if strict:
+                        raise
+                    continue
+                cells = [
+                    px[(y * h // gh) * w + (x * w // gw)]
+                    for y in range(gh)
+                    for x in range(gw)
+                ]
+                acc = 0
+                for y in range(gh):
+                    row = y * gw
+                    for x in range(gw - 1):
+                        if cells[row + x] < cells[row + x + 1]:
+                            acc |= 1 << (y * (gw - 1) + x)
+                refs.append(ref)
+                hashes.append(acc)
+            yield pd.DataFrame({"media_ref": refs, "dhash": hashes})
+
+    return df.mapInPandas(_iter, schema="media_ref string, dhash long")
+
+
+def media_near_dup(
+    hashes: DataFrame,
+    max_hamming: int = 4,
+    id_col: str = "media_ref",
+    bucket_cap: int = 64,
+) -> DataFrame:
+    """(id, dhash) -> verified perceptual near-dup pairs
+    (id_a, id_b, hamming): band the 56-bit dhash into 4 x 14-bit keys,
+    self-join within bands on the SLIM (id, band, key, hash) rows, then
+    verify bit_count(xor) <= max_hamming on the deduped candidates —
+    all JVM-side (shiftright/bit_count codegen), no kernel.
+
+    Banding guarantees recall only for hamming <= DHASH_BANDS - 1
+    (pigeonhole: 4 flipped bits can land in all 4 bands); the oracle
+    mirrors the banded algorithm, not ideal hamming. Hot buckets (a
+    tiling/logo image repeated across the corpus) go through the shared
+    textops._salt_hot_buckets cap, so a B-clique emits ~B*cap/2
+    candidates, not B^2/2 — same contract as the text-LSH operators.
+    At 10^9 images the 14-bit keyspace is the band-join bucket bound;
+    widen the grid (DHASH_GRID_W/H) before widening max_hamming."""
+    from dompa_spark import textops
+
+    banded = hashes.select(
+        F.col(id_col).alias("doc_id"),
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bnd).alias("band"),
+                        F.shiftright("dhash", bnd * DHASH_BAND_BITS)
+                        .bitwiseAND(F.lit(DHASH_BAND_MASK))
+                        .cast("string")
+                        .alias("bkey"),
+                    )
+                    for bnd in range(DHASH_BANDS)
+                ]
+            )
+        ).alias("bs"),
+    ).select(
+        "doc_id",
+        F.col("bs.band").alias("band"),
+        F.col("bs.bkey").alias("bkey"),
+        "dhash",
+    )
+    salted = textops._salt_hot_buckets(
+        banded, bucket_cap, extras=("dhash",)
+    )
+    a, b = salted.alias("a"), salted.alias("b")
+    cand = (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.dhash").alias("dhash_a"),
+            F.col("b.dhash").alias("dhash_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(
+        F.col("dhash_a").bitwiseXOR(F.col("dhash_b"))
+    ).cast("long")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.col("id_a").alias(f"{id_col}_a"),
+            F.col("id_b").alias(f"{id_col}_b"),
+            "hamming",
+        )
+    )
+
+
 def media_dedup(features: DataFrame) -> DataFrame:
     """Exact media dedup on content hash (one shuffle on the sha)."""
     from pyspark.sql.window import Window

@@ -10,7 +10,7 @@ sys.path.insert(0, "/root/repo")
 
 import bench  # noqa: E402
 
-# 54 realistic query names (the live set is 48; headroom for growth),
+# 58 realistic query names (the live set is 52; headroom for growth),
 # at the live set's name-length distribution.
 _QUERY_NAMES = [
     "extract_main_text", "parse_roundtrip", "traverse_rewrite",
@@ -29,7 +29,8 @@ _QUERY_NAMES = [
     "simhash_fused_stats", "extra_query_name_a", "extra_query_name_b",
     "extra_query_name_c", "extra_query_name_d", "extra_query_name_e",
     "segment_dedup", "pii_scrub", "extract_outlinks", "corpus_mixture",
-    "token_histogram", "lm_surprisal",
+    "token_histogram", "lm_surprisal", "pack_sequences",
+    "dedup_incremental", "url_normalize", "media_dhash",
 ]
 
 # Worst-case scaling cache: 4 pairs (2->8 / 8->32, extract + noop),

@@ -342,3 +342,33 @@ def test_decode_images_strict_vs_skip(spark):
     with pytest.raises(Exception, match="ValueError|truncated|chunk"):
         media.decode_images(df, strict=True).collect()
     assert media.decode_images(df, strict=False).collect() == []
+
+
+def test_dhash_brightness_invariance_and_banded_pairs(spark):
+    """dHash pins: a +1-brightness re-render (different bytes, so the
+    sha-based media_dedup misses it) hashes IDENTICALLY when no pixel
+    sits at the clamp boundary -> verified pair at hamming 0; the
+    complement image flips every strict gradient -> no shared band key
+    and no pair. Pixel ramp (j*37+11) % 200 makes all 192 values
+    distinct, so all 56 grid comparisons are strict."""
+    from dompa_spark import pngcodec
+
+    w, h = 16, 12
+    px_a = bytes((j * 37 + 11) % 200 for j in range(w * h))
+    px_b = bytes(v + 1 for v in px_a)        # brightness shift, no clamp
+    px_c = bytes(250 - v for v in px_a)      # every gradient flipped
+    rows = [
+        ("a", bytearray(pngcodec.encode_png(px_a, w, h))),
+        ("b", bytearray(pngcodec.encode_png(px_b, w, h))),
+        ("c", bytearray(pngcodec.encode_png(px_c, w, h))),
+    ]
+    df = spark.createDataFrame(rows, "media_ref string, content binary")
+    hashes = media.dhash_images(df)
+    got = {r.media_ref: r.dhash for r in hashes.collect()}
+    assert got["a"] == got["b"]
+    assert got["a"] != got["c"]
+    # complement: every one of the 56 strict comparisons flips
+    assert bin(got["a"] ^ got["c"]).count("1") == media.DHASH_BITS
+    pairs = media.media_near_dup(hashes).collect()
+    assert [(p.media_ref_a, p.media_ref_b, p.hamming) for p in pairs] \
+        == [("a", "b", 0)]
