@@ -203,6 +203,14 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+def q_span_dedup(spark, sf_dir):
+    """Exact-substring (overlapping 8-gram) span removal over the
+    augmented corpus — the every-5th mutated copies make whole
+    passages hot, so the cut tracks duplicated spans at arbitrary
+    alignment (what segment_dedup's fixed chunks cannot see)."""
+    return textops.span_dedup(textops.with_near_dups(_docs(spark, sf_dir)))
+
+
 def q_url_normalize(spark, sf_dir):
     """URL-frontier dedup: messy URLs templated closed-form in doc_id
     (scheme/host case noise, default ports, trailing slashes, utm_*
@@ -743,6 +751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "url_normalize": q_url_normalize,
         "segment_dedup": q_segment_dedup,
+        "span_dedup": q_span_dedup,
         "sample_stratified": q_sample_stratified,
         "contamination": q_contamination,
         "domain_cap": q_domain_cap,
@@ -1859,6 +1868,62 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(c.n_removed, 0) AS BIGINT) AS n_removed,
                    COALESCE(c.text_clean, '') AS text_clean
             FROM documents d LEFT JOIN clean c ON d.doc_id = c.doc_id
+        """,
+        # span_dedup: overlapping-window exact-substring removal over
+        # the augmented corpus; the oracle counts hot grams by STRING
+        # (the engine's xxhash64 is its collision-bounded slim-shuffle
+        # surrogate, same contract as segment_dedup)
+        "span_dedup": f"""
+            WITH aug AS ({_AUG}),
+            g AS (
+              SELECT doc_id, text, string_split(text, ' ') AS w
+              FROM aug),
+            ex AS (
+              SELECT doc_id, u.p - 1 AS pos,
+                     array_to_string(
+                       list_slice(w, u.p, u.p + {textops.SPANDEDUP_N} - 1),
+                       ' ') AS gram
+              FROM g, UNNEST(generate_series(1,
+                     len(w) - {textops.SPANDEDUP_N} + 1)) AS u(p)
+              WHERE text IS NOT NULL
+                AND len(w) >= {textops.SPANDEDUP_N}),
+            hot AS (
+              SELECT gram FROM (
+                SELECT gram, count(DISTINCT doc_id) AS c
+                FROM ex GROUP BY gram) t
+              WHERE c >= {textops.SEGDEDUP_MIN_DOCS}),
+            bad AS (
+              SELECT doc_id, list_sort(list(pos)) AS bad_pos
+              FROM ex JOIN hot USING (gram) GROUP BY doc_id),
+            k AS (
+              SELECT a.doc_id, a.text, b.bad_pos,
+                CASE WHEN a.text IS NULL THEN 0
+                     ELSE len(string_split(a.text, ' ')) END AS n_tokens,
+                CASE WHEN b.bad_pos IS NULL THEN NULL ELSE
+                  list_filter(
+                    list_transform(
+                      generate_series(1, len(string_split(a.text, ' '))),
+                      i -> CASE WHEN len(list_filter(b.bad_pos,
+                                 s -> s <= i - 1 AND
+                                      i - 1 < s + {textops.SPANDEDUP_N}))
+                                 = 0
+                           THEN string_split(a.text, ' ')[i]
+                           ELSE NULL END),
+                    x -> x IS NOT NULL)
+                END AS kept
+              FROM aug a LEFT JOIN bad b USING (doc_id))
+            SELECT doc_id,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(CASE WHEN text IS NULL OR bad_pos IS NULL THEN 0
+                        ELSE n_tokens - len(kept) END AS BIGINT)
+                     AS n_removed,
+                   CASE WHEN text IS NULL THEN ''
+                        WHEN bad_pos IS NULL THEN text
+                        -- array_to_string([]) is NULL in DuckDB but
+                        -- array_join gives '' in Spark (fully-removed doc)
+                        ELSE coalesce(array_to_string(kept, ' '), '')
+                        END AS text_clean
+            FROM k
         """,
         "sample_stratified": f"""
             WITH base AS (

@@ -1692,6 +1692,89 @@ def segment_dedup(
     )
 
 
+SPANDEDUP_N = 8
+
+
+def span_dedup(
+    df: DataFrame,
+    n: int = SPANDEDUP_N,
+    min_docs: int = SEGDEDUP_MIN_DOCS,
+) -> DataFrame:
+    """Exact-substring dedup with OVERLAPPING n-gram windows (the Lee
+    et al. 'Deduplicating Training Data' shape, word-granular): a token
+    is removed iff it is covered by ANY n-gram window that occurs
+    verbatim in >= min_docs distinct documents. Overlap is what
+    separates this from segment_dedup's fixed chunks: a duplicated
+    passage is caught at ANY alignment, and removal is per-token
+    coverage, so the cut tracks the duplicated span's exact extent
+    instead of chunk boundaries. One row per doc:
+    (doc_id, n_tokens, n_removed, text_clean), docs shorter than n
+    tokens pass through untouched, null text reports n_tokens=0 /
+    text_clean='' (never silently dropped).
+
+    Scale shape mirrors segment_dedup: the window explode carries only
+    (doc_id, pos, xxhash64(gram)) — ~L slim rows per L-token doc, the
+    text never enters the counting or candidate shuffles; the hot set
+    is left-semi joined (AQE-broadcast when duplication is sparse) and
+    only docs that HAVE a hot window reach the final doc-granularity
+    text join. Reconstruction is a per-row HOF with an original-text
+    fast path; its cost is O(tokens x hot_windows_in_doc), so run
+    doc-level dedup FIRST (pipeline order: a fully-duplicated doc
+    should be dropped by minhash, not shredded token-by-token here —
+    same ordering rule as --with-line-dedup). xxhash64 stands in for
+    the gram string on the slim path with the same documented
+    birthday-bound tradeoff as segment_dedup."""
+    docs = df.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+    w = words()
+    n_w = F.size(w)
+    empty = F.array().cast("array<string>")
+    grams = F.when(
+        F.col("text").isNull() | (n_w < n), empty
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_w - n),
+            lambda p: F.concat_ws(" ", F.slice(w, p + F.lit(1), F.lit(n))),
+        )
+    )
+    ex = docs.select(
+        "doc_id", F.posexplode(grams).alias("pos", "g")
+    ).select("doc_id", "pos", F.xxhash64("g").alias("h"))
+    hot = (
+        ex.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("c"))
+        .where(F.col("c") >= min_docs)
+        .select("h")
+    )
+    bad = (
+        ex.join(hot, "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("bad_pos"))
+    )
+    bad_arr = F.col("bad_pos")
+    kept = F.filter(
+        w,
+        lambda tok, i: ~F.exists(
+            bad_arr, lambda s: (s <= i) & (i < s + F.lit(n))
+        ),
+    )
+    n_tokens = F.when(F.col("text").isNull(), F.lit(0)).otherwise(n_w)
+    text_clean = F.when(F.col("text").isNull(), F.lit("")).otherwise(
+        # fast path: no hot window in this doc -> original text verbatim
+        F.when(bad_arr.isNull(), F.col("text")).otherwise(
+            F.array_join(kept, " ")
+        )
+    )
+    n_removed = F.when(
+        F.col("text").isNull() | bad_arr.isNull(), F.lit(0)
+    ).otherwise(n_w - F.size(kept))
+    return docs.join(bad, "doc_id", "left").select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        n_removed.cast("long").alias("n_removed"),
+        text_clean.alias("text_clean"),
+    )
+
+
 SAMPLE_RATES = {"en": 80, "de": 50, "fr": 50, "es": 50}  # percent
 SAMPLE_RATE_DEFAULT = 25
 

@@ -10,7 +10,7 @@ sys.path.insert(0, "/root/repo")
 
 import bench  # noqa: E402
 
-# 58 realistic query names (the live set is 52; headroom for growth),
+# 59 realistic query names (the live set is 53; headroom for growth),
 # at the live set's name-length distribution.
 _QUERY_NAMES = [
     "extract_main_text", "parse_roundtrip", "traverse_rewrite",
@@ -30,7 +30,7 @@ _QUERY_NAMES = [
     "extra_query_name_c", "extra_query_name_d", "extra_query_name_e",
     "segment_dedup", "pii_scrub", "extract_outlinks", "corpus_mixture",
     "token_histogram", "lm_surprisal", "pack_sequences",
-    "dedup_incremental", "url_normalize", "media_dhash",
+    "dedup_incremental", "url_normalize", "media_dhash", "span_dedup",
 ]
 
 # Worst-case scaling cache: 4 pairs (2->8 / 8->32, extract + noop),

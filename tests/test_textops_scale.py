@@ -1327,3 +1327,45 @@ def test_url_normalize_rules_and_mapside_group(spark):
     plan = plan_of(textops.url_normalize(df))
     assert "Window" not in plan, plan
     assert "partial_min" in plan, plan
+
+
+def test_span_dedup_alignment_coverage_and_contracts(spark):
+    """span_dedup pins: a passage shared at DIFFERENT alignments is cut
+    exactly (per-token coverage union over overlapping hot windows —
+    what segment_dedup's fixed chunks cannot see); within-one-doc
+    repetition is NOT boilerplate (distinct-doc count); short and null
+    docs pass through; the window-explode shuffles never carry the
+    gram strings (xxhash64 surrogate only)."""
+    import re
+
+    df = spark.createDataFrame(
+        [
+            (1, "x1 x2 a b c d e f g h y1 y2"),
+            (2, "z1 a b c d e f g h z2 z3 z4"),
+            (3, "too short for any window"),
+            (4, None),
+            (5, "p q r s t u v w p q r s t u v w"),
+            (7, "m1 m2 c1 c2 c3 c4 c5 c6 c7 c8 c9 m3"),
+            (8, "c1 c2 c3 c4 c5 c6 c7 c8 c9 n1 n2 n3"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in textops.span_dedup(df).collect()}
+    # 8-token passage at offsets 2 and 1 -> exact extents cut
+    assert (out[1].n_removed, out[1].text_clean) == (8, "x1 x2 y1 y2")
+    assert (out[2].n_removed, out[2].text_clean) == (8, "z1 z2 z3 z4")
+    # 9-token passage -> two overlapping hot windows, coverage unions
+    assert (out[7].n_removed, out[7].text_clean) == (9, "m1 m2 m3")
+    assert (out[8].n_removed, out[8].text_clean) == (9, "n1 n2 n3")
+    # short doc: no window; within-doc repeat: 1 distinct doc -> kept
+    assert (out[3].n_removed, out[3].text_clean) == \
+        (0, "too short for any window")
+    assert (out[5].n_removed, out[5].text_clean) == (0, df.collect()[4].text)
+    assert (out[4].n_tokens, out[4].n_removed, out[4].text_clean) == \
+        (0, 0, "")
+    plan = plan_of(textops.span_dedup(df))
+    blocks = re.findall(
+        r"\(\d+\) Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]", plan
+    )
+    assert blocks and all(
+        not re.search(r"\bg#\d+", b) for b in blocks), blocks
