@@ -14,7 +14,8 @@
         dompa_spark/jobs/pretrain_corpus.py \
         --input /path/raw_docs --workdir /path/work \
         [--chunk-parts N] [--with-repetition] [--with-lm] \
-        [--with-line-dedup] [--with-pii-scrub] [--no-resume]
+        [--with-line-dedup] [--with-span-dedup] [--with-pii-scrub] \
+        [--no-resume]
 
 Every stage is the corresponding tested operator (pipeline.run_extract,
 textops.lang_id_heuristic / curate_corpus / repetition_scores /
@@ -70,6 +71,20 @@ def main(argv=None) -> int:
                         "so a dropped 50-copy near-dup cluster cannot "
                         "mark its canonical survivor's text as "
                         "boilerplate and gut it")
+    p.add_argument("--with-span-dedup", action="store_true",
+                   help="cut exact duplicated passages from the kept "
+                        "corpus text (textops.span_dedup: OVERLAPPING "
+                        "n-gram windows, per-token coverage — catches "
+                        "any-alignment duplication the fixed-chunk line "
+                        "dedup can't). Ordering contract: runs AFTER "
+                        "near-dup dedup (hot votes come from the kept "
+                        "set only, and doc-level dups are DROPPED, not "
+                        "shredded here), after --with-line-dedup (cheap "
+                        "whole-segment strip first), and BEFORE "
+                        "--with-pii-scrub (placeholders never vote)")
+    p.add_argument("--span-n", type=int, default=None,
+                   help="window size for --with-span-dedup (default: "
+                        "textops.SPANDEDUP_N)")
     p.add_argument("--line-seg-mode", default="words",
                    choices=["words", "newline"],
                    help="segment unit for --with-line-dedup: 'newline' "
@@ -220,6 +235,17 @@ def main(argv=None) -> int:
             )
             kept_docs = kept_docs.drop("text").join(sd, "doc_id")
             cols.append("boilerplate_segments_removed")
+        if args.with_span_dedup:
+            spkw = {}
+            if args.span_n is not None:
+                spkw["n"] = args.span_n
+            sp = textops.span_dedup(kept_docs, **spkw).select(
+                "doc_id",
+                F.col("text_clean").alias("text"),
+                F.col("n_removed").alias("span_tokens_removed"),
+            )
+            kept_docs = kept_docs.drop("text").join(sp, "doc_id")
+            cols.append("span_tokens_removed")
         if args.with_pii_scrub:
             pii = textops.pii_scrub(kept_docs).select(
                 "doc_id",
@@ -241,6 +267,11 @@ def main(argv=None) -> int:
         stats["line_segments_removed"] = int(
             spark.read.parquet(kept_path)
             .agg(F.sum("boilerplate_segments_removed")).first()[0] or 0
+        )
+    if args.with_span_dedup:
+        stats["span_tokens_removed"] = int(
+            spark.read.parquet(kept_path)
+            .agg(F.sum("span_tokens_removed")).first()[0] or 0
         )
     if args.with_pii_scrub:
         stats["pii_redactions"] = int(

@@ -129,6 +129,7 @@ def test_spark_submit_pretrain_corpus_pipeline(workdir):
             "--chunk-parts", "4",
             "--light-parts", "4", "--heavy-parts", "2",
             "--with-repetition", "--with-line-dedup",
+            "--with-span-dedup",
             "--domain-cap", "100",
         ],
         cwd=str(workdir),
@@ -143,6 +144,9 @@ def test_spark_submit_pretrain_corpus_pipeline(workdir):
     )
     assert stats["docs"] == N_DOCS
     assert 0 < stats["kept"] < N_DOCS
+    # span stage ran (count present; >= 0 — the kept set is already
+    # doc-level deduped, so cross-doc 8-gram repeats may be sparse)
+    assert stats["span_tokens_removed"] >= 0
     con = duckdb.connect()
     n_kept = con.execute(
         f"SELECT count(DISTINCT doc_id) FROM "
