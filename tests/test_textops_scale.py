@@ -1369,3 +1369,59 @@ def test_span_dedup_alignment_coverage_and_contracts(spark):
     )
     assert blocks and all(
         not re.search(r"\bg#\d+", b) for b in blocks), blocks
+
+
+def test_span_dedup_fuzz_vs_naive(spark):
+    """Differential fuzz: span_dedup must equal a direct Python
+    reimplementation (overlapping windows -> distinct-doc count ->
+    per-token coverage union -> ordered rebuild) on a collision-heavy
+    corpus (tiny vocab so 4-grams repeat organically, mixed lengths,
+    exact-dup docs, sub-window-length docs, null)."""
+    import random
+    from collections import defaultdict
+
+    rng = random.Random(4321)
+    vocab = [f"w{i}" for i in range(5)]
+    docs = []
+    for i in range(120):
+        n = rng.randrange(1, 22)
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    docs += [(200 + i, docs[i][1]) for i in range(10)]  # exact dups
+    docs.append((300, None))
+
+    N, K = 4, 2
+    grams = {}
+    for did, text in docs:
+        if text is None:
+            grams[did] = []
+            continue
+        w = text.split(" ")
+        grams[did] = [
+            " ".join(w[p:p + N]) for p in range(len(w) - N + 1)
+        ]
+    seen = defaultdict(set)
+    for did, gs in grams.items():
+        for g in gs:
+            seen[g].add(did)
+    hot = {g for g, d in seen.items() if len(d) >= K}
+    want = {}
+    for did, text in docs:
+        if text is None:
+            want[did] = (0, 0, "")
+            continue
+        w = text.split(" ")
+        covered = set()
+        for p, g in enumerate(grams[did]):
+            if g in hot:
+                covered.update(range(p, p + N))
+        keep = [t for i, t in enumerate(w) if i not in covered]
+        clean = text if not covered else " ".join(keep)
+        want[did] = (len(w), len(covered), clean)
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = textops.span_dedup(df, n=N, min_docs=K).collect()
+    assert len(out) == len(docs)
+    for r in out:
+        assert (r.n_tokens, r.n_removed, r.text_clean) == want[r.doc_id], \
+            (r.doc_id, (r.n_tokens, r.n_removed, r.text_clean),
+             want[r.doc_id])
