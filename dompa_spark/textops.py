@@ -646,6 +646,9 @@ def dedup_incremental(
     persist `minhash_sigs(old)` once and pass it via `old_sigs=` — the
     signatures are a pure deterministic function of the text, so a
     stored table and a recompute are interchangeable.
+
+    Cache lifecycle is caller-owned, as for every operator-internal
+    cache here (see curate_corpus's CACHE LIFECYCLE note).
     """
     if old_sigs is None:
         if old_docs is None:
