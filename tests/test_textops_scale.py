@@ -1425,3 +1425,47 @@ def test_span_dedup_fuzz_vs_naive(spark):
         assert (r.n_tokens, r.n_removed, r.text_clean) == want[r.doc_id], \
             (r.doc_id, (r.n_tokens, r.n_removed, r.text_clean),
              want[r.doc_id])
+
+
+def test_dedup_incremental_union_salt_bounds_cross_candidates(spark):
+    """A viral text present in BOTH snapshots lands old-side and
+    new-side rows in the same (band, bkey) bucket: without the cap a
+    B_old x B_new cross blowup, with the UNION-computed salt the
+    verified output stays a fraction of it (pairs only within matching
+    salt groups). Also pins that the salt keys AGREE across sides —
+    capped recall must remain non-zero."""
+    n, clique, cap = 500, 200, 10
+    df = _clique_docs(spark, n, clique)
+    new = df.filter(F.col("doc_id") % 2 == 0)
+    old = df.filter(F.col("doc_id") % 2 == 1)
+    uncapped = textops.dedup_incremental(
+        new, old, bucket_cap=10**9
+    ).filter("is_dup_of_prior").count()
+    capped_rows = textops.dedup_incremental(new, old, bucket_cap=cap)
+    capped = capped_rows.filter("is_dup_of_prior").count()
+    # every new clique member has an old match when uncapped
+    assert uncapped == clique // 2
+    # capped: flagged docs are a subset, non-empty (cross-side salt
+    # groups align: md5(doc_id:band) is side-independent)
+    assert 0 < capped <= uncapped, (capped, uncapped)
+    # output stays one row per hashable NEW doc in both modes
+    assert capped_rows.count() == new.count()
+
+
+def test_media_near_dup_hot_bucket_salt_bounds_candidates(spark):
+    """An identical image repeated B times (same dhash) is one bucket
+    per band: the shared salt cap must bound the verified pair output
+    ~B*cap/2 per band instead of B^2/2."""
+    from dompa_spark import media
+
+    B = 200
+    rows = [(f"img{i:04d}", 7) for i in range(B)] + [
+        (f"uniq{i:04d}", (i * 2654435761) % (1 << 56)) for i in range(100)
+    ]
+    hashes = spark.createDataFrame(rows, "media_ref string, dhash long")
+    uncapped = media.media_near_dup(hashes, bucket_cap=10**9).count()
+    capped = media.media_near_dup(hashes, bucket_cap=10).count()
+    assert uncapped >= B * (B - 1) // 2
+    assert capped <= media.DHASH_BANDS * (B // 10 + 1) * 10 * 10, (
+        capped, uncapped)
+    assert capped < uncapped / 2, (capped, uncapped)
