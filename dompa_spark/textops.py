@@ -1506,7 +1506,11 @@ def url_normalize(df: DataFrame, url_col: str = "url") -> DataFrame:
 
     Output: (doc_id, url_canon, host, n_utm_dropped, keeper_id,
     is_dup) — keeper_id is the minimum doc_id sharing the canonical
-    URL, so `is_dup` drops every fetch but one per group.
+    URL, so `is_dup` drops every fetch but one per group. One row per
+    input doc, never silently dropped: a NULL url yields NULL
+    canon/host/keeper and is_dup=false (null urls are nobody's
+    duplicate); a scheme-less string still canonicalizes
+    deterministically (empty scheme/host, the raw string as path).
 
     Scale shape: canonicalization is pure map-side Catalyst regex /
     string expressions (zero shuffles, codegen); the group step is a
@@ -1568,16 +1572,21 @@ def url_normalize(df: DataFrame, url_col: str = "url") -> DataFrame:
         host.alias("host"),
         n_dropped.alias("n_utm_dropped"),
     )
-    keepers = canon_df.groupBy("url_canon").agg(
-        F.min("doc_id").alias("keeper_id")
-    )
-    return canon_df.join(keepers, "url_canon").select(
+    keepers = canon_df.filter(F.col("url_canon").isNotNull()).groupBy(
+        "url_canon"
+    ).agg(F.min("doc_id").alias("keeper_id"))
+    # left join: a NULL url canonicalizes to NULL and must still emit
+    # its row (never silently dropped — an inner join on the canon key
+    # would eat it); null-url docs are nobody's duplicate
+    return canon_df.join(keepers, "url_canon", "left").select(
         "doc_id",
         "url_canon",
         "host",
         "n_utm_dropped",
         "keeper_id",
-        (F.col("doc_id") != F.col("keeper_id")).alias("is_dup"),
+        F.when(F.col("url_canon").isNull(), F.lit(False))
+        .otherwise(F.col("doc_id") != F.col("keeper_id"))
+        .alias("is_dup"),
     )
 
 

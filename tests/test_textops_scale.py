@@ -1306,6 +1306,7 @@ def test_url_normalize_rules_and_mapside_group(spark):
             (3, "https://Example.COM:8443/a?utm_source=t&x=1&utm_medium=m"),
             (4, "https://example.com"),
             (5, "http://example.com/?utm_only=1"),
+            (6, None),
         ],
         "doc_id long, url string",
     )
@@ -1324,6 +1325,9 @@ def test_url_normalize_rules_and_mapside_group(spark):
     assert out[5].url_canon == "http://example.com/"
     assert out[5].n_utm_dropped == 1
     assert out[3].host == "example.com"
+    # null url: row survives (left join), nobody's duplicate
+    assert (out[6].url_canon, out[6].keeper_id, out[6].is_dup) == \
+        (None, None, False)
     plan = plan_of(textops.url_normalize(df))
     assert "Window" not in plan, plan
     assert "partial_min" in plan, plan
