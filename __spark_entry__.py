@@ -528,6 +528,29 @@ def q_media_dhash(spark, sf_dir):
     return media.media_near_dup(ids, id_col="doc_id")
 
 
+def q_wav_near_dup(spark, sf_dir):
+    """Perceptual audio near-dup end-to-end through the REAL PCM
+    codec: deterministic WAV clips (every 7th doc a +1-DC-offset
+    re-render of the previous doc — different bytes, same waveform) ->
+    wavcodec decode -> 56-bit sign-of-delta window fingerprint -> the
+    SAME banded+salted hamming pairer as the image dHash
+    (media_near_dup, hash_col='afp'). Oracle predicts every
+    fingerprint closed-form from the sample formula."""
+    from dompa_spark import media
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    fp = media.audio_fingerprint(media.docs_to_wav_variants(docs))
+    ids = fp.select(
+        F.element_at(F.split("media_ref", "/"), -1)
+        .cast("long")
+        .alias("doc_id"),
+        "afp",
+    )
+    return media.media_near_dup(ids, id_col="doc_id", hash_col="afp")
+
+
 def q_media_frames(spark, sf_dir):
     """Frame-sampling kernel end-to-end: derive a video table from
     documents (duration closed-form in doc_id), run the Arrow frame
@@ -765,6 +788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "media_dedup": q_media_dedup,
         "media_dhash": q_media_dhash,
+        "wav_near_dup": q_wav_near_dup,
         "media_frames": q_media_frames,
         "png_decode": q_png_decode,
         "png_resize": q_png_resize,
@@ -2151,6 +2175,55 @@ def oracle_sql() -> dict[str, str]:
             FROM cand c JOIN dh x ON x.doc_id = c.doc_id_a
                         JOIN dh y ON y.doc_id = c.doc_id_b
             WHERE bit_count(xor(x.dhash, y.dhash)) <= 4
+        """,
+        # wav_near_dup: the variant-WAV sample payload is closed-form in
+        # doc_id (media.docs_to_wav_variants), so the oracle predicts
+        # each 56-bit window fingerprint without a decoder, then mirrors
+        # the banded + salted hamming pairing (media.media_near_dup)
+        "wav_near_dup": f"""
+            WITH base AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     CASE WHEN doc_id % 7 = 6
+                          THEN CAST(doc_id AS BIGINT) - 1
+                          ELSE CAST(doc_id AS BIGINT) END AS src,
+                     CASE WHEN doc_id % 7 = 6 THEN 1 ELSE 0 END AS shift
+              FROM documents),
+            d2 AS (
+              SELECT doc_id, src, shift,
+                     (120 + src % 80) * (1 + src % 2) AS n
+              FROM base),
+            fp AS (
+              SELECT doc_id,
+                CAST(list_sum(list_transform(generate_series(0, 55), i ->
+                  CASE WHEN sums[CAST(i AS INT) + 1] <
+                            sums[CAST(i AS INT) + 2]
+                  THEN CAST(1 AS BIGINT) << CAST(i AS INT)
+                  ELSE 0 END)) AS BIGINT) AS afp
+              FROM (
+                SELECT doc_id,
+                  list_transform(generate_series(0, 56), i ->
+                    list_sum(list_transform(
+                      generate_series(i*n//57, (i+1)*n//57 - 1),
+                      j -> (src*13 + j*11) % 2003 - 1001 + shift)))
+                    AS sums
+                FROM d2)),
+            abanded AS (
+              SELECT doc_id, b.band,
+                     CAST((afp >> CAST(b.band * 14 AS INT)) & 16383
+                          AS VARCHAR) AS bkey
+              FROM fp, (SELECT unnest(generate_series(0, 3)) AS band) b),
+            {_salted_keyed_cte(64, src='abanded')},
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_id_a, bb.doc_id AS doc_id_b
+              FROM keyed a JOIN keyed bb
+                ON a.band = bb.band AND a.skey = bb.skey
+                   AND a.doc_id < bb.doc_id)
+            SELECT c.doc_id_a, c.doc_id_b,
+                   CAST(bit_count(xor(x.afp, y.afp)) AS BIGINT)
+                     AS hamming
+            FROM cand c JOIN fp x ON x.doc_id = c.doc_id_a
+                        JOIN fp y ON y.doc_id = c.doc_id_b
+            WHERE bit_count(xor(x.afp, y.afp)) <= 4
         """,
         # media_frames: one frame per 500 ms of the closed-form duration
         "media_frames": """

@@ -565,6 +565,7 @@ def media_near_dup(
     max_hamming: int = 4,
     id_col: str = "media_ref",
     bucket_cap: int = 64,
+    hash_col: str = "dhash",
 ) -> DataFrame:
     """(id, dhash) -> verified perceptual near-dup pairs
     (id_a, id_b, hamming): band the 56-bit dhash into 4 x 14-bit keys,
@@ -584,13 +585,19 @@ def media_near_dup(
 
     banded = hashes.select(
         F.col(id_col).alias("doc_id"),
-        "dhash",
+        F.col(hash_col).alias("dhash"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(bnd).alias("band"),
-                        F.shiftright("dhash", bnd * DHASH_BAND_BITS)
+                        # shift the SOURCE column, not the "dhash"
+                        # alias minted in this same select — a lateral
+                        # alias reference inside Generate is an
+                        # analyzer internal error when hash_col differs
+                        F.shiftright(
+                            F.col(hash_col), bnd * DHASH_BAND_BITS
+                        )
                         .bitwiseAND(F.lit(DHASH_BAND_MASK))
                         .cast("string")
                         .alias("bkey"),
@@ -632,6 +639,98 @@ def media_near_dup(
             "hamming",
         )
     )
+
+
+AUDIO_FP_WINDOWS = DHASH_BITS + 1  # 57 windows -> 56 sign-of-delta bits
+
+
+def docs_to_wav_variants(docs: DataFrame) -> DataFrame:
+    """Render deterministic PCM WAV clips with engineered PERCEPTUAL
+    near-duplicates: every 7th doc (doc_id % 7 == 6) re-renders the
+    PREVIOUS doc's clip with a +1 DC offset — different bytes (sha
+    misses it), same waveform shape. Closed-form for the SQL oracle,
+    with src = doc_id - 1 on the offset copies and shift in {0, 1}:
+        rate = 8000 + (src % 3) * 4000
+        channels = 1 + src % 2
+        n = (120 + src % 80) * channels       (interleaved samples)
+        sample[j] = (src*13 + j*11) % 2003 - 1001 + shift"""
+    import pandas as pd
+
+    def _iter(batches: Iterator["pd.DataFrame"]):
+        for pdf in batches:
+            refs, contents, durs = [], [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                shift = 1 if doc_id % 7 == 6 else 0
+                src = doc_id - shift
+                rate = 8000 + (src % 3) * 4000
+                nch = 1 + src % 2
+                n = (120 + src % 80) * nch
+                samples = [
+                    (src * 13 + j * 11) % 2003 - 1001 + shift
+                    for j in range(n)
+                ]
+                refs.append(f"wav://doc/{doc_id}")
+                contents.append(wavcodec.encode_wav(samples, rate, nch))
+                durs.append((n // nch) * 1000 // rate)
+            yield pd.DataFrame(
+                {
+                    "media_ref": refs,
+                    "kind": ["audio"] * len(refs),
+                    "content": contents,
+                    "mime": ["audio/wav"] * len(refs),
+                    "width": pd.array([None] * len(refs), dtype="Int32"),
+                    "height": pd.array([None] * len(refs), dtype="Int32"),
+                    "duration_ms": durs,
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(_iter, schema=MEDIA_SCHEMA)
+
+
+def audio_fingerprint(df: DataFrame, strict: bool = True) -> DataFrame:
+    """(MEDIA_SCHEMA rows with WAV content) -> (media_ref, afp): a
+    56-bit audio fingerprint over the REAL decoded PCM stream — the
+    interleaved samples are split into 57 contiguous windows by exact
+    integer boundaries (window i covers [i*n//57, (i+1)*n//57)), and
+    bit i is the sign of the delta between consecutive window SUMS.
+    Integer sums keep the oracle exact (no float accumulation order);
+    sign-of-delta makes the fingerprint invariant to a constant DC
+    offset whenever windows are equal-length (and near-invariant
+    otherwise — boundary windows differ by at most one sample).
+    Clips shorter than 57 samples hash their zero-padded window sums
+    (still deterministic). Pair with media_near_dup(hash_col='afp')
+    for the banded near-dup join — the same 4x14-bit machinery as the
+    image dHash. Arrow-batched; strict=False drops undecodable rows."""
+    import pandas as pd
+
+    K = AUDIO_FP_WINDOWS
+
+    def _iter(batches: Iterator["pd.DataFrame"]):
+        for pdf in batches:
+            refs, fps = [], []
+            for ref, content in zip(pdf["media_ref"], pdf["content"]):
+                content = bytes(content) if content is not None else b""
+                try:
+                    _rate, _nch, samples = wavcodec.decode_wav(content)
+                except ValueError:
+                    if strict:
+                        raise
+                    continue
+                n = len(samples)
+                sums = [
+                    sum(samples[i * n // K:(i + 1) * n // K])
+                    for i in range(K)
+                ]
+                acc = 0
+                for i in range(K - 1):
+                    if sums[i] < sums[i + 1]:
+                        acc |= 1 << i
+                refs.append(ref)
+                fps.append(acc)
+            yield pd.DataFrame({"media_ref": refs, "afp": fps})
+
+    return df.mapInPandas(_iter, schema="media_ref string, afp long")
 
 
 def media_dedup(features: DataFrame) -> DataFrame:

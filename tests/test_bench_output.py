@@ -10,7 +10,7 @@ sys.path.insert(0, "/root/repo")
 
 import bench  # noqa: E402
 
-# 59 realistic query names (the live set is 53; headroom for growth),
+# 60 realistic query names (the live set is 54; headroom for growth),
 # at the live set's name-length distribution.
 _QUERY_NAMES = [
     "extract_main_text", "parse_roundtrip", "traverse_rewrite",
@@ -31,6 +31,7 @@ _QUERY_NAMES = [
     "segment_dedup", "pii_scrub", "extract_outlinks", "corpus_mixture",
     "token_histogram", "lm_surprisal", "pack_sequences",
     "dedup_incremental", "url_normalize", "media_dhash", "span_dedup",
+    "wav_near_dup",
 ]
 
 # Worst-case scaling cache: 4 pairs (2->8 / 8->32, extract + noop),

@@ -372,3 +372,30 @@ def test_dhash_brightness_invariance_and_banded_pairs(spark):
     pairs = media.media_near_dup(hashes).collect()
     assert [(p.media_ref_a, p.media_ref_b, p.hamming) for p in pairs] \
         == [("a", "b", 0)]
+
+
+def test_audio_fingerprint_dc_invariance_and_pairs(spark):
+    """Audio fingerprint pins: a +1 DC offset (different bytes, sha
+    misses it) hashes IDENTICALLY when the sample count divides the 57
+    windows exactly (every window sum shifts by the same amount, so
+    every delta is unchanged) -> verified pair at hamming 0; the
+    negated waveform flips every strict delta -> no pair."""
+    from dompa_spark import wavcodec
+
+    n = 57 * 3
+    s_a = [((j * 53) % 400) - 200 for j in range(n)]
+    s_b = [v + 1 for v in s_a]
+    s_c = [-v for v in s_a]
+    rows = [
+        ("a", bytearray(wavcodec.encode_wav(s_a, 8000, 1))),
+        ("b", bytearray(wavcodec.encode_wav(s_b, 8000, 1))),
+        ("c", bytearray(wavcodec.encode_wav(s_c, 8000, 1))),
+    ]
+    df = spark.createDataFrame(rows, "media_ref string, content binary")
+    fp = media.audio_fingerprint(df)
+    got = {r.media_ref: r.afp for r in fp.collect()}
+    assert got["a"] == got["b"]
+    assert got["a"] != got["c"]
+    pairs = media.media_near_dup(fp, hash_col="afp").collect()
+    assert [(p.media_ref_a, p.media_ref_b, p.hamming) for p in pairs] \
+        == [("a", "b", 0)]
