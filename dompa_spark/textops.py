@@ -612,9 +612,10 @@ def minhash_lsh_with_stats(
 
 
 def dedup_incremental(
-    new_docs: DataFrame,
+    new_docs: DataFrame = None,
     old_docs: DataFrame = None,
     *,
+    new_sigs: DataFrame = None,
     old_sigs: DataFrame = None,
     jaccard_min: float = 0.7,
     bucket_cap: int = TEXT_LSH_BUCKET_CAP,
@@ -645,7 +646,10 @@ def dedup_incremental(
     cost is the documented salt-cap contract. At 10^12 docs you would
     persist `minhash_sigs(old)` once and pass it via `old_sigs=` — the
     signatures are a pure deterministic function of the text, so a
-    stored table and a recompute are interchangeable.
+    stored table and a recompute are interchangeable; `new_sigs=` is
+    the symmetric hatch (jobs/incremental_dedup.py hashes the new
+    crawl once and shares the table between the flags and the
+    --save-sigs union).
 
     Cache lifecycle is caller-owned, as for every operator-internal
     cache here (see curate_corpus's CACHE LIFECYCLE note).
@@ -654,8 +658,12 @@ def dedup_incremental(
         if old_docs is None:
             raise ValueError("dedup_incremental needs old_docs or old_sigs")
         old_sigs = minhash_sigs(old_docs)
+    if new_sigs is None:
+        if new_docs is None:
+            raise ValueError("dedup_incremental needs new_docs or new_sigs")
+        new_sigs = minhash_sigs(new_docs)
     # both sig tables feed the band join AND the verify join
-    new_sigs = minhash_sigs(new_docs).cache()
+    new_sigs = new_sigs.cache()
     old_sigs = old_sigs.cache()
     banded = (
         _minhash_banded(new_sigs)

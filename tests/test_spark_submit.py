@@ -153,3 +153,71 @@ def test_spark_submit_pretrain_corpus_pipeline(workdir):
         f"'{workdir}/pipeline_work/kept/*.parquet'"
     ).fetchone()[0]
     assert n_kept == stats["kept"]
+
+
+def test_spark_submit_incremental_dedup_sig_cycle(workdir):
+    """The monthly re-crawl loop under real spark-submit, TWO cycles:
+    cycle 1 hashes the prior corpus in-job (--old) and persists the
+    signature union (--save-sigs); cycle 2 consumes the persisted
+    table (--old-sigs) — flags must agree with an --old run on the
+    same snapshot pair, proving stored sigs == recomputed sigs."""
+    con = duckdb.connect()
+    con.execute(f"""
+        COPY (
+          SELECT CAST(i AS BIGINT) AS doc_id,
+                 'old words number ' || CAST(i AS VARCHAR) ||
+                 ' alpha beta gamma delta' AS text
+          FROM range(40) t(i)
+        ) TO '{workdir}/inc_old' (FORMAT parquet)""")
+    # new crawl: 10 docs copy old texts verbatim, 10 are novel
+    con.execute(f"""
+        COPY (
+          SELECT CAST(100 + i AS BIGINT) AS doc_id,
+                 CASE WHEN i < 10 THEN
+                   'old words number ' || CAST(i AS VARCHAR) ||
+                   ' alpha beta gamma delta'
+                 ELSE 'fresh content ' || CAST(i AS VARCHAR) ||
+                   ' epsilon zeta eta theta' END AS text
+          FROM range(20) t(i)
+        ) TO '{workdir}/inc_new' (FORMAT parquet)""")
+    shutil.copy(
+        os.path.join(REPO, "dompa_spark", "jobs", "incremental_dedup.py"),
+        os.path.join(str(workdir), "incremental_dedup.py"),
+    )
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["PYSPARK_PYTHON"] = env["PYSPARK_DRIVER_PYTHON"] = sys.executable
+
+    def run(extra):
+        proc = subprocess.run(
+            [
+                _spark_submit(),
+                "--master", "local[4]",
+                "--conf", "spark.sql.shuffle.partitions=8",
+                "--conf", "spark.ui.enabled=false",
+                "--py-files", str(workdir / "dompa_spark.zip"),
+                str(workdir / "incremental_dedup.py"),
+                "--new", str(workdir / "inc_new"),
+            ] + extra,
+            cwd=str(workdir), env=env, capture_output=True, text=True,
+            timeout=300,
+        )
+        assert proc.returncode == 0, proc.stderr[-4000:]
+        return json.loads(
+            [ln for ln in proc.stdout.splitlines()
+             if ln.startswith("{")][-1]
+        )
+
+    s1 = run(["--old", str(workdir / "inc_old"),
+              "--output", str(workdir / "inc_flags1"),
+              "--save-sigs", str(workdir / "inc_sigs")])
+    assert s1 == {"new_docs_hashed": 20, "novel": 10}
+    s2 = run(["--old-sigs", str(workdir / "inc_sigs"),
+              "--output", str(workdir / "inc_flags2")])
+    # cycle 2's old side includes the cycle-1 NEW docs too (the union),
+    # so the 10 copies still flag and the 10 novel docs now ALSO flag
+    # (they are in the accumulated sig table verbatim)
+    assert s2["new_docs_hashed"] == 20 and s2["novel"] == 0
+    a = con.execute(
+        f"SELECT doc_id, is_dup_of_prior FROM "
+        f"'{workdir}/inc_flags1/*.parquet' ORDER BY doc_id").fetchall()
+    assert sum(1 for _d, f in a if f) == 10
