@@ -567,8 +567,10 @@ def media_near_dup(
     bucket_cap: int = 64,
     hash_col: str = "dhash",
 ) -> DataFrame:
-    """(id, dhash) -> verified perceptual near-dup pairs
-    (id_a, id_b, hamming): band the 56-bit dhash into 4 x 14-bit keys,
+    """(id, hash) -> verified perceptual near-dup pairs
+    (id_a, id_b, hamming): one pairer for every 56-bit perceptual hash
+    (image dHash by default; audio_fingerprint via hash_col='afp') —
+    band the hash into 4 x 14-bit keys,
     self-join within bands on the SLIM (id, band, key, hash) rows, then
     verify bit_count(xor) <= max_hamming on the deduped candidates —
     all JVM-side (shiftright/bit_count codegen), no kernel.
