@@ -1473,3 +1473,27 @@ def test_media_near_dup_hot_bucket_salt_bounds_candidates(spark):
     assert capped <= media.DHASH_BANDS * (B // 10 + 1) * 10 * 10, (
         capped, uncapped)
     assert capped < uncapped / 2, (capped, uncapped)
+
+
+def test_url_normalize_is_idempotent(spark):
+    """Canonicalization must be a fixpoint: feeding url_normalize its
+    own canonical output yields the same canonical form (if it didn't,
+    two crawl cycles would disagree about which URLs are duplicates)."""
+    df = spark.createDataFrame(
+        [
+            (1, "HTTP://EXAMPLE.com:80/Path/"),
+            (2, "https://Example.COM:8443/a?utm_source=t&x=1&utm_medium=m"),
+            (3, "https://example.com"),
+            (4, "http://example.com/?utm_only=1"),
+            (5, "http://h.io/a/b/?id=1&utm_x=2#f"),
+        ],
+        "doc_id long, url string",
+    )
+    once = textops.url_normalize(df).select(
+        "doc_id", F.col("url_canon").alias("url")
+    )
+    twice = textops.url_normalize(once)
+    first = {r.doc_id: r.url_canon
+             for r in textops.url_normalize(df).collect()}
+    second = {r.doc_id: r.url_canon for r in twice.collect()}
+    assert first == second
