@@ -1714,6 +1714,84 @@ def segment_dedup(
 
 SPANDEDUP_N = 8
 
+# Order-sensitive window-combination constants: h(window at p) =
+# sum_k A[k] * wordhash[p+k] in wrapping uint64 arithmetic. Distinct
+# md5-derived odd multipliers make permuted windows hash apart; the
+# collision bound is the usual ~2^-64 birthday class, the same
+# documented surrogate tradeoff as the xxhash64 paths.
+_SPAN_A = [
+    int.from_bytes(
+        __import__("hashlib").md5(f"span-a:{k}".encode()).digest()[:8],
+        "big",
+    ) | 1
+    for k in range(64)
+]
+
+
+def _span_window_rows(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, text) -> one slim (doc_id, pos, h) row per overlapping
+    n-word window, via a fused Arrow kernel: ONE md5 per word (C-speed),
+    then each window's hash is an order-sensitive linear combination of
+    its word hashes in wrapping uint64 math — the gram STRINGS are never
+    materialized. The expression form (transform + slice + concat_ws +
+    xxhash64) runs in Spark's interpreted higher-order-function path and
+    costs ~2x this kernel at bench scale, the same measured trade as
+    minhash_sigs' fused shingle kernel. Docs with null text or fewer
+    than n words emit no rows (the callers' dropped-window contract)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    A = np.array(_SPAN_A[:n], dtype=np.uint64)
+
+    def gen(batches):
+        for pdf in batches:
+            ids, poss, hs = [], [], []
+            for did, t in zip(pdf["doc_id"], pdf["text"]):
+                if t is None:
+                    continue
+                ws = t.split(" ")
+                m = len(ws) - n + 1
+                if m <= 0:
+                    continue
+                wh = np.fromiter(
+                    (
+                        int.from_bytes(
+                            hashlib.md5(w.encode()).digest()[:8], "big"
+                        )
+                        for w in ws
+                    ),
+                    dtype=np.uint64,
+                    count=len(ws),
+                )
+                acc = np.zeros(m, np.uint64)
+                for k in range(n):
+                    acc += A[k] * wh[k:k + m]  # wrapping uint64
+                ids.append(np.full(m, int(did), np.int64))
+                poss.append(np.arange(m, dtype=np.int32))
+                hs.append(acc.view(np.int64))
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.concatenate(ids),
+                        "pos": np.concatenate(poss),
+                        "h": np.concatenate(hs),
+                    }
+                )
+            else:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series([], dtype="int64"),
+                        "pos": pd.Series([], dtype="int32"),
+                        "h": pd.Series([], dtype="int64"),
+                    }
+                )
+
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    ).mapInPandas(gen, "doc_id long, pos int, h long")
+
 
 def span_dedup(
     df: DataFrame,
@@ -1732,8 +1810,11 @@ def span_dedup(
     tokens pass through untouched, null text reports n_tokens=0 /
     text_clean='' (never silently dropped).
 
-    Scale shape mirrors segment_dedup: the window explode carries only
-    (doc_id, pos, xxhash64(gram)) — ~L slim rows per L-token doc, the
+    Scale shape mirrors segment_dedup: the window stage emits only
+    (doc_id, pos, hash) — ~L slim rows per L-token doc from the fused
+    _span_window_rows kernel (one md5 per WORD + a wrapping-uint64
+    window combination; the gram strings are never materialized, and
+    the expression form cost ~2x in the interpreted HOF path), so the
     text never enters the counting or candidate shuffles; the hot set
     is left-semi joined (AQE-broadcast when duplication is sparse) and
     only docs that HAVE a hot window reach the final doc-granularity
@@ -1741,24 +1822,13 @@ def span_dedup(
     fast path; its cost is O(tokens x hot_windows_in_doc), so run
     doc-level dedup FIRST (pipeline order: a fully-duplicated doc
     should be dropped by minhash, not shredded token-by-token here —
-    same ordering rule as --with-line-dedup). xxhash64 stands in for
-    the gram string on the slim path with the same documented
-    birthday-bound tradeoff as segment_dedup."""
+    same ordering rule as --with-line-dedup). The window hash stands in
+    for the gram string on the slim path with the same documented
+    birthday-bound tradeoff as segment_dedup's xxhash64."""
     docs = df.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
     w = words()
     n_w = F.size(w)
-    empty = F.array().cast("array<string>")
-    grams = F.when(
-        F.col("text").isNull() | (n_w < n), empty
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), n_w - n),
-            lambda p: F.concat_ws(" ", F.slice(w, p + F.lit(1), F.lit(n))),
-        )
-    )
-    ex = docs.select(
-        "doc_id", F.posexplode(grams).alias("pos", "g")
-    ).select("doc_id", "pos", F.xxhash64("g").alias("h"))
+    ex = _span_window_rows(docs, n)
     hot = (
         ex.groupBy("h")
         .agg(F.countDistinct("doc_id").alias("c"))
