@@ -399,3 +399,32 @@ def test_audio_fingerprint_dc_invariance_and_pairs(spark):
     pairs = media.media_near_dup(fp, hash_col="afp").collect()
     assert [(p.media_ref_a, p.media_ref_b, p.hamming) for p in pairs] \
         == [("a", "b", 0)]
+
+
+def test_perceptual_hash_kernels_tiny_inputs(spark):
+    """Degenerate media: a 1x1 image (every grid cell is the same
+    pixel -> no strict gradient -> dhash 0) and a 3-sample clip
+    (most of the 57 windows are empty, sums 0 — deterministic, no
+    crash). Contracts, not just absence of exceptions."""
+    from dompa_spark import pngcodec, wavcodec
+
+    img = spark.createDataFrame(
+        [("one", bytearray(pngcodec.encode_png(bytes([42]), 1, 1)))],
+        "media_ref string, content binary",
+    )
+    assert media.dhash_images(img).collect()[0].dhash == 0
+    wav = spark.createDataFrame(
+        [("tiny", bytearray(wavcodec.encode_wav([5, -3, 9], 8000, 1)))],
+        "media_ref string, content binary",
+    )
+    [row] = media.audio_fingerprint(wav).collect()
+    # n=3 -> windows [0,0),... only the last few non-empty; recompute
+    # the expected fingerprint with the kernel's own window rule
+    n, K = 3, media.AUDIO_FP_WINDOWS
+    s = [5, -3, 9]
+    sums = [sum(s[i * n // K:(i + 1) * n // K]) for i in range(K)]
+    want = 0
+    for i in range(K - 1):
+        if sums[i] < sums[i + 1]:
+            want |= 1 << i
+    assert row.afp == want
