@@ -1386,10 +1386,10 @@ def oracle_sql() -> dict[str, str]:
                 (CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
                         OR (scheme = 'https' AND port = '443')
                       THEN '' ELSE ':' || port END) ||
-                (CASE WHEN path = '' THEN '/'
-                      WHEN path <> '/' AND path LIKE '%/'
-                      THEN substr(path, 1, length(path) - 1)
-                      ELSE path END) ||
+                (CASE WHEN path = ''
+                        OR regexp_replace(path, '/+$', '') = ''
+                      THEN '/'
+                      ELSE regexp_replace(path, '/+$', '') END) ||
                 (CASE WHEN query = '' OR qcanon = ''
                       THEN '' ELSE '?' || qcanon END)
                   AS url_canon,

@@ -1510,7 +1510,8 @@ def url_normalize(df: DataFrame, url_col: str = "url") -> DataFrame:
       3. drop a default port (:80 for http, :443 for https),
       4. drop utm_* tracking params, keeping the rest in order (no '?'
          if none survive),
-      5. strip one trailing '/' from a non-root path ('' -> '/').
+      5. strip ALL trailing '/' from the path ('' and '/'-only
+         collapse to '/').
 
     Output: (doc_id, url_canon, host, n_utm_dropped, keeper_id,
     is_dup) — keeper_id is the minimum doc_id sharing the canonical
@@ -1551,14 +1552,14 @@ def url_normalize(df: DataFrame, url_col: str = "url") -> DataFrame:
     qcanon = F.when(query == "", F.lit("")).otherwise(
         F.array_join(kept, "&")
     )
-    path_canon = (
-        F.when(path == "", F.lit("/"))
-        .when(
-            (path != "/") & F.endswith(path, F.lit("/")),
-            path.substr(F.lit(1), F.length(path) - 1),
-        )
-        .otherwise(path)
-    )
+    # strip ALL trailing slashes (one pass of '/+$'), not just one —
+    # '/a//' must canonicalize straight to '/a', or canon(canon(x))
+    # != canon(x) and two crawl cycles disagree about dup groups
+    # (pinned by test_url_normalize_is_idempotent)
+    stripped = F.regexp_replace(path, r"/+$", "")
+    path_canon = F.when(
+        (path == "") | (stripped == ""), F.lit("/")
+    ).otherwise(stripped)
     default_port = (
         (port == "")
         | ((scheme == "http") & (port == "80"))

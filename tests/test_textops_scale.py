@@ -1486,6 +1486,8 @@ def test_url_normalize_is_idempotent(spark):
             (3, "https://example.com"),
             (4, "http://example.com/?utm_only=1"),
             (5, "http://h.io/a/b/?id=1&utm_x=2#f"),
+            (6, "http://h.io/a//"),   # the single-strip trap: '/a//'
+            (7, "http://h.io///"),    # all-slash path -> root
         ],
         "doc_id long, url string",
     )
@@ -1497,3 +1499,5 @@ def test_url_normalize_is_idempotent(spark):
              for r in textops.url_normalize(df).collect()}
     second = {r.doc_id: r.url_canon for r in twice.collect()}
     assert first == second
+    assert first[6] == "http://h.io/a"
+    assert first[7] == "http://h.io/"
