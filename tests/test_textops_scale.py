@@ -1501,3 +1501,22 @@ def test_url_normalize_is_idempotent(spark):
     assert first == second
     assert first[6] == "http://h.io/a"
     assert first[7] == "http://h.io/"
+
+
+def test_pii_scrub_is_idempotent(spark):
+    """Redaction is a fixpoint: placeholders never re-match any PII
+    pattern, so scrubbing scrubbed text changes nothing and reports
+    zero counts (re-running a pipeline stage must not mutate data)."""
+    df = spark.createDataFrame(
+        [(1, "mail a@b.com ip 1.2.3.4 tel 555-123-4567 end"),
+         (2, None)],
+        "doc_id long, text string",
+    )
+    once = textops.pii_scrub(df)
+    again = {r.doc_id: r for r in textops.pii_scrub(
+        once.select("doc_id", F.col("text_redacted").alias("text"))
+    ).collect()}
+    for r in once.collect():
+        assert again[r.doc_id].text_redacted == r.text_redacted
+        assert (again[r.doc_id].n_emails, again[r.doc_id].n_ips,
+                again[r.doc_id].n_phones) == (0, 0, 0)
