@@ -248,6 +248,57 @@ def q_url_normalize(spark, sf_dir):
     return textops.url_normalize(docs)
 
 
+def q_link_graph_rank(spark, sf_dir):
+    """Host-graph PageRank (exact integer fixed point, 3 iterations;
+    see graphops.pagerank). The link graph is templated closed-form in
+    doc_id — 997 host nodes, two outlinks per doc (an affine hop and a
+    div-7 hop), so the graph has duplicate edges (must collapse),
+    self-loops (src==dst when 2*d % 997 == 1), hubs, and at small SF
+    genuinely dangling nodes — every degenerate shape the operator
+    documents. Integer math is what makes a value-hash oracle possible
+    at all: float PageRank differs across engines/agg orders."""
+    from dompa_spark import graphops
+
+    d = F.col("doc_id").cast("long")
+    edges = (
+        _docs(spark, sf_dir)
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        (d % 997).alias("src"),
+                        ((d * 3 + 1) % 997).alias("dst"),
+                    ),
+                    F.struct(
+                        (d % 997).alias("src"),
+                        F.expr(
+                            "(CAST(doc_id AS BIGINT) div 7) % 997"
+                        ).alias("dst"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+    )
+    return graphops.pagerank(edges, n_iter=3)
+
+
+def q_domain_stats(spark, sf_dir):
+    """Per-host corpus statistics (domain-level policy signal; see
+    textops.domain_stats). Hosts are templated closed-form in doc_id
+    (997 hosts) so every host aggregates ~n/997 docs of the real
+    corpus text — exercising the exact-BIGINT count contract and the
+    shared quality-gate arithmetic under aggregation."""
+    d = F.col("doc_id").cast("long")
+    docs = _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit("site"), (d % 997).cast("string"), F.lit(".example.com")
+        ).alias("host"),
+        "text",
+    )
+    return textops.domain_stats(docs)
+
+
 def q_dedup_incremental(spark, sf_dir):
     """Crawl-over-crawl dedup: the augmented corpus split into a NEW
     snapshot (doc_id % 3 == 0) and the accumulated OLD corpus (the
@@ -773,6 +824,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_histogram": q_token_histogram,
         "pii_scrub": q_pii_scrub,
         "url_normalize": q_url_normalize,
+        "link_graph_rank": q_link_graph_rank,
+        "domain_stats": q_domain_stats,
         "segment_dedup": q_segment_dedup,
         "span_dedup": q_span_dedup,
         "sample_stratified": q_sample_stratified,
@@ -948,6 +1001,47 @@ def _minhash_pairs_sql() -> str:
             FROM withsh
             WHERE round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
                         len(list_distinct(list_concat(sh_a, sh_b))), 4) >= 0.7
+    """
+
+
+def _pagerank_sql(n_iter: int = 3) -> str:
+    """link_graph_rank oracle: the same integer-exact power iteration
+    unrolled as chained CTEs (r0 -> r1 -> ... -> r{n}). DuckDB's `//`
+    and Spark's `div` agree on non-negative BIGINTs, which is the whole
+    point of the fixed-point formulation — a float PageRank could not
+    be value-hash-compared across engines. `pr` not `rank` as the
+    column name (rank is a window keyword)."""
+    scale, base = 10**9, 150_000_000
+    its = []
+    for i in range(1, n_iter + 1):
+        its.append(f"""
+            c{i} AS (
+              SELECT e.dst AS node, SUM(r{i - 1}.pr // d.outdeg) AS s
+              FROM e JOIN deg d USING (src)
+                     JOIN r{i - 1} ON r{i - 1}.node = e.src
+              GROUP BY e.dst),
+            r{i} AS (
+              SELECT n.node,
+                     CAST({base} AS BIGINT)
+                     + (85 * COALESCE(c{i}.s, 0)) // 100 AS pr
+              FROM nodes n LEFT JOIN c{i} ON c{i}.node = n.node)""")
+    return f"""
+            WITH raw AS (
+              SELECT CAST(doc_id AS BIGINT) % 997 AS src,
+                     (CAST(doc_id AS BIGINT) * 3 + 1) % 997 AS dst
+              FROM documents
+              UNION ALL
+              SELECT CAST(doc_id AS BIGINT) % 997,
+                     (CAST(doc_id AS BIGINT) // 7) % 997
+              FROM documents),
+            e AS (SELECT DISTINCT src, dst FROM raw),
+            nodes AS (SELECT src AS node FROM e
+                      UNION SELECT dst FROM e),
+            deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+            r0 AS (SELECT node, CAST({scale} AS BIGINT) AS pr
+                   FROM nodes),
+            {",".join(its)}
+            SELECT node, pr AS rank_scaled FROM r{n_iter}
     """
 
 
@@ -1323,6 +1417,44 @@ def oracle_sql() -> dict[str, str]:
                    b.jaccard AS jaccard
             FROM (SELECT doc_id FROM sh WHERE doc_id % 3 = 0) n
             LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+        """,
+        "link_graph_rank": _pagerank_sql(),
+        # domain_stats: same 997-host template; per-doc quality
+        # arithmetic identical to the quality_score oracle, then exact
+        # BIGINT counts per host (rates are the consumer's division)
+        "domain_stats": f"""
+            WITH base AS (
+              SELECT 'site' || CAST(CAST(doc_id AS BIGINT) % 997
+                                    AS VARCHAR) || '.example.com' AS host,
+                     text,
+                     CAST(coalesce(len(string_split(text, ' ')), 0)
+                          AS BIGINT) AS n_tok,
+                     CAST(len(list_filter(string_split(text, ' '),
+                          w -> list_contains({_STOPLIST}, w)))
+                          AS BIGINT) AS n_stop,
+                     (length(text) - (len(string_split(text, ' ')) - 1)) /
+                       CAST(len(string_split(text, ' ')) AS DOUBLE)
+                       AS mean_len
+              FROM documents),
+            perdoc AS (
+              SELECT host, n_tok,
+                     n_tok < {textops.DOMAIN_SHORT_MIN} AS is_short,
+                     CASE WHEN text IS NULL THEN FALSE ELSE
+                       round(least(1.0, n_tok / 64.0) * 0.5 +
+                             round(n_stop / CAST(n_tok AS DOUBLE), 4)
+                               * 0.3 +
+                             least(1.0, mean_len / 8.0) * 0.2, 4)
+                         >= {textops.DOMAIN_QUALITY_MIN} END AS q_ok
+              FROM base)
+            SELECT host,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+                   CAST(max(n_tok) AS BIGINT) AS max_doc_tokens,
+                   CAST(sum(CASE WHEN is_short THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_short,
+                   CAST(sum(CASE WHEN q_ok THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_quality_ok
+            FROM perdoc GROUP BY host
         """,
         # url_normalize: the same messy-URL template, canonicalized with
         # the same rule set (defrag -> lower scheme/host -> default-port

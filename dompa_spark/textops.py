@@ -1599,6 +1599,60 @@ def url_normalize(df: DataFrame, url_col: str = "url") -> DataFrame:
     )
 
 
+DOMAIN_SHORT_MIN = 10
+DOMAIN_QUALITY_MIN = 0.5  # == CURATE_QUALITY_MIN (defined below); the
+# domain gate and the doc gate must agree or domain rates stop
+# predicting curate yield (pinned by test_domain_stats_gate_parity)
+
+
+def domain_stats(
+    df: DataFrame,
+    host_col: str = "host",
+    text_col: str = "text",
+    short_min: int = DOMAIN_SHORT_MIN,
+    quality_min: float = DOMAIN_QUALITY_MIN,
+) -> DataFrame:
+    """Per-host corpus statistics — the signal behind RefinedWeb /
+    CCNet-style DOMAIN-level policy (a host whose docs are mostly
+    short or low-quality gets blocklisted wholesale; per-doc filters
+    alone never see that pattern). Input: one row per doc with a host
+    column (e.g. url_normalize's `host`) and the text. Output per
+    host: n_docs, n_tokens, max_doc_tokens, n_short (docs under
+    short_min whitespace tokens), n_quality_ok (docs passing the
+    shared curate-gate quality score), all exact BIGINT counts — the
+    quality RATE is the consumer's division, so the row stays
+    hash-comparable and the counts re-aggregate losslessly across
+    snapshots (a ratio would not).
+
+    Scale shape: everything per-doc is a map-side expression (the same
+    quality arithmetic as quality_scores, whole-stage codegen), then
+    ONE partial-aggregatable groupBy(host) — the shuffle carries one
+    combined row per (task, host), never documents; a 10^8-doc host
+    costs its tasks' map-side combines, not a hot reducer. NULL text
+    counts as 0 tokens / short / not-quality-ok (one row per doc
+    everywhere, the repetition_scores lesson)."""
+    n_tokens_raw = F.size(words(text_col)).cast("long")
+    n_tokens = F.when(
+        F.col(text_col).isNull(), F.lit(0).cast("long")
+    ).otherwise(n_tokens_raw)
+    q_ok = F.when(F.col(text_col).isNull(), F.lit(False)).otherwise(
+        quality_score_col() >= quality_min
+    )
+    per_doc = df.select(
+        F.col(host_col).alias("host"),
+        n_tokens.alias("n_tok"),
+        (n_tokens < short_min).alias("is_short"),
+        q_ok.alias("q_ok"),
+    )
+    return per_doc.groupBy("host").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.max("n_tok").alias("max_doc_tokens"),
+        F.sum(F.col("is_short").cast("long")).alias("n_short"),
+        F.sum(F.col("q_ok").cast("long")).alias("n_quality_ok"),
+    )
+
+
 SEGDEDUP_WORDS = 5
 SEGDEDUP_MIN_DOCS = 2
 SEGDEDUP_MIN_CHARS = 1

@@ -1520,3 +1520,88 @@ def test_pii_scrub_is_idempotent(spark):
         assert again[r.doc_id].text_redacted == r.text_redacted
         assert (again[r.doc_id].n_emails, again[r.doc_id].n_ips,
                 again[r.doc_id].n_phones) == (0, 0, 0)
+
+
+# ---------------------------------------------------------------------------
+# domain_stats
+# ---------------------------------------------------------------------------
+
+def test_domain_stats_gate_parity():
+    """The domain-level quality gate and the per-doc curate gate must
+    use the same threshold, or domain rates stop predicting curate
+    yield (constant-level pin; the arithmetic is shared via
+    quality_score_col)."""
+    assert textops.DOMAIN_QUALITY_MIN == textops.CURATE_QUALITY_MIN
+
+
+def test_domain_stats_counts_and_null_text(spark):
+    """Exact counts per host, including the null-text contract: a NULL
+    text doc counts as 0 tokens, short, and not quality-ok — but still
+    counts as a doc (one row per doc, never silently dropped)."""
+    long_good = " ".join(
+        ["the", "and", "for", "with"] * 20
+    )  # 80 tokens, stopword-heavy -> passes the quality gate
+    df = spark.createDataFrame(
+        [
+            ("a.com", long_good),
+            ("a.com", "tiny doc"),
+            ("a.com", None),
+            ("b.com", long_good),
+        ],
+        "host string, text string",
+    )
+    got = {r.host: r for r in textops.domain_stats(df).collect()}
+    a, b = got["a.com"], got["b.com"]
+    assert a.n_docs == 3 and b.n_docs == 1
+    assert a.n_tokens == 80 + 2 + 0 and b.n_tokens == 80
+    assert a.max_doc_tokens == 80
+    assert a.n_short == 2  # the 2-token doc AND the null doc
+    assert a.n_quality_ok == 1 and b.n_quality_ok == 1
+
+
+def test_domain_stats_quality_count_matches_curate_flags(spark):
+    """n_quality_ok per host == the number of curate-gate quality_ok
+    docs on that host (the aggregation is exactly the doc gate summed,
+    not a reimplementation that can drift)."""
+    docs = spark.createDataFrame(
+        [
+            (i, "h%d" % (i % 3), "en", "word " * (i + 1) + "the and for")
+            for i in range(12)
+        ],
+        "doc_id long, source string, lang string, text string",
+    )
+    with textops.curate_corpus_scoped(
+        docs.select("doc_id", "source", "lang", "text")
+    ) as flags:
+        truth = {
+            r.source: r.n
+            for r in docs.join(
+                flags.select("doc_id", "quality_ok"), "doc_id"
+            )
+            .groupBy("source")
+            .agg(F.sum(F.col("quality_ok").cast("long")).alias("n"))
+            .collect()
+        }
+    got = {
+        r.host: r.n_quality_ok
+        for r in textops.domain_stats(docs, host_col="source").collect()
+    }
+    assert got == truth
+
+
+def test_domain_stats_single_shuffle_plan(spark):
+    """One partial-aggregatable exchange: the plan must contain exactly
+    one hashpartitioning exchange (map-side combine before it) and no
+    window sort — a viral host must cost combines, not a hot reducer
+    sort."""
+    df = spark.createDataFrame(
+        [("h", "a b c")], "host string, text string"
+    )
+    plan = (
+        textops.domain_stats(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("hashpartitioning") == 1
+    assert "Window" not in plan
