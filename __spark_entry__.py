@@ -299,6 +299,17 @@ def q_domain_stats(spark, sf_dir):
     return textops.domain_stats(docs)
 
 
+def q_html_metadata(spark, sf_dir):
+    """Head-section metadata through the REAL parser (title text via
+    parent-pointer child text nodes, meta/link matched by their parsed
+    attrs; see textops.html_metadata). The template plants decoy
+    meta/link elements and omits the description (doc_id % 9 == 0) or
+    the canonical link (doc_id % 11 == 0) — absent fields must come
+    back NULL, decoys must never surface."""
+    wrapped = textops.metadata_wrapped(_docs(spark, sf_dir))
+    return textops.html_metadata(pipeline.parse_nodes_df(wrapped))
+
+
 def q_dedup_incremental(spark, sf_dir):
     """Crawl-over-crawl dedup: the augmented corpus split into a NEW
     snapshot (doc_id % 3 == 0) and the accumulated OLD corpus (the
@@ -826,6 +837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize": q_url_normalize,
         "link_graph_rank": q_link_graph_rank,
         "domain_stats": q_domain_stats,
+        "html_metadata": q_html_metadata,
         "segment_dedup": q_segment_dedup,
         "span_dedup": q_span_dedup,
         "sample_stratified": q_sample_stratified,
@@ -1419,6 +1431,26 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
         """,
         "link_graph_rank": _pagerank_sql(),
+        # html_metadata: template algebra — the head fields the parser
+        # must recover, predicted straight from (doc_id, text); the
+        # engineered omissions come back NULL
+        "html_metadata": """
+            WITH base AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     CAST(doc_id AS VARCHAR) AS sid,
+                     string_split(text, ' ')[1] AS w1
+              FROM documents)
+            SELECT doc_id,
+                   'Doc ' || sid || ' ' || w1 AS title,
+                   CASE WHEN doc_id % 9 = 0 THEN NULL
+                        ELSE 'desc ' || sid || ' ' || w1 END
+                     AS meta_description,
+                   CASE WHEN doc_id % 11 = 0 THEN NULL
+                        ELSE 'https://ex.org/canon/' || sid END
+                     AS canonical_url,
+                   'en-' || CAST(doc_id % 7 AS VARCHAR) AS html_lang
+            FROM base
+        """,
         # domain_stats: same 997-host template; per-doc quality
         # arithmetic identical to the quality_score oracle, then exact
         # BIGINT counts per host (rates are the consumer's division)

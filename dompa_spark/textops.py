@@ -156,6 +156,122 @@ def outlinks_wrapped(df: DataFrame) -> DataFrame:
     )
 
 
+def metadata_wrapped(df: DataFrame) -> DataFrame:
+    """Full-page template with a <head> section — the html_metadata
+    fixture. Engineered surface: a decoy meta (robots) and a decoy
+    link (stylesheet) that must NOT be extracted; the description meta
+    omitted for doc_id % 9 == 0 and the canonical link omitted for
+    doc_id % 11 == 0 (the operator must emit NULL, not drop the row or
+    grab the decoy); lang attribute keyed on doc_id % 7."""
+    d = F.col("doc_id").cast("long")
+    sid = F.col("doc_id").cast("string")
+    first_word = F.expr("element_at(split(text, ' '), 1)")
+    desc = F.when(
+        d % 9 == 0, F.lit("")
+    ).otherwise(
+        F.concat(
+            F.lit('<meta name="description" content="desc '), sid,
+            F.lit(" "), first_word, F.lit('">'),
+        )
+    )
+    canon = F.when(
+        d % 11 == 0, F.lit("")
+    ).otherwise(
+        F.concat(
+            F.lit('<link rel="canonical" href="https://ex.org/canon/'),
+            sid, F.lit('">'),
+        )
+    )
+    html = F.concat(
+        F.lit('<html lang="en-'), (d % 7).cast("string"), F.lit('">'),
+        F.lit("<head><title>Doc "), sid, F.lit(" "), first_word,
+        F.lit("</title>"),
+        desc,
+        F.lit('<meta name="robots" content="noindex">'),
+        canon,
+        F.lit('<link rel="stylesheet" href="/s.css">'),
+        F.lit("</head><body><p>"), F.col("text"),
+        F.lit("</p></body></html>"),
+    )
+    return df.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(html_span(html, 0)).alias("spans"),
+    )
+
+
+def _node_attr(node, key: str) -> Column:
+    """Value of a node's first attribute named `key` (NULL if absent),
+    through the REAL attr parser's (key, val) structs."""
+    return F.get(
+        F.filter(node["attrs"], lambda kv: kv["key"] == F.lit(key)), 0
+    )["val"]
+
+
+def html_metadata(nodes_df: DataFrame) -> DataFrame:
+    """Page-metadata extraction from the flat parsed DOM — the head
+    fields a crawl index keeps per page: <title> text, the description
+    meta, the canonical link, and the html element's lang attribute.
+    Input is parse_nodes_df's (doc_id, nodes) table; output one row per
+    doc: (doc_id, title, meta_description, canonical_url, html_lang),
+    NULL where the element/attribute is absent (one row per doc, never
+    silently dropped). First match wins when markup repeats an element
+    — the deterministic choice a malformed real-web page needs.
+
+    Title contract: DIRECT child text nodes of the first <title>,
+    concatenated in document order — same parent-pointer rule as
+    outlink anchor text (markup nested inside <title> keeps its text).
+
+    Scale shape: four F.filter/F.get HOF passes over each doc's
+    in-memory nodes array — entirely map-side, zero shuffles, zero
+    Python; composes with the chunk-staged extract pipeline's
+    partitioning untouched."""
+    from dompa_spark.constants import TEXT_NAME
+
+    nodes = F.col("nodes")
+
+    def first_named(name: str) -> Column:
+        return F.get(F.filter(nodes, lambda n: n["name"] == name), 0)
+
+    html_el = first_named("html")
+    title_el = first_named("title")
+    title_text = F.array_join(
+        F.transform(
+            F.filter(
+                nodes,
+                lambda n: (n["parent_id"] == title_el["node_id"])
+                & (n["name"] == TEXT_NAME),
+            ),
+            lambda n: n["value"],
+        ),
+        "",
+    )
+    meta_desc = F.get(
+        F.filter(
+            nodes,
+            lambda n: (n["name"] == "meta")
+            & (_node_attr(n, "name") == F.lit("description")),
+        ),
+        0,
+    )
+    canonical = F.get(
+        F.filter(
+            nodes,
+            lambda n: (n["name"] == "link")
+            & (_node_attr(n, "rel") == F.lit("canonical")),
+        ),
+        0,
+    )
+    return nodes_df.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.when(title_el.isNull(), F.lit(None).cast("string"))
+        .otherwise(title_text)
+        .alias("title"),
+        _node_attr(meta_desc, "content").alias("meta_description"),
+        _node_attr(canonical, "href").alias("canonical_url"),
+        _node_attr(html_el, "lang").alias("html_lang"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dedup / similarity / quality operators
 # ---------------------------------------------------------------------------

@@ -1605,3 +1605,87 @@ def test_domain_stats_single_shuffle_plan(spark):
     )
     assert plan.count("hashpartitioning") == 1
     assert "Window" not in plan
+
+
+# ---------------------------------------------------------------------------
+# html_metadata
+# ---------------------------------------------------------------------------
+
+def _metadata_of(spark, html):
+    from dompa_spark import pipeline
+
+    df = spark.createDataFrame([("1", html)], "doc_id string, html string")
+    spans = df.select(
+        "doc_id",
+        F.array(textops.html_span(F.col("html"), 0)).alias("spans"),
+    )
+    return textops.html_metadata(pipeline.parse_nodes_df(spans)).collect()[0]
+
+
+def test_html_metadata_full_page(spark):
+    r = _metadata_of(
+        spark,
+        '<html lang="fr"><head><title>T1</title>'
+        '<meta name="description" content="D1">'
+        '<link rel="canonical" href="https://x/c"></head>'
+        "<body><p>b</p></body></html>",
+    )
+    assert (r.title, r.meta_description, r.canonical_url, r.html_lang) == (
+        "T1", "D1", "https://x/c", "fr",
+    )
+
+
+def test_html_metadata_decoys_never_surface(spark):
+    """robots meta / stylesheet link / a second description must not
+    shadow the real fields; first match wins on duplicates."""
+    r = _metadata_of(
+        spark,
+        '<html lang="en"><head>'
+        '<meta name="robots" content="noindex">'
+        '<meta name="description" content="real">'
+        '<meta name="description" content="dup-later">'
+        '<link rel="stylesheet" href="/s.css">'
+        '<link rel="canonical" href="https://x/first">'
+        '<link rel="canonical" href="https://x/second">'
+        "<title>first</title><title>second</title></head></html>",
+    )
+    assert r.meta_description == "real"
+    assert r.canonical_url == "https://x/first"
+    assert r.title == "first"
+
+
+def test_html_metadata_absent_fields_are_null_not_dropped(spark):
+    r = _metadata_of(spark, "<div><p>no head at all</p></div>")
+    assert r.title is None
+    assert r.meta_description is None
+    assert r.canonical_url is None
+    assert r.html_lang is None
+
+
+def test_html_metadata_title_direct_child_text_only(spark):
+    """Same parent-pointer contract as outlink anchor text: text nested
+    in markup INSIDE <title> belongs to the inner element."""
+    r = _metadata_of(
+        spark, "<html><head><title>a <b>bold</b> z</title></head></html>"
+    )
+    assert r.title == "a  z"
+
+
+def test_html_metadata_attr_quirks(spark):
+    """Attr values go through the real attr parser including its
+    reference quirks: unquoted values work; SINGLE-quoted values keep
+    their quote characters (the reference normalizes only double
+    quotes), so a single-quoted name='description' does NOT match the
+    description lookup — reference parity over leniency. A meta with
+    no name attr must not match either."""
+    r = _metadata_of(
+        spark,
+        "<html lang=de><head>"
+        "<meta content='orphan'>"
+        "<meta name='description' content='sq'>"
+        '<meta name="description" content="dq">'
+        "</head></html>",
+    )
+    assert r.html_lang == "de"
+    assert r.meta_description == "dq"  # the single-quoted one is
+    # "'description'" after the reference's attr normalization
