@@ -119,37 +119,18 @@ def q_extract_outlinks(spark, sf_dir):
     the inner element, matching the flat DOM's parent pointers
     (test_outlinks_anchor_text_direct_children_only)."""
     wrapped = textops.outlinks_wrapped(_docs(spark, sf_dir))
-    nodes = pipeline.parse_nodes_df(wrapped)
+    return textops.extract_outlinks_df(pipeline.parse_nodes_df(wrapped))
 
-    def href_of(a):
-        return F.get(
-            F.filter(a["attrs"], lambda kv: kv["key"] == "href"), 0
-        )["val"]
 
-    def anchor_of(a):
-        kids = F.filter(
-            F.col("nodes"),
-            lambda n: (n["parent_id"] == a["node_id"])
-            & (n["name"] == TEXT_NAME),
-        )
-        return F.array_join(F.transform(kids, lambda n: n["value"]), "")
-
-    per = F.transform(
-        F.filter("nodes", lambda n: n["name"] == "a"),
-        lambda a: F.struct(
-            href_of(a).alias("href"), anchor_of(a).alias("anchor_text")
-        ),
-    )
-    ex = nodes.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.posexplode(per).alias("link_pos", "l"),
-    )
-    return ex.where(F.col("l.href").isNotNull()).select(
-        "doc_id",
-        F.col("link_pos").cast("long").alias("link_pos"),
-        F.col("l.href").alias("href"),
-        F.col("l.anchor_text").alias("anchor_text"),
-    )
+def q_anchor_text_agg(spark, sf_dir):
+    """Inbound anchor-text aggregation per target host, composed over
+    the REAL parser: linkfarm template -> parse -> extract_outlinks_df
+    -> anchor_text_agg. The template engineers competing anchors per
+    host ("read more" vs doc-first-words) including exact count ties,
+    so the deterministic tie-break contract is load-bearing."""
+    wrapped = textops.linkfarm_wrapped(_docs(spark, sf_dir))
+    links = textops.extract_outlinks_df(pipeline.parse_nodes_df(wrapped))
+    return textops.anchor_text_agg(links)
 
 
 def q_extract_interleaved(spark, sf_dir):
@@ -838,6 +819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_graph_rank": q_link_graph_rank,
         "domain_stats": q_domain_stats,
         "html_metadata": q_html_metadata,
+        "anchor_text_agg": q_anchor_text_agg,
         "segment_dedup": q_segment_dedup,
         "span_dedup": q_span_dedup,
         "sample_stratified": q_sample_stratified,
@@ -1450,6 +1432,56 @@ def oracle_sql() -> dict[str, str]:
                      AS canonical_url,
                    'en-' || CAST(doc_id % 7 AS VARCHAR) AS html_lang
             FROM base
+        """,
+        # anchor_text_agg: template algebra over the linkfarm hosts;
+        # the top pick replayed with a window (fine in the oracle —
+        # the ENGINE avoids windows, DuckDB here doesn't need to) and
+        # the same (count desc, anchor asc) tie-break
+        "anchor_text_agg": """
+            WITH base AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     string_split(text, ' ')[1] AS w1
+              FROM documents),
+            links AS (
+              SELECT doc_id,
+                     's' || CAST((doc_id * 3 + 1) % 97 AS VARCHAR)
+                         || '.org' AS host,
+                     w1 AS anchor_text
+              FROM base
+              UNION ALL
+              SELECT doc_id,
+                     's' || CAST((doc_id // 7) % 97 AS VARCHAR) || '.org',
+                     'read more'
+              FROM base
+              UNION ALL
+              SELECT doc_id,
+                     's' || CAST((doc_id * 5 + 2) % 97 AS VARCHAR)
+                         || '.org',
+                     'read more'
+              FROM base),
+            pa AS (
+              SELECT host, anchor_text, COUNT(*) AS c
+              FROM links GROUP BY host, anchor_text),
+            ranked AS (
+              SELECT host, anchor_text, c,
+                     row_number() OVER (
+                       PARTITION BY host
+                       ORDER BY c DESC, anchor_text ASC) AS rn,
+                     CAST(SUM(c) OVER (PARTITION BY host) AS BIGINT)
+                       AS n_inlinks,
+                     CAST(COUNT(*) OVER (PARTITION BY host) AS BIGINT)
+                       AS n_unique_anchors
+              FROM pa),
+            perdoc AS (
+              SELECT host, CAST(COUNT(DISTINCT doc_id) AS BIGINT)
+                       AS n_src_docs
+              FROM links GROUP BY host)
+            SELECT r.host, r.n_inlinks, p.n_src_docs,
+                   r.n_unique_anchors,
+                   r.anchor_text AS top_anchor,
+                   CAST(r.c AS BIGINT) AS top_anchor_n
+            FROM ranked r JOIN perdoc p ON p.host = r.host
+            WHERE r.rn = 1
         """,
         # domain_stats: same 997-host template; per-doc quality
         # arithmetic identical to the quality_score oracle, then exact

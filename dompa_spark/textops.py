@@ -272,6 +272,137 @@ def html_metadata(nodes_df: DataFrame) -> DataFrame:
     )
 
 
+def extract_outlinks_df(nodes_df: DataFrame) -> DataFrame:
+    """Outlink/anchor extraction from the flat parsed DOM: hrefs via
+    the real attr parser, anchor text via parent-pointer DIRECT child
+    text nodes (markup nested inside an anchor keeps its own text —
+    same contract as html_metadata's title). href-less anchors (name
+    anchors) are excluded. Output: (doc_id, link_pos, href,
+    anchor_text), link_pos = document-order index over the doc's
+    href-carrying anchors.
+
+    Scale shape: one map-side HOF pass over each doc's nodes array
+    builds the per-doc link structs; the posexplode is the only
+    Generate, emitting one slim row per link — the nodes array itself
+    never leaves the projection."""
+    from dompa_spark.constants import TEXT_NAME
+
+    def href_of(a):
+        return F.get(
+            F.filter(a["attrs"], lambda kv: kv["key"] == "href"), 0
+        )["val"]
+
+    def anchor_of(a):
+        kids = F.filter(
+            F.col("nodes"),
+            lambda n: (n["parent_id"] == a["node_id"])
+            & (n["name"] == TEXT_NAME),
+        )
+        return F.array_join(F.transform(kids, lambda n: n["value"]), "")
+
+    per = F.transform(
+        F.filter("nodes", lambda n: n["name"] == "a"),
+        lambda a: F.struct(
+            href_of(a).alias("href"), anchor_of(a).alias("anchor_text")
+        ),
+    )
+    ex = nodes_df.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.posexplode(per).alias("link_pos", "l"),
+    )
+    return ex.where(F.col("l.href").isNotNull()).select(
+        "doc_id",
+        F.col("link_pos").cast("long").alias("link_pos"),
+        F.col("l.href").alias("href"),
+        F.col("l.anchor_text").alias("anchor_text"),
+    )
+
+
+def linkfarm_wrapped(df: DataFrame) -> DataFrame:
+    """Multi-host outlink template — the anchor_text_agg fixture. Three
+    anchors per doc across a 97-host space: one doc-specific anchor
+    text (the doc's first word) and two shared "read more" anchors, so
+    hosts accumulate competing anchor texts with real count ties (the
+    tie-break contract fires at every SF)."""
+    d = F.col("doc_id").cast("long")
+    first_word = F.expr("element_at(split(text, ' '), 1)")
+
+    def a(host_expr, path, anchor):
+        return F.concat(
+            F.lit('<li><a href="https://s'), host_expr.cast("string"),
+            F.lit(f'.org/{path}">'), anchor, F.lit("</a></li>"),
+        )
+
+    html = F.concat(
+        F.lit("<div><p>"), F.col("text"), F.lit("</p><ul>"),
+        a((d * 3 + 1) % 97, "a", first_word),
+        a(F.expr("(CAST(doc_id AS BIGINT) div 7) % 97"), "b",
+          F.lit("read more")),
+        a((d * 5 + 2) % 97, "c", F.lit("read more")),
+        F.lit("</ul></div>"),
+    )
+    return df.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(html_span(html, 0)).alias("spans"),
+    )
+
+
+def anchor_text_agg(outlinks: DataFrame) -> DataFrame:
+    """Per-target-host anchor text aggregation — the classic inbound
+    relevance/quality signal (what the web CALLS a page beats what the
+    page says about itself). Input: an outlinks table (doc_id, href,
+    anchor_text), e.g. extract_outlinks_df's output. Output per host:
+    n_inlinks (links), n_src_docs (distinct linking docs),
+    n_unique_anchors, top_anchor + top_anchor_n (most frequent anchor
+    text; ties break to the lexicographically SMALLEST anchor so the
+    row is deterministic under any aggregation order). Links whose
+    href has no parseable host are dropped (logged-shape rather than a
+    NULL host group: at web scale that group is garbage concentration).
+
+    Scale shape: host parse is map-side regex (same RE2-safe pattern
+    as url_normalize); then two two-level partial-aggregatable
+    aggregates — (host, anchor) counts rolled up with min(struct(-c,
+    anchor)) for the top pick, and (host, doc) distinct rolled up to a
+    count — joined on host (both sides are host-cardinality slim; AQE
+    broadcasts the smaller). No windows: a viral host costs map-side
+    combines, never a single-task sort."""
+    hostport = F.lower(
+        F.regexp_extract(
+            F.col("href"), r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1
+        )
+    )
+    host = F.regexp_replace(hostport, r":[0-9]+$", "")
+    base = outlinks.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        host.alias("host"),
+        F.col("anchor_text"),
+    ).where(F.col("host") != "")
+    per_anchor = base.groupBy("host", "anchor_text").agg(
+        F.count("*").alias("c")
+    )
+    tops = per_anchor.groupBy("host").agg(
+        F.sum("c").alias("n_inlinks"),
+        F.count("*").alias("n_unique_anchors"),
+        F.min(F.struct((-F.col("c")).alias("nc"), "anchor_text")).alias(
+            "t"
+        ),
+    )
+    per_doc = (
+        base.select("host", "doc_id")
+        .distinct()
+        .groupBy("host")
+        .agg(F.count("*").alias("n_src_docs"))
+    )
+    return tops.join(per_doc, "host").select(
+        "host",
+        "n_inlinks",
+        "n_src_docs",
+        "n_unique_anchors",
+        F.col("t.anchor_text").alias("top_anchor"),
+        (-F.col("t.nc")).cast("long").alias("top_anchor_n"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dedup / similarity / quality operators
 # ---------------------------------------------------------------------------

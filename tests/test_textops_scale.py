@@ -1689,3 +1689,61 @@ def test_html_metadata_attr_quirks(spark):
     assert r.html_lang == "de"
     assert r.meta_description == "dq"  # the single-quoted one is
     # "'description'" after the reference's attr normalization
+
+
+# ---------------------------------------------------------------------------
+# anchor_text_agg
+# ---------------------------------------------------------------------------
+
+def _links(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, href string, anchor_text string"
+    )
+
+
+def test_anchor_text_agg_counts_and_tiebreak(spark):
+    """Exact counts; top pick ties break to the lexicographically
+    smallest anchor (deterministic under any aggregation order)."""
+    rows = [
+        (1, "https://h.org/a", "zeta"),
+        (2, "https://h.org/b", "alpha"),
+        (3, "https://h.org/c", "zeta"),
+        (3, "https://h.org/d", "alpha"),   # tie: alpha==zeta==2
+        (4, "https://other.io/x", "solo"),
+    ]
+    got = {r.host: r for r in textops.anchor_text_agg(_links(spark, rows)).collect()}
+    h = got["h.org"]
+    assert h.n_inlinks == 4
+    assert h.n_src_docs == 3       # doc 3 links twice, counts once
+    assert h.n_unique_anchors == 2
+    assert h.top_anchor == "alpha" and h.top_anchor_n == 2
+    assert got["other.io"].n_inlinks == 1
+
+
+def test_anchor_text_agg_host_parse_and_drops(spark):
+    """Host parse lowercases and strips ports; hrefs with no parseable
+    host (relative, fragment-only, NULL) are dropped, never a NULL/''
+    host group."""
+    rows = [
+        (1, "HTTPS://WWW.Ex.COM:443/p", "a"),
+        (2, "https://www.ex.com/q", "a"),
+        (3, "/relative/only", "b"),
+        (4, "#frag", "b"),
+        (5, None, "b"),
+    ]
+    got = {r.host: r for r in textops.anchor_text_agg(_links(spark, rows)).collect()}
+    assert set(got) == {"www.ex.com"}
+    assert got["www.ex.com"].n_inlinks == 2
+
+
+def test_anchor_text_agg_no_window_plan(spark):
+    """The engine-side plan must be window-free (partial-agg rollups +
+    one host join) — a viral host must never serialize into one task's
+    sort."""
+    plan = (
+        textops.anchor_text_agg(_links(spark, [(1, "https://h/", "a")]))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
