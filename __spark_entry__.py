@@ -280,6 +280,45 @@ def q_domain_stats(spark, sf_dir):
     return textops.domain_stats(docs)
 
 
+def q_normalize_text(spark, sf_dir):
+    """Dedup-canonical text normalization over engineered
+    perturbations: the template injects tabs, uppercase, digits, and
+    whitespace runs around the real corpus text; every rule must fire
+    (control->space, lower, digit->0, collapse, trim)."""
+    d = F.col("doc_id").cast("long")
+    raw = F.concat(
+        F.lit("\tA"), (d % 100).cast("string"), F.lit("  "),
+        F.upper(F.col("text")), F.lit(" b7\t"),
+    )
+    docs = _docs(spark, sf_dir).select(d.alias("doc_id"), raw.alias("text"))
+    return textops.normalize_text(docs)
+
+
+def q_url_filter(spark, sf_dir):
+    """Frontier blocklist: templated URLs against a literal 4-rule
+    blocklist with overlapping prefixes on one host (the min-rule
+    tie-break is load-bearing), a whole-host rule, and a rule that
+    never fires. Path matching is case-significant: the '/A/b' rules
+    only match because the template's path is uppercase-A too."""
+    d = F.col("doc_id").cast("long")
+    url = F.concat(
+        F.lit("https://Site"), (d % 13).cast("string"),
+        F.lit(".Example.COM/A/b"), (d % 7).cast("string"),
+        F.when(d % 4 == 0, F.lit("?q=1")).otherwise(F.lit("")),
+    )
+    urls = _docs(spark, sf_dir).select(d.alias("doc_id"), url.alias("url"))
+    rules = spark.createDataFrame(
+        [
+            (1, "site3.example.com", "/A"),
+            (2, "site7.example.com", "/A/b5"),
+            (3, "site7.example.com", "/A/b"),
+            (4, "site1.example.com", "/zzz"),
+        ],
+        "rule_id long, host string, path_prefix string",
+    )
+    return textops.url_filter(urls, rules)
+
+
 def q_html_metadata(spark, sf_dir):
     """Head-section metadata through the REAL parser (title text via
     parent-pointer child text nodes, meta/link matched by their parsed
@@ -820,6 +859,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats": q_domain_stats,
         "html_metadata": q_html_metadata,
         "anchor_text_agg": q_anchor_text_agg,
+        "normalize_text": q_normalize_text,
+        "url_filter": q_url_filter,
         "segment_dedup": q_segment_dedup,
         "span_dedup": q_span_dedup,
         "sample_stratified": q_sample_stratified,
@@ -1432,6 +1473,60 @@ def oracle_sql() -> dict[str, str]:
                      AS canonical_url,
                    'en-' || CAST(doc_id % 7 AS VARCHAR) AS html_lang
             FROM base
+        """,
+        # normalize_text: SAME normalization pipeline applied by DuckDB
+        # to the same perturbed template — DuckDB's regexp_replace is
+        # first-match-only without the 'g' flag (Spark's is global)
+        "normalize_text": """
+            WITH raw AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     chr(9) || 'A' || CAST(doc_id % 100 AS VARCHAR)
+                       || '  ' || upper(text) || ' b7' || chr(9) AS t
+              FROM documents),
+            n AS (
+              SELECT doc_id, t,
+                     trim(regexp_replace(
+                       regexp_replace(
+                         lower(regexp_replace(
+                           t, '[\\x00-\\x1f\\x7f]', ' ', 'g')),
+                         '[0-9]', '0', 'g'),
+                       ' +', ' ', 'g')) AS tn
+              FROM raw)
+            SELECT doc_id, tn AS text_norm,
+                   CAST(length(t) AS BIGINT) AS n_chars,
+                   CAST(length(tn) AS BIGINT) AS n_chars_norm
+            FROM n
+        """,
+        # url_filter: rule algebra — whole-host rule 1, overlapping
+        # prefix rules 2/3 on site7 (min wins), never-firing rule 4
+        "url_filter": """
+            WITH u AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     'https://Site' || CAST(doc_id % 13 AS VARCHAR)
+                       || '.Example.COM/A/b'
+                       || CAST(doc_id % 7 AS VARCHAR)
+                       || (CASE WHEN doc_id % 4 = 0 THEN '?q=1'
+                           ELSE '' END) AS url
+              FROM documents),
+            p AS (
+              SELECT doc_id, url,
+                     'site' || CAST(doc_id % 13 AS VARCHAR)
+                       || '.example.com' AS host
+              FROM u)
+            SELECT doc_id, url, host,
+                   CAST(CASE
+                     WHEN host = 'site3.example.com' THEN 1
+                     WHEN host = 'site7.example.com'
+                          AND doc_id % 7 = 5 THEN 2
+                     WHEN host = 'site7.example.com' THEN 3
+                   END AS BIGINT) IS NOT NULL AS denied,
+                   CAST(CASE
+                     WHEN host = 'site3.example.com' THEN 1
+                     WHEN host = 'site7.example.com'
+                          AND doc_id % 7 = 5 THEN 2
+                     WHEN host = 'site7.example.com' THEN 3
+                   END AS BIGINT) AS rule_id
+            FROM p
         """,
         # anchor_text_agg: template algebra over the linkfarm hosts;
         # the top pick replayed with a window (fine in the oracle —

@@ -1846,6 +1846,93 @@ def url_normalize(df: DataFrame, url_col: str = "url") -> DataFrame:
     )
 
 
+def normalize_text(
+    df: DataFrame, text_col: str = "text", lowercase: bool = True
+) -> DataFrame:
+    """CCNet-style text normalization — the canonical form dedup keys
+    and shingle hashes should be computed over, so that trivially
+    perturbed copies (case, digits, control chars, whitespace runs)
+    collide: control chars -> space, optional lowercase, every digit
+    -> '0', whitespace runs collapsed, ends trimmed. Output one row
+    per doc: (doc_id, text_norm, n_chars, n_chars_norm); NULL text
+    stays NULL with zero counts (never dropped).
+
+    Deliberately NOT unicode-NFC/accent folding: Java's Normalizer and
+    other engines' nfc functions disagree on edge cases, which would
+    make the canonical form engine-dependent — the one property a
+    dedup key must not have. The regex subset is Java/RE2-identical
+    (see pii_scrub's parity note).
+
+    Scale shape: pure map-side Catalyst string expressions, zero
+    shuffles, whole-stage codegen."""
+    t = F.col(text_col)
+    t1 = F.regexp_replace(t, r"[\x00-\x1f\x7f]", " ")
+    t2 = F.lower(t1) if lowercase else t1
+    t3 = F.regexp_replace(t2, "[0-9]", "0")
+    t4 = F.trim(F.regexp_replace(t3, " +", " "))
+    return df.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        t4.alias("text_norm"),
+        F.coalesce(F.length(t), F.lit(0)).cast("long").alias("n_chars"),
+        F.coalesce(F.length(t4), F.lit(0))
+        .cast("long")
+        .alias("n_chars_norm"),
+    )
+
+
+def url_filter(urls: DataFrame, rules: DataFrame) -> DataFrame:
+    """Blocklist filtering over the URL frontier — crawl step 0
+    alongside url_normalize: deny a URL when its host matches a rule's
+    host AND its raw path starts with the rule's path_prefix (robots /
+    abuse / licensing blocklists are exactly this shape). Inputs:
+    urls (doc_id, url), rules (rule_id, host, path_prefix). Output one
+    row per URL: (doc_id, url, host, denied, rule_id) — rule_id is the
+    MINIMUM matching rule (deterministic when rules overlap), NULL
+    when allowed. Host matching is case-insensitive (parse
+    lowercases); path matching is case-SIGNIFICANT per RFC 3986, same
+    contract as url_normalize.
+
+    Scale shape: host/path parse is map-side regex; the rules side is
+    explicitly broadcast (a blocklist is ~10^4-10^6 rows — tiny next
+    to a 10^12-URL frontier), so the join is map-side too; the
+    one-row-per-URL rollup over matched rules partial-aggregates on
+    the URL key. No shuffle touches the frontier except that rollup,
+    and a URL matches at most #rules-for-its-host rows."""
+    u = F.col("url")
+    hostport = F.lower(
+        F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    )
+    host = F.regexp_replace(hostport, r":[0-9]+$", "")
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
+    path = F.regexp_extract(rest, r"^([^?#]*)", 1)
+    parsed = urls.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        u.alias("url"),
+        host.alias("host"),
+        path.alias("path"),
+    )
+    r = rules.select(
+        F.col("rule_id").cast("long").alias("rule_id"),
+        F.col("host").alias("host"),
+        F.col("path_prefix").alias("path_prefix"),
+    )
+    joined = parsed.join(F.broadcast(r), "host", "left")
+    hit = F.when(
+        F.col("path").startswith(F.col("path_prefix")), F.col("rule_id")
+    )
+    return (
+        joined.groupBy("doc_id", "url", "host")
+        .agg(F.min(hit).alias("rule_id"))
+        .select(
+            "doc_id",
+            "url",
+            "host",
+            F.col("rule_id").isNotNull().alias("denied"),
+            "rule_id",
+        )
+    )
+
+
 DOMAIN_SHORT_MIN = 10
 DOMAIN_QUALITY_MIN = 0.5  # == CURATE_QUALITY_MIN (defined below); the
 # domain gate and the doc gate must agree or domain rates stop

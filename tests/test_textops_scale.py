@@ -1747,3 +1747,88 @@ def test_anchor_text_agg_no_window_plan(spark):
         .toString()
     )
     assert "Window" not in plan
+
+
+# ---------------------------------------------------------------------------
+# normalize_text / url_filter
+# ---------------------------------------------------------------------------
+
+def test_normalize_text_rules_and_idempotence(spark):
+    """Each rule fires; normalization is a fixpoint (normalizing the
+    normalized text changes nothing — same contract as url_normalize
+    and pii_scrub: a re-run pipeline stage must not mutate data)."""
+    df = spark.createDataFrame(
+        [
+            (1, "\tHello   WORLD 42\x01x\t"),
+            (2, None),
+            (3, "already clean"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in textops.normalize_text(df).collect()}
+    assert got[1].text_norm == "hello world 00 x"
+    assert got[2].text_norm is None and got[2].n_chars == 0
+    assert got[3].text_norm == "already clean"
+    once = textops.normalize_text(df).select(
+        "doc_id", F.col("text_norm").alias("text")
+    )
+    again = {r.doc_id: r.text_norm
+             for r in textops.normalize_text(once).collect()}
+    assert again == {k: r.text_norm for k, r in got.items()}
+
+
+def test_normalize_text_zero_shuffle_plan(spark):
+    plan = (
+        textops.normalize_text(
+            spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_url_filter_rules(spark):
+    """Min-rule tie-break on overlapping prefixes; case-significant
+    paths; one row per URL including never-matched and no-rule
+    hosts."""
+    urls = spark.createDataFrame(
+        [
+            (1, "https://B.org/A/b5/x"),   # rules 2 and 3 match -> 2
+            (2, "https://b.org/A/b9"),     # only rule 3 -> 3
+            (3, "https://b.org/a/b5"),     # lowercase path: no match
+            (4, "https://c.org/A/b5"),     # host has no rules
+        ],
+        "doc_id long, url string",
+    )
+    rules = spark.createDataFrame(
+        [(2, "b.org", "/A/b5"), (3, "b.org", "/A/b")],
+        "rule_id long, host string, path_prefix string",
+    )
+    got = {r.doc_id: r for r in textops.url_filter(urls, rules).collect()}
+    assert (got[1].denied, got[1].rule_id) == (True, 2)
+    assert (got[2].denied, got[2].rule_id) == (True, 3)
+    assert (got[3].denied, got[3].rule_id) == (False, None)
+    assert (got[4].denied, got[4].rule_id) == (False, None)
+    assert len(got) == 4
+
+
+def test_url_filter_broadcast_plan(spark):
+    """The rules side must reach the frontier as a broadcast — no
+    shuffle of the URL table for the join (the rollup's own exchange
+    is the only one allowed)."""
+    urls = spark.createDataFrame(
+        [(1, "https://b.org/A")], "doc_id long, url string"
+    )
+    rules = spark.createDataFrame(
+        [(1, "b.org", "/A")], "rule_id long, host string, path_prefix string"
+    )
+    plan = (
+        textops.url_filter(urls, rules)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+    assert "SortMergeJoin" not in plan
