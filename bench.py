@@ -383,16 +383,35 @@ def build_output(
         "sf": sf,
         "docs": docs,
         "docs_per_sec": round(docs / wall, 1),
-        "mb_per_sec": round(chars / wall / 1e6, 2),
-        "cold_wall_sec": round(cold_wall, 2),
+        # mb_per_sec and cold_wall_sec were cut from the line when the
+        # query set outgrew the old budget (they live in BENCH.md);
+        # key "local[2]->local[8]:extract" -> "2-8:e"; one efficiency
+        # number per pair (full detail in SCALING.json)
         "cpus": cpus,
-        # key "local[2]->local[8]:extract" -> "2->8:extract"; one
-        # efficiency number per pair (detail in SCALING.json)
         "scaling": {
-            k.replace("local[", "").replace("]", ""): v["value"]
+            k.replace("local[", "")
+            .replace("]", "")
+            .replace("->", "-")
+            .replace(":extract", ":e")
+            .replace(":noop", ":n"): v["value"]
             for k, v in scaling_cache.items()
         },
     }
+    # Byte-aware self-protection: the budget must hold even in a
+    # pathological session where every query wall blows out to 2-3
+    # digits (exactly the session whose evidence matters most).
+    # Degrade deterministically: first coarsen walls to 1 decimal,
+    # then drop the FASTEST queries (the slow ones are the
+    # informative ones), recording how many were cut.
+    budget = 1880
+    if len(json.dumps(out)) > budget:
+        out["queries"] = {k: round(v, 1) for k, v in qtimes.items()}
+    omitted = 0
+    while len(json.dumps(out)) > budget and out["queries"]:
+        fastest = min(out["queries"], key=lambda k: (out["queries"][k], k))
+        del out["queries"][fastest]
+        omitted += 1
+        out["q_omitted"] = omitted
     return out
 
 

@@ -1,0 +1,123 @@
+#!/usr/bin/env python3
+"""spark-submit entry point for URL-frontier preparation.
+
+    spark-submit --py-files dompa_spark.zip dompa_spark/jobs/frontier.py \
+        --urls /path/urls --output /path/fetch_list \
+        [--blocklist /path/rules] [--keep-denied] [--per-host-cap N]
+
+Crawl step 0, before any content is fetched: canonicalize every
+candidate URL (textops.url_normalize — defrag, lower scheme/host,
+default-port strip, utm_* filter, trailing-slash strip), drop
+duplicate fetches (keep the minimum doc_id per canonical URL), apply
+the host+path-prefix blocklist (textops.url_filter — rules broadcast),
+and optionally cap fetches per host (textops.domain_cap's salted
+two-phase rank) so no single host dominates a crawl cycle. At 10^12
+candidate URLs this is the cheapest dedup the pipeline will ever run —
+every row dropped here saves a fetch, a parse, and every downstream
+hashing pass.
+
+Inputs: urls parquet with (doc_id, url); blocklist parquet with
+(rule_id, host, path_prefix). Output: one row per SURVIVING fetch
+(doc_id, url_canon, host) — or every URL with its verdict columns
+under --keep-denied (the auditable form). Prints one JSON stats line.
+
+Order matters and is contractual: normalize FIRST so the blocklist
+matches canonical hosts (a rule for 'ex.com' must catch 'EX.COM:80'),
+dup-group SECOND so a denied canonical group costs zero rule
+evaluations on its duplicates' paths... but rules run on the canonical
+URL's own path, so dedup-then-filter and filter-then-dedup agree;
+dedup first is strictly cheaper. The per-host cap runs LAST, on
+surviving fetches only (capping before the blocklist would let denied
+URLs consume a host's budget).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description="dompa_spark URL frontier prep")
+    p.add_argument("--urls", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--blocklist", default=None,
+                   help="parquet of (rule_id, host, path_prefix) deny rules")
+    p.add_argument("--per-host-cap", type=int, default=None,
+                   help="keep at most N fetches per host (salted rank)")
+    p.add_argument("--keep-denied", action="store_true",
+                   help="write every URL with verdict columns instead "
+                        "of only the surviving fetch list")
+    p.add_argument("--master", default=None)
+    args = p.parse_args(argv)
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import SparkSession
+
+    from dompa_spark import pipeline, textops
+
+    builder = SparkSession.builder.appName("dompa-spark-frontier")
+    if args.master:
+        builder = builder.master(args.master)
+    owns_session = SparkSession.getActiveSession() is None
+    spark = pipeline.session_confs(builder).getOrCreate()
+
+    urls = spark.read.parquet(args.urls)
+    n_in = urls.count()
+
+    norm = textops.url_normalize(urls)
+    # the fetch candidate set: one row per canonical URL (the keeper),
+    # null-canon rows (null urls) are not fetchable
+    cand = norm.filter(~F.col("is_dup")).filter(
+        F.col("url_canon").isNotNull()
+    )
+
+    if args.blocklist:
+        rules = spark.read.parquet(args.blocklist)
+        verdicts = textops.url_filter(
+            cand.select("doc_id", F.col("url_canon").alias("url")), rules
+        )
+        cand = cand.join(
+            verdicts.select("doc_id", "denied", "rule_id"), "doc_id"
+        )
+    else:
+        cand = cand.withColumn("denied", F.lit(False)).withColumn(
+            "rule_id", F.lit(None).cast("long")
+        )
+
+    if args.keep_denied:
+        out = norm.join(
+            cand.select("doc_id", "denied", "rule_id"), "doc_id", "left"
+        ).select(
+            "doc_id", "url_canon", "host", "is_dup", "keeper_id",
+            F.coalesce("denied", F.lit(False)).alias("denied"), "rule_id",
+        )
+    else:
+        kept = cand.filter(~F.col("denied"))
+        if args.per_host_cap:
+            # domain_cap returns only the surviving rows (salted
+            # two-phase rank; a mega-host never sorts in one task)
+            capped = textops.domain_cap(
+                kept.select("doc_id", F.col("host").alias("source")),
+                cap=args.per_host_cap,
+            )
+            kept = kept.join(capped.select("doc_id"), "doc_id")
+        out = kept.select("doc_id", "url_canon", "host")
+
+    out.write.mode("overwrite").parquet(args.output)
+
+    written = spark.read.parquet(args.output)
+    n_out = written.count()
+    stats = {"urls_in": n_in, "rows_out": n_out}
+    if args.keep_denied:
+        stats["denied"] = written.filter("denied").count()
+        stats["dups"] = written.filter("is_dup").count()
+    print(json.dumps(stats))
+    if owns_session:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -10,7 +10,7 @@ sys.path.insert(0, "/root/repo")
 
 import bench  # noqa: E402
 
-# 60 realistic query names (the live set is 54; headroom for growth),
+# 68 realistic query names (the live set is 60; headroom for growth),
 # at the live set's name-length distribution.
 _QUERY_NAMES = [
     "extract_main_text", "parse_roundtrip", "traverse_rewrite",
@@ -31,7 +31,9 @@ _QUERY_NAMES = [
     "segment_dedup", "pii_scrub", "extract_outlinks", "corpus_mixture",
     "token_histogram", "lm_surprisal", "pack_sequences",
     "dedup_incremental", "url_normalize", "media_dhash", "span_dedup",
-    "wav_near_dup",
+    "wav_near_dup", "link_graph_rank", "domain_stats", "html_metadata",
+    "anchor_text_agg", "normalize_text", "url_filter",
+    "extra_query_name_f", "extra_query_name_g",
 ]
 
 # Worst-case scaling cache: 4 pairs (2->8 / 8->32, extract + noop),
@@ -80,7 +82,27 @@ def test_bench_line_strips_scaling_detail():
     )
     # one efficiency number per pair under a shortened key; walls,
     # docs/sec, and task metrics stay in SCALING.json
-    assert out["scaling"]["2->8:extract"] == _SCALING[
+    assert out["scaling"]["2-8:e"] == _SCALING[
         "local[2]->local[8]:extract"]["value"]
-    assert set(out["scaling"]) == {
-        "2->8:extract", "2->8:noop", "8->32:extract", "8->32:noop"}
+    assert set(out["scaling"]) == {"2-8:e", "2-8:n", "8-32:e", "8-32:n"}
+
+
+def test_bench_line_degrades_instead_of_overflowing():
+    """Pathological session: every wall at 3 digits. The line must
+    still parse under the budget — coarser rounding first, then the
+    FASTEST queries dropped (slow ones carry the signal), with the
+    cut count recorded."""
+    qtimes = {name: 100.0 + i for i, name in enumerate(_QUERY_NAMES)}
+    out = bench.build_output(
+        wall=999.9, qtimes=qtimes, sf=0.1, docs=600000,
+        chars=1_600_000_000, cold_wall=999.9, cpus=32,
+        scaling_cache=_SCALING,
+    )
+    line = json.dumps(out)
+    assert len(line) < 1900
+    kept = out["queries"]
+    if "q_omitted" in out:
+        assert out["q_omitted"] == len(_QUERY_NAMES) - len(kept)
+        # the slowest survive
+        slowest = max(qtimes, key=qtimes.get)
+        assert slowest in kept

@@ -221,3 +221,80 @@ def test_spark_submit_incremental_dedup_sig_cycle(workdir):
         f"SELECT doc_id, is_dup_of_prior FROM "
         f"'{workdir}/inc_flags1/*.parquet' ORDER BY doc_id").fetchall()
     assert sum(1 for _d, f in a if f) == 10
+
+
+def test_spark_submit_frontier_job(workdir):
+    """URL-frontier prep under real spark-submit: canonicalize ->
+    dup-drop -> blocklist -> per-host cap as the surviving fetch
+    list, then the --keep-denied audit form with verdict columns."""
+    con = duckdb.connect()
+    con.execute(f"""
+        COPY (
+          SELECT * FROM (VALUES
+            (0, 'HTTP://EX.com:80/a/'),
+            (1, 'http://ex.com/a'),
+            (2, 'http://ex.com/a?utm_x=1'),
+            (3, 'https://Blocked.org/Bad/x'),
+            (4, 'https://blocked.org/ok'),
+            (5, 'https://other.net/p5'),
+            (6, 'https://flood.io/p6'),
+            (7, 'https://flood.io/p7'),
+            (8, 'https://flood.io/p8'),
+            (9, 'https://flood.io/p9'),
+            (10, 'https://flood.io/p10'),
+            (11, 'https://flood.io/p11'),
+            (12, NULL)
+          ) t(doc_id, url)
+        ) TO '{workdir}/fr_urls' (FORMAT parquet)""")
+    con.execute(f"""
+        COPY (
+          SELECT * FROM (VALUES (1, 'blocked.org', '/Bad'))
+            t(rule_id, host, path_prefix)
+        ) TO '{workdir}/fr_rules' (FORMAT parquet)""")
+    shutil.copy(
+        os.path.join(REPO, "dompa_spark", "jobs", "frontier.py"),
+        os.path.join(str(workdir), "frontier.py"),
+    )
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["PYSPARK_PYTHON"] = env["PYSPARK_DRIVER_PYTHON"] = sys.executable
+
+    def run(extra):
+        proc = subprocess.run(
+            [
+                _spark_submit(),
+                "--master", "local[4]",
+                "--conf", "spark.sql.shuffle.partitions=8",
+                "--conf", "spark.ui.enabled=false",
+                "--py-files", str(workdir / "dompa_spark.zip"),
+                str(workdir / "frontier.py"),
+                "--urls", str(workdir / "fr_urls"),
+                "--blocklist", str(workdir / "fr_rules"),
+            ] + extra,
+            cwd=str(workdir), env=env, capture_output=True, text=True,
+            timeout=300,
+        )
+        assert proc.returncode == 0, proc.stderr[-4000:]
+        return json.loads(
+            [ln for ln in proc.stdout.splitlines()
+             if ln.startswith("{")][-1]
+        )
+
+    s1 = run(["--output", str(workdir / "fr_kept"), "--per-host-cap", "3"])
+    # 13 in; out: ex.com/a keeper (0), blocked.org/ok (4), other.net
+    # (5), and the 3 lowest flood.io docs (6,7,8)
+    assert s1 == {"urls_in": 13, "rows_out": 6}
+    kept = con.execute(
+        f"SELECT doc_id, url_canon FROM '{workdir}/fr_kept/*.parquet' "
+        "ORDER BY doc_id").fetchall()
+    assert [r[0] for r in kept] == [0, 4, 5, 6, 7, 8]
+    assert kept[0][1] == "http://ex.com/a"
+
+    s2 = run(["--output", str(workdir / "fr_audit"), "--keep-denied"])
+    assert s2 == {"urls_in": 13, "rows_out": 13, "denied": 1, "dups": 2}
+    audit = {
+        r[0]: r for r in con.execute(
+            f"SELECT doc_id, denied, is_dup FROM "
+            f"'{workdir}/fr_audit/*.parquet'").fetchall()
+    }
+    assert audit[3][1] is True and audit[1][2] is True
+    assert audit[12][1] is False  # null url: not denied, not a dup
