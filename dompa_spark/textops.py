@@ -377,8 +377,22 @@ def anchor_text_agg(outlinks: DataFrame) -> DataFrame:
         host.alias("host"),
         F.col("anchor_text"),
     ).where(F.col("host") != "")
-    per_anchor = base.groupBy("host", "anchor_text").agg(
-        F.count("*").alias("c")
+    # ONE pass over the upstream plan (which may be a full HTML parse +
+    # link explode — the expensive part): pre-aggregate to slim
+    # (host, anchor, doc) rows and localCheckpoint them, so both
+    # consumers below read one materialization. Exchange reuse alone
+    # does NOT save this plan: Catalyst column-prunes the two branches
+    # through the pre-agg into DIFFERENT first exchanges
+    # ((host,anchor,doc) vs (host,doc)), so without the checkpoint the
+    # parse ran twice (measured 2x MapInArrow).
+    # test_anchor_text_agg_single_parse pins the single-parse shape.
+    l0 = (
+        base.groupBy("host", "anchor_text", "doc_id")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    per_anchor = l0.groupBy("host", "anchor_text").agg(
+        F.sum("c").alias("c")
     )
     tops = per_anchor.groupBy("host").agg(
         F.sum("c").alias("n_inlinks"),
@@ -387,11 +401,8 @@ def anchor_text_agg(outlinks: DataFrame) -> DataFrame:
             "t"
         ),
     )
-    per_doc = (
-        base.select("host", "doc_id")
-        .distinct()
-        .groupBy("host")
-        .agg(F.count("*").alias("n_src_docs"))
+    per_doc = l0.groupBy("host").agg(
+        F.count_distinct("doc_id").alias("n_src_docs")
     )
     return tops.join(per_doc, "host").select(
         "host",

@@ -1832,3 +1832,26 @@ def test_url_filter_broadcast_plan(spark):
     )
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_anchor_text_agg_single_parse(spark):
+    """The two aggregation branches (top-anchor rollup, distinct-doc
+    count) must share ONE materialization of the upstream plan: after
+    execution the final plan reads the checkpointed slim pre-aggregate
+    (ExistingRDD), not two MapInArrow parse subtrees (Catalyst
+    column-prunes the branches into different first exchanges, so
+    exchange reuse alone cannot deduplicate the parse — measured 2x
+    before the checkpoint)."""
+    from dompa_spark import pipeline
+
+    docs = spark.createDataFrame(
+        [(str(i), "w%d x" % i) for i in range(6)],
+        "doc_id string, text string",
+    )
+    wrapped = textops.linkfarm_wrapped(docs)
+    links = textops.extract_outlinks_df(pipeline.parse_nodes_df(wrapped))
+    out = textops.anchor_text_agg(links)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInArrow") == 0
+    assert "ExistingRDD" in plan
