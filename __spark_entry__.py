@@ -184,6 +184,24 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+def q_dedup_recall(spark, sf_dir):
+    """Recall of the production minhash-LSH detector against the
+    corpus's ENGINEERED near-dup positives (every 5th doc's mutated
+    copy). Short docs drop below the jaccard threshold when the suffix
+    is a large fraction of their shingles, so recall is meaningfully
+    < 1 and moves with jaccard_min / banding — the gauge a pipeline
+    tunes against (ann_recall's text-dedup sibling)."""
+    aug = textops.with_near_dups(_docs(spark, sf_dir))
+    pairs = textops.minhash_lsh_pairs(aug)
+    d = F.col("doc_id").cast("long")
+    truth = (
+        _docs(spark, sf_dir)
+        .filter(d % 5 == 0)
+        .select(d.alias("doc_a"), (d + 1_000_000).alias("doc_b"))
+    )
+    return textops.dedup_recall(pairs, truth)
+
+
 def q_span_dedup(spark, sf_dir):
     """Exact-substring (overlapping 8-gram) span removal over the
     augmented corpus — the every-5th mutated copies make whole
@@ -861,6 +879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_text_agg": q_anchor_text_agg,
         "normalize_text": q_normalize_text,
         "url_filter": q_url_filter,
+        "dedup_recall": q_dedup_recall,
         "segment_dedup": q_segment_dedup,
         "span_dedup": q_span_dedup,
         "sample_stratified": q_sample_stratified,
@@ -1473,6 +1492,21 @@ def oracle_sql() -> dict[str, str]:
                      AS canonical_url,
                    'en-' || CAST(doc_id % 7 AS VARCHAR) AS html_lang
             FROM base
+        """,
+        # dedup_recall: the engineered truth pairs left-joined against
+        # the SAME salted minhash pair pipeline the detector query runs
+        "dedup_recall": f"""
+            WITH pairs AS ({_minhash_pairs_sql()}),
+            t AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_a,
+                     CAST(doc_id AS BIGINT) + 1000000 AS doc_b
+              FROM documents WHERE doc_id % 5 = 0)
+            SELECT CAST(count(*) AS BIGINT) AS n_truth,
+                   CAST(count(p.doc_a) AS BIGINT) AS n_detected,
+                   round(count(p.doc_a) / CAST(count(*) AS DOUBLE), 4)
+                     AS recall
+            FROM t LEFT JOIN pairs p
+              ON p.doc_a = t.doc_a AND p.doc_b = t.doc_b
         """,
         # normalize_text: SAME normalization pipeline applied by DuckDB
         # to the same perturbed template — DuckDB's regexp_replace is

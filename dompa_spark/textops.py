@@ -487,6 +487,47 @@ def with_near_dups(df: DataFrame, id_offset: int = 1_000_000) -> DataFrame:
     return df.select(F.col("doc_id").cast("long"), "text").unionByName(mutated)
 
 
+def dedup_recall(pairs: DataFrame, truth: DataFrame) -> DataFrame:
+    """Detector-quality gauge: recall of a near-dup pair detector
+    against a ground-truth positive set — the text-dedup sibling of
+    ann_recall (a pipeline must not tune dedup aggressiveness blind;
+    jaccard_min / band/row counts move this number). Inputs: pairs
+    (doc_a, doc_b) from any pair operator; truth (doc_a, doc_b)
+    known-positive pairs (e.g. engineered mutated copies, or a labeled
+    sample of a production crawl). Output ONE row: n_truth,
+    n_detected, recall (4 dp). Pair order is normalized on both sides
+    and duplicates collapse, so callers need not care about (a,b) vs
+    (b,a) or repeated labels.
+
+    Scale shape: both sides reduce to slim normalized key pairs; the
+    distinct + equi-join shuffle on (doc_a, doc_b); the final
+    aggregate is a 1-row partial agg. Truth sets are typically tiny
+    (labeled samples) — AQE broadcasts them into the join."""
+
+    def norm(df: DataFrame) -> DataFrame:
+        a, b = F.col("doc_a").cast("long"), F.col("doc_b").cast("long")
+        return df.select(
+            F.least(a, b).alias("doc_a"), F.greatest(a, b).alias("doc_b")
+        ).distinct()
+
+    t = norm(truth)
+    hit = norm(pairs).withColumn("hit", F.lit(1))
+    return (
+        t.join(hit, ["doc_a", "doc_b"], "left")
+        .agg(
+            F.count("*").alias("n_truth"),
+            F.coalesce(F.sum("hit"), F.lit(0))
+            .cast("long")
+            .alias("n_detected"),
+            F.round(
+                F.coalesce(F.sum("hit"), F.lit(0))
+                / F.count("*").cast("double"),
+                4,
+            ).alias("recall"),
+        )
+    )
+
+
 N_MINHASH = 16
 LSH_BANDS = 4
 LSH_ROWS = 4  # N_MINHASH = LSH_BANDS * LSH_ROWS

@@ -1855,3 +1855,48 @@ def test_anchor_text_agg_single_parse(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("MapInArrow") == 0
     assert "ExistingRDD" in plan
+
+
+def test_dedup_recall_normalization_and_counts(spark):
+    """Pair order normalizes on both sides, duplicate labels collapse,
+    misses count; the recall arithmetic is exact."""
+    pairs = spark.createDataFrame(
+        [(2, 1), (3, 4), (3, 4)], "doc_a long, doc_b long"
+    )
+    truth = spark.createDataFrame(
+        [(1, 2), (2, 1), (4, 3), (5, 6), (7, 8)],
+        "doc_a long, doc_b long",
+    )
+    r = textops.dedup_recall(pairs, truth).collect()[0]
+    assert (r.n_truth, r.n_detected, r.recall) == (4, 2, 0.5)
+
+
+def test_dedup_recall_zero_detected(spark):
+    """An empty detector output still yields one well-formed row (the
+    gauge must report 0.0, not vanish)."""
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    truth = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    r = textops.dedup_recall(pairs, truth).collect()[0]
+    assert (r.n_truth, r.n_detected, r.recall) == (1, 0, 0.0)
+
+
+def test_dedup_recall_moves_with_threshold(spark):
+    """The knob works end-to-end: loosening jaccard_min can only raise
+    recall on the engineered positives (monotone in the threshold)."""
+    docs = spark.createDataFrame(
+        [(i, " ".join("w%d" % (i * 40 + j) for j in range(4 + i)))
+         for i in range(10)],
+        "doc_id long, text string",
+    )
+    aug = textops.with_near_dups(docs)
+    truth = docs.filter("doc_id % 5 = 0").selectExpr(
+        "doc_id AS doc_a", "doc_id + 1000000 AS doc_b"
+    )
+    r_tight = textops.dedup_recall(
+        textops.minhash_lsh_pairs(aug, jaccard_min=0.9), truth
+    ).collect()[0]
+    r_loose = textops.dedup_recall(
+        textops.minhash_lsh_pairs(aug, jaccard_min=0.1), truth
+    ).collect()[0]
+    assert r_loose.recall >= r_tight.recall
+    assert r_loose.n_truth == r_tight.n_truth == 2
