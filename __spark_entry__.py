@@ -184,6 +184,30 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+def q_host_boilerplate(spark, sf_dir):
+    """Site-template strip: every doc of a host carries that host's
+    cookie-banner line (100% >= 60% -> stripped); a promo line rides
+    on doc_id % 3 == 0 (~33% < 60% -> kept; 3 is coprime to the
+    50-host residue so the fraction is real within every host); every
+    50th doc gets its own single-doc host (min_host_docs exempts it —
+    its banner survives even at 100%)."""
+    d = F.col("doc_id").cast("long")
+    hostlab = F.when(
+        d % 50 == 49, F.concat(F.lit("tiny"), d.cast("string"))
+    ).otherwise(F.concat(F.lit("h"), (d % 50).cast("string")))
+    raw = F.concat(
+        F.col("text"),
+        F.lit("\ncookie banner "), hostlab, F.lit(" accept"),
+        F.when(
+            d % 3 == 0, F.concat(F.lit("\npromo line "), hostlab)
+        ).otherwise(F.lit("")),
+    )
+    docs = _docs(spark, sf_dir).select(
+        d.alias("doc_id"), hostlab.alias("host"), raw.alias("text")
+    )
+    return textops.host_boilerplate(docs)
+
+
 def q_dedup_recall(spark, sf_dir):
     """Recall of the production minhash-LSH detector against the
     corpus's ENGINEERED near-dup positives (every 5th doc's mutated
@@ -880,6 +904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text": q_normalize_text,
         "url_filter": q_url_filter,
         "dedup_recall": q_dedup_recall,
+        "host_boilerplate": q_host_boilerplate,
         "segment_dedup": q_segment_dedup,
         "span_dedup": q_span_dedup,
         "sample_stratified": q_sample_stratified,
@@ -1492,6 +1517,63 @@ def oracle_sql() -> dict[str, str]:
                      AS canonical_url,
                    'en-' || CAST(doc_id % 7 AS VARCHAR) AS html_lang
             FROM base
+        """,
+        # host_boilerplate: string-counted replay of the host-scoped
+        # template strip (engine uses xxhash64 surrogates — same
+        # contract as segment_dedup); the fraction test is the same
+        # exact ppm integer comparison
+        "host_boilerplate": f"""
+            WITH h AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     CASE WHEN doc_id % 50 = 49
+                          THEN 'tiny' || CAST(doc_id AS VARCHAR)
+                          ELSE 'h' || CAST(doc_id % 50 AS VARCHAR)
+                     END AS host,
+                     text
+              FROM documents),
+            raw AS (
+              SELECT doc_id, host,
+                     text || chr(10) || 'cookie banner ' || host
+                       || ' accept'
+                       || (CASE WHEN doc_id % 3 = 0
+                           THEN chr(10) || 'promo line ' || host
+                           ELSE '' END) AS text
+              FROM h),
+            segs AS (
+              SELECT doc_id, host, text,
+                     string_split(text, chr(10)) AS ss
+              FROM raw),
+            ex AS (
+              SELECT doc_id, host, unnest(ss) AS s,
+                     generate_subscripts(ss, 1) AS pos
+              FROM segs),
+            hn AS (SELECT host, count(*) AS n FROM raw GROUP BY host),
+            hot AS (
+              SELECT t.host, t.s FROM (
+                SELECT host, s, count(DISTINCT doc_id) AS c FROM ex
+                WHERE length(s) >= {textops.SEGDEDUP_MIN_CHARS}
+                GROUP BY host, s) t
+              JOIN hn ON hn.host = t.host
+              WHERE hn.n >= {textops.HOSTBP_MIN_HOST_DOCS}
+                AND t.c * 1000000 >=
+                    {int(round(textops.HOSTBP_FRAC_MIN * 1_000_000))}
+                      * hn.n),
+            clean AS (
+              SELECT e.doc_id,
+                     count(*) AS n_segments,
+                     sum(CASE WHEN ho.s IS NOT NULL THEN 1 ELSE 0 END)
+                       AS n_removed,
+                     COALESCE(string_agg(e.s, chr(10) ORDER BY e.pos)
+                              FILTER (WHERE ho.s IS NULL), '')
+                       AS text_clean
+              FROM ex e LEFT JOIN hot ho
+                ON ho.host = e.host AND ho.s = e.s
+              GROUP BY e.doc_id)
+            SELECT r.doc_id, r.host,
+                   CAST(c.n_segments AS BIGINT) AS n_segments,
+                   CAST(c.n_removed AS BIGINT) AS n_removed,
+                   c.text_clean
+            FROM raw r JOIN clean c USING (doc_id)
         """,
         # dedup_recall: the engineered truth pairs left-joined against
         # the SAME salted minhash pair pipeline the detector query runs

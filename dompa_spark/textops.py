@@ -2153,6 +2153,85 @@ def segment_dedup(
     )
 
 
+HOSTBP_FRAC_MIN = 0.6
+HOSTBP_MIN_HOST_DOCS = 3
+
+
+def host_boilerplate(
+    df: DataFrame,
+    frac_min: float = HOSTBP_FRAC_MIN,
+    min_host_docs: int = HOSTBP_MIN_HOST_DOCS,
+    seg_words: int = SEGDEDUP_WORDS,
+    min_chars: int = SEGDEDUP_MIN_CHARS,
+    mode: str = "newline",
+) -> DataFrame:
+    """HOST-scoped site-template strip (RefinedWeb-style): a segment is
+    boilerplate for host h when it appears in >= frac_min of h's docs
+    AND h has >= min_host_docs docs — which catches per-site chrome
+    (cookie banners, nav, footers) that a GLOBAL count threshold
+    (segment_dedup) either misses on small sites or needs an absolute
+    min_docs that over-fires on huge ones. The fraction test is exact
+    integer math — c * 10^6 >= round(frac_min * 10^6) * n — so no
+    float threshold can flap between engines. Output one row per doc:
+    (doc_id, host, n_segments, n_removed, text_clean), with
+    segment_dedup's null-text / original-text-fast-path contracts.
+
+    Scale shape: segment_dedup's slim-hash skeleton with host riding
+    along — the explode carries (doc_id, host, pos, xxhash64, len);
+    the count is a partial-aggregatable two-phase distinct per
+    (host, h); host doc totals are a tiny second agg joined onto the
+    candidate counts (host-cardinality rows, AQE-broadcast); and only
+    docs that HAVE a template segment reach the text-side equi-join.
+    The per-host template set is bounded by segments/host-docs, so the
+    hot side stays broadcastable at any corpus size. Same xxhash64
+    surrogate-collision contract as segment_dedup."""
+    ppm = int(round(frac_min * 1_000_000))
+    docs = df.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "host", "text"
+    )
+    segs, sep = _segments_col(mode, seg_words)
+    host_n = docs.groupBy("host").agg(F.count("*").alias("n"))
+    ex = docs.select(
+        "doc_id", "host", F.posexplode(segs).alias("pos", "seg")
+    ).select(
+        "doc_id", "host", "pos",
+        F.xxhash64("seg").alias("h"),
+        F.length("seg").alias("seg_len"),
+    )
+    hot = (
+        ex.where(F.col("seg_len") >= min_chars)
+        .groupBy("host", "h")
+        .agg(F.countDistinct("doc_id").alias("c"))
+        .join(host_n, "host")
+        .where(
+            (F.col("n") >= min_host_docs)
+            & (F.col("c") * 1_000_000 >= F.lit(ppm) * F.col("n"))
+        )
+        .select("host", "h")
+    )
+    bad = (
+        ex.join(hot, ["host", "h"], "left_semi")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("bad_pos"))
+    )
+    bad_arr = F.col("bad_pos")
+    kept = F.filter(segs, lambda s, i: ~F.array_contains(bad_arr, i))
+    text_clean = F.when(F.col("text").isNull(), F.lit("")).otherwise(
+        F.when(bad_arr.isNull(), F.col("text")).otherwise(
+            F.array_join(kept, sep)
+        )
+    )
+    return docs.join(bad, "doc_id", "left").select(
+        "doc_id",
+        "host",
+        F.when(F.col("text").isNull(), F.lit(0))
+        .otherwise(F.size(segs)).cast("long").alias("n_segments"),
+        F.coalesce(F.size(bad_arr), F.lit(0)).cast("long")
+        .alias("n_removed"),
+        text_clean.alias("text_clean"),
+    )
+
+
 SPANDEDUP_N = 8
 
 # Order-sensitive window-combination constants: h(window at p) =

@@ -1900,3 +1900,58 @@ def test_dedup_recall_moves_with_threshold(spark):
     ).collect()[0]
     assert r_loose.recall >= r_tight.recall
     assert r_loose.n_truth == r_tight.n_truth == 2
+
+
+# ---------------------------------------------------------------------------
+# host_boilerplate
+# ---------------------------------------------------------------------------
+
+def test_host_boilerplate_scoping_and_thresholds(spark):
+    """The template line strips ONLY on its own host and only when the
+    host is big enough: host A (4 docs, banner in all) strips; host B
+    (4 docs, banner in 2 = 50% < 60%) keeps; host C (2 docs < 
+    min_host_docs) keeps its 100% banner; A's banner appearing once on
+    B does not strip there."""
+    rows = []
+    for i in range(4):
+        rows.append((i, "a.com", "body a%d\nBANNER-A" % i))
+    rows.append((10, "b.com", "body b0\nBANNER-B"))
+    rows.append((11, "b.com", "body b1\nBANNER-B"))
+    rows.append((12, "b.com", "body b2\nBANNER-A"))
+    rows.append((13, "b.com", "body b3"))
+    rows.append((20, "c.com", "body c0\nBANNER-C"))
+    rows.append((21, "c.com", "body c1\nBANNER-C"))
+    df = spark.createDataFrame(rows, "doc_id long, host string, text string")
+    got = {r.doc_id: r for r in textops.host_boilerplate(df).collect()}
+    for i in range(4):
+        assert got[i].text_clean == "body a%d" % i and got[i].n_removed == 1
+    for i in (10, 11, 12, 13):
+        assert got[i].n_removed == 0  # 50% banner + foreign banner kept
+    assert got[12].text_clean == "body b2\nBANNER-A"
+    for i in (20, 21):
+        assert got[i].n_removed == 0  # tiny host exempt
+    assert all(r.host for r in got.values())
+
+
+def test_host_boilerplate_exact_fraction_boundary(spark):
+    """c * 10^6 >= ppm * n at the boundary: 3 of 5 docs (60%) strips
+    at frac_min=0.6, 2 of 5 (40%) does not — integer math, no float
+    epsilon."""
+    rows = [(i, "x", "t%d\nL3" % i) for i in range(3)]
+    rows += [(3, "x", "t3\nL2"), (4, "x", "t4\nL2")]
+    df = spark.createDataFrame(rows, "doc_id long, host string, text string")
+    got = {r.doc_id: r for r in textops.host_boilerplate(
+        df, frac_min=0.6, min_host_docs=3).collect()}
+    assert all(got[i].n_removed == 1 for i in range(3))       # L3 at 60%
+    assert all(got[i].n_removed == 0 for i in (3, 4))          # L2 at 40%
+
+
+def test_host_boilerplate_null_text_and_fast_path(spark):
+    df = spark.createDataFrame(
+        [(1, "h", None), (2, "h", "clean only"), (3, "h", "also clean"),
+         (4, "h", "yet another")],
+        "doc_id long, host string, text string",
+    )
+    got = {r.doc_id: r for r in textops.host_boilerplate(df).collect()}
+    assert got[1].n_segments == 0 and got[1].text_clean == ""
+    assert got[2].text_clean == "clean only" and got[2].n_removed == 0
