@@ -63,6 +63,16 @@ def main(argv=None) -> int:
                         "in the kept corpus text; applied last (after "
                         "the optional line dedup) so placeholders "
                         "never feed the hot-segment vote")
+    p.add_argument("--with-host-boilerplate", action="store_true",
+                   help="strip per-SOURCE site-template segments "
+                        "(textops.host_boilerplate: segments in >= 60% "
+                        "of a source's kept docs, min 3 docs) from the "
+                        "kept corpus text. Runs FIRST among the text "
+                        "cleanups — site chrome is the biggest whole-"
+                        "segment offender and removing it host-scoped "
+                        "keeps the global line-dedup vote clean; uses "
+                        "--line-seg-mode/--line-seg-words as its "
+                        "segment unit")
     p.add_argument("--with-line-dedup", action="store_true",
                    help="strip segments repeated across kept docs "
                         "(textops.segment_dedup) when writing the kept "
@@ -224,6 +234,22 @@ def main(argv=None) -> int:
         kept_docs = docs.join(keep, "doc_id")
         cols = [F.col("orig_doc_id").alias("doc_id"),
                 "text", "source", "lang"]
+        if args.with_host_boilerplate:
+            hbkw = {"mode": args.line_seg_mode}
+            if args.line_seg_words is not None:
+                hbkw["seg_words"] = args.line_seg_words
+            hb = textops.host_boilerplate(
+                kept_docs.select(
+                    "doc_id", F.col("source").alias("host"), "text"
+                ),
+                **hbkw,
+            ).select(
+                "doc_id",
+                F.col("text_clean").alias("text"),
+                F.col("n_removed").alias("host_template_removed"),
+            )
+            kept_docs = kept_docs.drop("text").join(hb, "doc_id")
+            cols.append("host_template_removed")
         if args.with_line_dedup:
             sdkw = {"mode": args.line_seg_mode}
             if args.line_seg_words is not None:
@@ -263,6 +289,11 @@ def main(argv=None) -> int:
         "kept": dec.filter("kept").count(),
         "near_dup_dropped": dec.filter("near_dup_drop").count(),
     }
+    if args.with_host_boilerplate:
+        stats["host_template_segments_removed"] = int(
+            spark.read.parquet(kept_path)
+            .agg(F.sum("host_template_removed")).first()[0] or 0
+        )
     if args.with_line_dedup:
         stats["line_segments_removed"] = int(
             spark.read.parquet(kept_path)

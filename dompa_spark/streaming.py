@@ -388,3 +388,84 @@ def dedup_near_stream(
     else:
         raise ValueError(f"unknown near-dup stream method: {method!r}")
     return _anchor_edge_stream(banded)
+
+
+URLS_SCHEMA_DDL = "doc_id long, url string"
+
+_FRONTIER_OUT_DDL = "url_canon string, host string, first_doc_id long"
+_FRONTIER_STATE_DDL = "first_doc_id long, n_seen long"
+
+
+def url_frontier_stream(
+    spark: SparkSession, in_path: str, max_files_per_trigger: int = 8
+) -> DataFrame:
+    """Streaming URL-frontier dedup — the 'have we ever seen this URL?'
+    service a continuous crawler runs in front of its fetchers, the
+    streaming complement of textops.url_normalize + jobs/frontier.py.
+    Input: a file-source stream of (doc_id, url) parquet drops.
+    Canonicalization is the SAME map-side expression set as the batch
+    operator (textops.url_canon_cols), so batch and stream agree on
+    dup groups; non-canonicalizable rows (NULL url / no parseable
+    host) are filtered map-side — they are not fetchable.
+
+    Output contract: each canonical URL is emitted EXACTLY ONCE, on
+    the micro-batch that first sees it, as (url_canon, host,
+    first_doc_id) with first_doc_id = the minimum doc_id among that
+    first batch's arrivals (deterministic; later arrivals never
+    re-emit). The appended stream IS the fetch list — with the file
+    sink's commit log that is end-to-end exactly-once.
+
+    State sizing: one (first_doc_id, n_seen) row per canonical URL
+    ever seen, sharded by the groupBy hash — same RocksDB guidance and
+    no-timeout contract as dedup_doc_stream (expiring keys would
+    re-fetch; NoTimeout is the semantic, not an oversight). A viral
+    URL repeated 10^8 times costs its trigger's rows in ONE state
+    group per trigger — bounded by maxFilesPerTrigger, same documented
+    hot-group contract as dedup_near_stream."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from . import textops
+
+    def fn(key, pdfs, state):
+        if state.exists:
+            first, n_seen = state.get
+            fresh = False
+        else:
+            first, n_seen = None, 0
+            fresh = True
+        ids = []
+        host = None
+        for pdf in pdfs:
+            ids.extend(int(d) for d in pdf["doc_id"])
+            if host is None and len(pdf):
+                host = str(pdf["host"].iloc[0])
+        if ids:
+            if first is None:
+                first = min(ids)
+            n_seen += len(ids)
+        state.update((first, n_seen))
+        if fresh and ids:
+            yield pd.DataFrame(
+                {
+                    "url_canon": [key[0]],
+                    "host": [host],
+                    "first_doc_id": [first],
+                }
+            )
+
+    canon, host, _ = textops.url_canon_cols("url")
+    urls = (
+        spark.readStream.schema(URLS_SCHEMA_DDL)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(in_path)
+        .select("doc_id", canon.alias("url_canon"), host.alias("host"))
+        .where(F.col("url_canon").isNotNull() & (F.col("host") != ""))
+    )
+    return urls.groupBy("url_canon").applyInPandasWithState(
+        fn,
+        outputStructType=_FRONTIER_OUT_DDL,
+        stateStructType=_FRONTIER_STATE_DDL,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1797,37 +1797,12 @@ def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def url_normalize(df: DataFrame, url_col: str = "url") -> DataFrame:
-    """URL canonicalization + duplicate grouping — the step BEFORE any
-    content fetch in a crawl pipeline (CCNet/RefinedWeb dedup their URL
-    frontier first; at 10^12 candidate URLs this is the cheapest dedup
-    you will ever run). Canonical form:
-
-      1. strip the fragment ('#...'),
-      2. lowercase scheme and host (ONLY those — path/query case is
-         significant per RFC 3986),
-      3. drop a default port (:80 for http, :443 for https),
-      4. drop utm_* tracking params, keeping the rest in order (no '?'
-         if none survive),
-      5. strip ALL trailing '/' from the path ('' and '/'-only
-         collapse to '/').
-
-    Output: (doc_id, url_canon, host, n_utm_dropped, keeper_id,
-    is_dup) — keeper_id is the minimum doc_id sharing the canonical
-    URL, so `is_dup` drops every fetch but one per group. One row per
-    input doc, never silently dropped: a NULL url yields NULL
-    canon/host/keeper and is_dup=false (null urls are nobody's
-    duplicate); a scheme-less string still canonicalizes
-    deterministically (empty scheme/host, the raw string as path).
-
-    Scale shape: canonicalization is pure map-side Catalyst regex /
-    string expressions (zero shuffles, codegen); the group step is a
-    partial-aggregatable groupBy(min) on the canonical string plus one
-    equi-join back — no window sort, so a viral URL repeated 10^8
-    times costs a map-side combine, not a single-task sort (the
-    media_dedup rank window would serialize exactly that group).
-    Regexes use the Java/RE2-identical subset only (see PII_EMAIL's
-    oracle-parity note)."""
+def url_canon_cols(url_col: str = "url") -> tuple[Column, Column, Column]:
+    """(url_canon, host, n_utm_dropped) as pure map-side expressions —
+    the canonicalization shared by url_normalize (batch; see its
+    docstring for the rule set and parity notes) and
+    streaming.url_frontier_stream (where the dup-group step is the
+    state store instead of a groupBy)."""
     u = F.col(url_col)
     defrag = F.regexp_replace(u, r"#.*$", "")
     scheme = F.lower(
@@ -1874,6 +1849,41 @@ def url_normalize(df: DataFrame, url_col: str = "url") -> DataFrame:
             F.concat(F.lit("?"), qcanon)
         ),
     )
+    return canon, host, n_dropped
+
+
+def url_normalize(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """URL canonicalization + duplicate grouping — the step BEFORE any
+    content fetch in a crawl pipeline (CCNet/RefinedWeb dedup their URL
+    frontier first; at 10^12 candidate URLs this is the cheapest dedup
+    you will ever run). Canonical form:
+
+      1. strip the fragment ('#...'),
+      2. lowercase scheme and host (ONLY those — path/query case is
+         significant per RFC 3986),
+      3. drop a default port (:80 for http, :443 for https),
+      4. drop utm_* tracking params, keeping the rest in order (no '?'
+         if none survive),
+      5. strip ALL trailing '/' from the path ('' and '/'-only
+         collapse to '/').
+
+    Output: (doc_id, url_canon, host, n_utm_dropped, keeper_id,
+    is_dup) — keeper_id is the minimum doc_id sharing the canonical
+    URL, so `is_dup` drops every fetch but one per group. One row per
+    input doc, never silently dropped: a NULL url yields NULL
+    canon/host/keeper and is_dup=false (null urls are nobody's
+    duplicate); a scheme-less string still canonicalizes
+    deterministically (empty scheme/host, the raw string as path).
+
+    Scale shape: canonicalization is pure map-side Catalyst regex /
+    string expressions (zero shuffles, codegen); the group step is a
+    partial-aggregatable groupBy(min) on the canonical string plus one
+    equi-join back — no window sort, so a viral URL repeated 10^8
+    times costs a map-side combine, not a single-task sort (the
+    media_dedup rank window would serialize exactly that group).
+    Regexes use the Java/RE2-identical subset only (see PII_EMAIL's
+    oracle-parity note)."""
+    canon, host, n_dropped = url_canon_cols(url_col)
     canon_df = df.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         canon.alias("url_canon"),

@@ -128,8 +128,8 @@ def test_spark_submit_pretrain_corpus_pipeline(workdir):
             "--workdir", str(workdir / "pipeline_work"),
             "--chunk-parts", "4",
             "--light-parts", "4", "--heavy-parts", "2",
-            "--with-repetition", "--with-line-dedup",
-            "--with-span-dedup",
+            "--with-repetition", "--with-host-boilerplate",
+            "--with-line-dedup", "--with-span-dedup",
             "--domain-cap", "100",
         ],
         cwd=str(workdir),
@@ -147,6 +147,11 @@ def test_spark_submit_pretrain_corpus_pipeline(workdir):
     # span stage ran (count present; >= 0 — the kept set is already
     # doc-level deduped, so cross-doc 8-gram repeats may be sparse)
     assert stats["span_tokens_removed"] >= 0
+    # host-boilerplate stage ran (host-scoped template strip; the
+    # synthetic corpus has few docs per source so the 60%/3-doc vote
+    # may legitimately strip nothing — presence + non-negative is the
+    # contract here, semantics are pinned by the operator tests)
+    assert stats["host_template_segments_removed"] >= 0
     con = duckdb.connect()
     n_kept = con.execute(
         f"SELECT count(DISTINCT doc_id) FROM "

@@ -570,3 +570,100 @@ def test_dedup_near_stream_string_ids(spark, tmp_path):
         spark.createDataFrame([("doc-7",)], "doc_id string").select(
             streaming._long_doc_id("cast").alias("doc_id")
         ).collect()
+
+
+def test_url_frontier_stream_exactly_once_across_restarts(spark, tmp_path):
+    """Each canonical URL emits exactly once, on its first-sighting
+    batch, and never again — across SEPARATE drains from one
+    checkpoint (the continuous-crawler restart shape). Canonicalization
+    must agree with the batch operator (case/port/utm variants of one
+    URL collapse to one emission; the lowest first-batch doc_id wins)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    in_path = str(tmp_path / "fr_in")
+    out_path = str(tmp_path / "fr_out")
+    os.makedirs(in_path)
+
+    def drop(rows):
+        spark.createDataFrame(rows, "doc_id long, url string") \
+            .coalesce(1).write.mode("append").parquet(in_path)
+
+    def drain():
+        q = (
+            streaming.url_frontier_stream(spark, in_path)
+            .writeStream.format("parquet")
+            .option("path", out_path)
+            .option("checkpointLocation", str(tmp_path / "fr_ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return sorted(
+            (r.url_canon, r.first_doc_id)
+            for r in spark.read.parquet(out_path).collect()
+        )
+
+    drop([
+        (7, "HTTP://A.com:80/x/"),
+        (3, "http://a.com/x"),          # same canon, lower id
+        (9, "http://a.com/x?utm_s=1"),  # same canon again
+        (5, "https://b.com/y"),
+        (6, None),                      # not fetchable, no emission
+    ])
+    got1 = drain()
+    assert got1 == [("http://a.com/x", 3), ("https://b.com/y", 5)]
+
+    drop([
+        (1, "http://a.com/x"),    # seen before: NO re-emission, ever
+        (2, "https://c.com/z"),   # new
+    ])
+    got2 = drain()
+    assert got2 == [
+        ("http://a.com/x", 3),     # unchanged: doc 1 arrived too late
+        ("https://b.com/y", 5),
+        ("https://c.com/z", 2),
+    ]
+
+
+def test_url_frontier_stream_matches_batch_groups(spark, tmp_path):
+    """Stream emissions == the batch url_normalize keeper set on the
+    same input, canon-for-canon (single drain, so first-batch minimum
+    == global minimum)."""
+    import os
+
+    rows = [
+        (i, "https://S%d.example.com/p%d%s" % (i % 5, i % 3,
+         "?utm_x=1" if i % 2 == 0 else ""))
+        for i in range(40)
+    ]
+    in_path = str(tmp_path / "frb_in")
+    os.makedirs(in_path)
+    spark.createDataFrame(rows, "doc_id long, url string") \
+        .coalesce(1).write.mode("append").parquet(in_path)
+    q = (
+        streaming.url_frontier_stream(spark, in_path)
+        .writeStream.format("memory")
+        .queryName("frontier_mem")
+        .option("checkpointLocation", str(tmp_path / "frb_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.url_canon, r.first_doc_id)
+        for r in spark.sql("SELECT * FROM frontier_mem").collect()
+    }
+    from dompa_spark import textops
+
+    batch = textops.url_normalize(
+        spark.createDataFrame(rows, "doc_id long, url string")
+    )
+    want = {
+        (r.url_canon, r.keeper_id)
+        for r in batch.filter("NOT is_dup").collect()
+    }
+    assert got == want
