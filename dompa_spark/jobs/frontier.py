@@ -51,6 +51,14 @@ def main(argv=None) -> int:
                         "of only the surviving fetch list")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
+    if args.per_host_cap is not None and args.per_host_cap < 1:
+        p.error("--per-host-cap must be >= 1")
+    if args.per_host_cap is not None and args.keep_denied:
+        p.error(
+            "--per-host-cap applies to the fetch list and cannot be "
+            "combined with --keep-denied (the audit form carries no "
+            "cap verdict) — run the two forms separately"
+        )
 
     from pyspark.sql import functions as F
     from pyspark.sql import SparkSession
@@ -67,11 +75,13 @@ def main(argv=None) -> int:
     n_in = urls.count()
 
     norm = textops.url_normalize(urls)
-    # the fetch candidate set: one row per canonical URL (the keeper),
-    # null-canon rows (null urls) are not fetchable
-    cand = norm.filter(~F.col("is_dup")).filter(
-        F.col("url_canon").isNotNull()
-    )
+    # the fetch candidate set: one row per canonical URL (the keeper).
+    # NULL-canon (null url) and empty-host (scheme-less) rows are not
+    # fetchable — the SAME rule streaming.url_frontier_stream applies,
+    # so batch backfill and the streaming front-end fetch identical
+    # sets (batch/stream divergence here was a review catch)
+    fetchable = F.col("url_canon").isNotNull() & (F.col("host") != "")
+    cand = norm.filter(~F.col("is_dup")).filter(fetchable)
 
     if args.blocklist:
         rules = spark.read.parquet(args.blocklist)
@@ -87,10 +97,21 @@ def main(argv=None) -> int:
         )
 
     if args.keep_denied:
+        # verdicts are computed once per canonical group (on the
+        # keeper) and propagated to EVERY member via keeper_id — a
+        # duplicate of a denied URL is denied too (review catch: the
+        # old doc_id join marked dups of denied groups denied=false
+        # and undercounted the stat). `fetchable` distinguishes
+        # allowed from not-fetchable-at-all.
         out = norm.join(
-            cand.select("doc_id", "denied", "rule_id"), "doc_id", "left"
+            cand.select(
+                F.col("doc_id").alias("keeper_id"), "denied", "rule_id"
+            ),
+            "keeper_id",
+            "left",
         ).select(
             "doc_id", "url_canon", "host", "is_dup", "keeper_id",
+            fetchable.alias("fetchable"),
             F.coalesce("denied", F.lit(False)).alias("denied"), "rule_id",
         )
     else:

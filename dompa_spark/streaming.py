@@ -460,7 +460,16 @@ def url_frontier_stream(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(in_path)
         .select("doc_id", canon.alias("url_canon"), host.alias("host"))
-        .where(F.col("url_canon").isNotNull() & (F.col("host") != ""))
+        # NULL url / scheme-less rows are not fetchable (same rule as
+        # jobs/frontier.py — batch and stream must fetch identical
+        # sets); a NULL doc_id is dropped too: it can never be a
+        # keeper, and inside the state kernel it would arrive as NaN
+        # and poison-pill the query on every checkpoint retry
+        .where(
+            F.col("doc_id").isNotNull()
+            & F.col("url_canon").isNotNull()
+            & (F.col("host") != "")
+        )
     )
     return urls.groupBy("url_canon").applyInPandasWithState(
         fn,

@@ -272,6 +272,20 @@ def html_metadata(nodes_df: DataFrame) -> DataFrame:
     )
 
 
+# RFC 3986 authority parse, the RE2/Java-identical subset — ONE
+# definition; anchor_text_agg, url_filter, and url_canon_cols all key
+# hosts through here so cross-operator host keys cannot drift.
+_AUTHORITY_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+_AUTHORITY_STRIP_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"  # no capture
+
+
+def host_of(col: Column) -> Column:
+    """Lowercased host (default-agnostic port strip) of a URL column;
+    '' when there is no scheme://authority prefix."""
+    hostport = F.lower(F.regexp_extract(col, _AUTHORITY_RE, 1))
+    return F.regexp_replace(hostport, r":[0-9]+$", "")
+
+
 def extract_outlinks_df(nodes_df: DataFrame) -> DataFrame:
     """Outlink/anchor extraction from the flat parsed DOM: hrefs via
     the real attr parser, anchor text via parent-pointer DIRECT child
@@ -366,12 +380,7 @@ def anchor_text_agg(outlinks: DataFrame) -> DataFrame:
     count — joined on host (both sides are host-cardinality slim; AQE
     broadcasts the smaller). No windows: a viral host costs map-side
     combines, never a single-task sort."""
-    hostport = F.lower(
-        F.regexp_extract(
-            F.col("href"), r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1
-        )
-    )
-    host = F.regexp_replace(hostport, r":[0-9]+$", "")
+    host = host_of(F.col("href"))
     base = outlinks.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         host.alias("host"),
@@ -1808,14 +1817,10 @@ def url_canon_cols(url_col: str = "url") -> tuple[Column, Column, Column]:
     scheme = F.lower(
         F.regexp_extract(defrag, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
     )
-    hostport = F.lower(
-        F.regexp_extract(defrag, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
-    )
+    hostport = F.lower(F.regexp_extract(defrag, _AUTHORITY_RE, 1))
     host = F.regexp_replace(hostport, r":[0-9]+$", "")
     port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
-    rest = F.regexp_replace(
-        defrag, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", ""
-    )
+    rest = F.regexp_replace(defrag, _AUTHORITY_STRIP_RE, "")
     path = F.regexp_extract(rest, r"^([^?]*)", 1)
     query = F.regexp_extract(rest, r"^[^?]*[?](.*)$", 1)
     params = F.split(query, "&")
@@ -1961,21 +1966,20 @@ def url_filter(urls: DataFrame, rules: DataFrame) -> DataFrame:
     the URL key. No shuffle touches the frontier except that rollup,
     and a URL matches at most #rules-for-its-host rows."""
     u = F.col("url")
-    hostport = F.lower(
-        F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
-    )
-    host = F.regexp_replace(hostport, r":[0-9]+$", "")
-    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
+    rest = F.regexp_replace(u, _AUTHORITY_STRIP_RE, "")
     path = F.regexp_extract(rest, r"^([^?#]*)", 1)
     parsed = urls.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         u.alias("url"),
-        host.alias("host"),
+        host_of(u).alias("host"),
         path.alias("path"),
     )
+    # rule hosts are lowercased on ingest so the case-insensitive host
+    # match holds regardless of how the blocklist was authored (an
+    # uppercase rule host silently never matching was a review catch)
     r = rules.select(
         F.col("rule_id").cast("long").alias("rule_id"),
-        F.col("host").alias("host"),
+        F.lower(F.col("host")).alias("host"),
         F.col("path_prefix").alias("path_prefix"),
     )
     joined = parsed.join(F.broadcast(r), "host", "left")
@@ -2027,15 +2031,23 @@ def domain_stats(
     costs its tasks' map-side combines, not a hot reducer. NULL text
     counts as 0 tokens / short / not-quality-ok (one row per doc
     everywhere, the repetition_scores lesson)."""
-    n_tokens_raw = F.size(words(text_col)).cast("long")
+    # normalize column names FIRST: quality_score_col() reads the
+    # literal 'text' column (it is the shared curate-gate expression),
+    # so a custom text_col must be aliased before it is applied — the
+    # old form computed n_tokens from text_col but quality from 'text'
+    # (caught in review; pinned by test_domain_stats_custom_text_col)
+    base = df.select(
+        F.col(host_col).alias("host"), F.col(text_col).alias("text")
+    )
+    n_tokens_raw = F.size(words("text")).cast("long")
     n_tokens = F.when(
-        F.col(text_col).isNull(), F.lit(0).cast("long")
+        F.col("text").isNull(), F.lit(0).cast("long")
     ).otherwise(n_tokens_raw)
-    q_ok = F.when(F.col(text_col).isNull(), F.lit(False)).otherwise(
+    q_ok = F.when(F.col("text").isNull(), F.lit(False)).otherwise(
         quality_score_col() >= quality_min
     )
-    per_doc = df.select(
-        F.col(host_col).alias("host"),
+    per_doc = base.select(
+        "host",
         n_tokens.alias("n_tok"),
         (n_tokens < short_min).alias("is_short"),
         q_ok.alias("q_ok"),

@@ -10,7 +10,7 @@ sys.path.insert(0, "/root/repo")
 
 import bench  # noqa: E402
 
-# 68 realistic query names (the live set is 60; headroom for growth),
+# 70 realistic query names (the live set is 62; headroom for growth),
 # at the live set's name-length distribution.
 _QUERY_NAMES = [
     "extract_main_text", "parse_roundtrip", "traverse_rewrite",
@@ -32,8 +32,8 @@ _QUERY_NAMES = [
     "token_histogram", "lm_surprisal", "pack_sequences",
     "dedup_incremental", "url_normalize", "media_dhash", "span_dedup",
     "wav_near_dup", "link_graph_rank", "domain_stats", "html_metadata",
-    "anchor_text_agg", "normalize_text", "url_filter",
-    "extra_query_name_f", "extra_query_name_g",
+    "anchor_text_agg", "normalize_text", "url_filter", "dedup_recall",
+    "host_boilerplate", "extra_query_name_f", "extra_query_name_g",
 ]
 
 # Worst-case scaling cache: 4 pairs (2->8 / 8->32, extract + noop),
@@ -62,8 +62,7 @@ _SCALING = {
 def test_bench_line_under_driver_tail_buffer():
     qtimes = {name: 99.999 for name in _QUERY_NAMES}
     out = bench.build_output(
-        wall=99.999, qtimes=qtimes, sf=0.1, docs=600000,
-        chars=1_600_000_000, cold_wall=99.999, cpus=32,
+        wall=99.999, qtimes=qtimes, sf=0.1, docs=600000, cpus=32,
         scaling_cache=_SCALING,
     )
     line = json.dumps(out)
@@ -77,8 +76,8 @@ def test_bench_line_under_driver_tail_buffer():
 
 def test_bench_line_strips_scaling_detail():
     out = bench.build_output(
-        wall=1.0, qtimes={}, sf=0.1, docs=1, chars=1, cold_wall=1.0,
-        cpus=32, scaling_cache=_SCALING,
+        wall=1.0, qtimes={}, sf=0.1, docs=1, cpus=32,
+        scaling_cache=_SCALING,
     )
     # one efficiency number per pair under a shortened key; walls,
     # docs/sec, and task metrics stay in SCALING.json
@@ -94,8 +93,7 @@ def test_bench_line_degrades_instead_of_overflowing():
     cut count recorded."""
     qtimes = {name: 100.0 + i for i, name in enumerate(_QUERY_NAMES)}
     out = bench.build_output(
-        wall=999.9, qtimes=qtimes, sf=0.1, docs=600000,
-        chars=1_600_000_000, cold_wall=999.9, cpus=32,
+        wall=999.9, qtimes=qtimes, sf=0.1, docs=600000, cpus=32,
         scaling_cache=_SCALING,
     )
     line = json.dumps(out)

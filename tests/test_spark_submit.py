@@ -248,7 +248,9 @@ def test_spark_submit_frontier_job(workdir):
             (9, 'https://flood.io/p9'),
             (10, 'https://flood.io/p10'),
             (11, 'https://flood.io/p11'),
-            (12, NULL)
+            (12, NULL),
+            (13, 'example.com/noscheme'),
+            (14, 'https://Blocked.org/Bad/x')
           ) t(doc_id, url)
         ) TO '{workdir}/fr_urls' (FORMAT parquet)""")
     con.execute(f"""
@@ -285,9 +287,10 @@ def test_spark_submit_frontier_job(workdir):
         )
 
     s1 = run(["--output", str(workdir / "fr_kept"), "--per-host-cap", "3"])
-    # 13 in; out: ex.com/a keeper (0), blocked.org/ok (4), other.net
-    # (5), and the 3 lowest flood.io docs (6,7,8)
-    assert s1 == {"urls_in": 13, "rows_out": 6}
+    # 15 in; out: ex.com/a keeper (0), blocked.org/ok (4), other.net
+    # (5), and the 3 lowest flood.io docs (6,7,8); the null-url,
+    # scheme-less, and denied-group rows never reach the fetch list
+    assert s1 == {"urls_in": 15, "rows_out": 6}
     kept = con.execute(
         f"SELECT doc_id, url_canon FROM '{workdir}/fr_kept/*.parquet' "
         "ORDER BY doc_id").fetchall()
@@ -295,11 +298,15 @@ def test_spark_submit_frontier_job(workdir):
     assert kept[0][1] == "http://ex.com/a"
 
     s2 = run(["--output", str(workdir / "fr_audit"), "--keep-denied"])
-    assert s2 == {"urls_in": 13, "rows_out": 13, "denied": 1, "dups": 2}
+    # denied propagates to the whole canonical group: docs 3 AND 14
+    assert s2 == {"urls_in": 15, "rows_out": 15, "denied": 2, "dups": 3}
     audit = {
         r[0]: r for r in con.execute(
-            f"SELECT doc_id, denied, is_dup FROM "
+            f"SELECT doc_id, denied, is_dup, fetchable FROM "
             f"'{workdir}/fr_audit/*.parquet'").fetchall()
     }
     assert audit[3][1] is True and audit[1][2] is True
+    assert audit[14][1] is True and audit[14][2] is True  # dup of denied
     assert audit[12][1] is False  # null url: not denied, not a dup
+    assert audit[12][3] is False and audit[13][3] is False  # unfetchable
+    assert audit[0][3] is True

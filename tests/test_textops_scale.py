@@ -1955,3 +1955,38 @@ def test_host_boilerplate_null_text_and_fast_path(spark):
     got = {r.doc_id: r for r in textops.host_boilerplate(df).collect()}
     assert got[1].n_segments == 0 and got[1].text_clean == ""
     assert got[2].text_clean == "clean only" and got[2].n_removed == 0
+
+
+def test_domain_stats_custom_text_col(spark):
+    """text_col must drive the quality gate too, not just the token
+    counts — with BOTH a decoy 'text' column and the real 'body',
+    every stat (incl. n_quality_ok) comes from 'body' (review catch:
+    the old form read quality from the hardcoded 'text')."""
+    long_good = " ".join(["the", "and", "for", "with"] * 20)
+    df = spark.createDataFrame(
+        [("a", long_good, "x"), ("a", "tiny", long_good)],
+        "host string, body string, text string",
+    )
+    got = textops.domain_stats(df, text_col="body").collect()[0]
+    assert got.n_tokens == 80 + 1
+    assert got.n_quality_ok == 1  # the long body passes, 'tiny' fails
+    # and no 'text' column at all must work
+    got2 = textops.domain_stats(
+        df.select("host", "body"), text_col="body"
+    ).collect()[0]
+    assert (got2.n_tokens, got2.n_quality_ok) == (81, 1)
+
+
+def test_url_filter_rule_host_case_insensitive(spark):
+    """A blocklist authored with an uppercase host must still match
+    (review catch: only the URL side was lowercased, so such a rule
+    was a silent no-op)."""
+    urls = spark.createDataFrame(
+        [(1, "https://blocked.org/Bad/x")], "doc_id long, url string"
+    )
+    rules = spark.createDataFrame(
+        [(1, "Blocked.ORG", "/Bad")],
+        "rule_id long, host string, path_prefix string",
+    )
+    r = textops.url_filter(urls, rules).collect()[0]
+    assert r.denied is True and r.rule_id == 1
