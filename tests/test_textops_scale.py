@@ -1990,3 +1990,80 @@ def test_url_filter_rule_host_case_insensitive(spark):
     )
     r = textops.url_filter(urls, rules).collect()[0]
     assert r.denied is True and r.rule_id == 1
+
+
+def test_normalize_text_differential_fuzz(spark):
+    """Randomized equivalence against a pure-Python reference of the
+    same rule chain (control->space, lower, digit->0, collapse, trim).
+    ASCII + control-char alphabet on purpose: unicode case mapping is
+    locale-shaped and deliberately NOT part of the operator's contract
+    (see the no-NFC note in the docstring)."""
+    import random
+    import re
+
+    def ref(t):
+        t = re.sub(r"[\x00-\x1f\x7f]", " ", t)
+        t = t.lower()
+        t = re.sub(r"[0-9]", "0", t)
+        return re.sub(r" +", " ", t).strip()
+
+    rng = random.Random(11)
+    alphabet = (
+        "abXY z09\t\n\x01\x7f.,-_"
+    )
+    rows = [
+        (i, "".join(rng.choice(alphabet)
+                    for _ in range(rng.randrange(0, 60))))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.text_norm
+           for r in textops.normalize_text(df).collect()}
+    for i, t in rows:
+        assert got[i] == ref(t), (i, repr(t), repr(got[i]), repr(ref(t)))
+
+
+def test_host_boilerplate_differential_fuzz(spark):
+    """Randomized equivalence against a pure-Python reference of the
+    host-scoped fraction vote (newline mode)."""
+    import random
+
+    rng = random.Random(23)
+    lines = ["banner", "promo", "alpha beta", "x", "longer line here"]
+    rows = []
+    for i in range(120):
+        host = "h%d" % rng.randrange(6)
+        k = rng.randrange(1, 4)
+        text = "\n".join(
+            "%s %s" % (rng.choice(lines),
+                       host if rng.random() < 0.5 else "")
+            for _ in range(k)
+        )
+        rows.append((i, host, text))
+
+    frac_min, min_docs, min_chars = 0.6, 3, 1
+    ppm = int(round(frac_min * 1_000_000))
+    host_n = {}
+    for _, h, _t in rows:
+        host_n[h] = host_n.get(h, 0) + 1
+    seg_docs = {}
+    for i, h, t in rows:
+        for s in set(t.split("\n")):
+            if len(s) >= min_chars:
+                seg_docs.setdefault((h, s), set()).add(i)
+    hot = {
+        (h, s)
+        for (h, s), docs in seg_docs.items()
+        if host_n[h] >= min_docs and len(docs) * 1_000_000 >= ppm * host_n[h]
+    }
+
+    def ref(i, h, t):
+        segs = t.split("\n")
+        kept = [s for s in segs if (h, s) not in hot]
+        return len(segs), len(segs) - len(kept), "\n".join(kept)
+
+    df = spark.createDataFrame(rows, "doc_id long, host string, text string")
+    got = {r.doc_id: (r.n_segments, r.n_removed, r.text_clean)
+           for r in textops.host_boilerplate(df).collect()}
+    for i, h, t in rows:
+        assert got[i] == ref(i, h, t), (i, h, repr(t), got[i], ref(i, h, t))
