@@ -184,6 +184,17 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+def q_split_holdout(spark, sf_dir):
+    """Leakage-safe train/valid split over the augmented corpus: split
+    keys are near-dup CLUSTER components (minhash pair graph), so every
+    engineered mutated copy lands on the same side as its original —
+    the per-doc split would put ~10% of them across the boundary and
+    leak training text into eval."""
+    aug = textops.with_near_dups(_docs(spark, sf_dir))
+    pairs = textops.minhash_lsh_pairs(aug)
+    return textops.split_holdout(aug, pairs=pairs)
+
+
 def q_host_boilerplate(spark, sf_dir):
     """Site-template strip: every doc of a host carries that host's
     cookie-banner line (100% >= 60% -> stripped); a promo line rides
@@ -905,6 +916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_filter": q_url_filter,
         "dedup_recall": q_dedup_recall,
         "host_boilerplate": q_host_boilerplate,
+        "split_holdout": q_split_holdout,
         "segment_dedup": q_segment_dedup,
         "span_dedup": q_span_dedup,
         "sample_stratified": q_sample_stratified,
@@ -1574,6 +1586,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(c.n_removed AS BIGINT) AS n_removed,
                    c.text_clean
             FROM raw r JOIN clean c USING (doc_id)
+        """,
+        # split_holdout: components via the dedup_clusters recursive
+        # CTE over the SAME salted pair pipeline, then the stratified
+        # sampler's md5 bucket on the component key
+        "split_holdout": f"""
+            WITH RECURSIVE
+            pairs AS (SELECT * FROM ({_minhash_pairs_sql()}) q),
+            edges AS (
+              SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION
+              SELECT doc_b AS src, doc_a AS dst FROM pairs),
+            reach(src, dst) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN edges e
+                ON r.dst = e.src),
+            comp AS (
+              SELECT src AS doc_id, min(dst) AS component
+              FROM reach GROUP BY src),
+            aug AS ({_AUG}),
+            keyed AS (
+              SELECT a.doc_id,
+                     COALESCE(c.component, a.doc_id) AS split_key
+              FROM aug a LEFT JOIN comp c ON c.doc_id = a.doc_id),
+            b AS (
+              SELECT doc_id, split_key,
+                     CAST('0x' || substr(md5(CAST(split_key AS VARCHAR)),
+                          1, 15) AS BIGINT) % 100 AS bucket
+              FROM keyed)
+            SELECT doc_id, split_key, bucket,
+                   CASE WHEN bucket < {textops.HOLDOUT_VALID_PCT}
+                        THEN 'valid' ELSE 'train' END AS split
+            FROM b
         """,
         # dedup_recall: the engineered truth pairs left-joined against
         # the SAME salted minhash pair pipeline the detector query runs

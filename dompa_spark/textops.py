@@ -2411,6 +2411,64 @@ SAMPLE_RATES = {"en": 80, "de": 50, "fr": 50, "es": 50}  # percent
 SAMPLE_RATE_DEFAULT = 25
 
 
+HOLDOUT_VALID_PCT = 10
+
+
+def split_holdout(
+    df: DataFrame,
+    pairs: DataFrame | None = None,
+    valid_pct: int = HOLDOUT_VALID_PCT,
+) -> DataFrame:
+    """Leakage-safe train/validation split. The naive per-doc random
+    split leaks: a near-duplicate pair straddling the boundary puts
+    (approximately) the validation set INSIDE the training set. This
+    operator splits by SPLIT KEY — the doc's connected component in
+    the near-dup pair graph when `pairs` is given (docs in no pair key
+    by their own id), plain doc_id otherwise — so an entire near-dup
+    cluster lands on one side, and eval numbers measure generalization
+    instead of memorized dup halves.
+
+    Output one row per doc: (doc_id, split_key, bucket, split) with
+    bucket = md5_60(split_key) % 100 (the deterministic engine-portable
+    hash the stratified sampler uses — reproducible across runs and
+    engines, never rand()) and split = 'valid' iff bucket < valid_pct.
+
+    Scale shape: without pairs this is pure map-side (zero shuffles).
+    With pairs: connected components (O(log diameter) slim-key rounds,
+    graphops) + ONE left join of docs against the component table —
+    the cluster side holds only docs that appear in some pair, which
+    after upstream dedup is a small fraction; AQE broadcasts it when
+    it fits. The split assignment itself is map-side after the join."""
+    docs = df.select(F.col("doc_id").cast("long").alias("doc_id"))
+    if pairs is None:
+        keyed = docs.select(
+            "doc_id", F.col("doc_id").alias("split_key")
+        )
+    else:
+        from . import graphops
+
+        comp = graphops.connected_components(pairs)
+        keyed = docs.join(comp, "doc_id", "left").select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("split_key"),
+        )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("split_key").cast("string")), 1, 15),
+            16, 10,
+        ).cast("long")
+        % 100
+    )
+    return keyed.select(
+        "doc_id",
+        "split_key",
+        bucket.alias("bucket"),
+        F.when(bucket < valid_pct, F.lit("valid"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+
+
 def _sample_parts() -> tuple[Column, Column]:
     """(bucket, rate) of the deterministic stratified sample — shared
     by sample_stratified and the curate sample gate."""

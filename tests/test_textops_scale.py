@@ -2067,3 +2067,53 @@ def test_host_boilerplate_differential_fuzz(spark):
            for r in textops.host_boilerplate(df).collect()}
     for i, h, t in rows:
         assert got[i] == ref(i, h, t), (i, h, repr(t), got[i], ref(i, h, t))
+
+
+# ---------------------------------------------------------------------------
+# split_holdout
+# ---------------------------------------------------------------------------
+
+def test_split_holdout_cluster_never_straddles(spark):
+    """THE invariant: every doc of a near-dup cluster gets the same
+    split (and the same split_key = the component minimum); unpaired
+    docs key by their own id."""
+    docs = spark.createDataFrame(
+        [(i,) for i in range(20)], "doc_id long"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 5), (5, 9), (2, 12)], "doc_a long, doc_b long"
+    )
+    got = {r.doc_id: r for r in
+           textops.split_holdout(docs, pairs=pairs).collect()}
+    assert len(got) == 20
+    assert got[1].split_key == got[5].split_key == got[9].split_key == 1
+    assert got[1].split == got[5].split == got[9].split
+    assert got[2].split_key == got[12].split_key == 2
+    assert got[2].split == got[12].split
+    assert got[7].split_key == 7  # unpaired: own id
+
+
+def test_split_holdout_deterministic_and_doc_id_keyed(spark):
+    """Without pairs the split is the pure map-side md5 bucket on
+    doc_id — identical across invocations (never rand()), and the
+    valid fraction tracks valid_pct."""
+    docs = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    a = {r.doc_id: r.split for r in textops.split_holdout(docs).collect()}
+    b = {r.doc_id: r.split for r in textops.split_holdout(docs).collect()}
+    assert a == b
+    n_valid = sum(1 for s in a.values() if s == "valid")
+    assert 20 <= n_valid <= 90  # ~10% of 500, generous band
+    z = {r.doc_id: r.split
+         for r in textops.split_holdout(docs, valid_pct=0).collect()}
+    assert set(z.values()) == {"train"}
+
+
+def test_split_holdout_no_pairs_zero_shuffle_plan(spark):
+    docs = spark.createDataFrame([(1,)], "doc_id long")
+    plan = (
+        textops.split_holdout(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
