@@ -178,6 +178,21 @@ def q_dedup_exact(spark, sf_dir):
     )
 
 
+def q_dedup_exact_normalized(spark, sf_dir):
+    """Exact dedup over the normalized canon: every 3rd doc gets a
+    tab/case/trailing-space-perturbed copy that RAW exact hashing can
+    never match (different bytes) but the normalized key must — the
+    cheap re-encode/case-change dup class between byte-exact and
+    minhash."""
+    d = F.col("doc_id").cast("long")
+    base = _docs(spark, sf_dir).select(d.alias("doc_id"), "text")
+    mut = base.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.lit("\t"), F.upper("text"), F.lit("  ")).alias("text"),
+    )
+    return textops.dedup_exact_normalized(base.unionByName(mut))
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
     return textops.minhash_lsh_pairs(
         textops.with_near_dups(_docs(spark, sf_dir))
@@ -884,6 +899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_outlinks": q_extract_outlinks,
         "extract_link_density": q_extract_link_density,
         "dedup_exact": q_dedup_exact,
+        "dedup_exact_normalized": q_dedup_exact_normalized,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_incremental": q_dedup_incremental,
         "dedup_clusters": q_dedup_clusters,
@@ -1586,6 +1602,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(c.n_removed AS BIGINT) AS n_removed,
                    c.text_clean
             FROM raw r JOIN clean c USING (doc_id)
+        """,
+        # dedup_exact_normalized: same normalization chain as the
+        # normalize_text oracle (DuckDB 'g' flag), then md5 keys and
+        # the min-keeper join; raw bytes differ, canon collides
+        "dedup_exact_normalized": """
+            WITH base AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id, text
+              FROM documents),
+            aug AS (
+              SELECT doc_id, text FROM base
+              UNION ALL
+              SELECT doc_id + 1000000, chr(9) || upper(text) || '  '
+              FROM base WHERE doc_id % 3 = 0),
+            n AS (
+              SELECT doc_id,
+                     trim(regexp_replace(
+                       regexp_replace(
+                         lower(regexp_replace(
+                           text, '[\\x00-\\x1f\\x7f]', ' ', 'g')),
+                         '[0-9]', '0', 'g'),
+                       ' +', ' ', 'g')) AS tn
+              FROM aug),
+            keyed AS (SELECT doc_id, md5(tn) AS dedup_key FROM n),
+            keeper AS (
+              SELECT dedup_key, min(doc_id) AS keep_doc_id
+              FROM keyed GROUP BY dedup_key)
+            SELECT k.doc_id, k.dedup_key, p.keep_doc_id,
+                   k.doc_id <> p.keep_doc_id AS is_dup
+            FROM keyed k JOIN keeper p USING (dedup_key)
         """,
         # split_holdout: components via the dedup_clusters recursive
         # CTE over the SAME salted pair pipeline, then the stratified

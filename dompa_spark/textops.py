@@ -483,6 +483,24 @@ def dedup_exact_prefix(df: DataFrame, prefix_words: int = 3) -> DataFrame:
     return _dedup_flags(keyed)
 
 
+def dedup_exact_normalized(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup over the NORMALIZED canon (normalize_text's
+    control/case/digit/whitespace-insensitive form) — catches the
+    trivially perturbed byte-level copies raw exact dedup misses
+    (re-encodes, case changes, counter/timestamp digits) at exact-dedup
+    cost, the cheap middle ground before minhash. Same output contract
+    and skew shape as dedup_exact_prefix (map-side min keeper +
+    AQE-splittable flag join); the dedup key is md5(text_norm) so the
+    shuffle carries a fixed-width hash, never document text."""
+    norm = normalize_text(df, text_col=text_col)
+    keyed = norm.select(
+        "doc_id", F.md5(F.col("text_norm")).alias("dedup_key")
+    )
+    return _dedup_flags(keyed)
+
+
 def with_near_dups(df: DataFrame, id_offset: int = 1_000_000) -> DataFrame:
     """Augment the corpus with a mutated copy of every 5th doc — gives the
     near-dup detectors real positives, deterministically."""

@@ -2117,3 +2117,24 @@ def test_split_holdout_no_pairs_zero_shuffle_plan(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_dedup_exact_normalized_catches_perturbed_copies(spark):
+    """Raw exact dedup cannot match a case/whitespace/digit-perturbed
+    copy (different bytes); the normalized key must. Distinct texts
+    stay distinct."""
+    df = spark.createDataFrame(
+        [
+            (1, "Hello World 42"),
+            (2, "\thello   world 99  "),   # same canon as 1
+            (3, "hello world"),            # different (no digit group)
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in
+           textops.dedup_exact_normalized(df).collect()}
+    assert got[1].is_dup is False and got[1].keep_doc_id == 1
+    assert got[2].is_dup is True and got[2].keep_doc_id == 1
+    assert got[3].is_dup is False
+    # and the shuffle key is a fixed-width hash, not the text
+    assert len(got[1].dedup_key) == 32
