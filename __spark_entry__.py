@@ -133,6 +133,17 @@ def q_anchor_text_agg(spark, sf_dir):
     return textops.anchor_text_agg(links)
 
 
+def q_extract_tables(spark, sf_dir):
+    """Structured-table extraction through the REAL parser: template
+    -> parse -> td/th->tr->table parent-chain walk, one row per cell
+    with document-order (table_idx, row_idx, col_idx). The template
+    plants an orphan <tr><td> outside any table (must never emit) and
+    a markup-nested cell (<td>see <b>w</b></td> -> 'see ', the
+    direct-child-text contract); see textops.extract_tables_df."""
+    wrapped = textops.tables_wrapped(_docs(spark, sf_dir))
+    return textops.extract_tables_df(pipeline.parse_nodes_df(wrapped))
+
+
 def q_extract_interleaved(spark, sf_dir):
     wrapped = textops.interleaved_wrapped(_docs(spark, sf_dir))
     out = pipeline.extract_df(wrapped)
@@ -897,6 +908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_node_stats": q_parse_node_stats,
         "extract_interleaved": q_extract_interleaved,
         "extract_outlinks": q_extract_outlinks,
+        "extract_tables": q_extract_tables,
         "extract_link_density": q_extract_link_density,
         "dedup_exact": q_dedup_exact,
         "dedup_exact_normalized": q_dedup_exact_normalized,
@@ -1462,6 +1474,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(1 AS BIGINT),
                    'https://ex.org/' || sid || '/1', 'second link'
             FROM base
+        """,
+        # extract_tables: template algebra — every cell the parser
+        # must recover, predicted straight from (doc_id, text); the
+        # orphan row and the nested <b> text must NOT appear
+        "extract_tables": """
+            WITH base AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     CAST(doc_id AS VARCHAR) AS sid,
+                     string_split(text, ' ')[1] AS w1
+              FROM documents)
+            SELECT doc_id, CAST(0 AS BIGINT) AS table_idx,
+                   CAST(0 AS BIGINT) AS row_idx,
+                   CAST(0 AS BIGINT) AS col_idx,
+                   true AS is_header, 'key' AS cell_text
+            FROM base
+            UNION ALL
+            SELECT doc_id, 0, 0, 1, true, 'val ' || w1 FROM base
+            UNION ALL
+            SELECT doc_id, 0, 1, 0, false, 'r1 ' || sid FROM base
+            UNION ALL
+            SELECT doc_id, 0, 1, 1, false, 'see ' FROM base
+            UNION ALL
+            SELECT doc_id, 1, 0, 0, false, 'x ' || sid
+            FROM base WHERE doc_id % 4 = 0
         """,
         "extract_link_density": """
             WITH base AS (

@@ -423,6 +423,102 @@ def anchor_text_agg(outlinks: DataFrame) -> DataFrame:
     )
 
 
+def tables_wrapped(df: DataFrame) -> DataFrame:
+    """Table-extraction fixture through the REAL parser. Per doc: one
+    2x2 table (a <th> header row keyed on the doc's first word, a data
+    row whose second cell nests markup — <td>see <b>w</b></td> must
+    surface as 'see ', the direct-child-text contract) plus, for
+    doc_id % 4 == 0, a second one-cell table (table_idx enumeration).
+    Decoy: an orphan <tr><td> OUTSIDE any table — cells must come back
+    only through the td->tr->table parent chain."""
+    d = F.col("doc_id").cast("long")
+    sid = F.col("doc_id").cast("string")
+    w1 = F.expr("element_at(split(text, ' '), 1)")
+    t0 = F.concat(
+        F.lit('<table id="t'), sid,
+        F.lit('"><tr><th>key</th><th>val '), w1,
+        F.lit("</th></tr><tr><td>r1 "), sid,
+        F.lit("</td><td>see <b>"), w1,
+        F.lit("</b></td></tr></table>"),
+    )
+    t1 = F.when(
+        d % 4 == 0,
+        F.concat(F.lit("<table><tr><td>x "), sid,
+                 F.lit("</td></tr></table>")),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<div><p>"), F.col("text"), F.lit("</p>"), t0, t1,
+        F.lit("<tr><td>orphan</td></tr></div>"),
+    )
+    return df.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(html_span(html, 0)).alias("spans"),
+    )
+
+
+def extract_tables_df(nodes_df: DataFrame) -> DataFrame:
+    """Structured-table extraction from the flat parsed DOM — the
+    extraction-tier step that turns HTML tables into trainable rows
+    instead of boilerplate-stripped word soup. Output: one row per
+    cell, (doc_id, table_idx, row_idx, col_idx, is_header, cell_text);
+    indices are document-order positions (table among the doc's
+    tables, <tr> among the table's DIRECT rows, <td>/<th> among the
+    row's DIRECT cells). Cell text is the concat of the cell's DIRECT
+    child text nodes — markup nested in a cell keeps its own text, the
+    same parent-pointer contract as outlink anchors and <title>. A
+    cell surfaces ONLY through a td/th -> tr -> table parent chain:
+    orphan rows outside a table (real-web tag soup) never emit.
+
+    Scale shape: one nested map-side HOF pass builds the per-doc cell
+    structs inside the nodes array's row; the posexplode emits slim
+    cell rows and is the plan's only Generate — zero shuffles, zero
+    Python, and the nodes array never leaves the projection. Per-doc
+    cost is O(cells x nodes) array scans over an in-memory array —
+    bounded by the chunk-staged extract pipeline's doc-size contract,
+    irrelevant to cluster topology at 10^12 docs."""
+    from dompa_spark.constants import TEXT_NAME
+
+    nodes = F.col("nodes")
+
+    def direct_text(el):
+        kids = F.filter(
+            nodes,
+            lambda n: (n["parent_id"] == el["node_id"])
+            & (n["name"] == TEXT_NAME),
+        )
+        return F.array_join(F.transform(kids, lambda n: n["value"]), "")
+
+    def kids_named(el, pred):
+        return F.filter(
+            nodes, lambda n: (n["parent_id"] == el["node_id"]) & pred(n)
+        )
+
+    per = F.flatten(F.flatten(F.transform(
+        F.filter(nodes, lambda n: n["name"] == "table"),
+        lambda t, ti: F.transform(
+            kids_named(t, lambda n: n["name"] == "tr"),
+            lambda r, ri: F.transform(
+                kids_named(r, lambda n: n["name"].isin("td", "th")),
+                lambda c, ci: F.struct(
+                    ti.cast("long").alias("table_idx"),
+                    ri.cast("long").alias("row_idx"),
+                    ci.cast("long").alias("col_idx"),
+                    (c["name"] == "th").alias("is_header"),
+                    direct_text(c).alias("cell_text"),
+                ),
+            ),
+        ),
+    )))
+    ex = nodes_df.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(per).alias("cell"),
+    )
+    return ex.select(
+        "doc_id", "cell.table_idx", "cell.row_idx", "cell.col_idx",
+        "cell.is_header", "cell.cell_text",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dedup / similarity / quality operators
 # ---------------------------------------------------------------------------

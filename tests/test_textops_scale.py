@@ -1186,6 +1186,59 @@ def test_outlinks_anchor_text_direct_children_only(spark):
                    (2, "https://e.x/2", "")], got
 
 
+def _tables_of(spark, html):
+    from dompa_spark import pipeline
+
+    df = spark.createDataFrame([("1", html)], "doc_id string, html string")
+    spans = df.select(
+        "doc_id",
+        F.array(textops.html_span(F.col("html"), 0)).alias("spans"),
+    )
+    rows = textops.extract_tables_df(
+        pipeline.parse_nodes_df(spans)
+    ).collect()
+    return [(r.table_idx, r.row_idx, r.col_idx, r.is_header, r.cell_text)
+            for r in rows]
+
+
+def test_extract_tables_full_contract(spark):
+    """Document-order indices, th/td header flag, direct-child cell
+    text (nested markup keeps its own text), multi-table enumeration,
+    and the orphan-row decoy (a td->tr chain with no table ancestor
+    must never emit)."""
+    got = _tables_of(
+        spark,
+        "<div><table><tr><th>h1</th><th>h2</th></tr>"
+        "<tr><td>a <b>nested</b> z</td><td></td></tr></table>"
+        "<tr><td>orphan</td></tr>"
+        "<table><tr><td>t2</td></tr></table></div>",
+    )
+    assert got == [
+        (0, 0, 0, True, "h1"),
+        (0, 0, 1, True, "h2"),
+        (0, 1, 0, False, "a  z"),
+        (0, 1, 1, False, ""),
+        (1, 0, 0, False, "t2"),
+    ], got
+
+
+def test_extract_tables_no_tables_emits_nothing(spark):
+    assert _tables_of(spark, "<div><p>no tables here</p></div>") == []
+
+
+def test_extract_tables_indirect_rows_excluded(spark):
+    """Only DIRECT tr children of a table count as rows, and only
+    DIRECT td/th children of a tr count as cells — a tbody-wrapped or
+    div-wrapped layer breaks the chain by contract (the parser is
+    spec-agnostic; the operator's chain rule is the documented one)."""
+    got = _tables_of(
+        spark,
+        "<table><tbody><tr><td>wrapped</td></tr></tbody>"
+        "<tr><div><td>celldiv</td></div><td>direct</td></tr></table>",
+    )
+    assert got == [(0, 0, 0, False, "direct")], got
+
+
 def test_segment_dedup_universal_boilerplate(spark):
     """Worst-case skew: EVERY doc carries the same hot segment. The
     hot set stays one row, output stays one row per doc with exactly
