@@ -144,6 +144,17 @@ def q_extract_tables(spark, sf_dir):
     return textops.extract_tables_df(pipeline.parse_nodes_df(wrapped))
 
 
+def q_sitemap_urls(spark, sf_dir):
+    """Sitemap-XML ingestion through the REAL parser: urlset/url/loc
+    parent-chain walk + the SHARED frontier canonicalization
+    (url_canon_cols), so sitemap-discovered URLs and crawled links key
+    into identical dup groups. The template's two locs canonicalize to
+    the same frontier key; the loc-less <url> decoy must not emit but
+    must occupy its document-order position (url_pos 0 and 2)."""
+    wrapped = textops.sitemap_wrapped(_docs(spark, sf_dir))
+    return textops.sitemap_urls_df(pipeline.parse_nodes_df(wrapped))
+
+
 def q_extract_interleaved(spark, sf_dir):
     wrapped = textops.interleaved_wrapped(_docs(spark, sf_dir))
     out = pipeline.extract_df(wrapped)
@@ -909,6 +920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_interleaved": q_extract_interleaved,
         "extract_outlinks": q_extract_outlinks,
         "extract_tables": q_extract_tables,
+        "sitemap_urls": q_sitemap_urls,
         "extract_link_density": q_extract_link_density,
         "dedup_exact": q_dedup_exact,
         "dedup_exact_normalized": q_dedup_exact_normalized,
@@ -1473,6 +1485,27 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT doc_id, CAST(1 AS BIGINT),
                    'https://ex.org/' || sid || '/1', 'second link'
+            FROM base
+        """,
+        # sitemap_urls: template algebra — the parser must recover
+        # both locs (url_pos 0 and 2; the loc-less decoy occupies 1)
+        # and both canonicalize to the same frontier key
+        "sitemap_urls": """
+            WITH base AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     CAST(doc_id AS VARCHAR) AS sid,
+                     CAST(doc_id AS BIGINT) % 9 + 1 AS m
+              FROM documents)
+            SELECT doc_id, CAST(0 AS BIGINT) AS url_pos,
+                   'https://EX.org:443/p/' || sid || '/' AS loc,
+                   '2026-0' || CAST(m AS VARCHAR) || '-15' AS lastmod,
+                   'https://ex.org/p/' || sid AS url_canon,
+                   'ex.org' AS host
+            FROM base
+            UNION ALL
+            SELECT doc_id, 2,
+                   'https://ex.org/p/' || sid || '?utm_source=x#frag',
+                   NULL, 'https://ex.org/p/' || sid, 'ex.org'
             FROM base
         """,
         # extract_tables: template algebra — every cell the parser

@@ -456,6 +456,104 @@ def tables_wrapped(df: DataFrame) -> DataFrame:
     )
 
 
+def sitemap_wrapped(df: DataFrame) -> DataFrame:
+    """Sitemap-XML fixture through the REAL parser (the tokenizer is
+    markup-generic — XML-shaped sitemaps parse on the same FSM as
+    HTML). Per doc: a <urlset> with three <url> entries — one with an
+    uppercase host, :443 default port, trailing slash and a <lastmod>;
+    a loc-LESS decoy (priority only — must not emit, but must still
+    occupy its document-order position); and one whose loc carries a
+    utm param plus a fragment. Both loc URLs canonicalize to the SAME
+    frontier key — the sitemap->frontier dup-group demo."""
+    sid = F.col("doc_id").cast("string")
+    month = (F.col("doc_id").cast("long") % 9 + 1).cast("string")
+    html = F.concat(
+        F.lit('<urlset xmlns="http://www.sitemaps.org/schemas/'
+              'sitemap/0.9"><url><loc>https://EX.org:443/p/'),
+        sid, F.lit("/</loc><lastmod>2026-0"), month,
+        F.lit("-15</lastmod></url>"
+              "<url><priority>0.5</priority></url>"
+              "<url><loc>https://ex.org/p/"),
+        sid, F.lit("?utm_source=x#frag</loc></url></urlset>"),
+    )
+    return df.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(html_span(html, 0)).alias("spans"),
+    )
+
+
+def sitemap_urls_df(nodes_df: DataFrame) -> DataFrame:
+    """Sitemap ingestion for the URL frontier: walk the flat parsed
+    DOM for <url> elements that are DIRECT children of a <urlset>,
+    read each one's <loc> (direct-child text, required — loc-less
+    entries are dropped) and <lastmod> (NULL when absent), and attach
+    the SHARED frontier canonicalization (url_canon_cols — the same
+    expressions url_normalize and the frontier stream key on, so a
+    sitemap-discovered URL and a crawled link can never disagree about
+    their dup group). Output: (doc_id, url_pos, loc, lastmod,
+    url_canon, host); url_pos is the document-order index over the
+    doc's urlset-chained <url> elements.
+
+    Scale shape: one map-side HOF pass per doc + one posexplode (the
+    plan's only Generate); canonicalization is map-side regex on the
+    slim exploded rows. Zero shuffles, zero Python."""
+    from dompa_spark.constants import TEXT_NAME
+
+    nodes = F.col("nodes")
+
+    def direct_text(el):
+        kids = F.filter(
+            nodes,
+            lambda n: (n["parent_id"] == el["node_id"])
+            & (n["name"] == TEXT_NAME),
+        )
+        return F.array_join(F.transform(kids, lambda n: n["value"]), "")
+
+    def child_named(el, name):
+        return F.get(
+            F.filter(
+                nodes,
+                lambda n: (n["parent_id"] == el["node_id"])
+                & (n["name"] == name),
+            ),
+            0,
+        )
+
+    urlset_ids = F.transform(
+        F.filter(nodes, lambda n: n["name"] == "urlset"),
+        lambda n: n["node_id"],
+    )
+    per = F.transform(
+        F.filter(
+            nodes,
+            lambda n: (n["name"] == "url")
+            & F.array_contains(urlset_ids, n["parent_id"]),
+        ),
+        lambda u: F.struct(
+            F.when(child_named(u, "loc").isNull(), F.lit(None).cast("string"))
+            .otherwise(direct_text(child_named(u, "loc")))
+            .alias("loc"),
+            F.when(
+                child_named(u, "lastmod").isNull(),
+                F.lit(None).cast("string"),
+            )
+            .otherwise(direct_text(child_named(u, "lastmod")))
+            .alias("lastmod"),
+        ),
+    )
+    ex = nodes_df.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.posexplode(per).alias("url_pos", "u"),
+    ).where(F.col("u.loc").isNotNull())
+    canon, host, _ = url_canon_cols("loc")
+    return ex.select(
+        "doc_id",
+        F.col("url_pos").cast("long").alias("url_pos"),
+        F.col("u.loc").alias("loc"),
+        F.col("u.lastmod").alias("lastmod"),
+    ).select("*", canon.alias("url_canon"), host.alias("host"))
+
+
 def extract_tables_df(nodes_df: DataFrame) -> DataFrame:
     """Structured-table extraction from the flat parsed DOM — the
     extraction-tier step that turns HTML tables into trainable rows

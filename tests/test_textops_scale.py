@@ -1239,6 +1239,47 @@ def test_extract_tables_indirect_rows_excluded(spark):
     assert got == [(0, 0, 0, False, "direct")], got
 
 
+def _sitemap_of(spark, xml):
+    from dompa_spark import pipeline
+
+    df = spark.createDataFrame([("1", xml)], "doc_id string, html string")
+    spans = df.select(
+        "doc_id",
+        F.array(textops.html_span(F.col("html"), 0)).alias("spans"),
+    )
+    rows = textops.sitemap_urls_df(
+        pipeline.parse_nodes_df(spans)
+    ).collect()
+    return [(r.url_pos, r.loc, r.lastmod, r.url_canon, r.host)
+            for r in rows]
+
+
+def test_sitemap_urls_chain_and_canon(spark):
+    """url must chain to a urlset parent; loc-less urls drop but hold
+    their document-order position; lastmod is NULL when absent; the
+    canonical key comes from the SHARED frontier expressions."""
+    got = _sitemap_of(
+        spark,
+        "<urlset><url><loc>https://A.example:443/x/</loc>"
+        "<lastmod>2026-01-02</lastmod></url>"
+        "<url><priority>1</priority></url>"
+        "<url><loc>https://a.example/x#f</loc></url></urlset>"
+        "<url><loc>https://stray.example/</loc></url>",
+    )
+    assert got == [
+        (0, "https://A.example:443/x/", "2026-01-02",
+         "https://a.example/x", "a.example"),
+        (2, "https://a.example/x#f", None,
+         "https://a.example/x", "a.example"),
+    ], got
+
+
+def test_sitemap_urls_no_urlset_emits_nothing(spark):
+    assert _sitemap_of(
+        spark, "<url><loc>https://x.example/</loc></url>"
+    ) == []
+
+
 def test_segment_dedup_universal_boilerplate(spark):
     """Worst-case skew: EVERY doc carries the same hot segment. The
     hot set stays one row, output stays one row per doc with exactly
