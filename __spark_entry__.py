@@ -155,6 +155,28 @@ def q_sitemap_urls(spark, sf_dir):
     return textops.sitemap_urls_df(pipeline.parse_nodes_df(wrapped))
 
 
+def q_robots_parse(spark, sf_dir):
+    """REP parsing over the engineered per-host robots.txt corpus:
+    group semantics (multi-agent runs, groups reset by rule lines),
+    comment/blank/case stripping, the stray pre-group rule decoy, and
+    the empty-value Disallow; see textops.robots_parse."""
+    return textops.robots_parse(
+        textops.robots_corpus(_docs(spark, sf_dir)))
+
+
+def q_robots_filter(spark, sf_dir):
+    """Crawl-politeness verdicts for agent 'mybot' over the frontier
+    fixture: specific groups override '*' wholesale (both directions —
+    allowing what '*' denies and denying what '*' allows), longest
+    literal path prefix wins, allow beats disallow on ties; the oracle
+    replays the precedence independently from the template's rule
+    algebra."""
+    docs = _docs(spark, sf_dir)
+    rules = textops.robots_parse(textops.robots_corpus(docs))
+    return textops.robots_filter(
+        textops.frontier_urls(docs), rules, textops.ROBOTS_AGENT)
+
+
 def q_extract_interleaved(spark, sf_dir):
     wrapped = textops.interleaved_wrapped(_docs(spark, sf_dir))
     out = pipeline.extract_df(wrapped)
@@ -921,6 +943,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_outlinks": q_extract_outlinks,
         "extract_tables": q_extract_tables,
         "sitemap_urls": q_sitemap_urls,
+        "robots_parse": q_robots_parse,
+        "robots_filter": q_robots_filter,
         "extract_link_density": q_extract_link_density,
         "dedup_exact": q_dedup_exact,
         "dedup_exact_normalized": q_dedup_exact_normalized,
@@ -1008,6 +1032,34 @@ _STOPLIST = "['" + "','".join(textops.STOPWORDS) + "']"
 
 _MINHASH_A_SQL = "[" + ",".join(map(str, textops.MINHASH_A)) + "]"
 _MINHASH_B_SQL = "[" + ",".join(map(str, textops.MINHASH_B)) + "]"
+
+
+def _robots_rules_sql() -> str:
+    """Template algebra for robots_corpus: the exact (host, agent,
+    rule, path) rows REP parsing must recover — the stray pre-group
+    rule, comments, and blank lines never surface; the two-UA group
+    emits one row per agent."""
+    return """
+            WITH hosts AS (
+              SELECT CAST(doc_id AS BIGINT) AS k,
+                     'h' || CAST(doc_id AS VARCHAR) || '.example' AS host
+              FROM documents WHERE doc_id < 50)
+            SELECT host, 'specialbot' AS agent, 'disallow' AS rule,
+                   '/' AS path FROM hosts
+            UNION ALL SELECT host, '*', 'disallow', '/private' FROM hosts
+            UNION ALL SELECT host, '*', 'allow', '/private/ok' FROM hosts
+            UNION ALL SELECT host, '*', 'disallow', '/tie' FROM hosts
+            UNION ALL SELECT host, '*', 'allow', '/tie' FROM hosts
+            UNION ALL SELECT host, '*', 'disallow', '' FROM hosts
+            UNION ALL SELECT host, 'mybot', 'allow', '/private'
+                      FROM hosts WHERE k % 3 = 0
+            UNION ALL SELECT host, 'mybot', 'disallow', '/mypriv'
+                      FROM hosts WHERE k % 3 = 0
+            UNION ALL SELECT host, 'alpha', 'disallow', '/dual'
+                      FROM hosts WHERE k % 5 = 0
+            UNION ALL SELECT host, 'beta', 'disallow', '/dual'
+                      FROM hosts WHERE k % 5 = 0
+    """
 
 
 def _minhash_banded_cte() -> str:
@@ -1507,6 +1559,48 @@ def oracle_sql() -> dict[str, str]:
                    'https://ex.org/p/' || sid || '?utm_source=x#frag',
                    NULL, 'https://ex.org/p/' || sid, 'ex.org'
             FROM base
+        """,
+        "robots_parse": _robots_rules_sql(),
+        # robots_filter: an INDEPENDENT replay of REP precedence over
+        # the template's rule algebra — specific-group override via
+        # NOT IN, longest-match/allow-wins via the same integer
+        # encoding (len*2 + is_allow) the engine partial-aggregates
+        "robots_filter": f"""
+            WITH rules AS ({_robots_rules_sql()}),
+            appl AS (
+              SELECT host, rule, path FROM rules
+              WHERE path <> '' AND (
+                agent = 'mybot' OR (agent = '*' AND host NOT IN
+                  (SELECT host FROM rules WHERE agent = 'mybot')))),
+            u AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     (CAST(doc_id AS BIGINT) // 6) % 50 AS k,
+                     CASE CAST(doc_id AS BIGINT) % 6
+                          WHEN 0 THEN '/private/x' || CAST(doc_id AS VARCHAR)
+                          WHEN 1 THEN '/private/ok/y'
+                          WHEN 2 THEN '/pub/z'
+                          WHEN 3 THEN '/private'
+                          WHEN 4 THEN '/tie/t'
+                          ELSE '/mypriv/m' END AS path
+              FROM documents),
+            ux AS (
+              SELECT doc_id, path,
+                     'https://H' || CAST(k AS VARCHAR) || '.EXAMPLE'
+                       || path AS url,
+                     'h' || CAST(k AS VARCHAR) || '.example' AS host
+              FROM u),
+            best AS (
+              SELECT ux.doc_id, ux.url, ux.host,
+                     max(CASE WHEN starts_with(ux.path, a.path)
+                         THEN length(a.path) * 2 +
+                              CASE WHEN a.rule = 'allow' THEN 1 ELSE 0 END
+                         END) AS s
+              FROM ux LEFT JOIN appl a ON a.host = ux.host
+              GROUP BY ux.doc_id, ux.url, ux.host)
+            SELECT doc_id, url, host,
+                   (s IS NULL OR s % 2 = 1) AS allowed,
+                   CAST(s // 2 AS BIGINT) AS match_len
+            FROM best
         """,
         # extract_tables: template algebra — every cell the parser
         # must recover, predicted straight from (doc_id, text); the

@@ -2211,6 +2211,218 @@ def url_filter(urls: DataFrame, rules: DataFrame) -> DataFrame:
     )
 
 
+ROBOTS_AGENT = "mybot"
+
+
+def robots_corpus(df: DataFrame) -> DataFrame:
+    """(host, robots_txt) fixture over a 50-host space (doc_id < 50,
+    SF-stable). Engineered surface: a stray rule BEFORE any group
+    (must be ignored), a comment line, a blank line inside and between
+    groups, an uppercase agent token (case-insensitive by REP), an
+    empty-value Disallow (parses, matches nothing), an allow/disallow
+    TIE pair on '/tie', a mybot-specific group on every third host
+    (specific groups override '*' wholesale), and a two-agent group
+    (alpha+beta share one rule) on every fifth host."""
+    k = F.col("doc_id").cast("long")
+    sid = F.col("doc_id").cast("string")
+    txt = F.concat(
+        F.lit("Disallow: /stray\n# policy h"), sid,
+        F.lit("\nUser-agent: SpecialBot\nDisallow: /\n\n"
+              "User-agent: *\nDisallow: /private\nAllow: /private/ok\n"
+              "Disallow: /tie\nAllow: /tie\nDisallow:\n"),
+        F.when(
+            k % 3 == 0,
+            F.lit("\nUser-agent: MyBot\nAllow: /private\n"
+                  "Disallow: /mypriv\n"),
+        ).otherwise(F.lit("")),
+        F.when(
+            k % 5 == 0,
+            F.lit("\nUser-agent: alpha\nUser-agent: beta\n"
+                  "Disallow: /dual\n"),
+        ).otherwise(F.lit("")),
+    )
+    return df.where(k < 50).select(
+        F.concat(F.lit("h"), sid, F.lit(".example")).alias("host"),
+        txt.alias("robots_txt"),
+    )
+
+
+def frontier_urls(df: DataFrame) -> DataFrame:
+    """(doc_id, url) fixture over the robots_corpus host space: six
+    path cases cycling through allow/deny/tie/specific-only territory.
+    The host is (doc_id div 6) % 50 — NOT doc_id % 50, which would
+    correlate the path case with the host's specific-group residue
+    (d % 6 == 0 implies d % 3 == 0) and the fallback-deny branch would
+    never fire."""
+    d = F.col("doc_id").cast("long")
+    sid = F.col("doc_id").cast("string")
+    path = (
+        F.when(d % 6 == 0, F.concat(F.lit("/private/x"), sid))
+        .when(d % 6 == 1, F.lit("/private/ok/y"))
+        .when(d % 6 == 2, F.lit("/pub/z"))
+        .when(d % 6 == 3, F.lit("/private"))
+        .when(d % 6 == 4, F.lit("/tie/t"))
+        .otherwise(F.lit("/mypriv/m"))
+    )
+    url = F.concat(
+        F.lit("https://H"), F.expr("(CAST(doc_id AS BIGINT) div 6) % 50"),
+        F.lit(".EXAMPLE"), path,
+    )
+    return df.select(d.alias("doc_id"), url.alias("url"))
+
+
+def robots_parse(
+    df: DataFrame, host_col: str = "host", txt_col: str = "robots_txt"
+) -> DataFrame:
+    """Robots-exclusion parsing — the crawl-politeness half of the URL
+    frontier (fetch policy; url_filter's blocklist is the editorial
+    half). Input: one row per host with its robots.txt body. Output:
+    one row per (agent, rule) pair, (host, agent, rule, path) — REP
+    group semantics: a group is a maximal run of consecutive
+    User-agent lines followed by rules; each rule belongs to EVERY
+    agent of its group; rules before any group are ignored; '#'
+    comments and field-name case are stripped; agent tokens lowercase
+    (case-insensitive per REP); paths stay case-significant. Values
+    are single tokens (\\S*) — an empty Disallow parses with path ''
+    (it matches nothing at filter time). Wildcard patterns ($, *) are
+    NOT interpreted: rules apply as literal path prefixes, the
+    deterministic subset both engines and every crawler agree on.
+
+    Scale shape: the whole parse is ONE map-side expression pass over
+    each host's lines array (O(lines^2) array scans per host — a
+    robots.txt is KB-sized by convention); the explode emits slim rule
+    rows. Zero shuffles, zero Python; the rules table for 10^8 hosts
+    is itself distributed."""
+    nc = lambda l: F.regexp_replace(l, "#.*$", "")  # noqa: E731
+    lines = F.split(F.col(txt_col), "\n")
+    fields = F.transform(
+        lines,
+        lambda l: F.lower(F.regexp_extract(nc(l), r"^\s*([A-Za-z-]+)\s*:", 1)),
+    )
+    values = F.transform(
+        lines,
+        lambda l: F.regexp_extract(nc(l), r"^\s*[A-Za-z-]+\s*:\s*(\S*)", 1),
+    )
+    n = F.size(lines)
+    idx = F.sequence(F.lit(0), n - 1)
+
+    def fld(i):
+        return F.element_at(fields, i + 1)
+
+    def val(i):
+        return F.element_at(values, i + 1)
+
+    # group starts: a User-agent line whose previous line is not one
+    gstarts = F.filter(
+        idx,
+        lambda i: (fld(i) == "user-agent")
+        & ((i == 0) | (F.element_at(fields, i) != "user-agent")),
+    )
+
+    def gs(i):
+        return F.array_max(F.filter(gstarts, lambda s: s < i))
+
+    def run_end(g):
+        return F.coalesce(
+            F.array_min(
+                F.filter(idx, lambda j: (j > g) & (F.element_at(fields, j + 1) != "user-agent"))
+            ),
+            n,
+        )
+
+    rules_idx = F.filter(
+        idx,
+        lambda i: fld(i).isin("allow", "disallow") & gs(i).isNotNull(),
+    )
+    per = F.flatten(
+        F.transform(
+            rules_idx,
+            lambda i: F.transform(
+                F.filter(
+                    idx,
+                    lambda j: (j >= gs(i)) & (j < run_end(gs(i))),
+                ),
+                lambda j: F.struct(
+                    F.lower(val(j)).alias("agent"),
+                    fld(i).alias("rule"),
+                    val(i).alias("path"),
+                ),
+            ),
+        )
+    )
+    return df.select(
+        F.lower(F.col(host_col)).alias("host"), F.explode(per).alias("r")
+    ).select("host", "r.agent", "r.rule", "r.path")
+
+
+def robots_filter(
+    urls: DataFrame, rules: DataFrame, agent: str = ROBOTS_AGENT
+) -> DataFrame:
+    """Apply parsed robots rules to a URL frontier for one crawler
+    agent. REP precedence, the Google-documented subset: if a host has
+    any group naming OUR agent, ONLY those rules apply (the '*' groups
+    are ignored wholesale); otherwise the '*' rules apply. Among
+    matching rules (literal case-significant path prefix over the
+    URL's path; empty-path rules match nothing) the LONGEST path wins,
+    and allow beats disallow on equal length. No matching rule (or no
+    rules at all for the host) = allowed. Output one row per URL:
+    (doc_id, url, host, allowed, match_len — length of the winning
+    rule path, NULL when nothing matched).
+
+    Scale shape: precedence encodes as one integer per candidate rule
+    (path_len * 2 + is_allow) so the per-URL verdict is a plain
+    partial-aggregatable MAX — no windows, no struct orderings to
+    replicate cross-engine. The rules side (specific-host resolution
+    included) is rules-cardinality slim and explicitly broadcast; the
+    frontier is touched by exactly one map-side join + one rollup
+    shuffle on the URL key, the url_filter contract."""
+    my = agent.lower()
+    r0 = rules.select(
+        F.lower(F.col("host")).alias("host"),
+        F.lower(F.col("agent")).alias("agent"),
+        F.col("rule"),
+        F.col("path").alias("rule_path"),
+    )
+    spec_hosts = (
+        r0.where(F.col("agent") == my)
+        .select("host")
+        .distinct()
+        .withColumn("has_spec", F.lit(True))
+    )
+    appl = (
+        r0.where(F.col("agent").isin(my, "*"))
+        .join(spec_hosts, "host", "left")
+        .where((F.col("agent") == my) | F.col("has_spec").isNull())
+        .where(F.col("rule_path") != "")
+        .select("host", "rule", "rule_path")
+    )
+    u = F.col("url")
+    rest = F.regexp_replace(u, _AUTHORITY_STRIP_RE, "")
+    parsed = urls.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        u.alias("url"),
+        host_of(u).alias("host"),
+        F.regexp_extract(rest, r"^([^?#]*)", 1).alias("path"),
+    )
+    joined = parsed.join(F.broadcast(appl), "host", "left")
+    score = F.when(
+        F.col("path").startswith(F.col("rule_path")),
+        F.length("rule_path").cast("long") * 2
+        + (F.col("rule") == "allow").cast("long"),
+    )
+    return (
+        joined.groupBy("doc_id", "url", "host")
+        .agg(F.max(score).alias("s"))
+        .select(
+            "doc_id",
+            "url",
+            "host",
+            (F.col("s").isNull() | (F.col("s") % 2 == 1)).alias("allowed"),
+            F.expr("s div 2").cast("long").alias("match_len"),
+        )
+    )
+
+
 DOMAIN_SHORT_MIN = 10
 DOMAIN_QUALITY_MIN = 0.5  # == CURATE_QUALITY_MIN (defined below); the
 # domain gate and the doc gate must agree or domain rates stop

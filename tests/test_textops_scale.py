@@ -1280,6 +1280,78 @@ def test_sitemap_urls_no_urlset_emits_nothing(spark):
     ) == []
 
 
+def _robots_rules_of(spark, txt):
+    df = spark.createDataFrame([("H.ex", txt)],
+                               "host string, robots_txt string")
+    rows = textops.robots_parse(df).collect()
+    return sorted((r.host, r.agent, r.rule, r.path) for r in rows)
+
+
+def test_robots_parse_group_semantics(spark):
+    """Stray pre-group rules ignored; a rule line closes the UA run so
+    a later UA line starts a NEW group; two consecutive UA lines share
+    their rules; comments and field-name case are stripped; agent
+    tokens lowercase; an empty Disallow keeps path ''."""
+    got = _robots_rules_of(
+        spark,
+        "Disallow: /stray\n"
+        "# comment\n"
+        "USER-AGENT: Alpha\n"
+        "User-agent: Beta\n"
+        "disallow: /a # trailing comment\n"
+        "Allow:\n"
+        "User-agent: *\n"
+        "Disallow: /b\n",
+    )
+    assert got == sorted([
+        ("h.ex", "alpha", "disallow", "/a"),
+        ("h.ex", "alpha", "allow", ""),
+        ("h.ex", "beta", "disallow", "/a"),
+        ("h.ex", "beta", "allow", ""),
+        ("h.ex", "*", "disallow", "/b"),
+    ]), got
+
+
+def test_robots_parse_blank_line_breaks_ua_run(spark):
+    """A blank line between two UA lines splits them into separate
+    groups — the second group owns the rules."""
+    got = _robots_rules_of(
+        spark, "User-agent: a\n\nUser-agent: b\nDisallow: /x\n")
+    assert got == [("h.ex", "b", "disallow", "/x")], got
+
+
+def test_robots_filter_precedence(spark):
+    """Longest literal prefix wins; allow beats disallow on equal
+    length; empty-path rules match nothing; a host with no applicable
+    rules is allowed; specific-agent groups override '*' wholesale."""
+    rules = spark.createDataFrame(
+        [
+            ("h1", "*", "disallow", "/p"),
+            ("h1", "*", "allow", "/p/ok"),
+            ("h1", "*", "disallow", ""),
+            ("h1", "*", "disallow", "/t"),
+            ("h1", "*", "allow", "/t"),
+            ("h2", "*", "disallow", "/"),
+            ("h2", "mybot", "disallow", "/only"),
+        ],
+        "host string, agent string, rule string, path string",
+    )
+    urls = spark.createDataFrame(
+        [(0, "https://h1/p/x"), (1, "https://h1/p/ok/y"),
+         (2, "https://h1/t/z"), (3, "https://h1/free"),
+         (4, "https://h2/anything"), (5, "https://h2/only/x"),
+         (6, "https://h3/norules")],
+        "doc_id long, url string",
+    )
+    got = {r.doc_id: (r.allowed, r.match_len)
+           for r in textops.robots_filter(urls, rules, "MyBot").collect()}
+    assert got == {
+        0: (False, 2), 1: (True, 5), 2: (True, 2), 3: (True, None),
+        4: (True, None),  # mybot group on h2 overrides the '*' ban
+        5: (False, 5), 6: (True, None),
+    }, got
+
+
 def test_segment_dedup_universal_boilerplate(spark):
     """Worst-case skew: EVERY doc carries the same hot segment. The
     hot set stays one row, output stays one row per doc with exactly
