@@ -155,6 +155,14 @@ def q_sitemap_urls(spark, sf_dir):
     return textops.sitemap_urls_df(pipeline.parse_nodes_df(wrapped))
 
 
+def q_chunk_docs(spark, sf_dir):
+    """Overlapping token-window chunking (RAG/long-context assembly):
+    window 64 / stride 48, last chunk at the smallest stride multiple
+    reaching the end (no redundant tail); see
+    textops.chunk_documents."""
+    return textops.chunk_documents(_docs(spark, sf_dir))
+
+
 def q_robots_parse(spark, sf_dir):
     """REP parsing over the engineered per-host robots.txt corpus:
     group semantics (multi-agent runs, groups reset by rule lines),
@@ -944,6 +952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_tables": q_extract_tables,
         "sitemap_urls": q_sitemap_urls,
         "robots_parse": q_robots_parse,
+        "chunk_docs": q_chunk_docs,
         "robots_filter": q_robots_filter,
         "extract_link_density": q_extract_link_density,
         "dedup_exact": q_dedup_exact,
@@ -1561,6 +1570,37 @@ def oracle_sql() -> dict[str, str]:
             FROM base
         """,
         "robots_parse": _robots_rules_sql(),
+        # chunk_docs: same exact-integer last-chunk formula; DuckDB's
+        # 1-based inclusive list_slice mirrors Spark's slice(start,len)
+        "chunk_docs": f"""
+            WITH x AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     string_split(text, ' ') AS w,
+                     len(string_split(text, ' ')) AS nw,
+                     CASE WHEN len(string_split(text, ' '))
+                               <= {textops.CHUNK_WINDOW} THEN 0
+                          ELSE (len(string_split(text, ' '))
+                                - {textops.CHUNK_WINDOW}
+                                + {textops.CHUNK_STRIDE - 1})
+                               // {textops.CHUNK_STRIDE} END AS last
+              FROM documents WHERE text IS NOT NULL),
+            sel AS (
+              SELECT doc_id, w, nw,
+                     unnest(generate_series(0, last)) AS i
+              FROM x)
+            SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+                   CAST(i * {textops.CHUNK_STRIDE} AS BIGINT)
+                     AS start_word,
+                   CAST(least({textops.CHUNK_WINDOW},
+                              nw - i * {textops.CHUNK_STRIDE}) AS BIGINT)
+                     AS n_words,
+                   array_to_string(
+                     list_slice(w, i * {textops.CHUNK_STRIDE} + 1,
+                                i * {textops.CHUNK_STRIDE}
+                                  + {textops.CHUNK_WINDOW}), ' ')
+                     AS chunk_text
+            FROM sel
+        """,
         # robots_filter: an INDEPENDENT replay of REP precedence over
         # the template's rule algebra — specific-group override via
         # NOT IN, longest-match/allow-wins via the same integer

@@ -2211,6 +2211,57 @@ def url_filter(urls: DataFrame, rules: DataFrame) -> DataFrame:
     )
 
 
+CHUNK_WINDOW = 64
+CHUNK_STRIDE = 48
+
+
+def chunk_documents(
+    df: DataFrame, window: int = CHUNK_WINDOW, stride: int = CHUNK_STRIDE
+) -> DataFrame:
+    """Overlapping token-window chunking — the RAG-index / long-context
+    assembly step (fixed-size windows with window-stride overlap so no
+    retrieval boundary splits a fact). Output one row per chunk:
+    (doc_id, chunk_idx, start_word, n_words, chunk_text). The last
+    chunk starts at the SMALLEST stride multiple that still reaches the
+    end — ceil((n-window)/stride) in exact integer math — so coverage
+    is complete without a redundant tail chunk that a previous window
+    already contains. Docs with NULL text emit no chunks (chunking is
+    an exploder, not a gate — pair with quality/curate for per-doc
+    verdicts).
+
+    Scale shape: per-doc sequence + slice HOFs and one posexplode —
+    zero shuffles, zero Python; chunk boundaries depend only on the
+    doc's own word count, so the operator is embarrassingly parallel
+    at any corpus size and repartitioning upstream is never needed."""
+    if stride <= 0 or window <= 0 or stride > window:
+        raise ValueError("need 0 < stride <= window")
+    w = words()
+    nw = F.size(w)
+    last = F.when(
+        nw <= window, F.lit(0)
+    ).otherwise(F.expr(f"(size(split(text, ' ')) - {window} + {stride - 1}) div {stride}"))
+    starts = F.transform(
+        F.sequence(F.lit(0), last), lambda i: i * stride
+    )
+    chunks = F.transform(
+        starts,
+        lambda s, i: F.struct(
+            i.cast("long").alias("chunk_idx"),
+            s.cast("long").alias("start_word"),
+            F.least(F.lit(window), nw - s).cast("long").alias("n_words"),
+            F.array_join(F.slice(w, s + 1, window), " ").alias("chunk_text"),
+        ),
+    )
+    ex = df.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(chunks).alias("c"),
+    )
+    return ex.select(
+        "doc_id", "c.chunk_idx", "c.start_word", "c.n_words",
+        "c.chunk_text",
+    )
+
+
 ROBOTS_AGENT = "mybot"
 
 

@@ -1352,6 +1352,51 @@ def test_robots_filter_precedence(spark):
     }, got
 
 
+def test_chunk_documents_differential(spark):
+    """Chunk boundaries vs a Python reference across word counts
+    bracketing every boundary case (empty-ish, < window, == window,
+    one-past, stride multiples, long): complete coverage, correct
+    overlap, and no redundant tail chunk."""
+    window, stride = 10, 7
+    counts = [1, 5, 9, 10, 11, 17, 18, 24, 25, 80]
+    docs = [(i, " ".join(f"w{i}_{j}" for j in range(c)))
+            for i, c in enumerate(counts)]
+    want = {}
+    for i, c in enumerate(counts):
+        wlist = docs[i][1].split(" ")
+        last = 0 if c <= window else -((c - window) // -stride)
+        want[i] = [
+            (k, k * stride, min(window, c - k * stride),
+             " ".join(wlist[k * stride:k * stride + window]))
+            for k in range(last + 1)
+        ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {}
+    for r in textops.chunk_documents(df, window, stride).collect():
+        got.setdefault(r.doc_id, []).append(
+            (r.chunk_idx, r.start_word, r.n_words, r.chunk_text))
+    got = {k: sorted(v) for k, v in got.items()}
+    assert got == want, got
+    # coverage + non-redundancy: every word in some chunk; every chunk
+    # ends past the previous one's end
+    for i, chunks in want.items():
+        assert chunks[-1][1] + chunks[-1][2] == counts[i]
+        for a, b in zip(chunks, chunks[1:]):
+            assert b[1] + window > a[1] + window  # strictly advances
+
+
+def test_chunk_documents_null_text_and_args(spark):
+    df = spark.createDataFrame([(1, None), (2, "a b")],
+                               "doc_id long, text string")
+    rows = textops.chunk_documents(df, 4, 2).collect()
+    assert [(r.doc_id, r.chunk_text) for r in rows] == [(2, "a b")]
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        textops.chunk_documents(df, 4, 5)
+    with _pt.raises(ValueError):
+        textops.chunk_documents(df, 0, 0)
+
+
 def test_segment_dedup_universal_boilerplate(spark):
     """Worst-case skew: EVERY doc carries the same hot segment. The
     hot set stays one row, output stays one row per doc with exactly
