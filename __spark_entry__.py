@@ -155,6 +155,16 @@ def q_sitemap_urls(spark, sf_dir):
     return textops.sitemap_urls_df(pipeline.parse_nodes_df(wrapped))
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights of every doc against a deterministic
+    'target domain' sample (doc_id % 7 == 0 stands in for the curated
+    target corpus a production pipeline passes); exact integer-bit
+    math on both unigram LMs, see textops.dsir_weights."""
+    docs = _docs(spark, sf_dir)
+    target = docs.where(F.col("doc_id").cast("long") % 7 == 0)
+    return textops.dsir_weights(docs, target)
+
+
 def q_chunk_docs(spark, sf_dir):
     """Overlapping token-window chunking (RAG/long-context assembly):
     window 64 / stride 48, last chunk at the smallest stride multiple
@@ -953,6 +963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_urls": q_sitemap_urls,
         "robots_parse": q_robots_parse,
         "chunk_docs": q_chunk_docs,
+        "dsir_weights": q_dsir_weights,
         "robots_filter": q_robots_filter,
         "extract_link_density": q_extract_link_density,
         "dedup_exact": q_dedup_exact,
@@ -2464,6 +2475,49 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(a.n_tokens, 0) > 0
                      AND coalesce(a.mean_surprisal, 0.0)
                          <= {textops.LM_SURPRISAL_MAX} AS lm_ok
+            FROM base b LEFT JOIN agg a USING (doc_id)
+        """,
+        # dsir_weights: the lm_surprisal bit-bucket trick on BOTH
+        # distributions; target = doc_id % 7 = 0 sample; OOV count=1
+        "dsir_weights": f"""
+            WITH base AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id, text
+              FROM documents),
+            tok AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS word
+              FROM base),
+            rc AS (
+              SELECT word, CAST(count(*) AS BIGINT) AS c_raw
+              FROM tok GROUP BY word),
+            tc AS (
+              SELECT word, CAST(count(*) AS BIGINT) AS c_tgt
+              FROM tok WHERE doc_id % 7 = 0 GROUP BY word),
+            raw_lm AS (
+              SELECT word, c_raw FROM rc
+              ORDER BY c_raw DESC, word ASC LIMIT {textops.LM_VOCAB_K}),
+            tgt_lm AS (
+              SELECT word, c_tgt FROM tc
+              ORDER BY c_tgt DESC, word ASC LIMIT {textops.LM_VOCAB_K}),
+            n_raw AS (SELECT CAST(sum(c_raw) AS BIGINT) AS n FROM rc),
+            n_tgt AS (SELECT CAST(sum(c_tgt) AS BIGINT) AS n FROM tc),
+            scored AS (
+              SELECT t.doc_id,
+                     (length(bin((SELECT n FROM n_raw)
+                                 // coalesce(r.c_raw, 1))) - 1)
+                     - (length(bin((SELECT n FROM n_tgt)
+                                   // coalesce(g.c_tgt, 1))) - 1) AS imp
+              FROM tok t
+              LEFT JOIN raw_lm r USING (word)
+              LEFT JOIN tgt_lm g USING (word)),
+            agg AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                     CAST(sum(imp) AS BIGINT) AS dsir_bits
+              FROM scored GROUP BY doc_id)
+            SELECT b.doc_id,
+                   CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(a.dsir_bits, 0) AS BIGINT) AS dsir_bits,
+                   coalesce(round(a.dsir_bits / a.n_tokens, 4), 0.0)
+                     AS avg_bits
             FROM base b LEFT JOIN agg a USING (doc_id)
         """,
         "pack_sequences": f"""

@@ -1845,6 +1845,73 @@ def lm_surprisal_scores(
     )
 
 
+def dsir_weights(
+    df: DataFrame, target: DataFrame, vocab_k: int = LM_VOCAB_K
+) -> DataFrame:
+    """DSIR-style importance-resampling weights (Xie et al. 2023,
+    'Data Selection for Language Models via Importance Resampling'):
+    score each raw doc by how target-like its token distribution is,
+    sum over tokens of log p_target(w) - log p_raw(w) — the weight a
+    resampler then draws against to tilt a web crawl toward a curated
+    target domain. Inputs: the raw corpus and a (usually much smaller)
+    target-domain sample, both with (doc_id, text). Output one row per
+    raw doc: (doc_id, n_tokens, dsir_bits, avg_bits).
+
+    ENGINE-EXACT math, the lm_surprisal trick twice: a token's
+    importance is bits_raw(w) - bits_tgt(w) where bits_X(w) =
+    floor(log2(N_X div c_X(w))) in exact BIGINT arithmetic — positive
+    total = commoner in the target than in the raw crawl. Both
+    unigram tables are bounded to their top-vocab_k (count-desc /
+    word-asc tie-break); out-of-vocab takes count=1 on either side —
+    the bounded feature space standing in for DSIR's hashing trick.
+    Null-text docs report n_tokens=0 / dsir_bits=0 (one row per raw
+    doc, never silently dropped).
+
+    Scale shape: one explode pass per corpus into partial-aggregated
+    word counts; both LMs are distributed top-k broadcasts bounded by
+    vocab_k; the scoring pass collapses to one row per doc before its
+    shuffle. The raw counts table is cached (feeds its LM and N);
+    cache lifecycle is caller-owned (see curate_corpus)."""
+    docs = df.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+    tok = docs.select("doc_id", F.explode(words()).alias("word"))
+    ttok = target.select(F.explode(words()).alias("word"))
+    rc = tok.groupBy("word").agg(
+        F.count("*").cast("long").alias("c_raw")
+    ).cache()
+    tc = ttok.groupBy("word").agg(
+        F.count("*").cast("long").alias("c_tgt")
+    ).cache()
+    raw_lm = rc.orderBy(F.desc("c_raw"), F.asc("word")).limit(vocab_k)
+    tgt_lm = tc.orderBy(F.desc("c_tgt"), F.asc("word")).limit(vocab_k)
+    n_raw = rc.agg(F.sum("c_raw").cast("long").alias("n_raw"))
+    n_tgt = tc.agg(F.sum("c_tgt").cast("long").alias("n_tgt"))
+    bits = lambda n, c: F.length(F.bin(F.expr(f"{n} div {c}"))) - 1  # noqa: E731
+    scored = (
+        tok.join(F.broadcast(raw_lm), "word", "left")
+        .join(F.broadcast(tgt_lm), "word", "left")
+        .join(F.broadcast(n_raw))
+        .join(F.broadcast(n_tgt))
+        .withColumn("cr", F.coalesce("c_raw", F.lit(1)).cast("long"))
+        .withColumn("ct", F.coalesce("c_tgt", F.lit(1)).cast("long"))
+        .withColumn(
+            "imp",
+            (bits("n_raw", "cr") - bits("n_tgt", "ct")).cast("long"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum("imp").cast("long").alias("dsir_bits"),
+    )
+    return docs.select("doc_id").join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce("dsir_bits", F.lit(0)).cast("long").alias("dsir_bits"),
+        F.coalesce(
+            F.round(F.col("dsir_bits") / F.col("n_tokens"), 4), F.lit(0.0)
+        ).alias("avg_bits"),
+    )
+
+
 PACK_CTX = 512
 
 

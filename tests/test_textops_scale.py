@@ -1397,6 +1397,47 @@ def test_chunk_documents_null_text_and_args(spark):
         textops.chunk_documents(df, 0, 0)
 
 
+def test_dsir_weights_closed_form(spark):
+    """Hand-computed bit buckets on a tiny corpus: target-heavy words
+    score positive, raw-only words negative, and a null-text doc
+    reports an explicit zero row."""
+    raw = spark.createDataFrame(
+        [(0, "tgt tgt"), (1, "junk junk"), (2, None)],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame([(9, "tgt tgt tgt tgt")],
+                                   "doc_id long, text string")
+    got = {r.doc_id: (r.n_tokens, r.dsir_bits, r.avg_bits)
+           for r in textops.dsir_weights(raw, target).collect()}
+    # raw: N=4, c(tgt)=2, c(junk)=2 -> bits_raw = log2(4//2) = 1 each
+    # tgt: N=4, c(tgt)=4 -> bits_tgt(tgt) = 0; junk OOV c=1 -> 2
+    # doc0: 2 tokens * (1 - 0) = +2 ; doc1: 2 * (1 - 2) = -2
+    assert got == {0: (2, 2, 1.0), 1: (2, -2, -1.0), 2: (0, 0, 0.0)}, got
+
+
+def test_dsir_weights_ranks_target_like_docs_higher(spark):
+    """On a two-domain corpus, docs drawn from the target domain's
+    vocabulary must out-score docs from the other domain — the
+    property a resampler actually consumes."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    wiki = [f"wiki{j}" for j in range(30)]
+    spam = [f"spam{j}" for j in range(30)]
+    docs = []
+    for i in range(200):
+        pool = wiki if i % 2 == 0 else spam
+        docs.append((i, " ".join(rng.choice(pool, 20))))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    # target sample: wiki-domain docs only
+    target = df.where(F.col("doc_id") % 2 == 0).limit(40)
+    res = textops.dsir_weights(df, target).collect()
+    wiki_scores = [r.avg_bits for r in res if r.doc_id % 2 == 0]
+    spam_scores = [r.avg_bits for r in res if r.doc_id % 2 == 1]
+    assert min(wiki_scores) > max(spam_scores), (
+        min(wiki_scores), max(spam_scores))
+
+
 def test_segment_dedup_universal_boilerplate(spark):
     """Worst-case skew: EVERY doc carries the same hot segment. The
     hot set stays one row, output stays one row per doc with exactly
