@@ -10,7 +10,7 @@ sys.path.insert(0, "/root/repo")
 
 import bench  # noqa: E402
 
-# 70 realistic query names (the live set is 62; headroom for growth),
+# 78 realistic query names (the live set is 68; headroom for growth),
 # at the live set's name-length distribution.
 _QUERY_NAMES = [
     "extract_main_text", "parse_roundtrip", "traverse_rewrite",
@@ -34,6 +34,9 @@ _QUERY_NAMES = [
     "wav_near_dup", "link_graph_rank", "domain_stats", "html_metadata",
     "anchor_text_agg", "normalize_text", "url_filter", "dedup_recall",
     "host_boilerplate", "extra_query_name_f", "extra_query_name_g",
+    "extract_tables", "sitemap_urls", "robots_parse", "robots_filter",
+    "chunk_docs", "dsir_weights", "dedup_exact_normalized",
+    "split_holdout", "extra_query_name_h", "extra_query_name_i",
 ]
 
 # Worst-case scaling cache: 4 pairs (2->8 / 8->32, extract + noop),

@@ -102,9 +102,11 @@ def test_no_unbounded_cartesian_products(spark, entry_mod):
     #   aggregate (the tfidf pattern)
     # corpus_mixture: corpus token total joins in as a broadcast 1-row
     #   aggregate (same pattern)
+    # dsir_weights: BOTH corpus token totals (raw and target) join in
+    #   as broadcast 1-row aggregates (the lm_surprisal pattern twice)
     allowed_bnlj = {"ann_cosine_topk", "tfidf_top_terms", "ann_ivf_topk",
                     "ivf_list_sizes", "ann_recall", "lm_surprisal",
-                    "corpus_mixture"}
+                    "corpus_mixture", "dsir_weights"}
     for name, fn in entry_mod.queries().items():
         plan = plan_of(fn(spark, SF_DIR))
         assert "CartesianProduct" not in plan, f"{name} has a cartesian join"
