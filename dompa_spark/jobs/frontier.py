@@ -3,7 +3,8 @@
 
     spark-submit --py-files dompa_spark.zip dompa_spark/jobs/frontier.py \
         --urls /path/urls --output /path/fetch_list \
-        [--blocklist /path/rules] [--keep-denied] [--per-host-cap N]
+        [--blocklist /path/rules] [--robots /path/robots [--agent A]] \
+        [--sitemaps /path/sitemap_docs] [--keep-denied] [--per-host-cap N]
 
 Crawl step 0, before any content is fetched: canonicalize every
 candidate URL (textops.url_normalize — defrag, lower scheme/host,
@@ -17,18 +18,28 @@ every row dropped here saves a fetch, a parse, and every downstream
 hashing pass.
 
 Inputs: urls parquet with (doc_id, url); blocklist parquet with
-(rule_id, host, path_prefix). Output: one row per SURVIVING fetch
-(doc_id, url_canon, host) — or every URL with its verdict columns
-under --keep-denied (the auditable form). Prints one JSON stats line.
+(rule_id, host, path_prefix); robots parquet with (host, robots_txt)
+— parsed with full REP group semantics (textops.robots_parse) and
+applied for --agent with specific-group-override / longest-match /
+allow-wins-ties precedence (textops.robots_filter); sitemaps parquet
+in the interleaved span-table shape — parsed through the REAL parser
+(textops.sitemap_urls_df) and unioned into the candidate set under the
+reserved NEGATIVE doc_id space (-1 - doc_id), so sitemap-discovered
+and crawled URLs dedup against each other without id collisions.
+Output: one row per SURVIVING fetch (doc_id, url_canon, host) — or
+every URL with its verdict columns under --keep-denied (the auditable
+form). Prints one JSON stats line.
 
 Order matters and is contractual: normalize FIRST so the blocklist
 matches canonical hosts (a rule for 'ex.com' must catch 'EX.COM:80'),
 dup-group SECOND so a denied canonical group costs zero rule
 evaluations on its duplicates' paths... but rules run on the canonical
 URL's own path, so dedup-then-filter and filter-then-dedup agree;
-dedup first is strictly cheaper. The per-host cap runs LAST, on
-surviving fetches only (capping before the blocklist would let denied
-URLs consume a host's budget).
+dedup first is strictly cheaper. Robots verdicts run on the canonical
+keeper for the same reason (and the fetcher presents the canonical
+URL). The per-host cap runs LAST, on surviving fetches only (capping
+before the blocklist/robots would let denied URLs consume a host's
+budget).
 """
 
 from __future__ import annotations
@@ -44,6 +55,14 @@ def main(argv=None) -> int:
     p.add_argument("--output", required=True)
     p.add_argument("--blocklist", default=None,
                    help="parquet of (rule_id, host, path_prefix) deny rules")
+    p.add_argument("--robots", default=None,
+                   help="parquet of (host, robots_txt) crawl policies")
+    p.add_argument("--agent", default=None,
+                   help="crawler agent token for --robots "
+                        "(default: textops.ROBOTS_AGENT)")
+    p.add_argument("--sitemaps", default=None,
+                   help="parquet of sitemap documents (doc_id, spans) "
+                        "to ingest into the candidate set")
     p.add_argument("--per-host-cap", type=int, default=None,
                    help="keep at most N fetches per host (salted rank)")
     p.add_argument("--keep-denied", action="store_true",
@@ -71,7 +90,24 @@ def main(argv=None) -> int:
     owns_session = SparkSession.getActiveSession() is None
     spark = pipeline.session_confs(builder).getOrCreate()
 
-    urls = spark.read.parquet(args.urls)
+    urls = spark.read.parquet(args.urls).select("doc_id", "url")
+    if args.sitemaps:
+        sm_docs = spark.read.parquet(args.sitemaps)
+        sm = textops.sitemap_urls_df(pipeline.parse_nodes_df(sm_docs))
+        # one sitemap doc carries many locs, so the reserved negative
+        # id is a composite: -1 - (doc_id * 65536 + url_pos). The
+        # sitemap protocol caps a file at 50,000 URLs, so the 2^16
+        # stride can never collide two locs. A sitemap row may win a
+        # dup group's keeper slot (keeper = min doc_id); use the
+        # --keep-denied audit form to map back to crawl doc ids.
+        urls = urls.unionByName(
+            sm.select(
+                (F.lit(-1)
+                 - (F.col("doc_id") * 65536 + F.col("url_pos")))
+                .alias("doc_id"),
+                F.col("loc").alias("url"),
+            )
+        )
     n_in = urls.count()
 
     norm = textops.url_normalize(urls)
@@ -96,6 +132,25 @@ def main(argv=None) -> int:
             "rule_id", F.lit(None).cast("long")
         )
 
+    if args.robots:
+        # politeness runs on the canonical keeper like the blocklist
+        # (same host/path the fetcher would present); a disallowed
+        # group's duplicates inherit the verdict via keeper_id below
+        rrules = textops.robots_parse(spark.read.parquet(args.robots))
+        rv = textops.robots_filter(
+            cand.select("doc_id", F.col("url_canon").alias("url")),
+            rrules,
+            args.agent or textops.ROBOTS_AGENT,
+        )
+        cand = cand.join(
+            rv.select(
+                "doc_id", F.col("allowed").alias("robots_allowed")
+            ),
+            "doc_id",
+        )
+    else:
+        cand = cand.withColumn("robots_allowed", F.lit(True))
+
     if args.keep_denied:
         # verdicts are computed once per canonical group (on the
         # keeper) and propagated to EVERY member via keeper_id — a
@@ -105,7 +160,8 @@ def main(argv=None) -> int:
         # allowed from not-fetchable-at-all.
         out = norm.join(
             cand.select(
-                F.col("doc_id").alias("keeper_id"), "denied", "rule_id"
+                F.col("doc_id").alias("keeper_id"), "denied", "rule_id",
+                "robots_allowed",
             ),
             "keeper_id",
             "left",
@@ -113,9 +169,15 @@ def main(argv=None) -> int:
             "doc_id", "url_canon", "host", "is_dup", "keeper_id",
             fetchable.alias("fetchable"),
             F.coalesce("denied", F.lit(False)).alias("denied"), "rule_id",
+            # unfetchable rows never reached the robots check; they
+            # report allowed=true and fetchable=false (the fetchable
+            # column is the gate, robots_allowed the politeness signal)
+            F.coalesce("robots_allowed", F.lit(True)).alias(
+                "robots_allowed"
+            ),
         )
     else:
-        kept = cand.filter(~F.col("denied"))
+        kept = cand.filter(~F.col("denied") & F.col("robots_allowed"))
         if args.per_host_cap:
             # domain_cap returns only the surviving rows (salted
             # two-phase rank; a mega-host never sorts in one task)
@@ -134,6 +196,9 @@ def main(argv=None) -> int:
     if args.keep_denied:
         stats["denied"] = written.filter("denied").count()
         stats["dups"] = written.filter("is_dup").count()
+        if args.robots:
+            stats["robots_blocked"] = written.filter(
+                "NOT robots_allowed").count()
     print(json.dumps(stats))
     if owns_session:
         spark.stop()

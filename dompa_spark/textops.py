@@ -494,56 +494,82 @@ def sitemap_urls_df(nodes_df: DataFrame) -> DataFrame:
     url_canon, host); url_pos is the document-order index over the
     doc's urlset-chained <url> elements.
 
-    Scale shape: one map-side HOF pass per doc + one posexplode (the
+    Scale shape: map-side HOF passes per doc + one posexplode (the
     plan's only Generate); canonicalization is map-side regex on the
-    slim exploded rows. Zero shuffles, zero Python."""
+    slim exploded rows. Zero shuffles, zero Python. The intermediate
+    id/struct arrays are materialized as real columns at projection
+    boundaries — an inlined array expression inside a lambda is
+    re-evaluated PER ELEMENT of the enclosing higher-order function
+    (the first cut nested get(filter(nodes,...)) inside the per-node
+    predicate: O(nodes^2) per url element, measured 18 s for the
+    sf0.1 query vs ~2 s restructured)."""
     from dompa_spark.constants import TEXT_NAME
 
-    nodes = F.col("nodes")
-
-    def direct_text(el):
-        kids = F.filter(
-            nodes,
-            lambda n: (n["parent_id"] == el["node_id"])
-            & (n["name"] == TEXT_NAME),
-        )
-        return F.array_join(F.transform(kids, lambda n: n["value"]), "")
-
-    def child_named(el, name):
-        return F.get(
-            F.filter(
-                nodes,
-                lambda n: (n["parent_id"] == el["node_id"])
-                & (n["name"] == name),
-            ),
-            0,
-        )
-
-    urlset_ids = F.transform(
-        F.filter(nodes, lambda n: n["name"] == "urlset"),
+    usids = F.transform(
+        F.filter(F.col("nodes"), lambda n: n["name"] == "urlset"),
         lambda n: n["node_id"],
     )
-    per = F.transform(
+    t1 = nodes_df.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "nodes",
+        usids.alias("usids"),
+    )
+    uids = F.transform(
         F.filter(
-            nodes,
+            F.col("nodes"),
             lambda n: (n["name"] == "url")
-            & F.array_contains(urlset_ids, n["parent_id"]),
+            & F.array_contains(F.col("usids"), n["parent_id"]),
         ),
-        lambda u: F.struct(
-            F.when(child_named(u, "loc").isNull(), F.lit(None).cast("string"))
-            .otherwise(direct_text(child_named(u, "loc")))
-            .alias("loc"),
-            F.when(
-                child_named(u, "lastmod").isNull(),
-                F.lit(None).cast("string"),
-            )
-            .otherwise(direct_text(child_named(u, "lastmod")))
-            .alias("lastmod"),
+        lambda n: n["node_id"],
+    )
+    t2 = t1.select("doc_id", "nodes", uids.alias("uids"))
+
+    def kid_structs(name):
+        # (1-based url position, direct-child text) per <name> element
+        # chained to a url; `el` is a lambda variable, so the inner
+        # text filter costs O(nodes) per element, not O(nodes^2)
+        return F.transform(
+            F.filter(
+                F.col("nodes"),
+                lambda n: (n["name"] == name)
+                & F.array_contains(F.col("uids"), n["parent_id"]),
+            ),
+            lambda el: F.struct(
+                F.array_position(F.col("uids"), el["parent_id"]).alias(
+                    "upos"
+                ),
+                F.array_join(
+                    F.transform(
+                        F.filter(
+                            F.col("nodes"),
+                            lambda n: (n["parent_id"] == el["node_id"])
+                            & (n["name"] == TEXT_NAME),
+                        ),
+                        lambda n: n["value"],
+                    ),
+                    "",
+                ).alias("txt"),
+            ),
+        )
+
+    t3 = t2.select(
+        "doc_id", "uids",
+        kid_structs("loc").alias("ls"),
+        kid_structs("lastmod").alias("ms"),
+    )
+    per = F.transform(
+        F.col("uids"),
+        lambda uid, ui: F.struct(
+            F.get(
+                F.filter(F.col("ls"), lambda x: x["upos"] == ui + 1), 0
+            )["txt"].alias("loc"),
+            F.get(
+                F.filter(F.col("ms"), lambda x: x["upos"] == ui + 1), 0
+            )["txt"].alias("lastmod"),
         ),
     )
-    ex = nodes_df.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.posexplode(per).alias("url_pos", "u"),
+    ex = t3.select(
+        "doc_id", F.posexplode(per).alias("url_pos", "u")
     ).where(F.col("u.loc").isNotNull())
     canon, host, _ = url_canon_cols("loc")
     return ex.select(
@@ -2406,71 +2432,109 @@ def robots_parse(
     NOT interpreted: rules apply as literal path prefixes, the
     deterministic subset both engines and every crawler agree on.
 
-    Scale shape: the whole parse is ONE map-side expression pass over
+    Scale shape: the whole parse is map-side expression passes over
     each host's lines array (O(lines^2) array scans per host — a
     robots.txt is KB-sized by convention); the explode emits slim rule
     rows. Zero shuffles, zero Python; the rules table for 10^8 hosts
-    is itself distributed."""
+    is itself distributed. Each derived array (fields, values, group
+    starts, per-group agent lists) is materialized as a real column at
+    a projection boundary: inlining them into the per-rule lambdas
+    multiplies the expression tree (and an inlined array is
+    re-evaluated per element of the enclosing lambda) — the inlined
+    first cut spent ~12 s per invocation in planning/codegen alone."""
     nc = lambda l: F.regexp_replace(l, "#.*$", "")  # noqa: E731
     lines = F.split(F.col(txt_col), "\n")
-    fields = F.transform(
-        lines,
-        lambda l: F.lower(F.regexp_extract(nc(l), r"^\s*([A-Za-z-]+)\s*:", 1)),
+    t1 = df.select(
+        F.lower(F.col(host_col)).alias("host"),
+        F.transform(
+            lines,
+            lambda l: F.lower(
+                F.regexp_extract(nc(l), r"^\s*([A-Za-z-]+)\s*:", 1)
+            ),
+        ).alias("flds"),
+        F.transform(
+            lines,
+            lambda l: F.regexp_extract(
+                nc(l), r"^\s*[A-Za-z-]+\s*:\s*(\S*)", 1
+            ),
+        ).alias("vals"),
     )
-    values = F.transform(
-        lines,
-        lambda l: F.regexp_extract(nc(l), r"^\s*[A-Za-z-]+\s*:\s*(\S*)", 1),
+    t2 = t1.select(
+        "*", F.sequence(F.lit(0), F.size("flds") - 1).alias("idx")
     )
-    n = F.size(lines)
-    idx = F.sequence(F.lit(0), n - 1)
 
     def fld(i):
-        return F.element_at(fields, i + 1)
+        return F.element_at(F.col("flds"), i + 1)
 
     def val(i):
-        return F.element_at(values, i + 1)
+        return F.element_at(F.col("vals"), i + 1)
 
     # group starts: a User-agent line whose previous line is not one
-    gstarts = F.filter(
-        idx,
-        lambda i: (fld(i) == "user-agent")
-        & ((i == 0) | (F.element_at(fields, i) != "user-agent")),
+    t3 = t2.select(
+        "*",
+        F.filter(
+            F.col("idx"),
+            lambda i: (fld(i) == "user-agent")
+            & ((i == 0) | (F.element_at(F.col("flds"), i) != "user-agent")),
+        ).alias("gstarts"),
     )
-
-    def gs(i):
-        return F.array_max(F.filter(gstarts, lambda s: s < i))
-
-    def run_end(g):
-        return F.coalesce(
-            F.array_min(
-                F.filter(idx, lambda j: (j > g) & (F.element_at(fields, j + 1) != "user-agent"))
+    # per group start: its UA run's end (first non-UA line after it),
+    # then the lowercased agent tokens of the run
+    t4 = t3.select(
+        "*",
+        F.transform(
+            F.col("gstarts"),
+            lambda g: F.coalesce(
+                F.array_min(
+                    F.filter(
+                        F.col("idx"),
+                        lambda j: (j > g) & (fld(j) != "user-agent"),
+                    )
+                ),
+                F.size("flds"),
             ),
-            n,
-        )
-
-    rules_idx = F.filter(
-        idx,
-        lambda i: fld(i).isin("allow", "disallow") & gs(i).isNotNull(),
+        ).alias("gends"),
     )
+    t5 = t4.select(
+        "*",
+        F.transform(
+            F.col("gstarts"),
+            lambda g, gi: F.transform(
+                F.filter(
+                    F.col("idx"),
+                    lambda j: (j >= g)
+                    & (j < F.element_at(F.col("gends"), gi + 1)),
+                ),
+                lambda j: F.lower(val(j)),
+            ),
+        ).alias("gagents"),
+    )
+    # rule lines attach to the LAST group started before them; rules
+    # before any group are dropped (size(...) = 0 -> element_at fails
+    # on 0, so guard with the same count)
     per = F.flatten(
         F.transform(
-            rules_idx,
+            F.filter(
+                F.col("idx"),
+                lambda i: fld(i).isin("allow", "disallow")
+                & (F.size(F.filter(F.col("gstarts"), lambda s: s < i)) > 0),
+            ),
             lambda i: F.transform(
-                F.filter(
-                    idx,
-                    lambda j: (j >= gs(i)) & (j < run_end(gs(i))),
+                F.element_at(
+                    F.col("gagents"),
+                    F.size(F.filter(F.col("gstarts"), lambda s: s < i)),
                 ),
-                lambda j: F.struct(
-                    F.lower(val(j)).alias("agent"),
+                lambda a: F.struct(
+                    a.alias("agent"),
                     fld(i).alias("rule"),
                     val(i).alias("path"),
                 ),
             ),
         )
     )
-    return df.select(
-        F.lower(F.col(host_col)).alias("host"), F.explode(per).alias("r")
-    ).select("host", "r.agent", "r.rule", "r.path")
+    return t5.select("host", F.explode(per).alias("r")).select(
+        "host", "r.agent", "r.rule", "r.path"
+    )
 
 
 def robots_filter(

@@ -310,3 +310,44 @@ def test_spark_submit_frontier_job(workdir):
     assert audit[12][1] is False  # null url: not denied, not a dup
     assert audit[12][3] is False and audit[13][3] is False  # unfetchable
     assert audit[0][3] is True
+
+    # third form: robots politeness + sitemap ingestion. ex.com's
+    # policy disallows /a for '*' (blocks the doc-0 keeper); the
+    # sitemap contributes one new URL under the reserved negative
+    # doc_id space and one that dedups against an existing crawl URL
+    con.execute(f"""
+        COPY (
+          SELECT * FROM (VALUES
+            ('ex.com', 'User-agent: *' || chr(10) || 'Disallow: /a')
+          ) t(host, robots_txt)
+        ) TO '{workdir}/fr_robots' (FORMAT parquet)""")
+    con.execute(f"""
+        COPY (
+          SELECT '90' AS doc_id,
+                 [struct_pack(kind := 'html',
+                    text := '<urlset><url><loc>https://sm.new/page/</loc>'
+                            || '</url><url><loc>https://other.net/p5#x</loc>'
+                            || '</url></urlset>',
+                    media_ref := CAST(NULL AS VARCHAR),
+                    "offset" := CAST(0 AS INTEGER))] AS spans
+        ) TO '{workdir}/fr_sitemaps' (FORMAT parquet)""")
+    s3 = run([
+        "--output", str(workdir / "fr_kept3"),
+        "--robots", str(workdir / "fr_robots"),
+        "--sitemaps", str(workdir / "fr_sitemaps"),
+    ])
+    # 15 urls + 2 sitemap locs in; sitemap ids are the reserved
+    # composite -1 - (90*65536 + url_pos): -5898241 (sm.new/page/,
+    # pos 0) and -5898242 (other.net/p5#x, pos 1 — it dedups against
+    # crawl doc 5 and, being the minimum id, takes the keeper slot).
+    # Fetch list: the two sitemap rows, blocked.org/ok (4), flood.io
+    # 6-11; ex.com/a is robots-blocked, doc 5 is now a dup
+    assert s3 == {"urls_in": 17, "rows_out": 9}
+    kept3 = con.execute(
+        f"SELECT doc_id, url_canon FROM '{workdir}/fr_kept3/*.parquet' "
+        "ORDER BY doc_id").fetchall()
+    assert [r[0] for r in kept3] == [
+        -5898242, -5898241, 4, 6, 7, 8, 9, 10, 11]
+    assert kept3[0][1] == "https://other.net/p5"
+    assert kept3[1][1] == "https://sm.new/page"
+    assert all(r[0] != 0 for r in kept3)  # robots blocked the keeper
