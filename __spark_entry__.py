@@ -144,6 +144,16 @@ def q_extract_tables(spark, sf_dir):
     return textops.extract_tables_df(pipeline.parse_nodes_df(wrapped))
 
 
+def q_extract_headings(spark, sf_dir):
+    """Document-outline extraction through the REAL parser: h1-h6
+    rows with document-order positions, direct-child heading text,
+    and nearest-smaller-level parent links — including the skip-back
+    case (an h2 after an h3 links to the h1, jumping over it); see
+    textops.extract_headings_df."""
+    wrapped = textops.headings_wrapped(_docs(spark, sf_dir))
+    return textops.extract_headings_df(pipeline.parse_nodes_df(wrapped))
+
+
 def q_sitemap_urls(spark, sf_dir):
     """Sitemap-XML ingestion through the REAL parser: urlset/url/loc
     parent-chain walk + the SHARED frontier canonicalization
@@ -567,6 +577,13 @@ def q_lm_surprisal(spark, sf_dir):
     return textops.lm_surprisal_scores(_docs(spark, sf_dir))
 
 
+def q_sample_mixture(spark, sf_dir):
+    """Deterministic mixture resampling plan: corpus_mixture's weights
+    applied as hash-gated per-doc replication counts in exact integer
+    ppm; see textops.sample_mixture."""
+    return textops.sample_mixture(_docs(spark, sf_dir))
+
+
 def q_pack_sequences(spark, sf_dir):
     """Training-example assembly: deterministic per-source token
     offsets + fixed-ctx sequence ids (textops.pack_sequences)."""
@@ -961,6 +978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_outlinks": q_extract_outlinks,
         "extract_tables": q_extract_tables,
         "sitemap_urls": q_sitemap_urls,
+        "extract_headings": q_extract_headings,
         "robots_parse": q_robots_parse,
         "chunk_docs": q_chunk_docs,
         "dsir_weights": q_dsir_weights,
@@ -988,6 +1006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "lm_surprisal": q_lm_surprisal,
         "corpus_mixture": q_corpus_mixture,
+        "sample_mixture": q_sample_mixture,
         "pack_sequences": q_pack_sequences,
         "token_histogram": q_token_histogram,
         "pii_scrub": q_pii_scrub,
@@ -1557,6 +1576,31 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT doc_id, CAST(1 AS BIGINT),
                    'https://ex.org/' || sid || '/1', 'second link'
+            FROM base
+        """,
+        # extract_headings: template algebra — outline rows with the
+        # skip-back parent link (the trailing h2 jumps over the h3 to
+        # the h1) and the nested-<em> direct-text contract
+        "extract_headings": """
+            WITH base AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     CAST(doc_id AS VARCHAR) AS sid,
+                     string_split(text, ' ')[1] AS w1,
+                     CAST(doc_id AS BIGINT) % 3 = 0 AS has_h3
+              FROM documents)
+            SELECT doc_id, CAST(0 AS BIGINT) AS h_pos,
+                   CAST(1 AS BIGINT) AS level,
+                   'Title ' || sid AS heading_text,
+                   CAST(NULL AS BIGINT) AS parent_pos
+            FROM base
+            UNION ALL
+            SELECT doc_id, 1, 2, 'Sec A ' || w1, 0 FROM base
+            UNION ALL
+            SELECT doc_id, 2, 3, 'Sub ' || sid, 1
+            FROM base WHERE has_h3
+            UNION ALL
+            SELECT doc_id, CASE WHEN has_h3 THEN 3 ELSE 2 END, 2,
+                   'Sec B ', 0
             FROM base
         """,
         # sitemap_urls: template algebra — the parser must recover
@@ -2573,6 +2617,39 @@ def oracle_sql() -> dict[str, str]:
                      ELSE 0.0 END)
                      / (n_tokens / (SELECT tot FROM tot)), 6) AS weight
             FROM per_lang
+        """,
+        # sample_mixture: the corpus_mixture weight pipeline (same
+        # doubles, hash-verified by that oracle) -> integer ppm ->
+        # md5-gated copy counts; weight-0 / NULL-lang docs drop
+        "sample_mixture": f"""
+            WITH per_lang AS (
+              SELECT lang,
+                     CAST(sum(CASE WHEN text IS NULL THEN 0
+                              ELSE len(string_split(text, ' ')) END)
+                          AS BIGINT) AS n_tokens
+              FROM documents GROUP BY lang),
+            tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot
+                    FROM per_lang),
+            rates AS (
+              SELECT lang,
+                     CAST(round(round((CASE lang
+                       {' '.join(f"WHEN '{k}' THEN {v}" for k, v in
+                                 sorted(textops.MIXTURE_TARGETS.items()))}
+                       ELSE 0.0 END)
+                       / (n_tokens / (SELECT tot FROM tot)), 6)
+                       * 1000000) AS BIGINT) AS w_ppm
+              FROM per_lang),
+            cand AS (
+              SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang,
+                     r.w_ppm // 1000000
+                     + CASE WHEN CAST('0x' || substr(md5(
+                              CAST(CAST(d.doc_id AS BIGINT) AS VARCHAR)),
+                              1, 8) AS BIGINT) % 1000000
+                            < r.w_ppm % 1000000
+                       THEN 1 ELSE 0 END AS n_copies
+              FROM documents d JOIN rates r USING (lang))
+            SELECT doc_id, lang, CAST(n_copies AS BIGINT) AS n_copies
+            FROM cand WHERE n_copies > 0
         """,
         "pii_scrub": f"""
             WITH aug AS (

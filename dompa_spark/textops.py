@@ -580,6 +580,97 @@ def sitemap_urls_df(nodes_df: DataFrame) -> DataFrame:
     ).select("*", canon.alias("url_canon"), host.alias("host"))
 
 
+def headings_wrapped(df: DataFrame) -> DataFrame:
+    """Heading-outline fixture through the REAL parser: h1 -> h2 ->
+    optional h3 (doc_id % 3 == 0) -> h2, so the nearest-smaller-level
+    parent rule fires at every depth, including the skip-back case
+    (the second h2's parent is the h1, jumping OVER the h3). The
+    second h2 nests markup (<h2>Sec B <em>w</em></h2> -> 'Sec B ',
+    the direct-child-text contract)."""
+    d = F.col("doc_id").cast("long")
+    sid = F.col("doc_id").cast("string")
+    w1 = F.expr("element_at(split(text, ' '), 1)")
+    h3 = F.when(
+        d % 3 == 0,
+        F.concat(F.lit("<h3>Sub "), sid, F.lit("</h3><p>deep</p>")),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<article><h1>Title "), sid, F.lit("</h1><p>"),
+        F.col("text"), F.lit("</p><h2>Sec A "), w1,
+        F.lit("</h2><p>aaa</p>"), h3,
+        F.lit("<h2>Sec B <em>"), w1, F.lit("</em></h2><p>ccc</p></article>"),
+    )
+    return df.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(html_span(html, 0)).alias("spans"),
+    )
+
+
+def extract_headings_df(nodes_df: DataFrame) -> DataFrame:
+    """Document-outline extraction from the flat parsed DOM: one row
+    per h1-h6 element, (doc_id, h_pos, level, heading_text,
+    parent_pos) — h_pos is the document-order heading index,
+    heading_text the concat of DIRECT child text nodes (markup inside
+    a heading keeps its own text, the anchor/title/table-cell
+    contract), and parent_pos the h_pos of the NEAREST PRECEDING
+    heading with a strictly smaller level (NULL for top-level
+    headings) — i.e. the outline tree a section chunker or a
+    structure-aware quality gate consumes.
+
+    Scale shape: one HOF pass materializes the per-doc heading structs
+    as a real column (the sitemap/robots lesson: an inlined array
+    re-evaluates per element of an enclosing lambda), a second pass
+    links parents with O(headings^2) scans over that in-memory array,
+    and the posexplode is the plan's only Generate. Zero shuffles,
+    zero Python."""
+    from dompa_spark.constants import TEXT_NAME
+
+    nodes = F.col("nodes")
+    hnames = ["h1", "h2", "h3", "h4", "h5", "h6"]
+    hs = F.transform(
+        F.filter(nodes, lambda n: n["name"].isin(*hnames)),
+        lambda h: F.struct(
+            F.substring(h["name"], 2, 1).cast("int").alias("level"),
+            F.array_join(
+                F.transform(
+                    F.filter(
+                        nodes,
+                        lambda n: (n["parent_id"] == h["node_id"])
+                        & (n["name"] == TEXT_NAME),
+                    ),
+                    lambda n: n["value"],
+                ),
+                "",
+            ).alias("txt"),
+        ),
+    )
+    t1 = nodes_df.select(
+        F.col("doc_id").cast("long").alias("doc_id"), hs.alias("hs")
+    )
+    # parent link: the last index j < i with hs[j].level < hs[i].level
+    per = F.transform(
+        F.col("hs"),
+        lambda h, i: F.struct(
+            h["level"].cast("long").alias("level"),
+            h["txt"].alias("heading_text"),
+            F.array_max(
+                F.filter(
+                    F.sequence(F.lit(0), i),
+                    lambda j: (j < i)
+                    & (F.element_at(F.col("hs"), j + 1)["level"]
+                       < h["level"]),
+                )
+            ).cast("long").alias("parent_pos"),
+        ),
+    )
+    ex = t1.select("doc_id", F.posexplode(per).alias("h_pos", "h"))
+    return ex.select(
+        "doc_id",
+        F.col("h_pos").cast("long").alias("h_pos"),
+        "h.level", "h.heading_text", "h.parent_pos",
+    )
+
+
 def extract_tables_df(nodes_df: DataFrame) -> DataFrame:
     """Structured-table extraction from the flat parsed DOM — the
     extraction-tier step that turns HTML tables into trainable rows
@@ -2066,6 +2157,53 @@ def corpus_mixture(
                 target / (F.col("n_tokens") / F.col("tot")), 6
             ).alias("weight"),
         )
+    )
+
+
+def sample_mixture(
+    df: DataFrame, targets: dict[str, float] | None = None
+) -> DataFrame:
+    """Apply corpus_mixture's weights as a DETERMINISTIC resampling
+    plan: one row per kept doc, (doc_id, lang, n_copies) — the exact
+    replication count a mixing job materializes (n_copies > 1 =
+    up-sampled/repeated epochs for under-represented languages,
+    fractional weights resolved per doc by hash). Acceptance is
+    hash-gated in exact integer ppm: w_ppm = round(weight * 10^6);
+    n_copies = w_ppm div 10^6 + (md5_32(doc_id) mod 10^6 <
+    w_ppm mod 10^6). Same doc, same corpus -> same copies on any
+    cluster, any partitioning, any engine — a mixture plan that can't
+    be replayed bit-identically can't be audited. Docs whose lang has
+    target 0 (or NULL lang) drop, matching corpus_mixture's weight-0
+    exclusion contract.
+
+    Scale shape: corpus_mixture's one slim groupBy(lang) + 1-row
+    total, then the lang->w_ppm table (lang-cardinality tiny) joins
+    back BROADCAST and the copy decision is a map-side md5 — the
+    frontier-scale corpus is touched by zero additional shuffles."""
+    mix = corpus_mixture(df, targets)
+    rates = mix.select(
+        "lang",
+        F.round(F.col("weight") * 1000000).cast("long").alias("w_ppm"),
+    )
+    h6 = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+            16, 10,
+        ).cast("long")
+        % 1000000
+    )
+    return (
+        df.select(F.col("doc_id").cast("long").alias("doc_id"), "lang")
+        .join(F.broadcast(rates), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            (
+                F.expr("w_ppm div 1000000")
+                + (h6 < F.col("w_ppm") % 1000000).cast("long")
+            ).cast("long").alias("n_copies"),
+        )
+        .where(F.col("n_copies") > 0)
     )
 
 

@@ -1274,6 +1274,45 @@ def test_sitemap_urls_chain_and_canon(spark):
     ], got
 
 
+def _headings_of(spark, html):
+    from dompa_spark import pipeline
+
+    df = spark.createDataFrame([("1", html)], "doc_id string, html string")
+    spans = df.select(
+        "doc_id",
+        F.array(textops.html_span(F.col("html"), 0)).alias("spans"),
+    )
+    rows = textops.extract_headings_df(
+        pipeline.parse_nodes_df(spans)
+    ).collect()
+    return [(r.h_pos, r.level, r.heading_text, r.parent_pos)
+            for r in rows]
+
+
+def test_extract_headings_outline_links(spark):
+    """Nearest-smaller-level parent: an h4 after h1 links straight to
+    the h1 (levels can skip); a later h2 jumps back over deeper
+    headings; same-level siblings share a parent; a leading h2 with no
+    smaller predecessor gets NULL."""
+    got = _headings_of(
+        spark,
+        "<div><h2>pre</h2><h1>top</h1><h4>deep <b>x</b></h4>"
+        "<h4>deep2</h4><h2>back</h2><h3>under</h3></div>",
+    )
+    assert got == [
+        (0, 2, "pre", None),
+        (1, 1, "top", None),
+        (2, 4, "deep ", 1),
+        (3, 4, "deep2", 1),
+        (4, 2, "back", 1),
+        (5, 3, "under", 4),
+    ], got
+
+
+def test_extract_headings_none(spark):
+    assert _headings_of(spark, "<div><p>no headings</p></div>") == []
+
+
 def test_sitemap_urls_no_urlset_emits_nothing(spark):
     assert _sitemap_of(
         spark, "<url><loc>https://x.example/</loc></url>"
@@ -1395,6 +1434,32 @@ def test_chunk_documents_null_text_and_args(spark):
         textops.chunk_documents(df, 4, 5)
     with _pt.raises(ValueError):
         textops.chunk_documents(df, 0, 0)
+
+
+def test_sample_mixture_copy_math(spark):
+    """Closed-form: lang at 4x its target weight halves... — exact
+    check of the ppm copy formula on engineered token shares, plus the
+    guarantees a mixing job relies on: total copies per lang lands
+    within 1-per-doc of n_docs * weight, repeated invocation is
+    bit-identical, and weight-0 langs drop entirely."""
+    # 100 en docs x 10 tokens, 100 xx docs x 10 tokens -> shares 0.5;
+    # targets: en 0.75 (weight 1.5 -> 1 or 2 copies), xx 0 (dropped)
+    docs = [(i, "w " * 9 + "w", "en" if i < 100 else "xx")
+            for i in range(200)]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    targets = {"en": 0.75}
+    rows = textops.sample_mixture(df, targets).collect()
+    assert all(r.lang == "en" for r in rows)
+    assert len(rows) == 100  # weight >= 1: every en doc kept
+    copies = {r.doc_id: r.n_copies for r in rows}
+    assert set(copies.values()) <= {1, 2}
+    total = sum(copies.values())
+    # E[total] = 150; the md5 gate is uniform-ish but fixed — pin a
+    # generous band AND determinism across invocations
+    assert 120 <= total <= 180, total
+    again = {r.doc_id: r.n_copies
+             for r in textops.sample_mixture(df, targets).collect()}
+    assert again == copies
 
 
 def test_dsir_weights_closed_form(spark):
