@@ -103,6 +103,11 @@ def main(argv=None) -> int:
     p.add_argument("--line-seg-words", type=int, default=None,
                    help="window size for --line-seg-mode=words "
                         "(default: textops.SEGDEDUP_WORDS)")
+    p.add_argument("--with-mixture", action="store_true",
+                   help="write a deterministic mixture resampling plan "
+                        "(doc_id, lang, n_copies — hash-gated integer "
+                        "ppm, replayable on any cluster) for the KEPT "
+                        "corpus under workdir/mixture_plan")
     p.add_argument("--domain-cap", type=int, default=None,
                    help="docs kept per source domain (default: the "
                         "operator's DOMAIN_CAP; raise for corpora with "
@@ -283,6 +288,17 @@ def main(argv=None) -> int:
             cols.append("pii_redactions")
         kept_docs.select(*cols).write.mode("overwrite").parquet(kept_path)
 
+    # 5. optional mixture plan over the kept corpus (its own resumable
+    # stage: the plan is deterministic given the kept table, so a
+    # resumed run reproduces it bit-identically rather than re-rolling)
+    mixture_path = f"{args.workdir}/mixture_plan"
+    if args.with_mixture and not (
+        resume and _stage_done(spark, mixture_path)
+    ):
+        textops.sample_mixture(
+            spark.read.parquet(kept_path)
+        ).write.mode("overwrite").parquet(mixture_path)
+
     dec = spark.read.parquet(decisions)
     stats = {
         "docs": dec.count(),
@@ -308,6 +324,12 @@ def main(argv=None) -> int:
         stats["pii_redactions"] = int(
             spark.read.parquet(kept_path)
             .agg(F.sum("pii_redactions")).first()[0] or 0
+        )
+    if args.with_mixture:
+        plan = spark.read.parquet(mixture_path)
+        stats["mixture_docs"] = plan.count()
+        stats["mixture_copies"] = int(
+            plan.agg(F.sum("n_copies")).first()[0] or 0
         )
     print(json.dumps(stats))
     if owns_session:

@@ -2179,7 +2179,10 @@ def sample_mixture(
     Scale shape: corpus_mixture's one slim groupBy(lang) + 1-row
     total, then the lang->w_ppm table (lang-cardinality tiny) joins
     back BROADCAST and the copy decision is a map-side md5 — the
-    frontier-scale corpus is touched by zero additional shuffles."""
+    frontier-scale corpus is touched by zero additional shuffles.
+    doc_id passes through with its INPUT type (the md5 gate hashes its
+    string form), so string identities survive — no long cast to
+    NULL-poison them (the dedup_near_stream id_mode lesson)."""
     mix = corpus_mixture(df, targets)
     rates = mix.select(
         "lang",
@@ -2193,7 +2196,7 @@ def sample_mixture(
         % 1000000
     )
     return (
-        df.select(F.col("doc_id").cast("long").alias("doc_id"), "lang")
+        df.select("doc_id", "lang")
         .join(F.broadcast(rates), "lang")
         .select(
             "doc_id",

@@ -104,9 +104,11 @@ def test_no_unbounded_cartesian_products(spark, entry_mod):
     #   aggregate (same pattern)
     # dsir_weights: BOTH corpus token totals (raw and target) join in
     #   as broadcast 1-row aggregates (the lm_surprisal pattern twice)
+    # sample_mixture: composes corpus_mixture, inheriting its 1-row
+    #   corpus-total broadcast
     allowed_bnlj = {"ann_cosine_topk", "tfidf_top_terms", "ann_ivf_topk",
                     "ivf_list_sizes", "ann_recall", "lm_surprisal",
-                    "corpus_mixture", "dsir_weights"}
+                    "corpus_mixture", "dsir_weights", "sample_mixture"}
     for name, fn in entry_mod.queries().items():
         plan = plan_of(fn(spark, SF_DIR))
         assert "CartesianProduct" not in plan, f"{name} has a cartesian join"

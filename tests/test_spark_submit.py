@@ -130,6 +130,7 @@ def test_spark_submit_pretrain_corpus_pipeline(workdir):
             "--light-parts", "4", "--heavy-parts", "2",
             "--with-repetition", "--with-host-boilerplate",
             "--with-line-dedup", "--with-span-dedup",
+            "--with-mixture",
             "--domain-cap", "100",
         ],
         cwd=str(workdir),
@@ -158,6 +159,15 @@ def test_spark_submit_pretrain_corpus_pipeline(workdir):
         f"'{workdir}/pipeline_work/kept/*.parquet'"
     ).fetchone()[0]
     assert n_kept == stats["kept"]
+    # mixture plan: en-language docs survive with >= 1 copies each;
+    # mixed/other (target 0) drop; ids stay the ORIGINAL string ids
+    assert 0 < stats["mixture_docs"] <= stats["kept"]
+    assert stats["mixture_copies"] >= stats["mixture_docs"]
+    plan_langs = con.execute(
+        f"SELECT DISTINCT lang FROM "
+        f"'{workdir}/pipeline_work/mixture_plan/*.parquet'"
+    ).fetchall()
+    assert plan_langs == [("en",)]
 
 
 def test_spark_submit_incremental_dedup_sig_cycle(workdir):
