@@ -144,6 +144,15 @@ def q_extract_tables(spark, sf_dir):
     return textops.extract_tables_df(pipeline.parse_nodes_df(wrapped))
 
 
+def q_extract_lists(spark, sf_dir):
+    """List extraction through the REAL parser: ul/ol items with
+    document-order indices, ordered flags, direct-child item text, and
+    the stray-<li> decoy that must never emit; see
+    textops.extract_lists_df."""
+    wrapped = textops.lists_wrapped(_docs(spark, sf_dir))
+    return textops.extract_lists_df(pipeline.parse_nodes_df(wrapped))
+
+
 def q_extract_headings(spark, sf_dir):
     """Document-outline extraction through the REAL parser: h1-h6
     rows with document-order positions, direct-child heading text,
@@ -979,6 +988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_tables": q_extract_tables,
         "sitemap_urls": q_sitemap_urls,
         "extract_headings": q_extract_headings,
+        "extract_lists": q_extract_lists,
         "robots_parse": q_robots_parse,
         "chunk_docs": q_chunk_docs,
         "dsir_weights": q_dsir_weights,
@@ -1577,6 +1587,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(1 AS BIGINT),
                    'https://ex.org/' || sid || '/1', 'second link'
             FROM base
+        """,
+        # extract_lists: template algebra — the stray li and the
+        # nested <b> text must NOT appear; the ol flips the flag
+        "extract_lists": """
+            WITH base AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     CAST(doc_id AS VARCHAR) AS sid,
+                     string_split(text, ' ')[1] AS w1
+              FROM documents)
+            SELECT doc_id, CAST(0 AS BIGINT) AS list_idx,
+                   CAST(0 AS BIGINT) AS item_idx,
+                   false AS ordered, 'one ' || w1 AS item_text
+            FROM base
+            UNION ALL
+            SELECT doc_id, 0, 1, false, 'two ' FROM base
+            UNION ALL
+            SELECT doc_id, 1, 0, true, 'o1 ' || sid
+            FROM base WHERE doc_id % 5 = 0
         """,
         # extract_headings: template algebra — outline rows with the
         # skip-back parent link (the trailing h2 jumps over the h3 to

@@ -580,6 +580,81 @@ def sitemap_urls_df(nodes_df: DataFrame) -> DataFrame:
     ).select("*", canon.alias("url_canon"), host.alias("host"))
 
 
+def lists_wrapped(df: DataFrame) -> DataFrame:
+    """List-extraction fixture through the REAL parser: one <ul> with
+    two items (the second nests markup — direct-child-text contract),
+    a conditional <ol> (doc_id % 5 == 0) exercising the ordered flag
+    and list enumeration, and a stray <li> OUTSIDE any list (the
+    li -> ul|ol chain rule must drop it)."""
+    d = F.col("doc_id").cast("long")
+    sid = F.col("doc_id").cast("string")
+    w1 = F.expr("element_at(split(text, ' '), 1)")
+    ol = F.when(
+        d % 5 == 0,
+        F.concat(F.lit("<ol><li>o1 "), sid, F.lit("</li></ol>")),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<div><p>"), F.col("text"), F.lit('</p><ul id="u"><li>one '),
+        w1, F.lit("</li><li>two <b>"), sid, F.lit("</b></li></ul>"),
+        ol, F.lit("<li>stray</li></div>"),
+    )
+    return df.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(html_span(html, 0)).alias("spans"),
+    )
+
+
+def extract_lists_df(nodes_df: DataFrame) -> DataFrame:
+    """List extraction from the flat parsed DOM: one row per list
+    item, (doc_id, list_idx, item_idx, ordered, item_text) —
+    document-order indices (list among the doc's <ul>/<ol> elements,
+    <li> among the list's DIRECT items), ordered = the container is an
+    <ol>, item text = concat of the item's DIRECT child text nodes
+    (nested markup — including a nested sub-list — keeps its own
+    text). An <li> surfaces ONLY through a li -> ul|ol parent chain;
+    stray items in tag soup never emit. The extraction-tier sibling of
+    extract_tables for enumerations (steps, ingredients, rankings).
+
+    Scale shape: identical to extract_tables — one nested map-side HOF
+    pass, one posexplode, zero shuffles, zero Python."""
+    from dompa_spark.constants import TEXT_NAME
+
+    nodes = F.col("nodes")
+
+    def direct_text(el):
+        kids = F.filter(
+            nodes,
+            lambda n: (n["parent_id"] == el["node_id"])
+            & (n["name"] == TEXT_NAME),
+        )
+        return F.array_join(F.transform(kids, lambda n: n["value"]), "")
+
+    per = F.flatten(F.transform(
+        F.filter(nodes, lambda n: n["name"].isin("ul", "ol")),
+        lambda lst, li: F.transform(
+            F.filter(
+                nodes,
+                lambda n: (n["parent_id"] == lst["node_id"])
+                & (n["name"] == "li"),
+            ),
+            lambda it, ii: F.struct(
+                li.cast("long").alias("list_idx"),
+                ii.cast("long").alias("item_idx"),
+                (lst["name"] == "ol").alias("ordered"),
+                direct_text(it).alias("item_text"),
+            ),
+        ),
+    ))
+    ex = nodes_df.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(per).alias("it"),
+    )
+    return ex.select(
+        "doc_id", "it.list_idx", "it.item_idx", "it.ordered",
+        "it.item_text",
+    )
+
+
 def headings_wrapped(df: DataFrame) -> DataFrame:
     """Heading-outline fixture through the REAL parser: h1 -> h2 ->
     optional h3 (doc_id % 3 == 0) -> h2, so the nearest-smaller-level

@@ -1274,6 +1274,39 @@ def test_sitemap_urls_chain_and_canon(spark):
     ], got
 
 
+def _lists_of(spark, html):
+    from dompa_spark import pipeline
+
+    df = spark.createDataFrame([("1", html)], "doc_id string, html string")
+    spans = df.select(
+        "doc_id",
+        F.array(textops.html_span(F.col("html"), 0)).alias("spans"),
+    )
+    rows = textops.extract_lists_df(
+        pipeline.parse_nodes_df(spans)
+    ).collect()
+    return [(r.list_idx, r.item_idx, r.ordered, r.item_text)
+            for r in rows]
+
+
+def test_extract_lists_contract(spark):
+    """Chain rule (stray li never emits), ordered flag, document-order
+    enumeration, direct-child text, and a NESTED sub-list: the inner
+    ul is its own list_idx and the outer item keeps only its direct
+    text."""
+    got = _lists_of(
+        spark,
+        "<div><li>stray</li><ol><li>a</li><li>b <i>x</i></li></ol>"
+        "<ul><li>outer <ul><li>inner</li></ul> tail</li></ul></div>",
+    )
+    assert got == [
+        (0, 0, True, "a"),
+        (0, 1, True, "b "),
+        (1, 0, False, "outer  tail"),
+        (2, 0, False, "inner"),
+    ], got
+
+
 def _headings_of(spark, html):
     from dompa_spark import pipeline
 
