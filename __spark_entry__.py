@@ -144,6 +144,17 @@ def q_extract_tables(spark, sf_dir):
     return textops.extract_tables_df(pipeline.parse_nodes_df(wrapped))
 
 
+def q_media_captions(spark, sf_dir):
+    """Caption-candidate mining over the EXTRACTED interleaved corpus:
+    for each media span, the nearest preceding/following text spans by
+    offset — composed over the real extract pipeline (template ->
+    parse -> boilerplate strip -> span table), so the prev text is the
+    extractor's output, not the raw markup; see
+    textops.media_captions."""
+    wrapped = textops.interleaved_wrapped(_docs(spark, sf_dir))
+    return textops.media_captions(pipeline.extract_df(wrapped))
+
+
 def q_extract_lists(spark, sf_dir):
     """List extraction through the REAL parser: ul/ol items with
     document-order indices, ordered flags, direct-child item text, and
@@ -989,6 +1000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_urls": q_sitemap_urls,
         "extract_headings": q_extract_headings,
         "extract_lists": q_extract_lists,
+        "media_captions": q_media_captions,
         "robots_parse": q_robots_parse,
         "chunk_docs": q_chunk_docs,
         "dsir_weights": q_dsir_weights,
@@ -1587,6 +1599,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(1 AS BIGINT),
                    'https://ex.org/' || sid || '/1', 'second link'
             FROM base
+        """,
+        # media_captions: template algebra over the interleaved
+        # fixture — every doc's media span sits between its extracted
+        # text and the closing paragraph
+        "media_captions": f"""
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   'media://' || source || '/' || doc_id AS media_ref,
+                   CAST(1 AS BIGINT) AS media_offset,
+                   text AS prev_text,
+                   '{textops.LINKY_CLOSING}' AS next_text
+            FROM documents
         """,
         # extract_lists: template algebra — the stray li and the
         # nested <b> text must NOT appear; the ol flips the flag

@@ -655,6 +655,54 @@ def extract_lists_df(nodes_df: DataFrame) -> DataFrame:
     )
 
 
+def media_captions(spans_df: DataFrame) -> DataFrame:
+    """Caption-candidate mining over an interleaved span table — the
+    image-text pairing step a multimodal training pipeline runs on the
+    extractor's output: for every NON-TEXT span, the nearest preceding
+    and following text spans by offset (the two strings a caption
+    classifier scores). Input: (doc_id, spans) in the engine's span
+    shape (extract_df's output or the raw input table). Output one row
+    per media span: (doc_id, media_ref, media_offset, prev_text,
+    next_text), NULL where no text span exists on that side.
+
+    Scale shape: the text spans are materialized once per row as a
+    real column (HOF house rule, ROUND4 item 42), the per-media lookup
+    is a count-of-smaller-offsets + element_at over that in-memory
+    array, and the posexplode emits slim rows. Zero shuffles, zero
+    Python; spans arrays never leave the projection."""
+    texts = F.filter(
+        F.col("spans"), lambda s: s["kind"] == "text"
+    )
+    t1 = spans_df.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "spans",
+        texts.alias("ts"),
+    )
+    def n_before(m):
+        return F.size(
+            F.filter(F.col("ts"), lambda t: t["offset"] < m["offset"])
+        )
+
+    per = F.transform(
+        F.filter(F.col("spans"), lambda s: s["kind"] != "text"),
+        lambda m: F.struct(
+            m["media_ref"].alias("media_ref"),
+            m["offset"].cast("long").alias("media_offset"),
+            # F.get is 0-based and NULL on any out-of-bounds index
+            # (element_at THROWS on index 0 even inside an untaken
+            # CASE branch under codegen — measured, not theoretical)
+            F.get(F.col("ts"), n_before(m) - 1)["text"].alias(
+                "prev_text"
+            ),
+            F.get(F.col("ts"), n_before(m))["text"].alias("next_text"),
+        ),
+    )
+    return t1.select("doc_id", F.explode(per).alias("m")).select(
+        "doc_id", "m.media_ref", "m.media_offset", "m.prev_text",
+        "m.next_text",
+    )
+
+
 def headings_wrapped(df: DataFrame) -> DataFrame:
     """Heading-outline fixture through the REAL parser: h1 -> h2 ->
     optional h3 (doc_id % 3 == 0) -> h2, so the nearest-smaller-level

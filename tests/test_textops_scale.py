@@ -1307,6 +1307,40 @@ def test_extract_lists_contract(spark):
     ], got
 
 
+def test_media_captions_edges(spark):
+    """Leading media (no prev), trailing media (no next), adjacent
+    media sharing a text neighbor, and a text-free doc — the span
+    shapes a real interleaved corpus produces."""
+    from pyspark.sql import Row
+
+    def span(kind, text, ref, off):
+        return Row(kind=kind, text=text, media_ref=ref, offset=off)
+
+    rows = [
+        Row(doc_id="1", spans=[
+            span("image", None, "m0", 0), span("text", "a", None, 1),
+            span("image", None, "m1", 2), span("image", None, "m2", 3),
+            span("text", "b", None, 4), span("image", None, "m3", 5),
+        ]),
+        Row(doc_id="2", spans=[span("audio", None, "m4", 0)]),
+        Row(doc_id="3", spans=[span("text", "only", None, 0)]),
+    ]
+    schema = ("doc_id string, spans array<struct<kind:string,"
+              "text:string,media_ref:string,offset:int>>")
+    df = spark.createDataFrame(rows, schema)
+    got = sorted(
+        (r.doc_id, r.media_ref, r.prev_text, r.next_text)
+        for r in textops.media_captions(df).collect()
+    )
+    assert got == [
+        (1, "m0", None, "a"),
+        (1, "m1", "a", "b"),
+        (1, "m2", "a", "b"),
+        (1, "m3", "b", None),
+        (2, "m4", None, None),
+    ], got
+
+
 def _headings_of(spark, html):
     from dompa_spark import pipeline
 
