@@ -667,9 +667,9 @@ def media_captions(spans_df: DataFrame) -> DataFrame:
 
     Scale shape: the text spans are materialized once per row as a
     real column (HOF house rule, ROUND4 item 42), the per-media lookup
-    is a count-of-smaller-offsets + element_at over that in-memory
-    array, and the posexplode emits slim rows. Zero shuffles, zero
-    Python; spans arrays never leave the projection."""
+    is a count-of-smaller-offsets + NULL-safe F.get over that
+    in-memory array, and the posexplode emits slim rows. Zero
+    shuffles, zero Python; spans arrays never leave the projection."""
     texts = F.filter(
         F.col("spans"), lambda s: s["kind"] == "text"
     )
@@ -2307,7 +2307,11 @@ def sample_mixture(
     string form), so string identities survive — no long cast to
     NULL-poison them (the dedup_near_stream id_mode lesson)."""
     mix = corpus_mixture(df, targets)
-    rates = mix.select(
+    # a lang with target > 0 but ZERO tokens has weight = Infinity;
+    # the non-ANSI long cast would saturate that to Long.MaxValue and
+    # hand every such doc ~9e12 copies — "infinitely up-sample a lang
+    # with no text" is meaningless, so those langs drop like weight-0
+    rates = mix.where(F.col("n_tokens") > 0).select(
         "lang",
         F.round(F.col("weight") * 1000000).cast("long").alias("w_ppm"),
     )

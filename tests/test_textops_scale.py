@@ -1529,6 +1529,19 @@ def test_sample_mixture_copy_math(spark):
     assert again == copies
 
 
+def test_sample_mixture_zero_token_lang_drops(spark):
+    """A lang with target > 0 but zero tokens (all-null text) has an
+    infinite weight — it must DROP, not saturate the long cast and
+    hand out ~9e12 copies (the non-ANSI Infinity->long trap)."""
+    df = spark.createDataFrame(
+        [(0, "real words here", "en"), (1, None, "zz")],
+        "doc_id long, text string, lang string",
+    )
+    rows = textops.sample_mixture(df, {"en": 0.5, "zz": 0.5}).collect()
+    assert [r.lang for r in rows] == ["en"]
+    assert all(r.n_copies < 10 for r in rows), rows
+
+
 def test_dsir_weights_closed_form(spark):
     """Hand-computed bit buckets on a tiny corpus: target-heavy words
     score positive, raw-only words negative, and a null-text doc
