@@ -144,6 +144,15 @@ def q_extract_tables(spark, sf_dir):
     return textops.extract_tables_df(pipeline.parse_nodes_df(wrapped))
 
 
+def q_extract_structured(spark, sf_dir):
+    """The fused structure-extraction composition: ONE parse feeding
+    table/list/heading/link counts + the title per doc (internal
+    checkpoint — five families would otherwise each re-parse); see
+    textops.extract_structured."""
+    wrapped = textops.structured_wrapped(_docs(spark, sf_dir))
+    return textops.extract_structured(pipeline.parse_nodes_df(wrapped))
+
+
 def q_media_captions(spark, sf_dir):
     """Caption-candidate mining over the EXTRACTED interleaved corpus:
     for each media span, the nearest preceding/following text spans by
@@ -1001,6 +1010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_headings": q_extract_headings,
         "extract_lists": q_extract_lists,
         "media_captions": q_media_captions,
+        "extract_structured": q_extract_structured,
         "robots_parse": q_robots_parse,
         "chunk_docs": q_chunk_docs,
         "dsir_weights": q_dsir_weights,
@@ -1599,6 +1609,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(1 AS BIGINT),
                    'https://ex.org/' || sid || '/1', 'second link'
             FROM base
+        """,
+        # extract_structured: count algebra over the all-families page
+        "extract_structured": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(2 AS BIGINT) AS n_cells,
+                   CAST(3 + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END
+                          + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+                        AS BIGINT) AS n_items,
+                   CAST(1 AS BIGINT) AS n_headings,
+                   CAST(1 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+                        AS BIGINT) AS n_links,
+                   'T ' || CAST(doc_id AS VARCHAR) AS title
+            FROM documents
         """,
         # media_captions: template algebra over the interleaved
         # fixture — every doc's media span sits between its extracted

@@ -655,6 +655,79 @@ def extract_lists_df(nodes_df: DataFrame) -> DataFrame:
     )
 
 
+def structured_wrapped(df: DataFrame) -> DataFrame:
+    """Full-page fixture carrying EVERY structure family at once —
+    head/title, a heading, two lists (one holding anchors), a table,
+    and conditional extras (doc_id % 2 adds a list item, doc_id % 3 a
+    second link) so the fused counts vary per doc."""
+    d = F.col("doc_id").cast("long")
+    sid = F.col("doc_id").cast("string")
+    w1 = F.expr("element_at(split(text, ' '), 1)")
+    extra_li = F.when(d % 2 == 0, F.lit("<li>three</li>")).otherwise(
+        F.lit("")
+    )
+    link2 = F.when(
+        d % 3 == 0,
+        F.concat(F.lit('<li><a href="https://ex.org/'), sid,
+                 F.lit('/b">more</a></li>')),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit('<html lang="aa"><head><title>T '), sid,
+        F.lit("</title></head><body><h1>H "), w1,
+        F.lit("</h1><p>"), F.col("text"),
+        F.lit("</p><ul><li>i1</li><li>i2</li>"), extra_li,
+        F.lit("</ul><table><tr><td>c1</td><td>c2 "), sid,
+        F.lit('</td></tr></table><ul><li><a href="https://ex.org/'),
+        sid, F.lit('/a">go</a></li>'), link2,
+        F.lit("</ul></body></html>"),
+    )
+    return df.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(html_span(html, 0)).alias("spans"),
+    )
+
+
+def extract_structured(nodes_df: DataFrame) -> DataFrame:
+    """The PRODUCTION composition of the structure extractors: parse
+    ONCE, extract everything. Input: parse_nodes_df's (doc_id, nodes).
+    Output one row per doc: (doc_id, n_cells, n_items, n_headings,
+    n_links, title) — table cells, list items, outline headings,
+    href-carrying anchors, and the page title, all off a single
+    materialization of the parse (internal non-eager localCheckpoint —
+    the anchor_text_agg lesson: Catalyst column-prunes sibling
+    consumers into DIFFERENT first exchanges, so exchange reuse alone
+    re-parses once per family; with five families that is a 5x parse
+    tax at 10^12 docs). Counts are 0 (not NULL) for absent structure.
+
+    Scale shape: one MapInArrow parse -> checkpointed nodes read by
+    five slim per-doc aggregates -> doc_id equi-joins of count rows;
+    the nodes array never crosses an exchange
+    (test_extract_structured_single_parse pins the plan)."""
+    nodes = nodes_df.localCheckpoint(eager=False)
+
+    def cnt(out_df, name):
+        return out_df.groupBy("doc_id").agg(
+            F.count("*").cast("long").alias(name)
+        )
+
+    base = nodes.select(F.col("doc_id").cast("long").alias("doc_id"))
+    joined = (
+        base.join(cnt(extract_tables_df(nodes), "n_cells"), "doc_id", "left")
+        .join(cnt(extract_lists_df(nodes), "n_items"), "doc_id", "left")
+        .join(cnt(extract_headings_df(nodes), "n_headings"),
+              "doc_id", "left")
+        .join(cnt(extract_outlinks_df(nodes), "n_links"), "doc_id", "left")
+        .join(html_metadata(nodes).select("doc_id", "title"),
+              "doc_id", "left")
+    )
+    return joined.select(
+        "doc_id",
+        *[F.coalesce(c, F.lit(0)).cast("long").alias(c)
+          for c in ("n_cells", "n_items", "n_headings", "n_links")],
+        "title",
+    )
+
+
 def media_captions(spans_df: DataFrame) -> DataFrame:
     """Caption-candidate mining over an interleaved span table — the
     image-text pairing step a multimodal training pipeline runs on the

@@ -1307,6 +1307,29 @@ def test_extract_lists_contract(spark):
     ], got
 
 
+def test_extract_structured_single_parse(spark):
+    """Five structure families off ONE parse: after execution the
+    final plan reads the checkpointed nodes (ExistingRDD), never a
+    MapInArrow parse subtree per family (Catalyst column-prunes
+    sibling consumers into different first exchanges, so exchange
+    reuse alone would re-parse 5x — the anchor_text_agg lesson)."""
+    from dompa_spark import pipeline
+
+    docs = spark.createDataFrame(
+        [(i, "w%d x" % i, "en", "s", 4) for i in range(6)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    wrapped = textops.structured_wrapped(docs)
+    out = textops.extract_structured(pipeline.parse_nodes_df(wrapped))
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[0].n_items == 5 and rows[1].n_items == 3  # %2 and %3
+    assert rows[3].n_links == 2 and rows[1].n_links == 1
+    assert rows[5].title == "T 5"
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInArrow") == 0
+    assert "ExistingRDD" in plan
+
+
 def test_media_captions_edges(spark):
     """Leading media (no prev), trailing media (no next), adjacent
     media sharing a text neighbor, and a text-free doc — the span
