@@ -397,7 +397,11 @@ _FRONTIER_STATE_DDL = "first_doc_id long, n_seen long"
 
 
 def url_frontier_stream(
-    spark: SparkSession, in_path: str, max_files_per_trigger: int = 8
+    spark: SparkSession,
+    in_path: str,
+    max_files_per_trigger: int = 8,
+    robots_rules: DataFrame | None = None,
+    agent: str | None = None,
 ) -> DataFrame:
     """Streaming URL-frontier dedup — the 'have we ever seen this URL?'
     service a continuous crawler runs in front of its fetchers, the
@@ -421,7 +425,20 @@ def url_frontier_stream(
     re-fetch; NoTimeout is the semantic, not an oversight). A viral
     URL repeated 10^8 times costs its trigger's rows in ONE state
     group per trigger — bounded by maxFilesPerTrigger, same documented
-    hot-group contract as dedup_near_stream."""
+    hot-group contract as dedup_near_stream.
+
+    Politeness: pass `robots_rules` (a STATIC (host, agent, rule,
+    path) table, e.g. textops.robots_parse's output) to gate the
+    stream for `agent` BEFORE any state is written — precedence
+    resolves through the SAME textops.robots_applicable as the batch
+    filter (batch and stream can never disagree about which rules
+    bind), then packs per-host rule arrays into a broadcast join and
+    decides longest-match/allow-wins ENTIRELY MAP-SIDE with array HOFs
+    (no second stateful operator, no aggregation before the state op —
+    streaming plans forbid both). A disallowed URL never enters state:
+    re-allowing it later (new robots.txt) makes it eligible for its
+    ORIGINAL first-sighting emission, which is the crawl semantics you
+    want."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -471,6 +488,43 @@ def url_frontier_stream(
             & (F.col("host") != "")
         )
     )
+    if robots_rules is not None:
+        packed = (
+            textops.robots_applicable(
+                robots_rules, agent or textops.ROBOTS_AGENT
+            )
+            .groupBy("host")
+            .agg(
+                F.collect_list(F.struct("rule", "rule_path")).alias(
+                    "rrules"
+                )
+            )
+        )
+        path = F.regexp_extract(
+            F.regexp_replace(
+                F.col("url_canon"), textops._AUTHORITY_STRIP_RE, ""
+            ),
+            r"^([^?#]*)",
+            1,
+        )
+        # map-side verdict: max over matching rules of the same
+        # integer precedence encoding the batch filter aggregates
+        # (len*2 + is_allow); collect_list order is irrelevant to MAX
+        score = F.array_max(
+            F.transform(
+                F.filter(
+                    F.col("rrules"),
+                    lambda r: F.startswith(path, r["rule_path"]),
+                ),
+                lambda r: F.length(r["rule_path"]).cast("long") * 2
+                + (r["rule"] == "allow").cast("long"),
+            )
+        )
+        urls = (
+            urls.join(F.broadcast(packed), "host", "left")
+            .where(score.isNull() | (score % 2 == 1))
+            .drop("rrules")
+        )
     return urls.groupBy("url_canon").applyInPandasWithState(
         fn,
         outputStructType=_FRONTIER_OUT_DDL,

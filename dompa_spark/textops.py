@@ -2878,6 +2878,36 @@ def robots_parse(
     )
 
 
+def robots_applicable(rules: DataFrame, agent: str) -> DataFrame:
+    """Resolve REP group precedence for ONE agent into the flat rule
+    set that actually applies per host: if a host has any group naming
+    the agent, only those rules survive (the '*' groups are ignored
+    wholesale); empty-path rules (match nothing) drop here. Output:
+    (host, rule, rule_path). Shared by robots_filter (batch) and
+    streaming.url_frontier_stream (politeness join) so batch and
+    stream can never disagree about which rules bind."""
+    my = agent.lower()
+    r0 = rules.select(
+        F.lower(F.col("host")).alias("host"),
+        F.lower(F.col("agent")).alias("agent"),
+        F.col("rule"),
+        F.col("path").alias("rule_path"),
+    )
+    spec_hosts = (
+        r0.where(F.col("agent") == my)
+        .select("host")
+        .distinct()
+        .withColumn("has_spec", F.lit(True))
+    )
+    return (
+        r0.where(F.col("agent").isin(my, "*"))
+        .join(spec_hosts, "host", "left")
+        .where((F.col("agent") == my) | F.col("has_spec").isNull())
+        .where(F.col("rule_path") != "")
+        .select("host", "rule", "rule_path")
+    )
+
+
 def robots_filter(
     urls: DataFrame, rules: DataFrame, agent: str = ROBOTS_AGENT
 ) -> DataFrame:
@@ -2899,26 +2929,7 @@ def robots_filter(
     included) is rules-cardinality slim and explicitly broadcast; the
     frontier is touched by exactly one map-side join + one rollup
     shuffle on the URL key, the url_filter contract."""
-    my = agent.lower()
-    r0 = rules.select(
-        F.lower(F.col("host")).alias("host"),
-        F.lower(F.col("agent")).alias("agent"),
-        F.col("rule"),
-        F.col("path").alias("rule_path"),
-    )
-    spec_hosts = (
-        r0.where(F.col("agent") == my)
-        .select("host")
-        .distinct()
-        .withColumn("has_spec", F.lit(True))
-    )
-    appl = (
-        r0.where(F.col("agent").isin(my, "*"))
-        .join(spec_hosts, "host", "left")
-        .where((F.col("agent") == my) | F.col("has_spec").isNull())
-        .where(F.col("rule_path") != "")
-        .select("host", "rule", "rule_path")
-    )
+    appl = robots_applicable(rules, agent)
     u = F.col("url")
     rest = F.regexp_replace(u, _AUTHORITY_STRIP_RE, "")
     parsed = urls.select(

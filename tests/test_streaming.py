@@ -628,6 +628,63 @@ def test_url_frontier_stream_exactly_once_across_restarts(spark, tmp_path):
     ]
 
 
+def test_url_frontier_stream_robots_gate(spark, tmp_path):
+    """Politeness-gated frontier stream: disallowed URLs never emit
+    and never enter state; the map-side verdict must agree with the
+    batch robots_filter on the same rules (specific-agent override,
+    longest-match, allow-wins-ties); rule-less hosts pass."""
+    import os
+
+    from dompa_spark import textops
+
+    in_path = str(tmp_path / "rg_in")
+    out_path = str(tmp_path / "rg_out")
+    os.makedirs(in_path)
+    rules = spark.createDataFrame(
+        [
+            ("a.com", "*", "disallow", "/p"),
+            ("a.com", "*", "allow", "/p/ok"),
+            ("b.com", "*", "disallow", "/"),
+            ("b.com", "mybot", "disallow", "/only"),
+        ],
+        "host string, agent string, rule string, path string",
+    )
+    rows = [
+        (1, "http://a.com/p/x"),       # denied
+        (2, "http://a.com/p/ok/y"),    # allowed (longest match)
+        (3, "http://a.com/free"),      # allowed (no match)
+        (4, "https://b.com/anything"), # allowed (mybot group overrides)
+        (5, "https://b.com/only/z"),   # denied (mybot rule)
+        (6, "https://c.com/norules"),  # allowed (no rules for host)
+    ]
+    spark.createDataFrame(rows, "doc_id long, url string") \
+        .coalesce(1).write.mode("append").parquet(in_path)
+    q = (
+        streaming.url_frontier_stream(
+            spark, in_path, robots_rules=rules, agent="MyBot"
+        )
+        .writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", str(tmp_path / "rg_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = sorted(
+        r.first_doc_id for r in spark.read.parquet(out_path).collect()
+    )
+    assert got == [2, 3, 4, 6], got
+    # and the batch filter agrees verdict-for-verdict
+    urls_df = spark.createDataFrame(rows, "doc_id long, url string")
+    batch = {
+        r.doc_id: r.allowed
+        for r in textops.robots_filter(urls_df, rules, "MyBot").collect()
+    }
+    assert batch == {1: False, 2: True, 3: True, 4: True, 5: False,
+                     6: True}
+
+
 def test_url_frontier_stream_matches_batch_groups(spark, tmp_path):
     """Stream emissions == the batch url_normalize keeper set on the
     same input, canon-for-canon (single drain, so first-batch minimum
