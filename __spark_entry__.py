@@ -606,6 +606,12 @@ def q_lm_surprisal(spark, sf_dir):
     return textops.lm_surprisal_scores(_docs(spark, sf_dir))
 
 
+def q_tokenize_bpe(spark, sf_dir):
+    """Frozen-merge-table BPE token counts per doc (real greedy
+    merges, not a char-chunk proxy); see textops.tokenize_bpe."""
+    return textops.tokenize_bpe(_docs(spark, sf_dir))
+
+
 def q_sample_mixture(spark, sf_dir):
     """Deterministic mixture resampling plan: corpus_mixture's weights
     applied as hash-gated per-doc replication counts in exact integer
@@ -1039,6 +1045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_surprisal": q_lm_surprisal,
         "corpus_mixture": q_corpus_mixture,
         "sample_mixture": q_sample_mixture,
+        "tokenize_bpe": q_tokenize_bpe,
         "pack_sequences": q_pack_sequences,
         "token_histogram": q_token_histogram,
         "pii_scrub": q_pii_scrub,
@@ -1103,6 +1110,18 @@ _STOPLIST = "['" + "','".join(textops.STOPWORDS) + "']"
 
 _MINHASH_A_SQL = "[" + ",".join(map(str, textops.MINHASH_A)) + "]"
 _MINHASH_B_SQL = "[" + ",".join(map(str, textops.MINHASH_B)) + "]"
+
+
+def _bpe_word_sql() -> str:
+    """The frozen BPE encode as nested DuckDB replaces — the same
+    marker-bounded rank-order fold the engine chains map-side
+    (symbol count = surviving CLOSE markers)."""
+    o, c = textops.BPE_OPEN, textops.BPE_CLOSE
+    s = f"regexp_replace(w, '(.)', '{o}\\1{c}', 'g')"
+    for a, b in textops.BPE_MERGES:
+        l, r = a.split(" ")
+        s = f"replace({s}, '{o}{l}{c}{o}{r}{c}', '{o}{b}{c}')"
+    return f"(length({s}) - length(replace({s}, '{c}', '')))"
 
 
 def _robots_rules_sql() -> str:
@@ -2691,6 +2710,27 @@ def oracle_sql() -> dict[str, str]:
                      ELSE 0.0 END)
                      / (n_tokens / (SELECT tot FROM tot)), 6) AS weight
             FROM per_lang
+        """,
+        # tokenize_bpe: the same rank-order merge fold as nested
+        # replaces; null-text docs come back as explicit zero rows
+        "tokenize_bpe": f"""
+            WITH base AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id, text
+              FROM documents),
+            tok AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM base WHERE text IS NOT NULL),
+            enc AS (
+              SELECT doc_id, {_bpe_word_sql()} AS n FROM tok),
+            agg AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS nw,
+                     CAST(sum(n) AS BIGINT) AS nb
+              FROM enc GROUP BY doc_id)
+            SELECT b.doc_id,
+                   CAST(coalesce(a.nw, 0) AS BIGINT) AS n_words,
+                   CAST(coalesce(a.nb, 0) AS BIGINT) AS n_bpe_tokens,
+                   coalesce(round(a.nb / a.nw, 4), 0.0) AS bpe_per_word
+            FROM base b LEFT JOIN agg a USING (doc_id)
         """,
         # sample_mixture: the corpus_mixture weight pipeline (same
         # doubles, hash-verified by that oracle) -> integer ppm ->

@@ -1993,6 +1993,87 @@ def token_stats(df: DataFrame) -> DataFrame:
     )
 
 
+# Frozen BPE merge table (rank order), the shape a production
+# tokenizer ships in: training freezes merges once, every pipeline
+# stage afterwards replays them verbatim. Pairs operate on
+# space-separated symbol sequences; applying literal left-to-right
+# replaces in rank order IS the standard fast BPE encode.
+BPE_MERGES = [
+    ("t h", "th"), ("i n", "in"), ("e r", "er"), ("a n", "an"),
+    ("o n", "on"), ("e n", "en"), ("th e", "the"), ("o r", "or"),
+    ("a r", "ar"), ("e s", "es"), ("s t", "st"), ("l e", "le"),
+    ("a t", "at"), ("er s", "ers"), ("in g", "ing"), ("o u", "ou"),
+    ("i t", "it"), ("i s", "is"), ("a l", "al"), ("e d", "ed"),
+]
+
+
+BPE_OPEN = "\x01"   # symbol delimiters; must not occur inside a word
+BPE_CLOSE = "\x02"
+
+
+def tokenize_bpe(df: DataFrame, merges=None) -> DataFrame:
+    """REAL greedy-merge BPE token counting under a frozen merge table
+    — the token accounting pack_sequences / token_histogram /
+    corpus_mixture should be fed in production (whitespace counts
+    undercount code/CJK and overcount English; token_stats' 4-char
+    proxy is a guess). Per word: split to characters, fold the merges
+    in rank order, count surviving symbols. Output one row per doc:
+    (doc_id, n_words, n_bpe_tokens, bpe_per_word); null-text docs
+    report explicit zeros.
+
+    EXACTNESS: each symbol is wrapped in its own OPEN/CLOSE marker
+    pair (\\x01 sym \\x02), so the literal replace of
+    '<a><t>' -> '<at>' is boundary-exact on BOTH sides — a bare
+    space-separated rewrite falsely merges when one symbol PREFIXES
+    another ('a the' contains 'a t'), a terminator-only scheme when
+    one symbol's SUFFIX abuts ('es t' contains 's t'), and a shared
+    single separator cannot chain adjacent merges ('t h t h' consumes
+    the middle boundary). Distinct unshared markers dodge all three;
+    pinned by the differential test against a reference greedy-BPE
+    encoder including the 'athe' and 'ingesting' traps. Precondition:
+    words must not contain \\x01/\\x02 (true for any text that
+    survived normalize_text / the extractor; documented, not checked
+    per row).
+
+    Scale shape: the ENTIRE encode is one map-side expression over
+    each doc's words array (20 chained literal replaces per word — a
+    linear expression chain, each operand lambda-derived, so the HOF
+    materialization rule doesn't apply) folded by F.aggregate into one
+    long per doc. Zero shuffles, zero Python, zero joins."""
+    merges = BPE_MERGES if merges is None else list(merges)
+
+    def pat(a):
+        l, r = a.split(" ")
+        return BPE_OPEN + l + BPE_CLOSE + BPE_OPEN + r + BPE_CLOSE
+
+    def word_syms(w):
+        s = F.regexp_replace(w, "(.)", BPE_OPEN + "$1" + BPE_CLOSE)
+        for a, b in merges:
+            s = F.replace(
+                s, F.lit(pat(a)), F.lit(BPE_OPEN + b + BPE_CLOSE)
+            )
+        # symbols = surviving CLOSE markers (an empty word counts 0)
+        return (
+            F.length(s)
+            - F.length(F.replace(s, F.lit(BPE_CLOSE), F.lit("")))
+        ).cast("long")
+
+    total = F.aggregate(
+        F.transform(words(), word_syms),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    nw = F.size(words()).cast("long")
+    return df.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.coalesce(nw, F.lit(0)).cast("long").alias("n_words"),
+        F.coalesce(total, F.lit(0)).cast("long").alias("n_bpe_tokens"),
+        F.coalesce(
+            F.round(total / nw, 4), F.lit(0.0)
+        ).alias("bpe_per_word"),
+    )
+
+
 VOCAB_TOPK = 50
 
 

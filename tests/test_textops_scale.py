@@ -1526,6 +1526,66 @@ def test_chunk_documents_null_text_and_args(spark):
         textops.chunk_documents(df, 0, 0)
 
 
+def _ref_bpe_count(word, merges):
+    """Reference greedy BPE: apply merges in rank order, each merging
+    all left-to-right non-overlapping occurrences of the symbol PAIR
+    (not the string) — the standard fast encode."""
+    syms = list(word)
+    for a, b in merges:
+        left, right = a.split(" ")
+        out, i = [], 0
+        while i < len(syms):
+            if (i + 1 < len(syms) and syms[i] == left
+                    and syms[i + 1] == right):
+                out.append(b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return len(syms)
+
+
+def test_tokenize_bpe_differential(spark):
+    """The terminator-bounded replace fold must equal reference greedy
+    BPE symbol-for-symbol — including the 'athe' prefix trap (a bare
+    space-separated rewrite falsely merges 'a t' across the boundary
+    of symbols ['a','the']), adjacency chains ('ththt'), and fuzz over
+    the merge alphabet."""
+    import random
+
+    rng = random.Random(11)
+    alpha = "theinoralsdgu"
+    words_list = ["athe", "ththt", "thers", "ingesting", "the", "a",
+                  "zzz", "atat", "thethe", "ouedal"]
+    words_list += ["".join(rng.choice(alpha)
+                           for _ in range(rng.randrange(1, 14)))
+                   for _ in range(300)]
+    docs = [(i, w) for i, w in enumerate(words_list)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r.n_bpe_tokens
+           for r in textops.tokenize_bpe(df).collect()}
+    for i, w in docs:
+        want = _ref_bpe_count(w, textops.BPE_MERGES)
+        assert got[i] == want, (w, got[i], want)
+    # sanity: the trap word really is a trap (2 symbols, not 1)
+    assert _ref_bpe_count("athe", textops.BPE_MERGES) == 2
+
+
+def test_tokenize_bpe_doc_rows(spark):
+    df = spark.createDataFrame(
+        [(0, "the thers"), (1, None), (2, "")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_words, r.n_bpe_tokens, r.bpe_per_word)
+           for r in textops.tokenize_bpe(df).collect()}
+    # 'the' -> [the] (1); 'thers': t h->th, e r->er (rank 2, so the
+    # rank-6 'th e' never sees (th,e)), er s->ers => [th, ers] (2)
+    assert got[0] == (2, 3, 1.5), got[0]
+    assert got[1] == (0, 0, 0.0), got[1]
+    assert got[2] == (1, 0, 0.0), got[2]
+
+
 def test_sample_mixture_copy_math(spark):
     """Closed-form: lang at 4x its target weight halves... — exact
     check of the ppm copy formula on engineered token shares, plus the
