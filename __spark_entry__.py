@@ -606,6 +606,15 @@ def q_lm_surprisal(spark, sf_dir):
     return textops.lm_surprisal_scores(_docs(spark, sf_dir))
 
 
+def q_bpe_train(spark, sf_dir):
+    """Distributed BPE merge training: 3 rounds of weighted adjacent-
+    pair counting over the top-vocab word-frequency table, argmax
+    merge applied via broadcast 1-row join — no collect anywhere; the
+    oracle unrolls the identical rounds as CTEs (the pagerank
+    pattern); see textops.train_bpe."""
+    return textops.train_bpe(_docs(spark, sf_dir))
+
+
 def q_tokenize_bpe(spark, sf_dir):
     """Frozen-merge-table BPE token counts per doc (real greedy
     merges, not a char-chunk proxy); see textops.tokenize_bpe."""
@@ -1046,6 +1055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mixture": q_corpus_mixture,
         "sample_mixture": q_sample_mixture,
         "tokenize_bpe": q_tokenize_bpe,
+        "bpe_train": q_bpe_train,
         "pack_sequences": q_pack_sequences,
         "token_histogram": q_token_histogram,
         "pii_scrub": q_pii_scrub,
@@ -1122,6 +1132,51 @@ def _bpe_word_sql() -> str:
         l, r = a.split(" ")
         s = f"replace({s}, '{o}{l}{c}{o}{r}{c}', '{o}{b}{c}')"
     return f"(length({s}) - length(replace({s}, '{c}', '')))"
+
+
+def _bpe_train_sql() -> str:
+    """Unrolled-CTE replay of train_bpe's rounds (the pagerank
+    pattern): weighted adjacent-pair counts over the marker strings,
+    deterministic argmax, merge applied by the same literal replace."""
+    o, c = textops.BPE_OPEN, textops.BPE_CLOSE
+    sym = f"regexp_extract_all(s, '{o}([^{c}]*){c}', 1)"
+    parts = [f"""
+            wc AS (
+              SELECT word, CAST(count(*) AS BIGINT) AS c
+              FROM (SELECT unnest(string_split(text, ' ')) AS word
+                    FROM documents WHERE text IS NOT NULL)
+              WHERE word <> '' GROUP BY word
+              ORDER BY c DESC, word ASC LIMIT {textops.LM_VOCAB_K}),
+            s0 AS (
+              SELECT regexp_replace(word, '(.)', '{o}\\1{c}', 'g') AS s,
+                     c
+              FROM wc)"""]
+    for r in range(textops.BPE_TRAIN_ROUNDS):
+        parts.append(f"""
+            x{r} AS (SELECT {sym} AS syms, c FROM s{r}),
+            e{r} AS (
+              SELECT syms, c,
+                     unnest(generate_series(1, len(syms) - 1)) AS i
+              FROM x{r}),
+            p{r} AS (
+              SELECT syms[i] AS l, syms[i + 1] AS r,
+                     CAST(sum(c) AS BIGINT) AS n
+              FROM e{r} GROUP BY 1, 2),
+            b{r} AS (
+              SELECT l, r, n FROM p{r}
+              ORDER BY n DESC, l ASC, r ASC LIMIT 1),
+            s{r + 1} AS (
+              SELECT replace(st.s,
+                             '{o}' || b.l || '{c}{o}' || b.r || '{c}',
+                             '{o}' || b.l || b.r || '{c}') AS s,
+                     st.c
+              FROM s{r} st, b{r} b)""")
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS rank, l AS \"left\", "
+        f"r AS \"right\", l || r AS merged, n AS pair_n FROM b{r}"
+        for r in range(textops.BPE_TRAIN_ROUNDS)
+    )
+    return "WITH " + ",".join(parts) + " " + selects
 
 
 def _robots_rules_sql() -> str:
@@ -2711,6 +2766,7 @@ def oracle_sql() -> dict[str, str]:
                      / (n_tokens / (SELECT tot FROM tot)), 6) AS weight
             FROM per_lang
         """,
+        "bpe_train": _bpe_train_sql(),
         # tokenize_bpe: the same rank-order merge fold as nested
         # replaces; null-text docs come back as explicit zero rows
         "tokenize_bpe": f"""

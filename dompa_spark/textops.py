@@ -2074,6 +2074,98 @@ def tokenize_bpe(df: DataFrame, merges=None) -> DataFrame:
     )
 
 
+BPE_TRAIN_ROUNDS = 3
+
+
+def train_bpe(
+    df: DataFrame,
+    n_merges: int = BPE_TRAIN_ROUNDS,
+    vocab_k: int | None = None,  # default LM_VOCAB_K (defined below)
+) -> DataFrame:
+    """DISTRIBUTED BPE merge training — learn the merge table
+    tokenize_bpe replays, from the corpus itself. Standard practice
+    (and the only sane shape at 100 TB): BPE trains on the WORD
+    FREQUENCY TABLE, not the raw token stream — so the distributed
+    work is one explode -> partial-aggregated word count bounded to
+    the top-vocab_k types, and each training round is a slim
+    pair-count aggregate over that table. Per round: extract adjacent
+    symbol pairs from each word's marker string (the tokenize_bpe
+    encoding), count them weighted by word frequency, take the argmax
+    (count desc / left asc / right asc — deterministic under any
+    aggregation order), and apply the winning merge via a broadcast
+    1-row join (no collect: the loop builds a plan, the driver never
+    sees data). Output: one row per learned merge, (rank, left,
+    right, merged, pair_n).
+
+    Scale shape: ROUNDS x (pair explode over <= vocab_k rows ->
+    partial-agg count -> 1-row TakeOrdered -> broadcast apply), each
+    round non-eager-localCheckpointed so the iteration's lineage stays
+    flat (the IVF/pagerank planning lesson). The corpus is touched
+    exactly once, by the word count."""
+    if vocab_k is None:
+        vocab_k = LM_VOCAB_K
+    wc = (
+        df.select(F.explode(words()).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("c"))
+        .orderBy(F.desc("c"), F.asc("word"))
+        .limit(vocab_k)
+    )
+    state = wc.select(
+        F.regexp_replace(
+            "word", "(.)", BPE_OPEN + "$1" + BPE_CLOSE
+        ).alias("s"),
+        "c",
+    ).localCheckpoint(eager=False)
+    sym_re = BPE_OPEN + "([^" + BPE_CLOSE + "]*)" + BPE_CLOSE
+    merges = []
+    for rank in range(n_merges):
+        syms = F.regexp_extract_all(F.col("s"), F.lit(sym_re), F.lit(1))
+        # slice(_, 1, size-1) zip slice(_, 2, size-1): adjacent pairs;
+        # a 1-symbol word yields length-0 slices -> zero pairs (words
+        # are non-empty by the upstream filter, so size >= 1 always)
+        pairs = F.arrays_zip(
+            F.slice(syms, 1, F.size(syms) - 1).alias("l"),
+            F.slice(syms, 2, F.size(syms) - 1).alias("r"),
+        )
+        best = (
+            state.select(F.explode(pairs).alias("p"), "c")
+            .groupBy(
+                F.col("p.l").alias("left"), F.col("p.r").alias("right")
+            )
+            .agg(F.sum("c").cast("long").alias("pair_n"))
+            .orderBy(F.desc("pair_n"), F.asc("left"), F.asc("right"))
+            .limit(1)
+        )
+        merges.append(
+            best.select(
+                F.lit(rank).cast("long").alias("rank"),
+                "left",
+                "right",
+                F.concat("left", "right").alias("merged"),
+                "pair_n",
+            ).localCheckpoint(eager=False)
+        )
+        pat = F.concat(
+            F.lit(BPE_OPEN), F.col("left"), F.lit(BPE_CLOSE),
+            F.lit(BPE_OPEN), F.col("right"), F.lit(BPE_CLOSE),
+        )
+        rep = F.concat(
+            F.lit(BPE_OPEN), F.col("left"), F.col("right"),
+            F.lit(BPE_CLOSE),
+        )
+        state = (
+            state.join(F.broadcast(best))
+            .select(F.replace(F.col("s"), pat, rep).alias("s"), "c")
+            .localCheckpoint(eager=False)
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out
+
+
 VOCAB_TOPK = 50
 
 

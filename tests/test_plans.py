@@ -106,9 +106,12 @@ def test_no_unbounded_cartesian_products(spark, entry_mod):
     #   as broadcast 1-row aggregates (the lm_surprisal pattern twice)
     # sample_mixture: composes corpus_mixture, inheriting its 1-row
     #   corpus-total broadcast
+    # bpe_train: each round applies the argmax merge via a broadcast
+    #   1-row join (the no-collect training loop)
     allowed_bnlj = {"ann_cosine_topk", "tfidf_top_terms", "ann_ivf_topk",
                     "ivf_list_sizes", "ann_recall", "lm_surprisal",
-                    "corpus_mixture", "dsir_weights", "sample_mixture"}
+                    "corpus_mixture", "dsir_weights", "sample_mixture",
+                    "bpe_train"}
     for name, fn in entry_mod.queries().items():
         plan = plan_of(fn(spark, SF_DIR))
         assert "CartesianProduct" not in plan, f"{name} has a cartesian join"

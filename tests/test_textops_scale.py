@@ -1526,6 +1526,37 @@ def test_chunk_documents_null_text_and_args(spark):
         textops.chunk_documents(df, 0, 0)
 
 
+def test_train_bpe_hand_computed(spark):
+    """Three rounds on an engineered frequency table: 'aab' x3 +
+    'ab' x2 -> round 0 merges (a,b) n=5; round 1 (a,ab) n=3; round 2
+    falls to the remaining corpus pair — and the learned table drives
+    tokenize_bpe to the expected counts (train/apply composition)."""
+    docs = [(0, "aab aab aab ab ab cd")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = textops.train_bpe(df, n_merges=3, vocab_k=100).collect()
+    got = [(r.rank, r.left, r.right, r.merged, r.pair_n) for r in rows]
+    assert sorted(got) == [
+        (0, "a", "b", "ab", 5),
+        (1, "a", "ab", "aab", 3),
+        (2, "c", "d", "cd", 1),
+    ], got
+    merges = [(f"{l} {r}", m) for _, l, r, m, _ in sorted(got)]
+    enc = textops.tokenize_bpe(df, merges=merges).collect()[0]
+    # aab->1 sym x3, ab->1 x2, cd->1: 6 words, 6 bpe tokens
+    assert (enc.n_words, enc.n_bpe_tokens) == (6, 6), enc
+
+
+def test_train_bpe_deterministic_tiebreak(spark):
+    """Equal-count pairs resolve (left asc, right asc) — the rank-0
+    winner must be the lexicographically smallest pair, on any
+    partitioning."""
+    df = spark.createDataFrame(
+        [(0, "zy zy ba ba")], "doc_id long, text string"
+    )
+    r0 = [r for r in textops.train_bpe(df, 1, 100).collect()][0]
+    assert (r0.left, r0.right, r0.pair_n) == ("b", "a", 2), r0
+
+
 def _ref_bpe_count(word, merges):
     """Reference greedy BPE: apply merges in rank order, each merging
     all left-to-right non-overlapping occurrences of the symbol PAIR
