@@ -739,6 +739,15 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     return textops.dedup_embedding_cosine(_emb(spark, sf_dir), dim=EMBED_DIM)
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): Lloyd-cluster the embedding space
+    (the SAME deterministic training as the IVF index), then flag every
+    vector with a lower-id in-cluster neighbor at cosine >= 0.95 — the
+    O(sum s_c^2) cluster-bounded alternative to pairwise semantic
+    dedup. One row per vector incl. the engineered perturbed copies."""
+    return textops.semdedup(_emb(spark, sf_dir), dim=EMBED_DIM)
+
+
 def q_media_dedup(spark, sf_dir):
     """Multimodal path end-to-end: derive a media table from documents
     (content = utf-8 text bytes; every 7th doc repeats the previous
@@ -1082,6 +1091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": q_ann_recall,
         "ivf_list_sizes": q_ivf_list_sizes,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "semdedup": q_semdedup,
         "media_dedup": q_media_dedup,
         "media_dhash": q_media_dhash,
         "wav_near_dup": q_wav_near_dup,
@@ -1596,6 +1606,65 @@ def _ivf_list_sizes_q() -> str:
             SELECT CAST(cid AS BIGINT) AS cid,
                    CAST(count(*) AS BIGINT) AS list_n
             FROM assigned GROUP BY cid ORDER BY cid
+        """
+
+
+def _semdedup_q() -> str:
+    """SemDeDup replay: the SAME augmented corpus as
+    dedup_embedding_cosine, the SAME Lloyd-trained centroids as the IVF
+    queries (seed window [10, 26)), argmin assignment, then the
+    within-cluster lower-id max-cosine rule. Dots/d2 via list_reduce =
+    sequential fold, matching Spark's aggregate() exactly."""
+    t = textops.IVF_TRAIN_ITERS
+    return f"""
+            WITH base AS (
+              SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+            pert AS (
+              SELECT vec_id + 10000 AS new_id,
+                     list_transform(generate_series(1, len(v)),
+                       i -> v[i] + (CAST('0x' ||
+                              substr(md5(vec_id::VARCHAR || ':' ||
+                                     (i-1)::VARCHAR), 1, 15) AS BIGINT)
+                              % 1000 - 500) * CAST(0.00001 AS DOUBLE)) AS v
+              FROM base WHERE vec_id % 4 = 0),
+            emb AS (SELECT vec_id, v FROM base
+                    UNION ALL SELECT new_id AS vec_id, v FROM pert),
+            {_ivf_trained_cents_cte(t)},
+            n AS (
+              SELECT vec_id, v,
+                     sqrt(list_reduce(list_transform(v, x -> x*x),
+                                      (acc, x) -> acc + x)) AS norm
+              FROM emb),
+            pairs AS (
+              SELECT e.vec_id, e.v, e.norm, c.cid,
+                     list_reduce(list_transform(
+                       generate_series(1, len(e.v)),
+                       i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])),
+                       (acc, x) -> acc + x) AS d2
+              FROM n e, c{t} c),
+            assigned AS (
+              SELECT vec_id, v, norm, cid
+              FROM (SELECT *, row_number() OVER
+                      (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+                    FROM pairs)
+              WHERE rn = 1),
+            cand AS (
+              SELECT b.vec_id AS b_id,
+                     round(list_reduce(list_transform(
+                             generate_series(1, len(a.v)),
+                             i -> a.v[i] * b.v[i]),
+                             (acc, x) -> acc + x)
+                           / (a.norm * b.norm), 4) AS cosine
+              FROM assigned a JOIN assigned b
+                ON a.cid = b.cid AND a.vec_id < b.vec_id),
+            dups AS (
+              SELECT b_id, max(cosine) AS nn_cosine
+              FROM cand WHERE cosine >= 0.95 GROUP BY b_id)
+            SELECT s.vec_id, CAST(s.cid AS BIGINT) AS cid,
+                   d.nn_cosine IS NOT NULL AS is_dup, d.nn_cosine
+            FROM assigned s LEFT JOIN dups d ON s.vec_id = d.b_id
         """
 
 
@@ -2990,6 +3059,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": _ANN_IVF_Q,
         "ann_recall": _ann_recall_q(),
         "ivf_list_sizes": _ivf_list_sizes_q(),
+        "semdedup": _semdedup_q(),
         "dedup_embedding_cosine": f"""
             WITH base AS (
               SELECT CAST(vec_id AS BIGINT) AS vec_id,

@@ -4572,3 +4572,104 @@ def ann_recall(
     for p in per_method[1:]:
         out = out.unionByName(p)
     return out.orderBy("method")
+
+
+def semdedup(
+    df: DataFrame,
+    dim: int | None = None,
+    n_centroids: int = IVF_CENTROIDS,
+    train_iters: int = IVF_TRAIN_ITERS,
+    cos_min: float = 0.95,
+    augment: bool = True,
+) -> DataFrame:
+    """Semantic dedup, the SemDeDup shape (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embedding space with the SAME
+    deterministic Lloyd training the IVF index uses (_ivf_cents — exact
+    fixed-point centroid means, seeds shared with the ANN index so the
+    DuckDB oracle rebuilds the identical clustering), then compare
+    cosine ONLY within each cluster and flag every vector that has a
+    lower-id in-cluster neighbor with cosine >= cos_min. Returns one row
+    per vector: (vec_id, cid, is_dup, nn_cosine) where nn_cosine is the
+    max cosine to any lower-id in-cluster neighbor at/above the
+    threshold (NULL for keepers) — the min-id-keeper contract of
+    dedup_exact, so a near-identical group keeps exactly its lowest id.
+
+    This is the scale answer to 'pairwise semantic dedup is O(n²)': the
+    cluster partition bounds comparisons to sum(s_c²) over list sizes
+    s_c ≈ n/k, so k (n_centroids) is the knob — the paper sizes
+    k ~ n/1e4..1e5 so per-list work is constant. Plan shape: Lloyd
+    training is a couple of tiny materialized jobs (16-row table
+    broadcast everywhere); the final argmin assignment collapses
+    map-side (min over (d2, cid) structs before any shuffle); the
+    within-cluster scan shuffles the assigned table twice on cid
+    (2·n·dim doubles) and pairs in-task — no global self-join ever
+    forms. Hot-list skew is bounded by the training itself
+    (ivf_list_sizes is the gauge; Lloyd halves a >5x max/mean
+    imbalance), and the per-list O(s²) scan is the algorithm's own cost
+    model, not an accident of the plan. Boundary caveat (documented,
+    inherent to SemDeDup): a near-dup pair straddling a Voronoi
+    boundary is invisible — the paper accepts this; use
+    dedup_embedding_cosine (SRP-LSH, boundary-free) when recall
+    dominates.
+
+    `augment=True` injects with_near_dup_vectors' engineered perturbed
+    copies so the detector has SQL-reproducible true positives at every
+    SF (the dedup_embedding_cosine convention); production callers pass
+    augment=False."""
+    base = df.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    if augment:
+        base = with_near_dup_vectors(df)
+    norm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
+    # cache: feeds every Lloyd iteration plus the final assignment pass
+    emb = base.withColumn("norm", norm).cache()
+    # seeds deliberately share the ANN index window ([10, 10+16)) so the
+    # oracle's trained-centroid CTE is ONE definition for both families
+    cents = _ivf_cents(emb, 10, n_centroids, dim, train_iters)
+    pairs = emb.crossJoin(F.broadcast(cents)).withColumn("d2", _ivf_d2())
+    assigned = (
+        pairs.groupBy("vec_id")
+        .agg(
+            F.min(F.struct("d2", "cid")).alias("m"),
+            F.first("v").alias("v"),
+            F.first("norm").alias("norm"),
+        )
+        .select("vec_id", F.col("m.cid").alias("cid"), "v", "norm")
+    )
+    lo = assigned.select(
+        "cid",
+        F.col("vec_id").alias("a_id"),
+        F.col("v").alias("av"),
+        F.col("norm").alias("na"),
+    )
+    hi = assigned.select(
+        "cid",
+        F.col("vec_id").alias("b_id"),
+        F.col("v").alias("bv"),
+        F.col("norm").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("av", "bv", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dups = (
+        lo.join(hi, "cid")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("cosine", F.round(dot / (F.col("na") * F.col("nb")), 4))
+        .filter(F.col("cosine") >= cos_min)
+        .groupBy("b_id")
+        .agg(F.max("cosine").alias("nn_cosine"))
+    )
+    return (
+        assigned.select("vec_id", F.col("cid").cast("long").alias("cid"))
+        .join(dups, assigned.vec_id == dups.b_id, "left")
+        .select(
+            "vec_id",
+            "cid",
+            F.col("nn_cosine").isNotNull().alias("is_dup"),
+            "nn_cosine",
+        )
+    )

@@ -818,6 +818,73 @@ def test_ivf_training_balances_lists(spark):
     assert trained < untrained / 1.8, (untrained, trained)
 
 
+def test_semdedup_flags_exactly_the_perturbed_copies(spark):
+    """SemDeDup on a uniform corpus + the engineered perturbed copies:
+    the flagged set is exactly the perturbed ids (uniform 16-dim
+    directions never reach cosine 0.95 by chance; each copy lands in
+    its original's Voronoi cell), keepers carry NULL nn_cosine, dups
+    carry ~1.0."""
+    emb = _pseudo_vectors(spark, 120).select(
+        "vec_id", F.col("v").alias("embedding")
+    )
+    out = textops.semdedup(emb, dim=16).collect()
+    assert len(out) == 120 + 30
+    flagged = {r.vec_id for r in out if r.is_dup}
+    assert flagged == {i + 10_000 for i in range(0, 120, 4)}
+    for r in out:
+        if r.is_dup:
+            assert r.nn_cosine is not None and r.nn_cosine >= 0.99, r
+        else:
+            assert r.nn_cosine is None, r
+
+
+def test_semdedup_min_id_keeper_and_cluster_scope(spark):
+    """Three verbatim-identical vectors: the lowest id keeps (the
+    dedup_exact contract), the other two flag with nn_cosine 1.0, and
+    all three share one cluster. augment=False on a uniform corpus
+    flags nothing else."""
+    emb = _pseudo_vectors(spark, 100).select(
+        "vec_id", F.col("v").alias("embedding")
+    )
+    src = emb.filter(F.col("vec_id") == 50)
+    aug = emb
+    for off in (150, 151):
+        aug = aug.unionByName(
+            src.select(
+                (F.col("vec_id") + off).alias("vec_id"), "embedding"
+            )
+        )
+    out = {
+        r.vec_id: r
+        for r in textops.semdedup(aug, dim=16, augment=False).collect()
+    }
+    assert len(out) == 102
+    assert not out[50].is_dup
+    for vid in (200, 201):
+        assert out[vid].is_dup, out[vid]
+        assert out[vid].nn_cosine == 1.0, out[vid]
+        assert out[vid].cid == out[50].cid
+    assert {v for v, r in out.items() if r.is_dup} == {200, 201}
+
+
+def test_semdedup_comparisons_are_cluster_bounded(spark):
+    """The scale contract: comparisons stay within clusters — no global
+    self-join ever forms. On a clustered corpus every flagged vector's
+    nn sits in the SAME cluster, and the executed plan contains no
+    CartesianProduct (the only crossJoin is the broadcast 16-row
+    centroid table)."""
+    emb = _clustered_vectors(spark, 300, noise=0.01)
+    res = textops.semdedup(emb, dim=16, augment=False, cos_min=0.999)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    rows = res.collect()
+    assert len(rows) == 300
+    # noise=0.01 cluster members exceed cosine 0.999 -> every cluster
+    # keeps exactly its min id per cid: flagged count = n - #cids
+    n_keep = sum(1 for r in rows if not r.is_dup)
+    assert n_keep == len({r.cid for r in rows}), n_keep
+
+
 def test_curate_corpus_scoped_unpersists(spark, tmp_path):
     """ADVICE r03: the scoped variant must release the slim-projection
     cache on exit (repeated invocations in a long-lived session stay
