@@ -748,6 +748,31 @@ def q_semdedup(spark, sf_dir):
     return textops.semdedup(_emb(spark, sf_dir), dim=EMBED_DIM)
 
 
+def q_warc_roundtrip(spark, sf_dir):
+    """WARC ingestion boundary, end-to-end: serialize the documents
+    table into spec-framed WARC shards (pure-expression writer: CRLF
+    framing, octet-accurate Content-Length, warcinfo head record,
+    interleaved response + image resource records), then parse the
+    shards back with the Content-Length-walking Arrow kernel and unwrap
+    the HTTP blocks. One row per record with the payload's sha256 — the
+    oracle predicts every byte with template algebra, so a single
+    flipped byte anywhere in the framing fails the hash."""
+    from dompa_spark import warc
+
+    docs = _docs(spark, sf_dir)
+    recs = warc.parse_warc(warc.docs_to_warc(docs))
+    return recs.select(
+        F.regexp_extract("url", r"/(?:doc|img)/(\d+)", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "warc_type",
+        "mime",
+        "http_status",
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+        F.sha2("payload", 256).alias("payload_sha"),
+    )
+
+
 def q_media_dedup(spark, sf_dir):
     """Multimodal path end-to-end: derive a media table from documents
     (content = utf-8 text bytes; every 7th doc repeats the previous
@@ -1092,6 +1117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_list_sizes": q_ivf_list_sizes,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "semdedup": q_semdedup,
+        "warc_roundtrip": q_warc_roundtrip,
         "media_dedup": q_media_dedup,
         "media_dhash": q_media_dhash,
         "wav_near_dup": q_wav_near_dup,
@@ -1693,6 +1719,15 @@ def _ann_recall_q() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from dompa_spark import warc as _warc
+
+    textops_warc_pre = _warc.WARC_HTML_PRE
+    textops_warc_post = _warc.WARC_HTML_POST
+    warc_media_every = _warc.MEDIA_EVERY
+    warc_docs_per_shard = _warc.DOCS_PER_SHARD
+    warc_info_body_e = _warc.WARCINFO_BODY.replace("\r", "\\r").replace(
+        "\n", "\\n"
+    )
     return {
         "extract_main_text": """
             SELECT CAST(doc_id AS BIGINT) AS doc_id,
@@ -3060,6 +3095,44 @@ def oracle_sql() -> dict[str, str]:
         "ann_recall": _ann_recall_q(),
         "ivf_list_sizes": _ivf_list_sizes_q(),
         "semdedup": _semdedup_q(),
+        "warc_roundtrip": f"""
+            -- template algebra over the writer's deterministic bytes:
+            -- response payload = the HTML template, resource payload =
+            -- md5-hex stand-in, warcinfo body = the constant fields
+            -- block (one per 16-doc shard)
+            WITH d AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     '{textops_warc_pre}' || coalesce(text, '')
+                       || '{textops_warc_post}' AS html
+              FROM documents),
+            resp AS (
+              SELECT doc_id, 'response' AS warc_type,
+                     'text/html' AS mime,
+                     CAST(200 AS INTEGER) AS http_status,
+                     CAST(octet_length(encode(html)) AS BIGINT) AS n_bytes,
+                     sha256(html) AS payload_sha
+              FROM d),
+            res AS (
+              SELECT doc_id, 'resource' AS warc_type,
+                     'image/png' AS mime,
+                     CAST(NULL AS INTEGER) AS http_status,
+                     CAST(32 AS BIGINT) AS n_bytes,
+                     sha256(md5(doc_id::VARCHAR || ':png')) AS payload_sha
+              FROM d WHERE doc_id % {warc_media_every} = 0),
+            info AS (
+              SELECT CAST(NULL AS BIGINT) AS doc_id,
+                     'warcinfo' AS warc_type,
+                     'application/warc-fields' AS mime,
+                     CAST(NULL AS INTEGER) AS http_status,
+                     CAST(octet_length(encode(
+                       e'{warc_info_body_e}')) AS BIGINT) AS n_bytes,
+                     sha256(e'{warc_info_body_e}') AS payload_sha
+              FROM (SELECT DISTINCT doc_id // {warc_docs_per_shard}
+                    FROM d))
+            SELECT * FROM resp
+            UNION ALL SELECT * FROM res
+            UNION ALL SELECT * FROM info
+        """,
         "dedup_embedding_cosine": f"""
             WITH base AS (
               SELECT CAST(vec_id AS BIGINT) AS vec_id,
