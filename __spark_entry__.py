@@ -563,6 +563,14 @@ def q_quality_score(spark, sf_dir):
     return textops.quality_scores(_docs(spark, sf_dir))
 
 
+def q_quality_classifier(spark, sf_dir):
+    """Integer batch-perceptron quality classifier: hashed-BoW features,
+    labels distilled from the handcrafted gate, exact BIGINT training
+    rounds (the pagerank/train_bpe determinism pattern), every doc
+    scored under the final weights."""
+    return textops.train_quality_classifier(_docs(spark, sf_dir))
+
+
 def q_lang_id(spark, sf_dir):
     return textops.lang_id_heuristic(_docs(spark, sf_dir))
 
@@ -1077,6 +1085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_bucket_stats": q_simhash_bucket_stats,
         "ngram_jaccard": q_ngram_jaccard,
         "quality_score": q_quality_score,
+        "quality_classifier": q_quality_classifier,
         "repetition_score": q_repetition_score,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
@@ -1632,6 +1641,72 @@ def _ivf_list_sizes_q() -> str:
             SELECT CAST(cid AS BIGINT) AS cid,
                    CAST(count(*) AS BIGINT) AS list_n
             FROM assigned GROUP BY cid ORDER BY cid
+        """
+
+
+def _quality_classifier_q() -> str:
+    """Perceptron training replay: the identical batch rounds unrolled
+    as CTEs (w0 -> w{iters}), labels from the same quality-gate
+    arithmetic as the quality_score oracle, features hashed with the
+    house md5 % n trick. Every step is BIGINT-exact, so the weights —
+    and every per-doc score — are bit-identical to Spark's."""
+    nf = textops.PERC_FEATURES
+    t = textops.PERC_ITERS
+    qexpr = (
+        "round(least(1.0, n_tokens / 64.0) * 0.5 + "
+        "round(n_stop / CAST(n_tokens AS DOUBLE), 4) * 0.3 + "
+        "least(1.0, mean_len / 8.0) * 0.2, 4)"
+    )
+    parts = [f"""raw AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+                     CAST(len(string_split(text,' ')) AS BIGINT)
+                       AS n_tokens,
+                     CAST(len(list_filter(string_split(text,' '),
+                          w -> list_contains({_STOPLIST}, w))) AS BIGINT)
+                       AS n_stop,
+                     (length(text) - (len(string_split(text,' ')) - 1)) /
+                       CAST(len(string_split(text,' ')) AS DOUBLE)
+                       AS mean_len
+              FROM documents),
+            base AS (
+              SELECT doc_id,
+                     CASE WHEN {qexpr} >= 0.5 THEN 1 ELSE -1 END AS y,
+                     string_split(text, ' ') AS ws
+              FROM raw),
+            feats AS (
+              SELECT doc_id, y,
+                     CAST('0x' || substr(md5(w), 1, 15) AS BIGINT)
+                       % {nf} AS feat,
+                     CAST(count(*) AS BIGINT) AS cnt
+              FROM (SELECT doc_id, y, unnest(ws) AS w FROM base)
+              GROUP BY doc_id, y, feat),
+            w0 AS (SELECT unnest(generate_series(0, {nf - 1})) AS feat,
+                          CAST(0 AS BIGINT) AS w)"""]
+    for i in range(1, t + 1):
+        parts.append(f"""m{i} AS (
+              SELECT f.doc_id, max(f.y) AS y, sum(f.cnt * w.w) AS margin
+              FROM feats f JOIN w{i - 1} w USING (feat)
+              GROUP BY f.doc_id),
+            mis{i} AS (SELECT doc_id FROM m{i} WHERE y * margin <= 0),
+            u{i} AS (
+              SELECT f.feat, sum(f.y * f.cnt) AS u
+              FROM feats f JOIN mis{i} USING (doc_id) GROUP BY f.feat),
+            w{i} AS (
+              SELECT w.feat, w.w + coalesce(u.u, 0) AS w
+              FROM w{i - 1} w LEFT JOIN u{i} u USING (feat))""")
+    joined = ",\n            ".join(parts)
+    return f"""
+            WITH {joined},
+            scored AS (
+              SELECT f.doc_id, sum(f.cnt * w.w) AS score
+              FROM feats f JOIN w{t} w USING (feat) GROUP BY f.doc_id)
+            SELECT b.doc_id, b.y AS label,
+                   CAST(coalesce(s.score, 0) AS BIGINT) AS score,
+                   CAST(CASE WHEN coalesce(s.score, 0) > 0
+                        THEN 1 ELSE -1 END AS BIGINT) AS pred,
+                   (CASE WHEN coalesce(s.score, 0) > 0
+                    THEN 1 ELSE -1 END) = b.y AS correct
+            FROM base b LEFT JOIN scored s USING (doc_id)
         """
 
 
@@ -3095,6 +3170,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_recall": _ann_recall_q(),
         "ivf_list_sizes": _ivf_list_sizes_q(),
         "semdedup": _semdedup_q(),
+        "quality_classifier": _quality_classifier_q(),
         "warc_roundtrip": f"""
             -- template algebra over the writer's deterministic bytes:
             -- response payload = the HTML template, resource payload =

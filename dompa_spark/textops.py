@@ -2169,6 +2169,121 @@ def train_bpe(
 VOCAB_TOPK = 50
 
 
+PERC_FEATURES = 64
+PERC_ITERS = 3
+
+
+def train_quality_classifier(
+    df: DataFrame,
+    n_features: int = PERC_FEATURES,
+    iters: int = PERC_ITERS,
+    quality_min: float = 0.5,  # == CURATE_QUALITY_MIN (defined below)
+    text_col: str = "text",
+) -> DataFrame:
+    """Trainable quality classifier: an integer batch perceptron over
+    hashed bag-of-words features, distilling the handcrafted quality
+    gate (quality_score_col >= quality_min -> y=+1 else -1) into a
+    learned model — the fasttext-style 'train a classifier on heuristic
+    labels' step of CCNet/RefinedWeb-class pipelines. Returns one row
+    per document scored under the FINAL weights:
+    (doc_id, label, score, pred, correct).
+
+    Why a perceptron and not logistic regression: the batch update
+    w += sum_{misclassified} y*x is EXACT BIGINT arithmetic end to end
+    (features are word counts, labels are ±1), so any aggregation
+    order — and the DuckDB oracle unrolling the identical rounds as
+    CTEs (the pagerank/train_bpe pattern) — reproduces the weights
+    bit-identically; a sigmoid's libm would make the value hash flap
+    between engines.
+
+    Scale shape: ONE corpus scan builds the (doc_id, y, feat, cnt)
+    sparse feature table (hashed md5(word) % n_features — engine-
+    portable), partial-aggregated, repartitioned on doc_id and
+    checkpointed; iterations never touch text again. Each round is (a)
+    margins: map-side join against the BROADCAST n_features-row weight
+    table + a partial-agg sum per doc that reuses the feature table's
+    doc_id partitioning, and (b) update: misclassified doc ids (already
+    doc_id-partitioned, from (a)'s aggregation) equi-join the feature
+    table + a partial-agg sum into n_features rows. Nothing wider than
+    (doc_id, feat, cnt) ever shuffles; weights ride a non-eager
+    checkpoint chain (flat plans, the IVF/pagerank lesson). Overflow:
+    |w| <= iters * total token count — BIGINT-safe past 10^15 tokens.
+
+    Null/empty contract: a null-text doc has no feature rows; it still
+    gets an output row (label -1 — the gate fails on null — score 0,
+    pred -1). Tokens hash by FULL word; collisions at n_features=64 are
+    the hashing trick's documented trade, not a defect."""
+    spark = df.sparkSession
+    y = (
+        F.when(quality_score_col() >= quality_min, F.lit(1))
+        .otherwise(F.lit(-1))
+        .cast("long")
+    )
+    base = df.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        y.alias("y"),
+        words(text_col).alias("ws"),
+    )
+    feat = (
+        F.conv(F.substring(F.md5(F.col("w")), 1, 15), 16, 10).cast("long")
+        % n_features
+    )
+    feats = (
+        base.select("doc_id", "y", F.explode("ws").alias("w"))
+        .select("doc_id", "y", feat.alias("feat"))
+        .groupBy("doc_id", "y", "feat")
+        .agg(F.count("*").alias("cnt"))
+        .repartition("doc_id")
+        .localCheckpoint(eager=True)
+    )
+    w = spark.range(n_features).select(
+        F.col("id").alias("feat"), F.lit(0).cast("long").alias("w")
+    )
+    for _ in range(iters):
+        margins = (
+            feats.join(F.broadcast(w), "feat")
+            .groupBy("doc_id")
+            .agg(
+                F.first("y").alias("y"),
+                F.sum(F.col("cnt") * F.col("w")).alias("margin"),
+            )
+        )
+        mis = margins.filter(
+            F.col("y") * F.col("margin") <= 0
+        ).select("doc_id")
+        upd = (
+            feats.join(mis, "doc_id")
+            .groupBy("feat")
+            .agg(F.sum(F.col("y") * F.col("cnt")).alias("u"))
+        )
+        w = (
+            w.join(upd, "feat", "left")
+            .select(
+                "feat",
+                (F.col("w") + F.coalesce(F.col("u"), F.lit(0))).alias("w"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    scored = (
+        feats.join(F.broadcast(w), "feat")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("cnt") * F.col("w")).alias("score"))
+    )
+    score = F.coalesce(F.col("score"), F.lit(0)).cast("long")
+    pred = F.when(score > 0, F.lit(1)).otherwise(F.lit(-1)).cast("long")
+    return (
+        base.select("doc_id", F.col("y").alias("label"))
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            "label",
+            score.alias("score"),
+            pred.alias("pred"),
+            (pred == F.col("label")).alias("correct"),
+        )
+    )
+
+
 def vocab_topk(df: DataFrame, k: int = VOCAB_TOPK) -> DataFrame:
     """Corpus vocabulary statistics: the k most frequent words with
     document frequency. Scale shape: explode -> two-level aggregate —

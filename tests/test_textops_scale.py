@@ -885,6 +885,105 @@ def test_semdedup_comparisons_are_cluster_bounded(spark):
     assert n_keep == len({r.cid for r in rows}), n_keep
 
 
+def _perceptron_reference(rows, n_features=64, iters=3, quality_min=0.5):
+    """Pure-Python replay of train_quality_classifier: same labels
+    (quality gate), same md5 feature hashing, same batch rounds."""
+    import hashlib
+
+    from dompa_spark.textops import STOPWORDS
+
+    def feat(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:15], 16) % n_features
+
+    docs = []
+    for doc_id, text in rows:
+        if text is None:
+            docs.append((doc_id, -1, {}))
+            continue
+        ws = text.split(" ")
+        n_tok = len(ws)
+        n_stop = sum(1 for w in ws if w in STOPWORDS)
+        mean_len = (len(text) - (n_tok - 1)) / n_tok
+        score = round(
+            min(1.0, n_tok / 64.0) * 0.5
+            + round(n_stop / n_tok, 4) * 0.3
+            + min(1.0, mean_len / 8.0) * 0.2,
+            4,
+        )
+        y = 1 if score >= quality_min else -1
+        fc: dict = {}
+        for w in ws:
+            fc[feat(w)] = fc.get(feat(w), 0) + 1
+        docs.append((doc_id, y, fc))
+    w = [0] * n_features
+    for _ in range(iters):
+        upd = [0] * n_features
+        for _, y, fc in docs:
+            margin = sum(c * w[f] for f, c in fc.items())
+            if y * margin <= 0:
+                for f, c in fc.items():
+                    upd[f] += y * c
+        w = [a + b for a, b in zip(w, upd)]
+    out = {}
+    for doc_id, y, fc in docs:
+        s = sum(c * w[f] for f, c in fc.items())
+        p = 1 if s > 0 else -1
+        out[doc_id] = (y, s, p, p == y)
+    return out
+
+
+def test_quality_classifier_matches_python_reference(spark):
+    """Differential: the distributed batch perceptron must reproduce the
+    sequential reference bit-for-bit (labels, scores, preds) — the
+    exact-integer-training claim."""
+    rows = [
+        (i, f"the quick brown fox {i} jumps over the lazy dog and "
+            f"then it sat down to rest for a while in the sun " * 2)
+        for i in range(10)
+    ] + [
+        (100 + i, f"junkword{i} zap") for i in range(10)
+    ] + [(200, None), (201, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.label, r.score, r.pred, r.correct)
+        for r in textops.train_quality_classifier(df).collect()
+    }
+    assert got == _perceptron_reference(rows)
+
+
+def test_quality_classifier_learns_the_gate(spark):
+    """On a corpus whose good/bad docs use disjoint vocabulary the
+    learned classifier must actually separate them (training accuracy
+    >= 0.9) — the distillation property a pipeline consumes."""
+    good = [
+        (i, "the and of a is " * 20 + f"topic{i % 7} report")
+        for i in range(60)
+    ]
+    bad = [(100 + i, f"zz{i % 11} qq") for i in range(60)]
+    df = spark.createDataFrame(good + bad, "doc_id long, text string")
+    rows = textops.train_quality_classifier(df).collect()
+    labels = {r.doc_id: r.label for r in rows}
+    assert all(labels[i] == 1 for i, _ in good)
+    assert all(labels[i] == -1 for i, _ in bad)
+    acc = sum(1 for r in rows if r.correct) / len(rows)
+    assert acc >= 0.9, acc
+
+
+def test_quality_classifier_plan_shape(spark):
+    """No window functions anywhere; the per-round weight join is a
+    broadcast (the n_features-row side must never shuffle the corpus)."""
+    df = spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("some words here for doc "),
+                 F.col("id").cast("string")).alias("text"),
+    )
+    out = textops.train_quality_classifier(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition" not in plan.lower(), plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
 def test_curate_corpus_scoped_unpersists(spark, tmp_path):
     """ADVICE r03: the scoped variant must release the slim-projection
     cache on exit (repeated invocations in a long-lived session stay
