@@ -10,7 +10,7 @@ sys.path.insert(0, "/root/repo")
 
 import bench  # noqa: E402
 
-# 78 realistic query names (the live set is 68; headroom for growth),
+# 86 realistic query names (the live set is 80; headroom for growth),
 # at the live set's name-length distribution.
 _QUERY_NAMES = [
     "extract_main_text", "parse_roundtrip", "traverse_rewrite",
@@ -37,6 +37,9 @@ _QUERY_NAMES = [
     "extract_tables", "sitemap_urls", "robots_parse", "robots_filter",
     "chunk_docs", "dsir_weights", "dedup_exact_normalized",
     "split_holdout", "extra_query_name_h", "extra_query_name_i",
+    "semdedup", "warc_roundtrip", "quality_classifier",
+    "extract_structured", "tokenize_bpe", "bpe_train",
+    "extra_query_name_j", "extra_query_name_k",
 ]
 
 # Worst-case scaling cache: 4 pairs (2->8 / 8->32, extract + noop),
