@@ -361,3 +361,86 @@ def test_spark_submit_frontier_job(workdir):
     assert kept3[0][1] == "https://other.net/p5"
     assert kept3[1][1] == "https://sm.new/page"
     assert all(r[0] != 0 for r in kept3)  # robots blocked the keeper
+
+
+def test_spark_submit_ingest_warc_job(workdir, spark):
+    """WARC archives -> interleaved corpus -> extraction, one submit:
+    raw *.warc files read via binaryFile, records parsed by
+    Content-Length, first-capture dedup across archives, media
+    resources as media-span docs, then the standard resumable
+    extraction on the ingested table."""
+    from pyspark.sql import functions as F
+
+    from dompa_spark import warc as warcmod
+
+    docs = spark.createDataFrame(
+        [(i, f"body of document {i} with several words here", "srcA")
+         for i in range(12)],
+        "doc_id long, text string, source string",
+    )
+    wdir = workdir / "warcs"
+    os.makedirs(wdir, exist_ok=True)
+    for r in warcmod.docs_to_warc(docs).collect():
+        with open(wdir / f"shard{r.warc_id}.warc", "wb") as f:
+            f.write(bytes(r.content))
+    # duplicate capture: doc 3 fetched again in a later archive
+    (dup,) = warcmod.docs_to_warc(
+        docs.filter(F.col("doc_id") == 3)
+    ).collect()
+    with open(wdir / "dupshard.warc", "wb") as f:
+        f.write(bytes(dup.content))
+    shutil.copy(
+        os.path.join(REPO, "dompa_spark", "jobs", "ingest_warc.py"),
+        os.path.join(str(workdir), "ingest_warc.py"),
+    )
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["PYSPARK_PYTHON"] = env["PYSPARK_DRIVER_PYTHON"] = sys.executable
+    proc = subprocess.run(
+        [
+            _spark_submit(),
+            "--master", "local[4]",
+            "--conf", "spark.sql.shuffle.partitions=8",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", str(workdir / "dompa_spark.zip"),
+            str(workdir / "ingest_warc.py"),
+            "--input", str(wdir),
+            "--output", str(workdir / "wout"),
+            "--extract", str(workdir / "wext"),
+            "--light-parts", "4", "--heavy-parts", "2",
+        ],
+        cwd=str(workdir), env=env, capture_output=True, text=True,
+        timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    stats = json.loads(
+        [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
+    )
+    ext = stats.pop("extract")
+    # 2 archives: shard0 = warcinfo + 12 responses + 3 image resources
+    # (docs 0,5,10), dupshard = warcinfo + 1 response. 15 unique URIs.
+    assert stats == {
+        "shards": 2, "records": 18, "kept_records": 16,
+        "docs": 15, "html_docs": 12, "media_docs": 3,
+        "dup_captures": 1, "filtered_records": 2,
+    }
+    assert ext["docs"] == 15 and ext["parts_total"] == 6
+    con = duckdb.connect()
+    out = con.execute(
+        f"SELECT doc_id, spans FROM '{workdir}/wout/*.parquet'"
+    ).fetchall()
+    urls = {r[0] for r in out}
+    assert "https://srcA.example.org/doc/3" in urls
+    assert "https://srcA.example.org/img/5.png" in urls
+    # extracted dataset covers every ingested doc, media spans intact
+    n = con.execute(
+        f"SELECT count(DISTINCT doc_id) FROM "
+        f"'{workdir}/wext/data/chunk=*/*.parquet'").fetchone()[0]
+    assert n == 15
+    # extraction canonicalizes image/audio/video kinds to 'media'
+    # (kernel.extract_document_cols), keeping the media_ref
+    media = con.execute(
+        f"SELECT count(*) FROM (SELECT unnest(spans) AS s FROM "
+        f"'{workdir}/wext/data/chunk=*/*.parquet') "
+        f"WHERE s.kind = 'media' AND s.media_ref IS NOT NULL"
+    ).fetchone()[0]
+    assert media == 3
