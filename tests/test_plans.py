@@ -108,10 +108,13 @@ def test_no_unbounded_cartesian_products(spark, entry_mod):
     #   corpus-total broadcast
     # bpe_train: each round applies the argmax merge via a broadcast
     #   1-row join (the no-collect training loop)
+    # semdedup: same bounded 16-row centroid-assignment crossJoin as
+    #   ann_ivf_topk (shared _ivf_cents training); the within-cluster
+    #   scan itself is an equi-join on cid, never all-pairs
     allowed_bnlj = {"ann_cosine_topk", "tfidf_top_terms", "ann_ivf_topk",
                     "ivf_list_sizes", "ann_recall", "lm_surprisal",
                     "corpus_mixture", "dsir_weights", "sample_mixture",
-                    "bpe_train"}
+                    "bpe_train", "semdedup"}
     for name, fn in entry_mod.queries().items():
         plan = plan_of(fn(spark, SF_DIR))
         assert "CartesianProduct" not in plan, f"{name} has a cartesian join"
