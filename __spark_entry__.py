@@ -173,6 +173,21 @@ def q_extract_lists(spark, sf_dir):
     return textops.extract_lists_df(pipeline.parse_nodes_df(wrapped))
 
 
+def q_extract_markdown(spark, sf_dir):
+    """Markdown rendering through the REAL parser: every block rule of
+    the constants.py markdown spec (headings, emphasis, lists, quote,
+    fenced pre, dropped script, link+image, hr, table, implicit
+    paragraph) plus interleaved text and media spans, one markdown
+    string per doc; see pipeline.to_markdown_df."""
+    wrapped = textops.markdown_wrapped(_docs(spark, sf_dir))
+    out = pipeline.to_markdown_df(wrapped)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "markdown",
+        F.col("n_blocks").cast("long").alias("n_blocks"),
+    )
+
+
 def q_extract_headings(spark, sf_dir):
     """Document-outline extraction through the REAL parser: h1-h6
     rows with document-order positions, direct-child heading text,
@@ -1066,6 +1081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_urls": q_sitemap_urls,
         "extract_headings": q_extract_headings,
         "extract_lists": q_extract_lists,
+        "extract_markdown": q_extract_markdown,
         "media_captions": q_media_captions,
         "extract_structured": q_extract_structured,
         "robots_parse": q_robots_parse,
@@ -1904,6 +1920,44 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT doc_id, 1, 0, true, 'o1 ' || sid
             FROM base WHERE doc_id % 5 = 0
+        """,
+        # extract_markdown: template algebra — the ENTIRE markdown
+        # string predicted byte-for-byte (blank-line joins, fenced pre
+        # newlines, table separator row, conditional ol block), so one
+        # wrong marker or join anywhere in the renderer fails the hash
+        "extract_markdown": """
+            WITH base AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     CAST(doc_id AS VARCHAR) AS sid,
+                     text,
+                     string_split(text, ' ')[1] AS w1,
+                     CAST(doc_id AS BIGINT) % 5 = 0 AS has_ol
+              FROM documents)
+            SELECT doc_id,
+              '# Title ' || sid
+              || chr(10) || chr(10)
+                || trim(text || ' **' || w1 || '** and *x' || sid || '*')
+              || chr(10) || chr(10)
+                || '- one ' || w1 || chr(10) || '- two `c' || sid || '`'
+              || CASE WHEN has_ol THEN chr(10) || chr(10)
+                   || '1. o1 ' || sid || chr(10) || '2. o2'
+                 ELSE '' END
+              || chr(10) || chr(10) || '> quoted ' || w1
+              || chr(10) || chr(10) || '```' || chr(10) || 'code ' || sid
+                || chr(10) || 'line2' || chr(10) || '```'
+              || chr(10) || chr(10) || 'See [link ' || w1
+                || '](https://ex.org/' || sid || ')![pic ' || sid
+                || '](im' || sid || '.png)'
+              || chr(10) || chr(10) || '---'
+              || chr(10) || chr(10) || '| k | v |' || chr(10)
+                || '| --- | --- |' || chr(10) || '| id | ' || sid || ' |'
+              || chr(10) || chr(10) || 'stray tail ' || w1
+              || chr(10) || chr(10) || 'plain ' || w1
+              || chr(10) || chr(10) || '![](media://md/' || sid || ')'
+              AS markdown,
+              CAST(CASE WHEN has_ol THEN 12 ELSE 11 END AS BIGINT)
+                AS n_blocks
+            FROM base
         """,
         # extract_headings: template algebra — outline rows with the
         # skip-back parent link (the trailing h2 jumps over the h3 to

@@ -120,3 +120,45 @@ ANCHOR_TAG = "a"
 HTML_KIND = "html"
 TEXT_KIND = "text"
 MEDIA_KIND = "media"
+
+# ---------------------------------------------------------------------------
+# Markdown rendering (extraction-tier output format) — this repo's frozen
+# spec. The reference has no markdown surface; this is the LLM-corpus
+# product form (trafilatura/markdownify territory), re-specified here so
+# the kernel, the template fixture, and the DuckDB oracle agree exactly.
+#
+# Block walk (document order, DROP_TAGS subtrees removed first):
+#   h1-h6        -> '#'*level + ' ' + inline(children).strip(), rstripped
+#   p            -> inline(children).strip()        (dropped when empty)
+#   blockquote   -> '> ' + inline(children).strip() (dropped when empty)
+#   ul / ol      -> one line per DIRECT <li> child: '- ' or f'{i+1}. '
+#                   + inline(li children).strip(); lines joined '\n'
+#   pre          -> '```\n' + raw text (ALL descendant text nodes,
+#                   unstripped, concatenated) + '\n```'
+#   hr           -> '---'
+#   table        -> one line per row: '| ' + ' | '.join(cell inline,
+#                   stripped) + ' |' over DIRECT td/th children; rows are
+#                   DIRECT <tr> children of the table or of its DIRECT
+#                   thead/tbody/tfoot children; a '| --- |'*ncols
+#                   separator follows the first row
+#   MD_CONTAINERS-> recurse (transparent block containers)
+#   anything else (a, img, b/strong, i/em, code, br, span, text, ...)
+#                -> accumulates into the current implicit paragraph,
+#                   flushed (stripped, dropped when empty) at the next
+#                   block boundary
+# Inline rules: text -> value; b/strong -> '**'+s+'**'; i/em -> '*'+s+'*';
+#   code -> '`'+s+'`'; a -> '[s](href)'; img -> '![alt](src)'; br -> '\n';
+#   empty emphasis/code wrap to '' (never bare markers); boolean/missing
+#   attrs render ''; unknown elements are transparent. No escaping
+#   anywhere (the Q7 serializer contract).
+# Document form: blocks from every span in (offset, position) order —
+#   html spans via the walk above, text spans as one paragraph block
+#   (stripped), media spans as '![](media_ref)' — joined '\n\n'.
+# ---------------------------------------------------------------------------
+MD_CONTAINERS: frozenset[str] = frozenset(
+    {
+        "div", "article", "section", "main", "body", "html", "figure",
+        "li", "dd", "dt", "dl", "details", "summary",
+    }
+)
+MD_HEADINGS: frozenset[str] = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})

@@ -35,6 +35,8 @@ from .constants import (
     HTML_KIND,
     LINK_DENSITY_MAX,
     LINK_DENSITY_TEXT_EXEMPT,
+    MD_CONTAINERS,
+    MD_HEADINGS,
     MEDIA_KIND,
     MEDIA_SRC_ATTR,
     MEDIA_TAG,
@@ -629,3 +631,184 @@ def extract_document(spans_in) -> list[dict]:
         {"kind": k, "text": t, "media_ref": m, "offset": i}
         for i, (k, t, m) in enumerate(zip(ok, ot, om))
     ]
+
+
+# ---------------------------------------------------------------------------
+# Markdown rendering (constants.py "Markdown rendering" spec)
+# ---------------------------------------------------------------------------
+
+def _md_attr(node: dict, key: str) -> str:
+    """Attribute as markdown target text: string value verbatim,
+    boolean/missing -> '' (never the ATTR_TRUE sentinel)."""
+    v = (node.get("attrs") or {}).get(key)
+    return v if isinstance(v, str) else ""
+
+
+def _md_inline(nodes) -> str:
+    """Inline rendering: emphasis/code/link/image/br per the spec;
+    unknown elements are transparent; DROP_TAGS subtrees vanish; empty
+    emphasis wraps to '' (never bare markers); no escaping (Q7)."""
+    parts: list[str] = []
+    for n in nodes or []:
+        name = n["name"]
+        if name == TEXT_NAME:
+            parts.append(n.get("value") or "")
+            continue
+        if name in DROP_TAGS or name.startswith("!--"):
+            continue
+        if name in ("b", "strong"):
+            s = _md_inline(n.get("children"))
+            parts.append(f"**{s}**" if s else "")
+        elif name in ("i", "em"):
+            s = _md_inline(n.get("children"))
+            parts.append(f"*{s}*" if s else "")
+        elif name == "code":
+            s = _md_inline(n.get("children"))
+            parts.append(f"`{s}`" if s else "")
+        elif name == ANCHOR_TAG:
+            parts.append(
+                f"[{_md_inline(n.get('children'))}]({_md_attr(n, 'href')})"
+            )
+        elif name == MEDIA_TAG:
+            parts.append(
+                f"![{_md_attr(n, 'alt')}]({_md_attr(n, MEDIA_SRC_ATTR)})"
+            )
+        elif name == "br":
+            parts.append("\n")
+        else:
+            parts.append(_md_inline(n.get("children")))
+    return "".join(parts)
+
+
+def _md_rawtext(nodes) -> str:
+    """ALL descendant text nodes, unstripped, concatenated (the <pre>
+    body contract — markup inside a code block contributes only its
+    text)."""
+    parts: list[str] = []
+    for n in nodes or []:
+        if n["name"] == TEXT_NAME:
+            parts.append(n.get("value") or "")
+        elif n["name"] in DROP_TAGS or n["name"].startswith("!--"):
+            continue
+        else:
+            parts.append(_md_rawtext(n.get("children")))
+    return "".join(parts)
+
+
+def _md_flush(blocks: list[str], pend: list[str]) -> None:
+    s = "".join(pend).strip()
+    pend.clear()
+    if s:
+        blocks.append(s)
+
+
+def _md_table_rows(table: dict):
+    """DIRECT <tr> children of the table or of its DIRECT
+    thead/tbody/tfoot children (the td/th -> tr -> table parent-chain
+    discipline of extract_tables_df)."""
+    rows = []
+    for c in table.get("children") or []:
+        if c["name"] == "tr":
+            rows.append(c)
+        elif c["name"] in ("thead", "tbody", "tfoot"):
+            rows.extend(
+                cc for cc in c.get("children") or [] if cc["name"] == "tr"
+            )
+    return rows
+
+
+def _md_walk(nodes, blocks: list[str], pend: list[str]) -> None:
+    for n in nodes or []:
+        name = n["name"]
+        if name == TEXT_NAME:
+            pend.append(n.get("value") or "")
+            continue
+        if name in DROP_TAGS or name.startswith("!--"):
+            continue
+        if name in MD_HEADINGS:
+            _md_flush(blocks, pend)
+            txt = _md_inline(n.get("children")).strip()
+            blocks.append((("#" * int(name[1])) + " " + txt).rstrip())
+        elif name == "p":
+            _md_flush(blocks, pend)
+            txt = _md_inline(n.get("children")).strip()
+            if txt:
+                blocks.append(txt)
+        elif name == "blockquote":
+            _md_flush(blocks, pend)
+            txt = _md_inline(n.get("children")).strip()
+            if txt:
+                blocks.append("> " + txt)
+        elif name in ("ul", "ol"):
+            _md_flush(blocks, pend)
+            lines = []
+            for i, li in enumerate(
+                c for c in n.get("children") or [] if c["name"] == "li"
+            ):
+                marker = f"{i + 1}. " if name == "ol" else "- "
+                lines.append(marker + _md_inline(li.get("children")).strip())
+            if lines:
+                blocks.append("\n".join(lines))
+        elif name == "pre":
+            _md_flush(blocks, pend)
+            blocks.append("```\n" + _md_rawtext(n.get("children")) + "\n```")
+        elif name == "hr":
+            _md_flush(blocks, pend)
+            blocks.append("---")
+        elif name == "table":
+            _md_flush(blocks, pend)
+            lines = []
+            for tr in _md_table_rows(n):
+                cells = [
+                    c for c in tr.get("children") or []
+                    if c["name"] in ("td", "th")
+                ]
+                if not cells:
+                    continue
+                lines.append(
+                    "| "
+                    + " | ".join(
+                        _md_inline(c.get("children")).strip() for c in cells
+                    )
+                    + " |"
+                )
+                if len(lines) == 1:
+                    lines.append("|" + " --- |" * len(cells))
+            if lines:
+                blocks.append("\n".join(lines))
+        elif name in MD_CONTAINERS:
+            _md_flush(blocks, pend)
+            _md_walk(n.get("children"), blocks, pend)
+            _md_flush(blocks, pend)
+        else:
+            pend.append(_md_inline([n]))
+
+
+def markdown_blocks(html: str) -> list[str]:
+    """Parse `html` with the real parser and render the spec's markdown
+    block list (constants.py "Markdown rendering")."""
+    blocks: list[str] = []
+    pend: list[str] = []
+    _md_walk(flat_to_nested(parse_flat(html or "")), blocks, pend)
+    _md_flush(blocks, pend)
+    return blocks
+
+
+def markdown_document_cols(kinds, texts, media_refs, offsets) -> list[str]:
+    """Columnar per-document markdown kernel: parallel span lists in
+    (the extract_document_cols Arrow-boundary shape), block list out.
+    html spans render via markdown_blocks; text spans become one
+    stripped paragraph block; media spans become '![](media_ref)'."""
+    order = sorted(range(len(kinds)), key=lambda i: (offsets[i], i))
+    blocks: list[str] = []
+    for i in order:
+        kind = kinds[i]
+        if kind == HTML_KIND:
+            blocks.extend(markdown_blocks(texts[i]))
+        elif kind == TEXT_KIND:
+            s = (texts[i] or "").strip()
+            if s:
+                blocks.append(s)
+        else:
+            blocks.append(f"![]({media_refs[i] or ''})")
+    return blocks

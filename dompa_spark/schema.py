@@ -84,3 +84,11 @@ MANIFEST_SCHEMA = StructType(
         StructField("engine_version", StringType()),
     ]
 )
+
+MARKDOWN_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), nullable=False),
+        StructField("markdown", StringType()),
+        StructField("n_blocks", IntegerType()),
+    ]
+)

@@ -580,6 +580,49 @@ def sitemap_urls_df(nodes_df: DataFrame) -> DataFrame:
     ).select("*", canon.alias("url_canon"), host.alias("host"))
 
 
+def markdown_wrapped(df: DataFrame) -> DataFrame:
+    """Markdown-rendering fixture through the REAL parser: one html
+    span exercising every block rule of the constants.py markdown spec
+    (heading, emphasis paragraph, ul with nested <code>, conditional
+    <ol> on doc_id % 5 == 0, blockquote, fenced <pre> with a literal
+    newline, a dropped <script>, link + inline image paragraph, hr,
+    2x2 table with a th header row, stray trailing inline text), plus
+    an interleaved text span and a media span — so the oracle's
+    template algebra predicts the full markdown string byte-for-byte,
+    blank-line joins included."""
+    d = F.col("doc_id").cast("long")
+    sid = F.col("doc_id").cast("string")
+    w1 = F.expr("element_at(split(text, ' '), 1)")
+    ol = F.when(
+        d % 5 == 0,
+        F.concat(F.lit("<ol><li>o1 "), sid, F.lit("</li><li>o2</li></ol>")),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<article><h1>Title "), sid, F.lit("</h1><p>"),
+        F.col("text"), F.lit(" <b>"), w1, F.lit("</b> and <i>x"), sid,
+        F.lit("</i></p><ul><li>one "), w1, F.lit("</li><li>two <code>c"),
+        sid, F.lit("</code></li></ul>"), ol,
+        F.lit("<blockquote>quoted "), w1,
+        F.lit("</blockquote><pre>code "), sid, F.lit("\nline2"),
+        F.lit('</pre><script>var x=1;</script><p>See <a href="https://ex.org/'),
+        sid, F.lit('">link '), w1, F.lit('</a><img src="im'), sid,
+        F.lit('.png" alt="pic '), sid,
+        F.lit('"></p><hr><table><tr><th>k</th><th>v</th></tr><tr><td>id'
+              "</td><td>"), sid,
+        F.lit("</td></tr></table>stray tail "), w1, F.lit("</article>"),
+    )
+    return df.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(
+            html_span(html, 0),
+            span("text", F.concat(F.lit("plain "), w1),
+                 F.lit(None).cast("string"), 1),
+            span("media", F.lit(None).cast("string"),
+                 F.concat(F.lit("media://md/"), sid), 2),
+        ).alias("spans"),
+    )
+
+
 def lists_wrapped(df: DataFrame) -> DataFrame:
     """List-extraction fixture through the REAL parser: one <ul> with
     two items (the second nests markup — direct-child-text contract),
