@@ -464,6 +464,17 @@ def q_domain_stats(spark, sf_dir):
     return textops.domain_stats(docs)
 
 
+def q_c4_line_filter(spark, sf_dir):
+    """C4-style line cleaning over an engineered multi-line page: the
+    fixture plants kept/dropped lines for every rule plus conditional
+    page-killers; both sides EVALUATE the predicates (the first line's
+    fate depends on documents.text's own word count); see
+    textops.c4_line_filter."""
+    return textops.c4_line_filter(
+        textops.c4_lines_wrapped(_docs(spark, sf_dir))
+    )
+
+
 def q_normalize_text(spark, sf_dir):
     """Dedup-canonical text normalization over engineered
     perturbations: the template injects tabs, uppercase, digits, and
@@ -1123,6 +1134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats": q_domain_stats,
         "html_metadata": q_html_metadata,
         "anchor_text_agg": q_anchor_text_agg,
+        "c4_line_filter": q_c4_line_filter,
         "normalize_text": q_normalize_text,
         "url_filter": q_url_filter,
         "dedup_recall": q_dedup_recall,
@@ -2322,6 +2334,55 @@ def oracle_sql() -> dict[str, str]:
         # normalize_text: SAME normalization pipeline applied by DuckDB
         # to the same perturbed template — DuckDB's regexp_replace is
         # first-match-only without the 'g' flag (Spark's is global)
+        # c4_line_filter: template algebra builds the page, then an
+        # INDEPENDENT SQL replay of the frozen C4 predicates (terminal
+        # punctuation, word floor, javascript line, lorem/brace page
+        # gates, kept-lines floor) — line fates are EVALUATED, not
+        # assumed, so a predicate drift on either side fails the hash
+        "c4_line_filter": f"""
+            WITH base AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     text AS t0,
+                     string_split(text, ' ')[1] AS w1
+              FROM documents),
+            built AS (
+              SELECT doc_id,
+                t0 || '.' || chr(10)
+                || 'enable javascript to view this page.' || chr(10)
+                || 'no terminal punctuation ' || w1 || chr(10)
+                || 'ok ' || w1 || ' fine!' || chr(10)
+                || 'short.' || chr(10)
+                || '"' || w1 || ' quoted words here."'
+                || CASE WHEN doc_id % 7 = 0
+                     THEN chr(10) || 'lorem ipsum dolor sit amet.'
+                     ELSE '' END
+                || CASE WHEN doc_id % 11 = 3
+                     THEN chr(10) || 'function f() {{ return; }}'
+                     ELSE '' END AS text
+              FROM base),
+            f AS (
+              SELECT doc_id, text,
+                string_split(text, chr(10)) AS lines,
+                list_filter(string_split(text, chr(10)),
+                  l -> right(l, 1) IN ('.', '!', '?', '"')
+                       AND len(list_filter(string_split(l, ' '),
+                                           w -> w <> ''))
+                           >= {textops.C4_MIN_LINE_WORDS}
+                       AND NOT contains(lower(l), 'javascript')
+                ) AS kept
+              FROM built)
+            SELECT doc_id,
+              NOT contains(lower(text), 'lorem ipsum')
+                AND NOT contains(text, '{{')
+                AND len(kept) >= {textops.C4_MIN_KEPT_LINES} AS page_ok,
+              CAST(len(lines) AS BIGINT) AS n_lines,
+              CAST(len(kept) AS BIGINT) AS n_kept,
+              CASE WHEN NOT contains(lower(text), 'lorem ipsum')
+                    AND NOT contains(text, '{{')
+                    AND len(kept) >= {textops.C4_MIN_KEPT_LINES}
+                   THEN array_to_string(kept, chr(10)) END AS kept_text
+            FROM f
+        """,
         "normalize_text": """
             WITH raw AS (
               SELECT CAST(doc_id AS BIGINT) AS doc_id,

@@ -2924,6 +2924,88 @@ def normalize_text(
     )
 
 
+C4_MIN_LINE_WORDS = 3
+C4_MIN_KEPT_LINES = 3
+C4_TERMINALS = (".", "!", "?", '"')
+
+
+def _c4_line_ok(line: Column) -> Column:
+    words = F.size(F.filter(F.split(line, " "), lambda w: w != ""))
+    return (
+        F.substring(line, -1, 1).isin(*C4_TERMINALS)
+        & (words >= C4_MIN_LINE_WORDS)
+        & (F.instr(F.lower(line), "javascript") == 0)
+    )
+
+
+def c4_line_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020, the C4 recipe)
+    — the classic web-text scrub that runs AFTER extraction and BEFORE
+    dedup/quality gates. Frozen rule set: a line is kept iff it ends in
+    terminal punctuation (. ! ? \"), has >= C4_MIN_LINE_WORDS
+    whitespace-separated words, and does not contain 'javascript'
+    (case-insensitive); the whole page is rejected when the RAW text
+    contains 'lorem ipsum' (case-insensitive) or a '{' (code/template
+    leakage), or when fewer than C4_MIN_KEPT_LINES lines survive.
+    Output one row per doc: (doc_id, page_ok, n_lines, n_kept,
+    kept_text) with kept_text the surviving lines rejoined by newline,
+    NULL unless page_ok — the downstream corpus reads kept_text, the
+    audit reads the counts. NULL text -> page_ok=false, zero counts
+    (one row per doc, the quality_scores contract).
+
+    Scale shape: pure map-side Catalyst array/string expressions —
+    zero shuffles, zero Python, whole-stage codegen; the line arrays
+    live only inside the projection."""
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+    kept = F.filter(lines, _c4_line_ok)
+    n_kept = F.when(t.isNull(), F.lit(0)).otherwise(F.size(kept))
+    page_ok = (
+        t.isNotNull()
+        & (F.instr(F.lower(t), "lorem ipsum") == 0)
+        & (F.instr(t, "{") == 0)
+        & (n_kept >= C4_MIN_KEPT_LINES)
+    )
+    return df.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        page_ok.alias("page_ok"),
+        F.when(t.isNull(), F.lit(0))
+        .otherwise(F.size(lines))
+        .cast("long")
+        .alias("n_lines"),
+        n_kept.cast("long").alias("n_kept"),
+        F.when(page_ok, F.array_join(kept, "\n")).alias("kept_text"),
+    )
+
+
+def c4_lines_wrapped(df: DataFrame) -> DataFrame:
+    """C4 line-filter fixture: a multi-line page built from
+    documents.text exercising every rule — a kept-iff-enough-words
+    first line (the word count of documents.text decides, computed on
+    BOTH sides), a javascript line, a no-terminal line, two kept
+    lines, a too-short line, plus conditional page-killers ('lorem
+    ipsum' when doc_id % 7 == 0, a '{' code line when
+    doc_id % 11 == 3)."""
+    d = F.col("doc_id").cast("long")
+    w1 = F.expr("element_at(split(text, ' '), 1)")
+    lorem = F.when(
+        d % 7 == 0, F.lit("\nlorem ipsum dolor sit amet.")
+    ).otherwise(F.lit(""))
+    brace = F.when(
+        d % 11 == 3, F.lit("\nfunction f() { return; }")
+    ).otherwise(F.lit(""))
+    text = F.concat(
+        F.col("text"), F.lit(".\n"),
+        F.lit("enable javascript to view this page.\n"),
+        F.lit("no terminal punctuation "), w1, F.lit("\n"),
+        F.lit("ok "), w1, F.lit(" fine!\n"),
+        F.lit("short.\n"),
+        F.lit('"'), w1, F.lit(' quoted words here."'),
+        lorem, brace,
+    )
+    return df.select(d.alias("doc_id"), text.alias("text"))
+
+
 def url_filter(urls: DataFrame, rules: DataFrame) -> DataFrame:
     """Blocklist filtering over the URL frontier — crawl step 0
     alongside url_normalize: deny a URL when its host matches a rule's
