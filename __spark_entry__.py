@@ -464,6 +464,13 @@ def q_domain_stats(spark, sf_dir):
     return textops.domain_stats(docs)
 
 
+def q_shuffle_shards(spark, sf_dir):
+    """Deterministic training-order shuffle: (shard, pos) permutation
+    as a pure function of (doc_ids, n_shards, salt); see
+    textops.shuffle_shards."""
+    return textops.shuffle_shards(_docs(spark, sf_dir), 8, salt=1)
+
+
 def q_c4_line_filter(spark, sf_dir):
     """C4-style line cleaning over an engineered multi-line page: the
     fixture plants kept/dropped lines for every rule plus conditional
@@ -1135,6 +1142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_metadata": q_html_metadata,
         "anchor_text_agg": q_anchor_text_agg,
         "c4_line_filter": q_c4_line_filter,
+        "shuffle_shards": q_shuffle_shards,
         "normalize_text": q_normalize_text,
         "url_filter": q_url_filter,
         "dedup_recall": q_dedup_recall,
@@ -2334,6 +2342,24 @@ def oracle_sql() -> dict[str, str]:
         # normalize_text: SAME normalization pipeline applied by DuckDB
         # to the same perturbed template — DuckDB's regexp_replace is
         # first-match-only without the 'g' flag (Spark's is global)
+        # shuffle_shards: both md5_60 keys replayed exactly; the
+        # window replays as row_number over (shard, okey, doc_id)
+        "shuffle_shards": """
+            WITH k AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     CAST('0x' || substr(md5(
+                       CAST(doc_id AS VARCHAR) || ':1'), 1, 15) AS BIGINT)
+                       % 8 AS shard,
+                     CAST('0x' || substr(md5(
+                       '1:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                       AS okey
+              FROM documents)
+            SELECT doc_id, shard,
+                   CAST(row_number() OVER (
+                     PARTITION BY shard ORDER BY okey, doc_id) - 1
+                     AS BIGINT) AS pos
+            FROM k
+        """,
         # c4_line_filter: template algebra builds the page, then an
         # INDEPENDENT SQL replay of the frozen C4 predicates (terminal
         # punctuation, word floor, javascript line, lorem/brace page

@@ -2924,6 +2924,56 @@ def normalize_text(
     )
 
 
+SHUFFLE_SHARDS_DEFAULT = 8
+
+
+def _md5_60_of(col: Column) -> Column:
+    """60-bit integer from the md5 hex prefix — the house
+    engine-portable hash (the _sample_parts / salt-group idiom);
+    DuckDB replays it as CAST('0x' || substr(md5(s),1,15) AS BIGINT)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def shuffle_shards(
+    df: DataFrame,
+    n_shards: int = SHUFFLE_SHARDS_DEFAULT,
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic global shuffle + shard assignment — the 'write the
+    training corpus in a reproducibly random order' step every
+    pretraining pipeline ends with. Each doc gets
+    shard = md5_60(doc_id ':' salt) % n_shards and a dense within-shard
+    position ordered by an independent md5_60(salt ':' doc_id) key
+    (doc_id tiebreak), so the (shard, pos) permutation is a pure
+    function of (doc_ids, n_shards, salt): any engine, any run, any
+    partitioning reproduces it, and bumping `salt` is the per-epoch
+    reshuffle — same doc set, fresh permutation, no state. Output one
+    row per doc: (doc_id, shard, pos).
+
+    Scale shape: ONE hash-partition exchange on shard; the per-shard
+    sort + row_number runs one task per shard, so n_shards is the
+    parallelism AND the task-size knob — size it so a shard fits a
+    task (10^12 docs / 256k shards ≈ 4M rows/task), which md5
+    uniformity guarantees within noise (no salting needed: the hash IS
+    the balance). The writer form is
+    repartition(shard).sortWithinPartitions(pos).write."""
+    from pyspark.sql.window import Window
+
+    sid = F.col("doc_id").cast("string")
+    s = str(int(salt))
+    win = Window.partitionBy("shard").orderBy("okey", "doc_id")
+    return (
+        df.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            (_md5_60_of(F.concat(sid, F.lit(":" + s))) % n_shards)
+            .alias("shard"),
+            _md5_60_of(F.concat(F.lit(s + ":"), sid)).alias("okey"),
+        )
+        .withColumn("pos", (F.row_number().over(win) - 1).cast("long"))
+        .select("doc_id", "shard", "pos")
+    )
+
+
 C4_MIN_LINE_WORDS = 3
 C4_MIN_KEPT_LINES = 3
 C4_TERMINALS = (".", "!", "?", '"')
