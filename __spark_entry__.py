@@ -764,6 +764,20 @@ def q_ann_ivf_topk(spark, sf_dir):
     return textops.ann_ivf_topk(_emb(spark, sf_dir), dim=EMBED_DIM)
 
 
+def q_pq_codes(spark, sf_dir):
+    """Product-quantization encoding: per-subspace Lloyd-trained
+    codebooks (the IVF training machinery sliced), argmin code per
+    (vec, subspace); see textops.pq_codes."""
+    return textops.pq_codes(_emb(spark, sf_dir), dim=EMBED_DIM)
+
+
+def q_ann_pq_topk(spark, sf_dir):
+    """ADC top-5 over PQ codes: exact query, compressed database,
+    fixed-point LUT sums so ranking is integer-exact; see
+    textops.ann_pq_topk."""
+    return textops.ann_pq_topk(_emb(spark, sf_dir), dim=EMBED_DIM)
+
+
 def q_ann_recall(spark, sf_dir):
     """recall@5 of the LSH and IVF approximate paths vs the exact
     brute-force answer — the ANN family's quality gauge."""
@@ -1158,6 +1172,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "pq_codes": q_pq_codes,
+        "ann_pq_topk": q_ann_pq_topk,
         "ann_recall": q_ann_recall,
         "ivf_list_sizes": q_ivf_list_sizes,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -1512,6 +1528,128 @@ def _ivf_trained_cents_cte(iters: int) -> str:
               SELECT b.cid, coalesce(m.cv_new, b.cv) AS cv
               FROM {prev} b LEFT JOIN m{it} m USING (cid))""")
     return ",\n            ".join(parts)
+
+
+def _pq_cte() -> str:
+    """CTE chain for the PQ codebooks + codes: per-subspace slices of
+    emb, each trained with the SAME Lloyd replay _ivf_trained_cents_cte
+    uses (argmin by (d2, cid), fixed-point means, empty lists keep
+    their centroid), unioned into cb(sub, cid, cv), then the argmin
+    code per (vec_id, sub). Mirrors textops.pq_codebooks / pq_codes."""
+    m, k, iters = textops.PQ_M, textops.PQ_CODES, textops.PQ_TRAIN_ITERS
+    sub = EMBED_DIM // m
+    scale = textops.IVF_CENT_SCALE
+    parts = [f"""sdims AS (SELECT unnest(generate_series(1, {sub}))
+                           AS i)"""]
+    for j in range(m):
+        p = f"s{j}"
+        parts.append(f"""{p}e AS (
+              SELECT vec_id, list_slice(v, {j * sub + 1}, {(j + 1) * sub})
+                       AS v
+              FROM emb),
+            {p}c0 AS (
+              SELECT vec_id - 10 AS cid, v AS cv
+              FROM {p}e WHERE vec_id >= 10 AND vec_id < {10 + k})""")
+        for it in range(1, iters + 1):
+            prev = f"{p}c{it - 1}"
+            parts.append(f"""{p}p{it} AS (
+              SELECT e.vec_id, e.v, c.cid,
+                     list_reduce(list_transform(
+                       generate_series(1, len(e.v)),
+                       i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])),
+                       (acc, x) -> acc + x) AS d2
+              FROM {p}e e, {prev} c),
+            {p}a{it} AS (
+              SELECT vec_id, v, cid
+              FROM (SELECT *, row_number() OVER
+                      (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+                    FROM {p}p{it})
+              WHERE rn = 1),
+            {p}q{it} AS (
+              SELECT cid, d.i,
+                     sum(CAST(round(v[d.i] * {scale}.0, 0) AS BIGINT))
+                       AS s,
+                     count(*) AS cnt
+              FROM {p}a{it}, sdims d GROUP BY cid, d.i),
+            {p}m{it} AS (
+              SELECT cid, list(s / (cnt * {scale}.0) ORDER BY i)
+                       AS cv_new
+              FROM {p}q{it} GROUP BY cid),
+            {p}c{it} AS (
+              SELECT b.cid, coalesce(m.cv_new, b.cv) AS cv
+              FROM {prev} b LEFT JOIN {p}m{it} m USING (cid))""")
+    union = " UNION ALL ".join(
+        f"SELECT {j} AS sub, cid, cv FROM s{j}c{iters}" for j in range(m)
+    )
+    parts.append(f"cb AS ({union})")
+    parts.append(f"""cpairs AS (
+              SELECT e.vec_id, c.sub, c.cid,
+                     list_reduce(list_transform(
+                       generate_series(1, {sub}),
+                       i -> (e.v[c.sub * {sub} + i] - c.cv[i])
+                          * (e.v[c.sub * {sub} + i] - c.cv[i])),
+                       (acc, x) -> acc + x) AS d2
+              FROM emb e, cb c),
+            codes AS (
+              SELECT vec_id, sub, cid AS code
+              FROM (SELECT *, row_number() OVER
+                      (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
+                    FROM cpairs)
+              WHERE rn = 1)""")
+    return ",\n            ".join(parts)
+
+
+def _pq_codes_q() -> str:
+    return f"""
+            WITH emb AS (
+              SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE))
+                       AS v
+              FROM embeddings),
+            {_pq_cte()}
+            SELECT vec_id, CAST(sub AS BIGINT) AS sub,
+                   CAST(code AS BIGINT) AS code
+            FROM codes
+        """
+
+
+def _ann_pq_q() -> str:
+    m = textops.PQ_M
+    sub = EMBED_DIM // m
+    dscale = textops.PQ_DIST_SCALE
+    return f"""
+            WITH emb AS (
+              SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE))
+                       AS v
+              FROM embeddings),
+            {_pq_cte()},
+            qq AS (SELECT vec_id AS query_id, v AS qv
+                   FROM emb WHERE vec_id < 10),
+            lut AS (
+              SELECT q.query_id, c.sub, c.cid AS code,
+                     CAST(round(list_reduce(list_transform(
+                       generate_series(1, {sub}),
+                       i -> (q.qv[c.sub * {sub} + i] - c.cv[i])
+                          * (q.qv[c.sub * {sub} + i] - c.cv[i])),
+                       (acc, x) -> acc + x) * {dscale}.0, 0) AS BIGINT)
+                       AS d2q
+              FROM qq q, cb c),
+            scored AS (
+              SELECT l.query_id, k.vec_id, sum(l.d2q) AS dq
+              FROM codes k JOIN lut l
+                ON k.sub = l.sub AND k.code = l.code
+              WHERE k.vec_id <> l.query_id
+              GROUP BY l.query_id, k.vec_id)
+            SELECT query_id,
+                   CAST(row_number() OVER
+                     (PARTITION BY query_id ORDER BY dq, vec_id)
+                     AS BIGINT) AS rank,
+                   vec_id AS neighbor_id,
+                   dq / {dscale}.0 AS adist
+            FROM scored
+            QUALIFY rank <= 5
+        """
 
 
 _ANN_COSINE_Q = """
@@ -3308,6 +3446,11 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": _ANN_COSINE_Q,
         "ann_lsh_topk": _ANN_LSH_Q,
         "ann_ivf_topk": _ANN_IVF_Q,
+        # pq_codes / ann_pq_topk: per-subspace Lloyd replay (the
+        # _ivf_trained_cents_cte discipline sliced m ways), argmin
+        # codes, and integer-exact ADC LUT sums
+        "pq_codes": _pq_codes_q(),
+        "ann_pq_topk": _ann_pq_q(),
         "ann_recall": _ann_recall_q(),
         "ivf_list_sizes": _ivf_list_sizes_q(),
         "semdedup": _semdedup_q(),

@@ -4864,6 +4864,173 @@ def ann_recall(
     return out.orderBy("method")
 
 
+PQ_M = 4            # subspaces (EMBED dim must divide evenly)
+PQ_CODES = 16       # codes per subspace codebook (1 byte would be 256)
+PQ_TRAIN_ITERS = 2  # Lloyd iterations per subspace (the IVF setting)
+PQ_DIST_SCALE = 1_000_000  # fixed-point for order-independent ADC sums
+
+
+def _pq_emb(df: DataFrame) -> DataFrame:
+    return df.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+
+
+def _pq_d2(vslice: Column) -> Column:
+    """Squared L2 between a subvector slice and the codeword `cv` as a
+    sequential fold (list_reduce parity with the DuckDB oracle — the
+    _ivf_d2 discipline)."""
+    return F.aggregate(
+        F.zip_with(vslice, F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_codebooks(
+    emb: DataFrame,
+    dim: int,
+    m: int = PQ_M,
+    k: int = PQ_CODES,
+    train_iters: int = PQ_TRAIN_ITERS,
+) -> DataFrame:
+    """Product-quantization codebooks (Jégou et al. 2011, PAMI): split
+    the space into `m` contiguous subspaces of dim/m and train an
+    independent k-means codebook per subspace — the SAME deterministic
+    Lloyd machinery the IVF index uses (_ivf_cents: exact fixed-point
+    centroid means, seeds = vec_id in [10, 10+k) sliced per subspace),
+    so the DuckDB oracle replays every codebook bit-identically.
+    Returns (sub, cid, cv): m*k rows, broadcast-sized by construction
+    (m*k*dim/m = k*dim doubles, independent of corpus size).
+
+    Scale shape: m tiny materialized training jobs (the _ivf_cents
+    localCheckpoint contract) — a 10^9-vector run trains once and
+    ships every task a 64-row table."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    out = None
+    for j in range(m):
+        sl = emb.select(
+            "vec_id", F.slice("v", j * sub + 1, sub).alias("v")
+        )
+        cb = _ivf_cents(sl, 10, k, sub, train_iters).select(
+            F.lit(j).cast("int").alias("sub"), "cid", "cv"
+        )
+        out = cb if out is None else out.unionByName(cb)
+    return out
+
+
+def pq_codes(
+    df: DataFrame,
+    dim: int,
+    m: int = PQ_M,
+    k: int = PQ_CODES,
+    train_iters: int = PQ_TRAIN_ITERS,
+    codebooks: DataFrame | None = None,
+) -> DataFrame:
+    """PQ encoding: one row per (vec_id, sub) with the argmin codeword
+    id — the compressed representation an ADC search scans instead of
+    raw vectors (dim floats -> m small ints per vector; at dim=64,
+    m=4, k=16 that is 256 bytes -> 4 codes, a 64x scan-size cut).
+
+    Scale shape: ONE crossJoin against the broadcast m*k-row codebook
+    table with the argmin collapsing map-side (partial min over
+    (d2, cid) structs BEFORE the shuffle — the IVF assignment
+    discipline), then a slim (vec_id, sub, code) shuffle. Bounded
+    fanout m*k per vector, never all-pairs. Pass `codebooks` to reuse
+    an already-trained table (ann_pq_topk does — ONE training per
+    query, not one per stage)."""
+    emb = _pq_emb(df)
+    cb = (
+        codebooks
+        if codebooks is not None
+        else pq_codebooks(emb, dim, m, k, train_iters)
+    )
+    sub = dim // m
+    pairs = emb.crossJoin(F.broadcast(cb)).withColumn(
+        "d2", _pq_d2(F.slice("v", F.col("sub") * sub + 1, sub))
+    )
+    return (
+        pairs.groupBy("vec_id", "sub")
+        .agg(F.min(F.struct("d2", "cid")).alias("mm"))
+        .select(
+            "vec_id",
+            F.col("sub").cast("long").alias("sub"),
+            F.col("mm.cid").cast("long").alias("code"),
+        )
+    )
+
+
+def ann_pq_topk(
+    df: DataFrame,
+    dim: int,
+    m: int = PQ_M,
+    k: int = PQ_CODES,
+    train_iters: int = PQ_TRAIN_ITERS,
+    n_queries: int = 10,
+    topk: int = 5,
+) -> DataFrame:
+    """ADC (asymmetric distance computation) top-k over PQ codes: the
+    query stays exact, every database vector is its m codes, and
+    distance ~ sum_j d2(q_slice_j, codebook[j][code_j]) — a lookup-table
+    sum instead of a dim-wide dot per candidate. Output
+    (query_id, rank, neighbor_id, adist), rank 1..topk ascending by
+    approximate distance (vec_id tiebreak).
+
+    Determinism: each LUT entry is micro-quantized to a PQ_DIST_SCALE
+    fixed-point long and the per-vector sum runs over longs, so the
+    ADC distance is order-independent and the DuckDB replay is
+    bit-identical (the _ivf_cents discipline applied to scoring);
+    ranking compares integers, never float ties.
+
+    Scale shape: the LUT is n_queries*m*k rows (broadcast by
+    construction); codes join it on (sub, code) equality — an
+    n*m-row slim table against a broadcast hash side, partial-agg
+    summing map-side to n*n_queries rows before the shuffle. Per-query
+    work is linear in n with a ~m-int payload: the 'scan compressed
+    codes, not vectors' economics PQ exists for."""
+    emb = _pq_emb(df)
+    cb = pq_codebooks(emb, dim, m, k, train_iters)
+    codes = pq_codes(df, dim, m, k, train_iters, codebooks=cb)
+    sub = dim // m
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    lut = (
+        q.crossJoin(F.broadcast(cb))
+        .withColumn(
+            "d2q",
+            F.round(
+                _pq_d2(
+                    F.slice("qv", F.col("sub") * sub + 1, sub)
+                ) * F.lit(float(PQ_DIST_SCALE)),
+                0,
+            ).cast("long"),
+        )
+        .select("query_id", F.col("sub").cast("long").alias("sub"),
+                F.col("cid").cast("long").alias("code"), "d2q")
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d2q").alias("dq"))
+    )
+    from pyspark.sql.window import Window
+
+    win = Window.partitionBy("query_id").orderBy("dq", "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(win).cast("long"))
+        .filter(F.col("rank") <= topk)
+        .select(
+            "query_id", "rank", F.col("vec_id").alias("neighbor_id"),
+            (F.col("dq") / F.lit(float(PQ_DIST_SCALE))).alias("adist"),
+        )
+    )
+
+
 def semdedup(
     df: DataFrame,
     dim: int | None = None,
