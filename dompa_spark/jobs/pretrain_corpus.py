@@ -15,7 +15,7 @@
         --input /path/raw_docs --workdir /path/work \
         [--chunk-parts N] [--with-repetition] [--with-lm] \
         [--with-line-dedup] [--with-span-dedup] [--with-pii-scrub] \
-        [--no-resume]
+        [--with-c4] [--with-markdown] [--no-resume]
 
 Every stage is the corresponding tested operator (pipeline.run_extract,
 textops.lang_id_heuristic / curate_corpus / repetition_scores /
@@ -103,6 +103,21 @@ def main(argv=None) -> int:
     p.add_argument("--line-seg-words", type=int, default=None,
                    help="window size for --line-seg-mode=words "
                         "(default: textops.SEGDEDUP_WORDS)")
+    p.add_argument("--with-c4", action="store_true",
+                   help="C4-style line scrub (textops.c4_line_filter) "
+                        "on the kept corpus: junk lines drop, pages "
+                        "failing the lorem/brace/kept-lines gates drop "
+                        "entirely. Runs FIRST among the text cleanups "
+                        "so junk lines never vote in the segment dedup; "
+                        "note `kept` in the stats counts curation "
+                        "survivors — C4 page drops show separately as "
+                        "c4_pages_dropped")
+    p.add_argument("--with-markdown", action="store_true",
+                   help="also write the kept docs' markdown rendition "
+                        "(pipeline.to_markdown_df over the extracted "
+                        "spans) under workdir/markdown — the page-form "
+                        "product next to the plain-text corpus; text "
+                        "cleanups do not apply to it")
     p.add_argument("--with-mixture", action="store_true",
                    help="write a deterministic mixture resampling plan "
                         "(doc_id, lang, n_copies — hash-gated integer "
@@ -239,6 +254,20 @@ def main(argv=None) -> int:
         kept_docs = docs.join(keep, "doc_id")
         cols = [F.col("orig_doc_id").alias("doc_id"),
                 "text", "source", "lang"]
+        if args.with_c4:
+            c4 = textops.c4_line_filter(kept_docs).select(
+                "doc_id", "page_ok",
+                F.col("kept_text").alias("text"),
+                (F.col("n_lines") - F.col("n_kept"))
+                .alias("c4_lines_removed"),
+            )
+            kept_docs = (
+                kept_docs.drop("text")
+                .join(c4, "doc_id")
+                .filter("page_ok")
+                .drop("page_ok")
+            )
+            cols.append("c4_lines_removed")
         if args.with_host_boilerplate:
             hbkw = {"mode": args.line_seg_mode}
             if args.line_seg_words is not None:
@@ -288,6 +317,18 @@ def main(argv=None) -> int:
             cols.append("pii_redactions")
         kept_docs.select(*cols).write.mode("overwrite").parquet(kept_path)
 
+    # 4b. optional markdown rendition of the kept docs (own resumable
+    # stage): the page-form product next to the plain-text corpus —
+    # rendered from the EXTRACTED spans (structure intact), keyed by
+    # the kept set's original string ids
+    md_path = f"{args.workdir}/markdown"
+    if args.with_markdown and not (resume and _stage_done(spark, md_path)):
+        ext_md = spark.read.parquet(extracted)
+        keep_ids = spark.read.parquet(kept_path).select("doc_id")
+        pipeline.to_markdown_df(
+            ext_md.join(keep_ids, "doc_id")
+        ).write.mode("overwrite").parquet(md_path)
+
     # 5. optional mixture plan over the kept corpus (its own resumable
     # stage: the plan is deterministic given the kept table, so a
     # resumed run reproduces it bit-identically rather than re-rolling)
@@ -305,6 +346,18 @@ def main(argv=None) -> int:
         "kept": dec.filter("kept").count(),
         "near_dup_dropped": dec.filter("near_dup_drop").count(),
     }
+    if args.with_c4:
+        kt = spark.read.parquet(kept_path)
+        stats["c4_pages_dropped"] = stats["kept"] - kt.count()
+        stats["c4_lines_removed"] = int(
+            kt.agg(F.sum("c4_lines_removed")).first()[0] or 0
+        )
+    if args.with_markdown:
+        mddf = spark.read.parquet(md_path)
+        stats["markdown_docs"] = mddf.count()
+        stats["markdown_blocks"] = int(
+            mddf.agg(F.sum("n_blocks")).first()[0] or 0
+        )
     if args.with_host_boilerplate:
         stats["host_template_segments_removed"] = int(
             spark.read.parquet(kept_path)

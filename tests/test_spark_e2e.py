@@ -472,3 +472,111 @@ def test_pretrain_corpus_pipeline_end_to_end(spark, small_corpus, tmp_path,
     files2 = sorted(glob.glob(f"{wd}/docs/**/*.parquet", recursive=True))
     assert files2 == files1
     assert [os.path.getmtime(f) for f in files2] == mtimes1
+
+
+def test_pretrain_c4_and_markdown_stages(spark, tmp_path, capsys):
+    """--with-c4 (kept-stage line scrub + page gate) and
+    --with-markdown (page-form rendition of the kept docs): kept text
+    equals the manual c4_line_filter composition, dropped pages and
+    line counts audit in the stats, and the markdown table covers
+    exactly the shipped doc set."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from dompa_spark import textops
+    from dompa_spark.jobs import pretrain_corpus
+
+    # crafted corpus: multi-line English sentences (text spans pass
+    # through extraction verbatim), one media span per doc for a
+    # distinct source (domain cap) and a markdown image block;
+    # every 5th doc carries a lorem-ipsum line -> C4 page drop
+    rows = []
+    for i in range(40):
+        # letter-based unique token: digits would collapse under the
+        # normalized exact dedup (digit -> 0) and mark every doc a dup
+        uid = "".join(chr(97 + int(c)) for c in str(i))
+        lines = [
+            f"The first sentence of document {uid} is long enough to "
+            "be useful here.",
+            "short.",
+            "you must enable javascript to continue.",
+            f"The second sentence is also fine and the words of it "
+            f"are many for {uid}.",
+            "The third sentence is good too and it ends well with "
+            "the right length.",
+            f"A fourth sentence with the and of a to in it keeps the "
+            f"stopword ratio high for {uid}.",
+            "And a fifth sentence that is here so the token count of "
+            "the document is comfortably past the gate.",
+        ]
+        if i % 5 == 0:
+            lines.append("this page is lorem ipsum filler text.")
+        text = "\n".join(lines)
+        rows.append((
+            f"doc-{i:04d}",
+            [
+                {"kind": "text", "text": text,
+                 "media_ref": None, "offset": 0},
+                {"kind": "image", "text": None,
+                 "media_ref": f"media://s{i}/img", "offset": 1},
+            ],
+        ))
+    in_path = str(tmp_path / "raw")
+    spark.createDataFrame(
+        rows,
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    ).write.parquet(in_path)
+
+    wd = str(tmp_path / "work")
+    rc = pretrain_corpus.main([
+        "--input", in_path, "--workdir", wd,
+        "--with-c4", "--with-markdown",
+        "--light-parts", "4", "--heavy-parts", "1",
+        "--master", "local[2]",
+    ])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["docs"] == 40 and stats["kept"] > 0
+
+    # manual composition: c4 over the decision-kept docs
+    docs = spark.read.parquet(f"{wd}/docs")
+    keep = spark.read.parquet(f"{wd}/decisions").filter("kept").select(
+        "doc_id"
+    )
+    c4 = {
+        r.orig: r
+        for r in textops.c4_line_filter(docs.join(keep, "doc_id"))
+        .join(
+            docs.select("doc_id", F.col("orig_doc_id").alias("orig")),
+            "doc_id",
+        )
+        .collect()
+    }
+    kept_rows = {r.doc_id: r for r in
+                 spark.read.parquet(f"{wd}/kept").collect()}
+    want_shipped = {k for k, r in c4.items() if r.page_ok}
+    assert set(kept_rows) == want_shipped
+    # every 5th doc (lorem line) must be gone even where curation kept it
+    assert all(int(d.split("-")[1]) % 5 != 0 for d in kept_rows)
+    for d, r in kept_rows.items():
+        assert r.text == c4[d].kept_text
+        assert r.c4_lines_removed == c4[d].n_lines - c4[d].n_kept
+    assert stats["c4_pages_dropped"] == stats["kept"] - len(kept_rows)
+    assert stats["c4_lines_removed"] == sum(
+        r.n_lines - r.n_kept for k, r in c4.items() if k in want_shipped
+    )
+
+    # markdown covers exactly the shipped set; text span -> paragraph
+    # block, media span -> image block
+    md = {r.doc_id: r for r in
+          spark.read.parquet(f"{wd}/markdown").collect()}
+    assert set(md) == set(kept_rows)
+    assert stats["markdown_docs"] == len(kept_rows)
+    for d, r in md.items():
+        i = int(d.split("-")[1])
+        assert r.markdown.endswith(f"![](media://s{i}/img)")
+        assert r.markdown.startswith("The first sentence")
+        assert r.n_blocks == 2
+    assert stats["markdown_blocks"] == 2 * len(md)
