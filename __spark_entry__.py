@@ -778,6 +778,12 @@ def q_ann_pq_topk(spark, sf_dir):
     return textops.ann_pq_topk(_emb(spark, sf_dir), dim=EMBED_DIM)
 
 
+def q_ann_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ: coarse list pruning + PQ-on-residuals compressed scan —
+    the composed 10^9-vector index shape; see textops.ann_ivfpq_topk."""
+    return textops.ann_ivfpq_topk(_emb(spark, sf_dir), dim=EMBED_DIM)
+
+
 def q_ann_recall(spark, sf_dir):
     """recall@5 of the LSH and IVF approximate paths vs the exact
     brute-force answer — the ANN family's quality gauge."""
@@ -1174,6 +1180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "pq_codes": q_pq_codes,
         "ann_pq_topk": q_ann_pq_topk,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "ann_recall": q_ann_recall,
         "ivf_list_sizes": q_ivf_list_sizes,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -1530,12 +1537,12 @@ def _ivf_trained_cents_cte(iters: int) -> str:
     return ",\n            ".join(parts)
 
 
-def _pq_cte() -> str:
-    """CTE chain for the PQ codebooks + codes: per-subspace slices of
-    emb, each trained with the SAME Lloyd replay _ivf_trained_cents_cte
-    uses (argmin by (d2, cid), fixed-point means, empty lists keep
-    their centroid), unioned into cb(sub, cid, cv), then the argmin
-    code per (vec_id, sub). Mirrors textops.pq_codebooks / pq_codes."""
+def _pq_train_cte(src: str = "emb") -> str:
+    """Per-subspace PQ codebook training chain over table `src`
+    (vec_id, v): slices, seeds = vec_id in [10, 10+k), the SAME Lloyd
+    replay _ivf_trained_cents_cte uses (argmin by (d2, cid),
+    fixed-point means, empty lists keep their centroid), unioned into
+    cb(sub, cid, cv). src='res' is the IVF-PQ residual path."""
     m, k, iters = textops.PQ_M, textops.PQ_CODES, textops.PQ_TRAIN_ITERS
     sub = EMBED_DIM // m
     scale = textops.IVF_CENT_SCALE
@@ -1546,7 +1553,7 @@ def _pq_cte() -> str:
         parts.append(f"""{p}e AS (
               SELECT vec_id, list_slice(v, {j * sub + 1}, {(j + 1) * sub})
                        AS v
-              FROM emb),
+              FROM {src}),
             {p}c0 AS (
               SELECT vec_id - 10 AS cid, v AS cv
               FROM {p}e WHERE vec_id >= 10 AND vec_id < {10 + k})""")
@@ -1582,21 +1589,107 @@ def _pq_cte() -> str:
         f"SELECT {j} AS sub, cid, cv FROM s{j}c{iters}" for j in range(m)
     )
     parts.append(f"cb AS ({union})")
-    parts.append(f"""cpairs AS (
+    return ",\n            ".join(parts)
+
+
+def _pq_encode_cte(src: str = "emb") -> str:
+    """cpairs + codes: argmin codeword per (vec_id, sub) of `src`
+    against cb. Mirrors textops._pq_codes_of."""
+    sub = EMBED_DIM // textops.PQ_M
+    return f"""cpairs AS (
               SELECT e.vec_id, c.sub, c.cid,
                      list_reduce(list_transform(
                        generate_series(1, {sub}),
                        i -> (e.v[c.sub * {sub} + i] - c.cv[i])
                           * (e.v[c.sub * {sub} + i] - c.cv[i])),
                        (acc, x) -> acc + x) AS d2
-              FROM emb e, cb c),
+              FROM {src} e, cb c),
             codes AS (
               SELECT vec_id, sub, cid AS code
               FROM (SELECT *, row_number() OVER
                       (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
                     FROM cpairs)
-              WHERE rn = 1)""")
-    return ",\n            ".join(parts)
+              WHERE rn = 1)"""
+
+
+def _pq_cte() -> str:
+    """Training + encoding over the raw embedding table (the flat
+    pq_codes / ann_pq_topk path)."""
+    return _pq_train_cte("emb") + ",\n            " + _pq_encode_cte("emb")
+
+
+def _ivfpq_q() -> str:
+    """IVF-PQ replay: coarse Lloyd centroids (the ann_ivf chain),
+    residuals per assigned list, per-subspace PQ training ON the
+    residuals (_pq_train_cte('res')), residual codes, then the ADC
+    lookup built from each query's residual against each PROBED list's
+    centroid — integer-exact fixed-point sums, row_number top-5."""
+    t = textops.IVF_TRAIN_ITERS
+    dscale = textops.PQ_DIST_SCALE
+    sub = EMBED_DIM // textops.PQ_M
+    return f"""
+            WITH emb AS (
+              SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE))
+                       AS v
+              FROM embeddings),
+            {_ivf_trained_cents_cte(t)},
+            apairs AS (
+              SELECT e.vec_id, e.v, c.cid,
+                     list_reduce(list_transform(
+                       generate_series(1, len(e.v)),
+                       i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])),
+                       (acc, x) -> acc + x) AS d2
+              FROM emb e, c{t} c),
+            aranked AS (
+              SELECT *, row_number() OVER
+                (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+              FROM apairs),
+            res AS (
+              SELECT a.vec_id, a.cid,
+                     list_transform(generate_series(1, {EMBED_DIM}),
+                                    i -> a.v[i] - c.cv[i]) AS v
+              FROM aranked a JOIN c{t} c USING (cid)
+              WHERE a.rn = 1),
+            {_pq_train_cte("res")},
+            {_pq_encode_cte("res")},
+            codesl AS (
+              SELECT k.vec_id, r.cid AS list_cid, k.sub, k.code
+              FROM codes k JOIN res r USING (vec_id)),
+            qprobe AS (
+              SELECT a.vec_id AS query_id, a.cid,
+                     list_transform(generate_series(1, {EMBED_DIM}),
+                                    i -> a.v[i] - c.cv[i]) AS rv
+              FROM aranked a JOIN c{t} c USING (cid)
+              WHERE a.vec_id < 10
+                AND a.rn <= {textops.IVF_PROBE}),
+            lut AS (
+              SELECT q.query_id, q.cid, c.sub, c.cid AS code,
+                     CAST(round(list_reduce(list_transform(
+                       generate_series(1, {sub}),
+                       i -> (q.rv[c.sub * {sub} + i] - c.cv[i])
+                          * (q.rv[c.sub * {sub} + i] - c.cv[i])),
+                       (acc, x) -> acc + x) * {dscale}.0, 0) AS BIGINT)
+                       AS d2q
+              FROM qprobe q, cb c),
+            scored AS (
+              SELECT l.query_id, k.vec_id, min(k.list_cid) AS cid,
+                     sum(l.d2q) AS dq
+              FROM codesl k JOIN lut l
+                ON k.list_cid = l.cid AND k.sub = l.sub
+               AND k.code = l.code
+              WHERE k.vec_id <> l.query_id
+              GROUP BY l.query_id, k.vec_id)
+            SELECT query_id,
+                   CAST(row_number() OVER
+                     (PARTITION BY query_id ORDER BY dq, vec_id)
+                     AS BIGINT) AS rank,
+                   vec_id AS neighbor_id,
+                   CAST(cid AS BIGINT) AS cid,
+                   dq / {dscale}.0 AS adist
+            FROM scored
+            QUALIFY rank <= 5
+        """
 
 
 def _pq_codes_q() -> str:
@@ -3451,6 +3544,7 @@ def oracle_sql() -> dict[str, str]:
         # codes, and integer-exact ADC LUT sums
         "pq_codes": _pq_codes_q(),
         "ann_pq_topk": _ann_pq_q(),
+        "ann_ivfpq_topk": _ivfpq_q(),
         "ann_recall": _ann_recall_q(),
         "ivf_list_sizes": _ivf_list_sizes_q(),
         "semdedup": _semdedup_q(),

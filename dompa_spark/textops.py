@@ -4999,7 +4999,20 @@ def pq_codes(
     join is an EQUI-join on sub against the broadcast table. Pass
     `codebooks` to reuse an already-trained table (ann_pq_topk does —
     ONE training per query, not one per stage)."""
-    emb = _pq_emb(df)
+    return _pq_codes_of(_pq_emb(df), dim, m, k, train_iters, codebooks)
+
+
+def _pq_codes_of(
+    emb: DataFrame,
+    dim: int,
+    m: int,
+    k: int,
+    train_iters: int,
+    codebooks: DataFrame | None = None,
+) -> DataFrame:
+    """pq_codes over a pre-shaped (vec_id, v) table — the form the
+    IVF-PQ residual path encodes (its vectors are residuals, not the
+    embedding column)."""
     cb = (
         codebooks
         if codebooks is not None
@@ -5078,6 +5091,133 @@ def ann_pq_topk(
         .filter(F.col("rank") <= topk)
         .select(
             "query_id", "rank", F.col("vec_id").alias("neighbor_id"),
+            (F.col("dq") / F.lit(float(PQ_DIST_SCALE))).alias("adist"),
+        )
+    )
+
+
+def ann_ivfpq_topk(
+    df: DataFrame,
+    dim: int,
+    m: int = PQ_M,
+    k: int = PQ_CODES,
+    train_iters: int = PQ_TRAIN_ITERS,
+    n_centroids: int = IVF_CENTROIDS,
+    n_probe: int = IVF_PROBE,
+    n_queries: int = 10,
+    topk: int = 5,
+) -> DataFrame:
+    """IVF-PQ — the composition a 10^9+-vector deployment actually
+    runs (the FAISS IVFPQ shape): the Lloyd-trained coarse quantizer
+    prunes WHICH vectors to look at (each query probes its n_probe
+    nearest inverted lists), and PQ codes trained on the RESIDUALS
+    (v - centroid[cid]) shrink WHAT gets read per candidate. Residual
+    quantization is what makes the two compose: within a list the
+    residual distribution is centered, so the same k codewords cover
+    it far more finely than they cover raw space. The ADC lookup table
+    is built per (query, probed list) from the query's OWN residual
+    against that list's centroid — n_queries*n_probe*m*k entries,
+    broadcast-sized by construction. Output (query_id, rank,
+    neighbor_id, cid, adist), rank ascending by approximate distance
+    (vec_id tiebreak), integer-exact via the PQ_DIST_SCALE fixed-point
+    discipline.
+
+    Scale shape: both trainings are tiny materialized jobs (ONE
+    localCheckpoint each); assignment and encoding collapse map-side;
+    scoring joins the slim (vec_id, cid, sub, code) table against the
+    broadcast LUT on (cid, sub, code) EQUALITY — the list pruning is
+    IN the join key, so unprobed lists never leave the scan, and
+    per-query work is n*n_probe/n_centroids candidates of m ints, not
+    n*dim floats. No nested loop outside the bounded centroid
+    crossJoins."""
+    emb = _pq_emb(df)
+    cents = _ivf_cents(emb, n_queries, n_centroids, dim, train_iters)
+    pairs = emb.crossJoin(F.broadcast(cents)).withColumn("d2", _ivf_d2())
+    assigned = (
+        pairs.groupBy("vec_id")
+        .agg(
+            F.min(F.struct("d2", "cid")).alias("mm"),
+            F.first("v").alias("v"),
+        )
+        .select("vec_id", F.col("mm.cid").alias("cid"), "v")
+    )
+    res = assigned.join(F.broadcast(cents), "cid").select(
+        "vec_id",
+        "cid",
+        F.zip_with("v", "cv", lambda a, b: a - b).alias("v"),
+    )
+    rcb = pq_codebooks(
+        res.select("vec_id", "v"), dim, m, k, train_iters
+    )
+    codes = _pq_codes_of(
+        res.select("vec_id", "v"), dim, m, k, train_iters, codebooks=rcb
+    ).join(assigned.select("vec_id", "cid"), "vec_id")
+    # query side: n_probe nearest lists per query, residual vs EACH
+    # probed centroid (the query's residual differs per list)
+    from pyspark.sql.window import Window
+
+    qpairs = pairs.filter(F.col("vec_id") < n_queries)
+    pwin = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    probes = (
+        qpairs.withColumn("pr", F.row_number().over(pwin))
+        .filter(F.col("pr") <= n_probe)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "cid",
+            F.zip_with("v", "cv", lambda a, b: a - b).alias("v"),
+        )
+    )
+    sub = dim // m
+    pslices = probes.select(
+        "query_id", "cid",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).cast("int").alias("sub"),
+                        F.slice("v", j * sub + 1, sub).alias("v"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("s"),
+    ).select("query_id", "cid", "s.sub", "s.v")
+    # rcb's cid is the CODEWORD id; rename before the join so it can't
+    # shadow the IVF list cid riding alongside
+    rcb_k = rcb.select("sub", F.col("cid").alias("code"), "cv")
+    lut = (
+        pslices.join(F.broadcast(rcb_k), "sub")
+        .withColumn(
+            "d2q",
+            F.round(
+                _pq_d2(F.col("v")) * F.lit(float(PQ_DIST_SCALE)), 0
+            ).cast("long"),
+        )
+        .select(
+            "query_id",
+            F.col("cid").cast("long").alias("cid"),
+            F.col("sub").cast("long").alias("sub"),
+            F.col("code").cast("long").alias("code"),
+            "d2q",
+        )
+    )
+    scored = (
+        codes.select(
+            "vec_id", F.col("cid").cast("long").alias("cid"),
+            "sub", "code",
+        )
+        .join(F.broadcast(lut), ["cid", "sub", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d2q").alias("dq"), F.first("cid").alias("cid"))
+    )
+    rwin = Window.partitionBy("query_id").orderBy("dq", "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(rwin).cast("long"))
+        .filter(F.col("rank") <= topk)
+        .select(
+            "query_id", "rank", F.col("vec_id").alias("neighbor_id"),
+            "cid",
             (F.col("dq") / F.lit(float(PQ_DIST_SCALE))).alias("adist"),
         )
     )

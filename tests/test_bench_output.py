@@ -10,7 +10,8 @@ sys.path.insert(0, "/root/repo")
 
 import bench  # noqa: E402
 
-# 86 realistic query names (the live set is 85; headroom for growth),
+# 86 realistic query names (the live set is 86; headroom for growth —
+# the degrade path drops fastest queries first when over budget),
 # at the live set's name-length distribution.
 _QUERY_NAMES = [
     "extract_main_text", "parse_roundtrip", "traverse_rewrite",
@@ -27,7 +28,7 @@ _QUERY_NAMES = [
     "png_decode", "png_resize", "wav_decode", "pdf_layout",
     "pdf_interleaved", "ann_recall_at_k", "minhash_lsh_fused_stats",
     "simhash_fused_stats", "extract_markdown", "c4_line_filter",
-    "shuffle_shards", "pq_codes", "ann_pq_topk",
+    "shuffle_shards", "pq_codes", "ann_pq_topk", "ann_ivfpq_topk",
     "segment_dedup", "pii_scrub", "extract_outlinks", "corpus_mixture",
     "token_histogram", "lm_surprisal", "pack_sequences",
     "dedup_incremental", "url_normalize", "media_dhash", "span_dedup",

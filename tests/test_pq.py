@@ -113,3 +113,45 @@ def test_dim_not_divisible_raises(spark, clustered):
     df, _ = clustered
     with pytest.raises(ValueError):
         textops.pq_codebooks(textops._pq_emb(df), dim=DIM, m=3)
+
+
+def test_ivfpq_recall_stays_in_cluster(spark, clustered):
+    df, label = clustered
+    top = textops.ann_ivfpq_topk(
+        df, dim=DIM, m=M, k=K, n_centroids=8, n_probe=2
+    ).collect()
+    by_q = {}
+    for r in top:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == set(range(10))
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == [1, 2, 3, 4, 5]
+        dists = [r.adist for r in rows]
+        assert dists == sorted(dists)
+        in_cluster = sum(1 for r in rows if label[r.neighbor_id] == label[q])
+        assert in_cluster >= 4, (q, rows)
+
+
+def test_ivfpq_candidates_only_from_probed_lists(spark, clustered):
+    # every returned neighbor carries the list it was scanned from;
+    # with n_probe=1 all five neighbors of a query share ONE list
+    df, _ = clustered
+    top = textops.ann_ivfpq_topk(
+        df, dim=DIM, m=M, k=K, n_centroids=8, n_probe=1
+    ).collect()
+    by_q = {}
+    for r in top:
+        by_q.setdefault(r.query_id, set()).add(r.cid)
+    assert all(len(cids) == 1 for cids in by_q.values())
+
+
+def test_ivfpq_plan_scoring_is_hash_join(spark, clustered):
+    df, _ = clustered
+    plan = (
+        textops.ann_ivfpq_topk(df, dim=DIM, m=M, k=K, n_centroids=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
