@@ -5131,6 +5131,30 @@ def ann_ivfpq_topk(
     n*dim floats. No nested loop outside the bounded centroid
     crossJoins."""
     emb = _pq_emb(df)
+    cents, rcb, codes = ivfpq_build(
+        emb, dim, m, k, train_iters, n_centroids, n_queries
+    )
+    return ivfpq_search(
+        emb.filter(F.col("vec_id") < n_queries),
+        cents, rcb, codes, dim, m, n_probe, topk,
+    )
+
+
+def ivfpq_build(
+    emb: DataFrame,
+    dim: int,
+    m: int = PQ_M,
+    k: int = PQ_CODES,
+    train_iters: int = PQ_TRAIN_ITERS,
+    n_centroids: int = IVF_CENTROIDS,
+    n_queries: int = 10,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """IVF-PQ index construction over a (vec_id, v) table: returns the
+    three persistable artifacts — (cents(cid, cv), codebooks(sub, cid,
+    cv), codes(vec_id, sub, code, cid)) — the train-once outputs a
+    10^9-vector deployment writes to storage and every later query job
+    reads instead of retraining (jobs/build_ann_index.py does exactly
+    that)."""
     cents = _ivf_cents(emb, n_queries, n_centroids, dim, train_iters)
     pairs = emb.crossJoin(F.broadcast(cents)).withColumn("d2", _ivf_d2())
     assigned = (
@@ -5152,11 +5176,31 @@ def ann_ivfpq_topk(
     codes = _pq_codes_of(
         res.select("vec_id", "v"), dim, m, k, train_iters, codebooks=rcb
     ).join(assigned.select("vec_id", "cid"), "vec_id")
-    # query side: n_probe nearest lists per query, residual vs EACH
-    # probed centroid (the query's residual differs per list)
+    return cents, rcb, codes
+
+
+def ivfpq_search(
+    qemb: DataFrame,
+    cents: DataFrame,
+    rcb: DataFrame,
+    codes: DataFrame,
+    dim: int,
+    m: int = PQ_M,
+    n_probe: int = IVF_PROBE,
+    topk: int = 5,
+) -> DataFrame:
+    """ADC search over a PREBUILT IVF-PQ index: qemb is (vec_id, v)
+    query vectors; cents/rcb/codes are ivfpq_build's artifacts (fresh
+    or read back from parquet — the tables are the interface). Rows
+    whose vec_id equals a query id are excluded (the self-neighbor
+    convention of the ann family)."""
+    # n_probe nearest lists per query, residual vs EACH probed
+    # centroid (the query's residual differs per list)
     from pyspark.sql.window import Window
 
-    qpairs = pairs.filter(F.col("vec_id") < n_queries)
+    qpairs = qemb.crossJoin(F.broadcast(cents)).withColumn(
+        "d2", _ivf_d2()
+    )
     pwin = Window.partitionBy("vec_id").orderBy("d2", "cid")
     probes = (
         qpairs.withColumn("pr", F.row_number().over(pwin))

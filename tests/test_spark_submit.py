@@ -444,3 +444,75 @@ def test_spark_submit_ingest_warc_job(workdir, spark):
         f"WHERE s.kind = 'media' AND s.media_ref IS NOT NULL"
     ).fetchone()[0]
     assert media == 3
+
+
+def test_spark_submit_ann_index_build_then_query(workdir, spark):
+    """IVF-PQ index lifecycle under real spark-submit: build persists
+    the three artifact tables + geometry guard; a SEPARATE query
+    submit (no retraining) reproduces exactly the library's fused
+    ann_ivfpq_topk answer; mismatched geometry is refused."""
+    from dompa_spark import textops
+
+    emb_path = "/root/testdata/sf0.001/embeddings.parquet"
+    shutil.copy(
+        os.path.join(REPO, "dompa_spark", "jobs", "build_ann_index.py"),
+        os.path.join(str(workdir), "build_ann_index.py"),
+    )
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["PYSPARK_PYTHON"] = env["PYSPARK_DRIVER_PYTHON"] = sys.executable
+    base = [
+        _spark_submit(), "--master", "local[4]",
+        "--conf", "spark.sql.shuffle.partitions=8",
+        "--conf", "spark.ui.enabled=false",
+        "--py-files", str(workdir / "dompa_spark.zip"),
+        str(workdir / "build_ann_index.py"),
+        "--index", str(workdir / "annidx"),
+    ]
+    proc = subprocess.run(
+        base + ["--mode", "build", "--input", emb_path, "--dim", "64"],
+        cwd=str(workdir), env=env, capture_output=True, text=True,
+        timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    bstats = json.loads(
+        [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
+    )
+    assert bstats["vectors"] == 500
+    assert bstats["code_rows"] == 500 * textops.PQ_M
+    assert bstats["list_max"] >= bstats["list_mean"] > 0
+
+    # queries = the first 10 corpus vectors (the ann-family convention)
+    qpath = str(workdir / "queries")
+    spark.read.parquet(emb_path).filter("vec_id < 10").write.parquet(qpath)
+    proc = subprocess.run(
+        base + ["--mode", "query", "--queries", qpath,
+                "--output", str(workdir / "topk")],
+        cwd=str(workdir), env=env, capture_output=True, text=True,
+        timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    qstats = json.loads(
+        [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
+    )
+    assert qstats == {"mode": "query", "queries": 10, "rows": 50}
+
+    # persisted-index answer == the library's fused single-session path
+    want = sorted(
+        map(tuple, textops.ann_ivfpq_topk(
+            spark.read.parquet(emb_path), dim=64
+        ).collect())
+    )
+    got = sorted(
+        map(tuple, spark.read.parquet(str(workdir / "topk")).collect())
+    )
+    assert got == want
+
+    # geometry guard: a query claiming different m must be refused
+    proc = subprocess.run(
+        base + ["--mode", "query", "--queries", qpath, "--m", "8",
+                "--output", str(workdir / "topk2")],
+        cwd=str(workdir), env=env, capture_output=True, text=True,
+        timeout=420,
+    )
+    assert proc.returncode != 0
+    assert "geometry mismatch" in (proc.stderr + proc.stdout)
