@@ -778,6 +778,16 @@ def q_ann_pq_topk(spark, sf_dir):
     return textops.ann_pq_topk(_emb(spark, sf_dir), dim=EMBED_DIM)
 
 
+def q_ann_pq_rerank(spark, sf_dir):
+    """PQ shortlist + exact-cosine refine (rerank=PQ_RERANK): the
+    candidate-generation + re-rank form that restores exact-path
+    recall while reading only R*topk full vectors per query; see
+    textops.ann_pq_topk(rerank=...)."""
+    return textops.ann_pq_topk(
+        _emb(spark, sf_dir), dim=EMBED_DIM, rerank=textops.PQ_RERANK
+    )
+
+
 def q_ann_ivfpq_topk(spark, sf_dir):
     """IVF-PQ: coarse list pruning + PQ-on-residuals compressed scan —
     the composed 10^9-vector index shape; see textops.ann_ivfpq_topk."""
@@ -1180,6 +1190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "pq_codes": q_pq_codes,
         "ann_pq_topk": q_ann_pq_topk,
+        "ann_pq_rerank": q_ann_pq_rerank,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "ann_recall": q_ann_recall,
         "ivf_list_sizes": q_ivf_list_sizes,
@@ -1706,12 +1717,13 @@ def _pq_codes_q() -> str:
         """
 
 
-def _ann_pq_q() -> str:
+def _pq_adc_cte() -> str:
+    """Shared flat-PQ ADC chain: emb -> training/encoding -> query LUT
+    -> summed integer distances per (query, vector) in `scored`."""
     m = textops.PQ_M
     sub = EMBED_DIM // m
     dscale = textops.PQ_DIST_SCALE
-    return f"""
-            WITH emb AS (
+    return f"""emb AS (
               SELECT CAST(vec_id AS BIGINT) AS vec_id,
                      list_transform(embedding, x -> CAST(x AS DOUBLE))
                        AS v
@@ -1733,7 +1745,13 @@ def _ann_pq_q() -> str:
               FROM codes k JOIN lut l
                 ON k.sub = l.sub AND k.code = l.code
               WHERE k.vec_id <> l.query_id
-              GROUP BY l.query_id, k.vec_id)
+              GROUP BY l.query_id, k.vec_id)"""
+
+
+def _ann_pq_q() -> str:
+    dscale = textops.PQ_DIST_SCALE
+    return f"""
+            WITH {_pq_adc_cte()}
             SELECT query_id,
                    CAST(row_number() OVER
                      (PARTITION BY query_id ORDER BY dq, vec_id)
@@ -1741,6 +1759,45 @@ def _ann_pq_q() -> str:
                    vec_id AS neighbor_id,
                    dq / {dscale}.0 AS adist
             FROM scored
+            QUALIFY rank <= 5
+        """
+
+
+def _ann_pq_rerank_q() -> str:
+    """ADC shortlist (R*topk by integer distance) then EXACT cosine
+    refine over just the shortlist — the candidate-generation +
+    re-rank replay of textops.ann_pq_topk(rerank=PQ_RERANK)."""
+    shortn = textops.PQ_RERANK * 5
+    return f"""
+            WITH {_pq_adc_cte()},
+            shortlist AS (
+              SELECT query_id, vec_id
+              FROM (SELECT *, row_number() OVER
+                      (PARTITION BY query_id ORDER BY dq, vec_id) AS rn
+                    FROM scored)
+              WHERE rn <= {shortn}),
+            nv AS (
+              SELECT vec_id, v,
+                     sqrt(list_sum(list_transform(v, x -> x*x))) AS norm
+              FROM emb),
+            qn AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm
+                   FROM nv WHERE vec_id < 10),
+            refined AS (
+              SELECT s.query_id, s.vec_id,
+                     round(list_sum(list_transform(
+                             generate_series(1, len(n.v)),
+                             i -> n.v[i] * q.qv[i]))
+                           / (n.norm * q.qnorm), 4) AS cosine
+              FROM shortlist s
+              JOIN nv n ON s.vec_id = n.vec_id
+              JOIN qn q ON s.query_id = q.query_id)
+            SELECT query_id,
+                   CAST(row_number() OVER
+                     (PARTITION BY query_id
+                      ORDER BY cosine DESC, vec_id ASC) AS BIGINT)
+                     AS rank,
+                   vec_id AS neighbor_id, cosine
+            FROM refined
             QUALIFY rank <= 5
         """
 
@@ -2047,7 +2104,11 @@ def _ann_recall_q() -> str:
             ivf AS (
               SELECT query_id, neighbor_id FROM ({_ANN_IVF_Q})),
             lsh AS (
-              SELECT query_id, neighbor_id FROM ({_ANN_LSH_Q}))
+              SELECT query_id, neighbor_id FROM ({_ANN_LSH_Q})),
+            pq AS (
+              SELECT query_id, neighbor_id FROM ({_ann_pq_q()})),
+            ivfpq AS (
+              SELECT query_id, neighbor_id FROM ({_ivfpq_q()}))
             SELECT * FROM (
               SELECT 'ivf' AS method, CAST(count(*) AS BIGINT) AS hits,
                      round(count(*) / 50.0, 4) AS recall_at_k
@@ -2055,7 +2116,15 @@ def _ann_recall_q() -> str:
               UNION ALL
               SELECT 'lsh' AS method, CAST(count(*) AS BIGINT) AS hits,
                      round(count(*) / 50.0, 4) AS recall_at_k
-              FROM lsh JOIN exact USING (query_id, neighbor_id))
+              FROM lsh JOIN exact USING (query_id, neighbor_id)
+              UNION ALL
+              SELECT 'pq' AS method, CAST(count(*) AS BIGINT) AS hits,
+                     round(count(*) / 50.0, 4) AS recall_at_k
+              FROM pq JOIN exact USING (query_id, neighbor_id)
+              UNION ALL
+              SELECT 'ivfpq' AS method, CAST(count(*) AS BIGINT) AS hits,
+                     round(count(*) / 50.0, 4) AS recall_at_k
+              FROM ivfpq JOIN exact USING (query_id, neighbor_id))
             ORDER BY method
         """
 
@@ -3544,6 +3613,7 @@ def oracle_sql() -> dict[str, str]:
         # codes, and integer-exact ADC LUT sums
         "pq_codes": _pq_codes_q(),
         "ann_pq_topk": _ann_pq_q(),
+        "ann_pq_rerank": _ann_pq_rerank_q(),
         "ann_ivfpq_topk": _ivfpq_q(),
         "ann_recall": _ann_recall_q(),
         "ivf_list_sizes": _ivf_list_sizes_q(),

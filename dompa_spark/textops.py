@@ -4848,6 +4848,16 @@ def ann_recall(
         "lsh": ann_lsh_topk(df, dim, n_queries, k, **kw).select(
             "query_id", "neighbor_id"
         ),
+        # the compressed-scan paths: ADC ranks by approximate L2, the
+        # exact answer by cosine — on the unnormalized bench corpus
+        # their recall reads LOWER than the geometry-preserving paths
+        # by construction; the gauge exists to make that visible
+        "pq": ann_pq_topk(
+            df, dim, n_queries=n_queries, topk=k
+        ).select("query_id", "neighbor_id"),
+        "ivfpq": ann_ivfpq_topk(
+            df, dim, n_probe=ivf_probe, n_queries=n_queries, topk=k
+        ).select("query_id", "neighbor_id"),
     }
     denom = float(n_queries * k)
     per_method = [
@@ -4868,6 +4878,7 @@ PQ_M = 4            # subspaces (EMBED dim must divide evenly)
 PQ_CODES = 16       # codes per subspace codebook (1 byte would be 256)
 PQ_TRAIN_ITERS = 2  # Lloyd iterations per subspace (the IVF setting)
 PQ_DIST_SCALE = 1_000_000  # fixed-point for order-independent ADC sums
+PQ_RERANK = 8       # shortlist factor for the refine step (R*topk)
 
 
 def _pq_emb(df: DataFrame) -> DataFrame:
@@ -5040,6 +5051,7 @@ def ann_pq_topk(
     train_iters: int = PQ_TRAIN_ITERS,
     n_queries: int = 10,
     topk: int = 5,
+    rerank: int = 0,
 ) -> DataFrame:
     """ADC (asymmetric distance computation) top-k over PQ codes: the
     query stays exact, every database vector is its m codes, and
@@ -5047,6 +5059,16 @@ def ann_pq_topk(
     sum instead of a dim-wide dot per candidate. Output
     (query_id, rank, neighbor_id, adist), rank 1..topk ascending by
     approximate distance (vec_id tiebreak).
+
+    `rerank=R` (R > 0) switches to the textbook shortlist-then-refine
+    form: ADC keeps the top R*topk candidates, then EXACT cosine over
+    just those re-ranks the final topk — output becomes (query_id,
+    rank, neighbor_id, cosine), rank descending by cosine. Pure ADC
+    cannot rank WITHIN a tight cluster (the quantizer collapses the
+    cluster to one code signature and ties break by vec_id — recall
+    degenerates toward topk/cluster_size; ann_recall makes this
+    visible), so the refine step is how flat PQ reaches exact-path
+    recall while still reading only R*topk full vectors per query.
 
     Determinism: each LUT entry is micro-quantized to a PQ_DIST_SCALE
     fixed-point long and the per-vector sum runs over longs, so the
@@ -5086,12 +5108,52 @@ def ann_pq_topk(
     from pyspark.sql.window import Window
 
     win = Window.partitionBy("query_id").orderBy("dq", "vec_id")
+    ranked = scored.withColumn(
+        "rank", F.row_number().over(win).cast("long")
+    )
+    if not rerank:
+        return ranked.filter(F.col("rank") <= topk).select(
+            "query_id", "rank", F.col("vec_id").alias("neighbor_id"),
+            (F.col("dq") / F.lit(float(PQ_DIST_SCALE))).alias("adist"),
+        )
+    # refine: exact cosine over the ADC shortlist only — R*topk full
+    # vectors per query instead of n (equi-joins on vec_id/query_id;
+    # the query side is n_queries rows, broadcast)
+    norm = F.sqrt(
+        F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    nv = emb.withColumn("norm", norm)
+    shortlist = ranked.filter(
+        F.col("rank") <= rerank * topk
+    ).select("query_id", "vec_id")
+    qn = nv.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    cos = F.round(
+        F.aggregate(
+            F.zip_with("v", "qv", lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / (F.col("norm") * F.col("qnorm")),
+        4,
+    )
+    refined = (
+        shortlist.join(nv, "vec_id")
+        .join(F.broadcast(qn), "query_id")
+        .withColumn("cosine", cos)
+    )
+    rwin = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
     return (
-        scored.withColumn("rank", F.row_number().over(win).cast("long"))
+        refined.withColumn("rank", F.row_number().over(rwin).cast("long"))
         .filter(F.col("rank") <= topk)
         .select(
             "query_id", "rank", F.col("vec_id").alias("neighbor_id"),
-            (F.col("dq") / F.lit(float(PQ_DIST_SCALE))).alias("adist"),
+            "cosine",
         )
     )
 

@@ -29,6 +29,7 @@ _QUERY_NAMES = [
     "pdf_interleaved", "ann_recall_at_k", "minhash_lsh_fused_stats",
     "simhash_fused_stats", "extract_markdown", "c4_line_filter",
     "shuffle_shards", "pq_codes", "ann_pq_topk", "ann_ivfpq_topk",
+    "ann_pq_rerank",
     "segment_dedup", "pii_scrub", "extract_outlinks", "corpus_mixture",
     "token_histogram", "lm_surprisal", "pack_sequences",
     "dedup_incremental", "url_normalize", "media_dhash", "span_dedup",

@@ -783,15 +783,49 @@ def _uniform_with_clumped_seeds(spark, n, dim=16, seed_noise=0.02):
 
 
 def test_ann_recall_floor(spark):
-    """recall@5 of both approximate paths vs the exact answer must clear
+    """recall@5 of the approximate paths vs the exact answer must clear
     0.8 at DEFAULT knobs on a clustered corpus — the blind-knob fix from
-    VERDICT r03 #3. (Measured: ivf 1.0, lsh 0.98 at noise=0.1.)"""
+    VERDICT r03 #3. The ADC paths (pq/ivfpq) rank by approximate L2
+    while the exact answer ranks by cosine, so their floor is lower —
+    the gauge's job is to show exactly that gap. (Measured: ivf 1.0,
+    lsh 0.98 at noise=0.1; pq/ivfpq track the geometry paths on this
+    clustered corpus.)"""
     emb = _clustered_vectors(spark, 400)
     rows = {r.method: r for r in textops.ann_recall(emb, dim=16).collect()}
-    assert set(rows) == {"ivf", "lsh"}
+    assert set(rows) == {"ivf", "lsh", "pq", "ivfpq"}
+    for m in ("ivf", "lsh"):
+        assert rows[m].recall_at_k >= 0.8, (m, rows[m].recall_at_k)
+    # pure-ADC floors are structurally lower: the quantizer collapses a
+    # tight cluster to one code signature, so intra-cluster order
+    # degenerates to the vec_id tiebreak (~topk/cluster_size baseline);
+    # residual codes (ivfpq) resolve finer than flat pq. Measured:
+    # ivfpq 0.6, pq 0.22 — the gauge exists to show exactly this.
+    assert rows["ivfpq"].recall_at_k >= 0.5, rows["ivfpq"]
+    assert rows["pq"].recall_at_k >= 0.15, rows["pq"]
+    assert rows["ivfpq"].recall_at_k > rows["pq"].recall_at_k
     for m, r in rows.items():
-        assert r.recall_at_k >= 0.8, (m, r.recall_at_k)
         assert r.hits == round(r.recall_at_k * 50), r
+
+
+def test_ann_pq_rerank_restores_recall(spark):
+    """The textbook refine step: ADC shortlist of R*topk candidates +
+    exact cosine re-rank. R >= cluster_size/topk makes the shortlist
+    cover the whole collapsed cluster, so recall goes 0.22 -> 1.0
+    while still reading only R*topk full vectors per query."""
+    emb = _clustered_vectors(spark, 400)
+    exact = textops.ann_cosine_topk(emb).select("query_id", "neighbor_id")
+    out = textops.ann_pq_topk(emb, dim=16, rerank=8)
+    hits = (
+        out.select("query_id", "neighbor_id")
+        .join(exact, ["query_id", "neighbor_id"])
+        .count()
+    )
+    assert hits / 50 >= 0.9
+    # output switches to exact-cosine form, descending
+    rows = out.filter("query_id = 0").orderBy("rank").collect()
+    assert [r.rank for r in rows] == [1, 2, 3, 4, 5]
+    cosines = [r.cosine for r in rows]
+    assert cosines == sorted(cosines, reverse=True)
 
 
 def test_ivf_training_balances_lists(spark):
