@@ -58,6 +58,32 @@ def extract_stream(
     return writer.start()
 
 
+def markdown_stream(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    checkpoint: str,
+    available_now: bool = True,
+):
+    """Stream markdown rendering: file source -> to_markdown_df's Arrow
+    kernel -> parquet sink. The 'render new arrivals as they land' form
+    of the batch markdown product; exactly-once via the same
+    source-offset + sink-commit-log contract as extract_stream. The
+    operator is stateless (one map), so there is no state store and no
+    watermark — the cheapest possible streaming shape."""
+    docs = read_doc_stream(spark, in_path)
+    out = pipeline.to_markdown_df(docs)
+    writer = (
+        out.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 EVENTS_SCHEMA_DDL = (
     "event_id long, ts timestamp_ntz, user_id long, event_type string, "
     "value double, props string"

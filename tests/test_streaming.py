@@ -724,3 +724,55 @@ def test_url_frontier_stream_matches_batch_groups(spark, tmp_path):
         for r in batch.filter("NOT is_dup").collect()
     }
     assert got == want
+
+
+def test_markdown_stream_matches_batch_and_resumes(spark, tmp_path):
+    """Stream == batch for the markdown renderer, plus incremental
+    exactly-once: a late file renders without reprocessing old rows."""
+    from dompa_spark import kernel, pipeline
+
+    in_path = str(tmp_path / "min")
+    out_path = str(tmp_path / "mout")
+    ckpt = str(tmp_path / "mckpt")
+    corpus.write_corpus(in_path, 80, rows_per_file=40)
+
+    q = streaming.markdown_stream(spark, in_path, out_path, ckpt)
+    q.awaitTermination(300)
+    got = {
+        r.doc_id: (r.markdown, r.n_blocks)
+        for r in spark.read.parquet(out_path).collect()
+    }
+    assert len(got) == 80
+    for i in range(80):
+        doc_id, spans = corpus.gen_doc(i)
+        blocks = kernel.markdown_document_cols(
+            [s["kind"] for s in spans],
+            [s["text"] for s in spans],
+            [s["media_ref"] for s in spans],
+            [s["offset"] for s in spans],
+        )
+        assert got[doc_id] == ("\n\n".join(blocks), len(blocks)), doc_id
+    # batch operator agrees on the same input
+    batch = {
+        r.doc_id: (r.markdown, r.n_blocks)
+        for r in pipeline.to_markdown_df(
+            spark.read.parquet(in_path)
+        ).collect()
+    }
+    assert batch == got
+
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        corpus.gen_batch(80, 100),
+        f"{in_path}/part-late-0.parquet",
+        row_group_size=2000,
+    )
+    q2 = streaming.markdown_stream(spark, in_path, out_path, ckpt)
+    q2.awaitTermination(300)
+    got2 = {
+        r.doc_id: (r.markdown, r.n_blocks)
+        for r in spark.read.parquet(out_path).collect()
+    }
+    assert len(got2) == 100
+    assert all(got2[d] == v for d, v in got.items())
