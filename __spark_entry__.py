@@ -1100,6 +1100,65 @@ def q_pdf_interleaved(spark, sf_dir):
     )
 
 
+def q_bloom_dedup(spark, sf_dir):
+    """Broadcast-Bloom incremental exact dedup: NEW = doc_id % 3 == 0,
+    OLD = the rest PLUS an exact copy of every %6==0 doc under a +2M
+    id — engineered cross-snapshot exact dups (every %6==0 new doc must
+    come back exact_dup). bloom_hit differing from exact_dup is the
+    filter's false-positive telemetry; no false negatives by
+    construction (tests/test_session8_ops.py)."""
+    docs = _docs(spark, sf_dir)
+    new = docs.filter(F.col("doc_id") % 3 == 0).select("doc_id", "text")
+    old = (
+        docs.filter(F.col("doc_id") % 3 != 0)
+        .select("doc_id", "text")
+        .unionByName(
+            docs.filter(F.col("doc_id") % 6 == 0).select(
+                (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return textops.bloom_dedup(new, old)
+
+
+def q_corpus_diff(spark, sf_dir):
+    """Snapshot delta audit: OLD = doc_id % 5 != 4, NEW = doc_id % 5
+    != 0 with the %5==2 docs' text revised — so all four statuses
+    (added %5==4, removed %5==0, changed %5==2, else unchanged) appear
+    at every SF. Fingerprints map-side; one slim full-outer join."""
+    docs = _docs(spark, sf_dir)
+    old = docs.filter(F.col("doc_id") % 5 != 4).select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") % 5 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 2,
+            F.concat(F.col("text"), F.lit(" rev2")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return textops.corpus_diff(old, new)
+
+
+def q_extract_code(spark, sf_dir):
+    """Code-block mining through the REAL parser: fenced
+    <pre><code class="language-*"> blocks plus bare <pre> (lang NULL),
+    document-order block_idx, direct-child code text; the template's
+    INLINE <code> decoy must never emit. See textops.extract_code_df."""
+    wrapped = textops.code_wrapped(_docs(spark, sf_dir))
+    return textops.extract_code_df(pipeline.parse_nodes_df(wrapped))
+
+
+def q_cluster_topics(spark, sf_dir):
+    """Topic audit for data mixing: the SAME Lloyd-trained clustering
+    as the IVF index / semdedup over the embeddings table, each cluster
+    labeled by its member docs' top terms (count desc / term asc,
+    corpus-frequency stopword gate in exact ppm integer math)."""
+    return textops.cluster_topics(
+        _emb(spark, sf_dir), _docs(spark, sf_dir), dim=EMBED_DIM
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full extraction pipeline (template-interleaved docs ->
     salted partitioning -> Arrow kernel -> spans) on sf0.001."""
@@ -1206,6 +1265,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wav_decode": q_wav_decode,
         "pdf_layout": q_pdf_layout,
         "pdf_interleaved": q_pdf_interleaved,
+        "bloom_dedup": q_bloom_dedup,
+        "corpus_diff": q_corpus_diff,
+        "extract_code": q_extract_code,
+        "cluster_topics": q_cluster_topics,
     }
 
 
@@ -4008,5 +4071,141 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT doc_id, n_lines + 1, 'text', '{PDF_OUTRO}'
             FROM base
+        """,
+        # bloom_dedup: bit-exact Bloom replay — same double-hash probe
+        # positions, same 32-bit packed bit_or bitmap, same bool_and
+        # membership + exact fingerprint verify (textops.bloom_dedup)
+        "bloom_dedup": f"""
+            WITH newd AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id, text
+              FROM documents WHERE doc_id % 3 = 0),
+            oldd AS (
+              SELECT text FROM documents WHERE doc_id % 3 <> 0
+              UNION ALL
+              SELECT text FROM documents WHERE doc_id % 6 = 0),
+            oh AS (
+              SELECT CAST('0x'||substr(md5(text),1,15) AS BIGINT) AS h1,
+                     CAST('0x'||substr(md5('b:'||text),1,15) AS BIGINT)
+                       AS h2
+              FROM oldd),
+            bm AS (
+              SELECT pos // 32 AS word,
+                     bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT))
+                       AS bits
+              FROM (SELECT (h1 + t.j*h2) % {textops.BLOOM_M_BITS} AS pos
+                    FROM oh, range(0,{textops.BLOOM_K}) t(j))
+              GROUP BY 1),
+            nh AS (
+              SELECT doc_id,
+                     CAST('0x'||substr(md5(text),1,15) AS BIGINT) AS h1,
+                     CAST('0x'||substr(md5('b:'||text),1,15) AS BIGINT)
+                       AS h2
+              FROM newd),
+            np AS (
+              SELECT doc_id, h1,
+                     (h1 + t.j*h2) % {textops.BLOOM_M_BITS} AS pos
+              FROM nh, range(0,{textops.BLOOM_K}) t(j)),
+            probe AS (
+              SELECT doc_id, min(h1) AS fp,
+                     bool_and(coalesce(
+                       (b.bits & (CAST(1 AS BIGINT)
+                                  << CAST(pos % 32 AS INT))) <> 0,
+                       FALSE)) AS bloom_hit
+              FROM np LEFT JOIN bm b ON b.word = pos // 32
+              GROUP BY doc_id),
+            ofp AS (SELECT DISTINCT h1 AS fp FROM oh)
+            SELECT p.doc_id, p.bloom_hit,
+                   (p.bloom_hit AND o.fp IS NOT NULL) AS exact_dup
+            FROM probe p LEFT JOIN ofp o USING (fp)
+        """,
+        # corpus_diff: same md5_60 fingerprints, full-outer status case
+        "corpus_diff": """
+            WITH o AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     CAST('0x'||substr(md5(text),1,15) AS BIGINT)
+                       AS old_fp
+              FROM documents WHERE doc_id % 5 <> 4),
+            n AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     CAST('0x'||substr(md5(CASE WHEN doc_id % 5 = 2
+                            THEN text || ' rev2' ELSE text END),1,15)
+                          AS BIGINT) AS new_fp
+              FROM documents WHERE doc_id % 5 <> 0)
+            SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+                   CASE WHEN o.doc_id IS NULL THEN 'added'
+                        WHEN n.doc_id IS NULL THEN 'removed'
+                        WHEN o.old_fp <> n.new_fp THEN 'changed'
+                        ELSE 'unchanged' END AS status,
+                   o.old_fp, n.new_fp
+            FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        """,
+        # extract_code: template algebra over code_wrapped — one fenced
+        # python block per doc, a bare pre for %3==0, the inline decoy
+        # never emits
+        "extract_code": """
+            WITH base AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     CAST(doc_id AS VARCHAR) AS sid,
+                     string_split(text, ' ')[1] AS w1
+              FROM documents)
+            SELECT doc_id, CAST(0 AS BIGINT) AS block_idx,
+                   'python' AS lang,
+                   'def f_' || sid || '(): return ' || w1 AS code_text
+            FROM base
+            UNION ALL
+            SELECT doc_id, CAST(1 AS BIGINT), CAST(NULL AS VARCHAR),
+                   'raw block ' || sid
+            FROM base WHERE doc_id % 3 = 0
+        """,
+        # cluster_topics: the shared Lloyd replay (identical CTE chain
+        # to ann_ivf) -> argmin membership -> per-cluster term counts
+        # with the ppm stopword gate and (count desc, term asc) ranking
+        "cluster_topics": f"""
+            WITH {_ANN_EMB_N},
+            {_ivf_trained_cents_cte(textops.IVF_TRAIN_ITERS)},
+            pairs AS (
+              SELECT e.vec_id, c.cid,
+                     list_reduce(list_transform(
+                       generate_series(1, len(e.v)),
+                       i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])),
+                       (acc, x) -> acc + x) AS d2
+              FROM emb e, c{textops.IVF_TRAIN_ITERS} c),
+            assigned AS (
+              SELECT vec_id, cid
+              FROM (SELECT *, row_number() OVER
+                      (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+                    FROM pairs)
+              WHERE rn = 1),
+            sizes AS (SELECT cid, count(*) AS n_docs
+                      FROM assigned GROUP BY cid),
+            toks AS (
+              SELECT a.cid, unnest(string_split(d.text, ' ')) AS term
+              FROM assigned a
+              JOIN documents d ON CAST(d.doc_id AS BIGINT) = a.vec_id),
+            tc AS (
+              SELECT cid, term, count(*) AS term_count
+              FROM toks GROUP BY 1, 2 HAVING count(*) >= 2),
+            dfq AS (
+              SELECT term, count(*) AS df
+              FROM (SELECT doc_id,
+                           unnest(list_distinct(string_split(text, ' ')))
+                             AS term
+                    FROM documents)
+              GROUP BY term),
+            tot AS (SELECT count(*) AS n FROM documents),
+            kept AS (
+              SELECT tc.cid, tc.term, tc.term_count
+              FROM tc JOIN dfq USING (term), tot
+              WHERE dfq.df * 1000000 <= 250000 * tot.n),
+            r AS (
+              SELECT cid, term, term_count,
+                     row_number() OVER (PARTITION BY cid
+                       ORDER BY term_count DESC, term ASC) AS rank
+              FROM kept)
+            SELECT CAST(r.cid AS BIGINT) AS cid,
+                   CAST(s.n_docs AS BIGINT) AS n_docs,
+                   CAST(r.rank AS BIGINT) AS rank, r.term,
+                   CAST(r.term_count AS BIGINT) AS term_count
+            FROM r JOIN sizes s USING (cid) WHERE r.rank <= 5
         """,
     }

@@ -5428,3 +5428,339 @@ def semdedup(
             "nn_cosine",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Session 8: Bloom membership dedup, snapshot diff, code mining, topics
+# ---------------------------------------------------------------------------
+
+BLOOM_M_BITS = 1 << 20  # default filter width (bits) = 32k packed words
+BLOOM_K = 5             # hash probes per key (double hashing)
+
+
+def _bloom_hashed(df: DataFrame, text_col: str) -> DataFrame:
+    """(doc_id, h1, h2) projection for the Bloom probes: two independent
+    60-bit engine-portable hashes of the content (md5_60 of text and of
+    'b:'+text), bound as REAL columns at a projection boundary — the
+    HOF-materialization house rule; inlining them in the probe lambda
+    would re-run md5 once per probe instead of once per doc."""
+    return df.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        _md5_60_of(F.col(text_col)).alias("h1"),
+        _md5_60_of(F.concat(F.lit("b:"), F.col(text_col))).alias("h2"),
+    )
+
+
+def bloom_dedup(
+    new_docs: DataFrame,
+    old_docs: DataFrame,
+    *,
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+    text_col: str = "text",
+) -> DataFrame:
+    """Broadcast-Bloom incremental exact dedup: flag each NEW-crawl doc
+    whose content fingerprint is (probably) already in the accumulated
+    OLD corpus, paying a ~m_bits/8-byte bitmap instead of pairing the
+    new crawl against a 10^12-row key table — the membership fast path
+    next to dedup_incremental's near-dup band join. Output: one row per
+    new doc, (doc_id, bloom_hit, exact_dup), where bloom_hit is the
+    filter's verdict (NO false negatives; false positives at the
+    standard ~(1 - e^(-k*n/m))^k rate — the two columns differing IS
+    the false-positive telemetry) and exact_dup is the verified answer:
+    only the bloom_hit fraction of the new side reaches the exact
+    fingerprint join, which is the operator's point at scale.
+
+    Determinism / oracle: probe j's bit is (h1 + j*h2) mod m_bits with
+    h1 = md5_60(text), h2 = md5_60('b:'+text) — double hashing (Kirsch
+    & Mitzenmacher 2006) in exact BIGINT math (h1 + (k-1)*h2 < k*2^60
+    << 2^63 for k <= 7), so DuckDB replays every bit and the bitmap is
+    a pure function of the old corpus's content.
+
+    Scale shape: the bitmap is a (word, bits) table of m_bits/32 rows
+    built by ONE partial-aggregatable bit_or shuffle over k slim probe
+    rows per old doc; it broadcasts at the default width (2^20 bits =
+    32k rows, 0.5 MB). The new side's probes join the broadcast
+    map-side and collapse to a per-doc bool_and partial agg — the new
+    corpus never shuffles for the membership test. Sizing: at n_old =
+    10^10 keys you raise m_bits toward 10^11 (12.5 GB) — past broadcast
+    range, at which point the SAME (word, bits) equi-join runs as a
+    shuffle join moving k longs per doc; the plan's join key does not
+    change. The exact verify join then sees only the bloom_hit docs
+    (AQE broadcasts that side when small), so the old fingerprint table
+    is probed, never paired."""
+    old_h = _bloom_hashed(old_docs, text_col)
+    new_h = _bloom_hashed(new_docs, text_col).cache()
+    probes = F.explode(
+        F.transform(
+            F.sequence(
+                F.lit(0).cast("long"), F.lit(int(k) - 1).cast("long")
+            ),
+            lambda j: (F.col("h1") + j * F.col("h2")) % F.lit(int(m_bits)),
+        )
+    ).alias("pos")
+    bit = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))")
+    bitmap = (
+        old_h.select(probes)
+        .select(F.shiftright(F.col("pos"), 5).alias("word"), bit.alias("b"))
+        .groupBy("word")
+        .agg(F.expr("bit_or(b)").alias("bits"))
+    )
+    flags = (
+        new_h.select("doc_id", probes)
+        .select(
+            "doc_id",
+            F.shiftright(F.col("pos"), 5).alias("word"),
+            bit.alias("b"),
+        )
+        .join(F.broadcast(bitmap), "word", "left")
+        .select(
+            "doc_id",
+            F.coalesce(
+                F.col("bits").bitwiseAND(F.col("b")) != 0, F.lit(False)
+            ).alias("hit"),
+        )
+        .groupBy("doc_id")
+        .agg(F.expr("bool_and(hit)").alias("bloom_hit"))
+    )
+    old_fps = old_h.select(F.col("h1").alias("fp")).distinct()
+    verified = (
+        flags.filter(F.col("bloom_hit"))
+        .join(new_h.select("doc_id", F.col("h1").alias("fp")), "doc_id")
+        .join(old_fps, "fp", "left_semi")
+        .select("doc_id", F.lit(True).alias("exact"))
+    )
+    return flags.join(verified, "doc_id", "left").select(
+        "doc_id",
+        "bloom_hit",
+        F.coalesce(F.col("exact"), F.lit(False)).alias("exact_dup"),
+    )
+
+
+def corpus_diff(
+    old_docs: DataFrame, new_docs: DataFrame, *, text_col: str = "text"
+) -> DataFrame:
+    """Snapshot delta between two corpus states — the audit an
+    incremental pipeline ships next to every refresh: per doc_id
+    present in EITHER snapshot, whether it was added, removed, changed
+    (content fingerprint differs) or unchanged. Output:
+    (doc_id, status, old_fp, new_fp); fp = md5_60(text), NULL on the
+    absent side.
+
+    Scale shape: fingerprints are map-side (the text column never
+    shuffles); the full-outer join moves two slim (doc_id, fp)
+    projections hash-partitioned on doc_id — and the exchange
+    disappears entirely when both snapshots are stored bucketed on
+    doc_id (pipeline.write_bucketed). No windows; no skew surface
+    (doc_id is unique per side)."""
+    old_fp = old_docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        _md5_60_of(F.col(text_col)).alias("old_fp"),
+    )
+    new_fp = new_docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        _md5_60_of(F.col(text_col)).alias("new_fp"),
+    )
+    j = old_fp.join(new_fp, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("old_fp").isNull(), F.lit("added"))
+        .when(F.col("new_fp").isNull(), F.lit("removed"))
+        .when(F.col("old_fp") != F.col("new_fp"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select("doc_id", status.alias("status"), "old_fp", "new_fp")
+
+
+def code_wrapped(df: DataFrame) -> DataFrame:
+    """Code-block fixture through the REAL parser. Per doc: a fenced
+    <pre><code class="language-python"> block keyed on the doc's first
+    word; for doc_id % 3 == 0 a bare <pre> (no code child -> lang
+    NULL). Decoy: an INLINE <code> in the paragraph — inline code is
+    not a block and must never emit."""
+    sid = F.col("doc_id").cast("string")
+    w1 = F.expr("element_at(split(text, ' '), 1)")
+    b0 = F.concat(
+        F.lit('<pre><code class="language-python">def f_'),
+        sid,
+        F.lit("(): return "),
+        w1,
+        F.lit("</code></pre>"),
+    )
+    b1 = F.when(
+        F.col("doc_id").cast("long") % 3 == 0,
+        F.concat(F.lit("<pre>raw block "), sid, F.lit("</pre>")),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<div><p>intro "),
+        F.col("text"),
+        F.lit(" <code>inline decoy</code></p>"),
+        b0,
+        b1,
+        F.lit("</div>"),
+    )
+    return df.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(html_span(html, 0)).alias("spans"),
+    )
+
+
+def extract_code_df(nodes_df: DataFrame) -> DataFrame:
+    """Code-block mining from the flat parsed DOM — the step that
+    routes fenced code into a code-training subcorpus instead of the
+    word-soup text path. A block is a <pre> element (document order);
+    its language is the 'language-*' suffix of the FIRST direct-child
+    <code>'s class attr (NULL when absent or unprefixed), its text the
+    DIRECT child text of that code element — or of the pre itself when
+    there is no code child (the direct-child-text contract shared with
+    tables/anchors/title). Inline <code> outside <pre> never emits.
+    Output: (doc_id, block_idx, lang, code_text).
+
+    Scale shape: one map-side HOF pass per doc + a single posexplode of
+    slim block rows (the plan's only Generate) — zero shuffles; the
+    nodes array never leaves the projection."""
+    from dompa_spark.constants import TEXT_NAME
+
+    nodes = F.col("nodes")
+
+    def direct_text(el):
+        kids = F.filter(
+            nodes,
+            lambda n: (n["parent_id"] == el["node_id"])
+            & (n["name"] == TEXT_NAME),
+        )
+        return F.array_join(F.transform(kids, lambda n: n["value"]), "")
+
+    def code_child(pre):
+        return F.get(
+            F.filter(
+                nodes,
+                lambda n: (n["parent_id"] == pre["node_id"])
+                & (n["name"] == "code"),
+            ),
+            0,
+        )
+
+    def lang_of(el):
+        cls = F.get(
+            F.filter(el["attrs"], lambda kv: kv["key"] == "class"), 0
+        )["val"]
+        return F.nullif(
+            F.regexp_extract(cls, r"^language-(.+)$", 1), F.lit("")
+        )
+
+    per = F.transform(
+        F.filter(nodes, lambda n: n["name"] == "pre"),
+        lambda p: F.struct(
+            F.when(code_child(p).isNotNull(), lang_of(code_child(p)))
+            .otherwise(F.lit(None).cast("string"))
+            .alias("lang"),
+            F.when(code_child(p).isNotNull(), direct_text(code_child(p)))
+            .otherwise(direct_text(p))
+            .alias("code_text"),
+        ),
+    )
+    ex = nodes_df.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.posexplode(per).alias("block_idx", "b"),
+    )
+    return ex.select(
+        "doc_id",
+        F.col("block_idx").cast("long").alias("block_idx"),
+        F.col("b.lang").alias("lang"),
+        F.col("b.code_text").alias("code_text"),
+    )
+
+
+def cluster_topics(
+    emb_df: DataFrame,
+    docs: DataFrame,
+    *,
+    dim: int | None = None,
+    n_centroids: int = IVF_CENTROIDS,
+    train_iters: int = IVF_TRAIN_ITERS,
+    top_terms: int = 5,
+    min_count: int = 2,
+    df_max_ppm: int = 250_000,
+    text_col: str = "text",
+) -> DataFrame:
+    """Topic audit of the corpus for data mixing: Lloyd-cluster the
+    embedding space with the SAME deterministic training the IVF index
+    and semdedup use (_ivf_cents — one clustering serves index, dedup
+    AND the mixture audit; the DuckDB oracle replays identical
+    iterations), then label each cluster with the top terms of its
+    member documents. Stopwords are excluded by corpus document
+    frequency (df > df_max_ppm parts-per-million of the corpus — exact
+    integer cross-multiplication, no float ratio); term ranking is
+    (count desc, term asc) — fully deterministic. Output: one row per
+    (cluster, ranked term): (cid, n_docs, rank, term, term_count).
+
+    Scale shape: training is the shared couple-of-tiny-jobs Lloyd;
+    assignment collapses map-side (min-struct partial agg over the
+    broadcast n_centroids-row crossJoin). Member tokens shuffle ONCE
+    as slim (cid, term) rows into a partial-aggregated count; the
+    top-k window partitions by cid — n_centroids partitions, each
+    bounded by the cluster's post-filter vocabulary (min_count prunes
+    the hapax tail before the window, df_max_ppm prunes the stopword
+    head), which is the per-task sort bound at any corpus size. The
+    corpus df pass is one more partial-agg shuffle of distinct-per-doc
+    terms; the 1-row corpus total broadcasts (the corpus_mixture
+    idiom). Cache lifecycle of the embedding projection is
+    caller-owned (curate_corpus's contract)."""
+    from pyspark.sql.window import Window
+
+    emb = emb_df.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    ).cache()
+    cents = _ivf_cents(emb, 10, n_centroids, dim, train_iters)
+    pairs = emb.crossJoin(F.broadcast(cents)).withColumn("d2", _ivf_d2())
+    assigned = (
+        pairs.groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cid")).alias("m"))
+        .select("vec_id", F.col("m.cid").alias("cid"))
+    )
+    sizes = assigned.groupBy("cid").agg(F.count("*").alias("n_docs"))
+    d = docs.select(
+        F.col("doc_id").cast("long").alias("vec_id"),
+        F.col(text_col).alias("_t"),
+    )
+    tc = (
+        assigned.join(d, "vec_id")
+        .select("cid", F.explode(F.split("_t", " ")).alias("term"))
+        .groupBy("cid", "term")
+        .agg(F.count("*").alias("term_count"))
+        .filter(F.col("term_count") >= int(min_count))
+    )
+    dfreq = (
+        docs.select(
+            F.explode(F.array_distinct(F.split(text_col, " "))).alias(
+                "term"
+            )
+        )
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    tot = docs.agg(F.count("*").alias("n_total"))
+    kept = (
+        tc.join(dfreq, "term")
+        .crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("df") * F.lit(1_000_000)
+            <= F.lit(int(df_max_ppm)) * F.col("n_total")
+        )
+    )
+    w = Window.partitionBy("cid").orderBy(
+        F.desc("term_count"), F.asc("term")
+    )
+    return (
+        kept.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(top_terms))
+        .join(F.broadcast(sizes), "cid")
+        .select(
+            F.col("cid").cast("long").alias("cid"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("rank").cast("long").alias("rank"),
+            "term",
+            F.col("term_count").cast("long").alias("term_count"),
+        )
+    )

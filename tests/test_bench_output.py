@@ -10,7 +10,7 @@ sys.path.insert(0, "/root/repo")
 
 import bench  # noqa: E402
 
-# 86 realistic query names (the live set is 86; headroom for growth —
+# 94 realistic query names (the live set is 91; headroom for growth —
 # the degrade path drops fastest queries first when over budget),
 # at the live set's name-length distribution.
 _QUERY_NAMES = [
@@ -41,6 +41,7 @@ _QUERY_NAMES = [
     "split_holdout", "extra_query_name_h", "extra_query_name_i",
     "semdedup", "warc_roundtrip", "quality_classifier",
     "extract_structured", "tokenize_bpe", "bpe_train",
+    "bloom_dedup", "corpus_diff", "extract_code", "cluster_topics",
     "extra_query_name_j", "extra_query_name_k",
 ]
 

@@ -117,10 +117,14 @@ def test_no_unbounded_cartesian_products(spark, entry_mod):
     # ann_ivfpq_topk: the coarse-quantizer assignment is the same
     #   bounded 16-row centroid crossJoin as ann_ivf_topk; the PQ side
     #   and the ADC scoring join are all equi-joins
+    # cluster_topics: the same bounded 16-row centroid-assignment
+    #   crossJoin as ann_ivf_topk (shared _ivf_cents training) plus the
+    #   broadcast 1-row corpus-total join (the corpus_mixture pattern)
     allowed_bnlj = {"ann_cosine_topk", "tfidf_top_terms", "ann_ivf_topk",
                     "ivf_list_sizes", "ann_recall", "lm_surprisal",
                     "corpus_mixture", "dsir_weights", "sample_mixture",
-                    "bpe_train", "semdedup", "ann_ivfpq_topk"}
+                    "bpe_train", "semdedup", "ann_ivfpq_topk",
+                    "cluster_topics"}
     for name, fn in entry_mod.queries().items():
         plan = plan_of(fn(spark, SF_DIR))
         assert "CartesianProduct" not in plan, f"{name} has a cartesian join"

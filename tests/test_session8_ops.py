@@ -1,0 +1,204 @@
+"""Session-8 operators: Bloom membership dedup, corpus snapshot diff,
+code-block extraction, embedding topic clusters."""
+
+from pyspark.sql import functions as F
+
+from dompa_spark import pipeline, textops
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# --- bloom_dedup ------------------------------------------------------
+
+
+def test_bloom_dedup_no_false_negatives_and_verified_exact(spark):
+    """Content present in the old side MUST bloom-hit (the filter's
+    defining guarantee), exact_dup must equal true exact membership,
+    and bloom_hit is a superset of exact_dup."""
+    old = _docs(spark, [(i, f"shared doc {i % 4} body") for i in range(8)])
+    new = _docs(
+        spark,
+        [(100 + i, f"shared doc {i} body") for i in range(4)]  # dups
+        + [(200 + i, f"novel doc {i} body") for i in range(4)],
+    )
+    r = {
+        x["doc_id"]: (x["bloom_hit"], x["exact_dup"])
+        for x in textops.bloom_dedup(new, old).collect()
+    }
+    assert len(r) == 8
+    for i in range(4):
+        assert r[100 + i] == (True, True)  # no false negatives
+    for i in range(4):
+        b, e = r[200 + i]
+        assert not e  # novel text is never exact_dup
+    assert all(b or not e for b, e in r.values())
+
+
+def test_bloom_dedup_saturated_filter_stays_exact(spark):
+    """At a deliberately tiny m_bits the filter saturates: every probe
+    hits (all bloom_hit True — false positives), but exact_dup stays
+    correct because the verify join is what makes the operator exact."""
+    old = _docs(spark, [(i, f"old text {i} payload") for i in range(64)])
+    new = _docs(
+        spark, [(1000 + i, f"new text {i} payload") for i in range(32)]
+    )
+    out = textops.bloom_dedup(new, old, m_bits=32, k=5).collect()
+    assert len(out) == 32
+    assert all(not x["exact_dup"] for x in out)
+    # 64 keys x 5 probes into 32 bits set every bit (verified against
+    # the DuckDB replay) -> every novel doc is a false positive
+    assert all(x["bloom_hit"] for x in out)
+
+
+def test_bloom_dedup_bitmap_bounded_and_broadcast(spark):
+    """The bitmap table is bounded by m_bits/32 rows regardless of the
+    old corpus size, and the probe join broadcasts it."""
+    old = _docs(spark, [(i, f"doc {i} words here") for i in range(200)])
+    new = _docs(spark, [(900 + i, f"doc {i} words here") for i in range(5)])
+    out = textops.bloom_dedup(new, old, m_bits=1 << 10, k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    # every new doc's text exists in old -> all exact
+    assert all(x["exact_dup"] for x in out.collect())
+
+
+# --- corpus_diff ------------------------------------------------------
+
+
+def test_corpus_diff_all_four_statuses(spark):
+    old = _docs(
+        spark,
+        [(1, "alpha"), (2, "beta"), (3, "gamma")],  # 4 absent -> added
+    )
+    new = _docs(
+        spark,
+        [(1, "alpha"), (2, "beta CHANGED"), (4, "delta")],  # 3 -> removed
+    )
+    r = {x["doc_id"]: x["status"] for x in
+         textops.corpus_diff(old, new).collect()}
+    assert r == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_corpus_diff_fps_null_on_absent_side(spark):
+    old = _docs(spark, [(1, "a")])
+    new = _docs(spark, [(2, "b")])
+    rows = {x["doc_id"]: x for x in textops.corpus_diff(old, new).collect()}
+    assert rows[1]["new_fp"] is None and rows[1]["old_fp"] is not None
+    assert rows[2]["old_fp"] is None and rows[2]["new_fp"] is not None
+
+
+# --- extract_code -----------------------------------------------------
+
+
+def _parse_blocks(spark, html):
+    df = spark.createDataFrame([("7", html)], "doc_id string, html string")
+    wrapped = df.select(
+        "doc_id",
+        F.array(textops.html_span(F.col("html"), 0)).alias("spans"),
+    )
+    return sorted(
+        tuple(r)
+        for r in textops.extract_code_df(
+            pipeline.parse_nodes_df(wrapped)
+        ).collect()
+    )
+
+
+def test_extract_code_fenced_bare_and_inline_decoy(spark):
+    rows = _parse_blocks(
+        spark,
+        '<div><p>x <code>inline decoy</code></p>'
+        '<pre><code class="language-rust">fn main() {}</code></pre>'
+        "<pre>plain block</pre></div>",
+    )
+    assert rows == [
+        (7, 0, "rust", "fn main() {}"),
+        (7, 1, None, "plain block"),
+    ]
+
+
+def test_extract_code_classless_and_unprefixed_class(spark):
+    """A code child without a class, or whose class lacks the
+    'language-' prefix, yields lang NULL but still surfaces its text."""
+    rows = _parse_blocks(
+        spark,
+        "<div><pre><code>no class</code></pre>"
+        '<pre><code class="hl">unprefixed</code></pre></div>',
+    )
+    assert rows == [(7, 0, None, "no class"), (7, 1, None, "unprefixed")]
+
+
+def test_extract_code_direct_child_text_contract(spark):
+    """Markup nested in a code block keeps its own text — only DIRECT
+    child text surfaces (the tables/anchors/title contract)."""
+    rows = _parse_blocks(
+        spark,
+        '<div><pre><code class="language-c">a <b>bold</b> b</code></pre>'
+        "</div>",
+    )
+    assert rows == [(7, 0, "c", "a  b")]
+
+
+# --- cluster_topics ---------------------------------------------------
+
+
+def test_cluster_topics_labels_separate_clusters(spark):
+    """Two well-separated embedding clusters whose docs use disjoint
+    content words: each cluster's top term must be its own word, and
+    the everywhere-word must be stopword-gated out."""
+    dim = 4
+    rows = []
+    texts = []
+    for i in range(24):
+        hot = 1.0 if i % 2 == 0 else -1.0
+        # cluster axis 0 vs axis 1; vec_ids 10,11 seed one of each
+        v = [hot, -hot, 0.1, 0.1]
+        rows.append((i, v, i % 2))
+        word = "appletoken" if i % 2 == 0 else "bananatoken"
+        texts.append((i, f"the {word} {word} filler{i} the"))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    docs = _docs(spark, texts)
+    out = textops.cluster_topics(
+        emb,
+        docs,
+        dim=dim,
+        n_centroids=2,
+        train_iters=2,
+        top_terms=1,
+        min_count=2,
+        df_max_ppm=500_000,
+    ).collect()
+    tops = {x["cid"]: x["term"] for x in out if x["rank"] == 1}
+    assert sorted(tops.values()) == ["appletoken", "bananatoken"]
+    sizes = {x["cid"]: x["n_docs"] for x in out}
+    assert sorted(sizes.values()) == [12, 12]
+    # 'the' appears in every doc -> excluded by the ppm df gate
+    assert all(x["term"] != "the" for x in out)
+
+
+def test_cluster_topics_rank_tiebreak_deterministic(spark):
+    """Equal counts break ties by term ascending — the (count desc,
+    term asc) contract that keeps the value hash stable."""
+    dim = 4
+    emb = spark.createDataFrame(
+        [(i, [1.0, 0.0, 0.0, 0.0], 0) for i in range(14)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    docs = _docs(spark, [(i, "zz aa zz aa mid") for i in range(14)])
+    out = textops.cluster_topics(
+        emb,
+        docs,
+        dim=dim,
+        n_centroids=1,
+        train_iters=1,
+        top_terms=2,
+        min_count=2,
+        df_max_ppm=1_000_000,
+    ).collect()
+    ranked = sorted((x["rank"], x["term"]) for x in out)
+    assert ranked == [(1, "aa"), (2, "zz")]  # same count, term asc
