@@ -5451,10 +5451,88 @@ def _bloom_hashed(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
+def _bloom_probes(k: int, m_bits: int) -> Column:
+    """Exploded probe positions (h1 + j*h2) mod m_bits, j in [0, k)."""
+    return F.explode(
+        F.transform(
+            F.sequence(
+                F.lit(0).cast("long"), F.lit(int(k) - 1).cast("long")
+            ),
+            lambda j: (F.col("h1") + j * F.col("h2")) % F.lit(int(m_bits)),
+        )
+    ).alias("pos")
+
+
+_BLOOM_BIT = "shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))"
+
+
+def bloom_bitmap(
+    docs: DataFrame,
+    *,
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+    text_col: str = "text",
+) -> DataFrame:
+    """(word, bits) Bloom bitmap of a corpus's content fingerprints —
+    bloom_dedup's persistable index artifact (the exact-dedup sibling
+    of incremental_dedup's --save-sigs signature table). One
+    partial-aggregatable bit_or shuffle of k slim probe rows per doc;
+    the table is bounded at m_bits/32 rows regardless of corpus size.
+    Geometry contract: m_bits and k are baked into the bit positions —
+    a persisted bitmap must be probed with the SAME (m_bits, k) it was
+    built with (jobs/incremental_dedup.py guards this the
+    build_ann_index way). Accumulate cycles with bloom_merge — constant
+    work in the accumulated corpus size."""
+    h = _bloom_hashed(docs, text_col)
+    return (
+        h.select(_bloom_probes(k, m_bits))
+        .select(
+            F.shiftright(F.col("pos"), 5).alias("word"),
+            F.expr(_BLOOM_BIT).alias("b"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(b)").alias("bits"))
+    )
+
+
+def bloom_fps(
+    docs: DataFrame, *, text_col: str = "text"
+) -> DataFrame:
+    """Distinct (fp) content-fingerprint table — the exact-verify side
+    of bloom_dedup, persistable next to the bitmap so a crawl cycle
+    hashes each doc once, ever."""
+    return (
+        _bloom_hashed(docs, text_col)
+        .select(F.col("h1").alias("fp"))
+        .distinct()
+    )
+
+
+def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """OR-merge two SAME-geometry Bloom bitmaps: bitmap(A ∪ B) ==
+    bloom_merge(bitmap(A), bitmap(B)) because bit_or is associative —
+    so accumulating a new crawl into the running filter is a full-outer
+    join of two m_bits/32-row tables, independent of how many documents
+    either side ever saw."""
+    return (
+        a.join(b.withColumnRenamed("bits", "bits2"), "word", "full_outer")
+        .select(
+            "word",
+            (
+                F.coalesce(F.col("bits"), F.lit(0).cast("long")).bitwiseOR(
+                    F.coalesce(F.col("bits2"), F.lit(0).cast("long"))
+                )
+            ).alias("bits"),
+        )
+    )
+
+
 def bloom_dedup(
     new_docs: DataFrame,
-    old_docs: DataFrame,
+    old_docs: DataFrame = None,
     *,
+    old_bitmap: DataFrame = None,
+    old_fps: DataFrame = None,
     m_bits: int = BLOOM_M_BITS,
     k: int = BLOOM_K,
     text_col: str = "text",
@@ -5488,24 +5566,29 @@ def bloom_dedup(
     shuffle join moving k longs per doc; the plan's join key does not
     change. The exact verify join then sees only the bloom_hit docs
     (AQE broadcasts that side when small), so the old fingerprint table
-    is probed, never paired."""
-    old_h = _bloom_hashed(old_docs, text_col)
+    is probed, never paired.
+
+    Persisted-artifact hatch (the --old-sigs idiom): pass `old_bitmap=`
+    (bloom_bitmap output, SAME m_bits/k geometry) and `old_fps=`
+    (bloom_fps output) instead of `old_docs` and the accumulated corpus
+    is never re-read, let alone re-hashed — jobs/incremental_dedup.py's
+    --exact-prefilter closes that loop, OR-merging each cycle's bitmap
+    via bloom_merge."""
+    if old_bitmap is None or old_fps is None:
+        if old_docs is None:
+            raise ValueError(
+                "bloom_dedup needs old_docs or (old_bitmap AND old_fps)"
+            )
+        if old_bitmap is None:
+            old_bitmap = bloom_bitmap(
+                old_docs, m_bits=m_bits, k=k, text_col=text_col
+            )
+        if old_fps is None:
+            old_fps = bloom_fps(old_docs, text_col=text_col)
     new_h = _bloom_hashed(new_docs, text_col).cache()
-    probes = F.explode(
-        F.transform(
-            F.sequence(
-                F.lit(0).cast("long"), F.lit(int(k) - 1).cast("long")
-            ),
-            lambda j: (F.col("h1") + j * F.col("h2")) % F.lit(int(m_bits)),
-        )
-    ).alias("pos")
-    bit = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))")
-    bitmap = (
-        old_h.select(probes)
-        .select(F.shiftright(F.col("pos"), 5).alias("word"), bit.alias("b"))
-        .groupBy("word")
-        .agg(F.expr("bit_or(b)").alias("bits"))
-    )
+    probes = _bloom_probes(k, m_bits)
+    bit = F.expr(_BLOOM_BIT)
+    bitmap = old_bitmap
     flags = (
         new_h.select("doc_id", probes)
         .select(
@@ -5523,7 +5606,6 @@ def bloom_dedup(
         .groupBy("doc_id")
         .agg(F.expr("bool_and(hit)").alias("bloom_hit"))
     )
-    old_fps = old_h.select(F.col("h1").alias("fp")).distinct()
     verified = (
         flags.filter(F.col("bloom_hit"))
         .join(new_h.select("doc_id", F.col("h1").alias("fp")), "doc_id")

@@ -65,6 +65,52 @@ def test_bloom_dedup_bitmap_bounded_and_broadcast(spark):
     assert all(x["exact_dup"] for x in out.collect())
 
 
+def test_bloom_dedup_persisted_artifacts_equal_inplace(spark):
+    """old_bitmap=/old_fps= (the --save-bloom-index hatch) must
+    reproduce the derive-in-place answer exactly — artifacts are a pure
+    function of the old corpus's content."""
+    old = _docs(spark, [(i, f"content {i % 6} here") for i in range(12)])
+    new = _docs(spark, [(50 + i, f"content {i} here") for i in range(9)])
+    inplace = sorted(
+        tuple(r) for r in textops.bloom_dedup(new, old).collect()
+    )
+    bm = textops.bloom_bitmap(old)
+    fps = textops.bloom_fps(old)
+    via_artifacts = sorted(
+        tuple(r)
+        for r in textops.bloom_dedup(
+            new, old_bitmap=bm, old_fps=fps
+        ).collect()
+    )
+    assert inplace == via_artifacts
+
+
+def test_bloom_merge_equals_rebuild(spark):
+    """bitmap(A ∪ B) == bloom_merge(bitmap(A), bitmap(B)) — bit_or
+    associativity is what makes per-cycle accumulation constant-work."""
+    a = _docs(spark, [(i, f"side a doc {i}") for i in range(10)])
+    b = _docs(spark, [(100 + i, f"side b doc {i}") for i in range(10)])
+    merged = {
+        r["word"]: r["bits"]
+        for r in textops.bloom_merge(
+            textops.bloom_bitmap(a), textops.bloom_bitmap(b)
+        ).collect()
+    }
+    rebuilt = {
+        r["word"]: r["bits"]
+        for r in textops.bloom_bitmap(a.unionByName(b)).collect()
+    }
+    assert merged == rebuilt
+
+
+def test_bloom_dedup_requires_old_side(spark):
+    import pytest as _pytest
+
+    new = _docs(spark, [(1, "x")])
+    with _pytest.raises(ValueError):
+        textops.bloom_dedup(new)
+
+
 # --- corpus_diff ------------------------------------------------------
 
 

@@ -238,6 +238,78 @@ def test_spark_submit_incremental_dedup_sig_cycle(workdir):
     assert sum(1 for _d, f in a if f) == 10
 
 
+def test_spark_submit_incremental_dedup_bloom_prefilter(workdir):
+    """--exact-prefilter under real spark-submit, TWO cycles: cycle 1
+    derives the Bloom artifacts from --old in-job, drops the verbatim
+    copies BEFORE minhash hashing, and persists bitmap/fps/params
+    (--save-bloom-index); cycle 2 consumes the persisted index
+    (--old-bloom-index) — the accumulated filter now contains cycle
+    1's new docs too, so every re-sent doc is dropped exactly."""
+    con = duckdb.connect()
+    con.execute(f"""
+        COPY (
+          SELECT CAST(i AS BIGINT) AS doc_id,
+                 'prior words number ' || CAST(i AS VARCHAR) ||
+                 ' alpha beta gamma delta' AS text
+          FROM range(40) t(i)
+        ) TO '{workdir}/bl_old' (FORMAT parquet)""")
+    # new crawl: 10 verbatim copies of prior docs, 10 novel
+    con.execute(f"""
+        COPY (
+          SELECT CAST(100 + i AS BIGINT) AS doc_id,
+                 CASE WHEN i < 10 THEN
+                   'prior words number ' || CAST(i AS VARCHAR) ||
+                   ' alpha beta gamma delta'
+                 ELSE 'fresh content ' || CAST(i AS VARCHAR) ||
+                   ' epsilon zeta eta theta' END AS text
+          FROM range(20) t(i)
+        ) TO '{workdir}/bl_new' (FORMAT parquet)""")
+    shutil.copy(
+        os.path.join(REPO, "dompa_spark", "jobs", "incremental_dedup.py"),
+        os.path.join(str(workdir), "incremental_dedup.py"),
+    )
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["PYSPARK_PYTHON"] = env["PYSPARK_DRIVER_PYTHON"] = sys.executable
+
+    def run(extra):
+        proc = subprocess.run(
+            [
+                _spark_submit(),
+                "--master", "local[4]",
+                "--conf", "spark.sql.shuffle.partitions=8",
+                "--conf", "spark.ui.enabled=false",
+                "--py-files", str(workdir / "dompa_spark.zip"),
+                str(workdir / "incremental_dedup.py"),
+                "--new", str(workdir / "bl_new"),
+                "--exact-prefilter",
+            ] + extra,
+            cwd=str(workdir), env=env, capture_output=True, text=True,
+            timeout=300,
+        )
+        assert proc.returncode == 0, proc.stderr[-4000:]
+        return json.loads(
+            [ln for ln in proc.stdout.splitlines()
+             if ln.startswith("{")][-1]
+        )
+
+    s1 = run(["--old", str(workdir / "bl_old"),
+              "--output", str(workdir / "bl_flags1"),
+              "--save-bloom-index", str(workdir / "bl_index")])
+    # the 10 verbatim copies never reach minhash hashing
+    assert s1["exact_dups_dropped"] == 10
+    assert s1["new_docs_hashed"] == 10 and s1["novel"] == 10
+    assert os.path.isdir(str(workdir / "bl_index" / "bitmap"))
+    assert os.path.isdir(str(workdir / "bl_index" / "fps"))
+    # cycle 2: same crawl resent against the persisted index — the
+    # accumulated filter holds prior + cycle-1 new content, so ALL 20
+    # docs are exact dups now and nothing reaches the near-dup stage
+    s2 = run(["--old", str(workdir / "bl_old"),
+              "--old-bloom-index", str(workdir / "bl_index"),
+              "--output", str(workdir / "bl_flags2")])
+    assert s2["exact_dups_dropped"] == 20
+    assert s2["new_docs_hashed"] == 0 and s2["novel"] == 0
+
+
 def test_spark_submit_frontier_job(workdir):
     """URL-frontier prep under real spark-submit: canonicalize ->
     dup-drop -> blocklist -> per-host cap as the surviving fetch
