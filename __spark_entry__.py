@@ -1159,6 +1159,16 @@ def q_cluster_topics(spark, sf_dir):
     )
 
 
+def q_distinct_sketch(spark, sf_dir):
+    """Per-source distinct-vocabulary estimate from 32 independent hash
+    minima (the minhash family reused) — every aggregate combines
+    map-side, so the shuffle carries 33 longs per group per task where
+    COUNT(DISTINCT term) would shuffle every distinct (source, term)
+    pair. Exact integer estimator; determinism is the contract, the
+    ~1/sqrt(k) accuracy is pinned in tests."""
+    return textops.distinct_sketch(_docs(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full extraction pipeline (template-interleaved docs ->
     salted partitioning -> Arrow kernel -> spans) on sf0.001."""
@@ -1269,6 +1279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_diff": q_corpus_diff,
         "extract_code": q_extract_code,
         "cluster_topics": q_cluster_topics,
+        "distinct_sketch": q_distinct_sketch,
     }
 
 
@@ -2189,6 +2200,38 @@ def _ann_recall_q() -> str:
                      round(count(*) / 50.0, 4) AS recall_at_k
               FROM ivfpq JOIN exact USING (query_id, neighbor_id))
             ORDER BY method
+        """
+
+
+def _distinct_sketch_q(k: int = 32) -> str:
+    """distinct_sketch oracle: the same k universal-hash minima over
+    one md5_60 per term (coefficients embedded as literals — the same
+    _minhash_coef values the Spark side uses) and the same exact
+    integer estimator; `//` == Spark's `div` on positives."""
+    p = textops.MINHASH_P
+    mins = ",\n                     ".join(
+        f"min((CAST({textops._minhash_coef('a', j)} AS BIGINT) * h "
+        f"+ {textops._minhash_coef('b', j)}) % {p}) AS m{j}"
+        for j in range(k)
+    )
+    ssum = " + ".join(f"m{j}" for j in range(k))
+    return f"""
+            WITH toks AS (
+              SELECT grp,
+                     CAST('0x'||substr(md5(term),1,15) AS BIGINT) % {p}
+                       AS h
+              FROM (SELECT source AS grp,
+                           unnest(string_split(text, ' ')) AS term
+                    FROM documents)),
+            g AS (
+              SELECT grp, count(*) AS n_tokens,
+                     {mins}
+              FROM toks GROUP BY grp)
+            SELECT grp AS source, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(greatest(0,
+                     (CAST({k} AS BIGINT) * {p}) // ({ssum} + {k}) - 1)
+                     AS BIGINT) AS est_distinct
+            FROM g
         """
 
 
@@ -4208,4 +4251,5 @@ def oracle_sql() -> dict[str, str]:
                    CAST(r.term_count AS BIGINT) AS term_count
             FROM r JOIN sizes s USING (cid) WHERE r.rank <= 5
         """,
+        "distinct_sketch": _distinct_sketch_q(),
     }

@@ -227,6 +227,43 @@ def test_cluster_topics_labels_separate_clusters(spark):
     assert all(x["term"] != "the" for x in out)
 
 
+# --- distinct_sketch --------------------------------------------------
+
+
+def test_distinct_sketch_duplicate_insensitive_and_bounded(spark):
+    """min over a multiset == min over its set: tripling every doc must
+    leave est_distinct EXACTLY unchanged (n_tokens triples) — the
+    property that makes the sketch a plain partial-agg MIN. Accuracy on
+    a known cardinality stays within the ~1/sqrt(k) band (deterministic
+    fixture, so the bound is a pinned fact, not a flaky sample)."""
+    docs = spark.createDataFrame(
+        [(i, "g1", " ".join(f"w{j}" for j in range(i * 20, i * 20 + 20)))
+         for i in range(25)],  # 500 distinct terms, 500 tokens
+        "doc_id long, source string, text string",
+    )
+    one = textops.distinct_sketch(docs).collect()[0]
+    tripled = docs.unionByName(docs).unionByName(docs)
+    three = textops.distinct_sketch(tripled).collect()[0]
+    assert one["est_distinct"] == three["est_distinct"]
+    assert three["n_tokens"] == 3 * one["n_tokens"] == 1500
+    truth = 500
+    assert abs(one["est_distinct"] - truth) / truth < 0.40  # k=32 band
+
+
+def test_distinct_sketch_groups_independent(spark):
+    """Each group's estimate sees only its own terms: a tiny group next
+    to a large one keeps a tiny estimate."""
+    rows = [(1, "big", " ".join(f"t{j}" for j in range(400)))]
+    rows += [(2, "small", "only three words")]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+    r = {x["source"]: x for x in textops.distinct_sketch(docs).collect()}
+    assert r["small"]["n_tokens"] == 3
+    assert r["small"]["est_distinct"] <= 10
+    assert r["big"]["est_distinct"] > 100
+
+
 def test_cluster_topics_rank_tiebreak_deterministic(spark):
     """Equal counts break ties by term ascending — the (count desc,
     term asc) contract that keeps the value hash stable."""
