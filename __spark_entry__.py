@@ -1159,6 +1159,14 @@ def q_cluster_topics(spark, sf_dir):
     )
 
 
+def q_heavy_hitters(spark, sf_dir):
+    """Sampled per-term frequency estimates (1/8 deterministic hash
+    sample of occurrences, est = sampled_n * 8, floor 64) — the
+    viral-content detector that shuffles only the sample; DuckDB
+    replays the exact occurrence sample."""
+    return textops.heavy_hitters(_docs(spark, sf_dir))
+
+
 def q_distinct_sketch(spark, sf_dir):
     """Per-source distinct-vocabulary estimate from 32 independent hash
     minima (the minhash family reused) — every aggregate combines
@@ -1280,6 +1288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_code": q_extract_code,
         "cluster_topics": q_cluster_topics,
         "distinct_sketch": q_distinct_sketch,
+        "heavy_hitters": q_heavy_hitters,
     }
 
 
@@ -4252,4 +4261,23 @@ def oracle_sql() -> dict[str, str]:
             FROM r JOIN sizes s USING (cid) WHERE r.rank <= 5
         """,
         "distinct_sketch": _distinct_sketch_q(),
+        # heavy_hitters: the exact occurrence sample replayed —
+        # generate_subscripts is 1-based, Spark's posexplode 0-based
+        "heavy_hitters": """
+            WITH toks AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     unnest(string_split(text, ' ')) AS term,
+                     generate_subscripts(string_split(text, ' '), 1) - 1
+                       AS pos
+              FROM documents),
+            sample AS (
+              SELECT term FROM toks
+              WHERE CAST('0x'||substr(md5(
+                      CAST(doc_id AS VARCHAR) || ':' ||
+                      CAST(pos AS VARCHAR)),1,15) AS BIGINT) % 8 = 0)
+            SELECT term, CAST(count(*) AS BIGINT) AS sampled_n,
+                   CAST(count(*) * 8 AS BIGINT) AS est_count
+            FROM sample GROUP BY term
+            HAVING count(*) * 8 >= 64
+        """,
     }

@@ -5911,3 +5911,52 @@ def distinct_sketch(
         F.col("n_tokens").cast("long").alias("n_tokens"),
         est.cast("long").alias("est_distinct"),
     )
+
+
+def heavy_hitters(
+    docs: DataFrame,
+    *,
+    rate: int = 8,
+    min_est: int = 64,
+    text_col: str = "text",
+) -> DataFrame:
+    """Sampled frequency telemetry — the hot-key / viral-content
+    detector: estimate per-term occurrence counts from a deterministic
+    1/rate hash sample of token OCCURRENCES and report the terms whose
+    estimate clears min_est. Output: (term, sampled_n, est_count),
+    est_count = sampled_n * rate — unbiased because the sampling key is
+    the occurrence's identity (doc_id, pos), independent of the term.
+
+    Why it scales: the full count (vocab_topk's shape) shuffles every
+    token occurrence; this shuffles the 1/rate sample — at 10^12 docs
+    and rate 256 that is a ~0.4% shuffle for frequency estimates whose
+    relative error on a K-occurrence term is ~1/sqrt(K/rate) (a 10^6-
+    occurrence viral segment at rate 256: ~1.6%). The groupBy(term) is
+    a partial agg, so even the sampled hot keys combine map-side —
+    term skew never concentrates a task. Companion gauges:
+    distinct_sketch (how many keys) vs heavy_hitters (which keys are
+    hot); both reuse the engine-portable md5_60 so DuckDB replays the
+    exact sample."""
+    toks = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.posexplode(F.split(text_col, " ")).alias("pos", "term"),
+    )
+    keep = (
+        _md5_60_of(
+            F.concat(
+                F.col("doc_id").cast("string"),
+                F.lit(":"),
+                F.col("pos").cast("string"),
+            )
+        )
+        % F.lit(int(rate))
+        == 0
+    )
+    return (
+        toks.filter(keep)
+        .groupBy("term")
+        .agg(F.count("*").alias("sampled_n"))
+        .withColumn("est_count", F.col("sampled_n") * F.lit(int(rate)))
+        .filter(F.col("est_count") >= int(min_est))
+        .select("term", "sampled_n", F.col("est_count").cast("long").alias("est_count"))
+    )

@@ -42,7 +42,7 @@ _QUERY_NAMES = [
     "semdedup", "warc_roundtrip", "quality_classifier",
     "extract_structured", "tokenize_bpe", "bpe_train",
     "bloom_dedup", "corpus_diff", "extract_code", "cluster_topics",
-    "distinct_sketch",
+    "distinct_sketch", "heavy_hitters",
     "extra_query_name_j", "extra_query_name_k",
 ]
 

@@ -264,6 +264,44 @@ def test_distinct_sketch_groups_independent(spark):
     assert r["big"]["est_distinct"] > 100
 
 
+# --- heavy_hitters ----------------------------------------------------
+
+
+def test_heavy_hitters_detects_hot_term_misses_rare(spark):
+    """An engineered viral term clears the floor with an estimate in
+    the sampling band; per-doc unique terms never surface (their
+    estimate cannot reach min_est at rate*floor > corpus count)."""
+    docs = spark.createDataFrame(
+        [(i, "viral " * 40 + f"unique{i}") for i in range(100)],
+        "doc_id long, text string",
+    )
+    r = {x["term"]: x for x in
+         textops.heavy_hitters(docs, rate=4, min_est=40).collect()}
+    assert "viral" in r
+    est = r["viral"]["est_count"]
+    truth = 4000
+    assert abs(est - truth) / truth < 0.25  # deterministic sample band
+    assert r["viral"]["sampled_n"] * 4 == est
+    assert not any(t.startswith("unique") for t in r)
+
+
+def test_heavy_hitters_deterministic_and_rate_scaled(spark):
+    """Same input -> identical output (the sample is a pure hash
+    function); rate=1 degenerates to the exact count."""
+    docs = spark.createDataFrame(
+        [(i, "hot hot cold") for i in range(30)],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, textops.heavy_hitters(
+        docs, rate=2, min_est=10).collect()))
+    b = sorted(map(tuple, textops.heavy_hitters(
+        docs, rate=2, min_est=10).collect()))
+    assert a == b
+    exact = {x["term"]: x["est_count"] for x in
+             textops.heavy_hitters(docs, rate=1, min_est=1).collect()}
+    assert exact == {"hot": 60, "cold": 30}
+
+
 def test_cluster_topics_rank_tiebreak_deterministic(spark):
     """Equal counts break ties by term ascending — the (count desc,
     term asc) contract that keeps the value hash stable."""
