@@ -1177,6 +1177,35 @@ def q_distinct_sketch(spark, sf_dir):
     return textops.distinct_sketch(_docs(spark, sf_dir))
 
 
+def q_bm25_topk(spark, sf_dir):
+    """BM25 retrieval: top-k docs per corpus-derived query (top terms
+    by collection frequency chunked into term groups). One tf shuffle;
+    broadcast query terms prune the postings; salted two-phase exact
+    top-k; fixed-point score sums (see textops.bm25_topk)."""
+    return textops.bm25_topk(_docs(spark, sf_dir))
+
+
+def q_pmi_topk(spark, sf_dir):
+    """Collocation mining: top-k adjacent bigrams by PMI with a
+    min-count floor. Map-side bigram construction, two partial-agg
+    shuffles, TakeOrderedAndProject final top-k."""
+    return textops.pmi_topk(_docs(spark, sf_dir))
+
+
+def q_length_quantiles(spark, sf_dir):
+    """Doc-length quantile estimates from a fixed-width histogram:
+    bin cardinality bounded by the value range, cumsum over the tiny
+    bin table, exact integer rank extraction."""
+    return textops.length_quantiles(_docs(spark, sf_dir))
+
+
+def q_char_entropy(spark, sf_dir):
+    """Character-class entropy quality gate (letter/digit/space/other
+    Shannon bits per doc) — zero-shuffle map-side mojibake detector;
+    shared LN2 literal for engine parity."""
+    return textops.char_entropy_scores(_docs(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full extraction pipeline (template-interleaved docs ->
     salted partitioning -> Arrow kernel -> spans) on sf0.001."""
@@ -1289,6 +1318,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_topics": q_cluster_topics,
         "distinct_sketch": q_distinct_sketch,
         "heavy_hitters": q_heavy_hitters,
+        "bm25_topk": q_bm25_topk,
+        "pmi_topk": q_pmi_topk,
+        "length_quantiles": q_length_quantiles,
+        "char_entropy": q_char_entropy,
     }
 
 
@@ -4279,5 +4312,169 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) * 8 AS BIGINT) AS est_count
             FROM sample GROUP BY term
             HAVING count(*) * 8 >= 64
+        """,
+        # bm25_topk: floats appear only per-row with the structurally
+        # identical expression (constants written as the same
+        # arithmetic Spark folds: 1.2+1.0, 1.0-0.75), snapped to
+        # fixed point before the only float-adjacent aggregation
+        "bm25_topk": f"""
+            WITH toks AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     unnest(string_split(text, ' ')) AS term
+              FROM documents),
+            tf AS (
+              SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+              FROM toks GROUP BY doc_id, term),
+            dl AS (
+              SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+              FROM tf GROUP BY doc_id),
+            dfreq AS (
+              SELECT term, CAST(count(*) AS BIGINT) AS df_w,
+                     CAST(sum(tf) AS BIGINT) AS cf
+              FROM tf GROUP BY term),
+            stats AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(dl) AS BIGINT) AS n_tokens
+              FROM dl),
+            qterms AS (
+              SELECT term, df_w,
+                     (CAST(row_number() OVER
+                        (ORDER BY cf DESC, term ASC) AS BIGINT) - 1)
+                       // {textops.BM25_TERMS_PER_QUERY} AS query_id
+              FROM dfreq ORDER BY cf DESC, term ASC
+              LIMIT {textops.BM25_QUERIES * textops.BM25_TERMS_PER_QUERY}),
+            cand AS (
+              SELECT q.query_id, t.doc_id,
+                     CAST(round(
+                       ln(1.0 + (s.n_docs - q.df_w + 0.5)
+                                / (q.df_w + 0.5))
+                       * ((t.tf * (1.2 + 1.0))
+                          / (t.tf + 1.2 * ((1.0 - 0.75)
+                             + 0.75 * d.dl
+                               / (CAST(s.n_tokens AS DOUBLE)
+                                  / s.n_docs))))
+                       * {textops.BM25_SCALE}) AS BIGINT) AS s_fp
+              FROM tf t JOIN qterms q USING (term)
+                   JOIN dl d USING (doc_id), stats s),
+            scores AS (
+              SELECT query_id, doc_id,
+                     CAST(sum(s_fp) AS BIGINT) AS score_fp
+              FROM cand GROUP BY query_id, doc_id)
+            SELECT query_id,
+                   CAST(row_number() OVER
+                     (PARTITION BY query_id
+                      ORDER BY score_fp DESC, doc_id ASC) AS BIGINT)
+                     AS rank,
+                   doc_id, score_fp
+            FROM scores QUALIFY rank <= {textops.BM25_TOPK}
+        """,
+        # pmi_topk: 1-based s[j]/s[j+1] over range(1, len) replays the
+        # map-side adjacent-bigram build; pmi per-row on BIGINT counts
+        "pmi_topk": f"""
+            WITH w AS (
+              SELECT string_split(text, ' ') AS s FROM documents
+              WHERE text IS NOT NULL),
+            idx AS (
+              SELECT s, generate_subscripts(s, 1) AS j FROM w),
+            big AS (
+              SELECT s[j] || ' ' || s[j + 1] AS bigram
+              FROM idx WHERE j < len(s)),
+            cb AS (
+              SELECT bigram, CAST(count(*) AS BIGINT) AS c_ab
+              FROM big GROUP BY bigram),
+            nb AS (SELECT CAST(sum(c_ab) AS BIGINT) AS n_bi FROM cb),
+            uni AS (
+              SELECT unnest(string_split(text, ' ')) AS term
+              FROM documents),
+            uc AS (
+              SELECT term, CAST(count(*) AS BIGINT) AS c
+              FROM uni GROUP BY term),
+            nu AS (SELECT CAST(sum(c) AS BIGINT) AS n_uni FROM uc),
+            freq AS (
+              SELECT bigram, c_ab,
+                     string_split(bigram, ' ')[1] AS w1,
+                     string_split(bigram, ' ')[2] AS w2
+              FROM cb WHERE c_ab >= {textops.PMI_MIN_COUNT})
+            SELECT f.bigram, f.c_ab, u1.c AS c1, u2.c AS c2,
+                   round(ln((CAST(f.c_ab AS DOUBLE) * n_uni * n_uni)
+                            / (CAST(n_bi AS DOUBLE) * u1.c * u2.c)),
+                         4) AS pmi
+            FROM freq f
+            JOIN uc u1 ON u1.term = f.w1
+            JOIN uc u2 ON u2.term = f.w2, nb, nu
+            ORDER BY pmi DESC, bigram ASC LIMIT {textops.PMI_TOPK}
+        """,
+        "length_quantiles": f"""
+            WITH bins AS (
+              SELECT coalesce(CAST(n_chars AS BIGINT), 0)
+                       // {textops.QUANTILE_BIN_WIDTH} AS bin,
+                     CAST(count(*) AS BIGINT) AS c
+              FROM documents GROUP BY 1),
+            cum AS (
+              SELECT bin, CAST(sum(c) OVER
+                (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS BIGINT) AS cum
+              FROM bins),
+            n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM bins),
+            q AS (SELECT CAST(unnest([{", ".join(str(p) for p in textops.QUANTILE_BPS)}]) AS BIGINT) AS p_bp),
+            hits AS (
+              SELECT q.p_bp,
+                     (q.p_bp * n.n + 9999) // 10000 AS target_rank,
+                     cum.bin
+              FROM cum, n, q
+              WHERE cum.cum >= (q.p_bp * n.n + 9999) // 10000)
+            SELECT p_bp, CAST(target_rank AS BIGINT) AS target_rank,
+                   CAST(min(bin) AS BIGINT) AS bin,
+                   CAST((min(bin) + 1) * {textops.QUANTILE_BIN_WIDTH}
+                        AS BIGINT) AS est_max_chars
+            FROM hits GROUP BY p_bp, target_rank
+        """,
+        # char_entropy: per-row doubles only, 4 terms summed in fixed
+        # written order, shared LN2 literal (neither engine calls its
+        # own ln(2)); 'g' flag because DuckDB regexp_replace is
+        # first-match by default where Spark's is global
+        "char_entropy": f"""
+            WITH base AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     coalesce(text, '') AS t
+              FROM documents),
+            c AS (
+              SELECT doc_id, length(t) AS n,
+                     length(t) - length(regexp_replace(
+                       t, '[A-Za-z]', '', 'g')) AS letters,
+                     length(t) - length(regexp_replace(
+                       t, '[0-9]', '', 'g')) AS digits,
+                     length(t) - length(regexp_replace(
+                       t, '[ \\t\\n\\r]', '', 'g')) AS spaces
+              FROM base),
+            c2 AS (
+              SELECT doc_id, n, letters, digits, spaces,
+                     n - letters - digits - spaces AS other
+              FROM c),
+            h AS (
+              SELECT doc_id, n,
+                CASE WHEN n > 0 THEN round((
+                    CASE WHEN letters > 0 THEN
+                      (CAST(letters AS DOUBLE) / n)
+                      * ln(CAST(n AS DOUBLE) / letters)
+                      ELSE 0.0 END
+                  + CASE WHEN digits > 0 THEN
+                      (CAST(digits AS DOUBLE) / n)
+                      * ln(CAST(n AS DOUBLE) / digits)
+                      ELSE 0.0 END
+                  + CASE WHEN spaces > 0 THEN
+                      (CAST(spaces AS DOUBLE) / n)
+                      * ln(CAST(n AS DOUBLE) / spaces)
+                      ELSE 0.0 END
+                  + CASE WHEN other > 0 THEN
+                      (CAST(other AS DOUBLE) / n)
+                      * ln(CAST(n AS DOUBLE) / other)
+                      ELSE 0.0 END) / {textops.LN2!r}, 4)
+                ELSE 0.0 END AS h_bits
+              FROM c2)
+            SELECT doc_id, CAST(n AS BIGINT) AS n_chars, h_bits,
+                   (n > 0 AND h_bits >= {textops.CHAR_ENTROPY_MIN}
+                    AND h_bits <= {textops.CHAR_ENTROPY_MAX}) AS char_ok
+            FROM h
         """,
     }

@@ -5960,3 +5960,379 @@ def heavy_hitters(
         .filter(F.col("est_count") >= int(min_est))
         .select("term", "sampled_n", F.col("est_count").cast("long").alias("est_count"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval / corpus-statistics family (session 9)
+# ---------------------------------------------------------------------------
+
+BM25_QUERIES = 4
+BM25_TERMS_PER_QUERY = 3
+BM25_TOPK = 5
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_SCALE = 10_000  # fixed-point for order-independent score sums
+BM25_SALTS = 8
+
+
+def bm25_topk(
+    docs: DataFrame,
+    *,
+    n_queries: int = BM25_QUERIES,
+    terms_per_query: int = BM25_TERMS_PER_QUERY,
+    topk: int = BM25_TOPK,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    n_salts: int = BM25_SALTS,
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 retrieval over the corpus — the 'serve search queries from
+    the training corpus' operator (contamination triage, eval-set
+    leakage lookup, nearest-document audits all reduce to it). Queries
+    are derived deterministically from the corpus itself: the top
+    n_queries*terms_per_query terms by collection frequency (count
+    desc, term asc), chunked into consecutive rank groups of
+    terms_per_query. Output: (query_id, rank, doc_id, score_fp) — one
+    row per (query, top-k doc), score in BM25_SCALE fixed point.
+
+    Scale shape: ONE full-corpus shuffle (the (doc, term) tf partial
+    aggregate); doc length, document frequency, collection stats and
+    the query-term table all DERIVE from tf (dl = sum(tf) per doc,
+    df_w = count per term — AQE reuses the tf exchange), so the token
+    stream is hashed once. The query-term table is top-Q tiny and
+    BROADCAST into tf, pruning the postings to query terms before any
+    further shuffle — at 10^12 docs the candidate set is the posting
+    lists of Q*T terms, never the corpus. Ranking is the salted
+    two-phase exact top-k (domain_cap's argument): phase 1 keeps
+    <= topk per (query, salt) so a stop-word query term cannot
+    concentrate one task; phase 2 re-ranks <= topk*n_salts survivors.
+
+    Engine parity: idf and the length-normalized tf factor are per-row
+    doubles (structurally identical expression in the DuckDB oracle),
+    snapped to BM25_SCALE fixed point per (doc, term) — F.round is
+    HALF_UP on positives, matching DuckDB — and summed across query
+    terms as exact BIGINTs, so no float ever depends on aggregation
+    order. Docs with NULL text have no tokens and are not candidates;
+    ties break (score_fp desc, doc_id asc)."""
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(F.split(text_col, " ")).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    # dl / dfreq / stats all genuinely reference tf (sum(tf)), so the
+    # three consumers share the tf exchange instead of re-exploding
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.when(F.col("tf") >= 1, 1)).cast("long").alias("df_w"),
+        F.sum("tf").cast("long").alias("cf"),
+    )
+    stats = dl.agg(
+        F.count(F.when(F.col("dl") >= 1, 1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("n_tokens"),
+    )
+    n_qterms = int(n_queries) * int(terms_per_query)
+    qterms = (
+        dfreq.orderBy(F.desc("cf"), F.asc("term"))
+        .limit(n_qterms)
+        .select(
+            "term",
+            "df_w",
+            F.row_number()
+            .over(Window.orderBy(F.desc("cf"), F.asc("term")))
+            .alias("qrank"),
+        )
+        .withColumn(
+            "query_id",
+            ((F.col("qrank") - 1) / int(terms_per_query))
+            .cast("long"),
+        )
+        .drop("qrank")
+    )
+    cand = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+    )
+    avgdl = F.col("n_tokens").cast("double") / F.col("n_docs")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df_w") + F.lit(0.5))
+        / (F.col("df_w") + F.lit(0.5))
+    )
+    tfn = (F.col("tf") * F.lit(float(k1) + 1.0)) / (
+        F.col("tf")
+        + F.lit(float(k1))
+        * (
+            F.lit(1.0 - float(b))
+            + F.lit(float(b)) * F.col("dl") / avgdl
+        )
+    )
+    s_fp = F.round(idf * tfn * F.lit(BM25_SCALE)).cast("long")
+    scores = (
+        cand.withColumn("s_fp", s_fp)
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("s_fp").cast("long").alias("score_fp"))
+    )
+    # exact salted two-phase top-k (domain_cap's composition argument:
+    # every globally-top-k row is top-k within its salt bucket)
+    salted = scores.withColumn(
+        "salt",
+        (_md5_60_of(F.col("doc_id").cast("string")) % int(n_salts)).cast(
+            "int"
+        ),
+    )
+    w1 = Window.partitionBy("query_id", "salt").orderBy(
+        F.desc("score_fp"), F.asc("doc_id")
+    )
+    survivors = (
+        salted.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= int(topk))
+        .drop("r1", "salt")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("score_fp"), F.asc("doc_id")
+    )
+    return (
+        survivors.withColumn(
+            "rank", F.row_number().over(w2).cast("long")
+        )
+        .filter(F.col("rank") <= int(topk))
+        .select("query_id", "rank", "doc_id", "score_fp")
+    )
+
+
+PMI_MIN_COUNT = 5
+PMI_TOPK = 32
+
+
+def pmi_topk(
+    docs: DataFrame,
+    *,
+    min_count: int = PMI_MIN_COUNT,
+    k: int = PMI_TOPK,
+    text_col: str = "text",
+) -> DataFrame:
+    """Collocation mining: the k adjacent-word bigrams with the highest
+    pointwise mutual information, pmi = ln(p(ab) / (p(a) p(b))) with
+    p(ab) over the bigram stream and p(a) over the unigram stream —
+    the phrase/named-entity discovery pass a tokenizer-training or
+    vocab-curation pipeline runs over the corpus. Output: (bigram,
+    c_ab, c1, c2, pmi), ties (pmi desc, bigram asc).
+
+    Scale shape: bigrams are built MAP-SIDE per document (the
+    shingles3 idiom at width 2, duplicates kept — counts need the
+    multiset), so the only shuffles are two partial-aggregating
+    groupBys (bigram counts, unigram counts), both combining map-side;
+    corpus totals arrive as broadcast single-row aggregates. The
+    min_count floor prunes the bigram table BEFORE the unigram joins,
+    so the join input is the frequent-bigram set, not the hapax tail —
+    at 10^12 docs that is the difference between joining ~10^6 rows
+    and ~10^11. Final top-k is TakeOrderedAndProject (per-partition
+    top-k, then a k-row merge on the driver — no global sort).
+
+    Engine parity: pmi is a per-row double on exact BIGINT counts,
+    structurally identical in the oracle, rounded to 4 decimals; no
+    float aggregation anywhere."""
+    w = words(text_col)
+    bigrams = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.concat_ws(" ", F.slice(w, i, F.lit(2))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    cb = (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").cast("long").alias("c_ab"))
+    )
+    n_bi = cb.agg(F.sum("c_ab").cast("long").alias("n_bi"))
+    uni = (
+        docs.select(F.explode(words(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    n_uni = uni.agg(F.sum("c").cast("long").alias("n_uni"))
+    freq = cb.filter(F.col("c_ab") >= int(min_count)).select(
+        "bigram",
+        "c_ab",
+        F.split("bigram", " ").getItem(0).alias("w1"),
+        F.split("bigram", " ").getItem(1).alias("w2"),
+    )
+    joined = (
+        freq.join(
+            uni.select(
+                F.col("term").alias("w1"), F.col("c").alias("c1")
+            ),
+            "w1",
+        )
+        .join(
+            uni.select(
+                F.col("term").alias("w2"), F.col("c").alias("c2")
+            ),
+            "w2",
+        )
+        .join(F.broadcast(n_bi))
+        .join(F.broadcast(n_uni))
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("c_ab").cast("double") * F.col("n_uni") * F.col("n_uni"))
+            / (F.col("n_bi").cast("double") * F.col("c1") * F.col("c2"))
+        ),
+        4,
+    )
+    return (
+        joined.select("bigram", "c_ab", "c1", "c2", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), F.asc("bigram"))
+        .limit(int(k))
+    )
+
+
+QUANTILE_BIN_WIDTH = 64
+QUANTILE_BPS = (2500, 5000, 7500, 9000, 9900)
+
+
+def length_quantiles(
+    docs: DataFrame,
+    *,
+    bin_width: int = QUANTILE_BIN_WIDTH,
+    quantiles_bp: tuple = QUANTILE_BPS,
+    len_col: str = "n_chars",
+) -> DataFrame:
+    """Distributed quantile estimates of the document-length
+    distribution via a fixed-width histogram — the sizing telemetry a
+    pipeline reads before choosing chunk lengths, skew salts and
+    shuffle partition counts. Output: one row per requested quantile
+    (p_bp in basis points): (p_bp, target_rank, bin, est_max_chars)
+    where est_max_chars = (bin+1)*bin_width is the bin's exclusive
+    upper bound — the estimate is exact to within bin_width.
+
+    Scale shape: ONE partial-aggregating groupBy(bin) whose
+    cardinality is bounded by the VALUE RANGE (max_chars / bin_width),
+    not the corpus size — at 10^12 docs the shuffle still carries a
+    few thousand (bin, count) rows per task. The cumulative sum runs
+    in an unpartitioned window over that bounded bin table (documented
+    single-task stage over ~10^3 rows, the same contract as the
+    convergence counts in dedup_clusters); quantile extraction is a
+    tiny cross join of the bin table with the literal quantile list.
+    Exact integer math throughout: target_rank =
+    (p_bp * n + 9999) div 10000, bin = min bin with cum >= rank —
+    DuckDB replays every step bit-identically."""
+    from pyspark.sql.window import Window
+
+    bw = int(bin_width)
+    bins = (
+        docs.select(
+            (
+                F.coalesce(F.col(len_col).cast("long"), F.lit(0))
+                / F.lit(bw)
+            )
+            .cast("long")
+            .alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    cum = bins.withColumn(
+        "cum",
+        F.sum("c")
+        .over(
+            Window.orderBy("bin").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .cast("long"),
+    )
+    n = bins.agg(F.sum("c").cast("long").alias("n"))
+    spark = docs.sparkSession
+    q = spark.createDataFrame(
+        [(int(p),) for p in quantiles_bp], "p_bp long"
+    )
+    target = F.expr("(p_bp * n + 9999) div 10000")
+    hits = (
+        cum.join(F.broadcast(n))
+        .join(F.broadcast(q))
+        .withColumn("target_rank", target)
+        .filter(F.col("cum") >= F.col("target_rank"))
+    )
+    return (
+        hits.groupBy("p_bp", "target_rank")
+        .agg(F.min("bin").cast("long").alias("bin"))
+        .select(
+            "p_bp",
+            "target_rank",
+            "bin",
+            ((F.col("bin") + 1) * bw).cast("long").alias("est_max_chars"),
+        )
+    )
+
+
+# natural log of 2 as a shared literal: both engines use the same
+# 64-bit constant instead of each calling their own libm ln(2)
+LN2 = 0.6931471805599453
+CHAR_ENTROPY_MIN = 0.2
+CHAR_ENTROPY_MAX = 1.9
+
+
+def char_entropy_scores(
+    docs: DataFrame,
+    *,
+    h_min: float = CHAR_ENTROPY_MIN,
+    h_max: float = CHAR_ENTROPY_MAX,
+    text_col: str = "text",
+) -> DataFrame:
+    """Character-class entropy quality gate: per document, the Shannon
+    entropy (bits) of the {letter, digit, space, other} character-class
+    distribution — a zero-shuffle mojibake/binary-spill detector that
+    complements the word-level gates (quality_scores sees tokens;
+    this sees the raw byte texture). Degenerate texts score near 0
+    (one class dominates: all-letters runs, digit dumps); random
+    binary spills score near the 2-bit class maximum; natural text
+    sits in a narrow band. Output: one row per doc (doc_id, n_chars,
+    h_bits, char_ok), char_ok = n_chars > 0 AND h_min <= h <= h_max.
+    NULL text reports n_chars=0 / h_bits=0.0 / char_ok=false (the
+    repetition_scores one-row-per-doc contract).
+
+    Scale shape: pure map-side Catalyst expressions — four
+    regexp_replace length-differences per row, no explode, no shuffle,
+    no Python. Engine parity: each class term
+    (c/n) * ln(n/c) is a per-row double with the structurally
+    identical expression in the oracle, summed in fixed written order
+    (4 terms — no aggregation), divided by the shared LN2 literal so
+    neither engine calls its own ln(2), then rounded to 4 decimals."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n = F.length(t)
+    letters = n - F.length(F.regexp_replace(t, "[A-Za-z]", ""))
+    digits = n - F.length(F.regexp_replace(t, "[0-9]", ""))
+    spaces = n - F.length(F.regexp_replace(t, "[ \\t\\n\\r]", ""))
+    other = n - letters - digits - spaces
+
+    def term(c):
+        return F.when(
+            c > 0,
+            (c.cast("double") / n) * F.log(n.cast("double") / c),
+        ).otherwise(F.lit(0.0))
+
+    h = F.when(
+        n > 0,
+        F.round(
+            (term(letters) + term(digits) + term(spaces) + term(other))
+            / F.lit(LN2),
+            4,
+        ),
+    ).otherwise(F.lit(0.0))
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        n.cast("long").alias("n_chars"),
+        h.alias("h_bits"),
+        (
+            (n > 0)
+            & (h >= F.lit(float(h_min)))
+            & (h <= F.lit(float(h_max)))
+        ).alias("char_ok"),
+    )

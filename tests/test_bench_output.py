@@ -10,7 +10,7 @@ sys.path.insert(0, "/root/repo")
 
 import bench  # noqa: E402
 
-# 94 realistic query names (the live set is 91; headroom for growth —
+# 98 realistic query names (the live set is 95; headroom for growth —
 # the degrade path drops fastest queries first when over budget),
 # at the live set's name-length distribution.
 _QUERY_NAMES = [
@@ -43,6 +43,7 @@ _QUERY_NAMES = [
     "extract_structured", "tokenize_bpe", "bpe_train",
     "bloom_dedup", "corpus_diff", "extract_code", "cluster_topics",
     "distinct_sketch", "heavy_hitters",
+    "bm25_topk", "pmi_topk", "length_quantiles", "char_entropy",
     "extra_query_name_j", "extra_query_name_k",
 ]
 

@@ -120,11 +120,20 @@ def test_no_unbounded_cartesian_products(spark, entry_mod):
     # cluster_topics: the same bounded 16-row centroid-assignment
     #   crossJoin as ann_ivf_topk (shared _ivf_cents training) plus the
     #   broadcast 1-row corpus-total join (the corpus_mixture pattern)
+    # bm25_topk: collection stats (n_docs, n_tokens) join in as a
+    #   broadcast 1-row aggregate (the tfidf pattern); query terms are
+    #   a broadcast EQUI join on term
+    # pmi_topk: the two corpus totals (n_bi, n_uni) join in as
+    #   broadcast 1-row aggregates; the unigram joins are equi-joins
+    # length_quantiles: the total-count 1-row aggregate plus the
+    #   5-row literal quantile list both join broadcast — bounded by
+    #   len(QUANTILE_BPS) x #bins (value-range-bounded), never data-sized
     allowed_bnlj = {"ann_cosine_topk", "tfidf_top_terms", "ann_ivf_topk",
                     "ivf_list_sizes", "ann_recall", "lm_surprisal",
                     "corpus_mixture", "dsir_weights", "sample_mixture",
                     "bpe_train", "semdedup", "ann_ivfpq_topk",
-                    "cluster_topics"}
+                    "cluster_topics", "bm25_topk", "pmi_topk",
+                    "length_quantiles"}
     for name, fn in entry_mod.queries().items():
         plan = plan_of(fn(spark, SF_DIR))
         assert "CartesianProduct" not in plan, f"{name} has a cartesian join"

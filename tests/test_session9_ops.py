@@ -1,0 +1,216 @@
+"""Session-9 operators: BM25 retrieval, PMI collocations, length
+quantile histogram, char-class entropy gate."""
+
+from pyspark.sql import functions as F
+
+from dompa_spark import textops
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# --- bm25_topk --------------------------------------------------------
+
+
+def test_bm25_term_saturation(spark):
+    """The corpus-derived query is the top-cf term ('apple', cf=5);
+    only docs containing it are candidates, and the doc stuffed with
+    it outranks the single-mention doc."""
+    filler = " ".join(f"w{i}" for i in range(20))
+    docs = _docs(
+        spark,
+        [
+            (1, "apple apple apple apple " + filler),
+            (2, "apple " + filler),
+            (3, filler + " pear"),
+            (4, filler + " pear"),
+        ],
+    )
+    out = textops.bm25_topk(
+        docs, n_queries=1, terms_per_query=1, topk=4
+    ).collect()
+    out.sort(key=lambda r: r["rank"])
+    assert [r["doc_id"] for r in out] == [1, 2]  # tf=4 beats tf=1
+    assert out[0]["score_fp"] > out[1]["score_fp"]
+
+
+def test_bm25_length_normalization_exact(spark):
+    """Same tf for the query term, shorter doc scores strictly
+    higher (the b * dl/avgdl denominator)."""
+    docs = _docs(
+        spark,
+        [
+            (1, "target short doc"),
+            (2, "target " + " ".join(f"pad{i}" for i in range(30))),
+            (3, "other words entirely here"),
+            (4, "other words entirely here"),
+        ],
+    )
+    # force 'target' into the query set: it must be among top cf terms
+    out = {
+        (r["query_id"], r["doc_id"]): r["score_fp"]
+        for r in textops.bm25_topk(
+            docs, n_queries=8, terms_per_query=1, topk=4
+        ).collect()
+    }
+    qid = {
+        q for (q, d) in out if d in (1, 2)
+    }
+    # find the query where both doc 1 and doc 2 scored (the 'target'
+    # single-term query)
+    both = [
+        q for q in qid
+        if (q, 1) in out and (q, 2) in out
+    ]
+    assert both, f"no query hit both target docs: {sorted(out)}"
+    q = both[0]
+    assert out[(q, 1)] > out[(q, 2)]
+
+
+def test_bm25_rank_contract(spark):
+    """Ranks are 1..topk dense per query, ties break doc_id asc."""
+    docs = _docs(
+        spark,
+        [(i, "same text for everyone") for i in range(10)],
+    )
+    out = textops.bm25_topk(
+        docs, n_queries=2, terms_per_query=2, topk=3
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        # identical texts -> identical scores -> doc_id asc order
+        assert [r["doc_id"] for r in rows] == sorted(
+            r["doc_id"] for r in rows
+        )
+
+
+def test_bm25_salted_topk_equals_global(spark):
+    """The salted two-phase top-k equals the unsalted global rank
+    (n_salts=1) — the domain_cap exactness argument."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"t{i}" for i in range(30)]
+    docs = _docs(
+        spark,
+        [
+            (i, " ".join(rng.choices(vocab, k=rng.randint(5, 40))))
+            for i in range(60)
+        ],
+    )
+    a = sorted(
+        tuple(r) for r in textops.bm25_topk(docs, n_salts=8).collect()
+    )
+    b = sorted(
+        tuple(r) for r in textops.bm25_topk(docs, n_salts=1).collect()
+    )
+    assert a == b
+
+
+# --- pmi_topk ---------------------------------------------------------
+
+
+def test_pmi_collocation_tops_ranking(spark):
+    """A bigram whose words ONLY occur together beats bigrams of
+    independent frequent words."""
+    rows = []
+    for i in range(10):
+        # 'hong kong' occurs ONLY as the pair; 'the' is 3x as frequent
+        # and pairs with different successors each time
+        rows.append((i, "hong kong the cat sat the dog sat the cat ran"))
+    out = textops.pmi_topk(_docs(spark, rows), min_count=5, k=4).collect()
+    assert out[0]["bigram"] == "hong kong"
+    assert out[0]["c_ab"] == 10
+    assert all(out[0]["pmi"] >= r["pmi"] for r in out)
+
+
+def test_pmi_min_count_floor(spark):
+    """Bigrams below the floor never appear, whatever their PMI."""
+    rows = [(1, "unique pairing here")] + [
+        (10 + i, "common words common words common") for i in range(10)
+    ]
+    out = textops.pmi_topk(_docs(spark, rows), min_count=5, k=10).collect()
+    assert all("unique" not in r["bigram"] for r in out)
+
+
+def test_pmi_short_and_null_docs(spark):
+    """Docs under 2 tokens and NULL text contribute no bigrams but
+    their tokens still count for the unigram totals."""
+    rows = [(1, None), (2, "solo")] + [
+        (10 + i, "pair bond pair bond pair bond") for i in range(3)
+    ]
+    out = textops.pmi_topk(_docs(spark, rows), min_count=3, k=10).collect()
+    assert {r["bigram"] for r in out} >= {"pair bond", "bond pair"}
+
+
+# --- length_quantiles -------------------------------------------------
+
+
+def test_length_quantiles_exact_bins(spark):
+    """Known distribution: 100 docs of 10 chars, 100 of 1000 chars —
+    median bin holds 10-char docs, p99 bin holds 1000-char docs."""
+    rows = [(i, 10) for i in range(100)] + [
+        (100 + i, 1000) for i in range(100)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    out = {
+        r["p_bp"]: r
+        for r in textops.length_quantiles(docs, bin_width=64).collect()
+    }
+    assert out[2500]["bin"] == 0 and out[2500]["est_max_chars"] == 64
+    assert out[5000]["bin"] == 0  # rank 100 is still in the first bin
+    assert out[7500]["bin"] == 1000 // 64
+    assert out[9900]["bin"] == 1000 // 64
+    assert out[9900]["target_rank"] == 198
+
+
+def test_length_quantiles_rank_formula(spark):
+    """target_rank = ceil(p * n / 10000) exactly (integer math)."""
+    docs = spark.createDataFrame(
+        [(i, i) for i in range(7)], "doc_id long, n_chars long"
+    )
+    out = {
+        r["p_bp"]: r["target_rank"]
+        for r in textops.length_quantiles(docs).collect()
+    }
+    assert out[5000] == (5000 * 7 + 9999) // 10000  # == 4
+    assert out[9900] == (9900 * 7 + 9999) // 10000  # == 7
+
+
+# --- char_entropy -----------------------------------------------------
+
+
+def test_char_entropy_degenerate_and_mixed(spark):
+    """Single-class text scores 0 bits (rejected); the 4-class uniform
+    maximum is 2 bits (rejected as binary-ish); word text passes."""
+    docs = _docs(
+        spark,
+        [
+            (1, "aaaaaaaaaa"),          # one class -> 0 bits
+            (2, "ab12 !% ab12 !% ab1"),  # mixed classes, high h
+            (3, "normal words with letters and spaces"),
+            (4, None),
+            (5, "123456789012345"),      # digit dump -> 0 bits
+        ],
+    )
+    out = {r["doc_id"]: r for r in textops.char_entropy_scores(docs).collect()}
+    assert len(out) == 5  # one row per doc, nulls included
+    assert out[1]["h_bits"] == 0.0 and not out[1]["char_ok"]
+    assert out[5]["h_bits"] == 0.0 and not out[5]["char_ok"]
+    assert out[4]["n_chars"] == 0 and not out[4]["char_ok"]
+    assert out[3]["char_ok"]
+    assert 0.0 < out[3]["h_bits"] < 1.0
+    # 4-class mix approaches 2 bits and fails the upper gate
+    assert out[2]["h_bits"] > 1.9 * 0.9
+
+
+def test_char_entropy_zero_shuffle_plan(spark):
+    """The gate is pure map-side: no Exchange in the plan."""
+    docs = _docs(spark, [(1, "a b c")])
+    plan = textops.char_entropy_scores(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
