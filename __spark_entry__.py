@@ -1199,6 +1199,14 @@ def q_length_quantiles(spark, sf_dir):
     return textops.length_quantiles(_docs(spark, sf_dir))
 
 
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing (MOSS) span fingerprints: rightmost-min of each
+    w-window over k-gram hashes, per doc — entirely map-side array
+    HOFs, zero shuffle; any shared >= w+k-1-word run shares a
+    fingerprint (see textops.winnow_fingerprints)."""
+    return textops.winnow_fingerprints(_docs(spark, sf_dir))
+
+
 def q_char_entropy(spark, sf_dir):
     """Character-class entropy quality gate (letter/digit/space/other
     Shannon bits per doc) — zero-shuffle map-side mojibake detector;
@@ -1322,6 +1330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_topk": q_pmi_topk,
         "length_quantiles": q_length_quantiles,
         "char_entropy": q_char_entropy,
+        "winnow_fingerprints": q_winnow_fingerprints,
     }
 
 
@@ -4476,5 +4485,40 @@ def oracle_sql() -> dict[str, str]:
                    (n > 0 AND h_bits >= {textops.CHAR_ENTROPY_MIN}
                     AND h_bits <= {textops.CHAR_ENTROPY_MAX}) AS char_ok
             FROM h
+        """,
+        # winnow_fingerprints: the two unnests of sel_pos align
+        # positionally (same source list); slices/subscripts 1-based
+        # inclusive on both sides; pure integer hashing throughout
+        "winnow_fingerprints": f"""
+            WITH s AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     string_split(text, ' ') AS s
+              FROM documents WHERE text IS NOT NULL),
+            g AS (
+              SELECT doc_id, s, len(s) AS n FROM s
+              WHERE len(s) >= {textops.WINNOW_K + textops.WINNOW_W - 1}),
+            hs AS (
+              SELECT doc_id,
+                     list_transform(
+                       generate_series(1, n - {textops.WINNOW_K} + 1),
+                       i -> CAST('0x' || substr(md5(array_to_string(
+                              s[i:i + {textops.WINNOW_K - 1}], ' ')),
+                              1, 15) AS BIGINT)) AS hs,
+                     n - {textops.WINNOW_K} + 1 AS m
+              FROM g),
+            sel AS (
+              SELECT doc_id, hs,
+                     list_distinct(list_transform(
+                       generate_series(1, m - {textops.WINNOW_W} + 1),
+                       j -> list_max(list_filter(
+                              generate_series(
+                                j, j + {textops.WINNOW_W} - 1),
+                              p -> hs[p] = list_min(
+                                hs[j:j + {textops.WINNOW_W - 1}])))))
+                       AS sel_pos
+              FROM hs)
+            SELECT doc_id, CAST(unnest(sel_pos) AS BIGINT) AS pos,
+                   hs[unnest(sel_pos)] AS fp
+            FROM sel
         """,
     }

@@ -6336,3 +6336,103 @@ def char_entropy_scores(
             & (h <= F.lit(float(h_max)))
         ).alias("char_ok"),
     )
+
+
+WINNOW_K = 4  # k-gram width (words)
+WINNOW_W = 5  # winnowing window (consecutive k-gram hashes)
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    *,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS scheme): hash every
+    k-word gram, slide a w-hash window, and keep the RIGHTMOST minimum
+    of each window — the selected (position, hash) set is the doc's
+    fingerprint. Guarantee: any two docs sharing a run of at least
+    w+k-1 words share at least one selected hash, so span-level
+    plagiarism/quotation is detectable from a set ~1/w the size of the
+    full k-gram set (where minhash answers 'how similar are these
+    docs', winnowing answers 'which spans did they copy'). Output:
+    one row per selected fingerprint (doc_id, pos, fp), pos = 1-based
+    k-gram start, fp = the house 60-bit md5 hash.
+
+    Scale shape: ENTIRELY map-side — k-gram hashing, window minima and
+    the distinct-selection all run as array HOF expressions inside one
+    projection; no explode of the token stream, no shuffle, no Python.
+    Per-doc cost is O(m*w^2) comparisons (the argmin re-scans each
+    w-window; w is a small constant) on m = n-k+1 grams. Downstream
+    pairing joins on fp are equi-joins on a column whose per-doc
+    cardinality is ~m/w — self-limiting fanout. Docs shorter than
+    w+k-1 words (and NULL text) emit no rows — they have no complete
+    window; the oracle replays the same contract.
+
+    Tie policy: rightmost minimum (argmax position among window
+    minima), the standard winnowing choice — it maximizes overlap of
+    selections between adjacent windows, minimizing the fingerprint
+    count; 60-bit hashes make in-window ties vanishingly rare anyway.
+    Engine parity: pure integer hashing (md5_60) and integer argmin —
+    no floats anywhere."""
+    kk, ww = int(k), int(w)
+    s = words(text_col)
+    # Every HOF below is TOTAL (clamped bounds) even though the row
+    # filters already exclude short docs: codegen's common-subexpression
+    # elimination evaluates the big array expressions eagerly, BEFORE
+    # the short-circuiting filter conjuncts, so an expression that
+    # throws on a short doc (slice start 0, element_at past the end
+    # under ANSI) crashes the task despite being semantically dead.
+    # The clamps never change a valid row's result: for n >= k+w-1 the
+    # greatest/least bounds equal the unclamped ones.
+    sized = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        s.alias("s"),
+        F.size(s).alias("n"),
+    ).filter(F.col("n") >= kk + ww - 1)
+    hs = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.col("n") - kk + 1, F.lit(1))),
+        lambda i: F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(" ", F.slice(F.col("s"), i, F.lit(kk)))
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
+    )
+    base = sized.select(
+        "doc_id", hs.alias("hs")
+    ).withColumn("m", F.size("hs"))
+    sel_pos = F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.col("m") - ww + 1, F.lit(1))
+            ),
+            lambda j: F.array_max(
+                F.filter(
+                    F.sequence(j, F.least(j + ww - 1, F.col("m"))),
+                    lambda p: F.element_at(F.col("hs"), p)
+                    == F.array_min(F.slice(F.col("hs"), j, F.lit(ww))),
+                )
+            ),
+        )
+    )
+    return (
+        base.filter(F.col("m") >= ww)
+        .withColumn("sel_pos", sel_pos)
+        .select(
+            "doc_id",
+            F.explode("sel_pos").alias("pos"),
+            F.col("hs"),
+        )
+        .select(
+            "doc_id",
+            F.col("pos").cast("long").alias("pos"),
+            F.element_at("hs", F.col("pos").cast("int")).alias("fp"),
+        )
+    )

@@ -214,3 +214,90 @@ def test_char_entropy_zero_shuffle_plan(spark):
     docs = _docs(spark, [(1, "a b c")])
     plan = textops.char_entropy_scores(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# --- winnow_fingerprints ----------------------------------------------
+
+
+def test_winnow_guarantee_shared_run(spark):
+    """Two docs sharing a run of >= w+k-1 words share at least one
+    selected fingerprint (the winnowing guarantee), even when the
+    surrounding text differs completely."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 = w+k-1
+    docs = _docs(
+        spark,
+        [
+            (1, "one two three " + shared + " four five six"),
+            (2, "red green blue " + shared + " cyan magenta yellow"),
+        ],
+    )
+    out = textops.winnow_fingerprints(docs).collect()
+    fp1 = {r["fp"] for r in out if r["doc_id"] == 1}
+    fp2 = {r["fp"] for r in out if r["doc_id"] == 2}
+    assert fp1 & fp2, "shared w+k-1 run must share a fingerprint"
+
+
+def test_winnow_disjoint_docs_share_nothing(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, " ".join(f"a{i}" for i in range(20))),
+            (2, " ".join(f"b{i}" for i in range(20))),
+        ],
+    )
+    out = textops.winnow_fingerprints(docs).collect()
+    fp1 = {r["fp"] for r in out if r["doc_id"] == 1}
+    fp2 = {r["fp"] for r in out if r["doc_id"] == 2}
+    assert fp1 and fp2 and not (fp1 & fp2)
+
+
+def test_winnow_short_and_null_docs_emit_nothing(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, None),
+            (2, "too short"),
+            (3, " ".join(f"w{i}" for i in range(7))),  # n = w+k-2
+        ],
+    )
+    assert textops.winnow_fingerprints(docs).count() == 0
+
+
+def test_winnow_matches_python_reference(spark):
+    """Exact match against a direct Python implementation of
+    rightmost-min winnowing on a random doc."""
+    import hashlib
+    import random
+
+    rng = random.Random(11)
+    toks = [f"t{rng.randint(0, 6)}" for _ in range(40)]
+    k, w = 4, 5
+    hs = []
+    for i in range(len(toks) - k + 1):
+        gram = " ".join(toks[i:i + k])
+        hs.append(int(hashlib.md5(gram.encode()).hexdigest()[:15], 16))
+    want = set()
+    for j in range(len(hs) - w + 1):
+        win = hs[j:j + w]
+        mn = min(win)
+        # rightmost occurrence of the min
+        pos = j + max(i for i, v in enumerate(win) if v == mn)
+        want.add((pos + 1, hs[pos]))  # operator is 1-based
+    docs = _docs(spark, [(1, " ".join(toks))])
+    got = {
+        (r["pos"], r["fp"])
+        for r in textops.winnow_fingerprints(docs, k=k, w=w).collect()
+    }
+    assert got == want
+
+
+def test_winnow_density(spark):
+    """Selected count is ~m/w, never more than m (distinct positions)."""
+    import random
+
+    rng = random.Random(3)
+    toks = [f"x{rng.randint(0, 999)}" for _ in range(200)]
+    docs = _docs(spark, [(1, " ".join(toks))])
+    cnt = textops.winnow_fingerprints(docs).count()
+    m = 200 - 4 + 1
+    assert m // 10 <= cnt <= m
