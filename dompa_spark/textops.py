@@ -6057,6 +6057,17 @@ def bm25_topk(
         .join(dl, "doc_id")
         .join(F.broadcast(stats))
     )
+    return _bm25_rank(cand, k1=k1, b=b, topk=topk, n_salts=n_salts)
+
+
+def _bm25_rank(
+    cand: DataFrame, *, k1: float, b: float, topk: int, n_salts: int
+) -> DataFrame:
+    """Shared BM25 scoring + exact salted two-phase top-k over a
+    candidate table carrying (query_id, doc_id, tf, df_w, dl, n_docs,
+    n_tokens) — the tail of bm25_topk, also reached from a persisted
+    index via bm25_search."""
+    from pyspark.sql.window import Window
     avgdl = F.col("n_tokens").cast("double") / F.col("n_docs")
     idf = F.log(
         F.lit(1.0)
@@ -6103,6 +6114,76 @@ def bm25_topk(
         .filter(F.col("rank") <= int(topk))
         .select("query_id", "rank", "doc_id", "score_fp")
     )
+
+
+def bm25_index(
+    docs: DataFrame, *, text_col: str = "text"
+) -> tuple:
+    """The persistable text-search index: (postings, dictionary,
+    docstats) — plain parquet-writable tables that ARE the interface
+    (the build_ann_index layout philosophy; any engine can read them).
+      postings   (term, doc_id, tf)   the big table — write it
+                 repartitioned + sorted on term so query-time term
+                 predicates prune row groups at the scan
+      dictionary (term, df_w, cf)     per-term document/collection freq
+      docstats   (doc_id, dl)         per-doc token length
+    All three derive from ONE (doc, term) tf partial aggregate (the
+    bm25_topk stage-sharing argument); building the index costs one
+    full-corpus shuffle, after which every search touches only the
+    queried terms' posting lists."""
+    toks = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(F.split(text_col, " ")).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.when(F.col("tf") >= 1, 1)).cast("long").alias("df_w"),
+        F.sum("tf").cast("long").alias("cf"),
+    )
+    return tf.select("term", "doc_id", "tf"), dfreq, dl
+
+
+def bm25_search(
+    qterms: DataFrame,
+    postings: DataFrame,
+    dictionary: DataFrame,
+    docstats: DataFrame,
+    *,
+    stats: DataFrame | None = None,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    topk: int = BM25_TOPK,
+    n_salts: int = BM25_SALTS,
+) -> DataFrame:
+    """BM25 top-k from a (persisted) index — the query half of the
+    train-once/search-many split: qterms is a tiny (query_id, term)
+    table; no tokenization, no corpus shuffle. Scale shape: qterms
+    broadcasts into the dictionary (slim equi-join) and the result
+    broadcasts into postings, so the candidate set is the queried
+    terms' posting lists only; collection stats arrive as a broadcast
+    1-row aggregate (or precomputed from the index params). Scoring
+    and the exact salted two-phase top-k are bm25_topk's own
+    (_bm25_rank) — identical fixed-point results from a live corpus or
+    a persisted index."""
+    if stats is None:
+        stats = docstats.agg(
+            F.count(F.when(F.col("dl") >= 1, 1))
+            .cast("long")
+            .alias("n_docs"),
+            F.sum("dl").cast("long").alias("n_tokens"),
+        )
+    qd = dictionary.join(
+        F.broadcast(qterms.select("query_id", "term")), "term"
+    ).select("term", "query_id", "df_w")
+    cand = (
+        postings.join(F.broadcast(qd), "term")
+        .join(docstats, "doc_id")
+        .join(F.broadcast(stats))
+    )
+    return _bm25_rank(cand, k1=k1, b=b, topk=topk, n_salts=n_salts)
 
 
 PMI_MIN_COUNT = 5

@@ -301,3 +301,52 @@ def test_winnow_density(spark):
     cnt = textops.winnow_fingerprints(docs).count()
     m = 200 - 4 + 1
     assert m // 10 <= cnt <= m
+
+
+# --- bm25 index / search ----------------------------------------------
+
+
+def test_bm25_index_roundtrip_matches_fused(spark, tmp_path):
+    """bm25_search over the PERSISTED index tables reproduces
+    bm25_topk's fused answer exactly (same corpus-derived queries),
+    and the term filter reaches the postings parquet scan as a pushed
+    filter on the term-sorted layout."""
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    )
+    postings, dictionary, docstats = textops.bm25_index(docs)
+    idx = str(tmp_path / "txtidx")
+    (
+        postings.repartition(4, F.col("term"))
+        .sortWithinPartitions("term", "doc_id")
+        .write.parquet(f"{idx}/postings")
+    )
+    dictionary.write.parquet(f"{idx}/dictionary")
+    docstats.write.parquet(f"{idx}/docstats")
+
+    # replicate bm25_topk's corpus-derived queries from the dictionary
+    dic = spark.read.parquet(f"{idx}/dictionary")
+    top = dic.orderBy(F.desc("cf"), F.asc("term")).limit(12).collect()
+    qrows = [(i // 3, r["term"]) for i, r in enumerate(top)]
+    qterms = spark.createDataFrame(qrows, "query_id long, term string")
+    term_list = sorted({t for _, t in qrows})
+
+    posts = spark.read.parquet(f"{idx}/postings").filter(
+        F.col("term").isin(term_list)
+    )
+    plan = posts._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "In(term" in plan
+
+    got = sorted(
+        map(
+            tuple,
+            textops.bm25_search(
+                qterms,
+                posts,
+                dic,
+                spark.read.parquet(f"{idx}/docstats"),
+            ).collect(),
+        )
+    )
+    want = sorted(map(tuple, textops.bm25_topk(docs).collect()))
+    assert got == want

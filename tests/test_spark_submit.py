@@ -588,3 +588,92 @@ def test_spark_submit_ann_index_build_then_query(workdir, spark):
     )
     assert proc.returncode != 0
     assert "geometry mismatch" in (proc.stderr + proc.stdout)
+
+
+def test_spark_submit_text_index_build_then_search(workdir, spark):
+    """BM25 text-index lifecycle under real spark-submit: build
+    persists postings/dictionary/docstats + params guard; a SEPARATE
+    search submit (no corpus re-read) reproduces exactly the library's
+    bm25_search answer for the same explicit queries; mismatched
+    scoring constants are refused."""
+    from pyspark.sql import functions as F
+
+    from dompa_spark import textops
+
+    docs_path = "/root/testdata/sf0.001/documents.parquet"
+    shutil.copy(
+        os.path.join(REPO, "dompa_spark", "jobs", "build_text_index.py"),
+        os.path.join(str(workdir), "build_text_index.py"),
+    )
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["PYSPARK_PYTHON"] = env["PYSPARK_DRIVER_PYTHON"] = sys.executable
+    base = [
+        _spark_submit(), "--master", "local[4]",
+        "--conf", "spark.sql.shuffle.partitions=8",
+        "--conf", "spark.ui.enabled=false",
+        "--py-files", str(workdir / "dompa_spark.zip"),
+        str(workdir / "build_text_index.py"),
+        "--index", str(workdir / "txtidx"),
+    ]
+    proc = subprocess.run(
+        base + ["--mode", "build", "--input", docs_path],
+        cwd=str(workdir), env=env, capture_output=True, text=True,
+        timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    bstats = json.loads(
+        [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
+    )
+    assert bstats["mode"] == "build" and bstats["docs"] == 500
+    assert bstats["posting_rows"] > 0 and bstats["terms"] > 0
+
+    query_arg = "data stream join,table scan"
+    proc = subprocess.run(
+        base + ["--mode", "search", "--query", query_arg,
+                "--output", str(workdir / "bm25out")],
+        cwd=str(workdir), env=env, capture_output=True, text=True,
+        timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    sstats = json.loads(
+        [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
+    )
+    assert sstats == {"mode": "search", "queries": 2, "rows": 10}
+
+    # persisted-index answer == the library path over the same tables
+    idx = str(workdir / "txtidx")
+    qrows = [
+        (qid, term)
+        for qid, qtext in enumerate(query_arg.split(","))
+        for term in qtext.split()
+    ]
+    qterms = spark.createDataFrame(qrows, "query_id long, term string")
+    want = sorted(map(tuple, textops.bm25_search(
+        qterms,
+        spark.read.parquet(f"{idx}/postings"),
+        spark.read.parquet(f"{idx}/dictionary"),
+        spark.read.parquet(f"{idx}/docstats"),
+    ).collect()))
+    got = sorted(
+        map(tuple, spark.read.parquet(str(workdir / "bm25out")).collect())
+    )
+    assert got == want
+    # and sane retrieval: every hit actually contains a query term
+    hit_ids = [t[2] for t in got]
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(docs_path)
+        .filter(F.col("doc_id").isin(hit_ids)).collect()
+    }
+    terms = {t for _, t in qrows}
+    assert all(terms & set(texts[d].split()) for d in hit_ids)
+
+    # params guard: a search claiming different k1 must be refused
+    proc = subprocess.run(
+        base + ["--mode", "search", "--query", "data", "--k1", "2.0",
+                "--output", str(workdir / "bm25out2")],
+        cwd=str(workdir), env=env, capture_output=True, text=True,
+        timeout=420,
+    )
+    assert proc.returncode != 0
+    assert "params mismatch" in (proc.stderr + proc.stdout)
