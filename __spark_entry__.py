@@ -1207,6 +1207,14 @@ def q_winnow_fingerprints(spark, sf_dir):
     return textops.winnow_fingerprints(_docs(spark, sf_dir))
 
 
+def q_winnow_contamination(spark, sf_dir):
+    """Span-level contamination via winnowed fingerprints: the same
+    detection floor as shingle contamination for quotes >= w+k-1
+    words, at ~1/w the join volume (see
+    textops.winnow_contamination)."""
+    return textops.winnow_contamination(_docs(spark, sf_dir))
+
+
 def q_char_entropy(spark, sf_dir):
     """Character-class entropy quality gate (letter/digit/space/other
     Shannon bits per doc) — zero-shuffle map-side mojibake detector;
@@ -1331,6 +1339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_quantiles": q_length_quantiles,
         "char_entropy": q_char_entropy,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "winnow_contamination": q_winnow_contamination,
     }
 
 
@@ -2252,6 +2261,46 @@ def _ann_recall_q() -> str:
               FROM ivfpq JOIN exact USING (query_id, neighbor_id))
             ORDER BY method
         """
+
+
+def _winnow_sql(where: str = "") -> str:
+    """The winnowing fingerprint pipeline as a parameterized SQL body
+    (doc_id, pos, fp) — the two unnests of sel_pos align positionally
+    (same source list); slices/subscripts 1-based inclusive on both
+    sides; pure integer hashing. `where` narrows the source docs (the
+    contamination oracle reuses the body for the benchmark side)."""
+    return f"""(
+        WITH winnow_s AS (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                 string_split(text, ' ') AS s
+          FROM documents WHERE text IS NOT NULL {where}),
+        winnow_g AS (
+          SELECT doc_id, s, len(s) AS n FROM winnow_s
+          WHERE len(s) >= {textops.WINNOW_K + textops.WINNOW_W - 1}),
+        winnow_hs AS (
+          SELECT doc_id,
+                 list_transform(
+                   generate_series(1, n - {textops.WINNOW_K} + 1),
+                   i -> CAST('0x' || substr(md5(array_to_string(
+                          s[i:i + {textops.WINNOW_K - 1}], ' ')),
+                          1, 15) AS BIGINT)) AS hs,
+                 n - {textops.WINNOW_K} + 1 AS m
+          FROM winnow_g),
+        winnow_sel AS (
+          SELECT doc_id, hs,
+                 list_distinct(list_transform(
+                   generate_series(1, m - {textops.WINNOW_W} + 1),
+                   j -> list_max(list_filter(
+                          generate_series(
+                            j, j + {textops.WINNOW_W} - 1),
+                          p -> hs[p] = list_min(
+                            hs[j:j + {textops.WINNOW_W - 1}])))))
+                   AS sel_pos
+          FROM winnow_hs)
+        SELECT doc_id, CAST(unnest(sel_pos) AS BIGINT) AS pos,
+               hs[unnest(sel_pos)] AS fp
+        FROM winnow_sel
+    )"""
 
 
 def _distinct_sketch_q(k: int = 32) -> str:
@@ -4486,39 +4535,20 @@ def oracle_sql() -> dict[str, str]:
                     AND h_bits <= {textops.CHAR_ENTROPY_MAX}) AS char_ok
             FROM h
         """,
-        # winnow_fingerprints: the two unnests of sel_pos align
-        # positionally (same source list); slices/subscripts 1-based
-        # inclusive on both sides; pure integer hashing throughout
-        "winnow_fingerprints": f"""
-            WITH s AS (
-              SELECT CAST(doc_id AS BIGINT) AS doc_id,
-                     string_split(text, ' ') AS s
-              FROM documents WHERE text IS NOT NULL),
-            g AS (
-              SELECT doc_id, s, len(s) AS n FROM s
-              WHERE len(s) >= {textops.WINNOW_K + textops.WINNOW_W - 1}),
-            hs AS (
-              SELECT doc_id,
-                     list_transform(
-                       generate_series(1, n - {textops.WINNOW_K} + 1),
-                       i -> CAST('0x' || substr(md5(array_to_string(
-                              s[i:i + {textops.WINNOW_K - 1}], ' ')),
-                              1, 15) AS BIGINT)) AS hs,
-                     n - {textops.WINNOW_K} + 1 AS m
-              FROM g),
-            sel AS (
-              SELECT doc_id, hs,
-                     list_distinct(list_transform(
-                       generate_series(1, m - {textops.WINNOW_W} + 1),
-                       j -> list_max(list_filter(
-                              generate_series(
-                                j, j + {textops.WINNOW_W} - 1),
-                              p -> hs[p] = list_min(
-                                hs[j:j + {textops.WINNOW_W - 1}])))))
-                       AS sel_pos
-              FROM hs)
-            SELECT doc_id, CAST(unnest(sel_pos) AS BIGINT) AS pos,
-                   hs[unnest(sel_pos)] AS fp
-            FROM sel
+        "winnow_fingerprints": f"SELECT * FROM {_winnow_sql()} wf",
+        # winnow_contamination: the winnow body reused for both sides;
+        # LEFT join + count(b.fp) mirrors the hit-marker aggregate
+        "winnow_contamination": f"""
+            WITH wf AS (SELECT * FROM {_winnow_sql()} w),
+            bench AS (
+              SELECT DISTINCT fp FROM
+                {_winnow_sql(f"AND doc_id % {textops.WINNOW_CONTAM_EVERY} = 0")} b)
+            SELECT w.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_fps,
+                   CAST(count(b.fp) AS BIGINT) AS n_hits,
+                   count(b.fp) >= {textops.WINNOW_CONTAM_MIN}
+                     AS contaminated
+            FROM wf w LEFT JOIN bench b ON b.fp = w.fp
+            GROUP BY w.doc_id
         """,
     }

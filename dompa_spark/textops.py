@@ -6441,79 +6441,133 @@ def winnow_fingerprints(
     one row per selected fingerprint (doc_id, pos, fp), pos = 1-based
     k-gram start, fp = the house 60-bit md5 hash.
 
-    Scale shape: ENTIRELY map-side — k-gram hashing, window minima and
-    the distinct-selection all run as array HOF expressions inside one
-    projection; no explode of the token stream, no shuffle, no Python.
-    Per-doc cost is O(m*w^2) comparisons (the argmin re-scans each
-    w-window; w is a small constant) on m = n-k+1 grams. Downstream
-    pairing joins on fp are equi-joins on a column whose per-doc
-    cardinality is ~m/w — self-limiting fanout. Docs shorter than
-    w+k-1 words (and NULL text) emit no rows — they have no complete
-    window; the oracle replays the same contract.
+    Scale shape: ENTIRELY map-side — an Arrow-batched per-doc kernel
+    (the repetition_scores idiom), no explode, no shuffle. The kernel
+    is a MEASURED choice, not a style default: the pure-expression
+    form (nested transform/filter/slice HOFs) was built first, passed
+    the same oracle, and ran at ~0.19 s/doc — nested array lambdas
+    fall out of whole-stage codegen into interpreted evaluation with a
+    per-element allocation, three orders of magnitude off the ~60
+    us/doc the Python loop does with C-level md5 + list ops. Per-doc
+    cost is O(m*w) on m = n-k+1 grams; downstream pairing joins on fp
+    are equi-joins on a column whose per-doc cardinality is ~m/w —
+    self-limiting fanout. Docs shorter than w+k-1 words (and NULL
+    text) emit no rows — they have no complete window; the oracle
+    replays the same contract.
 
-    Tie policy: rightmost minimum (argmax position among window
-    minima), the standard winnowing choice — it maximizes overlap of
-    selections between adjacent windows, minimizing the fingerprint
-    count; 60-bit hashes make in-window ties vanishingly rare anyway.
-    Engine parity: pure integer hashing (md5_60) and integer argmin —
-    no floats anywhere."""
+    Tie policy: rightmost minimum, the standard winnowing choice — it
+    maximizes overlap of selections between adjacent windows,
+    minimizing the fingerprint count; 60-bit hashes make in-window
+    ties vanishingly rare anyway. Engine parity: pure integer hashing
+    (md5 hex prefix, the md5_60 discipline in Python) and integer
+    argmin — no floats anywhere; the DuckDB oracle replays the exact
+    list pipeline."""
+    import pandas as pd
+
     kk, ww = int(k), int(w)
-    s = words(text_col)
-    # Every HOF below is TOTAL (clamped bounds) even though the row
-    # filters already exclude short docs: codegen's common-subexpression
-    # elimination evaluates the big array expressions eagerly, BEFORE
-    # the short-circuiting filter conjuncts, so an expression that
-    # throws on a short doc (slice start 0, element_at past the end
-    # under ANSI) crashes the task despite being semantically dead.
-    # The clamps never change a valid row's result: for n >= k+w-1 the
-    # greatest/least bounds equal the unclamped ones.
-    sized = docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        s.alias("s"),
-        F.size(s).alias("n"),
-    ).filter(F.col("n") >= kk + ww - 1)
-    hs = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.col("n") - kk + 1, F.lit(1))),
-        lambda i: F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(" ", F.slice(F.col("s"), i, F.lit(kk)))
-                ),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long"),
-    )
-    base = sized.select(
-        "doc_id", hs.alias("hs")
-    ).withColumn("m", F.size("hs"))
-    sel_pos = F.array_distinct(
-        F.transform(
-            F.sequence(
-                F.lit(1), F.greatest(F.col("m") - ww + 1, F.lit(1))
-            ),
-            lambda j: F.array_max(
-                F.filter(
-                    F.sequence(j, F.least(j + ww - 1, F.col("m"))),
-                    lambda p: F.element_at(F.col("hs"), p)
-                    == F.array_min(F.slice(F.col("hs"), j, F.lit(ww))),
-                )
-            ),
+
+    def gen(batches):
+        import hashlib
+
+        for pdf in batches:
+            ids, poss, fps = [], [], []
+            for did, t in zip(pdf["doc_id"], pdf["text"]):
+                if t is None:
+                    continue
+                ws = t.split(" ")
+                n = len(ws)
+                if n < kk + ww - 1:
+                    continue
+                m = n - kk + 1
+                hs = [
+                    int(
+                        hashlib.md5(
+                            " ".join(ws[i:i + kk]).encode()
+                        ).hexdigest()[:15],
+                        16,
+                    )
+                    for i in range(m)
+                ]
+                sel = set()
+                for j in range(m - ww + 1):
+                    win = hs[j:j + ww]
+                    mn = min(win)
+                    sel.add(j + (ww - 1 - win[::-1].index(mn)))
+                did = int(did)
+                for p in sel:
+                    ids.append(did)
+                    poss.append(p + 1)  # 1-based, matching the oracle
+                    fps.append(hs[p])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "pos": pd.Series(poss, dtype="int64"),
+                    "fp": pd.Series(fps, dtype="int64"),
+                }
+            )
+
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), F.col(text_col).alias("text")
+    ).mapInPandas(gen, "doc_id long, pos long, fp long")
+
+
+WINNOW_CONTAM_EVERY = 97
+WINNOW_CONTAM_MIN = 1
+
+
+def winnow_contamination(
+    docs: DataFrame,
+    bench: DataFrame | None = None,
+    *,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    min_shared: int = WINNOW_CONTAM_MIN,
+) -> DataFrame:
+    """Span-level benchmark-contamination check over winnowing
+    fingerprints: flag documents sharing >= min_shared selected
+    fingerprints with the benchmark set. Where contamination_flags
+    joins every 3-shingle, this joins the winnowed ~1/w selection with
+    the winnowing guarantee attached: any doc quoting >= w+k-1
+    contiguous benchmark words IS flagged — same detection floor,
+    ~1/w the join volume, which at 10^12 docs is the difference
+    between shuffling the shingle stream and shuffling a sample with a
+    coverage proof. The benchmark side defaults to every
+    WINNOW_CONTAM_EVERY-th doc (deterministic, oracle-rebuildable);
+    production passes the real eval-set table.
+
+    Output: one row per doc that HAS fingerprints (>= w+k-1 words):
+    (doc_id, n_fps, n_hits, contaminated); n_hits counts fingerprint
+    occurrences (same fp at two positions counts twice). Benchmark
+    docs drawn from the corpus flag themselves — the built-in sanity
+    signal, mirroring contamination_flags.
+
+    Scale shape: fingerprinting is winnow_fingerprints' zero-shuffle
+    map-side pass, run ONCE — the bench-fp table broadcasts with a
+    hit marker and a LEFT join + single partial-agg groupBy produces
+    both the density (n_fps) and the hit count, so the corpus side
+    shuffles one slim row per doc."""
+    if bench is None:
+        bench = docs.filter(
+            F.col("doc_id") % WINNOW_CONTAM_EVERY == 0
         )
+    corpus_fp = winnow_fingerprints(docs, k=k, w=w)
+    bench_fp = (
+        winnow_fingerprints(bench, k=k, w=w)
+        .select("fp")
+        .distinct()
+        .withColumn("hit", F.lit(1))
     )
+    flagged = corpus_fp.join(F.broadcast(bench_fp), "fp", "left")
     return (
-        base.filter(F.col("m") >= ww)
-        .withColumn("sel_pos", sel_pos)
-        .select(
-            "doc_id",
-            F.explode("sel_pos").alias("pos"),
-            F.col("hs"),
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_fps"),
+            F.count("hit").cast("long").alias("n_hits"),
         )
         .select(
             "doc_id",
-            F.col("pos").cast("long").alias("pos"),
-            F.element_at("hs", F.col("pos").cast("int")).alias("fp"),
+            "n_fps",
+            "n_hits",
+            (F.col("n_hits") >= int(min_shared)).alias("contaminated"),
         )
     )

@@ -350,3 +350,47 @@ def test_bm25_index_roundtrip_matches_fused(spark, tmp_path):
     )
     want = sorted(map(tuple, textops.bm25_topk(docs).collect()))
     assert got == want
+
+
+# --- winnow_contamination ---------------------------------------------
+
+
+def test_winnow_contamination_flags_quoters(spark):
+    """A doc quoting >= w+k-1 contiguous benchmark words is flagged
+    (the winnowing guarantee carried into the contamination check);
+    clean docs are not; benchmark docs flag themselves."""
+    quoted = "alpha beta gamma delta epsilon zeta eta theta"  # 8 words
+    rows = [
+        (0, quoted + " and some benchmark only trailing words here"),
+        (5, "innocent prose " + quoted + " copied straight in temper"),
+        (7, " ".join(f"clean{i}" for i in range(20))),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in textops.winnow_contamination(
+            _docs(spark, rows)
+        ).collect()
+    }
+    assert out[0]["contaminated"]        # bench doc (id % 97 == 0): self
+    assert out[5]["contaminated"]        # quoter
+    assert not out[7]["contaminated"]    # clean
+    assert out[7]["n_hits"] == 0 and out[7]["n_fps"] > 0
+
+
+def test_winnow_contamination_explicit_bench_side(spark):
+    """Passing an explicit benchmark table overrides the modulo
+    default."""
+    quoted = "one two three four five six seven eight"
+    corpus = _docs(
+        spark,
+        [
+            (1, "padding words " + quoted + " more padding words"),
+            (2, " ".join(f"z{i}" for i in range(20))),
+        ],
+    )
+    bench = _docs(spark, [(900, quoted + " benchmark tail words pad")])
+    out = {
+        r["doc_id"]: r["contaminated"]
+        for r in textops.winnow_contamination(corpus, bench).collect()
+    }
+    assert out == {1: True, 2: False}
