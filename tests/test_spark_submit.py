@@ -677,3 +677,53 @@ def test_spark_submit_text_index_build_then_search(workdir, spark):
     )
     assert proc.returncode != 0
     assert "params mismatch" in (proc.stderr + proc.stdout)
+
+
+def test_spark_submit_corpus_report(workdir, spark):
+    """Telemetry report job under real spark-submit: one submit writes
+    all five gauge tables + summary.json, and every table equals the
+    library operator's own answer over the same input."""
+    from dompa_spark import textops
+
+    docs_path = "/root/testdata/sf0.001/documents.parquet"
+    shutil.copy(
+        os.path.join(REPO, "dompa_spark", "jobs", "corpus_report.py"),
+        os.path.join(str(workdir), "corpus_report.py"),
+    )
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["PYSPARK_PYTHON"] = env["PYSPARK_DRIVER_PYTHON"] = sys.executable
+    rpt = str(workdir / "report")
+    proc = subprocess.run(
+        [
+            _spark_submit(), "--master", "local[4]",
+            "--conf", "spark.sql.shuffle.partitions=8",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", str(workdir / "dompa_spark.zip"),
+            str(workdir / "corpus_report.py"),
+            "--input", docs_path, "--output", rpt,
+        ],
+        cwd=str(workdir), env=env, capture_output=True, text=True,
+        timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    summary = json.loads(
+        [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
+    )
+    assert summary["docs"] == 500
+    assert summary["p50_chars"] and summary["p99_chars"] >= summary["p50_chars"]
+    # persisted summary == printed summary
+    with open(os.path.join(rpt, "summary.json")) as f:
+        assert json.load(f) == summary
+
+    docs = spark.read.parquet(docs_path)
+    for sub, want_df in [
+        ("length_quantiles", textops.length_quantiles(docs)),
+        ("mixture", textops.corpus_mixture(docs)),
+        ("distinct_sketch", textops.distinct_sketch(docs)),
+        ("heavy_hitters", textops.heavy_hitters(docs)),
+    ]:
+        got = sorted(
+            map(tuple, spark.read.parquet(f"{rpt}/{sub}").collect())
+        )
+        want = sorted(map(tuple, want_df.collect()))
+        assert got == want, sub
