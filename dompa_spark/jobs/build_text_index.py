@@ -1,9 +1,11 @@
 #!/usr/bin/env python3
 """spark-submit entry point for the BM25 text-index lifecycle: tokenize
-and aggregate ONCE, persist the three index tables, then serve any
-number of search jobs from the persisted index without re-reading the
-corpus — the 10^12-doc deployment shape (index construction is a
-scheduled batch job; searches are cheap and frequent).
+and aggregate ONCE, persist the index tables, then serve any number of
+search jobs from the persisted index without re-reading the corpus —
+the 10^12-doc deployment shape (index construction is a scheduled
+batch job; searches are cheap and frequent; new crawls APPEND deltas
+instead of rewriting the main postings, LSM-style, and a rare compact
+submit amortizes the rewrite).
 
     # build: postings + dictionary + docstats from the documents table
     spark-submit --py-files dompa_spark.zip \
@@ -11,11 +13,15 @@ scheduled batch job; searches are cheap and frequent).
         --input /path/documents --index /path/index \
         [--postings-parts 32]
 
-    # search: BM25 top-k for explicit queries from the persisted index
-    spark-submit --py-files dompa_spark.zip \
-        dompa_spark/jobs/build_text_index.py --mode search \
-        --index /path/index --query "big data,stream join" \
-        --output /path/topk [--topk 5]
+    # update: append a new crawl as a DELTA (no main-postings rewrite)
+    ... --mode update --input /path/new_docs --index /path/index
+
+    # compact: merge main + deltas into a fresh full index
+    ... --mode compact --index /path/index --out-index /path/index2
+
+    # search: BM25 top-k for explicit queries (reads main + deltas)
+    ... --mode search --index /path/index \
+        --query "big data,stream join" --output /path/topk [--topk 5]
 
 Index layout (parquet tables ARE the interface — any engine can read
 them; the build_ann_index layout philosophy):
@@ -26,14 +32,23 @@ them; the build_ann_index layout philosophy):
                          not the index
     {index}/dictionary/  (term, df_w, cf)
     {index}/docstats/    (doc_id, dl)
-    {index}/params.json  collection stats (n_docs, n_tokens) + scoring
-                         constants (k1, b) — search mode refuses
-                         mismatched k1/b flags instead of silently
-                         scoring with different constants than the
-                         BENCH'd build
+    {index}/deltas/dNNNN/{postings,dictionary,docstats}  one per update
+    {index}/params.json  collection stats (n_docs, n_tokens), scoring
+                         constants (k1, b — search refuses mismatched
+                         flags), delta list
+
+Update semantics: APPEND-ONLY — an update whose doc_ids intersect the
+indexed set is refused (corpus_diff is the tool that computes a
+replace plan); disjointness is exactly what makes delta-merge ==
+rebuild: per-term df_w/cf are sums of disjoint partial counts, so the
+search-time dictionary re-aggregate reproduces the from-scratch build
+bit-identically (pinned by the e2e test). Update cost is the NEW
+crawl's tokenization only; nothing existing is rewritten. Search cost
+grows with delta count (one more pruned scan each), which is what
+compact amortizes on a schedule.
 
 Build stats (one JSON line): docs, terms, posting rows, tokens.
-Search stats: queries, result rows.
+Update stats: docs/tokens added, delta name. Search: queries, rows.
 
 Determinism: the index is pure integer aggregates of the corpus, so
 'rerun the build' IS the resume story; scores are textops._bm25_rank's
@@ -48,19 +63,77 @@ import json
 import sys
 
 
+def _write_params(spark, path: str, params: dict) -> None:
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(hpath, True)
+    out.write(bytearray(json.dumps(params).encode()))
+    out.close()
+
+
+def _read_params(spark, path: str) -> dict:
+    return json.loads(
+        "".join(r.value for r in spark.read.text(path).collect())
+    )
+
+
+def _index_tables(spark, index: str, params: dict):
+    """(postings, dictionary, docstats) across main + deltas. The
+    dictionary re-aggregate is exact BECAUSE updates are append-only
+    disjoint: per-term df_w/cf are sums of disjoint partial counts."""
+    from pyspark.sql import functions as F
+
+    roots = [index] + [
+        f"{index}/deltas/{d}" for d in params.get("deltas", [])
+    ]
+    postings = spark.read.parquet(*[f"{r}/postings" for r in roots])
+    docstats = spark.read.parquet(*[f"{r}/docstats" for r in roots])
+    dictionary = (
+        spark.read.parquet(*[f"{r}/dictionary" for r in roots])
+        .groupBy("term")
+        .agg(
+            F.sum("df_w").cast("long").alias("df_w"),
+            F.sum("cf").cast("long").alias("cf"),
+        )
+    )
+    return postings, dictionary, docstats
+
+
+def _write_index(spark, docs_or_tables, root: str, parts: int):
+    """Write one (postings, dictionary, docstats) triple under root,
+    postings in the term-clustered layout (see module docstring)."""
+    from pyspark.sql import functions as F
+
+    postings, dictionary, docstats = docs_or_tables
+    (
+        postings.repartition(parts, F.col("term"))
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite")
+        .parquet(f"{root}/postings")
+    )
+    dictionary.write.mode("overwrite").parquet(f"{root}/dictionary")
+    docstats.write.mode("overwrite").parquet(f"{root}/docstats")
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description="dompa_spark BM25 index")
-    p.add_argument("--mode", default="build", choices=["build", "search"])
+    p.add_argument("--mode", default="build",
+                   choices=["build", "update", "compact", "search"])
     p.add_argument("--input", default=None,
-                   help="documents parquet (doc_id, text) [build]")
+                   help="documents parquet (doc_id, text) "
+                        "[build/update]")
     p.add_argument("--index", required=True)
+    p.add_argument("--out-index", default=None,
+                   help="destination for the compacted index [compact]")
     p.add_argument("--query", default=None,
                    help="comma-separated queries of space-separated "
                         "terms [search]")
     p.add_argument("--output", default=None, help="top-k parquet [search]")
     p.add_argument("--postings-parts", type=int, default=None,
                    help="shuffle partitions for the postings table "
-                        "[build; default: session shuffle partitions]")
+                        "[build/update/compact; default: session "
+                        "shuffle partitions]")
     p.add_argument("--topk", type=int, default=5)
     p.add_argument("--k1", type=float, default=None)
     p.add_argument("--b", type=float, default=None)
@@ -78,63 +151,119 @@ def main(argv=None) -> int:
     owns_session = SparkSession.getActiveSession() is None
     spark = pipeline.session_confs(builder).getOrCreate()
 
-    post_path = f"{args.index}/postings"
-    dict_path = f"{args.index}/dictionary"
-    dstat_path = f"{args.index}/docstats"
     params_path = f"{args.index}/params.json"
+    parts = args.postings_parts or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+
+    def collection_stats(docstats_path_or_df):
+        df = (
+            spark.read.parquet(docstats_path_or_df)
+            if isinstance(docstats_path_or_df, str)
+            else docstats_path_or_df
+        )
+        st = df.agg(
+            F.count(F.when(F.col("dl") >= 1, 1)).alias("n_docs"),
+            F.sum("dl").alias("n_tokens"),
+        ).first()
+        return int(st.n_docs), int(st.n_tokens or 0)
 
     if args.mode == "build":
         if not args.input:
             p.error("build mode requires --input")
         docs = spark.read.parquet(args.input)
-        postings, dictionary, docstats = textops.bm25_index(docs)
-        parts = args.postings_parts or int(
-            spark.conf.get("spark.sql.shuffle.partitions")
-        )
-        # term-clustered layout: every term's postings land in one
-        # partition, sorted — min/max row-group stats make a search's
-        # term IN-list prune to the queried lists at the scan
-        (
-            postings.repartition(parts, F.col("term"))
-            .sortWithinPartitions("term", "doc_id")
-            .write.mode("overwrite")
-            .parquet(post_path)
-        )
-        dictionary.write.mode("overwrite").parquet(dict_path)
-        docstats.write.mode("overwrite").parquet(dstat_path)
-        st = (
-            spark.read.parquet(dstat_path)
-            .agg(
-                F.count(F.when(F.col("dl") >= 1, 1)).alias("n_docs"),
-                F.sum("dl").alias("n_tokens"),
-            )
-            .first()
-        )
+        _write_index(spark, textops.bm25_index(docs), args.index, parts)
+        n_docs, n_tokens = collection_stats(f"{args.index}/docstats")
         params = {
-            "n_docs": int(st.n_docs),
-            "n_tokens": int(st.n_tokens),
+            "n_docs": n_docs,
+            "n_tokens": n_tokens,
             "k1": args.k1 if args.k1 is not None else textops.BM25_K1,
             "b": args.b if args.b is not None else textops.BM25_B,
+            "deltas": [],
         }
-        jvm = spark._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path(params_path)
-        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        out = fs.create(hpath, True)
-        out.write(bytearray(json.dumps(params).encode()))
-        out.close()
+        _write_params(spark, params_path, params)
         stats = {
             "mode": "build",
-            "docs": params["n_docs"],
-            "tokens": params["n_tokens"],
-            "terms": spark.read.parquet(dict_path).count(),
-            "posting_rows": spark.read.parquet(post_path).count(),
+            "docs": n_docs,
+            "tokens": n_tokens,
+            "terms": spark.read.parquet(
+                f"{args.index}/dictionary"
+            ).count(),
+            "posting_rows": spark.read.parquet(
+                f"{args.index}/postings"
+            ).count(),
+        }
+    elif args.mode == "update":
+        if not args.input:
+            p.error("update mode requires --input")
+        params = _read_params(spark, params_path)
+        new_docs = spark.read.parquet(args.input)
+        triple = textops.bm25_index(new_docs)
+        # append-only contract: overlapping doc_ids would double-count
+        # df_w/cf in the delta-merge — refuse, don't corrupt
+        _, _, old_stats = _index_tables(spark, args.index, params)
+        overlap = (
+            triple[2]
+            .join(old_stats.select("doc_id"), "doc_id")
+            .count()
+        )
+        if overlap:
+            raise SystemExit(
+                f"update refused: {overlap} doc_ids already indexed "
+                "(append-only; use corpus_diff to plan a replace)"
+            )
+        dname = f"d{len(params['deltas']):04d}"
+        _write_index(
+            spark, triple, f"{args.index}/deltas/{dname}", parts
+        )
+        add_docs, add_tokens = collection_stats(
+            f"{args.index}/deltas/{dname}/docstats"
+        )
+        params["n_docs"] += add_docs
+        params["n_tokens"] += add_tokens
+        params["deltas"].append(dname)
+        _write_params(spark, params_path, params)
+        stats = {
+            "mode": "update",
+            "delta": dname,
+            "docs_added": add_docs,
+            "tokens_added": add_tokens,
+            "deltas": len(params["deltas"]),
+        }
+    elif args.mode == "compact":
+        if not args.out_index:
+            p.error("compact mode requires --out-index")
+        if args.out_index == args.index:
+            raise SystemExit(
+                "compact refused: --out-index must differ from --index "
+                "(no in-place rewrite over tables being read)"
+            )
+        params = _read_params(spark, params_path)
+        postings, dictionary, docstats = _index_tables(
+            spark, args.index, params
+        )
+        _write_index(
+            spark, (postings, dictionary, docstats),
+            args.out_index, parts,
+        )
+        n_docs, n_tokens = collection_stats(
+            f"{args.out_index}/docstats"
+        )
+        out_params = dict(params, n_docs=n_docs, n_tokens=n_tokens,
+                          deltas=[])
+        _write_params(
+            spark, f"{args.out_index}/params.json", out_params
+        )
+        stats = {
+            "mode": "compact",
+            "docs": n_docs,
+            "tokens": n_tokens,
+            "deltas_merged": len(params["deltas"]),
         }
     else:
         if not (args.query and args.output):
             p.error("search mode requires --query and --output")
-        params = json.loads(
-            "".join(r.value for r in spark.read.text(params_path).collect())
-        )
+        params = _read_params(spark, params_path)
         for flag, key in [(args.k1, "k1"), (args.b, "b")]:
             if flag is not None and flag != params[key]:
                 raise SystemExit(
@@ -150,26 +279,22 @@ def main(argv=None) -> int:
             qrows, "query_id long, term string"
         )
         # the query-term list is a bounded CLI literal, so it reaches
-        # the postings scan as a pushed-down IN filter (row-group
-        # pruning on the term-sorted layout); the broadcast join then
-        # attaches query_id/df_w
+        # every postings scan (main + deltas) as a pushed-down IN
+        # filter (row-group pruning on the term-sorted layout); the
+        # broadcast join then attaches query_id/df_w
         term_list = sorted({t for _, t in qrows})
-        postings = spark.read.parquet(post_path).filter(
-            F.col("term").isin(term_list)
-        )
-        dictionary = spark.read.parquet(dict_path).filter(
-            F.col("term").isin(term_list)
-        )
-        stats_df = spark.createDataFrame(
-            [(params["n_docs"], params["n_tokens"])],
-            "n_docs long, n_tokens long",
+        postings, dictionary, docstats = _index_tables(
+            spark, args.index, params
         )
         top = textops.bm25_search(
             qterms,
-            postings,
-            dictionary,
-            spark.read.parquet(dstat_path),
-            stats=stats_df,
+            postings.filter(F.col("term").isin(term_list)),
+            dictionary.filter(F.col("term").isin(term_list)),
+            docstats,
+            stats=spark.createDataFrame(
+                [(params["n_docs"], params["n_tokens"])],
+                "n_docs long, n_tokens long",
+            ),
             k1=params["k1"],
             b=params["b"],
             topk=args.topk,

@@ -727,3 +727,94 @@ def test_spark_submit_corpus_report(workdir, spark):
         )
         want = sorted(map(tuple, want_df.collect()))
         assert got == want, sub
+
+
+def test_spark_submit_text_index_update_compact(workdir, spark):
+    """LSM-style index accumulation: build on half the corpus, APPEND
+    the other half as a delta (no main rewrite), and the delta-merged
+    search answers EXACTLY as the fused library path over the full
+    corpus — the disjoint-partial-counts argument. Overlapping updates
+    are refused; compact merges to a fresh index that answers the
+    same."""
+    from dompa_spark import textops
+
+    docs_path = "/root/testdata/sf0.001/documents.parquet"
+    half_a = str(workdir / "docs_a")
+    half_b = str(workdir / "docs_b")
+    full = spark.read.parquet(docs_path)
+    full.filter("doc_id < 250").write.mode("overwrite").parquet(half_a)
+    full.filter("doc_id >= 250").write.mode("overwrite").parquet(half_b)
+
+    shutil.copy(
+        os.path.join(REPO, "dompa_spark", "jobs", "build_text_index.py"),
+        os.path.join(str(workdir), "build_text_index.py"),
+    )
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["PYSPARK_PYTHON"] = env["PYSPARK_DRIVER_PYTHON"] = sys.executable
+
+    def submit(*extra, index):
+        return subprocess.run(
+            [
+                _spark_submit(), "--master", "local[4]",
+                "--conf", "spark.sql.shuffle.partitions=8",
+                "--conf", "spark.ui.enabled=false",
+                "--py-files", str(workdir / "dompa_spark.zip"),
+                str(workdir / "build_text_index.py"),
+                "--index", index, *extra,
+            ],
+            cwd=str(workdir), env=env, capture_output=True, text=True,
+            timeout=420,
+        )
+
+    idx = str(workdir / "txtidx_lsm")
+    proc = submit("--mode", "build", "--input", half_a, index=idx)
+    assert proc.returncode == 0, proc.stderr[-4000:]
+
+    proc = submit("--mode", "update", "--input", half_b, index=idx)
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    ustats = json.loads(
+        [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
+    )
+    assert ustats["delta"] == "d0000" and ustats["docs_added"] == 250
+
+    query_arg = "data stream join,table scan"
+    proc = submit("--mode", "search", "--query", query_arg,
+                  "--output", str(workdir / "lsm_out"), index=idx)
+    assert proc.returncode == 0, proc.stderr[-4000:]
+
+    # delta-merged answer == the fused library path over the FULL corpus
+    qrows = [
+        (qid, term)
+        for qid, qtext in enumerate(query_arg.split(","))
+        for term in qtext.split()
+    ]
+    qterms = spark.createDataFrame(qrows, "query_id long, term string")
+    p_, d_, s_ = textops.bm25_index(full)
+    want = sorted(map(tuple, textops.bm25_search(
+        qterms, p_, d_, s_
+    ).collect()))
+    got = sorted(
+        map(tuple, spark.read.parquet(str(workdir / "lsm_out")).collect())
+    )
+    assert got == want
+
+    # append-only contract: resending half_b must be refused
+    proc = submit("--mode", "update", "--input", half_b, index=idx)
+    assert proc.returncode != 0
+    assert "update refused" in (proc.stderr + proc.stdout)
+
+    # compact to a fresh index; same answer, zero deltas
+    idx2 = str(workdir / "txtidx_compacted")
+    proc = submit("--mode", "compact", "--out-index", idx2, index=idx)
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    cstats = json.loads(
+        [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
+    )
+    assert cstats["deltas_merged"] == 1 and cstats["docs"] == 500
+    proc = submit("--mode", "search", "--query", query_arg,
+                  "--output", str(workdir / "lsm_out2"), index=idx2)
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    got2 = sorted(
+        map(tuple, spark.read.parquet(str(workdir / "lsm_out2")).collect())
+    )
+    assert got2 == want
