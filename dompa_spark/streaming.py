@@ -558,3 +558,92 @@ def url_frontier_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_HH_OUT_DDL = "term string, sampled_n long, est_count long"
+_HH_STATE_DDL = "sampled_n long"
+
+
+def heavy_hitters_stream(
+    spark: SparkSession,
+    in_path: str,
+    rate: int = 8,
+    min_est: int = 64,
+    max_files_per_trigger: int = 8,
+    id_mode: str = "cast",
+) -> DataFrame:
+    """Stateful streaming heavy hitters: the batch viral-content
+    detector (textops.heavy_hitters) as a running gauge — per-term
+    sampled occurrence counts accumulate in state across triggers, and
+    every trigger emits the UPDATED terms whose running estimate
+    (sampled_n * rate) clears min_est. The sample key is the batch
+    operator's own ((doc_id, pos) occurrence identity hashed md5_60 %
+    rate), so the stream's final per-term emission equals the batch
+    answer over the union of all arrivals — exactly-once across
+    restarts via the checkpoint.
+
+    Scale/state shape: only the 1/rate sample reaches the shuffle and
+    the state store, and state is ONE long per sampled distinct term —
+    bounded by (sampled) vocabulary, independent of corpus size, and
+    rate-thinned for the hapax tail (a term needs a sampled occurrence
+    at all to occupy state). A viral term is one state group, but its
+    per-trigger work is counting that trigger's sample rows — the
+    sessionize/near-dup per-trigger bound, with the sample rate as an
+    extra 1/rate factor on top."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from . import textops
+
+    docs = read_doc_stream(spark, in_path, max_files_per_trigger).select(
+        _long_doc_id(id_mode).alias("doc_id"),
+        doc_text().alias("text"),
+    )
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "term"),
+    )
+    keep = (
+        textops._md5_60_of(
+            F.concat(
+                F.col("doc_id").cast("string"),
+                F.lit(":"),
+                F.col("pos").cast("string"),
+            )
+        )
+        % F.lit(int(rate))
+        == 0
+    )
+    sampled = toks.filter(keep).select("term")
+    rate_i, min_i = int(rate), int(min_est)
+
+    def fn(key, pdfs, state):
+        term = key[0]
+        n = state.get[0] if state.exists else 0
+        add = sum(len(pdf) for pdf in pdfs)
+        n += add
+        state.update((n,))
+        if add and n * rate_i >= min_i:
+            yield pd.DataFrame(
+                {
+                    "term": [term],
+                    "sampled_n": pd.Series([n], dtype="int64"),
+                    "est_count": pd.Series([n * rate_i], dtype="int64"),
+                }
+            )
+        else:
+            yield pd.DataFrame(
+                {
+                    "term": pd.Series([], dtype="object"),
+                    "sampled_n": pd.Series([], dtype="int64"),
+                    "est_count": pd.Series([], dtype="int64"),
+                }
+            )
+
+    return sampled.groupBy("term").applyInPandasWithState(
+        fn,
+        outputStructType=_HH_OUT_DDL,
+        stateStructType=_HH_STATE_DDL,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

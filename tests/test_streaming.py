@@ -776,3 +776,78 @@ def test_markdown_stream_matches_batch_and_resumes(spark, tmp_path):
     }
     assert len(got2) == 100
     assert all(got2[d] == v for d, v in got.items())
+
+
+def test_heavy_hitters_stream_matches_batch(spark, tmp_path):
+    """Stream==batch for the sampled heavy-hitter gauge: after draining
+    all arrivals, the LAST emission per term equals the batch
+    textops.heavy_hitters answer over the union — and counts
+    accumulate across waves (exactly-once via the checkpoint)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dompa_spark import textops
+
+    in_path = str(tmp_path / "hh_in")
+    os.makedirs(in_path)
+    out_path = str(tmp_path / "hh_out")
+
+    def drain():
+        q = (
+            streaming.heavy_hitters_stream(
+                spark, in_path, rate=2, min_est=4
+            )
+            .writeStream.format("parquet")
+            .option("path", out_path)
+            .option("checkpointLocation", str(tmp_path / "hh_ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        # last emission per term = the running value after all arrivals
+        return {
+            r["term"]: (r["sampled_n"], r["est_count"])
+            for r in spark.read.parquet(out_path)
+            .groupBy("term")
+            .agg(
+                F.max(F.struct("sampled_n", "est_count")).alias("s")
+            )
+            .select("term", "s.sampled_n", "s.est_count")
+            .collect()
+        }
+
+    def batch():
+        docs = spark.read.parquet(in_path).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            streaming.doc_text().alias("text"),
+        )
+        return {
+            r["term"]: (r["sampled_n"], r["est_count"])
+            for r in textops.heavy_hitters(
+                docs, rate=2, min_est=4
+            ).collect()
+        }
+
+    _near_docs(spark, range(100, 160)).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_path)
+    got1 = drain()
+    want1 = batch()
+    assert got1 == want1 and want1  # nonempty: boilerplate terms are hot
+
+    # wave 2: more arrivals accumulate onto wave-1 state, not restart
+    _near_docs(spark, range(0, 60)).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_path)
+    got2 = drain()
+    want2 = batch()
+    assert got2 == want2
+    # counts never shrink, and the shared boilerplate vocabulary
+    # grows somewhere (a term with no wave-2 SAMPLED occurrence keeps
+    # its wave-1 value — the sample is per-occurrence, not per-term)
+    shared = set(got1) & set(got2)
+    assert shared
+    assert all(got2[t][0] >= got1[t][0] for t in shared)
+    assert any(got2[t][0] > got1[t][0] for t in shared)
