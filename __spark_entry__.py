@@ -1207,6 +1207,14 @@ def q_winnow_fingerprints(spark, sf_dir):
     return textops.winnow_fingerprints(_docs(spark, sf_dir))
 
 
+def q_lm2_surprisal(spark, sf_dir):
+    """Bigram-LM quality gate with stupid backoff: conditional
+    bit-bucket surprisal under the corpus's own top-k bigram table,
+    unigram+penalty backoff; word ORDER now matters (see
+    textops.lm2_surprisal_scores)."""
+    return textops.lm2_surprisal_scores(_docs(spark, sf_dir))
+
+
 def q_winnow_contamination(spark, sf_dir):
     """Span-level contamination via winnowed fingerprints: the same
     detection floor as shingle contamination for quotes >= w+k-1
@@ -1340,6 +1348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": q_char_entropy,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_contamination": q_winnow_contamination,
+        "lm2_surprisal": q_lm2_surprisal,
     }
 
 
@@ -4550,5 +4559,79 @@ def oracle_sql() -> dict[str, str]:
                      AS contaminated
             FROM wf w LEFT JOIN bench b ON b.fp = w.fp
             GROUP BY w.doc_id
+        """,
+        # lm2_surprisal: bigram conditional bit buckets + backoff —
+        # exact BIGINT div/bin everywhere, avg of small ints is exact
+        # in doubles regardless of order
+        "lm2_surprisal": f"""
+            WITH base AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id, text
+              FROM documents),
+            tokset AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS word
+              FROM base),
+            counts AS (
+              SELECT word, CAST(count(*) AS BIGINT) AS c
+              FROM tokset GROUP BY word),
+            n AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM counts),
+            uni AS (
+              SELECT word, c FROM counts
+              ORDER BY c DESC, word ASC LIMIT {textops.LM_VOCAB_K}),
+            sarr AS (
+              SELECT doc_id, string_split(text, ' ') AS s
+              FROM base WHERE text IS NOT NULL),
+            idx AS (
+              SELECT doc_id, s, generate_subscripts(s, 1) AS j
+              FROM sarr),
+            bi AS (
+              SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_ab
+              FROM (SELECT s[j] AS w1, s[j + 1] AS w2
+                    FROM idx WHERE j < len(s))
+              GROUP BY w1, w2
+              ORDER BY c_ab DESC, w1 ASC, w2 ASC
+              LIMIT {textops.LM2_BIGRAM_K}),
+            trans AS (
+              SELECT doc_id, s[j] AS w,
+                     CASE WHEN j > 1 THEN s[j - 1] END AS wprev
+              FROM idx),
+            scored AS (
+              SELECT t.doc_id,
+                     CASE
+                       WHEN t.wprev IS NOT NULL AND b.c_ab IS NOT NULL
+                            AND up.c IS NOT NULL
+                       THEN length(bin(up.c // b.c_ab)) - 1
+                       WHEN t.wprev IS NULL
+                       THEN length(bin((SELECT n_total FROM n)
+                                       // coalesce(u.c, 1))) - 1
+                       ELSE length(bin((SELECT n_total FROM n)
+                                       // coalesce(u.c, 1))) - 1
+                            + {textops.LM2_PENALTY_BITS}
+                     END AS surp,
+                     CASE WHEN t.wprev IS NOT NULL
+                          AND b.c_ab IS NOT NULL
+                          AND up.c IS NOT NULL THEN 1 ELSE 0 END AS hit,
+                     CASE WHEN u.c IS NULL THEN 1 ELSE 0 END AS oov
+              FROM trans t
+              LEFT JOIN uni u ON u.word = t.w
+              LEFT JOIN uni up ON up.word = t.wprev
+              LEFT JOIN bi b ON b.w1 = t.wprev AND b.w2 = t.w),
+            agg AS (
+              SELECT doc_id,
+                     CAST(count(*) AS BIGINT) AS n_tokens,
+                     CAST(sum(oov) AS BIGINT) AS oov_n,
+                     CAST(sum(hit) AS BIGINT) AS hit_n,
+                     round(avg(surp), 4) AS mean_surprisal
+              FROM scored GROUP BY doc_id)
+            SELECT b.doc_id,
+                   CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   coalesce(round(a.oov_n / a.n_tokens, 4), 0.0)
+                     AS oov_ratio,
+                   coalesce(round(a.hit_n / a.n_tokens, 4), 0.0)
+                     AS bigram_hit_ratio,
+                   coalesce(a.mean_surprisal, 0.0) AS mean_surprisal,
+                   (coalesce(a.n_tokens, 0) > 0
+                    AND coalesce(a.mean_surprisal, 0.0)
+                        <= {textops.LM2_SURPRISAL_MAX}) AS lm2_ok
+            FROM base b LEFT JOIN agg a USING (doc_id)
         """,
     }

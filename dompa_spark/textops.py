@@ -6571,3 +6571,176 @@ def winnow_contamination(
             (F.col("n_hits") >= int(min_shared)).alias("contaminated"),
         )
     )
+
+
+LM2_BIGRAM_K = 4096
+LM2_PENALTY_BITS = 1  # stupid-backoff cost, kept integer (1 bit ~ x0.5)
+LM2_SURPRISAL_MAX = 13.0
+
+
+def lm2_surprisal_scores(
+    df: DataFrame,
+    vocab_k: int = LM_VOCAB_K,
+    bigram_k: int = LM2_BIGRAM_K,
+    penalty_bits: int = LM2_PENALTY_BITS,
+    surprisal_max: float = LM2_SURPRISAL_MAX,
+) -> DataFrame:
+    """Bigram-LM quality gate with stupid backoff — the next rung
+    above lm_surprisal_scores' unigram model: each token is scored by
+    its CONDITIONAL surprisal under the corpus's own top-bigram_k
+    bigram LM (p(w|prev) = c(prev,w)/c(prev)), backing off to the
+    unigram bucket + penalty_bits when the transition (or its history
+    word) is outside the LM. Coherent word ORDER now matters: shuffled
+    text that sails through a unigram gate fails here, because its
+    transitions never hit the bigram table. One row per doc: (doc_id,
+    n_tokens, oov_ratio, bigram_hit_ratio, mean_surprisal, lm2_ok);
+    bigram_hit_ratio is the fraction of tokens scored by the bigram
+    path — the gauge that shows WHY a doc failed (low hits = scrambled
+    order; high hits + high surprisal = rare-but-real content).
+
+    ENGINE-EXACT math (the lm_surprisal discipline): surprisal is the
+    integer bit bucket floor(log2(a div b)) = length(bin(a div b)) - 1
+    in exact BIGINT arithmetic — conditional buckets use
+    c(prev) div c(prev,w) (>= 1 always, since c(prev,w) <= c(prev)),
+    backoff uses N div c_eff(w) plus penalty_bits; only the final mean
+    is a single sum/count double division.
+
+    Scale shape: LM training is two explode -> partial-agg passes
+    (unigram counts, bigram counts) with distributed top-k
+    (TakeOrderedAndProject) heads; BOTH LM tables broadcast, bounded
+    by vocab_k/bigram_k at any corpus size, and N rides the 1-row
+    broadcast aggregate. Scoring is ONE map-side pass building
+    (pos, word, prev) structs per doc — no self-join of the token
+    stream on (doc_id, pos-1), which would shuffle the corpus twice —
+    followed by broadcast-left joins and a per-doc partial aggregate.
+    Null-text docs report n_tokens=0 and fail (one row per doc)."""
+    docs = df.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+    tok = docs.select("doc_id", F.explode(words()).alias("word"))
+    counts = tok.groupBy("word").agg(
+        F.count("*").cast("long").alias("c")
+    ).cache()
+    uni_lm = counts.orderBy(F.desc("c"), F.asc("word")).limit(int(vocab_k))
+    n_tot = counts.agg(F.sum("c").cast("long").alias("n_total"))
+
+    s = words()
+    bigrams = F.when(
+        F.size(s) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(s) - 1),
+            lambda i: F.struct(
+                F.element_at(s, i).alias("w1"),
+                F.element_at(s, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(
+        F.array().cast("array<struct<w1:string,w2:string>>")
+    )
+    bi_lm = (
+        docs.select(F.explode(bigrams).alias("bg"))
+        .groupBy("bg.w1", "bg.w2")
+        .agg(F.count("*").cast("long").alias("c_ab"))
+        .orderBy(F.desc("c_ab"), F.asc("w1"), F.asc("w2"))
+        .limit(int(bigram_k))
+    )
+
+    # one map-side pass: (pos, word, prev-or-null) structs per doc
+    trans = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size(s) >= 1,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(s)),
+                    # greatest() keeps the guarded branch TOTAL (the
+                    # winnow lesson: ANSI element_at(s, 0) throws if
+                    # the dead branch is ever evaluated eagerly)
+                    lambda j: F.struct(
+                        F.element_at(s, j).alias("w"),
+                        F.when(
+                            j > 1,
+                            F.element_at(s, F.greatest(j - 1, F.lit(1))),
+                        ).alias("wprev"),
+                    ),
+                ),
+            ).otherwise(
+                F.array().cast(
+                    "array<struct<w:string,wprev:string>>"
+                )
+            )
+        ).alias("t"),
+    ).select("doc_id", "t.w", "t.wprev")
+
+    scored = (
+        trans.join(
+            F.broadcast(uni_lm.select(F.col("word").alias("w"), "c")),
+            "w",
+            "left",
+        )
+        .join(
+            F.broadcast(
+                uni_lm.select(
+                    F.col("word").alias("wprev"),
+                    F.col("c").alias("c_prev"),
+                )
+            ),
+            "wprev",
+            "left",
+        )
+        .join(
+            F.broadcast(
+                bi_lm.select(
+                    F.col("w1").alias("wprev"),
+                    F.col("w2").alias("w"),
+                    "c_ab",
+                )
+            ),
+            ["wprev", "w"],
+            "left",
+        )
+        .join(F.broadcast(n_tot))
+        .withColumn("c_eff", F.coalesce("c", F.lit(1)).cast("long"))
+    )
+    bits_cond = (
+        F.length(F.bin(F.expr("c_prev div c_ab"))) - 1
+    ).cast("long")
+    bits_back = (
+        F.length(F.bin(F.expr("n_total div c_eff"))) - 1
+    ).cast("long")
+    bigram_hit = (
+        F.col("wprev").isNotNull()
+        & F.col("c_ab").isNotNull()
+        & F.col("c_prev").isNotNull()
+    )
+    surp = (
+        F.when(bigram_hit, bits_cond)
+        .when(F.col("wprev").isNull(), bits_back)
+        .otherwise(bits_back + F.lit(int(penalty_bits)))
+    )
+    agg = (
+        scored.withColumn("surp", surp)
+        .withColumn("hit", F.when(bigram_hit, 1).otherwise(0))
+        .withColumn("oov", F.when(F.col("c").isNull(), 1).otherwise(0))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("oov").cast("long").alias("oov_n"),
+            F.sum("hit").cast("long").alias("hit_n"),
+            F.round(F.avg("surp"), 4).alias("mean_surprisal"),
+        )
+    )
+    out = docs.select("doc_id").join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce(
+            F.round(F.col("oov_n") / F.col("n_tokens"), 4), F.lit(0.0)
+        ).alias("oov_ratio"),
+        F.coalesce(
+            F.round(F.col("hit_n") / F.col("n_tokens"), 4), F.lit(0.0)
+        ).alias("bigram_hit_ratio"),
+        F.coalesce("mean_surprisal", F.lit(0.0)).alias("mean_surprisal"),
+    )
+    return out.withColumn(
+        "lm2_ok",
+        (F.col("n_tokens") > 0)
+        & (F.col("mean_surprisal") <= F.lit(float(surprisal_max))),
+    )

@@ -394,3 +394,60 @@ def test_winnow_contamination_explicit_bench_side(spark):
         for r in textops.winnow_contamination(corpus, bench).collect()
     }
     assert out == {1: True, 2: False}
+
+
+# --- lm2_surprisal ----------------------------------------------------
+
+
+def test_lm2_word_order_matters(spark):
+    """The bigram gate separates coherent from scrambled text built
+    from the SAME unigram distribution — exactly what the unigram gate
+    cannot do."""
+    import random
+
+    coherent = " ".join(["the cat sat on the mat"] * 20)
+    words = coherent.split()
+    # deterministic scramble with the same multiset of words (an
+    # arithmetic permutation i*37 % n silently preserved the period-6
+    # word order — 37 = 1 mod 6)
+    rng = random.Random(5)
+    shuffled = words[:]
+    rng.shuffle(shuffled)
+    scrambled = " ".join(shuffled)
+    corpus = [(i, coherent) for i in range(10)] + [(100, scrambled)]
+    # bigram_k=8 keeps only the coherent transitions in the LM (at the
+    # default 4096 a 7-word vocab fits EVERY observed bigram, including
+    # the scrambled doc's own — hit ratios would tie)
+    out = {
+        r["doc_id"]: r
+        for r in textops.lm2_surprisal_scores(
+            _docs(spark, corpus), bigram_k=8
+        ).collect()
+    }
+    assert out[0]["bigram_hit_ratio"] > out[100]["bigram_hit_ratio"]
+    assert out[0]["mean_surprisal"] < out[100]["mean_surprisal"]
+
+
+def test_lm2_null_and_empty_contract(spark):
+    """One row per doc; null text reports n_tokens=0 and fails."""
+    rows = [(1, None), (2, "some words repeated some words repeated")]
+    out = {
+        r["doc_id"]: r
+        for r in textops.lm2_surprisal_scores(_docs(spark, rows)).collect()
+    }
+    assert len(out) == 2
+    assert out[1]["n_tokens"] == 0 and not out[1]["lm2_ok"]
+    assert out[2]["n_tokens"] == 6
+
+
+def test_lm2_first_token_unigram_no_penalty(spark):
+    """A one-token doc is scored by the plain unigram bucket (no
+    backoff penalty, no bigram path)."""
+    rows = [(1, "hello")] + [(10 + i, "hello hello hello") for i in range(3)]
+    out = {
+        r["doc_id"]: r
+        for r in textops.lm2_surprisal_scores(_docs(spark, rows)).collect()
+    }
+    # N=10 total 'hello' occurrences -> bucket = floor(log2(10//10))=0
+    assert out[1]["bigram_hit_ratio"] == 0.0
+    assert out[1]["mean_surprisal"] == 0.0
