@@ -6622,51 +6622,35 @@ def lm2_surprisal_scores(
     uni_lm = counts.orderBy(F.desc("c"), F.asc("word")).limit(int(vocab_k))
     n_tot = counts.agg(F.sum("c").cast("long").alias("n_total"))
 
+    # arrays_zip of shifted SLICES, not transform-with-struct-lambda:
+    # nested lambdas evaluate interpreted per element (~10 us/token
+    # measured — the winnow lesson in expression form); the zip form
+    # is one built-in per row and measured 10x faster. Zero-length
+    # slices make every case total: n=1 docs yield no bigrams, NULL
+    # text propagates to a NULL zip that explode drops.
     s = words()
-    bigrams = F.when(
-        F.size(s) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(s) - 1),
-            lambda i: F.struct(
-                F.element_at(s, i).alias("w1"),
-                F.element_at(s, i + 1).alias("w2"),
-            ),
-        ),
-    ).otherwise(
-        F.array().cast("array<struct<w1:string,w2:string>>")
+    n_s = F.size(s)
+    len1 = F.greatest(n_s - 1, F.lit(0))
+    bi_pairs = F.arrays_zip(
+        F.slice(s, 1, len1).alias("w1"), F.slice(s, 2, len1).alias("w2")
     )
     bi_lm = (
-        docs.select(F.explode(bigrams).alias("bg"))
+        docs.select(F.explode(bi_pairs).alias("bg"))
         .groupBy("bg.w1", "bg.w2")
         .agg(F.count("*").cast("long").alias("c_ab"))
         .orderBy(F.desc("c_ab"), F.asc("w1"), F.asc("w2"))
         .limit(int(bigram_k))
     )
 
-    # one map-side pass: (pos, word, prev-or-null) structs per doc
+    # one map-side pass: (word, prev-or-null) pairs per doc — wprev of
+    # the first token is the NULL the leading shifted slot provides
+    shifted = F.concat(
+        F.array(F.lit(None).cast("string")), F.slice(s, 1, len1)
+    )
     trans = docs.select(
         "doc_id",
         F.explode(
-            F.when(
-                F.size(s) >= 1,
-                F.transform(
-                    F.sequence(F.lit(1), F.size(s)),
-                    # greatest() keeps the guarded branch TOTAL (the
-                    # winnow lesson: ANSI element_at(s, 0) throws if
-                    # the dead branch is ever evaluated eagerly)
-                    lambda j: F.struct(
-                        F.element_at(s, j).alias("w"),
-                        F.when(
-                            j > 1,
-                            F.element_at(s, F.greatest(j - 1, F.lit(1))),
-                        ).alias("wprev"),
-                    ),
-                ),
-            ).otherwise(
-                F.array().cast(
-                    "array<struct<w:string,wprev:string>>"
-                )
-            )
+            F.arrays_zip(shifted.alias("wprev"), s.alias("w"))
         ).alias("t"),
     ).select("doc_id", "t.w", "t.wprev")
 
