@@ -6218,16 +6218,20 @@ def pmi_topk(
     Engine parity: pmi is a per-row double on exact BIGINT counts,
     structurally identical in the oracle, rounded to 4 decimals; no
     float aggregation anywhere."""
+    # arrays_zip of shifted slices, not transform+slice lambdas: the
+    # lambda form evaluates interpreted per element and measured 6x
+    # slower at identical output (the lm2 builder lesson); zero-length
+    # slices make short/NULL docs total with no when() guards
     w = words(text_col)
-    bigrams = F.when(
-        F.size(w) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(w) - 1),
-            lambda i: F.concat_ws(" ", F.slice(w, i, F.lit(2))),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    len1 = F.greatest(F.size(w) - 1, F.lit(0))
+    pairs = F.arrays_zip(
+        F.slice(w, 1, len1).alias("a"), F.slice(w, 2, len1).alias("b")
+    )
     cb = (
-        docs.select(F.explode(bigrams).alias("bigram"))
+        docs.select(F.explode(pairs).alias("t"))
+        .select(
+            F.concat_ws(" ", F.col("t.a"), F.col("t.b")).alias("bigram")
+        )
         .groupBy("bigram")
         .agg(F.count("*").cast("long").alias("c_ab"))
     )
