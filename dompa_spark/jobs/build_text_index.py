@@ -16,7 +16,11 @@ submit amortizes the rewrite).
     # update: append a new crawl as a DELTA (no main-postings rewrite)
     ... --mode update --input /path/new_docs --index /path/index
 
-    # compact: merge main + deltas into a fresh full index
+    # delete: tombstone doc_ids (negative dictionary delta; nothing
+    #         rewritten — compact applies removals physically)
+    ... --mode delete --input /path/doc_ids --index /path/index
+
+    # compact: merge main + deltas - tombstones into a fresh full index
     ... --mode compact --index /path/index --out-index /path/index2
 
     # search: BM25 top-k for explicit queries (reads main + deltas)
@@ -33,12 +37,31 @@ them; the build_ann_index layout philosophy):
     {index}/dictionary/  (term, df_w, cf)
     {index}/docstats/    (doc_id, dl)
     {index}/deltas/dNNNN/{postings,dictionary,docstats}  one per update
+    {index}/deltas/dNNNN/{tombstones,dictionary}  one per delete — the
+                         dictionary rows carry NEGATIVE df_w/cf so the
+                         search-time re-aggregate nets deleted docs out
+                         with no rewrite; tombstones anti-join the
+                         candidate set (post term-filter, so the cost
+                         is candidates, not corpus)
     {index}/params.json  collection stats (n_docs, n_tokens), scoring
                          constants (k1, b — search refuses mismatched
                          flags), delta list
 
+Delete semantics (tombstoned ids stay unusable until compact — the
+search anti-join has no generation order, so re-adding under an old
+tombstone would silently suppress the new doc; update refuses those
+ids and compaction clears them): a delete writes (a) the doc_id
+tombstone list and
+(b) a dictionary delta holding the NEGATED per-term df_w/cf of exactly
+the deleted docs' postings (computed from the index in one pass at
+delete time), so SUM-based dictionary merging stays an exact integer
+identity: merged == rebuilt-without-the-deleted-docs, bit-identical.
+Collection stats in params.json are decremented the same way. Search
+excludes tombstoned docs by anti-join AFTER the query-term filter
+(cost: candidates) and over docstats (cost: one slim pass).
+
 Update semantics: APPEND-ONLY — an update whose doc_ids intersect the
-indexed set is refused (corpus_diff is the tool that computes a
+LIVE indexed set is refused (corpus_diff is the tool that computes a
 replace plan); disjointness is exactly what makes delta-merge ==
 rebuild: per-term df_w/cf are sums of disjoint partial counts, so the
 search-time dictionary re-aggregate reproduces the from-scratch build
@@ -79,25 +102,46 @@ def _read_params(spark, path: str) -> dict:
 
 
 def _index_tables(spark, index: str, params: dict):
-    """(postings, dictionary, docstats) across main + deltas. The
-    dictionary re-aggregate is exact BECAUSE updates are append-only
-    disjoint: per-term df_w/cf are sums of disjoint partial counts."""
+    """(postings, dictionary, docstats, tombstones) across main +
+    deltas. The dictionary re-aggregate is exact BECAUSE updates are
+    append-only disjoint and deletes contribute NEGATED counts:
+    per-term df_w/cf are sums of disjoint (signed) partial counts.
+    tombstones is None when no delete delta exists. docstats comes
+    back tombstone-filtered (slim pass); postings does NOT — callers
+    must anti-join tombstones AFTER their own pruning filter so the
+    cost is candidates, not corpus."""
     from pyspark.sql import functions as F
 
-    roots = [index] + [
-        f"{index}/deltas/{d}" for d in params.get("deltas", [])
+    deltas = params.get("deltas", [])
+    doc_roots = [index] + [
+        f"{index}/deltas/{d['name']}" for d in deltas
+        if d["kind"] == "docs"
     ]
-    postings = spark.read.parquet(*[f"{r}/postings" for r in roots])
-    docstats = spark.read.parquet(*[f"{r}/docstats" for r in roots])
+    dict_roots = [index] + [
+        f"{index}/deltas/{d['name']}" for d in deltas
+    ]
+    tomb_roots = [
+        f"{index}/deltas/{d['name']}" for d in deltas
+        if d["kind"] == "tombstones"
+    ]
+    postings = spark.read.parquet(*[f"{r}/postings" for r in doc_roots])
+    docstats = spark.read.parquet(*[f"{r}/docstats" for r in doc_roots])
     dictionary = (
-        spark.read.parquet(*[f"{r}/dictionary" for r in roots])
+        spark.read.parquet(*[f"{r}/dictionary" for r in dict_roots])
         .groupBy("term")
         .agg(
             F.sum("df_w").cast("long").alias("df_w"),
             F.sum("cf").cast("long").alias("cf"),
         )
+        .filter(F.col("df_w") > 0)
     )
-    return postings, dictionary, docstats
+    tombstones = None
+    if tomb_roots:
+        tombstones = spark.read.parquet(
+            *[f"{r}/tombstones" for r in tomb_roots]
+        ).select("doc_id").distinct()
+        docstats = docstats.join(tombstones, "doc_id", "left_anti")
+    return postings, dictionary, docstats, tombstones
 
 
 def _write_index(spark, docs_or_tables, root: str, parts: int):
@@ -119,10 +163,11 @@ def _write_index(spark, docs_or_tables, root: str, parts: int):
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description="dompa_spark BM25 index")
     p.add_argument("--mode", default="build",
-                   choices=["build", "update", "compact", "search"])
+                   choices=["build", "update", "delete", "compact",
+                            "search"])
     p.add_argument("--input", default=None,
                    help="documents parquet (doc_id, text) "
-                        "[build/update]")
+                        "[build/update]; doc_id parquet [delete]")
     p.add_argument("--index", required=True)
     p.add_argument("--out-index", default=None,
                    help="destination for the compacted index [compact]")
@@ -199,18 +244,23 @@ def main(argv=None) -> int:
         params = _read_params(spark, params_path)
         new_docs = spark.read.parquet(args.input)
         triple = textops.bm25_index(new_docs)
-        # append-only contract: overlapping doc_ids would double-count
-        # df_w/cf in the delta-merge — refuse, don't corrupt
-        _, _, old_stats = _index_tables(spark, args.index, params)
-        overlap = (
-            triple[2]
-            .join(old_stats.select("doc_id"), "doc_id")
-            .count()
+        # append-only contract: doc_ids overlapping the LIVE set would
+        # double-count df_w/cf in the delta-merge; TOMBSTONED ids are
+        # refused too — the search-time anti-join has no generation
+        # order, so a re-added doc would be silently suppressed by its
+        # old tombstone. Compact clears tombstones; re-add after that.
+        _, _, live_stats, tombs = _index_tables(
+            spark, args.index, params
         )
+        blocked = live_stats.select("doc_id")
+        if tombs is not None:
+            blocked = blocked.unionByName(tombs)
+        overlap = triple[2].join(blocked, "doc_id").count()
         if overlap:
             raise SystemExit(
                 f"update refused: {overlap} doc_ids already indexed "
-                "(append-only; use corpus_diff to plan a replace)"
+                "or tombstoned (append-only; compact clears "
+                "tombstones; use corpus_diff to plan a replace)"
             )
         dname = f"d{len(params['deltas']):04d}"
         _write_index(
@@ -221,13 +271,57 @@ def main(argv=None) -> int:
         )
         params["n_docs"] += add_docs
         params["n_tokens"] += add_tokens
-        params["deltas"].append(dname)
+        params["deltas"].append({"name": dname, "kind": "docs"})
         _write_params(spark, params_path, params)
         stats = {
             "mode": "update",
             "delta": dname,
             "docs_added": add_docs,
             "tokens_added": add_tokens,
+            "deltas": len(params["deltas"]),
+        }
+    elif args.mode == "delete":
+        if not args.input:
+            p.error("delete mode requires --input (doc_id parquet)")
+        params = _read_params(spark, params_path)
+        postings, _, live_stats, _ = _index_tables(
+            spark, args.index, params
+        )
+        del_ids = (
+            spark.read.parquet(args.input)
+            .select(F.col("doc_id").cast("long").alias("doc_id"))
+            .distinct()
+            .join(live_stats.select("doc_id"), "doc_id")  # live only
+        )
+        # one pass over the index postings: the deleted docs' per-term
+        # counts, NEGATED, so the SUM-based dictionary merge nets them
+        # out as an exact integer identity
+        dead_posts = postings.join(del_ids, "doc_id")
+        neg_dict = dead_posts.groupBy("term").agg(
+            (-F.count(F.when(F.col("tf") >= 1, 1))).cast("long")
+            .alias("df_w"),
+            (-F.sum("tf")).cast("long").alias("cf"),
+        )
+        dead = live_stats.join(del_ids, "doc_id").agg(
+            F.count(F.when(F.col("dl") >= 1, 1)).alias("n_docs"),
+            F.sum("dl").alias("n_tokens"),
+        ).first()
+        dname = f"d{len(params['deltas']):04d}"
+        droot = f"{args.index}/deltas/{dname}"
+        del_ids.coalesce(1).write.mode("overwrite").parquet(
+            f"{droot}/tombstones"
+        )
+        neg_dict.write.mode("overwrite").parquet(f"{droot}/dictionary")
+        n_del = int(dead.n_docs or 0)
+        params["n_docs"] -= n_del
+        params["n_tokens"] -= int(dead.n_tokens or 0)
+        params["deltas"].append({"name": dname, "kind": "tombstones"})
+        _write_params(spark, params_path, params)
+        stats = {
+            "mode": "delete",
+            "delta": dname,
+            "docs_deleted": n_del,
+            "tokens_deleted": int(dead.n_tokens or 0),
             "deltas": len(params["deltas"]),
         }
     elif args.mode == "compact":
@@ -239,9 +333,14 @@ def main(argv=None) -> int:
                 "(no in-place rewrite over tables being read)"
             )
         params = _read_params(spark, params_path)
-        postings, dictionary, docstats = _index_tables(
+        postings, dictionary, docstats, tombstones = _index_tables(
             spark, args.index, params
         )
+        if tombstones is not None:
+            # compaction is where deletions become physical: the only
+            # full-postings anti-join in the lifecycle, paid on the
+            # amortized schedule
+            postings = postings.join(tombstones, "doc_id", "left_anti")
         _write_index(
             spark, (postings, dictionary, docstats),
             args.out_index, parts,
@@ -283,12 +382,19 @@ def main(argv=None) -> int:
         # filter (row-group pruning on the term-sorted layout); the
         # broadcast join then attaches query_id/df_w
         term_list = sorted({t for _, t in qrows})
-        postings, dictionary, docstats = _index_tables(
+        postings, dictionary, docstats, tombstones = _index_tables(
             spark, args.index, params
         )
+        cand_posts = postings.filter(F.col("term").isin(term_list))
+        if tombstones is not None:
+            # anti-join AFTER the term filter: cost is the candidate
+            # posting lists, never the corpus
+            cand_posts = cand_posts.join(
+                tombstones, "doc_id", "left_anti"
+            )
         top = textops.bm25_search(
             qterms,
-            postings.filter(F.col("term").isin(term_list)),
+            cand_posts,
             dictionary.filter(F.col("term").isin(term_list)),
             docstats,
             stats=spark.createDataFrame(

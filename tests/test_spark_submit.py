@@ -818,3 +818,115 @@ def test_spark_submit_text_index_update_compact(workdir, spark):
         map(tuple, spark.read.parquet(str(workdir / "lsm_out2")).collect())
     )
     assert got2 == want
+
+
+def test_spark_submit_text_index_delete_tombstones(workdir, spark):
+    """Targeted deletion without rewriting: tombstones + a NEGATED
+    dictionary delta make the merged index answer EXACTLY as an index
+    built without the deleted docs; compaction applies the removal
+    physically; a tombstoned id is refused on re-add until compaction
+    clears it (no generation order in the anti-join)."""
+    from pyspark.sql import functions as F
+
+    from dompa_spark import textops
+
+    docs_path = "/root/testdata/sf0.001/documents.parquet"
+    full = spark.read.parquet(docs_path)
+    shutil.copy(
+        os.path.join(REPO, "dompa_spark", "jobs", "build_text_index.py"),
+        os.path.join(str(workdir), "build_text_index.py"),
+    )
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["PYSPARK_PYTHON"] = env["PYSPARK_DRIVER_PYTHON"] = sys.executable
+
+    def submit(*extra, index):
+        return subprocess.run(
+            [
+                _spark_submit(), "--master", "local[4]",
+                "--conf", "spark.sql.shuffle.partitions=8",
+                "--conf", "spark.ui.enabled=false",
+                "--py-files", str(workdir / "dompa_spark.zip"),
+                str(workdir / "build_text_index.py"),
+                "--index", index, *extra,
+            ],
+            cwd=str(workdir), env=env, capture_output=True, text=True,
+            timeout=420,
+        )
+
+    idx = str(workdir / "txtidx_del")
+    proc = submit("--mode", "build", "--input", docs_path, index=idx)
+    assert proc.returncode == 0, proc.stderr[-4000:]
+
+    del_path = str(workdir / "del_ids")
+    full.filter("doc_id >= 250").select("doc_id").write.mode(
+        "overwrite"
+    ).parquet(del_path)
+    proc = submit("--mode", "delete", "--input", del_path, index=idx)
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    dstats = json.loads(
+        [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
+    )
+    assert dstats["docs_deleted"] == 250
+
+    query_arg = "data stream join,table scan"
+    proc = submit("--mode", "search", "--query", query_arg,
+                  "--output", str(workdir / "del_out"), index=idx)
+    assert proc.returncode == 0, proc.stderr[-4000:]
+
+    # tombstoned answer == the fused library path WITHOUT those docs
+    kept = full.filter("doc_id < 250")
+    qrows = [
+        (qid, term)
+        for qid, qtext in enumerate(query_arg.split(","))
+        for term in qtext.split()
+    ]
+    qterms = spark.createDataFrame(qrows, "query_id long, term string")
+    p_, d_, s_ = textops.bm25_index(kept)
+    want = sorted(map(tuple, textops.bm25_search(
+        qterms, p_, d_, s_
+    ).collect()))
+    got = sorted(
+        map(tuple, spark.read.parquet(str(workdir / "del_out")).collect())
+    )
+    assert got == want
+    assert all(t[2] < 250 for t in got)  # no deleted doc surfaces
+
+    # compact applies the deletion physically and answers the same
+    idx2 = str(workdir / "txtidx_del_compacted")
+    proc = submit("--mode", "compact", "--out-index", idx2, index=idx)
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    assert spark.read.parquet(f"{idx2}/postings").filter(
+        F.col("doc_id") >= 250
+    ).count() == 0
+    proc = submit("--mode", "search", "--query", query_arg,
+                  "--output", str(workdir / "del_out2"), index=idx2)
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    got2 = sorted(
+        map(tuple, spark.read.parquet(str(workdir / "del_out2")).collect())
+    )
+    assert got2 == want
+
+    # re-adding a TOMBSTONED id into the delta index must be refused
+    # (the search anti-join has no generation order — the new doc
+    # would be silently invisible); after compaction the tombstone is
+    # gone and the re-add succeeds
+    readd = str(workdir / "readd")
+    full.filter("doc_id = 400").write.mode("overwrite").parquet(readd)
+    proc = submit("--mode", "update", "--input", readd, index=idx)
+    assert proc.returncode != 0
+    assert "tombstoned" in (proc.stderr + proc.stdout)
+    proc = submit("--mode", "update", "--input", readd, index=idx2)
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    proc = submit("--mode", "search", "--query", query_arg,
+                  "--output", str(workdir / "del_out3"), index=idx2)
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    p2, d2, s2 = textops.bm25_index(
+        full.filter("doc_id < 250 OR doc_id = 400")
+    )
+    want3 = sorted(map(tuple, textops.bm25_search(
+        qterms, p2, d2, s2
+    ).collect()))
+    got3 = sorted(
+        map(tuple, spark.read.parquet(str(workdir / "del_out3")).collect())
+    )
+    assert got3 == want3  # re-added doc fully live again
