@@ -745,6 +745,26 @@ def q_events_window_stats(spark, sf_dir):
     return eventops.window_stats(_events(spark, sf_dir))
 
 
+def q_retention_cohorts(spark, sf_dir):
+    """Cohort retention table: users grouped by first-event date,
+    activity per (cohort_day, day_offset) — three slim partial-agg
+    passes, broadcast cohort sizes (see eventops.retention_cohorts)."""
+    return eventops.retention_cohorts(_events(spark, sf_dir))
+
+
+def q_funnel_steps(spark, sf_dir):
+    """Sequential conversion funnel (signup -> view -> click ->
+    purchase): k slim per-user conditional-min passes; every shuffle
+    carries one row per (user, step candidate)."""
+    return eventops.funnel_steps(_events(spark, sf_dir))
+
+
+def q_props_stats(spark, sf_dir):
+    """Semi-structured props column: JVM-side JSON path extraction +
+    integer-exact per-type aggregate."""
+    return eventops.props_stats(_events(spark, sf_dir))
+
+
 # The testdata embeddings tables are dim-64 at every SF; plane literals
 # are built from this at plan time (no driver-side data probe — VERDICT
 # r01 item 4). tests/test_textops_scale.py asserts the constant matches
@@ -1314,6 +1334,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "domain_cap": q_domain_cap,
         "events_sessionize": q_events_sessionize,
+        "retention_cohorts": q_retention_cohorts,
+        "funnel_steps": q_funnel_steps,
+        "props_stats": q_props_stats,
         "events_window_stats": q_events_window_stats,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -4633,5 +4656,81 @@ def oracle_sql() -> dict[str, str]:
                     AND coalesce(a.mean_surprisal, 0.0)
                         <= {textops.LM2_SURPRISAL_MAX}) AS lm2_ok
             FROM base b LEFT JOIN agg a USING (doc_id)
+        """,
+        "retention_cohorts": """
+            WITH firsts AS (
+              SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+              FROM events GROUP BY user_id),
+            activity AS (
+              SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+              FROM events),
+            sizes AS (
+              SELECT cohort_day, CAST(count(*) AS BIGINT) AS cohort_size
+              FROM firsts GROUP BY cohort_day),
+            j AS (
+              SELECT f.cohort_day,
+                     CAST(a.day - f.cohort_day AS BIGINT) AS day_offset
+              FROM activity a JOIN firsts f USING (user_id))
+            SELECT CAST(j.cohort_day AS VARCHAR) AS cohort_day,
+                   j.day_offset,
+                   CAST(count(*) AS BIGINT) AS n_active,
+                   s.cohort_size,
+                   round(count(*) / s.cohort_size, 4) AS retention
+            FROM j JOIN sizes s USING (cohort_day)
+            GROUP BY j.cohort_day, j.day_offset, s.cohort_size
+        """,
+        # funnel_steps: sequential conditional mins — epoch_us on the
+        # naive timestamp is zone-free (the _EPOCH_US discipline)
+        "funnel_steps": """
+            WITH t0 AS (
+              SELECT user_id, min(epoch_us(ts)) AS t FROM events
+              WHERE event_type = 'signup' GROUP BY user_id),
+            t1 AS (
+              SELECT e.user_id, min(epoch_us(e.ts)) AS t
+              FROM events e JOIN t0 p USING (user_id)
+              WHERE e.event_type = 'view'
+                AND epoch_us(e.ts) >= p.t
+              GROUP BY e.user_id),
+            t2 AS (
+              SELECT e.user_id, min(epoch_us(e.ts)) AS t
+              FROM events e JOIN t1 p USING (user_id)
+              WHERE e.event_type = 'click'
+                AND epoch_us(e.ts) >= p.t
+              GROUP BY e.user_id),
+            t3 AS (
+              SELECT e.user_id, min(epoch_us(e.ts)) AS t
+              FROM events e JOIN t2 p USING (user_id)
+              WHERE e.event_type = 'purchase'
+                AND epoch_us(e.ts) >= p.t
+              GROUP BY e.user_id),
+            n0 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t0),
+            n1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t1),
+            n2 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t2),
+            n3 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t3)
+            SELECT CAST(0 AS BIGINT) AS step_idx,
+                   'signup' AS step, n0.n AS n_users,
+                   CASE WHEN n0.n > 0 THEN 1.0 ELSE 0.0 END AS conversion FROM n0
+            UNION ALL SELECT CAST(1 AS BIGINT) AS step_idx,
+                   'view' AS step, n1.n AS n_users,
+                   CASE WHEN n0.n > 0 THEN round(n1.n / n0.n, 4) ELSE 0.0 END AS conversion FROM n1, n0
+            UNION ALL SELECT CAST(2 AS BIGINT) AS step_idx,
+                   'click' AS step, n2.n AS n_users,
+                   CASE WHEN n1.n > 0 THEN round(n2.n / n1.n, 4) ELSE 0.0 END AS conversion FROM n2, n1
+            UNION ALL SELECT CAST(3 AS BIGINT) AS step_idx,
+                   'purchase' AS step, n3.n AS n_users,
+                   CASE WHEN n2.n > 0 THEN round(n3.n / n2.n, 4) ELSE 0.0 END AS conversion FROM n3, n2
+        """,
+        "props_stats": """
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(count(k) AS BIGINT) AS n_with_key,
+                   CAST(min(k) AS BIGINT) AS k_min,
+                   CAST(max(k) AS BIGINT) AS k_max,
+                   CAST(sum(k) AS BIGINT) AS k_sum
+            FROM (SELECT event_type,
+                         CAST(json_extract_string(props, '$.k')
+                              AS BIGINT) AS k
+                  FROM events)
+            GROUP BY event_type
         """,
     }

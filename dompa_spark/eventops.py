@@ -95,3 +95,136 @@ def window_stats(df: DataFrame, window: str = "1 hour") -> DataFrame:
             "event_type", "n_events", "n_users", "total_value",
         )
     )
+
+
+def retention_cohorts(df: DataFrame) -> DataFrame:
+    """Cohort retention: users grouped by the DATE of their first
+    event; for each (cohort_day, day_offset), the count of cohort
+    members active that day and the retention ratio — the engagement
+    table every product-analytics stack ships. Output: (cohort_day,
+    day_offset, n_active, cohort_size, retention).
+
+    Scale shape: three partial-aggregating passes, every shuffle slim —
+    first-event dates per user (groupBy user, one row out per user);
+    distinct (user, day) activity (partial-agg distinct, one row per
+    user-day); the activity⟕firsts join is per-user slim; the final
+    (cohort_day, offset) aggregate counts pre-distinct rows so
+    count(*) IS count-distinct-users. Cohort sizes derive from the
+    firsts table (tiny — one row per DISTINCT date) and broadcast.
+    All date math on NTZ-derived DATEs — zone-free in both engines
+    (the _EPOCH_US discipline)."""
+    firsts = df.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    activity = (
+        df.select("user_id", F.to_date("ts").alias("day")).distinct()
+    )
+    sizes = firsts.groupBy("cohort_day").agg(
+        F.count("*").cast("long").alias("cohort_size")
+    )
+    joined = activity.join(firsts, "user_id").withColumn(
+        "day_offset", F.datediff("day", "cohort_day").cast("long")
+    )
+    return (
+        joined.groupBy("cohort_day", "day_offset")
+        .agg(F.count("*").cast("long").alias("n_active"))
+        .join(F.broadcast(sizes), "cohort_day")
+        .select(
+            F.col("cohort_day").cast("string").alias("cohort_day"),
+            "day_offset",
+            "n_active",
+            "cohort_size",
+            F.round(
+                F.col("n_active") / F.col("cohort_size"), 4
+            ).alias("retention"),
+        )
+    )
+
+
+FUNNEL_STEPS = ("signup", "view", "click", "purchase")
+
+
+def funnel_steps(df: DataFrame, steps: tuple = FUNNEL_STEPS) -> DataFrame:
+    """Ordered conversion funnel over event types: a user completes
+    step k when some step-k event occurs AT OR AFTER their step-(k-1)
+    completion time, completion time = the EARLIEST such qualifying
+    event (the standard sequential funnel; note min-ts-per-step with a
+    monotonicity check afterwards is NOT equivalent — a later
+    qualifying event can satisfy the order when the earliest doesn't).
+    Output: one row per step — (step_idx, step, n_users, conversion),
+    conversion = n_users / previous step's users (step 0 vs itself =
+    1.0 when nonzero).
+
+    Scale shape: k sequential passes, each a map-side type filter over
+    events (one event_type's rows survive the scan) joined to the
+    previous step's slim per-user completion table on user_id, then a
+    partial-agg min — every shuffle carries one row per (user, step
+    candidate), never the event stream; k is a small constant. The
+    alternative single-pass form is a per-user sorted state machine
+    (the sessionize single-task-per-user contract); the join form
+    keeps every stage partial-aggregating instead."""
+    us = F.expr(_EPOCH_US.format("ts"))
+    t_prev = (
+        df.filter(F.col("event_type") == steps[0])
+        .groupBy("user_id")
+        .agg(F.min(us).alias("t"))
+    )
+    tables = [t_prev]
+    for s_name in steps[1:]:
+        ev = df.filter(F.col("event_type") == s_name).select(
+            "user_id", us.alias("ts_us")
+        )
+        t_prev = (
+            ev.join(t_prev, "user_id")
+            .filter(F.col("ts_us") >= F.col("t"))
+            .groupBy("user_id")
+            .agg(F.min("ts_us").alias("t"))
+        )
+        tables.append(t_prev)
+    rows = None
+    prev_count = None
+    for k, (s_name, tbl) in enumerate(zip(steps, tables)):
+        cnt = tbl.agg(F.count("*").cast("long").alias("n"))
+        n = F.col("n")
+        if prev_count is None:
+            conv = F.when(n > 0, F.lit(1.0)).otherwise(F.lit(0.0))
+        else:
+            conv = F.when(
+                F.col("n_prev") > 0, n / F.col("n_prev")
+            ).otherwise(F.lit(0.0))
+            cnt = cnt.join(
+                F.broadcast(
+                    prev_count.select(F.col("n").alias("n_prev"))
+                )
+            )
+        one = cnt.select(
+            F.lit(k).cast("long").alias("step_idx"),
+            F.lit(s_name).alias("step"),
+            n.alias("n_users"),
+            F.round(conv, 4).alias("conversion"),
+        )
+        rows = one if rows is None else rows.unionByName(one)
+        prev_count = tbl.agg(F.count("*").cast("long").alias("n"))
+    return rows
+
+
+def props_stats(df: DataFrame, key: str = "k") -> DataFrame:
+    """Semi-structured column handling: extract an integer property
+    from the JSON `props` column and aggregate per event_type —
+    (event_type, n_events, n_with_key, k_min, k_max, k_sum). The JSON
+    path runs JVM-side (get_json_object — no Python, no shuffle until
+    the slim per-type aggregate); the DuckDB oracle replays with
+    json_extract_string. Integer min/max/sum keep the aggregate
+    order-independent (no float averages)."""
+    k = F.get_json_object("props", f"$.{key}").cast("long")
+    return (
+        df.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.count("k").cast("long").alias("n_with_key"),
+            F.min("k").cast("long").alias("k_min"),
+            F.max("k").cast("long").alias("k_max"),
+            F.sum("k").cast("long").alias("k_sum"),
+        )
+    )

@@ -128,6 +128,8 @@ def test_no_unbounded_cartesian_products(spark, entry_mod):
     # length_quantiles: the total-count 1-row aggregate plus the
     #   5-row literal quantile list both join broadcast — bounded by
     #   len(QUANTILE_BPS) x #bins (value-range-bounded), never data-sized
+    # funnel_steps: each step's conversion ratio joins the previous
+    #   step's user count as a broadcast 1-row aggregate (k tiny rows)
     # lm2_surprisal: corpus token total N joins in as a broadcast
     #   1-row aggregate (the lm_surprisal pattern); both LM tables are
     #   broadcast EQUI joins
@@ -136,7 +138,7 @@ def test_no_unbounded_cartesian_products(spark, entry_mod):
                     "corpus_mixture", "dsir_weights", "sample_mixture",
                     "bpe_train", "semdedup", "ann_ivfpq_topk",
                     "cluster_topics", "bm25_topk", "pmi_topk",
-                    "length_quantiles", "lm2_surprisal"}
+                    "length_quantiles", "lm2_surprisal", "funnel_steps"}
     for name, fn in entry_mod.queries().items():
         plan = plan_of(fn(spark, SF_DIR))
         assert "CartesianProduct" not in plan, f"{name} has a cartesian join"
