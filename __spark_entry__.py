@@ -1227,6 +1227,13 @@ def q_winnow_fingerprints(spark, sf_dir):
     return textops.winnow_fingerprints(_docs(spark, sf_dir))
 
 
+def q_tokenizer_fertility(spark, sf_dir):
+    """Per-language BPE-tokens-per-word under the frozen merge table —
+    the token-budget gauge next to corpus_mixture (fertility differs
+    per language; word-share mixing misbudgets high-fertility langs)."""
+    return textops.tokenizer_fertility(_docs(spark, sf_dir))
+
+
 def q_lm2_surprisal(spark, sf_dir):
     """Bigram-LM quality gate with stupid backoff: conditional
     bit-bucket surprisal under the corpus's own top-k bigram table,
@@ -1372,6 +1379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_contamination": q_winnow_contamination,
         "lm2_surprisal": q_lm2_surprisal,
+        "tokenizer_fertility": q_tokenizer_fertility,
     }
 
 
@@ -4732,5 +4740,30 @@ def oracle_sql() -> dict[str, str]:
                               AS BIGINT) AS k
                   FROM events)
             GROUP BY event_type
+        """,
+        "tokenizer_fertility": f"""
+            WITH base AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id, text, lang
+              FROM documents),
+            tok AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM base WHERE text IS NOT NULL),
+            enc AS (
+              SELECT doc_id, {_bpe_word_sql()} AS n FROM tok),
+            agg AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS nw,
+                     CAST(sum(n) AS BIGINT) AS nb
+              FROM enc GROUP BY doc_id)
+            SELECT b.lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(coalesce(a.nw, 0)) AS BIGINT) AS n_words,
+                   CAST(sum(coalesce(a.nb, 0)) AS BIGINT)
+                     AS n_bpe_tokens,
+                   CASE WHEN sum(coalesce(a.nw, 0)) > 0
+                        THEN round(sum(coalesce(a.nb, 0))
+                                   / sum(coalesce(a.nw, 0)), 4)
+                        ELSE 0.0 END AS fertility
+            FROM base b LEFT JOIN agg a USING (doc_id)
+            GROUP BY b.lang
         """,
     }

@@ -6732,3 +6732,38 @@ def lm2_surprisal_scores(
         (F.col("n_tokens") > 0)
         & (F.col("mean_surprisal") <= F.lit(float(surprisal_max))),
     )
+
+
+def tokenizer_fertility(df: DataFrame, merges=None) -> DataFrame:
+    """Per-language tokenizer fertility — BPE tokens per whitespace
+    word under the frozen merge table — the gauge a data-mixing
+    pipeline reads next to corpus_mixture: token budgets are paid in
+    TOKENIZER tokens, and fertility differs per language, so mixing by
+    word share silently misbudgets high-fertility languages. Output:
+    (lang, n_docs, n_words, n_bpe_tokens, fertility), fertility =
+    round(bpe/words, 4), one row per observed lang (NULL lang groups
+    like any GROUP BY; zero-word langs report 0.0).
+
+    Scale shape: tokenize_bpe's zero-shuffle map-side encode, joined
+    slim (doc_id -> lang) and collapsed by ONE partial-aggregating
+    groupBy(lang) — the shuffle carries one row per lang per task."""
+    tk = tokenize_bpe(df, merges)
+    langs = df.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang"
+    )
+    return (
+        langs.join(tk, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        )
+        .withColumn(
+            "fertility",
+            F.when(
+                F.col("n_words") > 0,
+                F.round(F.col("n_bpe_tokens") / F.col("n_words"), 4),
+            ).otherwise(F.lit(0.0)),
+        )
+    )

@@ -451,3 +451,27 @@ def test_lm2_first_token_unigram_no_penalty(spark):
     # N=10 total 'hello' occurrences -> bucket = floor(log2(10//10))=0
     assert out[1]["bigram_hit_ratio"] == 0.0
     assert out[1]["mean_surprisal"] == 0.0
+
+
+# --- tokenizer_fertility ----------------------------------------------
+
+
+def test_tokenizer_fertility_per_lang(spark):
+    """Merge-heavy words (the/th/in merges fire) yield lower fertility
+    than merge-free words; zero-word and null-text docs report 0."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the the the the", "en"),      # 'the' -> 1 symbol each
+            (2, "zzzz qqqq xxxx", "xx"),       # no merges: 4 chars each
+            (3, None, "nn"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {
+        r["lang"]: r
+        for r in textops.tokenizer_fertility(docs).collect()
+    }
+    assert out["en"]["n_words"] == 4
+    assert out["en"]["fertility"] == 1.0      # fully merged
+    assert out["xx"]["fertility"] == 4.0      # 4 symbols per word
+    assert out["nn"]["n_words"] == 0 and out["nn"]["fertility"] == 0.0
