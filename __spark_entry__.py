@@ -1257,6 +1257,37 @@ def q_char_entropy(spark, sf_dir):
     return textops.char_entropy_scores(_docs(spark, sf_dir))
 
 
+# Shared multi-script augmentation (the corpus is ASCII-only, so the
+# query plants cyrillic / CJK / arabic runs keyed on doc_id — the
+# pii_scrub template trick; both engines compute the same CASE).
+# {STR} is the engine's string type name (STRING / VARCHAR).
+_SCRIPT_AUG = """
+    CASE WHEN CAST(doc_id AS BIGINT) % 97 = 13 THEN CAST(NULL AS {STR})
+         WHEN CAST(doc_id AS BIGINT) % 4 = 1 THEN text ||
+              repeat(' пример текста слово',
+                     CAST(1 + CAST(doc_id AS BIGINT) % 6 AS INT))
+         WHEN CAST(doc_id AS BIGINT) % 4 = 2 THEN
+              repeat('中文例子 ', CAST(3 + CAST(doc_id AS BIGINT) % 7 AS INT))
+         WHEN CAST(doc_id AS BIGINT) % 4 = 3 THEN text || ' نص عربي' ||
+              repeat(' слово', CAST(CAST(doc_id AS BIGINT) % 3 AS INT))
+         ELSE text END
+"""
+
+
+def q_script_profile(spark, sf_dir):
+    """Unicode-script detection over deterministically templated
+    multi-script content: dominant script + exact-ppm per-family
+    shares + the mixed-script gate (see textops.script_profile). The
+    augmentation exercises every branch — pure latin, latin+cyrillic
+    mixes, pure CJK, three-script spam, and NULL text."""
+    docs = _docs(spark, sf_dir)
+    aug = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.expr(_SCRIPT_AUG.format(STR="STRING")).alias("text"),
+    )
+    return textops.script_profile(aug)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full extraction pipeline (template-interleaved docs ->
     salted partitioning -> Arrow kernel -> spans) on sf0.001."""
@@ -1376,6 +1407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_topk": q_pmi_topk,
         "length_quantiles": q_length_quantiles,
         "char_entropy": q_char_entropy,
+        "script_profile": q_script_profile,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_contamination": q_winnow_contamination,
         "lm2_surprisal": q_lm2_surprisal,
@@ -4574,6 +4606,51 @@ def oracle_sql() -> dict[str, str]:
                    (n > 0 AND h_bits >= {textops.CHAR_ENTROPY_MIN}
                     AND h_bits <= {textops.CHAR_ENTROPY_MAX}) AS char_ok
             FROM h
+        """,
+        # script_profile: exact-ppm integer math end to end (length
+        # diffs, `//` == Spark div, cross-multiplied gate — no doubles
+        # anywhere); literal BMP ranges so RE2 and Java regex agree and
+        # DuckDB codepoint len == JVM UTF-16 length; 'g' flag as always
+        "script_profile": f"""
+            WITH base AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     coalesce({_SCRIPT_AUG.format(STR="VARCHAR")}, '') AS t
+              FROM documents),
+            c AS (
+              SELECT doc_id, length(t) AS n,
+                     length(t) - length(regexp_replace(
+                       t, '[A-Za-zÀ-ɏ]', '', 'g')) AS c_latin,
+                     length(t) - length(regexp_replace(
+                       t, '[Ѐ-ӿ]', '', 'g')) AS c_cyrillic,
+                     length(t) - length(regexp_replace(
+                       t, '[一-鿿぀-ヿ가-힯]', '', 'g')) AS c_cjk,
+                     length(t) - length(regexp_replace(
+                       t, '[؀-ۿ]', '', 'g')) AS c_arabic
+              FROM base),
+            c2 AS (
+              SELECT *, c_latin + c_cyrillic + c_cjk + c_arabic AS nl,
+                     greatest(c_latin, c_cyrillic, c_cjk, c_arabic) AS mc
+              FROM c)
+            SELECT doc_id,
+                   CAST(n AS BIGINT) AS n_chars,
+                   CAST(nl AS BIGINT) AS n_scripted,
+                   (c_latin * 1000000) // greatest(nl, 1) AS latin_ppm,
+                   (c_cyrillic * 1000000) // greatest(nl, 1)
+                     AS cyrillic_ppm,
+                   (c_cjk * 1000000) // greatest(nl, 1) AS cjk_ppm,
+                   (c_arabic * 1000000) // greatest(nl, 1) AS arabic_ppm,
+                   -- earliest-max replay of the strict-greater scan
+                   CASE WHEN nl = 0 THEN 'none'
+                        WHEN c_latin >= c_cyrillic AND c_latin >= c_cjk
+                             AND c_latin >= c_arabic THEN 'latin'
+                        WHEN c_cyrillic >= c_cjk AND c_cyrillic >= c_arabic
+                             THEN 'cyrillic'
+                        WHEN c_cjk >= c_arabic THEN 'cjk'
+                        ELSE 'arabic' END AS main_script,
+                   (nl > 0 AND mc * 1000000 >=
+                    {textops.SCRIPT_MAIN_MIN_PPM} * greatest(nl, 1))
+                     AS script_ok
+            FROM c2
         """,
         "winnow_fingerprints": f"SELECT * FROM {_winnow_sql()} wf",
         # winnow_contamination: the winnow body reused for both sides;

@@ -6767,3 +6767,104 @@ def tokenizer_fertility(df: DataFrame, merges=None) -> DataFrame:
             ).otherwise(F.lit(0.0)),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Unicode-script profile (CCNet-style pre-langid script detection)
+# ---------------------------------------------------------------------------
+
+# BMP-literal character ranges — literal ranges (not \p{Script=...}
+# classes) because Java regex and DuckDB's RE2 agree on literal ranges
+# unconditionally, while named script properties differ by engine
+# version/table. BMP-only so DuckDB's codepoint len() and the JVM's
+# UTF-16 length() count identically.
+SCRIPT_CLASSES = [
+    # (name, regex char class); declaration order is the tie-break
+    ("latin", "[A-Za-zÀ-ɏ]"),
+    ("cyrillic", "[Ѐ-ӿ]"),
+    ("cjk", "[一-鿿぀-ヿ가-힯]"),
+    ("arabic", "[؀-ۿ]"),
+]
+SCRIPT_MAIN_MIN_PPM = 900_000  # main script must own >= 90% of letters
+
+
+def script_profile(
+    docs: DataFrame,
+    *,
+    main_min_ppm: int = SCRIPT_MAIN_MIN_PPM,
+    text_col: str = "text",
+) -> DataFrame:
+    """Unicode-script detection — the step a CCNet-style pipeline runs
+    BEFORE n-gram language-ID: lang_id's trigram tables assume the
+    right script family, and mixed-script text (spam keyword stuffing,
+    mojibake, bidi-spoofed URLs) is a reject signal of its own that
+    word-level gates never see. Per document: letter counts for the
+    four major script families (latin incl. latin-1/extended,
+    cyrillic, CJK incl. kana + hangul, arabic), each as an exact
+    parts-per-million share of SCRIPTED letters (integer div — no
+    doubles anywhere in the row, so the value hash is engine-exact by
+    construction), the dominant script with a fixed priority-order
+    tie-break (SCRIPT_CLASSES declaration order — deterministic,
+    engine-independent), and script_ok = the dominant script owns >=
+    main_min_ppm of the scripted letters (the mixed-script gate).
+    Docs with no scripted letters (or NULL text): main_script='none',
+    all ppm 0, script_ok=false — one row per doc always (the
+    repetition_scores contract).
+
+    Scale shape: pure map-side Catalyst expressions — one
+    regexp_replace length-difference per script class, no explode, no
+    shuffle, no Python; whole-stage codegen end to end. At 10^12 docs
+    this is a scan-bound pass like char_entropy_scores, and the two
+    gates share their scan when composed in one select."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n = F.length(t)
+    counts = [
+        (name, (n - F.length(F.regexp_replace(t, pat, ""))).cast("long"))
+        for name, pat in SCRIPT_CLASSES
+    ]
+    n_letters = counts[0][1]
+    for _, c in counts[1:]:
+        n_letters = n_letters + c
+
+    # stage 1: materialize the counts as real columns so stage 2 can use
+    # SQL `div` (exact integer floor — a double `/` + cast would admit a
+    # one-ulp truncation flap on exact ratios) and the dominant-script
+    # when-chain references each count once.
+    staged = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        n.cast("long").alias("n_chars"),
+        n_letters.alias("n_scripted"),
+        *[c.alias(f"c_{name}") for name, c in counts],
+    )
+
+    # dominant script: strict-greater scan in declaration order ==
+    # priority-order tie-break (earlier class wins ties).
+    main_cnt = F.col(f"c_{SCRIPT_CLASSES[0][0]}")
+    main_name = F.when(
+        main_cnt > 0, F.lit(SCRIPT_CLASSES[0][0])
+    ).otherwise(F.lit("none"))
+    for name, _ in SCRIPT_CLASSES[1:]:
+        c = F.col(f"c_{name}")
+        main_name = F.when(c > main_cnt, F.lit(name)).otherwise(main_name)
+        main_cnt = F.greatest(c, main_cnt)
+
+    ppm_cols = [
+        F.expr(
+            f"(c_{name} * 1000000) div greatest(n_scripted, 1)"
+        ).alias(f"{name}_ppm")
+        for name, _ in SCRIPT_CLASSES
+    ]
+    main_ppm_ok = (
+        main_cnt * F.lit(1_000_000).cast("long")
+        >= F.lit(int(main_min_ppm)) * F.greatest(
+            F.col("n_scripted"), F.lit(1).cast("long")
+        )
+    )
+    return staged.select(
+        "doc_id",
+        "n_chars",
+        "n_scripted",
+        *ppm_cols,
+        main_name.alias("main_script"),
+        ((F.col("n_scripted") > 0) & main_ppm_ok).alias("script_ok"),
+    )

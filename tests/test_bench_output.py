@@ -10,7 +10,7 @@ sys.path.insert(0, "/root/repo")
 
 import bench  # noqa: E402
 
-# 105 realistic query names (the live set is 102; headroom for growth —
+# realistic query names (the live set is 105; headroom for growth —
 # the degrade path drops fastest queries first when over budget),
 # at the live set's name-length distribution.
 _QUERY_NAMES = [
@@ -46,7 +46,7 @@ _QUERY_NAMES = [
     "bm25_topk", "pmi_topk", "length_quantiles", "char_entropy",
     "winnow_fingerprints", "winnow_contamination", "lm2_surprisal",
     "retention_cohorts", "funnel_steps", "props_stats",
-    "tokenizer_fertility",
+    "tokenizer_fertility", "script_profile",
     "extra_query_name_j", "extra_query_name_k",
 ]
 
