@@ -1288,6 +1288,25 @@ def q_script_profile(spark, sf_dir):
     return textops.script_profile(aug)
 
 
+def q_dom_templates(spark, sf_dir):
+    """Host template detection over DOM-skeleton fingerprints: four
+    layouts at skewed frequencies (60/25/10/5) on 23 hosts, parsed by
+    the REAL parser; the skeleton must be invariant to per-doc text and
+    attribute values, and the 15% ppm gate must pass the two common
+    layouts and reject the two rare ones (see textops.template_detect)."""
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("long")
+    wrapped = textops.template_wrapped(docs)
+    nodes = pipeline.parse_nodes_df(wrapped)
+    hosts = docs.select(
+        did.alias("doc_id"),
+        F.concat(
+            F.lit("site"), (did % 23).cast("string"), F.lit(".example.com")
+        ).alias("host"),
+    )
+    return textops.template_detect(nodes, hosts)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full extraction pipeline (template-interleaved docs ->
     salted partitioning -> Arrow kernel -> spans) on sf0.001."""
@@ -1408,6 +1427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_quantiles": q_length_quantiles,
         "char_entropy": q_char_entropy,
         "script_profile": q_script_profile,
+        "dom_templates": q_dom_templates,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_contamination": q_winnow_contamination,
         "lm2_surprisal": q_lm2_surprisal,
@@ -4651,6 +4671,41 @@ def oracle_sql() -> dict[str, str]:
                     {textops.SCRIPT_MAIN_MIN_PPM} * greatest(nl, 1))
                      AS script_ok
             FROM c2
+        """,
+        # dom_templates: the oracle predicts the parser's tag sequence
+        # closed-form per layout (template algebra) and replays the
+        # md5_60 skeleton hash + the cross-multiplied ppm gate exactly
+        "dom_templates": f"""
+            WITH d AS (
+              SELECT CAST(doc_id AS BIGINT) AS did FROM documents),
+            s AS (
+              SELECT 'site' || CAST(did % 23 AS VARCHAR)
+                       || '.example.com' AS host,
+                     CASE WHEN did % 20 < 12 THEN 'div>h1>p'
+                          WHEN did % 20 < 17 THEN 'article>p>img>p'
+                          WHEN did % 20 < 19 THEN 'ul>li>li'
+                          ELSE 'table>tr>td>hr' END AS skel,
+                     CASE WHEN did % 20 < 12 THEN 3
+                          WHEN did % 20 < 17 THEN 4
+                          WHEN did % 20 < 19 THEN 3
+                          ELSE 4 END AS nt
+              FROM d),
+            per AS (
+              SELECT host,
+                     CAST('0x' || substr(md5(skel), 1, 15) AS BIGINT)
+                       AS skeleton,
+                     CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(min(nt) AS BIGINT) AS n_tags
+              FROM s GROUP BY host, skel),
+            tot AS (
+              SELECT host, CAST(sum(n_docs) AS BIGINT) AS host_docs
+              FROM per GROUP BY host)
+            SELECT p.host, p.skeleton, p.n_docs, p.n_tags, t.host_docs,
+                   (p.n_docs >= {textops.TEMPLATE_MIN_DOCS}
+                    AND p.n_docs * 1000000 >=
+                        {textops.TEMPLATE_FRAC_MIN_PPM} * t.host_docs)
+                     AS is_template
+            FROM per p JOIN tot t ON t.host = p.host
         """,
         "winnow_fingerprints": f"SELECT * FROM {_winnow_sql()} wf",
         # winnow_contamination: the winnow body reused for both sides;

@@ -6868,3 +6868,138 @@ def script_profile(
         main_name.alias("main_script"),
         ((F.col("n_scripted") > 0) & main_ppm_ok).alias("script_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DOM skeleton fingerprints + host template detection
+# ---------------------------------------------------------------------------
+
+TEMPLATE_FRAC_MIN_PPM = 150_000  # a template owns >= 15% of a host's docs
+TEMPLATE_MIN_DOCS = 2
+
+
+def template_wrapped(df: DataFrame) -> DataFrame:
+    """Template fixture through the REAL parser: four page layouts with
+    deliberately skewed frequencies (60/30/10/5-ish via doc_id % 20),
+    hosted on 23 synthetic hosts. Within a layout the text payload and
+    attribute VALUES vary per doc while the tag sequence stays constant
+    — exactly the invariance dom_skeleton must exhibit."""
+    sid = F.col("doc_id").cast("string")
+    v = F.col("doc_id").cast("long") % 20
+    w1 = F.expr("element_at(split(text, ' '), 1)")
+    t = F.col("text")
+    html = (
+        F.when(
+            v < 12,
+            F.concat(
+                F.lit('<div class="page p'), sid, F.lit('"><h1>T'), sid,
+                F.lit("</h1><p>"), t, F.lit("</p></div>"),
+            ),
+        )
+        .when(
+            v < 17,
+            F.concat(
+                F.lit("<article><p>"), t, F.lit('</p><img src="x'), sid,
+                F.lit('.png"><p>fin</p></article>'),
+            ),
+        )
+        .when(
+            v < 19,
+            F.concat(
+                F.lit("<ul><li>"), w1, F.lit("</li><li>"), t,
+                F.lit("</li></ul>"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit('<table><tr><td id="c'), sid, F.lit('">'), t,
+                F.lit("</td></tr></table><hr>"),
+            )
+        )
+    )
+    return df.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(html_span(html, 0)).alias("spans"),
+    )
+
+
+def dom_skeleton(nodes_df: DataFrame) -> DataFrame:
+    """Per-document DOM structure fingerprint: md5_60 over the
+    document-order tag-name sequence of the parsed flat DOM, text and
+    attribute CONTENT excluded — two pages built from the same layout
+    hash identically however their copy differs. This is the signal
+    behind site-template detection (host chrome repeats structure, not
+    text, so segment-level dedup misses it when the chrome re-words).
+    Output: (doc_id, skeleton, n_tags).
+
+    Scale shape: the filtered element array binds at a projection
+    boundary (the HOF-materialization house rule — it is referenced by
+    both the join and the size), then one transform + array_join + md5
+    per row; zero shuffles, zero explodes, no Python beyond the shared
+    parse kernel."""
+    from dompa_spark.constants import TEXT_NAME
+
+    staged = nodes_df.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.filter(
+            F.col("nodes"), lambda n: n["name"] != TEXT_NAME
+        ).alias("elems"),
+    )
+    seq = F.array_join(
+        F.transform(F.col("elems"), lambda n: n["name"]), ">"
+    )
+    return staged.select(
+        "doc_id",
+        _md5_60_of(seq).alias("skeleton"),
+        F.size("elems").cast("long").alias("n_tags"),
+    )
+
+
+def template_detect(
+    nodes_df: DataFrame,
+    hosts: DataFrame,
+    *,
+    frac_min_ppm: int = TEMPLATE_FRAC_MIN_PPM,
+    min_docs: int = TEMPLATE_MIN_DOCS,
+) -> DataFrame:
+    """Host template detection over DOM-skeleton fingerprints: a
+    (host, skeleton) group is a template iff it owns >= frac_min_ppm of
+    the host's docs (exact cross-multiplied ppm — no doubles) and at
+    least min_docs docs. The per-host complement of host_boilerplate:
+    that operator votes on repeated text SEGMENTS; this one votes on
+    repeated page STRUCTURE, which survives re-worded chrome. Input:
+    parsed nodes + a slim (doc_id, host) map. Output one row per
+    (host, skeleton): n_docs, n_tags, host_docs, is_template.
+
+    Scale shape: skeleton is map-side; ONE partial-aggregatable
+    groupBy(host, skeleton) collapses the corpus to the template table
+    (bounded by layouts x hosts, not docs); host totals re-aggregate
+    THAT table (partial agg of an already-tiny input) and join back on
+    host — the corpus is never shuffled twice and no window ever sees
+    a doc row. A mega-host costs its tasks' map-side combines."""
+    sk = dom_skeleton(nodes_df)
+    per = (
+        sk.join(hosts, "doc_id")
+        .groupBy("host", "skeleton")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("n_tags").cast("long").alias("n_tags"),
+        )
+    )
+    totals = per.groupBy("host").agg(
+        F.sum("n_docs").cast("long").alias("host_docs")
+    )
+    return per.join(totals, "host").select(
+        "host",
+        "skeleton",
+        "n_docs",
+        "n_tags",
+        "host_docs",
+        (
+            (F.col("n_docs") >= F.lit(int(min_docs)))
+            & (
+                F.col("n_docs") * F.lit(1_000_000).cast("long")
+                >= F.lit(int(frac_min_ppm)) * F.col("host_docs")
+            )
+        ).alias("is_template"),
+    )

@@ -46,7 +46,7 @@ _QUERY_NAMES = [
     "bm25_topk", "pmi_topk", "length_quantiles", "char_entropy",
     "winnow_fingerprints", "winnow_contamination", "lm2_surprisal",
     "retention_cohorts", "funnel_steps", "props_stats",
-    "tokenizer_fertility", "script_profile",
+    "tokenizer_fertility", "script_profile", "dom_templates",
     "extra_query_name_j", "extra_query_name_k",
 ]
 
