@@ -1307,6 +1307,13 @@ def q_dom_templates(spark, sf_dir):
     return textops.template_detect(nodes, hosts)
 
 
+def q_cms_counts(spark, sf_dir):
+    """Count-min sketch accuracy gauge: estimate-vs-exact for the
+    corpus's top-20 terms (see textops.cms_counts; estimates only
+    overcount — the one-sided CMS error contract)."""
+    return textops.cms_counts(_docs(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full extraction pipeline (template-interleaved docs ->
     salted partitioning -> Arrow kernel -> spans) on sf0.001."""
@@ -1428,6 +1435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": q_char_entropy,
         "script_profile": q_script_profile,
         "dom_templates": q_dom_templates,
+        "cms_counts": q_cms_counts,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_contamination": q_winnow_contamination,
         "lm2_surprisal": q_lm2_surprisal,
@@ -4706,6 +4714,47 @@ def oracle_sql() -> dict[str, str]:
                         {textops.TEMPLATE_FRAC_MIN_PPM} * t.host_docs)
                      AS is_template
             FROM per p JOIN tot t ON t.host = p.host
+        """,
+        # cms_counts: the sketch + probes replay the minhash
+        # universal-hash bucket math in exact BIGINT (md5_60 % P, then
+        # ((a*h + b) % P) % w; a*h < 2^62, no overflow); LEFT join +
+        # coalesce(0) mirrors the never-incremented-bucket read
+        "cms_counts": f"""
+            WITH toks AS (
+              SELECT unnest(string_split(text, ' ')) AS term
+              FROM documents),
+            h AS (
+              SELECT term,
+                     CAST('0x' || substr(md5(term), 1, 15) AS BIGINT)
+                       % {textops.MINHASH_P} AS hv
+              FROM toks),
+            rb AS (
+              SELECT j AS r,
+                     (({_MINHASH_A_SQL}[j+1] * hv + {_MINHASH_B_SQL}[j+1])
+                      % {textops.MINHASH_P}) % {textops.CMS_W} AS b
+              FROM h, range(0, {textops.CMS_D}) t(j)),
+            sketch AS (
+              SELECT r, b, CAST(count(*) AS BIGINT) AS cnt
+              FROM rb GROUP BY r, b),
+            exact AS (
+              SELECT term, CAST(count(*) AS BIGINT) AS exact_cnt
+              FROM toks GROUP BY term),
+            topk AS (
+              SELECT term, exact_cnt FROM exact
+              ORDER BY exact_cnt DESC, term ASC
+              LIMIT {textops.CMS_TOPK}),
+            probes AS (
+              SELECT t.term, t.exact_cnt, j AS r,
+                     (({_MINHASH_A_SQL}[j+1] *
+                        (CAST('0x' || substr(md5(t.term), 1, 15) AS BIGINT)
+                         % {textops.MINHASH_P})
+                       + {_MINHASH_B_SQL}[j+1])
+                      % {textops.MINHASH_P}) % {textops.CMS_W} AS b
+              FROM topk t, range(0, {textops.CMS_D}) s(j))
+            SELECT p.term, p.exact_cnt,
+                   CAST(min(coalesce(s.cnt, 0)) AS BIGINT) AS cms_est
+            FROM probes p LEFT JOIN sketch s ON s.r = p.r AND s.b = p.b
+            GROUP BY p.term, p.exact_cnt
         """,
         "winnow_fingerprints": f"SELECT * FROM {_winnow_sql()} wf",
         # winnow_contamination: the winnow body reused for both sides;

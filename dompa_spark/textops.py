@@ -7003,3 +7003,154 @@ def template_detect(
             )
         ).alias("is_template"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (bounded-memory frequency estimates)
+# ---------------------------------------------------------------------------
+
+CMS_D = 4  # hash rows (reuses MINHASH_A/B[0..3])
+CMS_W = 512  # buckets per row
+CMS_TOPK = 20
+
+
+def cms_sketch(
+    df: DataFrame,
+    *,
+    d: int = CMS_D,
+    w: int = CMS_W,
+    text_col: str = "text",
+) -> DataFrame:
+    """Count-min sketch of the corpus term frequencies (Cormode &
+    Muthukrishnan 2005): d x w counters, counter[r][b] = number of
+    token occurrences hashing to bucket b under row r's hash. The
+    BOUNDED-MEMORY member of the frequency family: heavy_hitters
+    shuffles a 1/rate occurrence sample (unbiased, sample-sized state),
+    distinct_sketch estimates cardinality — this one answers point
+    frequency queries for ANY term after the fact from d*w longs,
+    never materializing the vocabulary. Estimates only OVERcount
+    (min over d rows bounds the collision error at ~e*N/w with
+    probability 1-e^-d) — the safe direction for stopword/blocklist
+    screening, where a false high is a wasted exact check and a false
+    low would be a miss. Output: (r, b, cnt), d*w rows max.
+
+    Scale shape: one token explode x d bucket rows, collapsed by ONE
+    partial-aggregatable groupBy(r, b) over a key space bounded by d*w
+    (NOT corpus size) — every task combines to <= d*w rows map-side,
+    the canonical sketch shuffle. Sketches of corpus shards MERGE by
+    elementwise sum (same GROUP BY — pinned by test), so shard-level
+    sketches union for free. Hash parity: md5_60(term) % P through the
+    minhash universal-hash family (one hash discipline across dedup
+    and telemetry), bucket = ((a*h + b) % P) % w — every step exact
+    BIGINT, DuckDB-replayable."""
+    toks = df.select(F.explode(words(text_col)).alias("term"))
+    staged = toks.select(
+        (_md5_60_of(F.col("term")) % F.lit(MINHASH_P)).alias("hv")
+    )
+    rows = staged.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).cast("int").alias("r"),
+                        (
+                            (
+                                (
+                                    F.lit(MINHASH_A[r]) * F.col("hv")
+                                    + F.lit(MINHASH_B[r])
+                                )
+                                % F.lit(MINHASH_P)
+                            )
+                            % F.lit(w)
+                        ).cast("int").alias("b"),
+                    )
+                    for r in range(d)
+                ]
+            )
+        ).alias("rb")
+    )
+    return (
+        rows.select(F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
+        .groupBy("r", "b")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    terms: DataFrame,
+    *,
+    d: int = CMS_D,
+    w: int = CMS_W,
+    term_col: str = "term",
+) -> DataFrame:
+    """Point-query a count-min sketch: per term, min over the d row
+    counters at the term's buckets. Missing buckets (never incremented)
+    read as 0. The probe side replays the identical bucket math, so a
+    sketch persisted as parquet serves any later session.
+
+    Scale shape: the probe set is the small side by construction
+    (someone is ASKING about these terms) — d probe rows per term
+    equi-join the d*w-row sketch; both sides are tiny next to the
+    corpus that built the sketch, and the final groupBy(term) is a
+    partial-aggregatable MIN."""
+    staged = terms.select(
+        F.col(term_col).alias("term"),
+        (_md5_60_of(F.col(term_col)) % F.lit(MINHASH_P)).alias("hv"),
+    )
+    probes = staged.select(
+        "term",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).cast("int").alias("r"),
+                        (
+                            (
+                                (
+                                    F.lit(MINHASH_A[r]) * F.col("hv")
+                                    + F.lit(MINHASH_B[r])
+                                )
+                                % F.lit(MINHASH_P)
+                            )
+                            % F.lit(w)
+                        ).cast("int").alias("b"),
+                    )
+                    for r in range(d)
+                ]
+            )
+        ).alias("rb"),
+    ).select("term", F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
+    joined = probes.join(sketch, ["r", "b"], "left").select(
+        "term", F.coalesce(F.col("cnt"), F.lit(0).cast("long")).alias("cnt")
+    )
+    return joined.groupBy("term").agg(
+        F.min("cnt").cast("long").alias("cms_est")
+    )
+
+
+def cms_counts(
+    df: DataFrame,
+    *,
+    k: int = CMS_TOPK,
+    d: int = CMS_D,
+    w: int = CMS_W,
+    text_col: str = "text",
+) -> DataFrame:
+    """The count-min accuracy gauge (ann_recall's frequency sibling):
+    sketch the corpus, then compare the sketch's estimate against the
+    exact count for the k most frequent terms (count desc / term asc
+    tie-break — the house deterministic top-k). cms_est >= exact_cnt
+    ALWAYS (one-sided error is the CMS contract); the overshoot is the
+    collision telemetry that says whether w is sized right for the
+    corpus. Output: (term, exact_cnt, cms_est)."""
+    toks = df.select(F.explode(words(text_col)).alias("term"))
+    exact = toks.groupBy("term").agg(
+        F.count("*").cast("long").alias("exact_cnt")
+    )
+    topk = exact.orderBy(
+        F.desc("exact_cnt"), F.asc("term")
+    ).limit(int(k))
+    sk = cms_sketch(df, d=d, w=w, text_col=text_col)
+    est = cms_estimate(sk, topk.select("term"), d=d, w=w)
+    return topk.join(est, "term").select("term", "exact_cnt", "cms_est")
