@@ -1307,6 +1307,18 @@ def q_dom_templates(spark, sf_dir):
     return textops.template_detect(nodes, hosts)
 
 
+def q_feed_entries(spark, sf_dir):
+    """RSS/Atom feed ingestion through the REAL parser: even docs RSS
+    (item->channel->rss chain, link recovered from the void-<link>
+    adjacent-sibling text — the HTML void table wins even in RSS
+    markup), odd docs Atom (entry->feed chain, link from the href
+    attr). Link-less decoys drop but hold their document-order
+    position; channel/feed titles and orphan items never emit (see
+    textops.feed_entries_df)."""
+    wrapped = textops.feed_wrapped(_docs(spark, sf_dir))
+    return textops.feed_entries_df(pipeline.parse_nodes_df(wrapped))
+
+
 def q_cms_counts(spark, sf_dir):
     """Count-min sketch accuracy gauge: estimate-vs-exact for the
     corpus's top-20 terms (see textops.cms_counts; estimates only
@@ -1436,6 +1448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_profile": q_script_profile,
         "dom_templates": q_dom_templates,
         "cms_counts": q_cms_counts,
+        "feed_entries": q_feed_entries,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_contamination": q_winnow_contamination,
         "lm2_surprisal": q_lm2_surprisal,
@@ -2630,6 +2643,38 @@ def oracle_sql() -> dict[str, str]:
                    'https://ex.org/p/' || sid || '?utm_source=x#frag',
                    NULL, 'https://ex.org/p/' || sid, 'ex.org'
             FROM base
+        """,
+        # feed_entries: template algebra predicts all four kept entry
+        # shapes (RSS pos 0/2, Atom pos 0/2) incl. the canonical URLs;
+        # the dropped link-less decoys leave the position gaps
+        "feed_entries": """
+            WITH base AS (
+              SELECT CAST(doc_id AS BIGINT) AS did,
+                     CAST(doc_id AS VARCHAR) AS sid,
+                     CAST(CAST(doc_id AS BIGINT) % 9 + 1 AS VARCHAR) AS m,
+                     string_split(text, ' ')[1] AS w1
+              FROM documents)
+            SELECT did AS doc_id, CAST(0 AS BIGINT) AS entry_pos,
+                   'rss' AS feed_type, 'First ' || w1 AS title,
+                   'https://EX.org:443/a/' || sid || '/' AS link,
+                   '2026-0' || m || '-01' AS published,
+                   'https://ex.org/a/' || sid AS url_canon,
+                   'ex.org' AS host
+            FROM base WHERE did % 2 = 0
+            UNION ALL
+            SELECT did, 2, 'rss', 'Second',
+                   'https://ex.org/a/' || sid || '?utm_source=r#f',
+                   NULL, 'https://ex.org/a/' || sid, 'ex.org'
+            FROM base WHERE did % 2 = 0
+            UNION ALL
+            SELECT did, 0, 'atom', 'E1 ' || w1,
+                   'https://ex.org/b/' || sid, '2026-0' || m || '-02',
+                   'https://ex.org/b/' || sid, 'ex.org'
+            FROM base WHERE did % 2 = 1
+            UNION ALL
+            SELECT did, 2, 'atom', NULL, 'https://ex.org/b2/' || sid,
+                   NULL, 'https://ex.org/b2/' || sid, 'ex.org'
+            FROM base WHERE did % 2 = 1
         """,
         "robots_parse": _robots_rules_sql(),
         # chunk_docs: same exact-integer last-chunk formula; DuckDB's

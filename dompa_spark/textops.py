@@ -7154,3 +7154,219 @@ def cms_counts(
     sk = cms_sketch(df, d=d, w=w, text_col=text_col)
     est = cms_estimate(sk, topk.select("term"), d=d, w=w)
     return topk.join(est, "term").select("term", "exact_cnt", "cms_est")
+
+
+# ---------------------------------------------------------------------------
+# RSS / Atom feed ingestion (frontier discovery, sitemap's sibling)
+# ---------------------------------------------------------------------------
+
+
+def feed_wrapped(df: DataFrame) -> DataFrame:
+    """Feed fixture through the REAL parser: even docs carry an RSS 2.0
+    feed (item -> channel -> rss chain, link as DIRECT-CHILD TEXT),
+    odd docs an Atom feed (entry -> feed chain, link as the HREF ATTR
+    of a void <link> element — the parser treats link as a void tag,
+    which is exactly why the two syntaxes exercise different
+    extraction paths). Each feed has one complete entry, one link-LESS
+    decoy (must drop but still occupy its document-order position),
+    and one minimal entry (RSS: no pubDate; Atom: no title). The
+    channel/feed-level <title> is a decoy too — it must never emit as
+    an entry title. An orphan <item> outside any channel closes the
+    fixture."""
+    d = F.col("doc_id").cast("long")
+    sid = F.col("doc_id").cast("string")
+    month = (d % 9 + 1).cast("string")
+    w1 = F.expr("element_at(split(text, ' '), 1)")
+    rss = F.concat(
+        F.lit('<rss version="2.0"><channel><title>Feed '), sid,
+        F.lit("</title><item><title>First "), w1,
+        F.lit("</title><link>https://EX.org:443/a/"), sid,
+        F.lit("/</link><pubDate>2026-0"), month,
+        F.lit("-01</pubDate></item>"
+              "<item><title>No link</title></item>"
+              "<item><title>Second</title><link>https://ex.org/a/"),
+        sid,
+        F.lit("?utm_source=r#f</link></item></channel></rss>"
+              "<item><title>orphan</title><link>https://bad.org/x"
+              "</link></item>"),
+    )
+    atom = F.concat(
+        F.lit('<feed xmlns="http://www.w3.org/2005/Atom"><title>A '), sid,
+        F.lit("</title><entry><title>E1 "), w1,
+        F.lit('</title><link href="https://ex.org/b/'), sid,
+        F.lit('"/><updated>2026-0'), month,
+        F.lit("-02</updated></entry>"
+              "<entry><title>No link entry</title></entry>"
+              '<entry><link href="https://ex.org/b2/'),
+        sid, F.lit('"/></entry></feed>'),
+    )
+    html = F.when(d % 2 == 0, rss).otherwise(atom)
+    return df.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(html_span(html, 0)).alias("spans"),
+    )
+
+
+def feed_entries_df(nodes_df: DataFrame) -> DataFrame:
+    """RSS/Atom feed ingestion for the URL frontier — sitemap's
+    sibling for the publish-side discovery channel (feeds surface NEW
+    urls hours before a sitemap regenerates). Walks the flat parsed
+    DOM for RSS items (item -> channel -> rss parent chain; the link
+    is the item's <link> DIRECT-CHILD TEXT) and Atom entries (entry ->
+    feed chain; the link is the HREF ATTRIBUTE of the entry's void
+    <link> child), emitting one row per entry WITH a link: (doc_id,
+    entry_pos, feed_type, title, link, published, url_canon, host).
+    entry_pos is the document-order index over the doc's entries
+    (dropped link-less entries still occupy their position); published
+    is RSS pubDate / Atom updated text, NULL when absent; url_canon /
+    host come from the SHARED url_canon_cols, so feed-discovered URLs
+    join the same frontier dup groups as crawled links and sitemap
+    locs. Orphan items outside the chain never emit.
+
+    Scale shape: map-side HOF passes per doc + one posexplode (the
+    plan's only Generate); every derived id/struct array binds at a
+    projection boundary (the HOF-materialization house rule). Zero
+    shuffles, zero Python beyond the shared parse kernel."""
+    from dompa_spark.constants import TEXT_NAME
+
+    nodes = F.col("nodes")
+
+    def ids_of(name, parents_col=None):
+        pred = (
+            (lambda n: n["name"] == name)
+            if parents_col is None
+            else (
+                lambda n: (n["name"] == name)
+                & F.array_contains(F.col(parents_col), n["parent_id"])
+            )
+        )
+        return F.transform(F.filter(nodes, pred), lambda n: n["node_id"])
+
+    t1 = nodes_df.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "nodes",
+        ids_of("rss").alias("rssids"),
+        ids_of("feed").alias("feedids"),
+    )
+    t2 = t1.select(
+        "doc_id", "nodes",
+        ids_of("channel", "rssids").alias("chids"),
+        "feedids",
+    )
+    t3 = t2.select(
+        "doc_id", "nodes",
+        ids_of("item", "chids").alias("iids"),
+        ids_of("entry", "feedids").alias("eids"),
+    )
+    t4 = t3.select(
+        "doc_id", "nodes", "iids",
+        F.concat(F.col("iids"), F.col("eids")).alias("uids"),
+    )
+
+    def kid_structs(name):
+        # (1-based entry position, direct-child text, href attr) per
+        # <name> element chained to an entry
+        return F.transform(
+            F.filter(
+                nodes,
+                lambda n: (n["name"] == name)
+                & F.array_contains(F.col("uids"), n["parent_id"]),
+            ),
+            lambda el: F.struct(
+                F.array_position(F.col("uids"), el["parent_id"]).alias(
+                    "upos"
+                ),
+                F.array_join(
+                    F.transform(
+                        F.filter(
+                            nodes,
+                            lambda n: (n["parent_id"] == el["node_id"])
+                            & (n["name"] == TEXT_NAME),
+                        ),
+                        lambda n: n["value"],
+                    ),
+                    "",
+                ).alias("txt"),
+                F.get(
+                    F.filter(
+                        el["attrs"], lambda kv: kv["key"] == "href"
+                    ),
+                    0,
+                )["val"].alias("href"),
+            ),
+        )
+
+    # <link> is a VOID element to the HTML parser (HTML semantics win
+    # even inside RSS markup — parity with the reference's void table),
+    # so an RSS <link>url</link> parses as a childless link node whose
+    # url text lands as the NEXT SIBLING under the item; recover it as
+    # the text node at node_id + 1 with the same parent. Atom's
+    # <link href="..."/> reads the href attr — no sibling walk.
+    link_structs = F.transform(
+        F.filter(
+            nodes,
+            lambda n: (n["name"] == "link")
+            & F.array_contains(F.col("uids"), n["parent_id"]),
+        ),
+        lambda el: F.struct(
+            F.array_position(F.col("uids"), el["parent_id"]).alias(
+                "upos"
+            ),
+            F.get(
+                F.filter(
+                    nodes,
+                    lambda n: (n["parent_id"] == el["parent_id"])
+                    & (n["node_id"] == el["node_id"] + 1)
+                    & (n["name"] == TEXT_NAME),
+                ),
+                0,
+            )["value"].alias("txt"),
+            F.get(
+                F.filter(el["attrs"], lambda kv: kv["key"] == "href"),
+                0,
+            )["val"].alias("href"),
+        ),
+    )
+
+    t5 = t4.select(
+        "doc_id", "iids", "uids",
+        kid_structs("title").alias("ts"),
+        link_structs.alias("ls"),
+        kid_structs("pubDate").alias("ps"),
+        kid_structs("updated").alias("us"),
+    )
+
+    def first_of(arr_col, ui):
+        return F.get(
+            F.filter(F.col(arr_col), lambda x: x["upos"] == ui + 1), 0
+        )
+
+    per = F.transform(
+        F.col("uids"),
+        lambda uid, ui: F.struct(
+            F.array_contains(F.col("iids"), uid).alias("is_rss"),
+            first_of("ts", ui)["txt"].alias("title"),
+            first_of("ls", ui)["txt"].alias("link_txt"),
+            first_of("ls", ui)["href"].alias("link_href"),
+            first_of("ps", ui)["txt"].alias("pubdate"),
+            first_of("us", ui)["txt"].alias("updated"),
+        ),
+    )
+    ex = t5.select(
+        "doc_id", F.posexplode(per).alias("entry_pos", "e")
+    ).select(
+        "doc_id",
+        F.col("entry_pos").cast("long").alias("entry_pos"),
+        F.when(F.col("e.is_rss"), F.lit("rss"))
+        .otherwise(F.lit("atom"))
+        .alias("feed_type"),
+        F.col("e.title").alias("title"),
+        F.when(F.col("e.is_rss"), F.col("e.link_txt"))
+        .otherwise(F.col("e.link_href"))
+        .alias("link"),
+        F.when(F.col("e.is_rss"), F.col("e.pubdate"))
+        .otherwise(F.col("e.updated"))
+        .alias("published"),
+    ).where(F.col("link").isNotNull())
+    canon, host, _ = url_canon_cols("link")
+    return ex.select("*", canon.alias("url_canon"), host.alias("host"))
