@@ -1319,6 +1319,37 @@ def q_feed_entries(spark, sf_dir):
     return textops.feed_entries_df(pipeline.parse_nodes_df(wrapped))
 
 
+def q_graph_degrees(spark, sf_dir):
+    """Degree + reciprocity telemetry over the SAME templated host
+    graph link_graph_rank runs on (997 hosts, affine + div-7 hops:
+    duplicate edges, self-loops, hubs, dangling nodes); reciprocal
+    pairs arise from the affine structure (see graphops.degree_stats)."""
+    from dompa_spark import graphops
+
+    d = F.col("doc_id").cast("long")
+    edges = (
+        _docs(spark, sf_dir)
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        (d % 997).alias("src"),
+                        ((d * 3 + 1) % 997).alias("dst"),
+                    ),
+                    F.struct(
+                        (d % 997).alias("src"),
+                        F.expr(
+                            "(CAST(doc_id AS BIGINT) div 7) % 997"
+                        ).alias("dst"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+    )
+    return graphops.degree_stats(edges)
+
+
 def q_cms_counts(spark, sf_dir):
     """Count-min sketch accuracy gauge: estimate-vs-exact for the
     corpus's top-20 terms (see textops.cms_counts; estimates only
@@ -1449,6 +1480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dom_templates": q_dom_templates,
         "cms_counts": q_cms_counts,
         "feed_entries": q_feed_entries,
+        "graph_degrees": q_graph_degrees,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_contamination": q_winnow_contamination,
         "lm2_surprisal": q_lm2_surprisal,
@@ -2836,6 +2868,37 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
         """,
         "link_graph_rank": _pagerank_sql(),
+        # graph_degrees: distinct-edge replay + reversed-key self-join;
+        # degrees count distinct neighbors, self-loops never reciprocal
+        "graph_degrees": """
+            WITH d AS (
+              SELECT CAST(doc_id AS BIGINT) AS did FROM documents),
+            e0 AS (
+              SELECT did % 997 AS src, (did*3 + 1) % 997 AS dst FROM d
+              UNION ALL
+              SELECT did % 997, (did // 7) % 997 FROM d),
+            e AS (SELECT DISTINCT src, dst FROM e0),
+            o AS (
+              SELECT src AS node, CAST(count(*) AS BIGINT) AS out_deg
+              FROM e GROUP BY src),
+            i AS (
+              SELECT dst AS node, CAST(count(*) AS BIGINT) AS in_deg
+              FROM e GROUP BY dst),
+            r AS (
+              SELECT a.src AS node,
+                     CAST(count(*) AS BIGINT) AS n_reciprocal
+              FROM e a JOIN e b ON b.src = a.dst AND b.dst = a.src
+              WHERE a.src <> a.dst
+              GROUP BY a.src),
+            n AS (SELECT node FROM o UNION SELECT node FROM i)
+            SELECT n.node,
+                   CAST(coalesce(o.out_deg, 0) AS BIGINT) AS out_deg,
+                   CAST(coalesce(i.in_deg, 0) AS BIGINT) AS in_deg,
+                   CAST(coalesce(r.n_reciprocal, 0) AS BIGINT)
+                     AS n_reciprocal
+            FROM n LEFT JOIN o USING(node) LEFT JOIN i USING(node)
+                   LEFT JOIN r USING(node)
+        """,
         # html_metadata: template algebra — the head fields the parser
         # must recover, predicted straight from (doc_id, text); the
         # engineered omissions come back NULL

@@ -235,3 +235,55 @@ def pagerank(
             .localCheckpoint(eager=False)
         )
     return ranks.select("node", F.col("rank").alias("rank_scaled"))
+
+
+def degree_stats(edges: DataFrame) -> DataFrame:
+    """Link-graph degree + reciprocity per node — the frontier-policy
+    telemetry next to pagerank: out-degree spikes mark link farms,
+    in/out asymmetry marks scraped-content sinks, and RECIPROCAL links
+    (A->B and B->A both present) are the classic link-exchange spam
+    signal a rank alone hides (a farm ring can hold decent rank).
+    Input: (src, dst) edges, duplicates tolerated. Output one row per
+    node appearing anywhere: (node, out_deg, in_deg, n_reciprocal) —
+    degrees count DISTINCT neighbors (duplicate edges collapse);
+    self-loops count in both degrees but never as reciprocal (a
+    self-loop trivially 'reciprocates' itself — excluded by contract).
+
+    Scale shape: ONE distinct shuffle on (src, dst) feeds everything —
+    out/in degrees are partial-aggregatable counts over the deduped
+    edge table, and the reciprocity probe is a self equi-join of that
+    same table on the reversed key (hash join on (src,dst) = (dst,src);
+    both sides share the distinct's partitioning, so AQE reuses the
+    exchange). No windows, no per-node iteration; a 10^8-outlink hub
+    costs its tasks' map-side combines plus one reducer row per
+    neighbor, the same bound as the distinct itself."""
+    e = edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    ).distinct()
+    out_deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("long").alias("out_deg")
+    )
+    in_deg = e.groupBy(F.col("dst").alias("node")).agg(
+        F.count("*").cast("long").alias("in_deg")
+    )
+    rev = e.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    recip = (
+        e.where(F.col("src") != F.col("dst"))
+        .join(rev, ["src", "dst"])
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.count("*").cast("long").alias("n_reciprocal"))
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        out_deg.join(in_deg, "node", "full_outer")
+        .join(recip, "node", "left")
+        .select(
+            "node",
+            F.coalesce("out_deg", zero).alias("out_deg"),
+            F.coalesce("in_deg", zero).alias("in_deg"),
+            F.coalesce("n_reciprocal", zero).alias("n_reciprocal"),
+        )
+    )

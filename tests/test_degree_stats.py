@@ -1,0 +1,53 @@
+"""graphops.degree_stats: distinct-neighbor degrees + the reciprocity
+spam signal, against a hand-computed graph."""
+
+import pytest
+
+from dompa_spark import graphops
+
+
+def _stats(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = graphops.degree_stats(df)
+    return {r["node"]: r.asDict() for r in out.collect()}
+
+
+def test_degrees_reciprocity_hand_graph(spark):
+    # 1->2, 2->1 (reciprocal pair); 1->3 (one-way); 3->3 (self-loop);
+    # 1->2 duplicated (must collapse); 4 appears only as a source.
+    st = _stats(
+        spark,
+        [(1, 2), (2, 1), (1, 3), (3, 3), (1, 2), (4, 1)],
+    )
+    assert st[1] == {
+        "node": 1, "out_deg": 2, "in_deg": 2, "n_reciprocal": 1,
+    }
+    assert st[2] == {
+        "node": 2, "out_deg": 1, "in_deg": 1, "n_reciprocal": 1,
+    }
+    # self-loop counts in both degrees but never as reciprocal
+    assert st[3] == {
+        "node": 3, "out_deg": 1, "in_deg": 2, "n_reciprocal": 0,
+    }
+    # pure source: in_deg 0 row still present
+    assert st[4] == {
+        "node": 4, "out_deg": 1, "in_deg": 0, "n_reciprocal": 0,
+    }
+
+
+def test_pure_sink_node_present(spark):
+    st = _stats(spark, [(1, 2)])
+    assert st[2] == {
+        "node": 2, "out_deg": 0, "in_deg": 1, "n_reciprocal": 0,
+    }
+
+
+def test_link_farm_ring_fully_reciprocal(spark):
+    # a 3-ring with both directions everywhere: every node reciprocates
+    # with both neighbors — the link-exchange signature.
+    ring = [(a, b) for a in range(3) for b in range(3) if a != b]
+    st = _stats(spark, ring)
+    for n in range(3):
+        assert st[n]["n_reciprocal"] == 2
+        assert st[n]["out_deg"] == 2
+        assert st[n]["in_deg"] == 2
