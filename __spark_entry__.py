@@ -1319,6 +1319,22 @@ def q_feed_entries(spark, sf_dir):
     return textops.feed_entries_df(pipeline.parse_nodes_df(wrapped))
 
 
+def q_bitext_mine(spark, sf_dir):
+    """Margin-based bitext mining over the embeddings table with
+    templated languages (even vec_id = 'en' source, odd = 'de'
+    target): per source probe, the best target by the top-k-normalized
+    margin ratio in exact scaled-integer math (see
+    textops.bitext_mine)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    langs = emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.when(F.col("vec_id").cast("long") % 2 == 0, F.lit("en"))
+        .otherwise(F.lit("de"))
+        .alias("lang"),
+    )
+    return textops.bitext_mine(emb, langs)
+
+
 def q_graph_degrees(spark, sf_dir):
     """Degree + reciprocity telemetry over the SAME templated host
     graph link_graph_rank runs on (997 hosts, affine + div-7 hops:
@@ -1481,6 +1497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_counts": q_cms_counts,
         "feed_entries": q_feed_entries,
         "graph_degrees": q_graph_degrees,
+        "bitext_mine": q_bitext_mine,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_contamination": q_winnow_contamination,
         "lm2_surprisal": q_lm2_surprisal,
@@ -4020,6 +4037,64 @@ def oracle_sql() -> dict[str, str]:
             FROM sh s LEFT JOIN hits h ON s.doc_id = h.doc_id
         """,
         "ann_cosine_topk": _ANN_COSINE_Q,
+        # bitext_mine: cosines snap to scaled BIGINT BEFORE any
+        # aggregation (order-free integer top-k sums), margin is one
+        # exact integer division; NULLS LAST mirrors desc_nulls_last
+        "bitext_mine": f"""
+            WITH emb AS (
+              SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+            n AS (
+              SELECT vec_id, v,
+                     sqrt(list_sum(list_transform(v, x -> x*x))) AS norm,
+                     CASE WHEN vec_id % 2 = 0 THEN 'en' ELSE 'de' END
+                       AS lang
+              FROM emb),
+            s AS (SELECT vec_id AS src_id, v AS sv, norm AS snorm
+                  FROM n WHERE lang = 'en'
+                    AND vec_id < {textops.BITEXT_SRC_MAX}),
+            t AS (SELECT vec_id AS tgt_id, v, norm FROM n
+                  WHERE lang = 'de'),
+            p0 AS (
+              SELECT s.src_id, t.tgt_id,
+                     list_sum(list_transform(
+                       generate_series(1, len(t.v)),
+                       i -> t.v[i] * s.sv[i])) / (t.norm * s.snorm)
+                       AS sim
+              FROM t, s),
+            pairs AS (
+              SELECT src_id, tgt_id, round(sim, 4) AS cosine,
+                     CAST(round(sim * 10000) AS BIGINT) AS c
+              FROM p0),
+            ss AS (
+              SELECT src_id, CAST(sum(c) AS BIGINT) AS ssum FROM (
+                SELECT src_id, c, row_number() OVER (
+                  PARTITION BY src_id ORDER BY c DESC, tgt_id ASC) AS r
+                FROM pairs) WHERE r <= {textops.BITEXT_K}
+              GROUP BY src_id),
+            ts AS (
+              SELECT tgt_id, CAST(sum(c) AS BIGINT) AS tsum FROM (
+                SELECT tgt_id, c, row_number() OVER (
+                  PARTITION BY tgt_id ORDER BY c DESC, src_id ASC) AS r
+                FROM pairs) WHERE r <= {textops.BITEXT_K}
+              GROUP BY tgt_id),
+            sc AS (
+              SELECT p.src_id, p.tgt_id, p.cosine,
+                     CASE WHEN ss.ssum + ts.tsum > 0 THEN
+                       (2 * {textops.BITEXT_K} * p.c * 1000000)
+                         // (ss.ssum + ts.tsum) END AS margin_ppm
+              FROM pairs p JOIN ss USING(src_id) JOIN ts USING(tgt_id))
+            SELECT src_id, tgt_id, cosine, margin_ppm,
+                   coalesce(margin_ppm >= {textops.BITEXT_MARGIN_MIN_PPM},
+                            false) AS accepted
+            FROM (SELECT *, row_number() OVER (
+                    PARTITION BY src_id
+                    ORDER BY margin_ppm DESC NULLS LAST, tgt_id ASC)
+                    AS rk
+                  FROM sc)
+            WHERE rk = 1
+        """,
         "ann_lsh_topk": _ANN_LSH_Q,
         "ann_ivf_topk": _ANN_IVF_Q,
         # pq_codes / ann_pq_topk: per-subspace Lloyd replay (the

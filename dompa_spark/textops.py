@@ -7370,3 +7370,132 @@ def feed_entries_df(nodes_df: DataFrame) -> DataFrame:
     ).where(F.col("link").isNotNull())
     canon, host, _ = url_canon_cols("link")
     return ex.select("*", canon.alias("url_canon"), host.alias("host"))
+
+
+# ---------------------------------------------------------------------------
+# Bitext mining (margin-based cross-lingual alignment, CCMatrix shape)
+# ---------------------------------------------------------------------------
+
+BITEXT_K = 4  # margin normalizer: top-k neighborhood average
+BITEXT_MARGIN_MIN_PPM = 1_050_000  # accept at margin >= 1.05
+BITEXT_SRC_MAX = 40
+
+
+def bitext_mine(
+    emb: DataFrame,
+    langs: DataFrame,
+    *,
+    src_lang: str = "en",
+    tgt_lang: str = "de",
+    src_id_max: int = BITEXT_SRC_MAX,
+    k: int = BITEXT_K,
+    margin_min_ppm: int = BITEXT_MARGIN_MIN_PPM,
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019; the CCMatrix
+    / parallel-corpus-from-crawl shape): for each source-language doc,
+    the best target-language doc scored by the RATIO of its cosine to
+    the average of both docs' top-k neighborhoods — raw cosine
+    thresholds fail because 'hubness' docs are close to everything;
+    margin normalizes that away. accepted = margin >= margin_min_ppm
+    (the classic ~1.05-1.06 mining threshold).
+
+    Engine parity: per-pair cosines are rounded-then-scaled to exact
+    BIGINT (the PQ_DIST_SCALE discipline) BEFORE any aggregation, so
+    the top-k sums are order-independent integer sums and the margin is
+    one exact integer division: margin_ppm = 2k * c * 10^6 div
+    (sum_topk_src + sum_topk_tgt). A non-positive denominator (all-
+    negative neighborhoods) yields NULL margin / accepted=false.
+
+    Scale shape: the source side is a bounded probe set (vec_id <
+    src_id_max — the ann_cosine_topk gauge contract) and BROADCASTS;
+    the target corpus streams through ONE scored map stage. Both
+    neighborhood top-k passes are windows over bounded partitions
+    (per-src: the probe count; per-tgt: at most n_src rows each). For
+    full corpus-x-corpus mining compose with the IVF/LSH pruners —
+    this operator is the scoring contract those candidates feed."""
+    from pyspark.sql.window import Window
+
+    base = emb.join(langs, "vec_id").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        "lang",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    base = base.withColumn(
+        "norm",
+        F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x)),
+    )
+    src = base.where(
+        (F.col("lang") == src_lang) & (F.col("vec_id") < src_id_max)
+    ).select(
+        F.col("vec_id").alias("src_id"),
+        F.col("v").alias("sv"),
+        F.col("norm").alias("snorm"),
+    )
+    tgt = base.where(F.col("lang") == tgt_lang).select(
+        F.col("vec_id").alias("tgt_id"), "v", "norm"
+    )
+    dot = F.aggregate(
+        F.zip_with("v", "sv", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sim = dot / (F.col("norm") * F.col("snorm"))
+    pairs = (
+        tgt.crossJoin(F.broadcast(src))
+        .select(
+            "src_id",
+            "tgt_id",
+            F.round(sim, 4).alias("cosine"),
+            F.round(sim * 10_000).cast("long").alias("c"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    ws = Window.partitionBy("src_id").orderBy(
+        F.desc("c"), F.asc("tgt_id")
+    )
+    src_sum = (
+        pairs.withColumn("r", F.row_number().over(ws))
+        .where(F.col("r") <= k)
+        .groupBy("src_id")
+        .agg(F.sum("c").cast("long").alias("ssum"))
+    )
+    wt = Window.partitionBy("tgt_id").orderBy(
+        F.desc("c"), F.asc("src_id")
+    )
+    tgt_sum = (
+        pairs.withColumn("r", F.row_number().over(wt))
+        .where(F.col("r") <= k)
+        .groupBy("tgt_id")
+        .agg(F.sum("c").cast("long").alias("tsum"))
+    )
+    scored = (
+        pairs.join(src_sum, "src_id")
+        .join(tgt_sum, "tgt_id")
+        .withColumn(
+            "margin_ppm",
+            F.when(
+                (F.col("ssum") + F.col("tsum")) > 0,
+                F.expr(
+                    f"(2 * {int(k)} * c * 1000000)"
+                    " div (ssum + tsum)"
+                ),
+            ),
+        )
+    )
+    wbest = Window.partitionBy("src_id").orderBy(
+        F.desc_nulls_last("margin_ppm"), F.asc("tgt_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(wbest))
+        .where(F.col("rk") == 1)
+        .select(
+            "src_id",
+            "tgt_id",
+            "cosine",
+            "margin_ppm",
+            F.coalesce(
+                F.col("margin_ppm") >= F.lit(int(margin_min_ppm)),
+                F.lit(False),
+            ).alias("accepted"),
+        )
+    )

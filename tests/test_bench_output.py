@@ -47,7 +47,7 @@ _QUERY_NAMES = [
     "winnow_fingerprints", "winnow_contamination", "lm2_surprisal",
     "retention_cohorts", "funnel_steps", "props_stats",
     "tokenizer_fertility", "script_profile", "dom_templates",
-    "cms_counts", "feed_entries", "graph_degrees",
+    "cms_counts", "feed_entries", "graph_degrees", "bitext_mine",
     "extra_query_name_j", "extra_query_name_k",
 ]
 
