@@ -1319,6 +1319,32 @@ def q_feed_entries(spark, sf_dir):
     return textops.feed_entries_df(pipeline.parse_nodes_df(wrapped))
 
 
+def q_robots_sitemaps(spark, sf_dir):
+    """Sitemap: directives from templated robots.txt bodies (100
+    hosts): a normal entry, a case-insensitive field + uppercase
+    scheme/host/default-port canonicalization workout, an empty-value
+    decoy (drops but holds its position), and a cross-host CDN entry
+    (see textops.robots_sitemaps)."""
+    hosts = (
+        _docs(spark, sf_dir)
+        .select((F.col("doc_id").cast("long") % 100).alias("k"))
+        .distinct()
+    )
+    ks = F.col("k").cast("string")
+    body = F.concat(
+        F.lit("User-agent: *\nDisallow: /private\nSitemap: https://h"),
+        ks, F.lit(".org/sitemap.xml\n# comment\nsitemap: HTTPS://H"),
+        ks, F.lit(".ORG:443/s2.xml?utm_source=x\nSitemap:\n"
+                  "Sitemap: https://cdn.example.net/h"),
+        ks, F.lit(".xml"),
+    )
+    robots = hosts.select(
+        F.concat(F.lit("h"), ks, F.lit(".org")).alias("host"),
+        body.alias("robots_txt"),
+    )
+    return textops.robots_sitemaps(robots)
+
+
 def q_bitext_mine(spark, sf_dir):
     """Margin-based bitext mining over the embeddings table with
     templated languages (even vec_id = 'en' source, odd = 'de'
@@ -1498,6 +1524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feed_entries": q_feed_entries,
         "graph_degrees": q_graph_degrees,
         "bitext_mine": q_bitext_mine,
+        "robots_sitemaps": q_robots_sitemaps,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_contamination": q_winnow_contamination,
         "lm2_surprisal": q_lm2_surprisal,
@@ -2726,6 +2753,34 @@ def oracle_sql() -> dict[str, str]:
             FROM base WHERE did % 2 = 1
         """,
         "robots_parse": _robots_rules_sql(),
+        # robots_sitemaps: template algebra — three kept entries per
+        # host at positions 0/1/3 (the empty-value line holds pos 2)
+        "robots_sitemaps": """
+            WITH hosts AS (
+              SELECT DISTINCT CAST(doc_id AS BIGINT) % 100 AS k
+              FROM documents),
+            h AS (SELECT 'h' || CAST(k AS VARCHAR) || '.org' AS host,
+                         CAST(k AS VARCHAR) AS ks
+                  FROM hosts)
+            SELECT host, CAST(0 AS BIGINT) AS sm_idx,
+                   'https://h' || ks || '.org/sitemap.xml' AS url,
+                   'https://h' || ks || '.org/sitemap.xml' AS url_canon,
+                   'h' || ks || '.org' AS sm_host,
+                   false AS cross_host
+            FROM h
+            UNION ALL
+            SELECT host, 1,
+                   'HTTPS://H' || ks || '.ORG:443/s2.xml?utm_source=x',
+                   'https://h' || ks || '.org/s2.xml',
+                   'h' || ks || '.org', false
+            FROM h
+            UNION ALL
+            SELECT host, 3,
+                   'https://cdn.example.net/h' || ks || '.xml',
+                   'https://cdn.example.net/h' || ks || '.xml',
+                   'cdn.example.net', true
+            FROM h
+        """,
         # chunk_docs: same exact-integer last-chunk formula; DuckDB's
         # 1-based inclusive list_slice mirrors Spark's slice(start,len)
         "chunk_docs": f"""

@@ -3219,6 +3219,34 @@ def frontier_urls(df: DataFrame) -> DataFrame:
     return df.select(d.alias("doc_id"), url.alias("url"))
 
 
+def _robots_lines(
+    df: DataFrame, host_col: str, txt_col: str
+) -> DataFrame:
+    """Shared robots.txt line scan: per host, parallel (field, value)
+    arrays — field lowercased (REP field names are case-insensitive),
+    '#' comments stripped, value = the first non-space token after the
+    colon (URLs keep their own colons; \\S* admits the empty value).
+    One definition for the group parser AND the sitemap extractor, so
+    they can never disagree about what a line says."""
+    nc = lambda l: F.regexp_replace(l, "#.*$", "")  # noqa: E731
+    lines = F.split(F.col(txt_col), "\n")
+    return df.select(
+        F.lower(F.col(host_col)).alias("host"),
+        F.transform(
+            lines,
+            lambda l: F.lower(
+                F.regexp_extract(nc(l), r"^\s*([A-Za-z-]+)\s*:", 1)
+            ),
+        ).alias("flds"),
+        F.transform(
+            lines,
+            lambda l: F.regexp_extract(
+                nc(l), r"^\s*[A-Za-z-]+\s*:\s*(\S*)", 1
+            ),
+        ).alias("vals"),
+    )
+
+
 def robots_parse(
     df: DataFrame, host_col: str = "host", txt_col: str = "robots_txt"
 ) -> DataFrame:
@@ -3246,24 +3274,7 @@ def robots_parse(
     multiplies the expression tree (and an inlined array is
     re-evaluated per element of the enclosing lambda) — the inlined
     first cut spent ~12 s per invocation in planning/codegen alone."""
-    nc = lambda l: F.regexp_replace(l, "#.*$", "")  # noqa: E731
-    lines = F.split(F.col(txt_col), "\n")
-    t1 = df.select(
-        F.lower(F.col(host_col)).alias("host"),
-        F.transform(
-            lines,
-            lambda l: F.lower(
-                F.regexp_extract(nc(l), r"^\s*([A-Za-z-]+)\s*:", 1)
-            ),
-        ).alias("flds"),
-        F.transform(
-            lines,
-            lambda l: F.regexp_extract(
-                nc(l), r"^\s*[A-Za-z-]+\s*:\s*(\S*)", 1
-            ),
-        ).alias("vals"),
-    )
-    t2 = t1.select(
+    t2 = _robots_lines(df, host_col, txt_col).select(
         "*", F.sequence(F.lit(0), F.size("flds") - 1).alias("idx")
     )
 
@@ -7498,4 +7509,53 @@ def bitext_mine(
                 F.lit(False),
             ).alias("accepted"),
         )
+    )
+
+
+def robots_sitemaps(
+    df: DataFrame, host_col: str = "host", txt_col: str = "robots_txt"
+) -> DataFrame:
+    """Sitemap: directives from robots.txt — the third discovery
+    channel next to sitemap_urls (the files themselves) and
+    feed_entries (publish-side): most crawls FIND their sitemap files
+    here. Per REP, Sitemap lines are group-INDEPENDENT (they bind to
+    no User-agent run and do not close one — robots_parse's group
+    logic never sees them as rules), live anywhere in the file, and
+    may point cross-host (a CDN-hosted sitemap is legal). Output one
+    row per non-empty Sitemap line: (host, sm_idx, url, url_canon,
+    sm_host, cross_host); sm_idx is the document-order index over the
+    host's Sitemap lines — empty-value lines drop but hold their
+    position (the feed_entries gap contract); url_canon/sm_host come
+    from the SHARED url_canon_cols so a robots-discovered sitemap URL
+    and a frontier-crawled one join the same dup group; cross_host
+    flags sm_host != robots host.
+
+    Scale shape: the shared _robots_lines map-side scan + one
+    posexplode of slim (idx) rows; canonicalization is map-side regex
+    on the exploded rows. Zero shuffles, zero Python."""
+    t1 = _robots_lines(df, host_col, txt_col)
+    sm = t1.select(
+        "host",
+        "vals",
+        F.filter(
+            F.sequence(F.lit(0), F.size("flds") - 1),
+            lambda i: F.element_at(F.col("flds"), i + 1) == "sitemap",
+        ).alias("smidx"),
+    )
+    ex = sm.select(
+        "host",
+        "vals",
+        F.posexplode("smidx").alias("sm_idx", "i"),
+    ).select(
+        "host",
+        F.col("sm_idx").cast("long").alias("sm_idx"),
+        F.element_at(F.col("vals"), F.col("i") + 1).alias("url"),
+    ).where(F.col("url") != "")
+    canon, sm_host, _ = url_canon_cols("url")
+    out = ex.select(
+        "host", "sm_idx", "url",
+        canon.alias("url_canon"), sm_host.alias("sm_host"),
+    )
+    return out.select(
+        "*", (F.col("sm_host") != F.col("host")).alias("cross_host")
     )
