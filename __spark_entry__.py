@@ -1345,6 +1345,32 @@ def q_robots_sitemaps(spark, sf_dir):
     return textops.robots_sitemaps(robots)
 
 
+_RECRAWL_STATUS = """
+    CASE WHEN c = 0 THEN 'added'
+         WHEN did % 13 = 0 AND c = 3 THEN 'removed'
+         WHEN (did + c) % 3 = 0 THEN 'changed'
+         ELSE 'unchanged' END
+"""
+
+
+def q_recrawl_priority(spark, sf_dir):
+    """Change-rate recrawl scheduling over a templated 4-cycle
+    observation history (added at cycle 0, deterministic changed /
+    unchanged mix, every 13th doc removed at its last cycle — cycles
+    unique per doc, so last_status is well-defined). See
+    textops.recrawl_priority."""
+    docs = _docs(spark, sf_dir)
+    obs = docs.select(
+        F.col("doc_id").cast("long").alias("did"),
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("c"),
+    ).select(
+        F.col("did").alias("doc_id"),
+        F.col("c").cast("long").alias("cycle"),
+        F.expr(_RECRAWL_STATUS).alias("status"),
+    )
+    return textops.recrawl_priority(obs)
+
+
 def q_bitext_mine(spark, sf_dir):
     """Margin-based bitext mining over the embeddings table with
     templated languages (even vec_id = 'en' source, odd = 'de'
@@ -1525,6 +1551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degrees": q_graph_degrees,
         "bitext_mine": q_bitext_mine,
         "robots_sitemaps": q_robots_sitemaps,
+        "recrawl_priority": q_recrawl_priority,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_contamination": q_winnow_contamination,
         "lm2_surprisal": q_lm2_surprisal,
@@ -2753,6 +2780,32 @@ def oracle_sql() -> dict[str, str]:
             FROM base WHERE did % 2 = 1
         """,
         "robots_parse": _robots_rules_sql(),
+        # recrawl_priority: same status template (cycles unique per
+        # doc, so arg_max == Spark's max(struct)); exact integer
+        # change_ppm + halving interval; removed-at-last -> NULL
+        "recrawl_priority": f"""
+            WITH d AS (
+              SELECT CAST(doc_id AS BIGINT) AS did FROM documents),
+            obs AS (
+              SELECT did AS doc_id, c,
+                     {_RECRAWL_STATUS} AS status
+              FROM d, range(0, 4) t(c)),
+            agg AS (
+              SELECT doc_id,
+                     CAST(count(*) AS BIGINT) AS n_obs,
+                     CAST(sum(CASE WHEN status = 'changed' THEN 1
+                              ELSE 0 END) AS BIGINT) AS n_changes,
+                     arg_max(status, c) AS last_status
+              FROM obs GROUP BY doc_id)
+            SELECT doc_id, n_obs, n_changes,
+                   (n_changes * 1000000) // n_obs AS change_ppm,
+                   last_status,
+                   CASE WHEN last_status <> 'removed' THEN
+                     greatest({textops.RECRAWL_BASE_DAYS}
+                                // (1 + n_changes), 1) END
+                     AS interval_days
+            FROM agg
+        """,
         # robots_sitemaps: template algebra — three kept entries per
         # host at positions 0/1/3 (the empty-value line holds pos 2)
         "robots_sitemaps": """

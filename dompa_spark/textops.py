@@ -7559,3 +7559,62 @@ def robots_sitemaps(
     return out.select(
         "*", (F.col("sm_host") != F.col("host")).alias("cross_host")
     )
+
+
+# ---------------------------------------------------------------------------
+# Recrawl scheduling (change-rate priority from snapshot diff history)
+# ---------------------------------------------------------------------------
+
+RECRAWL_BASE_DAYS = 64
+
+
+def recrawl_priority(
+    obs: DataFrame, *, base_days: int = RECRAWL_BASE_DAYS
+) -> DataFrame:
+    """Recrawl scheduling from observed change history — the loop that
+    closes corpus_diff: each crawl cycle diffs against the last
+    snapshot (added/changed/unchanged/removed per doc), and THIS
+    operator turns the accumulated statuses into a fetch interval
+    (change-rate-proportional recrawl is the classic freshness model:
+    a page that changed on k of its observations gets ~base/(k+1)
+    days). Input: (doc_id, cycle, status) observation rows. Output per
+    doc: n_obs, n_changes ('changed' observations only — 'added' is
+    first sight, not volatility), change_ppm = changes*10^6 div obs
+    (exact), last_status (by max cycle), interval_days =
+    max(base_days div (1 + n_changes), 1) — halving-style decay in
+    exact integer division — or NULL when the doc was REMOVED at its
+    last observation (dead URLs leave the schedule; a later re-add
+    cycle revives them through 'added').
+
+    Scale shape: ONE partial-aggregatable groupBy(doc_id) — counts,
+    conditional counts, and last_status via max(struct(cycle, status))
+    all combine map-side; no windows over the observation log. The
+    10^12-URL frontier pays one slim shuffle row per doc per task."""
+    o = obs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cycle").cast("long").alias("cycle"),
+        "status",
+    )
+    agg = o.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_obs"),
+        F.sum(
+            F.when(F.col("status") == "changed", 1).otherwise(0)
+        ).cast("long").alias("n_changes"),
+        F.max(F.struct("cycle", "status"))["status"].alias(
+            "last_status"
+        ),
+    )
+    return agg.select(
+        "doc_id",
+        "n_obs",
+        "n_changes",
+        F.expr("(n_changes * 1000000) div n_obs").alias("change_ppm"),
+        "last_status",
+        F.when(
+            F.col("last_status") != "removed",
+            F.greatest(
+                F.expr(f"{int(base_days)} div (1 + n_changes)"),
+                F.lit(1).cast("long"),
+            ),
+        ).alias("interval_days"),
+    )
