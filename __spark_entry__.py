@@ -1371,6 +1371,15 @@ def q_recrawl_priority(spark, sf_dir):
     return textops.recrawl_priority(obs)
 
 
+def q_extract_coverage(spark, sf_dir):
+    """Extraction-coverage audit over the boiler template: the DOM
+    side sees the chrome text (19 fixed chars) + payload, the kept
+    side sees the payload iff it clears the 40-char density gate (see
+    pipeline.extract_coverage)."""
+    wrapped = textops.boiler_wrapped(_docs(spark, sf_dir))
+    return pipeline.extract_coverage(wrapped)
+
+
 def q_bitext_mine(spark, sf_dir):
     """Margin-based bitext mining over the embeddings table with
     templated languages (even vec_id = 'en' source, odd = 'de'
@@ -1552,6 +1561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bitext_mine": q_bitext_mine,
         "robots_sitemaps": q_robots_sitemaps,
         "recrawl_priority": q_recrawl_priority,
+        "extract_coverage": q_extract_coverage,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_contamination": q_winnow_contamination,
         "lm2_surprisal": q_lm2_surprisal,
@@ -2569,6 +2579,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN length(substr(text, 1, n_chars % 80)) >= 40
                         THEN 1 ELSE 0 END AS BIGINT) AS n_spans
             FROM documents
+        """,
+        # extract_coverage: boiler template algebra — the chrome text
+        # nodes are 'T' + 'var x=1;' + 'home' + ' ' + 'about' = 19
+        # chars; the payload survives iff >= 40 (MAIN_TEXT_GATE)
+        "extract_coverage": """
+            WITH b AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     length(substr(text, 1, n_chars % 80)) AS p
+              FROM documents)
+            SELECT doc_id,
+                   CAST(19 + p AS BIGINT) AS dom_text_chars,
+                   CAST(CASE WHEN p >= 40 THEN p ELSE 0 END AS BIGINT)
+                     AS kept_chars,
+                   CAST(CASE WHEN p >= 40 THEN 1 ELSE 0 END AS BIGINT)
+                     AS n_kept_spans,
+                   (CASE WHEN p >= 40 THEN p ELSE 0 END * 1000000)
+                     // (19 + p) AS kept_ppm
+            FROM b
         """,
         "parse_roundtrip": """
             SELECT CAST(doc_id AS BIGINT) AS doc_id,

@@ -751,3 +751,59 @@ def _write_manifest_chunk(path: str, pdf: pd.DataFrame) -> None:
     pq.write_table(table, os.path.join(tmp, "manifest.parquet"))
     shutil.rmtree(path, ignore_errors=True)
     os.rename(tmp, path)
+
+
+def extract_coverage(df: DataFrame) -> DataFrame:
+    """Extraction-coverage audit — per document, how much of the DOM's
+    text the boilerplate strip kept: dom_text_chars (every text node
+    the parser saw, chrome included), kept_chars / n_kept_spans (the
+    extractor's surviving text spans), and kept_ppm in exact integer
+    division. THE telemetry for tuning the density gates: a site whose
+    kept_ppm collapses is being over-stripped (gate too aggressive for
+    its layout), one near 10^6 is shipping boilerplate. Zero means the
+    whole page was chrome — also worth knowing.
+
+    Scale shape: two Arrow kernel passes over the same docs (parse for
+    the DOM side, extract for the kept side) joined on a slim
+    (doc_id, 3 longs) row — the 2x parse is inherent to auditing the
+    extractor AGAINST the raw DOM (the fused extract path deliberately
+    never materializes dropped text); run it over a sample, or eat the
+    second pass when the audit ships with a full extraction run. Both
+    char sums are map-side HOF aggregates; the join is the only
+    exchange and AQE broadcasts the sampled side."""
+    from dompa_spark.constants import TEXT_NAME
+
+    dom = parse_nodes_df(df).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.aggregate(
+            F.filter(
+                F.col("nodes"), lambda n: n["name"] == TEXT_NAME
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, n: acc + F.length(n["value"]),
+        ).alias("dom_text_chars"),
+    )
+    kept_spans = F.filter(
+        F.col("spans"), lambda s: s["kind"] == "text"
+    )
+    ext = extract_df(df).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        kept_spans.alias("ks"),
+    ).select(
+        "doc_id",
+        F.aggregate(
+            F.col("ks"),
+            F.lit(0).cast("long"),
+            lambda acc, s: acc + F.length(s["text"]),
+        ).alias("kept_chars"),
+        F.size("ks").cast("long").alias("n_kept_spans"),
+    )
+    return dom.join(ext, "doc_id").select(
+        "doc_id",
+        "dom_text_chars",
+        "kept_chars",
+        "n_kept_spans",
+        F.expr(
+            "(kept_chars * 1000000) div greatest(dom_text_chars, 1)"
+        ).alias("kept_ppm"),
+    )

@@ -48,7 +48,7 @@ _QUERY_NAMES = [
     "retention_cohorts", "funnel_steps", "props_stats",
     "tokenizer_fertility", "script_profile", "dom_templates",
     "cms_counts", "feed_entries", "graph_degrees", "bitext_mine",
-    "robots_sitemaps", "recrawl_priority",
+    "robots_sitemaps", "recrawl_priority", "extract_coverage",
     "extra_query_name_j", "extra_query_name_k",
 ]
 
