@@ -58,6 +58,11 @@ def main(argv=None) -> int:
     p.add_argument("--with-repetition", action="store_true")
     p.add_argument("--with-lm", action="store_true",
                    help="AND the LM-surprisal gate into `kept`")
+    p.add_argument("--with-script-gate", action="store_true",
+                   help="AND the mixed-script gate (textops."
+                        "script_profile.script_ok) into `kept`: docs "
+                        "whose dominant unicode script owns < 90%% of "
+                        "their scripted letters drop")
     p.add_argument("--with-pii-scrub", action="store_true",
                    help="redact emails/IPs/phones (textops.pii_scrub) "
                         "in the kept corpus text; applied last (after "
@@ -226,6 +231,15 @@ def main(argv=None) -> int:
                 cur = cur.join(lm, "doc_id", "left").withColumn(
                     "lm_ok", F.coalesce("lm_ok", F.lit(False))
                 ).withColumn("kept", F.col("kept") & F.col("lm_ok"))
+            if args.with_script_gate:
+                sg = textops.script_profile(docs).select(
+                    "doc_id", "script_ok"
+                )
+                cur = cur.join(sg, "doc_id", "left").withColumn(
+                    "script_ok", F.coalesce("script_ok", F.lit(False))
+                ).withColumn(
+                    "kept", F.col("kept") & F.col("script_ok")
+                )
             # linear near-dup clustering; non-canonical cluster members
             # drop. Fused accessor: the hot-bucket telemetry rides the
             # SAME shingle+minhash pass as the edges (minhash_band_
@@ -346,6 +360,8 @@ def main(argv=None) -> int:
         "kept": dec.filter("kept").count(),
         "near_dup_dropped": dec.filter("near_dup_drop").count(),
     }
+    if args.with_script_gate:
+        stats["script_rejected"] = dec.filter("NOT script_ok").count()
     if args.with_c4:
         kt = spark.read.parquet(kept_path)
         stats["c4_pages_dropped"] = stats["kept"] - kt.count()

@@ -580,3 +580,79 @@ def test_pretrain_c4_and_markdown_stages(spark, tmp_path, capsys):
         assert r.markdown.startswith("The first sentence")
         assert r.n_blocks == 2
     assert stats["markdown_blocks"] == 2 * len(md)
+
+
+def test_pretrain_corpus_script_gate(spark, tmp_path, capsys):
+    """--with-script-gate ANDs script_profile.script_ok into `kept`:
+    mixed-script docs that pass every other gate (length, quality,
+    dedup) drop, pure-script docs survive; the stats line reports the
+    rejection count."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from dompa_spark import graphops, textops
+    from dompa_spark.jobs import pretrain_corpus
+
+    stops = ["the", "and", "was", "that"]
+    rows = []
+    for i in range(8):
+        words = []
+        for j in range(88):
+            if j % 2 == 0:
+                words.append(stops[j // 2 % 4])
+            else:
+                # letters-only unique tokens: every shingle is unique
+                # per doc (no accidental near-dups), and normalized
+                # dedup can't collapse them either
+                words.append(
+                    "w" + chr(97 + i) + chr(97 + j % 26)
+                    + chr(97 + j // 26)
+                )
+        t = " ".join(words)
+        if i in (2, 3):  # sampled-in ids (hash-gated sample keeps them)
+            t += " пример текста слово образец письмо буква" * 6
+        rows.append((f"doc-{i}", t))
+    spans = spark.createDataFrame(
+        rows, "doc_id string, text string"
+    ).select(
+        "doc_id",
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.col("text").alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).cast("int").alias("offset"),
+            )
+        ).alias("spans"),
+    )
+    in_path = str(tmp_path / "in")
+    spans.write.parquet(in_path)
+    wd = str(tmp_path / "work")
+    rc = pretrain_corpus.main([
+        "--input", in_path, "--workdir", wd, "--domain-cap", "100",
+        "--with-script-gate", "--master", "local[2]",
+    ])
+    assert rc == 0
+    stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    docs = spark.read.parquet(f"{wd}/docs")
+    cur = {r.doc_id: r.kept
+           for r in textops.curate_corpus(
+               docs, domain_cap_n=100).collect()}
+    sg = {r.doc_id: r.script_ok
+          for r in textops.script_profile(docs).collect()}
+    cc = {r.doc_id: r.is_canonical
+          for r in graphops.dedup_components(
+              textops.minhash_band_edges(docs)).collect()}
+    key_of = {r.doc_id: r.orig_doc_id for r in docs.collect()}
+    want = {key_of[d] for d in cur if cur[d] and sg[d] and cc.get(d, True)}
+    got = {r.doc_id
+           for r in spark.read.parquet(f"{wd}/kept").collect()}
+    assert got == want
+    # precondition: the gate did real work — the mixed-script docs
+    # passed curation and were dropped by the script gate alone
+    assert any(cur[d] and not sg[d] for d in cur)
+    assert {"doc-2", "doc-3"}.isdisjoint(got)
+    assert {"doc-4", "doc-7"} <= got
+    assert stats["script_rejected"] == 2
