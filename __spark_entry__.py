@@ -604,6 +604,13 @@ def q_quality_classifier(spark, sf_dir):
     return textops.train_quality_classifier(_docs(spark, sf_dir))
 
 
+def q_quality_calibration(spark, sf_dir):
+    """Distillation calibration: confusion matrix + exact-ppm
+    accuracy/precision/recall of the trained perceptron against the
+    handcrafted gate (see textops.quality_calibration)."""
+    return textops.quality_calibration(_docs(spark, sf_dir))
+
+
 def q_lang_id(spark, sf_dir):
     return textops.lang_id_heuristic(_docs(spark, sf_dir))
 
@@ -1484,6 +1491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "quality_score": q_quality_score,
         "quality_classifier": q_quality_classifier,
+        "quality_calibration": q_quality_calibration,
         "repetition_score": q_repetition_score,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
@@ -4244,6 +4252,32 @@ def oracle_sql() -> dict[str, str]:
         "ivf_list_sizes": _ivf_list_sizes_q(),
         "semdedup": _semdedup_q(),
         "quality_classifier": _quality_classifier_q(),
+        # quality_calibration: the classifier replay wrapped in one
+        # exact aggregate; integer rates with degenerate-class guards
+        "quality_calibration": f"""
+            WITH scored AS ({_quality_classifier_q()})
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN label = 1 AND pred = 1
+                            THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                   CAST(sum(CASE WHEN label = -1 AND pred = 1
+                            THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                   CAST(sum(CASE WHEN label = 1 AND pred = -1
+                            THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+                   CAST(sum(CASE WHEN label = -1 AND pred = -1
+                            THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+                   ((sum(CASE WHEN label = pred THEN 1 ELSE 0 END))
+                     * 1000000) // greatest(count(*), 1)
+                     AS accuracy_ppm,
+                   (sum(CASE WHEN label = 1 AND pred = 1 THEN 1
+                        ELSE 0 END) * 1000000)
+                     // greatest(sum(CASE WHEN pred = 1 THEN 1
+                                     ELSE 0 END), 1) AS precision_ppm,
+                   (sum(CASE WHEN label = 1 AND pred = 1 THEN 1
+                        ELSE 0 END) * 1000000)
+                     // greatest(sum(CASE WHEN label = 1 THEN 1
+                                     ELSE 0 END), 1) AS recall_ppm
+            FROM scored
+        """,
         "warc_roundtrip": f"""
             -- template algebra over the writer's deterministic bytes:
             -- response payload = the HTML template, resource payload =

@@ -7618,3 +7618,48 @@ def recrawl_priority(
             ),
         ).alias("interval_days"),
     )
+
+
+def quality_calibration(df: DataFrame, **clf_kwargs) -> DataFrame:
+    """Distillation-calibration gauge for the trainable quality
+    classifier: the confusion matrix of the learned perceptron against
+    the handcrafted gate that labeled its training data, plus
+    accuracy/precision/recall in exact ppm. THE go/no-go number for
+    swapping the heuristic gate out for the model (the CCNet move):
+    ship the classifier when recall on gate-positives holds and
+    precision says it isn't flooding the kept set. One output row:
+    (n_docs, tp, fp, fn, tn, accuracy_ppm, precision_ppm, recall_ppm)
+    — tp = gate-positive predicted positive; rates are integer
+    divisions with greatest(...,1) guards so degenerate corpora (all
+    one class) stay defined.
+
+    Scale shape: train_quality_classifier's own plan (one corpus scan
+    + broadcast-weight rounds) followed by ONE exact global aggregate
+    — four conditional counts partial-aggregate map-side; the gauge
+    adds no shuffle wider than a single combined row per task."""
+    scored = train_quality_classifier(df, **clf_kwargs)
+
+    def cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    lab = F.col("label")
+    pred = F.col("pred")
+    agg = scored.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        cnt((lab == 1) & (pred == 1)).alias("tp"),
+        cnt((lab == -1) & (pred == 1)).alias("fp"),
+        cnt((lab == 1) & (pred == -1)).alias("fn"),
+        cnt((lab == -1) & (pred == -1)).alias("tn"),
+    )
+    return agg.select(
+        "n_docs", "tp", "fp", "fn", "tn",
+        F.expr(
+            "((tp + tn) * 1000000) div greatest(n_docs, 1)"
+        ).alias("accuracy_ppm"),
+        F.expr(
+            "(tp * 1000000) div greatest(tp + fp, 1)"
+        ).alias("precision_ppm"),
+        F.expr(
+            "(tp * 1000000) div greatest(tp + fn, 1)"
+        ).alias("recall_ppm"),
+    )

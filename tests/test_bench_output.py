@@ -49,6 +49,7 @@ _QUERY_NAMES = [
     "tokenizer_fertility", "script_profile", "dom_templates",
     "cms_counts", "feed_entries", "graph_degrees", "bitext_mine",
     "robots_sitemaps", "recrawl_priority", "extract_coverage",
+    "quality_calibration",
     "extra_query_name_j", "extra_query_name_k",
 ]
 
