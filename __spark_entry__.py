@@ -752,6 +752,13 @@ def q_events_window_stats(spark, sf_dir):
     return eventops.window_stats(_events(spark, sf_dir))
 
 
+def q_user_paths(spark, sf_dir):
+    """Next-event transition matrix with top-k next events per source
+    type over the events table (see eventops.user_paths; (ts, event_id)
+    ordering makes every count deterministic)."""
+    return eventops.user_paths(_events(spark, sf_dir))
+
+
 def q_retention_cohorts(spark, sf_dir):
     """Cohort retention table: users grouped by first-event date,
     activity per (cohort_day, day_offset) — three slim partial-agg
@@ -1527,6 +1534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap": q_domain_cap,
         "events_sessionize": q_events_sessionize,
         "retention_cohorts": q_retention_cohorts,
+        "user_paths": q_user_paths,
         "funnel_steps": q_funnel_steps,
         "props_stats": q_props_stats,
         "events_window_stats": q_events_window_stats,
@@ -5198,6 +5206,35 @@ def oracle_sql() -> dict[str, str]:
                     AND coalesce(a.mean_surprisal, 0.0)
                         <= {textops.LM2_SURPRISAL_MAX}) AS lm2_ok
             FROM base b LEFT JOIN agg a USING (doc_id)
+        """,
+        # user_paths: lead() over the identical (ts, event_id) order,
+        # exact counts + integer share, (count desc, to asc) rank
+        "user_paths": f"""
+            WITH pairs AS (
+              SELECT event_type AS from_event,
+                     lead(event_type) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts, event_id) AS to_event
+              FROM events),
+            counts AS (
+              SELECT from_event, to_event,
+                     CAST(count(*) AS BIGINT) AS n_transitions
+              FROM pairs WHERE to_event IS NOT NULL
+              GROUP BY from_event, to_event),
+            totals AS (
+              SELECT from_event,
+                     CAST(sum(n_transitions) AS BIGINT) AS from_total
+              FROM counts GROUP BY from_event)
+            SELECT c.from_event, c.to_event, c.n_transitions,
+                   t.from_total,
+                   (c.n_transitions * 1000000) // t.from_total
+                     AS share_ppm,
+                   CAST(row_number() OVER (
+                     PARTITION BY c.from_event
+                     ORDER BY c.n_transitions DESC, c.to_event ASC)
+                     AS BIGINT) AS rank
+            FROM counts c JOIN totals t USING (from_event)
+            QUALIFY rank <= {eventops.PATHS_TOPK}
         """,
         "retention_cohorts": """
             WITH firsts AS (

@@ -228,3 +228,55 @@ def props_stats(df: DataFrame, key: str = "k") -> DataFrame:
             F.sum("k").cast("long").alias("k_sum"),
         )
     )
+
+
+PATHS_TOPK = 3
+
+
+def user_paths(df: DataFrame, k: int = PATHS_TOPK) -> DataFrame:
+    """Next-event transition matrix — the Markov view of user behavior
+    (funnel_steps checks ONE prescribed order; this surfaces what users
+    actually do next, feeding funnel design and anomaly watch). Per
+    user, events order by (ts, event_id) — event_id is unique, so the
+    order and therefore every count is deterministic — and each
+    consecutive pair contributes one (from_event, to_event) transition;
+    session boundaries are deliberately ignored (compose with
+    sessionize's session_id as an extra partition key when cross-
+    session transitions should not count). Output per observed
+    from_event: its top-k next events with exact counts, the from-side
+    total, and an integer-ppm share; rank ties break (count desc,
+    to_event asc).
+
+    Scale shape: ONE (user_id) shuffle for the lead() window — the
+    sessionize per-user single-task skew contract applies verbatim —
+    then a partial-aggregatable groupBy whose key space is bounded by
+    |event_type|^2, not events; the totals join and the rank window run
+    on THAT tiny table."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = df.select(
+        F.col("event_type").alias("from_event"),
+        F.lead("event_type").over(w).alias("to_event"),
+    ).where(F.col("to_event").isNotNull())
+    counts = pairs.groupBy("from_event", "to_event").agg(
+        F.count("*").cast("long").alias("n_transitions")
+    )
+    totals = counts.groupBy("from_event").agg(
+        F.sum("n_transitions").cast("long").alias("from_total")
+    )
+    wr = Window.partitionBy("from_event").orderBy(
+        F.desc("n_transitions"), F.asc("to_event")
+    )
+    return (
+        counts.join(totals, "from_event")
+        .withColumn("rank", F.row_number().over(wr).cast("long"))
+        .where(F.col("rank") <= int(k))
+        .select(
+            "from_event", "to_event", "n_transitions", "from_total",
+            F.expr(
+                "(n_transitions * 1000000) div from_total"
+            ).alias("share_ppm"),
+            "rank",
+        )
+    )
