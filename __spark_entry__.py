@@ -557,6 +557,18 @@ def q_dedup_clusters(spark, sf_dir):
     return graphops.dedup_components(pairs)
 
 
+def q_dedup_cluster_stats(spark, sf_dir):
+    """Cluster-size histogram over the minhash pair graph, singleton
+    row included (partitions the augmented corpus exactly; see
+    graphops.cluster_size_stats)."""
+    from dompa_spark import graphops
+
+    aug = textops.with_near_dups(_docs(spark, sf_dir))
+    pairs = textops.minhash_lsh_pairs(aug)
+    comps = graphops.dedup_components(pairs)
+    return graphops.cluster_size_stats(comps, corpus=aug)
+
+
 def q_simhash(spark, sf_dir):
     return textops.simhash(_docs(spark, sf_dir))
 
@@ -1490,6 +1502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_incremental": q_dedup_incremental,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_cluster_stats": q_dedup_cluster_stats,
         "dedup_clusters_lsh": q_dedup_clusters_lsh,
         "simhash": q_simhash,
         "simhash_dedup": q_simhash_dedup,
@@ -3529,6 +3542,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT src AS doc_id, min(dst) AS component,
                    src = min(dst) AS is_canonical
             FROM reach GROUP BY src
+        """,
+        # dedup_cluster_stats: the components replay aggregated twice
+        # (component sizes -> size histogram) + the singleton remainder
+        "dedup_cluster_stats": f"""
+            WITH RECURSIVE
+            pairs AS (SELECT * FROM ({_minhash_pairs_sql()}) q),
+            edges AS (
+              SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION
+              SELECT doc_b AS src, doc_a AS dst FROM pairs),
+            reach(src, dst) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN edges e
+                ON r.dst = e.src),
+            comp AS (
+              SELECT src AS doc_id, min(dst) AS component
+              FROM reach GROUP BY src),
+            sizes AS (
+              SELECT component, CAST(count(*) AS BIGINT) AS size
+              FROM comp GROUP BY component),
+            hist AS (
+              SELECT size, CAST(count(*) AS BIGINT) AS n_clusters,
+                     CAST(sum(size) AS BIGINT) AS n_docs
+              FROM sizes GROUP BY size),
+            aug AS ({_AUG})
+            SELECT * FROM hist
+            UNION ALL
+            SELECT CAST(1 AS BIGINT),
+                   (SELECT count(*) FROM aug)
+                     - (SELECT count(*) FROM comp),
+                   (SELECT count(*) FROM aug)
+                     - (SELECT count(*) FROM comp)
         """,
         # dedup_clusters_lsh: star edges to band-bucket minima (linear
         # in corpus size) -> recursive-CTE transitive closure

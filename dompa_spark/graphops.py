@@ -287,3 +287,39 @@ def degree_stats(edges: DataFrame) -> DataFrame:
             F.coalesce("n_reciprocal", zero).alias("n_reciprocal"),
         )
     )
+
+
+def cluster_size_stats(
+    components: DataFrame, corpus: DataFrame | None = None
+) -> DataFrame:
+    """Near-dup cluster-size histogram — the macro dedup telemetry
+    next to the per-bucket LSH stats: ONE viral 10^6-doc cluster and
+    10^6 pairs are indistinguishable in pair counts, and this is the
+    table that tells them apart (what dedup actually deletes is
+    sum((size-1)) over clusters). Input: dedup_components output (one
+    row per doc that appears in the edge graph). Output one row per
+    observed cluster size: (size, n_clusters, n_docs); when `corpus`
+    is given, a size=1 row reports the singleton count (docs the pair
+    graph never touched) so the histogram partitions the whole corpus.
+
+    Scale shape: two partial-aggregatable groupBys — per-component
+    sizes (key space = clusters), then per-size counts (key space =
+    distinct sizes, tiny); the singleton row is two 1-row aggregates
+    joined via a broadcast (never a real cartesian). No windows."""
+    sizes = components.groupBy("component").agg(
+        F.count("*").cast("long").alias("size")
+    )
+    hist = sizes.groupBy("size").agg(
+        F.count("*").cast("long").alias("n_clusters"),
+        F.sum("size").cast("long").alias("n_docs"),
+    )
+    if corpus is None:
+        return hist
+    tot = corpus.agg(F.count("*").cast("long").alias("t"))
+    inc = components.agg(F.count("*").cast("long").alias("c"))
+    single = tot.crossJoin(F.broadcast(inc)).select(
+        F.lit(1).cast("long").alias("size"),
+        (F.col("t") - F.col("c")).alias("n_clusters"),
+        (F.col("t") - F.col("c")).alias("n_docs"),
+    )
+    return hist.unionByName(single)

@@ -49,7 +49,7 @@ _QUERY_NAMES = [
     "tokenizer_fertility", "script_profile", "dom_templates",
     "cms_counts", "feed_entries", "graph_degrees", "bitext_mine",
     "robots_sitemaps", "recrawl_priority", "extract_coverage",
-    "quality_calibration", "user_paths",
+    "quality_calibration", "user_paths", "dedup_cluster_stats",
     "extra_query_name_j", "extra_query_name_k",
 ]
 

@@ -51,3 +51,31 @@ def test_link_farm_ring_fully_reciprocal(spark):
         assert st[n]["n_reciprocal"] == 2
         assert st[n]["out_deg"] == 2
         assert st[n]["in_deg"] == 2
+
+
+def test_cluster_size_stats_hand_graph(spark):
+    """Histogram partitions the corpus: a 3-cluster + a 2-cluster +
+    two singletons."""
+    from pyspark.sql import functions as F
+
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)],
+        "doc_id long, component long",
+    )
+    corpus = spark.createDataFrame(
+        [(i,) for i in range(1, 8)], "doc_id long"
+    )
+    out = {r["size"]: r for r in graphops.cluster_size_stats(
+        comps, corpus=corpus).collect()}
+    assert out[3]["n_clusters"] == 1 and out[3]["n_docs"] == 3
+    assert out[2]["n_clusters"] == 1 and out[2]["n_docs"] == 2
+    assert out[1]["n_clusters"] == 2 and out[1]["n_docs"] == 2
+    assert sum(r["n_docs"] for r in out.values()) == 7
+
+
+def test_cluster_size_stats_without_corpus_no_singleton_row(spark):
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1)], "doc_id long, component long"
+    )
+    out = graphops.cluster_size_stats(comps).collect()
+    assert len(out) == 1 and out[0]["size"] == 2
