@@ -133,12 +133,18 @@ def test_no_unbounded_cartesian_products(spark, entry_mod):
     # lm2_surprisal: corpus token total N joins in as a broadcast
     #   1-row aggregate (the lm_surprisal pattern); both LM tables are
     #   broadcast EQUI joins
+    # bitext_mine: deliberate brute-force scoring over the broadcast
+    #   bounded probe side (the ann_cosine_topk contract)
+    # dedup_cluster_stats: the singleton-remainder row joins two 1-row
+    #   aggregates (corpus total x in-cluster total) via broadcast —
+    #   a constant, not an all-pairs join
     allowed_bnlj = {"ann_cosine_topk", "tfidf_top_terms", "ann_ivf_topk",
                     "ivf_list_sizes", "ann_recall", "lm_surprisal",
                     "corpus_mixture", "dsir_weights", "sample_mixture",
                     "bpe_train", "semdedup", "ann_ivfpq_topk",
                     "cluster_topics", "bm25_topk", "pmi_topk",
-                    "length_quantiles", "lm2_surprisal", "funnel_steps"}
+                    "length_quantiles", "lm2_surprisal", "funnel_steps",
+                    "bitext_mine", "dedup_cluster_stats"}
     for name, fn in entry_mod.queries().items():
         plan = plan_of(fn(spark, SF_DIR))
         assert "CartesianProduct" not in plan, f"{name} has a cartesian join"
