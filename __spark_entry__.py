@@ -1453,6 +1453,44 @@ def q_graph_degrees(spark, sf_dir):
     return graphops.degree_stats(edges)
 
 
+def q_graph_components(spark, sf_dir):
+    """Weakly-connected components of a deliberately FRAGMENTED host
+    graph (edges stay within did div-100 blocks of the 997-host id
+    space -> ~10 islands), summarized as a component-size histogram —
+    the crawl-frontier-island view: a pure composition of
+    graphops.connected_components + graphops.cluster_size_stats (no
+    new math; the oracle replays the transitive closure)."""
+    from dompa_spark import graphops
+
+    d = F.col("doc_id").cast("long")
+    src = d % 997
+    blk = src - (src % 100)
+    edges = (
+        _docs(spark, sf_dir)
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        src.alias("doc_a"),
+                        (blk + ((src % 100) * 3 + 1) % 100).alias(
+                            "doc_b"
+                        ),
+                    ),
+                    F.struct(
+                        src.alias("doc_a"),
+                        (blk + ((src % 100) * 7 + 2) % 100).alias(
+                            "doc_b"
+                        ),
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.doc_a", "e.doc_b")
+    )
+    comps = graphops.connected_components(edges)
+    return graphops.cluster_size_stats(comps)
+
+
 def q_cms_counts(spark, sf_dir):
     """Count-min sketch accuracy gauge: estimate-vs-exact for the
     corpus's top-20 terms (see textops.cms_counts; estimates only
@@ -1585,6 +1623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_profile": q_script_profile,
         "dom_templates": q_dom_templates,
         "cms_counts": q_cms_counts,
+        "graph_components": q_graph_components,
         "feed_entries": q_feed_entries,
         "graph_degrees": q_graph_degrees,
         "bitext_mine": q_bitext_mine,
@@ -3052,6 +3091,40 @@ def oracle_sql() -> dict[str, str]:
         "link_graph_rank": _pagerank_sql(),
         # graph_degrees: distinct-edge replay + reversed-key self-join;
         # degrees count distinct neighbors, self-loops never reciprocal
+        # graph_components: recursive-CTE transitive closure over the
+        # fragmented host graph, aggregated to the size histogram
+        "graph_components": """
+            WITH RECURSIVE
+            d AS (SELECT CAST(doc_id AS BIGINT) AS did FROM documents),
+            e0 AS (
+              SELECT did % 997 AS a,
+                     (did % 997) - ((did % 997) % 100)
+                       + (((did % 997) % 100) * 3 + 1) % 100 AS b
+              FROM d
+              UNION ALL
+              SELECT did % 997,
+                     (did % 997) - ((did % 997) % 100)
+                       + (((did % 997) % 100) * 7 + 2) % 100
+              FROM d),
+            edges AS (
+              SELECT a AS src, b AS dst FROM e0
+              UNION
+              SELECT b AS src, a AS dst FROM e0),
+            reach(src, dst) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN edges e
+                ON r.dst = e.src),
+            comp AS (
+              SELECT src AS doc_id, min(dst) AS component
+              FROM reach GROUP BY src),
+            sizes AS (
+              SELECT component, CAST(count(*) AS BIGINT) AS size
+              FROM comp GROUP BY component)
+            SELECT size, CAST(count(*) AS BIGINT) AS n_clusters,
+                   CAST(sum(size) AS BIGINT) AS n_docs
+            FROM sizes GROUP BY size
+        """,
         "graph_degrees": """
             WITH d AS (
               SELECT CAST(doc_id AS BIGINT) AS did FROM documents),
