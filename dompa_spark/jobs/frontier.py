@@ -63,6 +63,12 @@ def main(argv=None) -> int:
     p.add_argument("--sitemaps", default=None,
                    help="parquet of sitemap documents (doc_id, spans) "
                         "to ingest into the candidate set")
+    p.add_argument("--discover-sitemaps", action="store_true",
+                   help="extract Sitemap: directives from the --robots "
+                        "table (textops.robots_sitemaps) and union the "
+                        "sitemap-file URLs into the candidate set — a "
+                        "crawler has to FETCH the sitemap files before "
+                        "it can ingest them with --sitemaps")
     p.add_argument("--per-host-cap", type=int, default=None,
                    help="keep at most N fetches per host (salted rank)")
     p.add_argument("--keep-denied", action="store_true",
@@ -72,6 +78,8 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
     if args.per_host_cap is not None and args.per_host_cap < 1:
         p.error("--per-host-cap must be >= 1")
+    if args.discover_sitemaps and not args.robots:
+        p.error("--discover-sitemaps requires --robots")
     if args.per_host_cap is not None and args.keep_denied:
         p.error(
             "--per-host-cap applies to the fetch list and cannot be "
@@ -108,6 +116,30 @@ def main(argv=None) -> int:
                 F.col("loc").alias("url"),
             )
         )
+    n_sitemap_files = 0
+    if args.discover_sitemaps:
+        # sitemap-FILE URLs from robots.txt Sitemap: directives become
+        # fetch candidates of their own (step 0 of --sitemaps). Their
+        # synthetic ids live in a far negative band keyed on
+        # md5_60(host): ids only elect dup-group keepers (grouping is
+        # by url_canon), so a band collision merges nothing — it can
+        # only blur the audit mapping, and only past ~10^6 robots
+        # hosts (birthday bound on 2^40).
+        sm_files = textops.robots_sitemaps(
+            spark.read.parquet(args.robots)
+        )
+        disc = sm_files.select(
+            (
+                F.lit(-(2 ** 45))
+                - (textops._md5_60_of(F.col("host")) % F.lit(2 ** 40))
+                * 16
+                - F.col("sm_idx")
+            ).alias("doc_id"),
+            F.col("url"),
+        )
+        n_sitemap_files = disc.count()
+        urls = urls.unionByName(disc)
+
     n_in = urls.count()
 
     norm = textops.url_normalize(urls)
@@ -193,6 +225,8 @@ def main(argv=None) -> int:
     written = spark.read.parquet(args.output)
     n_out = written.count()
     stats = {"urls_in": n_in, "rows_out": n_out}
+    if args.discover_sitemaps:
+        stats["sitemap_files_discovered"] = n_sitemap_files
     if args.keep_denied:
         stats["denied"] = written.filter("denied").count()
         stats["dups"] = written.filter("is_dup").count()

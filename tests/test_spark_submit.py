@@ -434,6 +434,41 @@ def test_spark_submit_frontier_job(workdir):
     assert kept3[1][1] == "https://sm.new/page"
     assert all(r[0] != 0 for r in kept3)  # robots blocked the keeper
 
+    # fourth form: --discover-sitemaps pulls the Sitemap: directive
+    # out of robots.txt and makes the sitemap FILE itself a fetch
+    # candidate (step 0 of --sitemaps), under the far-negative
+    # md5_60(host) id band
+    con.execute(f"""
+        COPY (
+          SELECT * FROM (VALUES
+            ('ex.com', 'User-agent: *' || chr(10) || 'Disallow: /a'
+                       || chr(10)
+                       || 'Sitemap: https://EX.com/sitemap.xml')
+          ) t(host, robots_txt)
+        ) TO '{workdir}/fr_robots2' (FORMAT parquet)""")
+    s4 = run([
+        "--output", str(workdir / "fr_kept4"),
+        "--robots", str(workdir / "fr_robots2"),
+        "--discover-sitemaps",
+    ])
+    assert s4 == {
+        "urls_in": 16, "rows_out": 9, "sitemap_files_discovered": 1,
+    }
+    import hashlib as _hl
+
+    sm_id = (
+        -(2 ** 45)
+        - (int(_hl.md5(b"ex.com").hexdigest()[:15], 16) % 2 ** 40) * 16
+    )
+    kept4 = {
+        r[0]: r[1] for r in con.execute(
+            f"SELECT doc_id, url_canon "
+            f"FROM '{workdir}/fr_kept4/*.parquet'").fetchall()
+    }
+    assert kept4[sm_id] == "https://ex.com/sitemap.xml"
+    assert 0 not in kept4  # ex.com/a still robots-blocked
+    assert sorted(k for k in kept4 if k >= 0) == [4, 5, 6, 7, 8, 9, 10, 11]
+
 
 def test_spark_submit_ingest_warc_job(workdir, spark):
     """WARC archives -> interleaved corpus -> extraction, one submit:
