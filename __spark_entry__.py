@@ -1314,6 +1314,17 @@ def q_script_profile(spark, sf_dir):
     return textops.script_profile(aug)
 
 
+def q_script_mixture(spark, sf_dir):
+    """Corpus-level script composition over the same multi-script
+    augmentation as script_profile (see textops.script_mixture)."""
+    docs = _docs(spark, sf_dir)
+    aug = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.expr(_SCRIPT_AUG.format(STR="STRING")).alias("text"),
+    )
+    return textops.script_mixture(aug)
+
+
 def q_dom_templates(spark, sf_dir):
     """Host template detection over DOM-skeleton fingerprints: four
     layouts at skewed frequencies (60/25/10/5) on 23 hosts, parsed by
@@ -1621,6 +1632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_quantiles": q_length_quantiles,
         "char_entropy": q_char_entropy,
         "script_profile": q_script_profile,
+        "script_mixture": q_script_mixture,
         "dom_templates": q_dom_templates,
         "cms_counts": q_cms_counts,
         "graph_components": q_graph_components,
@@ -2626,6 +2638,52 @@ def _distinct_sketch_q(k: int = 32) -> str:
                      (CAST({k} AS BIGINT) * {p}) // ({ssum} + {k}) - 1)
                      AS BIGINT) AS est_distinct
             FROM g
+        """
+
+
+def _script_profile_sql() -> str:
+    """Per-doc unicode-script profile replay (shared by the
+    script_profile and script_mixture oracles)."""
+    return f"""
+            WITH base AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     coalesce({_SCRIPT_AUG.format(STR="VARCHAR")}, '') AS t
+              FROM documents),
+            c AS (
+              SELECT doc_id, length(t) AS n,
+                     length(t) - length(regexp_replace(
+                       t, '[A-Za-zÀ-ɏ]', '', 'g')) AS c_latin,
+                     length(t) - length(regexp_replace(
+                       t, '[Ѐ-ӿ]', '', 'g')) AS c_cyrillic,
+                     length(t) - length(regexp_replace(
+                       t, '[一-鿿぀-ヿ가-힯]', '', 'g')) AS c_cjk,
+                     length(t) - length(regexp_replace(
+                       t, '[؀-ۿ]', '', 'g')) AS c_arabic
+              FROM base),
+            c2 AS (
+              SELECT *, c_latin + c_cyrillic + c_cjk + c_arabic AS nl,
+                     greatest(c_latin, c_cyrillic, c_cjk, c_arabic) AS mc
+              FROM c)
+            SELECT doc_id,
+                   CAST(n AS BIGINT) AS n_chars,
+                   CAST(nl AS BIGINT) AS n_scripted,
+                   (c_latin * 1000000) // greatest(nl, 1) AS latin_ppm,
+                   (c_cyrillic * 1000000) // greatest(nl, 1)
+                     AS cyrillic_ppm,
+                   (c_cjk * 1000000) // greatest(nl, 1) AS cjk_ppm,
+                   (c_arabic * 1000000) // greatest(nl, 1) AS arabic_ppm,
+                   -- earliest-max replay of the strict-greater scan
+                   CASE WHEN nl = 0 THEN 'none'
+                        WHEN c_latin >= c_cyrillic AND c_latin >= c_cjk
+                             AND c_latin >= c_arabic THEN 'latin'
+                        WHEN c_cyrillic >= c_cjk AND c_cyrillic >= c_arabic
+                             THEN 'cyrillic'
+                        WHEN c_cjk >= c_arabic THEN 'cjk'
+                        ELSE 'arabic' END AS main_script,
+                   (nl > 0 AND mc * 1000000 >=
+                    {textops.SCRIPT_MAIN_MIN_PPM} * greatest(nl, 1))
+                     AS script_ok
+            FROM c2
         """
 
 
@@ -5119,46 +5177,17 @@ def oracle_sql() -> dict[str, str]:
         # diffs, `//` == Spark div, cross-multiplied gate — no doubles
         # anywhere); literal BMP ranges so RE2 and Java regex agree and
         # DuckDB codepoint len == JVM UTF-16 length; 'g' flag as always
-        "script_profile": f"""
-            WITH base AS (
-              SELECT CAST(doc_id AS BIGINT) AS doc_id,
-                     coalesce({_SCRIPT_AUG.format(STR="VARCHAR")}, '') AS t
-              FROM documents),
-            c AS (
-              SELECT doc_id, length(t) AS n,
-                     length(t) - length(regexp_replace(
-                       t, '[A-Za-zÀ-ɏ]', '', 'g')) AS c_latin,
-                     length(t) - length(regexp_replace(
-                       t, '[Ѐ-ӿ]', '', 'g')) AS c_cyrillic,
-                     length(t) - length(regexp_replace(
-                       t, '[一-鿿぀-ヿ가-힯]', '', 'g')) AS c_cjk,
-                     length(t) - length(regexp_replace(
-                       t, '[؀-ۿ]', '', 'g')) AS c_arabic
-              FROM base),
-            c2 AS (
-              SELECT *, c_latin + c_cyrillic + c_cjk + c_arabic AS nl,
-                     greatest(c_latin, c_cyrillic, c_cjk, c_arabic) AS mc
-              FROM c)
-            SELECT doc_id,
-                   CAST(n AS BIGINT) AS n_chars,
-                   CAST(nl AS BIGINT) AS n_scripted,
-                   (c_latin * 1000000) // greatest(nl, 1) AS latin_ppm,
-                   (c_cyrillic * 1000000) // greatest(nl, 1)
-                     AS cyrillic_ppm,
-                   (c_cjk * 1000000) // greatest(nl, 1) AS cjk_ppm,
-                   (c_arabic * 1000000) // greatest(nl, 1) AS arabic_ppm,
-                   -- earliest-max replay of the strict-greater scan
-                   CASE WHEN nl = 0 THEN 'none'
-                        WHEN c_latin >= c_cyrillic AND c_latin >= c_cjk
-                             AND c_latin >= c_arabic THEN 'latin'
-                        WHEN c_cyrillic >= c_cjk AND c_cyrillic >= c_arabic
-                             THEN 'cyrillic'
-                        WHEN c_cjk >= c_arabic THEN 'cjk'
-                        ELSE 'arabic' END AS main_script,
-                   (nl > 0 AND mc * 1000000 >=
-                    {textops.SCRIPT_MAIN_MIN_PPM} * greatest(nl, 1))
-                     AS script_ok
-            FROM c2
+        "script_profile": _script_profile_sql(),
+        # script_mixture: the per-doc profile aggregated per dominant
+        # script — exact counts only
+        "script_mixture": f"""
+            WITH prof AS ({_script_profile_sql()})
+            SELECT main_script,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_scripted) AS BIGINT) AS n_scripted,
+                   CAST(sum(CASE WHEN script_ok THEN 0 ELSE 1 END)
+                        AS BIGINT) AS n_rejected
+            FROM prof GROUP BY main_script
         """,
         # dom_templates: the oracle predicts the parser's tag sequence
         # closed-form per layout (template algebra) and replays the

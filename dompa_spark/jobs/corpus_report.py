@@ -103,6 +103,11 @@ def main(argv=None) -> int:
             f"{out}/heavy_hitters"
         )
 
+        sm = textops.script_mixture(slim)
+        sm.coalesce(1).write.mode("overwrite").parquet(
+            f"{out}/script_mixture"
+        )
+
         ce_row = spark.read.parquet(f"{out}/char_entropy").first()
         q_rows = {
             int(r["p_bp"]): int(r["est_max_chars"])
@@ -123,6 +128,12 @@ def main(argv=None) -> int:
             "heavy_terms": spark.read.parquet(
                 f"{out}/heavy_hitters"
             ).count(),
+            "script_rejected": int(
+                spark.read.parquet(f"{out}/script_mixture")
+                .agg(F.sum("n_rejected"))
+                .first()[0]
+                or 0
+            ),
         }
     finally:
         slim.unpersist()

@@ -7663,3 +7663,29 @@ def quality_calibration(df: DataFrame, **clf_kwargs) -> DataFrame:
             "(tp * 1000000) div greatest(tp + fn, 1)"
         ).alias("recall_ppm"),
     )
+
+
+def script_mixture(
+    df: DataFrame, *, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-level script composition — corpus_mixture's sibling one
+    rung below language: per dominant script, document and scripted-
+    letter counts plus how many of its docs the mixed-script gate
+    rejects. The report-card row a multilingual ingest reads first:
+    a surging 'none' row is binary spill, a cyrillic row with high
+    rejects is mojibake or spam, and the letter counts (not doc
+    counts) are what tokenizer-budget planning needs. Output one row
+    per observed main_script: (main_script, n_docs, n_scripted,
+    n_rejected), all exact BIGINT.
+
+    Scale shape: script_profile's zero-shuffle per-doc pass + ONE
+    partial-aggregatable groupBy over a key space of 5 ('none' + the
+    four families)."""
+    prof = script_profile(df, text_col=text_col)
+    return prof.groupBy("main_script").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_scripted").cast("long").alias("n_scripted"),
+        F.sum(
+            F.when(~F.col("script_ok"), 1).otherwise(0)
+        ).cast("long").alias("n_rejected"),
+    )

@@ -756,6 +756,7 @@ def test_spark_submit_corpus_report(workdir, spark):
         ("mixture", textops.corpus_mixture(docs)),
         ("distinct_sketch", textops.distinct_sketch(docs)),
         ("heavy_hitters", textops.heavy_hitters(docs)),
+        ("script_mixture", textops.script_mixture(docs)),
     ]:
         got = sorted(
             map(tuple, spark.read.parquet(f"{rpt}/{sub}").collect())
