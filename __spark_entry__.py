@@ -1464,6 +1464,13 @@ def q_graph_degrees(spark, sf_dir):
     return graphops.degree_stats(edges)
 
 
+def q_embedding_stats(spark, sf_dir):
+    """Per-dimension embedding audit in exact fixed point (see
+    textops.embedding_stats)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return textops.embedding_stats(emb)
+
+
 def q_graph_components(spark, sf_dir):
     """Weakly-connected components of a deliberately FRAGMENTED host
     graph (edges stay within did div-100 blocks of the 997-host id
@@ -1636,6 +1643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dom_templates": q_dom_templates,
         "cms_counts": q_cms_counts,
         "graph_components": q_graph_components,
+        "embedding_stats": q_embedding_stats,
         "feed_entries": q_feed_entries,
         "graph_degrees": q_graph_degrees,
         "bitext_mine": q_bitext_mine,
@@ -4366,6 +4374,27 @@ def oracle_sql() -> dict[str, str]:
             FROM sh s LEFT JOIN hits h ON s.doc_id = h.doc_id
         """,
         "ann_cosine_topk": _ANN_COSINE_Q,
+        # embedding_stats: fixed-point snap BEFORE aggregation (exact
+        # BIGINT sums); the 1-based series index maps to posexplode's
+        # 0-based dim index; both engines truncate integer division
+        # toward zero (verified on negatives)
+        "embedding_stats": f"""
+            WITH ex AS (
+              SELECT i - 1 AS dim_idx,
+                     CAST(round(CAST(embedding[i] AS DOUBLE)
+                                * {textops.EMB_STATS_SCALE})
+                          AS BIGINT) AS v
+              FROM embeddings,
+                   LATERAL (SELECT unnest(generate_series(
+                     1, len(embedding))) AS i) t)
+            SELECT CAST(dim_idx AS BIGINT) AS dim_idx,
+                   CAST(count(*) AS BIGINT) AS n_vecs,
+                   CAST(sum(v) // count(*) AS BIGINT) AS mean_fp,
+                   CAST(min(v) AS BIGINT) AS min_fp,
+                   CAST(max(v) AS BIGINT) AS max_fp,
+                   CAST(sum(v * v) AS BIGINT) AS sumsq_fp
+            FROM ex GROUP BY dim_idx
+        """,
         # bitext_mine: cosines snap to scaled BIGINT BEFORE any
         # aggregation (order-free integer top-k sums), margin is one
         # exact integer division; NULLS LAST mirrors desc_nulls_last

@@ -7689,3 +7689,53 @@ def script_mixture(
             F.when(~F.col("script_ok"), 1).otherwise(0)
         ).cast("long").alias("n_rejected"),
     )
+
+
+EMB_STATS_SCALE = 10_000
+
+
+def embedding_stats(emb: DataFrame) -> DataFrame:
+    """Per-dimension embedding audit — the sanity gauge an ANN ingest
+    runs BEFORE spending a training pass on the index: a dead
+    (constant) dimension means a broken featurizer, a mean far off the
+    others means an unnormalized batch, and the per-dim spread drives
+    the PQ subspace split. Values snap to EMB_STATS_SCALE fixed point
+    (the PQ_DIST_SCALE discipline), so every aggregate is an exact
+    BIGINT and the row hashes engine-identically. Output one row per
+    dimension: (dim_idx, n_vecs, mean_fp, min_fp, max_fp, sumsq_fp) —
+    variance is the consumer's division (emitting raw sums keeps the
+    row re-aggregatable across shards, the domain_stats argument);
+    is-dead is min_fp == max_fp.
+
+    Scale shape: one posexplode × dim + ONE partial-aggregatable
+    groupBy over a key space bounded by the DIMENSION (not corpus
+    size) — every task combines to <= dim rows map-side, the cms/
+    sketch shuffle shape. Overflow: |sum| <= n·scale·|x|max,
+    sumsq <= n·(scale·|x|max)² — BIGINT-safe past 10^10 unit-scale
+    vectors."""
+    ex = emb.select(
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda x: F.round(
+                    x.cast("double") * EMB_STATS_SCALE
+                ).cast("long"),
+            )
+        ).alias("dim_idx", "v")
+    )
+    return (
+        ex.groupBy("dim_idx")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.expr("sum(v) div count(*)").alias("mean_fp"),
+            F.min("v").cast("long").alias("min_fp"),
+            F.max("v").cast("long").alias("max_fp"),
+            F.sum(F.col("v") * F.col("v")).cast("long").alias(
+                "sumsq_fp"
+            ),
+        )
+        .select(
+            F.col("dim_idx").cast("long").alias("dim_idx"),
+            "n_vecs", "mean_fp", "min_fp", "max_fp", "sumsq_fp",
+        )
+    )

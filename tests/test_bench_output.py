@@ -50,7 +50,7 @@ _QUERY_NAMES = [
     "cms_counts", "feed_entries", "graph_degrees", "bitext_mine",
     "robots_sitemaps", "recrawl_priority", "extract_coverage",
     "quality_calibration", "user_paths", "dedup_cluster_stats",
-    "graph_components", "script_mixture",
+    "graph_components", "script_mixture", "embedding_stats",
     "extra_query_name_j", "extra_query_name_k",
 ]
 

@@ -74,3 +74,28 @@ def test_sketch_cardinality_bounded(spark):
     docs = _docs(spark, ["a b c d e f g h i j k l m n o p"])
     sk = textops.cms_sketch(docs, w=8)
     assert sk.count() <= textops.CMS_D * 8
+
+
+def test_embedding_stats_hand_vectors(spark):
+    """Exact per-dim stats on crafted vectors incl. a dead dimension
+    and a negative mean."""
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.5, -0.25]),
+            (2, [1.0, 0.3, -0.75]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["dim_idx"]: r.asDict()
+           for r in textops.embedding_stats(emb).collect()}
+    s = textops.EMB_STATS_SCALE
+    # dim 0 is dead: min == max
+    assert out[0]["min_fp"] == out[0]["max_fp"] == s
+    assert out[0]["mean_fp"] == s
+    assert out[0]["sumsq_fp"] == 2 * s * s
+    # dim 1: mean of 5000, 3000 = 4000
+    assert out[1]["mean_fp"] == 4000
+    # dim 2: negative values — exact snap, truncating mean
+    assert out[2]["min_fp"] == -7500 and out[2]["max_fp"] == -2500
+    assert out[2]["mean_fp"] == (-2500 - 7500) // 2
+    assert all(r["n_vecs"] == 2 for r in out.values())
