@@ -1344,6 +1344,15 @@ def q_dom_templates(spark, sf_dir):
     return textops.template_detect(nodes, hosts)
 
 
+def q_sitemap_index(spark, sf_dir):
+    """Sitemap-index ingestion through the REAL parser: the recursion
+    step of sitemap discovery (index -> shard files); strict
+    sitemap->sitemapindex chain, loc-less decoy gap, shared
+    canonicalization (see textops.sitemap_index_df)."""
+    wrapped = textops.sitemap_index_wrapped(_docs(spark, sf_dir))
+    return textops.sitemap_index_df(pipeline.parse_nodes_df(wrapped))
+
+
 def q_feed_entries(spark, sf_dir):
     """RSS/Atom feed ingestion through the REAL parser: even docs RSS
     (item->channel->rss chain, link recovered from the void-<link>
@@ -1645,6 +1654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_components": q_graph_components,
         "embedding_stats": q_embedding_stats,
         "feed_entries": q_feed_entries,
+        "sitemap_index": q_sitemap_index,
         "graph_degrees": q_graph_degrees,
         "bitext_mine": q_bitext_mine,
         "robots_sitemaps": q_robots_sitemaps,
@@ -2942,6 +2952,27 @@ def oracle_sql() -> dict[str, str]:
             FROM base WHERE did % 2 = 1
         """,
         "robots_parse": _robots_rules_sql(),
+        # sitemap_index: template algebra — kept entries at positions
+        # 0 and 2 (the loc-less decoy holds pos 1); orphan never emits
+        "sitemap_index": """
+            WITH base AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     CAST(doc_id AS VARCHAR) AS sid,
+                     CAST(CAST(doc_id AS BIGINT) % 9 + 1 AS VARCHAR) AS m
+              FROM documents)
+            SELECT doc_id, CAST(0 AS BIGINT) AS sm_pos,
+                   'https://EX.org:443/maps/m' || sid || '.xml' AS loc,
+                   '2026-0' || m || '-20' AS lastmod,
+                   'https://ex.org/maps/m' || sid || '.xml' AS url_canon,
+                   'ex.org' AS host
+            FROM base
+            UNION ALL
+            SELECT doc_id, 2,
+                   'https://ex.org/maps/n' || sid || '.xml?utm_source=i',
+                   NULL, 'https://ex.org/maps/n' || sid || '.xml',
+                   'ex.org'
+            FROM base
+        """,
         # recrawl_priority: same status template (cycles unique per
         # doc, so arg_max == Spark's max(struct)); exact integer
         # change_ppm + halving interval; removed-at-last -> NULL

@@ -7739,3 +7739,117 @@ def embedding_stats(emb: DataFrame) -> DataFrame:
             "n_vecs", "mean_fp", "min_fp", "max_fp", "sumsq_fp",
         )
     )
+
+
+def sitemap_index_wrapped(df: DataFrame) -> DataFrame:
+    """Sitemap-INDEX fixture through the REAL parser: a <sitemapindex>
+    with two <sitemap> entries (one carrying lastmod, one whose loc
+    needs canonicalization) and a loc-less decoy holding its
+    document-order position; a top-level orphan <sitemap> outside any
+    index must never emit."""
+    sid = F.col("doc_id").cast("string")
+    month = (F.col("doc_id").cast("long") % 9 + 1).cast("string")
+    html = F.concat(
+        F.lit('<sitemapindex xmlns="http://www.sitemaps.org/schemas/'
+              'sitemap/0.9"><sitemap><loc>https://EX.org:443/maps/m'),
+        sid, F.lit(".xml</loc><lastmod>2026-0"), month,
+        F.lit("-20</lastmod></sitemap>"
+              "<sitemap><priority>0.2</priority></sitemap>"
+              "<sitemap><loc>https://ex.org/maps/n"),
+        sid,
+        F.lit(".xml?utm_source=i</loc></sitemap></sitemapindex>"
+              "<sitemap><loc>https://bad.org/x.xml</loc></sitemap>"),
+    )
+    return df.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(html_span(html, 0)).alias("spans"),
+    )
+
+
+def sitemap_index_df(nodes_df: DataFrame) -> DataFrame:
+    """Sitemap-index ingestion — the recursion step of sitemap
+    discovery (large sites MUST shard: the protocol caps a sitemap
+    file at 50k URLs / 50 MB, so real sitemaps are indexes of
+    sitemaps; robots_sitemaps finds the index, THIS operator finds the
+    shards, sitemap_urls_df reads them). Walks <sitemap> entries that
+    are DIRECT children of a <sitemapindex> — the same strict
+    parent-chain / direct-child-text / loc-required contracts as
+    sitemap_urls_df, emitting (doc_id, sm_pos, loc, lastmod,
+    url_canon, host) with the SHARED frontier canonicalization, so an
+    index-discovered shard URL dedups against a robots-discovered one.
+
+    Scale shape: identical to sitemap_urls_df — map-side HOF passes +
+    one posexplode, every derived array bound at a projection
+    boundary; zero shuffles, zero Python beyond the parse kernel."""
+    from dompa_spark.constants import TEXT_NAME
+
+    ixids = F.transform(
+        F.filter(F.col("nodes"), lambda n: n["name"] == "sitemapindex"),
+        lambda n: n["node_id"],
+    )
+    t1 = nodes_df.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "nodes",
+        ixids.alias("ixids"),
+    )
+    sids = F.transform(
+        F.filter(
+            F.col("nodes"),
+            lambda n: (n["name"] == "sitemap")
+            & F.array_contains(F.col("ixids"), n["parent_id"]),
+        ),
+        lambda n: n["node_id"],
+    )
+    t2 = t1.select("doc_id", "nodes", sids.alias("uids"))
+
+    def kid_structs(name):
+        return F.transform(
+            F.filter(
+                F.col("nodes"),
+                lambda n: (n["name"] == name)
+                & F.array_contains(F.col("uids"), n["parent_id"]),
+            ),
+            lambda el: F.struct(
+                F.array_position(F.col("uids"), el["parent_id"]).alias(
+                    "upos"
+                ),
+                F.array_join(
+                    F.transform(
+                        F.filter(
+                            F.col("nodes"),
+                            lambda n: (n["parent_id"] == el["node_id"])
+                            & (n["name"] == TEXT_NAME),
+                        ),
+                        lambda n: n["value"],
+                    ),
+                    "",
+                ).alias("txt"),
+            ),
+        )
+
+    t3 = t2.select(
+        "doc_id", "uids",
+        kid_structs("loc").alias("ls"),
+        kid_structs("lastmod").alias("ms"),
+    )
+    per = F.transform(
+        F.col("uids"),
+        lambda uid, ui: F.struct(
+            F.get(
+                F.filter(F.col("ls"), lambda x: x["upos"] == ui + 1), 0
+            )["txt"].alias("loc"),
+            F.get(
+                F.filter(F.col("ms"), lambda x: x["upos"] == ui + 1), 0
+            )["txt"].alias("lastmod"),
+        ),
+    )
+    ex = t3.select(
+        "doc_id", F.posexplode(per).alias("sm_pos", "u")
+    ).where(F.col("u.loc").isNotNull())
+    canon, host, _ = url_canon_cols("loc")
+    return ex.select(
+        "doc_id",
+        F.col("sm_pos").cast("long").alias("sm_pos"),
+        F.col("u.loc").alias("loc"),
+        F.col("u.lastmod").alias("lastmod"),
+    ).select("*", canon.alias("url_canon"), host.alias("host"))

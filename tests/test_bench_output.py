@@ -47,7 +47,8 @@ _QUERY_NAMES = [
     "winnow_fingerprints", "winnow_contamination", "lm2_surprisal",
     "retention_cohorts", "funnel_steps", "props_stats",
     "tokenizer_fertility", "script_profile", "dom_templates",
-    "cms_counts", "feed_entries", "graph_degrees", "bitext_mine",
+    "cms_counts", "feed_entries", "sitemap_index", "graph_degrees",
+    "bitext_mine",
     "robots_sitemaps", "recrawl_priority", "extract_coverage",
     "quality_calibration", "user_paths", "dedup_cluster_stats",
     "graph_components", "script_mixture", "embedding_stats",

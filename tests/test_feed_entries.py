@@ -126,3 +126,45 @@ def test_mixed_feeds_same_doc_positions_rss_first(spark):
     by_type = {r["feed_type"]: r for r in out}
     assert by_type["rss"]["entry_pos"] == 0
     assert by_type["atom"]["entry_pos"] == 1
+
+
+def test_sitemap_index_chain_and_orphan(spark):
+    """sitemap -> sitemapindex chain required; orphan <sitemap> never
+    emits; loc-less entries drop but hold position."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (
+            "1",
+            "<sitemapindex>"
+            "<sitemap><loc>https://a.org/m1.xml</loc>"
+            "<lastmod>2026-01-05</lastmod></sitemap>"
+            "<sitemap><priority>0.1</priority></sitemap>"
+            "<sitemap><loc>https://A.ORG:443/m2.xml</loc></sitemap>"
+            "</sitemapindex>"
+            "<sitemap><loc>https://bad.org/x.xml</loc></sitemap>",
+        )
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, html string")
+    spans = df.select(
+        "doc_id",
+        F.array(
+            F.struct(
+                F.lit("html").alias("kind"),
+                F.col("html").alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).cast("int").alias("offset"),
+            )
+        ).alias("spans"),
+    )
+    from dompa_spark import pipeline, textops
+
+    out = {r["sm_pos"]: r
+           for r in textops.sitemap_index_df(
+               pipeline.parse_nodes_df(spans)).collect()}
+    assert sorted(out) == [0, 2]
+    assert out[0]["loc"] == "https://a.org/m1.xml"
+    assert out[0]["lastmod"] == "2026-01-05"
+    assert out[2]["url_canon"] == "https://a.org/m2.xml"
+    assert out[2]["lastmod"] is None
+    assert all(r["host"] == "a.org" for r in out.values())
