@@ -2670,13 +2670,13 @@ def _script_profile_sql() -> str:
             c AS (
               SELECT doc_id, length(t) AS n,
                      length(t) - length(regexp_replace(
-                       t, '[A-Za-zÀ-ɏ]', '', 'g')) AS c_latin,
+                       t, '[A-Za-zÀ-ÖØ-öø-ɏ]', '', 'g')) AS c_latin,
                      length(t) - length(regexp_replace(
-                       t, '[Ѐ-ӿ]', '', 'g')) AS c_cyrillic,
+                       t, '[Ѐ-҂Ҋ-ӿ]', '', 'g')) AS c_cyrillic,
                      length(t) - length(regexp_replace(
                        t, '[一-鿿぀-ヿ가-힯]', '', 'g')) AS c_cjk,
                      length(t) - length(regexp_replace(
-                       t, '[؀-ۿ]', '', 'g')) AS c_arabic
+                       t, '[ؠ-يٮ-ٯٱ-ۓەۮ-ۯۺ-ۼۿ]', '', 'g')) AS c_arabic
               FROM base),
             c2 AS (
               SELECT *, c_latin + c_cyrillic + c_cjk + c_arabic AS nl,

@@ -121,18 +121,23 @@ def main(argv=None) -> int:
         # sitemap-FILE URLs from robots.txt Sitemap: directives become
         # fetch candidates of their own (step 0 of --sitemaps). Their
         # synthetic ids live in a far negative band keyed on
-        # md5_60(host): ids only elect dup-group keepers (grouping is
-        # by url_canon), so a band collision merges nothing — it can
-        # only blur the audit mapping, and only past ~10^6 robots
-        # hosts (birthday bound on 2^40).
+        # md5_60(host): base -(2^60), 2^44 hash slots x 2^16 sm_idx
+        # stride — a single host may list up to 65,536 Sitemap lines
+        # before striding into a neighbor slot, and host-slot birthday
+        # collisions start around ~2^22 robots hosts. Ids only elect
+        # dup-group keepers (grouping is by url_canon), so a collision
+        # merges nothing — it can only blur the audit mapping. The
+        # band sits far below the --sitemaps composite band
+        # (-1 - doc_id*65536 - url_pos stays above -(2^60) until
+        # sitemap doc_ids exceed ~2^44).
         sm_files = textops.robots_sitemaps(
             spark.read.parquet(args.robots)
         )
         disc = sm_files.select(
             (
-                F.lit(-(2 ** 45))
-                - (textops._md5_60_of(F.col("host")) % F.lit(2 ** 40))
-                * 16
+                F.lit(-(2 ** 60))
+                - (textops._md5_60_of(F.col("host")) % F.lit(2 ** 44))
+                * F.lit(2 ** 16)
                 - F.col("sm_idx")
             ).alias("doc_id"),
             F.col("url"),

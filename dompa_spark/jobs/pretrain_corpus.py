@@ -260,6 +260,19 @@ def main(argv=None) -> int:
             ).drop("is_canonical")
             out.write.mode("overwrite").parquet(decisions)
 
+    # A resumed decisions stage must carry the verdict columns the
+    # CURRENT flags expect — a stage written without --with-script-gate
+    # baked a gate-less `kept` bit, so silently reusing it would ship
+    # ungated docs (and crash at stats time on the missing column).
+    # Refuse up front, BEFORE stages 4-5 spend anything (the
+    # run_extract changed-geometry contract).
+    if args.with_script_gate:
+        if "script_ok" not in spark.read.parquet(decisions).columns:
+            raise ValueError(
+                "geometry: the existing decisions stage was written "
+                "without --with-script-gate; rerun with --no-resume"
+            )
+
     # 4. kept corpus: the curated, deduped documents (original string
     # ids restored as the identity column)
     if not (resume and _stage_done(spark, kept_path)):

@@ -6788,13 +6788,18 @@ def tokenizer_fertility(df: DataFrame, merges=None) -> DataFrame:
 # classes) because Java regex and DuckDB's RE2 agree on literal ranges
 # unconditionally, while named script properties differ by engine
 # version/table. BMP-only so DuckDB's codepoint len() and the JVM's
-# UTF-16 length() count identically.
+# UTF-16 length() count identically. LETTERS ONLY by construction
+# (review catch): latin-1's × U+00D7 / ÷ U+00F7, cyrillic combining
+# marks U+0483-0489, and arabic digits/diacritics/punctuation are
+# excluded — a dimensions table full of '×' must not read as scripted
+# text, and Arabic-Indic digits must not drag a latin doc's dominant
+# share below the gate.
 SCRIPT_CLASSES = [
     # (name, regex char class); declaration order is the tie-break
-    ("latin", "[A-Za-zÀ-ɏ]"),
-    ("cyrillic", "[Ѐ-ӿ]"),
+    ("latin", "[A-Za-zÀ-ÖØ-öø-ɏ]"),
+    ("cyrillic", "[Ѐ-҂Ҋ-ӿ]"),
     ("cjk", "[一-鿿぀-ヿ가-힯]"),
-    ("arabic", "[؀-ۿ]"),
+    ("arabic", "[ؠ-يٮ-ٯٱ-ۓەۮ-ۯۺ-ۼۿ]"),
 ]
 SCRIPT_MAIN_MIN_PPM = 900_000  # main script must own >= 90% of letters
 
@@ -6891,7 +6896,7 @@ TEMPLATE_MIN_DOCS = 2
 
 def template_wrapped(df: DataFrame) -> DataFrame:
     """Template fixture through the REAL parser: four page layouts with
-    deliberately skewed frequencies (60/30/10/5-ish via doc_id % 20),
+    deliberately skewed frequencies (60/25/10/5 via doc_id % 20),
     hosted on 23 synthetic hosts. Within a layout the text payload and
     attribute VALUES vary per doc while the tag sequence stays constant
     — exactly the invariance dom_skeleton must exhibit."""
@@ -7025,6 +7030,33 @@ CMS_W = 512  # buckets per row
 CMS_TOPK = 20
 
 
+def _cms_buckets(d: int, w: int):
+    """The d (row, bucket) pairs for a pre-hashed `hv` column — ONE
+    definition of the universal-hash bucket math shared by the sketch
+    builder and the point-query probe (the two must stay bit-identical
+    or point queries against persisted sketches silently break)."""
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).cast("int").alias("r"),
+                    (
+                        (
+                            (
+                                F.lit(MINHASH_A[r]) * F.col("hv")
+                                + F.lit(MINHASH_B[r])
+                            )
+                            % F.lit(MINHASH_P)
+                        )
+                        % F.lit(w)
+                    ).cast("int").alias("b"),
+                )
+                for r in range(d)
+            ]
+        )
+    ).alias("rb")
+
+
 def cms_sketch(
     df: DataFrame,
     *,
@@ -7058,28 +7090,7 @@ def cms_sketch(
     staged = toks.select(
         (_md5_60_of(F.col("term")) % F.lit(MINHASH_P)).alias("hv")
     )
-    rows = staged.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(r).cast("int").alias("r"),
-                        (
-                            (
-                                (
-                                    F.lit(MINHASH_A[r]) * F.col("hv")
-                                    + F.lit(MINHASH_B[r])
-                                )
-                                % F.lit(MINHASH_P)
-                            )
-                            % F.lit(w)
-                        ).cast("int").alias("b"),
-                    )
-                    for r in range(d)
-                ]
-            )
-        ).alias("rb")
-    )
+    rows = staged.select(_cms_buckets(d, w))
     return (
         rows.select(F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
         .groupBy("r", "b")
@@ -7109,29 +7120,9 @@ def cms_estimate(
         F.col(term_col).alias("term"),
         (_md5_60_of(F.col(term_col)) % F.lit(MINHASH_P)).alias("hv"),
     )
-    probes = staged.select(
-        "term",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(r).cast("int").alias("r"),
-                        (
-                            (
-                                (
-                                    F.lit(MINHASH_A[r]) * F.col("hv")
-                                    + F.lit(MINHASH_B[r])
-                                )
-                                % F.lit(MINHASH_P)
-                            )
-                            % F.lit(w)
-                        ).cast("int").alias("b"),
-                    )
-                    for r in range(d)
-                ]
-            )
-        ).alias("rb"),
-    ).select("term", F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
+    probes = staged.select("term", _cms_buckets(d, w)).select(
+        "term", F.col("rb.r").alias("r"), F.col("rb.b").alias("b")
+    )
     joined = probes.join(sketch, ["r", "b"], "left").select(
         "term", F.coalesce(F.col("cnt"), F.lit(0).cast("long")).alias("cnt")
     )
@@ -7419,11 +7410,16 @@ def bitext_mine(
 
     Scale shape: the source side is a bounded probe set (vec_id <
     src_id_max — the ann_cosine_topk gauge contract) and BROADCASTS;
-    the target corpus streams through ONE scored map stage. Both
-    neighborhood top-k passes are windows over bounded partitions
-    (per-src: the probe count; per-tgt: at most n_src rows each). For
-    full corpus-x-corpus mining compose with the IVF/LSH pruners —
-    this operator is the scoring contract those candidates feed."""
+    the target corpus streams through ONE scored map stage. The
+    per-TARGET top-k window is bounded (at most n_src rows per
+    partition), but the per-SOURCE window partitions over the ENTIRE
+    scored target side — one task sorts |tgt| rows per probe, which is
+    fine for a bounded gauge (the crossJoin already paid n_src x |tgt|)
+    and is exactly why full corpus-x-corpus mining must NOT go through
+    this operator directly: compose with the IVF/LSH pruners so each
+    probe's candidate set (and therefore its window partition) is
+    pruned first — this operator is the scoring contract those
+    candidates feed."""
     from pyspark.sql.window import Window
 
     base = emb.join(langs, "vec_id").select(

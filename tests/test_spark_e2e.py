@@ -656,3 +656,51 @@ def test_pretrain_corpus_script_gate(spark, tmp_path, capsys):
     assert {"doc-2", "doc-3"}.isdisjoint(got)
     assert {"doc-4", "doc-7"} <= got
     assert stats["script_rejected"] == 2
+
+
+def test_pretrain_corpus_script_gate_resume_refused(spark, tmp_path):
+    """A decisions stage written WITHOUT --with-script-gate must be
+    refused when a resumed run asks for the gate (it baked a gate-less
+    `kept` bit) — the run_extract changed-geometry contract, caught in
+    review before it shipped as a stats-time crash."""
+    from pyspark.sql import functions as F
+
+    from dompa_spark.jobs import pretrain_corpus
+
+    rows = []
+    for i in range(4):
+        words = []
+        for j in range(70):
+            words.append(
+                ["the", "and", "was", "that"][j // 2 % 4]
+                if j % 2 == 0
+                else "v" + chr(97 + i) + chr(97 + j % 26) + chr(97 + j // 26)
+            )
+        rows.append((f"doc-{i}", " ".join(words)))
+    spans = spark.createDataFrame(
+        rows, "doc_id string, text string"
+    ).select(
+        "doc_id",
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.col("text").alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).cast("int").alias("offset"),
+            )
+        ).alias("spans"),
+    )
+    in_path = str(tmp_path / "in")
+    spans.write.parquet(in_path)
+    wd = str(tmp_path / "work")
+    base = ["--input", in_path, "--workdir", wd,
+            "--domain-cap", "100", "--master", "local[2]"]
+    assert pretrain_corpus.main(base) == 0
+    with pytest.raises(ValueError, match="geometry"):
+        pretrain_corpus.main(base + ["--with-script-gate"])
+    # --no-resume recomputes the decisions stage with the gate
+    assert pretrain_corpus.main(
+        base + ["--with-script-gate", "--no-resume"]
+    ) == 0
+    dec = spark.read.parquet(f"{wd}/decisions")
+    assert "script_ok" in dec.columns

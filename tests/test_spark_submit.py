@@ -457,8 +457,9 @@ def test_spark_submit_frontier_job(workdir):
     import hashlib as _hl
 
     sm_id = (
-        -(2 ** 45)
-        - (int(_hl.md5(b"ex.com").hexdigest()[:15], 16) % 2 ** 40) * 16
+        -(2 ** 60)
+        - (int(_hl.md5(b"ex.com").hexdigest()[:15], 16) % 2 ** 44)
+        * 2 ** 16
     )
     kept4 = {
         r[0]: r[1] for r in con.execute(
