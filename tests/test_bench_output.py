@@ -10,7 +10,7 @@ sys.path.insert(0, "/root/repo")
 
 import bench  # noqa: E402
 
-# realistic query names (the live set is 105; headroom for growth —
+# realistic query names (the live set is 120; headroom for growth —
 # the degrade path drops fastest queries first when over budget),
 # at the live set's name-length distribution.
 _QUERY_NAMES = [
