@@ -1336,7 +1336,9 @@ def q_dom_templates(spark, sf_dir):
     wrapped = textops.template_wrapped(docs)
     nodes = pipeline.parse_nodes_df(wrapped)
     hosts = docs.select(
-        did.alias("doc_id"),
+        # string key: dom_skeleton passes the wrapped table's string
+        # doc_id through untouched (the id_mode contract)
+        did.cast("string").alias("doc_id"),
         F.concat(
             F.lit("site"), (did % 23).cast("string"), F.lit(".example.com")
         ).alias("host"),

@@ -6952,11 +6952,13 @@ def dom_skeleton(nodes_df: DataFrame) -> DataFrame:
     boundary (the HOF-materialization house rule — it is referenced by
     both the join and the size), then one transform + array_join + md5
     per row; zero shuffles, zero explodes, no Python beyond the shared
-    parse kernel."""
+    parse kernel. doc_id passes through UNTOUCHED (string ids welcome —
+    the dedup_near_stream id_mode lesson: a forced long cast poisons
+    'doc-…' corpora under ANSI)."""
     from dompa_spark.constants import TEXT_NAME
 
     staged = nodes_df.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("doc_id"),
         F.filter(
             F.col("nodes"), lambda n: n["name"] != TEXT_NAME
         ).alias("elems"),

@@ -99,7 +99,8 @@ def test_template_gate_ppm_and_min_docs(spark):
     rows.append(("10", "<table><tr><td>t</td></tr></table>"))
     nodes = _nodes(spark, rows)
     hosts = spark.createDataFrame(
-        [(i, "a.com") for i in range(11)], "doc_id long, host string"
+        [(str(i), "a.com") for i in range(11)],
+        "doc_id string, host string",
     )
     out = textops.template_detect(nodes, hosts).collect()
     by_n = {r["n_docs"]: r for r in out}
@@ -117,8 +118,9 @@ def test_template_scoped_per_host(spark):
     rows += [(str(i), "<ul><li>y%d</li></ul>" % i) for i in range(6, 26)]
     nodes = _nodes(spark, rows)
     hosts = spark.createDataFrame(
-        [(i, "small.com" if i < 4 else "big.com") for i in range(26)],
-        "doc_id long, host string",
+        [(str(i), "small.com" if i < 4 else "big.com")
+         for i in range(26)],
+        "doc_id string, host string",
     )
     out = textops.template_detect(nodes, hosts, min_docs=1).collect()
     # the div skeleton appears on both hosts: 4/4 docs on small.com
@@ -134,3 +136,41 @@ def test_template_scoped_per_host(spark):
     assert div_rows["big.com"]["is_template"] is False
     assert div_rows["big.com"]["n_docs"] == 2
     assert div_rows["big.com"]["host_docs"] == 22
+
+
+def test_skeleton_differential_vs_oracle_on_fuzz_corpus(spark):
+    """dom_skeleton == an oracle-parser Python replay (pre-order
+    element-name walk + the same md5_60) over 120 messy generated docs
+    — malformed/unclosed/crossed tags, comments, junk tokens."""
+    import hashlib
+
+    from dompa_spark import corpus, oracle
+    from dompa_spark.constants import TEXT_NAME
+
+    def names_of(nodes, out):
+        for n in nodes or []:
+            if n["name"] != TEXT_NAME:
+                out.append(n["name"])
+                names_of(n.get("children"), out)
+        return out
+
+    rows, want = [], {}
+    for i in range(120):
+        doc_id, spans = corpus.gen_doc(i)
+        html = "".join(
+            s["text"] or ""
+            for s in sorted(
+                (s for s in spans if s["kind"] == "html"),
+                key=lambda s: s["offset"],
+            )
+        )
+        rows.append((doc_id, html))
+        names = names_of(oracle.parse(html), [])
+        seq = ">".join(names)
+        want[doc_id] = (
+            int(hashlib.md5(seq.encode()).hexdigest()[:15], 16),
+            len(names),
+        )
+
+    got = _skel(spark, rows)
+    assert got == want
