@@ -704,3 +704,66 @@ def test_pretrain_corpus_script_gate_resume_refused(spark, tmp_path):
     ) == 0
     dec = spark.read.parquet(f"{wd}/decisions")
     assert "script_ok" in dec.columns
+
+
+def test_recrawl_schedule_job_two_cycles(spark, tmp_path, capsys):
+    """The recrawl loop end to end: two snapshot diffs accumulate in
+    the observation log, the schedule equals the library composition,
+    removed docs leave the schedule, and a duplicate cycle is
+    refused."""
+    import json as _json
+
+    from dompa_spark import textops
+    from dompa_spark.jobs import recrawl_schedule
+
+    def snap(path, rows):
+        spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).write.mode("overwrite").parquet(path)
+        return path
+
+    s0 = snap(str(tmp_path / "s0"),
+              [(1, "alpha"), (2, "beta"), (3, "gamma")])
+    s1 = snap(str(tmp_path / "s1"),
+              [(1, "alpha CHANGED"), (2, "beta"), (4, "delta")])
+    s2 = snap(str(tmp_path / "s2"),
+              [(1, "alpha CHANGED twice"), (2, "beta again"),
+               (3, "back"), (4, "delta")])
+    obs = str(tmp_path / "obs")
+    out = str(tmp_path / "sched")
+    base = ["--obs", obs, "--output", out, "--master", "local[2]"]
+
+    assert recrawl_schedule.main(
+        ["--old", s0, "--new", s1] + base) == 0
+    st1 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st1 == {
+        "cycle": 0, "docs_diffed": 4, "added": 1, "changed": 1,
+        "unchanged": 1, "removed": 1, "scheduled": 3, "dead": 1,
+    }
+
+    assert recrawl_schedule.main(
+        ["--old", s1, "--new", s2] + base) == 0
+    st2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st2["cycle"] == 1
+    assert st2["added"] == 1  # doc 3 revived
+
+    # schedule == library composition over the accumulated log
+    all_obs = spark.read.parquet(obs)
+    want = sorted(
+        map(tuple, textops.recrawl_priority(all_obs).collect())
+    )
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    assert got == want
+    sched = {r["doc_id"]: r.asDict()
+             for r in spark.read.parquet(out).collect()}
+    # doc 3: removed at cycle 0, revived at cycle 1 -> scheduled again
+    assert sched[3]["last_status"] == "added"
+    assert sched[3]["interval_days"] is not None
+    # doc 1 changed twice -> base div 3
+    assert sched[1]["n_changes"] == 2
+    assert sched[1]["interval_days"] == textops.RECRAWL_BASE_DAYS // 3
+
+    # duplicate cycle refused
+    with pytest.raises(ValueError, match="geometry"):
+        recrawl_schedule.main(
+            ["--old", s1, "--new", s2, "--cycle", "1"] + base)
