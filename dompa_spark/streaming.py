@@ -647,3 +647,82 @@ def heavy_hitters_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_CMS_OUT_DDL = "r int, b int, cnt long"
+_CMS_STATE_DDL = "cnt long"
+
+
+def cms_sketch_stream(
+    spark: SparkSession,
+    in_path: str,
+    d: int | None = None,
+    w: int | None = None,
+    max_files_per_trigger: int = 8,
+) -> DataFrame:
+    """Streaming count-min sketch: the bounded-memory frequency gauge
+    as a running stateful stream — the batch builder's exact bucket
+    math (textops._cms_buckets, ONE definition so stream and batch can
+    never drift) keyed into applyInPandasWithState with state = ONE
+    long per (row, bucket). Where heavy_hitters_stream's state grows
+    with the sampled vocabulary, this state is a CONSTANT d*w longs
+    forever — the gauge you leave running on an unbounded crawl
+    stream. Every trigger emits each UPDATED counter's running value;
+    the latest emission per (r, b) IS the sketch, point-queryable by
+    textops.cms_estimate, and equals the batch cms_sketch over the
+    union of all arrivals (exactly-once via the checkpoint).
+
+    Scale/state shape: d rows per token reach the shuffle, collapsing
+    into at most d*w state groups — a viral term is ~d hot groups, and
+    its per-trigger work is counting that trigger's rows (the
+    sessionize per-trigger bound). One-sided error is inherited from
+    the batch contract: counters only grow."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from . import textops
+
+    d = int(d if d is not None else textops.CMS_D)
+    w = int(w if w is not None else textops.CMS_W)
+
+    docs = read_doc_stream(spark, in_path, max_files_per_trigger).select(
+        doc_text().alias("text")
+    )
+    toks = docs.select(F.explode(F.split("text", " ")).alias("term"))
+    staged = toks.select(
+        (textops._md5_60_of(F.col("term")) % F.lit(textops.MINHASH_P))
+        .alias("hv")
+    )
+    rb = staged.select(textops._cms_buckets(d, w)).select(
+        F.col("rb.r").alias("r"), F.col("rb.b").alias("b")
+    )
+
+    def fn(key, pdfs, state):
+        n = state.get[0] if state.exists else 0
+        add = sum(len(pdf) for pdf in pdfs)
+        n += add
+        state.update((n,))
+        if add:
+            yield pd.DataFrame(
+                {
+                    "r": pd.Series([key[0]], dtype="int32"),
+                    "b": pd.Series([key[1]], dtype="int32"),
+                    "cnt": pd.Series([n], dtype="int64"),
+                }
+            )
+        else:
+            yield pd.DataFrame(
+                {
+                    "r": pd.Series([], dtype="int32"),
+                    "b": pd.Series([], dtype="int32"),
+                    "cnt": pd.Series([], dtype="int64"),
+                }
+            )
+
+    return rb.groupBy("r", "b").applyInPandasWithState(
+        fn,
+        outputStructType=_CMS_OUT_DDL,
+        stateStructType=_CMS_STATE_DDL,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -851,3 +851,66 @@ def test_heavy_hitters_stream_matches_batch(spark, tmp_path):
     assert shared
     assert all(got2[t][0] >= got1[t][0] for t in shared)
     assert any(got2[t][0] > got1[t][0] for t in shared)
+
+
+def test_cms_sketch_stream_matches_batch(spark, tmp_path):
+    """Stream==batch for the count-min sketch: after draining all
+    arrivals, the LAST emission per (r, b) equals textops.cms_sketch
+    over the union; counters only grow across waves; state-group
+    count is bounded by d*w."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dompa_spark import textops
+
+    in_path = str(tmp_path / "cms_in")
+    os.makedirs(in_path)
+    out_path = str(tmp_path / "cms_out")
+    W = 32  # small width: collisions + full-bucket coverage at test size
+
+    def drain():
+        q = (
+            streaming.cms_sketch_stream(spark, in_path, w=W)
+            .writeStream.format("parquet")
+            .option("path", out_path)
+            .option("checkpointLocation", str(tmp_path / "cms_ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return {
+            (r["r"], r["b"]): r["cnt"]
+            for r in spark.read.parquet(out_path)
+            .groupBy("r", "b")
+            .agg(F.max("cnt").alias("cnt"))
+            .collect()
+        }
+
+    def batch():
+        docs = spark.read.parquet(in_path).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            streaming.doc_text().alias("text"),
+        )
+        return {
+            (r["r"], r["b"]): r["cnt"]
+            for r in textops.cms_sketch(docs, w=W).collect()
+        }
+
+    _near_docs(spark, range(100, 140)).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_path)
+    got1 = drain()
+    want1 = batch()
+    assert got1 == want1 and want1
+    assert len(got1) <= textops.CMS_D * W
+
+    _near_docs(spark, range(0, 40)).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_path)
+    got2 = drain()
+    want2 = batch()
+    assert got2 == want2
+    # one-sided accumulation: no counter ever shrinks
+    assert all(got2[k] >= got1[k] for k in got1)
