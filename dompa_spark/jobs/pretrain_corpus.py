@@ -250,9 +250,15 @@ def main(argv=None) -> int:
             bstats.coalesce(1).write.mode("overwrite").parquet(
                 f"{args.workdir}/dedup_bucket_stats"
             )
-            cc = graphops.dedup_components(edges).select(
-                "doc_id", "is_canonical"
-            )
+            cc_full = graphops.dedup_components(edges)
+            # macro dedup telemetry next to the per-bucket stats: the
+            # cluster-size histogram rides the SAME checkpointed CC
+            # labels the keep-decision reads (one viral cluster vs a
+            # million scattered pairs — this table tells them apart)
+            graphops.cluster_size_stats(cc_full).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(f"{args.workdir}/dedup_cluster_sizes")
+            cc = cc_full.select("doc_id", "is_canonical")
             out = cur.join(cc, "doc_id", "left").withColumn(
                 "near_dup_drop", ~F.coalesce("is_canonical", F.lit(True))
             ).withColumn(

@@ -422,6 +422,14 @@ def test_pretrain_corpus_pipeline_end_to_end(spark, small_corpus, tmp_path,
     cc = {r.doc_id: r.is_canonical
           for r in graphops.dedup_components(
               textops.minhash_band_edges(docs)).collect()}
+    # the persisted cluster-size histogram == the library composition
+    # over the same CC labels
+    want_hist = sorted(map(tuple, graphops.cluster_size_stats(
+        graphops.dedup_components(
+            textops.minhash_band_edges(docs))).collect()))
+    got_hist = sorted(map(tuple, spark.read.parquet(
+        f"{wd}/dedup_cluster_sizes").collect()))
+    assert got_hist == want_hist
     key_of = {r.doc_id: r.orig_doc_id for r in docs.collect()}
     want_kept = {
         key_of[d]
