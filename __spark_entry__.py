@@ -1434,7 +1434,7 @@ def q_bitext_mine(spark, sf_dir):
     target): per source probe, the best target by the top-k-normalized
     margin ratio in exact scaled-integer math (see
     textops.bitext_mine)."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     langs = emb.select(
         F.col("vec_id").cast("long").alias("vec_id"),
         F.when(F.col("vec_id").cast("long") % 2 == 0, F.lit("en"))
@@ -1478,7 +1478,7 @@ def q_graph_degrees(spark, sf_dir):
 def q_embedding_stats(spark, sf_dir):
     """Per-dimension embedding audit in exact fixed point (see
     textops.embedding_stats)."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     return textops.embedding_stats(emb)
 
 
@@ -3188,8 +3188,6 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
         """,
         "link_graph_rank": _pagerank_sql(),
-        # graph_degrees: distinct-edge replay + reversed-key self-join;
-        # degrees count distinct neighbors, self-loops never reciprocal
         # graph_components: recursive-CTE transitive closure over the
         # fragmented host graph, aggregated to the size histogram
         "graph_components": """
@@ -3224,6 +3222,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(size) AS BIGINT) AS n_docs
             FROM sizes GROUP BY size
         """,
+        # graph_degrees: distinct-edge replay + reversed-key self-join;
+        # degrees count distinct neighbors, self-loops never reciprocal
         "graph_degrees": """
             WITH d AS (
               SELECT CAST(doc_id AS BIGINT) AS did FROM documents),

@@ -16,7 +16,9 @@ Report layout ({output}/...):
                         target_share, weight)
     distinct_sketch/   (source, n_tokens, est_distinct)
     heavy_hitters/     (term, sampled_n, est_count)
-    summary.json       the one-line rollup (also printed to stdout)
+    script_mixture/    (main_script, n_docs, n_scripted, n_rejected)
+    summary.json       the one-line rollup (also printed to stdout;
+                       incl. script_rejected)
 
 Scale shape: the report is telemetry, so every table is tiny — the
 corpus-sized work is two token passes (the heavy-hitters sample +

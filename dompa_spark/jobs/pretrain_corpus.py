@@ -266,17 +266,28 @@ def main(argv=None) -> int:
             ).drop("is_canonical")
             out.write.mode("overwrite").parquet(decisions)
 
-    # A resumed decisions stage must carry the verdict columns the
-    # CURRENT flags expect — a stage written without --with-script-gate
-    # baked a gate-less `kept` bit, so silently reusing it would ship
-    # ungated docs (and crash at stats time on the missing column).
-    # Refuse up front, BEFORE stages 4-5 spend anything (the
-    # run_extract changed-geometry contract).
-    if args.with_script_gate:
-        if "script_ok" not in spark.read.parquet(decisions).columns:
+    # A resumed decisions stage must match the CURRENT gate flags in
+    # BOTH directions: a stage written without a requested gate baked a
+    # looser `kept` bit (ungated docs would ship), and a stage written
+    # WITH a gate the current run didn't ask for baked a stricter one
+    # (docs silently missing). Refuse up front, BEFORE stages 4-5
+    # spend anything (the run_extract changed-geometry contract).
+    dec_cols = set(spark.read.parquet(decisions).columns)
+    for flag, col, opt in [
+        (args.with_repetition, "repetition_ok", "--with-repetition"),
+        (args.with_lm, "lm_ok", "--with-lm"),
+        (args.with_script_gate, "script_ok", "--with-script-gate"),
+    ]:
+        if flag and col not in dec_cols:
             raise ValueError(
-                "geometry: the existing decisions stage was written "
-                "without --with-script-gate; rerun with --no-resume"
+                f"geometry: the existing decisions stage was written "
+                f"without {opt}; rerun with --no-resume"
+            )
+        if not flag and col in dec_cols:
+            raise ValueError(
+                f"geometry: the existing decisions stage was written "
+                f"WITH {opt} (its kept bit is stricter than the "
+                f"current flags); rerun with --no-resume"
             )
 
     # 4. kept corpus: the curated, deduped documents (original string

@@ -18,10 +18,16 @@ accumulated history (textops.recrawl_priority: change-rate-
 proportional halving, removed URLs leave the schedule until a later
 'added' revives them).
 
-Cycle numbers are the resume contract: --cycle defaults to
-max(existing)+1, and a cycle that already exists in the log is
-REFUSED (the run_extract changed-geometry pattern) — re-running the
-same pair must not double-count observations.
+Cycle numbers are the resume contract: a cycle counts as existing
+only when its directory carries the _SUCCESS marker (the
+pretrain_corpus stage convention). --cycle defaults to
+max(completed)+1, a COMPLETED cycle is refused (re-running the same
+pair must not double-count observations), and a crashed partial
+cycle directory is simply overwritten by re-running the same cycle —
+which is exactly what the default picks after a crash, so the
+recovery path and the happy path are the same command. The log read
+also goes through the completed-cycle list only, so a partial
+write can never leak rows into a schedule.
 
 Scale shape: corpus_diff moves two slim (doc_id, fp) projections
 (exchange-free when the snapshots are doc_id-bucketed); the log
@@ -37,10 +43,24 @@ import json
 import sys
 
 
-def _exists(spark, path: str) -> bool:
+def _completed_cycles(spark, obs_root: str) -> list[int]:
+    """Cycle numbers whose partition directory carries _SUCCESS —
+    partial (crashed) writes are invisible to both the duplicate-cycle
+    refusal and the schedule read."""
     jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    return p.getFileSystem(spark._jsc.hadoopConfiguration()).exists(p)
+    root = jvm.org.apache.hadoop.fs.Path(obs_root)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return []
+    out = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith("cycle=")):
+            continue
+        ok = jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")
+        if fs.exists(ok):
+            out.append(int(name.split("=", 1)[1]))
+    return sorted(out)
 
 
 def main(argv=None) -> int:
@@ -74,33 +94,35 @@ def main(argv=None) -> int:
     owns_session = SparkSession.getActiveSession() is None
     spark = pipeline.session_confs(builder).getOrCreate()
 
-    have_log = _exists(spark, args.obs)
-    if have_log:
-        existing = spark.read.parquet(args.obs)
-        cycles = sorted(
-            r["cycle"]
-            for r in existing.select("cycle").distinct().collect()
-        )
-    else:
-        cycles = []
+    cycles = _completed_cycles(spark, args.obs)
     cycle = args.cycle if args.cycle is not None else (
         (max(cycles) + 1) if cycles else 0
     )
     if cycle in cycles:
         raise ValueError(
-            f"geometry: cycle {cycle} already exists in {args.obs} — "
-            "observations are append-only; pick a new --cycle"
+            f"geometry: cycle {cycle} is already COMPLETED in "
+            f"{args.obs} — observations are diffed once, ever; a "
+            "crashed partial cycle would not carry _SUCCESS and can "
+            "be re-run with the same number"
         )
 
     old = spark.read.parquet(args.old)
     new = spark.read.parquet(args.new)
     diff = textops.corpus_diff(old, new)
     obs_new = diff.select("doc_id", "status")
-    obs_new.write.mode("errorifexists").parquet(
-        f"{args.obs}/cycle={cycle}"
-    )
+    # overwrite: re-running a crashed partial cycle is the recovery
+    # path (only _SUCCESS-marked cycles count as done)
+    cycle_path = f"{args.obs}/cycle={cycle}"
+    obs_new.write.mode("overwrite").parquet(cycle_path)
 
-    all_obs = spark.read.parquet(args.obs)
+    # read the log through the completed-cycle list (+ this run's
+    # fresh write) so a partial directory can never leak rows
+    good_paths = [f"{args.obs}/cycle={c}" for c in cycles] + [
+        cycle_path
+    ]
+    all_obs = spark.read.option("basePath", args.obs).parquet(
+        *good_paths
+    )
     kw = {}
     if args.base_days is not None:
         kw["base_days"] = args.base_days
@@ -108,9 +130,13 @@ def main(argv=None) -> int:
     sched.write.mode("overwrite").parquet(args.output)
 
     sched_read = spark.read.parquet(args.output)
+    # status counts from the just-WRITTEN cycle partition — rerunning
+    # the diff plan (two fingerprint scans + a full-outer join) for a
+    # stats line would double the job's dominant cost
     by_status = {
         r["status"]: r["n"]
-        for r in diff.groupBy("status")
+        for r in spark.read.parquet(cycle_path)
+        .groupBy("status")
         .agg(F.count("*").alias("n"))
         .collect()
     }

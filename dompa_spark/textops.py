@@ -503,82 +503,7 @@ def sitemap_urls_df(nodes_df: DataFrame) -> DataFrame:
     (the first cut nested get(filter(nodes,...)) inside the per-node
     predicate: O(nodes^2) per url element, measured 18 s for the
     sf0.1 query vs ~2 s restructured)."""
-    from dompa_spark.constants import TEXT_NAME
-
-    usids = F.transform(
-        F.filter(F.col("nodes"), lambda n: n["name"] == "urlset"),
-        lambda n: n["node_id"],
-    )
-    t1 = nodes_df.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        "nodes",
-        usids.alias("usids"),
-    )
-    uids = F.transform(
-        F.filter(
-            F.col("nodes"),
-            lambda n: (n["name"] == "url")
-            & F.array_contains(F.col("usids"), n["parent_id"]),
-        ),
-        lambda n: n["node_id"],
-    )
-    t2 = t1.select("doc_id", "nodes", uids.alias("uids"))
-
-    def kid_structs(name):
-        # (1-based url position, direct-child text) per <name> element
-        # chained to a url; `el` is a lambda variable, so the inner
-        # text filter costs O(nodes) per element, not O(nodes^2)
-        return F.transform(
-            F.filter(
-                F.col("nodes"),
-                lambda n: (n["name"] == name)
-                & F.array_contains(F.col("uids"), n["parent_id"]),
-            ),
-            lambda el: F.struct(
-                F.array_position(F.col("uids"), el["parent_id"]).alias(
-                    "upos"
-                ),
-                F.array_join(
-                    F.transform(
-                        F.filter(
-                            F.col("nodes"),
-                            lambda n: (n["parent_id"] == el["node_id"])
-                            & (n["name"] == TEXT_NAME),
-                        ),
-                        lambda n: n["value"],
-                    ),
-                    "",
-                ).alias("txt"),
-            ),
-        )
-
-    t3 = t2.select(
-        "doc_id", "uids",
-        kid_structs("loc").alias("ls"),
-        kid_structs("lastmod").alias("ms"),
-    )
-    per = F.transform(
-        F.col("uids"),
-        lambda uid, ui: F.struct(
-            F.get(
-                F.filter(F.col("ls"), lambda x: x["upos"] == ui + 1), 0
-            )["txt"].alias("loc"),
-            F.get(
-                F.filter(F.col("ms"), lambda x: x["upos"] == ui + 1), 0
-            )["txt"].alias("lastmod"),
-        ),
-    )
-    ex = t3.select(
-        "doc_id", F.posexplode(per).alias("url_pos", "u")
-    ).where(F.col("u.loc").isNotNull())
-    canon, host, _ = url_canon_cols("loc")
-    return ex.select(
-        "doc_id",
-        F.col("url_pos").cast("long").alias("url_pos"),
-        F.col("u.loc").alias("loc"),
-        F.col("u.lastmod").alias("lastmod"),
-    ).select("*", canon.alias("url_canon"), host.alias("host"))
-
+    return _sitemap_entries(nodes_df, "urlset", "url", "url_pos")
 
 def markdown_wrapped(df: DataFrame) -> DataFrame:
     """Markdown-rendering fixture through the REAL parser: one html
@@ -7764,25 +7689,20 @@ def sitemap_index_wrapped(df: DataFrame) -> DataFrame:
     )
 
 
-def sitemap_index_df(nodes_df: DataFrame) -> DataFrame:
-    """Sitemap-index ingestion — the recursion step of sitemap
-    discovery (large sites MUST shard: the protocol caps a sitemap
-    file at 50k URLs / 50 MB, so real sitemaps are indexes of
-    sitemaps; robots_sitemaps finds the index, THIS operator finds the
-    shards, sitemap_urls_df reads them). Walks <sitemap> entries that
-    are DIRECT children of a <sitemapindex> — the same strict
-    parent-chain / direct-child-text / loc-required contracts as
-    sitemap_urls_df, emitting (doc_id, sm_pos, loc, lastmod,
-    url_canon, host) with the SHARED frontier canonicalization, so an
-    index-discovered shard URL dedups against a robots-discovered one.
-
-    Scale shape: identical to sitemap_urls_df — map-side HOF passes +
-    one posexplode, every derived array bound at a projection
-    boundary; zero shuffles, zero Python beyond the parse kernel."""
+def _sitemap_entries(
+    nodes_df: DataFrame, container: str, entry: str, pos_name: str
+) -> DataFrame:
+    """ONE sitemap-protocol walker for both file shapes (urlset/url
+    and sitemapindex/sitemap): strict entry->container parent chain,
+    direct-child-text loc (required) / lastmod (optional), document-
+    order positions with gaps, shared url_canon_cols. Every derived
+    id/struct array binds at a projection boundary — the O(nodes^2)
+    HOF-materialization trap documented on sitemap_urls_df; one walker
+    means a future fix cannot miss a copy (review catch)."""
     from dompa_spark.constants import TEXT_NAME
 
     ixids = F.transform(
-        F.filter(F.col("nodes"), lambda n: n["name"] == "sitemapindex"),
+        F.filter(F.col("nodes"), lambda n: n["name"] == container),
         lambda n: n["node_id"],
     )
     t1 = nodes_df.select(
@@ -7793,7 +7713,7 @@ def sitemap_index_df(nodes_df: DataFrame) -> DataFrame:
     sids = F.transform(
         F.filter(
             F.col("nodes"),
-            lambda n: (n["name"] == "sitemap")
+            lambda n: (n["name"] == entry)
             & F.array_contains(F.col("ixids"), n["parent_id"]),
         ),
         lambda n: n["node_id"],
@@ -7842,12 +7762,32 @@ def sitemap_index_df(nodes_df: DataFrame) -> DataFrame:
         ),
     )
     ex = t3.select(
-        "doc_id", F.posexplode(per).alias("sm_pos", "u")
+        "doc_id", F.posexplode(per).alias(pos_name, "u")
     ).where(F.col("u.loc").isNotNull())
     canon, host, _ = url_canon_cols("loc")
     return ex.select(
         "doc_id",
-        F.col("sm_pos").cast("long").alias("sm_pos"),
+        F.col(pos_name).cast("long").alias(pos_name),
         F.col("u.loc").alias("loc"),
         F.col("u.lastmod").alias("lastmod"),
     ).select("*", canon.alias("url_canon"), host.alias("host"))
+
+
+def sitemap_index_df(nodes_df: DataFrame) -> DataFrame:
+    """Sitemap-index ingestion — the recursion step of sitemap
+    discovery (large sites MUST shard: the protocol caps a sitemap
+    file at 50k URLs / 50 MB, so real sitemaps are indexes of
+    sitemaps; robots_sitemaps finds the index, THIS operator finds the
+    shards, sitemap_urls_df reads them). Walks <sitemap> entries that
+    are DIRECT children of a <sitemapindex> — the same strict
+    parent-chain / direct-child-text / loc-required contracts as
+    sitemap_urls_df, emitting (doc_id, sm_pos, loc, lastmod,
+    url_canon, host) with the SHARED frontier canonicalization, so an
+    index-discovered shard URL dedups against a robots-discovered one.
+
+    Scale shape: identical to sitemap_urls_df — map-side HOF passes +
+    one posexplode, every derived array bound at a projection
+    boundary; zero shuffles, zero Python beyond the parse kernel."""
+    return _sitemap_entries(
+        nodes_df, "sitemapindex", "sitemap", "sm_pos"
+    )

@@ -712,6 +712,11 @@ def test_pretrain_corpus_script_gate_resume_refused(spark, tmp_path):
     ) == 0
     dec = spark.read.parquet(f"{wd}/decisions")
     assert "script_ok" in dec.columns
+    # the guard is bidirectional: resuming WITHOUT the gate against a
+    # gated decisions stage must refuse too (its kept bit is stricter
+    # than the current flags)
+    with pytest.raises(ValueError, match="geometry"):
+        pretrain_corpus.main(base)
 
 
 def test_recrawl_schedule_job_two_cycles(spark, tmp_path, capsys):
@@ -771,7 +776,34 @@ def test_recrawl_schedule_job_two_cycles(spark, tmp_path, capsys):
     assert sched[1]["n_changes"] == 2
     assert sched[1]["interval_days"] == textops.RECRAWL_BASE_DAYS // 3
 
-    # duplicate cycle refused
+    # duplicate COMPLETED cycle refused
     with pytest.raises(ValueError, match="geometry"):
         recrawl_schedule.main(
             ["--old", s1, "--new", s2, "--cycle", "1"] + base)
+
+    # crash recovery: a partial cycle dir (parquet rows, NO _SUCCESS)
+    # is invisible to the completed-cycle list — the default cycle
+    # re-picks its number, the overwrite replaces the partial rows,
+    # and the schedule never saw them
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    partial = f"{obs}/cycle=2"
+    _os.makedirs(partial)
+    src = _glob.glob(f"{obs}/cycle=1/*.parquet")[0]
+    _shutil.copy(src, f"{partial}/part-junk.parquet")
+    s3 = snap(str(tmp_path / "s3"),
+              [(1, "alpha CHANGED twice"), (2, "beta again"),
+               (3, "back"), (4, "delta FRESH")])
+    assert recrawl_schedule.main(
+        ["--old", s2, "--new", s3] + base) == 0
+    st3 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st3["cycle"] == 2  # the partial slot was retaken
+    all_obs2 = spark.read.parquet(obs)
+    # cycle 2 holds exactly this diff's 4 rows, not junk + 4
+    assert all_obs2.filter("cycle = 2").count() == 4
+    want2 = sorted(map(
+        tuple, textops.recrawl_priority(all_obs2).collect()))
+    got2 = sorted(map(tuple, spark.read.parquet(out).collect()))
+    assert got2 == want2
