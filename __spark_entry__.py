@@ -1944,7 +1944,7 @@ def _pagerank_sql(n_iter: int = 3) -> str:
             r0 AS (SELECT node, CAST({scale} AS BIGINT) AS pr
                    FROM nodes),
             {",".join(its)}
-            SELECT node, pr AS rank_scaled FROM r{n_iter}
+            SELECT node, CAST(pr AS BIGINT) AS rank_scaled FROM r{n_iter}
     """
 
 
@@ -2484,7 +2484,7 @@ def _quality_classifier_q() -> str:
             scored AS (
               SELECT f.doc_id, sum(f.cnt * w.w) AS score
               FROM feats f JOIN w{t} w USING (feat) GROUP BY f.doc_id)
-            SELECT b.doc_id, b.y AS label,
+            SELECT b.doc_id, CAST(b.y AS BIGINT) AS label,
                    CAST(coalesce(s.score, 0) AS BIGINT) AS score,
                    CAST(CASE WHEN coalesce(s.score, 0) > 0
                         THEN 1 ELSE -1 END AS BIGINT) AS pred,
@@ -4176,10 +4176,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, n_docs, n_tokens,
                    round(n_tokens / (SELECT tot FROM tot), 6)
                      AS token_share,
-                   CASE lang
+                   CAST(CASE lang
                      {' '.join(f"WHEN '{k}' THEN {v}" for k, v in
                                sorted(textops.MIXTURE_TARGETS.items()))}
-                     ELSE 0.0 END AS target_share,
+                     ELSE 0.0 END AS DOUBLE) AS target_share,
                    round((CASE lang
                      {' '.join(f"WHEN '{k}' THEN {v}" for k, v in
                                sorted(textops.MIXTURE_TARGETS.items()))}
@@ -4512,17 +4512,19 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1 ELSE 0 END) AS BIGINT) AS fn,
                    CAST(sum(CASE WHEN label = -1 AND pred = -1
                             THEN 1 ELSE 0 END) AS BIGINT) AS tn,
-                   ((sum(CASE WHEN label = pred THEN 1 ELSE 0 END))
+                   CAST(((sum(CASE WHEN label = pred THEN 1 ELSE 0 END))
                      * 1000000) // greatest(count(*), 1)
-                     AS accuracy_ppm,
-                   (sum(CASE WHEN label = 1 AND pred = 1 THEN 1
+                     AS BIGINT) AS accuracy_ppm,
+                   CAST((sum(CASE WHEN label = 1 AND pred = 1 THEN 1
                         ELSE 0 END) * 1000000)
                      // greatest(sum(CASE WHEN pred = 1 THEN 1
-                                     ELSE 0 END), 1) AS precision_ppm,
-                   (sum(CASE WHEN label = 1 AND pred = 1 THEN 1
+                                     ELSE 0 END), 1)
+                     AS BIGINT) AS precision_ppm,
+                   CAST((sum(CASE WHEN label = 1 AND pred = 1 THEN 1
                         ELSE 0 END) * 1000000)
                      // greatest(sum(CASE WHEN label = 1 THEN 1
-                                     ELSE 0 END), 1) AS recall_ppm
+                                     ELSE 0 END), 1)
+                     AS BIGINT) AS recall_ppm
             FROM scored
         """,
         "warc_roundtrip": f"""

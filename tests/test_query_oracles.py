@@ -27,6 +27,30 @@ def con():
     return c
 
 
+def _canon_duck(t):
+    """Canonical dtype token for a DuckDB type string."""
+    t = str(t)
+    if t.endswith("[]"):
+        return f"list<{_canon_duck(t[:-2])}>"
+    return {
+        "BIGINT": "i64", "HUGEINT": "i128", "INTEGER": "i32",
+        "SMALLINT": "i16", "TINYINT": "i8", "DOUBLE": "f64",
+        "FLOAT": "f32", "VARCHAR": "str", "BOOLEAN": "bool",
+        "BLOB": "bin",
+    }.get(t.upper(), t.upper())
+
+
+def _canon_spark(t):
+    """Canonical dtype token for a Spark simpleString type."""
+    if t.startswith("array<") and t.endswith(">"):
+        return f"list<{_canon_spark(t[6:-1])}>"
+    return {
+        "bigint": "i64", "int": "i32", "smallint": "i16",
+        "tinyint": "i8", "double": "f64", "float": "f32",
+        "string": "str", "boolean": "bool", "binary": "bin",
+    }.get(t, t)
+
+
 def normalize(df):
     cols = sorted(df.columns)
     rows = []
@@ -50,7 +74,23 @@ QUERIES = sorted(entry_mod.queries().keys())
 def test_query_matches_oracle(name, spark, con):
     q = entry_mod.queries()[name]
     sql = entry_mod.oracle_sql()[name]
-    got = q(spark, SF_DIR).toPandas()
+    got_df = q(spark, SF_DIR)
+    # dtype parity BEFORE value parity: the driver's value hash is
+    # type-sensitive (r04's quality_calibration flap was DuckDB
+    # promoting an integer-division chain to HUGEINT while values
+    # matched bit-for-bit; pandas normalization hides that here).
+    rel = con.sql(sql)
+    duck_types = {
+        c: _canon_duck(t) for c, t in zip(rel.columns, rel.types)
+    }
+    spark_types = {
+        f.name: _canon_spark(f.dataType.simpleString())
+        for f in got_df.schema.fields
+    }
+    assert spark_types == duck_types, (
+        f"{name}: dtype mismatch spark={spark_types} duck={duck_types}"
+    )
+    got = got_df.toPandas()
     want = con.execute(sql).df()
     gc, gr = normalize(got)
     wc, wr = normalize(want)
