@@ -3739,14 +3739,20 @@ def oracle_sql() -> dict[str, str]:
               SELECT size, CAST(count(*) AS BIGINT) AS n_clusters,
                      CAST(sum(size) AS BIGINT) AS n_docs
               FROM sizes GROUP BY size),
-            aug AS ({_AUG})
-            SELECT * FROM hist
-            UNION ALL
-            SELECT CAST(1 AS BIGINT),
-                   (SELECT count(*) FROM aug)
-                     - (SELECT count(*) FROM comp),
-                   (SELECT count(*) FROM aug)
-                     - (SELECT count(*) FROM comp)
+            aug AS ({_AUG}),
+            uni AS (
+              SELECT * FROM hist
+              UNION ALL
+              SELECT CAST(1 AS BIGINT),
+                     (SELECT count(*) FROM aug)
+                       - (SELECT count(*) FROM comp),
+                     (SELECT count(*) FROM aug)
+                       - (SELECT count(*) FROM comp))
+            -- unique histogram key, no (1, 0, 0) filler row
+            SELECT size, CAST(sum(n_clusters) AS BIGINT) AS n_clusters,
+                   CAST(sum(n_docs) AS BIGINT) AS n_docs
+            FROM uni GROUP BY size
+            HAVING sum(n_clusters) > 0
         """,
         # dedup_clusters_lsh: star edges to band-bucket minima (linear
         # in corpus size) -> recursive-CTE transitive closure
@@ -4449,33 +4455,42 @@ def oracle_sql() -> dict[str, str]:
                   WHERE lang = 'de'),
             p0 AS (
               SELECT s.src_id, t.tgt_id,
-                     list_sum(list_transform(
-                       generate_series(1, len(t.v)),
-                       i -> t.v[i] * s.sv[i])) / (t.norm * s.snorm)
-                       AS sim
+                     CASE WHEN t.norm > 0 AND s.snorm > 0 THEN
+                       list_sum(list_transform(
+                         generate_series(1, len(t.v)),
+                         i -> t.v[i] * s.sv[i])) / (t.norm * s.snorm)
+                     END AS sim
               FROM t, s),
             pairs AS (
               SELECT src_id, tgt_id, round(sim, 4) AS cosine,
                      CAST(round(sim * 10000) AS BIGINT) AS c
               FROM p0),
             ss AS (
-              SELECT src_id, CAST(sum(c) AS BIGINT) AS ssum FROM (
+              SELECT src_id, CAST(sum(c) AS BIGINT) AS ssum,
+                     CAST(count(*) AS BIGINT) AS ns FROM (
                 SELECT src_id, c, row_number() OVER (
                   PARTITION BY src_id ORDER BY c DESC, tgt_id ASC) AS r
-                FROM pairs) WHERE r <= {textops.BITEXT_K}
+                FROM pairs WHERE c IS NOT NULL)
+              WHERE r <= {textops.BITEXT_K}
               GROUP BY src_id),
             ts AS (
-              SELECT tgt_id, CAST(sum(c) AS BIGINT) AS tsum FROM (
+              SELECT tgt_id, CAST(sum(c) AS BIGINT) AS tsum,
+                     CAST(count(*) AS BIGINT) AS nt FROM (
                 SELECT tgt_id, c, row_number() OVER (
                   PARTITION BY tgt_id ORDER BY c DESC, src_id ASC) AS r
-                FROM pairs) WHERE r <= {textops.BITEXT_K}
+                FROM pairs WHERE c IS NOT NULL)
+              WHERE r <= {textops.BITEXT_K}
               GROUP BY tgt_id),
             sc AS (
+              -- (ns + nt) numerator: the ACTUAL neighborhood sizes,
+              -- not a fixed 2k (inflates margins when < k candidates)
               SELECT p.src_id, p.tgt_id, p.cosine,
-                     CASE WHEN ss.ssum + ts.tsum > 0 THEN
-                       (2 * {textops.BITEXT_K} * p.c * 1000000)
+                     CASE WHEN p.c IS NOT NULL
+                            AND ss.ssum + ts.tsum > 0 THEN
+                       ((ss.ns + ts.nt) * p.c * 1000000)
                          // (ss.ssum + ts.tsum) END AS margin_ppm
-              FROM pairs p JOIN ss USING(src_id) JOIN ts USING(tgt_id))
+              FROM pairs p LEFT JOIN ss USING(src_id)
+                           LEFT JOIN ts USING(tgt_id))
             SELECT src_id, tgt_id, cosine, margin_ppm,
                    coalesce(margin_ppm >= {textops.BITEXT_MARGIN_MIN_PPM},
                             false) AS accepted

@@ -301,11 +301,17 @@ def cluster_size_stats(
     observed cluster size: (size, n_clusters, n_docs); when `corpus`
     is given, a size=1 row reports the singleton count (docs the pair
     graph never touched) so the histogram partitions the whole corpus.
+    The histogram key is strictly unique and never degenerate: the
+    singleton row merges (re-aggregated by size) with any size-1
+    clusters the components input already holds (possible via
+    self-loop edges), and a zero-singleton corpus emits NO size=1
+    filler row rather than a (1, 0, 0) artifact.
 
     Scale shape: two partial-aggregatable groupBys — per-component
     sizes (key space = clusters), then per-size counts (key space =
     distinct sizes, tiny); the singleton row is two 1-row aggregates
-    joined via a broadcast (never a real cartesian). No windows."""
+    joined via a broadcast (never a real cartesian), and the merge
+    re-aggregate runs on the already-tiny histogram. No windows."""
     sizes = components.groupBy("component").agg(
         F.count("*").cast("long").alias("size")
     )
@@ -322,4 +328,12 @@ def cluster_size_stats(
         (F.col("t") - F.col("c")).alias("n_clusters"),
         (F.col("t") - F.col("c")).alias("n_docs"),
     )
-    return hist.unionByName(single)
+    return (
+        hist.unionByName(single)
+        .groupBy("size")
+        .agg(
+            F.sum("n_clusters").cast("long").alias("n_clusters"),
+            F.sum("n_docs").cast("long").alias("n_docs"),
+        )
+        .where(F.col("n_clusters") > 0)
+    )

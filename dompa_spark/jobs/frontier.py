@@ -103,16 +103,32 @@ def main(argv=None) -> int:
         sm_docs = spark.read.parquet(args.sitemaps)
         sm = textops.sitemap_urls_df(pipeline.parse_nodes_df(sm_docs))
         # one sitemap doc carries many locs, so the reserved negative
-        # id is a composite: -1 - (doc_id * 65536 + url_pos). The
-        # sitemap protocol caps a file at 50,000 URLs, so the 2^16
-        # stride can never collide two locs. A sitemap row may win a
-        # dup group's keeper slot (keeper = min doc_id); use the
-        # --keep-denied audit form to map back to crawl doc ids.
+        # id is a composite over a HASH slot of the doc_id:
+        # -1 - (md5_60(doc_id) % 2^43) * 2^16 - url_pos. Hashing (the
+        # same trick the discovery band uses for hosts) bounds the
+        # band for ANY doc_id domain — pretrain_corpus assigns
+        # xxhash64 surrogate ids spanning the full 64-bit range, which
+        # a raw doc_id*65536 composite would overflow under ANSI and
+        # stride into the discovery band. The sitemap protocol caps a
+        # file at 50,000 URLs, so the 2^16 url_pos stride never
+        # collides two locs of one doc; doc-slot birthday collisions
+        # start around ~2^21 sitemap docs and, like the discovery
+        # band, only blur the audit mapping (ids only elect dup-group
+        # keepers; grouping is by url_canon). Band: (-2^59 - 2^16, -1],
+        # strictly above the discovery band's -(2^60) base.
         urls = urls.unionByName(
             sm.select(
-                (F.lit(-1)
-                 - (F.col("doc_id") * 65536 + F.col("url_pos")))
-                .alias("doc_id"),
+                (
+                    F.lit(-1)
+                    - (
+                        textops._md5_60_of(
+                            F.col("doc_id").cast("string")
+                        )
+                        % F.lit(2 ** 43)
+                    )
+                    * F.lit(2 ** 16)
+                    - F.col("url_pos")
+                ).alias("doc_id"),
                 F.col("loc").alias("url"),
             )
         )
@@ -126,10 +142,8 @@ def main(argv=None) -> int:
         # before striding into a neighbor slot, and host-slot birthday
         # collisions start around ~2^22 robots hosts. Ids only elect
         # dup-group keepers (grouping is by url_canon), so a collision
-        # merges nothing — it can only blur the audit mapping. The
-        # band sits far below the --sitemaps composite band
-        # (-1 - doc_id*65536 - url_pos stays above -(2^60) until
-        # sitemap doc_ids exceed ~2^44).
+        # merges nothing — it can only blur the audit mapping. Band:
+        # (-2^61, -2^60], disjoint from the --sitemaps band above.
         sm_files = textops.robots_sitemaps(
             spark.read.parquet(args.robots)
         )
@@ -142,10 +156,22 @@ def main(argv=None) -> int:
             ).alias("doc_id"),
             F.col("url"),
         )
-        n_sitemap_files = disc.count()
-        urls = urls.unionByName(disc)
+        # the discovery count rides the n_in aggregate below — a
+        # separate disc.count() would re-run the whole robots parse
+        # as its own job just for a stats line
+        urls = urls.withColumn("is_disc", F.lit(False)).unionByName(
+            disc.withColumn("is_disc", F.lit(True))
+        )
 
-    n_in = urls.count()
+    if args.discover_sitemaps:
+        tot = urls.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("is_disc").cast("long")).alias("d"),
+        ).first()
+        n_in, n_sitemap_files = tot["n"], int(tot["d"] or 0)
+        urls = urls.drop("is_disc")
+    else:
+        n_in = urls.count()
 
     norm = textops.url_normalize(urls)
     # the fetch candidate set: one row per canonical URL (the keeper).

@@ -19,15 +19,21 @@ proportional halving, removed URLs leave the schedule until a later
 'added' revives them).
 
 Cycle numbers are the resume contract: a cycle counts as existing
-only when its directory carries the _SUCCESS marker (the
-pretrain_corpus stage convention). --cycle defaults to
-max(completed)+1, a COMPLETED cycle is refused (re-running the same
-pair must not double-count observations), and a crashed partial
-cycle directory is simply overwritten by re-running the same cycle —
-which is exactly what the default picks after a crash, so the
-recovery path and the happy path are the same command. The log read
-also goes through the completed-cycle list only, so a partial
-write can never leak rows into a schedule.
+only when its directory carries BOTH the _SUCCESS marker (the
+parquet commit) and a _PAIR.json marker naming the (old, new)
+snapshot pair it was diffed from (fingerprint of the input paths +
+their file inventories, written strictly after the parquet commit).
+--cycle defaults to max(completed)+1, and re-running after ANY crash
+is the happy-path command: a partial cycle directory (missing either
+marker) is invisible and simply overwritten, while a rerun whose
+snapshot pair matches an already-completed cycle takes the
+schedule-only recovery path — the diff is skipped, the schedule is
+recomputed from the log, and nothing is double-counted ("diffed
+once, ever" holds across every crash window, including a crash
+between the schedule write and the process exit). A completed cycle
+number is refused only when the requested pair is genuinely
+different. The log read also goes through the completed-cycle list
+only, so a partial write can never leak rows into a schedule.
 
 Scale shape: corpus_diff moves two slim (doc_id, fp) projections
 (exchange-free when the snapshots are doc_id-bucketed); the log
@@ -43,13 +49,68 @@ import json
 import sys
 
 
-def _completed_cycles(spark, obs_root: str) -> list[int]:
-    """Cycle numbers whose partition directory carries _SUCCESS —
-    partial (crashed) writes are invisible to both the duplicate-cycle
-    refusal and the schedule read."""
+PAIR_MARKER = "_PAIR.json"
+
+
+def _fs(spark, path: str):
     jvm = spark._jvm
-    root = jvm.org.apache.hadoop.fs.Path(obs_root)
-    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return jvm, p, p.getFileSystem(spark._jsc.hadoopConfiguration())
+
+
+def _pair_fingerprint(spark, old: str, new: str) -> str:
+    """Deterministic id for an (old, new) snapshot pair: md5 over each
+    side's path plus its data-file inventory (name:length, sorted).
+    The inventory makes the fingerprint track the snapshot CONTENT a
+    path points at, so overwriting a snapshot path with fresh data
+    yields a new pair (append is then correct), while re-running the
+    same command after a crash yields the same one."""
+    import hashlib
+
+    sides = []
+    for label, path in (("old", old), ("new", new)):
+        jvm, p, fs = _fs(spark, path)
+        inv = []
+        if fs.exists(p):
+            for st in fs.listStatus(p):
+                name = st.getPath().getName()
+                if st.isFile() and not name.startswith(("_", ".")):
+                    inv.append(f"{name}:{st.getLen()}")
+        sides.append(
+            f"{label}={fs.makeQualified(p)}|{','.join(sorted(inv))}"
+        )
+    return hashlib.md5("||".join(sides).encode()).hexdigest()
+
+
+def _write_pair_marker(spark, cycle_path: str, payload: dict) -> None:
+    """Write _PAIR.json into the cycle dir strictly AFTER the parquet
+    commit — it is the cycle's completion signal (underscore prefix:
+    Spark's parquet reader ignores it, like _SUCCESS)."""
+    jvm, _, fs = _fs(spark, cycle_path)
+    p = jvm.org.apache.hadoop.fs.Path(cycle_path, PAIR_MARKER)
+    out = fs.create(p, True)
+    out.write(bytearray(json.dumps(payload).encode()))
+    out.close()
+
+
+def _read_pair_marker(spark, cycle_path: str) -> dict | None:
+    jvm, _, fs = _fs(spark, cycle_path)
+    p = jvm.org.apache.hadoop.fs.Path(cycle_path, PAIR_MARKER)
+    if not fs.exists(p):
+        return None
+    txt = jvm.org.apache.commons.io.IOUtils.toString(
+        fs.open(p), "UTF-8"
+    )
+    return json.loads(txt)
+
+
+def _completed_cycles(spark, obs_root: str) -> list[int]:
+    """Cycle numbers whose partition directory carries BOTH _SUCCESS
+    and _PAIR.json — the marker is written after the parquet commit,
+    so a crash in ANY window before it leaves the cycle invisible to
+    the duplicate-pair check, the default-cycle pick, and the
+    schedule read alike (rerun-the-same-command recovers them all)."""
+    jvm, root, fs = _fs(spark, obs_root)
     if not fs.exists(root):
         return []
     out = []
@@ -58,7 +119,8 @@ def _completed_cycles(spark, obs_root: str) -> list[int]:
         if not (st.isDirectory() and name.startswith("cycle=")):
             continue
         ok = jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")
-        if fs.exists(ok):
+        pair = jvm.org.apache.hadoop.fs.Path(st.getPath(), PAIR_MARKER)
+        if fs.exists(ok) and fs.exists(pair):
             out.append(int(name.split("=", 1)[1]))
     return sorted(out)
 
@@ -95,31 +157,56 @@ def main(argv=None) -> int:
     spark = pipeline.session_confs(builder).getOrCreate()
 
     cycles = _completed_cycles(spark, args.obs)
-    cycle = args.cycle if args.cycle is not None else (
-        (max(cycles) + 1) if cycles else 0
+    pair_fp = _pair_fingerprint(spark, args.old, args.new)
+    covered = next(
+        (
+            c for c in cycles
+            if (_read_pair_marker(spark, f"{args.obs}/cycle={c}")
+                or {}).get("pair_fp") == pair_fp
+        ),
+        None,
     )
-    if cycle in cycles:
+    cycle = args.cycle if args.cycle is not None else (
+        covered if covered is not None
+        else ((max(cycles) + 1) if cycles else 0)
+    )
+    if covered is not None and (args.cycle in (None, covered)):
+        # schedule-only recovery: this exact snapshot pair is already
+        # a completed cycle (e.g. a crash hit between the obs commit
+        # and the schedule write). Skip the diff — diffed once, ever —
+        # and just recompute the schedule from the log below.
+        cycle, recovered = covered, True
+    elif cycle in cycles:
         raise ValueError(
             f"geometry: cycle {cycle} is already COMPLETED in "
-            f"{args.obs} — observations are diffed once, ever; a "
-            "crashed partial cycle would not carry _SUCCESS and can "
-            "be re-run with the same number"
+            f"{args.obs} from a DIFFERENT snapshot pair — "
+            "observations are diffed once, ever; a crashed partial "
+            "cycle carries no _PAIR.json and is simply re-run, and a "
+            "same-pair rerun takes the schedule-only recovery path"
         )
+    else:
+        recovered = False
 
-    old = spark.read.parquet(args.old)
-    new = spark.read.parquet(args.new)
-    diff = textops.corpus_diff(old, new)
-    obs_new = diff.select("doc_id", "status")
-    # overwrite: re-running a crashed partial cycle is the recovery
-    # path (only _SUCCESS-marked cycles count as done)
     cycle_path = f"{args.obs}/cycle={cycle}"
-    obs_new.write.mode("overwrite").parquet(cycle_path)
+    if not recovered:
+        old = spark.read.parquet(args.old)
+        new = spark.read.parquet(args.new)
+        diff = textops.corpus_diff(old, new)
+        obs_new = diff.select("doc_id", "status")
+        # overwrite: re-running a crashed partial cycle is the
+        # recovery path (a cycle counts as done only once _SUCCESS
+        # AND _PAIR.json both exist)
+        obs_new.write.mode("overwrite").parquet(cycle_path)
+        _write_pair_marker(spark, cycle_path, {
+            "pair_fp": pair_fp, "old": args.old, "new": args.new,
+            "cycle": cycle,
+        })
 
     # read the log through the completed-cycle list (+ this run's
     # fresh write) so a partial directory can never leak rows
-    good_paths = [f"{args.obs}/cycle={c}" for c in cycles] + [
-        cycle_path
-    ]
+    good_paths = [
+        f"{args.obs}/cycle={c}" for c in cycles if c != cycle
+    ] + [cycle_path]
     all_obs = spark.read.option("basePath", args.obs).parquet(
         *good_paths
     )
@@ -152,6 +239,8 @@ def main(argv=None) -> int:
         ).count(),
         "dead": sched_read.filter("interval_days IS NULL").count(),
     }
+    if recovered:
+        stats["recovered"] = True
     print(json.dumps(stats))
     if owns_session:
         spark.stop()

@@ -7331,9 +7331,14 @@ def bitext_mine(
     Engine parity: per-pair cosines are rounded-then-scaled to exact
     BIGINT (the PQ_DIST_SCALE discipline) BEFORE any aggregation, so
     the top-k sums are order-independent integer sums and the margin is
-    one exact integer division: margin_ppm = 2k * c * 10^6 div
-    (sum_topk_src + sum_topk_tgt). A non-positive denominator (all-
-    negative neighborhoods) yields NULL margin / accepted=false.
+    one exact integer division: margin_ppm = (n_src_k + n_tgt_k) * c *
+    10^6 div (sum_topk_src + sum_topk_tgt), where n_src_k / n_tgt_k are
+    the ACTUAL neighborhood sizes (min(k, candidates) — a fixed 2k
+    numerator would inflate margins whenever fewer than k targets or
+    sources exist). A zero-norm embedding yields NULL cosine (never
+    NaN/Inf — round().cast(long) on those is undefined under ANSI) and
+    is excluded from every neighborhood; a non-positive denominator
+    (all-negative neighborhoods) yields NULL margin / accepted=false.
 
     Scale shape: the source side is a bounded probe set (vec_id <
     src_id_max — the ann_cosine_topk gauge contract) and BROADCASTS;
@@ -7373,45 +7378,56 @@ def bitext_mine(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    valid = (F.col("norm") > 0) & (F.col("snorm") > 0)
     sim = dot / (F.col("norm") * F.col("snorm"))
     pairs = (
         tgt.crossJoin(F.broadcast(src))
         .select(
             "src_id",
             "tgt_id",
-            F.round(sim, 4).alias("cosine"),
-            F.round(sim * 10_000).cast("long").alias("c"),
+            F.when(valid, F.round(sim, 4)).alias("cosine"),
+            F.when(valid, F.round(sim * 10_000).cast("long"))
+            .alias("c"),
         )
         .localCheckpoint(eager=False)
     )
+    scorable = pairs.where(F.col("c").isNotNull())
     ws = Window.partitionBy("src_id").orderBy(
         F.desc("c"), F.asc("tgt_id")
     )
     src_sum = (
-        pairs.withColumn("r", F.row_number().over(ws))
+        scorable.withColumn("r", F.row_number().over(ws))
         .where(F.col("r") <= k)
         .groupBy("src_id")
-        .agg(F.sum("c").cast("long").alias("ssum"))
+        .agg(
+            F.sum("c").cast("long").alias("ssum"),
+            F.count("*").cast("long").alias("ns"),
+        )
     )
     wt = Window.partitionBy("tgt_id").orderBy(
         F.desc("c"), F.asc("src_id")
     )
     tgt_sum = (
-        pairs.withColumn("r", F.row_number().over(wt))
+        scorable.withColumn("r", F.row_number().over(wt))
         .where(F.col("r") <= k)
         .groupBy("tgt_id")
-        .agg(F.sum("c").cast("long").alias("tsum"))
+        .agg(
+            F.sum("c").cast("long").alias("tsum"),
+            F.count("*").cast("long").alias("nt"),
+        )
     )
+    # left joins: a source whose every pair is NULL-cosine still emits
+    # its one (NULL margin, accepted=false) row
     scored = (
-        pairs.join(src_sum, "src_id")
-        .join(tgt_sum, "tgt_id")
+        pairs.join(src_sum, "src_id", "left")
+        .join(tgt_sum, "tgt_id", "left")
         .withColumn(
             "margin_ppm",
             F.when(
-                (F.col("ssum") + F.col("tsum")) > 0,
+                F.col("c").isNotNull()
+                & ((F.col("ssum") + F.col("tsum")) > 0),
                 F.expr(
-                    f"(2 * {int(k)} * c * 1000000)"
-                    " div (ssum + tsum)"
+                    "((ns + nt) * c * 1000000) div (ssum + tsum)"
                 ),
             ),
         )

@@ -73,6 +73,41 @@ def test_cluster_size_stats_hand_graph(spark):
     assert sum(r["n_docs"] for r in out.values()) == 7
 
 
+def test_cluster_size_stats_no_singletons_no_filler_row(spark):
+    """A corpus fully covered by clusters emits NO degenerate
+    (size=1, 0, 0) row."""
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3), (4, 3)],
+        "doc_id long, component long",
+    )
+    corpus = spark.createDataFrame(
+        [(i,) for i in range(1, 5)], "doc_id long"
+    )
+    out = graphops.cluster_size_stats(comps, corpus=corpus).collect()
+    assert len(out) == 1
+    assert (out[0]["size"], out[0]["n_clusters"],
+            out[0]["n_docs"]) == (2, 2, 4)
+
+
+def test_cluster_size_stats_merges_size1_components(spark):
+    """Size-1 clusters already in the components input (self-loop
+    edges) merge with the singleton count into ONE size=1 row — the
+    histogram key stays unique."""
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (5, 5)],  # one pair + one self-loop island
+        "doc_id long, component long",
+    )
+    corpus = spark.createDataFrame(
+        [(i,) for i in range(1, 5)], "doc_id long"
+    )
+    out = {r["size"]: r for r in graphops.cluster_size_stats(
+        comps, corpus=corpus).collect()}
+    assert len(out) == 2
+    # 1 self-loop island + (4 corpus - 3 in graph) = 2 size-1 rows
+    assert out[1]["n_clusters"] == 2 and out[1]["n_docs"] == 2
+    assert out[2]["n_clusters"] == 1 and out[2]["n_docs"] == 2
+
+
 def test_cluster_size_stats_without_corpus_no_singleton_row(spark):
     comps = spark.createDataFrame(
         [(1, 1), (2, 1)], "doc_id long, component long"

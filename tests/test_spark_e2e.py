@@ -776,10 +776,30 @@ def test_recrawl_schedule_job_two_cycles(spark, tmp_path, capsys):
     assert sched[1]["n_changes"] == 2
     assert sched[1]["interval_days"] == textops.RECRAWL_BASE_DAYS // 3
 
-    # duplicate COMPLETED cycle refused
+    # re-running the SAME snapshot pair (with or without --cycle) is
+    # the crash-recovery path: no new cycle, no double-counted
+    # observations, schedule recomputed — even after the schedule
+    # output was lost mid-crash
+    import shutil as _shutil2
+    _shutil2.rmtree(out)
+    assert recrawl_schedule.main(
+        ["--old", s1, "--new", s2] + base) == 0
+    str_ = _json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1])
+    assert str_["cycle"] == 1 and str_["recovered"] is True
+    assert spark.read.parquet(obs).count() == 8  # still 2 cycles
+    got_r = sorted(map(tuple, spark.read.parquet(out).collect()))
+    assert got_r == want  # schedule rebuilt, identical
+    assert recrawl_schedule.main(
+        ["--old", s1, "--new", s2, "--cycle", "1"] + base) == 0
+    assert _json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1]
+    )["recovered"] is True
+
+    # a completed cycle number with a DIFFERENT pair is refused
     with pytest.raises(ValueError, match="geometry"):
         recrawl_schedule.main(
-            ["--old", s1, "--new", s2, "--cycle", "1"] + base)
+            ["--old", s0, "--new", s2, "--cycle", "1"] + base)
 
     # crash recovery: a partial cycle dir (parquet rows, NO _SUCCESS)
     # is invisible to the completed-cycle list — the default cycle

@@ -419,17 +419,23 @@ def test_spark_submit_frontier_job(workdir):
         "--sitemaps", str(workdir / "fr_sitemaps"),
     ])
     # 15 urls + 2 sitemap locs in; sitemap ids are the reserved
-    # composite -1 - (90*65536 + url_pos): -5898241 (sm.new/page/,
-    # pos 0) and -5898242 (other.net/p5#x, pos 1 — it dedups against
+    # hash-slot composite -1 - (md5_60('90') % 2^43)*2^16 - url_pos:
+    # pos 0 = sm.new/page/, pos 1 = other.net/p5#x (it dedups against
     # crawl doc 5 and, being the minimum id, takes the keeper slot).
     # Fetch list: the two sitemap rows, blocked.org/ok (4), flood.io
     # 6-11; ex.com/a is robots-blocked, doc 5 is now a dup
     assert s3 == {"urls_in": 17, "rows_out": 9}
+    import hashlib as _hl0
+
+    sm_base = -1 - (
+        int(_hl0.md5(b"90").hexdigest()[:15], 16) % 2 ** 43
+    ) * 2 ** 16
     kept3 = con.execute(
         f"SELECT doc_id, url_canon FROM '{workdir}/fr_kept3/*.parquet' "
         "ORDER BY doc_id").fetchall()
     assert [r[0] for r in kept3] == [
-        -5898242, -5898241, 4, 6, 7, 8, 9, 10, 11]
+        sm_base - 1, sm_base, 4, 6, 7, 8, 9, 10, 11]
+    assert -(2 ** 60) < sm_base - 1 < 0  # above the discovery band
     assert kept3[0][1] == "https://other.net/p5"
     assert kept3[1][1] == "https://sm.new/page"
     assert all(r[0] != 0 for r in kept3)  # robots blocked the keeper
