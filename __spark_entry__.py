@@ -239,10 +239,11 @@ def q_robots_parse(spark, sf_dir):
 def q_robots_filter(spark, sf_dir):
     """Crawl-politeness verdicts for agent 'mybot' over the frontier
     fixture: specific groups override '*' wholesale (both directions —
-    allowing what '*' denies and denying what '*' allows), longest
-    literal path prefix wins, allow beats disallow on ties; the oracle
-    replays the precedence independently from the template's rule
-    algebra."""
+    allowing what '*' denies and denying what '*' allows), RFC 9309
+    wildcard matching ('*' spans anything, trailing '$' anchors),
+    most-specific rule path wins, allow beats disallow on ties; the
+    oracle replays both the precedence and the wildcard->regex
+    compilation independently from the template's rule algebra."""
     docs = _docs(spark, sf_dir)
     rules = textops.robots_parse(textops.robots_corpus(docs))
     return textops.robots_filter(
@@ -1771,6 +1772,9 @@ def _robots_rules_sql() -> str:
             UNION ALL SELECT host, '*', 'disallow', '/tie' FROM hosts
             UNION ALL SELECT host, '*', 'allow', '/tie' FROM hosts
             UNION ALL SELECT host, '*', 'disallow', '' FROM hosts
+            UNION ALL SELECT host, '*', 'disallow', '/*.json$' FROM hosts
+            UNION ALL SELECT host, '*', 'allow', '/wild/*/ok' FROM hosts
+            UNION ALL SELECT host, '*', 'disallow', '/wild' FROM hosts
             UNION ALL SELECT host, 'mybot', 'allow', '/private'
                       FROM hosts WHERE k % 3 = 0
             UNION ALL SELECT host, 'mybot', 'disallow', '/mypriv'
@@ -3073,14 +3077,19 @@ def oracle_sql() -> dict[str, str]:
                   (SELECT host FROM rules WHERE agent = 'mybot')))),
             u AS (
               SELECT CAST(doc_id AS BIGINT) AS doc_id,
-                     (CAST(doc_id AS BIGINT) // 6) % 50 AS k,
-                     CASE CAST(doc_id AS BIGINT) % 6
+                     (CAST(doc_id AS BIGINT) // 9) % 50 AS k,
+                     CASE CAST(doc_id AS BIGINT) % 9
                           WHEN 0 THEN '/private/x' || CAST(doc_id AS VARCHAR)
                           WHEN 1 THEN '/private/ok/y'
                           WHEN 2 THEN '/pub/z'
                           WHEN 3 THEN '/private'
                           WHEN 4 THEN '/tie/t'
-                          ELSE '/mypriv/m' END AS path
+                          WHEN 5 THEN '/mypriv/m'
+                          WHEN 6 THEN '/f' || CAST(doc_id AS VARCHAR)
+                                          || '.json'
+                          WHEN 7 THEN '/wild/zz/ok'
+                          ELSE '/wild/w' || CAST(doc_id AS VARCHAR)
+                     END AS path
               FROM documents),
             ux AS (
               SELECT doc_id, path,
@@ -3088,13 +3097,30 @@ def oracle_sql() -> dict[str, str]:
                        || path AS url,
                      'h' || CAST(k AS VARCHAR) || '.example' AS host
               FROM u),
+            -- RFC 9309 match replay: literal prefix unless the rule
+            -- carries '*' or a trailing '$'; then an anchored regex
+            -- (metachars escaped, '*' -> '.*', trailing '$' -> anchor)
+            rxa AS (
+              SELECT host, rule, path,
+                     path LIKE '%*%' OR path LIKE '%$' AS wild,
+                     '^' || replace(regexp_replace(
+                         CASE WHEN path LIKE '%$'
+                              THEN substr(path, 1, length(path) - 1)
+                              ELSE path END,
+                         '([.^$+?(){{}}\\[\\]|\\\\])', '\\\\\\1', 'g'),
+                       '*', '.*')
+                     || CASE WHEN path LIKE '%$' THEN '$' ELSE '' END
+                       AS rx
+              FROM appl),
             best AS (
               SELECT ux.doc_id, ux.url, ux.host,
-                     max(CASE WHEN starts_with(ux.path, a.path)
+                     max(CASE WHEN CASE WHEN a.wild
+                                THEN regexp_matches(ux.path, a.rx)
+                                ELSE starts_with(ux.path, a.path) END
                          THEN length(a.path) * 2 +
                               CASE WHEN a.rule = 'allow' THEN 1 ELSE 0 END
                          END) AS s
-              FROM ux LEFT JOIN appl a ON a.host = ux.host
+              FROM ux LEFT JOIN rxa a ON a.host = ux.host
               GROUP BY ux.doc_id, ux.url, ux.host)
             SELECT doc_id, url, host,
                    (s IS NULL OR s % 2 = 1) AS allowed,

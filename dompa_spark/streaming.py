@@ -535,12 +535,16 @@ def url_frontier_stream(
         )
         # map-side verdict: max over matching rules of the same
         # integer precedence encoding the batch filter aggregates
-        # (len*2 + is_allow); collect_list order is irrelevant to MAX
+        # (len*2 + is_allow); collect_list order is irrelevant to MAX.
+        # The match is the SAME RFC 9309 wildcard-aware predicate as
+        # textops.robots_filter (batch/stream verdict parity).
         score = F.array_max(
             F.transform(
                 F.filter(
                     F.col("rrules"),
-                    lambda r: F.startswith(path, r["rule_path"]),
+                    lambda r: textops._robots_rule_match(
+                        path, r["rule_path"]
+                    ),
                 ),
                 lambda r: F.length(r["rule_path"]).cast("long") * 2
                 + (r["rule"] == "allow").cast("long"),

@@ -3093,7 +3093,9 @@ def robots_corpus(df: DataFrame) -> DataFrame:
     (must be ignored), a comment line, a blank line inside and between
     groups, an uppercase agent token (case-insensitive by REP), an
     empty-value Disallow (parses, matches nothing), an allow/disallow
-    TIE pair on '/tie', a mybot-specific group on every third host
+    TIE pair on '/tie', RFC 9309 wildcard rules (an anchored
+    '/*.json$' deny, an infix-star '/wild/*/ok' allow overriding a
+    shorter '/wild' deny), a mybot-specific group on every third host
     (specific groups override '*' wholesale), and a two-agent group
     (alpha+beta share one rule) on every fifth host."""
     k = F.col("doc_id").cast("long")
@@ -3102,7 +3104,9 @@ def robots_corpus(df: DataFrame) -> DataFrame:
         F.lit("Disallow: /stray\n# policy h"), sid,
         F.lit("\nUser-agent: SpecialBot\nDisallow: /\n\n"
               "User-agent: *\nDisallow: /private\nAllow: /private/ok\n"
-              "Disallow: /tie\nAllow: /tie\nDisallow:\n"),
+              "Disallow: /tie\nAllow: /tie\nDisallow:\n"
+              "Disallow: /*.json$\nAllow: /wild/*/ok\n"
+              "Disallow: /wild\n"),
         F.when(
             k % 3 == 0,
             F.lit("\nUser-agent: MyBot\nAllow: /private\n"
@@ -3121,24 +3125,29 @@ def robots_corpus(df: DataFrame) -> DataFrame:
 
 
 def frontier_urls(df: DataFrame) -> DataFrame:
-    """(doc_id, url) fixture over the robots_corpus host space: six
-    path cases cycling through allow/deny/tie/specific-only territory.
-    The host is (doc_id div 6) % 50 — NOT doc_id % 50, which would
-    correlate the path case with the host's specific-group residue
-    (d % 6 == 0 implies d % 3 == 0) and the fallback-deny branch would
-    never fire."""
+    """(doc_id, url) fixture over the robots_corpus host space: nine
+    path cases cycling through allow/deny/tie/specific-only territory
+    plus the three wildcard-rule shapes (anchored-$ deny, infix-star
+    allow overriding a shorter deny, plain deny under the starred
+    allow's prefix). The host is (doc_id div 9) % 50 — NOT
+    doc_id % 50, which would correlate the path case with the host's
+    specific-group residue (d % 9 == 0 implies d % 3 == 0) and the
+    fallback-deny branch would never fire."""
     d = F.col("doc_id").cast("long")
     sid = F.col("doc_id").cast("string")
     path = (
-        F.when(d % 6 == 0, F.concat(F.lit("/private/x"), sid))
-        .when(d % 6 == 1, F.lit("/private/ok/y"))
-        .when(d % 6 == 2, F.lit("/pub/z"))
-        .when(d % 6 == 3, F.lit("/private"))
-        .when(d % 6 == 4, F.lit("/tie/t"))
-        .otherwise(F.lit("/mypriv/m"))
+        F.when(d % 9 == 0, F.concat(F.lit("/private/x"), sid))
+        .when(d % 9 == 1, F.lit("/private/ok/y"))
+        .when(d % 9 == 2, F.lit("/pub/z"))
+        .when(d % 9 == 3, F.lit("/private"))
+        .when(d % 9 == 4, F.lit("/tie/t"))
+        .when(d % 9 == 5, F.lit("/mypriv/m"))
+        .when(d % 9 == 6, F.concat(F.lit("/f"), sid, F.lit(".json")))
+        .when(d % 9 == 7, F.lit("/wild/zz/ok"))
+        .otherwise(F.concat(F.lit("/wild/w"), sid))
     )
     url = F.concat(
-        F.lit("https://H"), F.expr("(CAST(doc_id AS BIGINT) div 6) % 50"),
+        F.lit("https://H"), F.expr("(CAST(doc_id AS BIGINT) div 9) % 50"),
         F.lit(".EXAMPLE"), path,
     )
     return df.select(d.alias("doc_id"), url.alias("url"))
@@ -3185,9 +3194,10 @@ def robots_parse(
     comments and field-name case are stripped; agent tokens lowercase
     (case-insensitive per REP); paths stay case-significant. Values
     are single tokens (\\S*) — an empty Disallow parses with path ''
-    (it matches nothing at filter time). Wildcard patterns ($, *) are
-    NOT interpreted: rules apply as literal path prefixes, the
-    deterministic subset both engines and every crawler agree on.
+    (it matches nothing at filter time). Wildcard characters ($, *)
+    pass through verbatim — MATCHING is a filter-time concern
+    (robots_filter interprets them per RFC 9309 via
+    _robots_rule_match).
 
     Scale shape: the whole parse is map-side expression passes over
     each host's lines array (O(lines^2) array scans per host — a
@@ -3307,19 +3317,59 @@ def robots_applicable(rules: DataFrame, agent: str) -> DataFrame:
     )
 
 
+def _robots_rule_match(path: Column, rule_path: Column) -> Column:
+    """RFC 9309 rule-path match as pure Catalyst expressions. A rule
+    path with no '*' and no trailing '$' takes the literal-prefix fast
+    path (startswith — the overwhelmingly common case stays a
+    codegen'd memcmp); otherwise the pattern compiles to an anchored
+    regex: every regex metacharacter escaped EXCEPT '*', '*' -> '.*'
+    (matches any char sequence incl '/'), and a single trailing '$'
+    stripped and re-emitted as the end anchor ('$' elsewhere is a
+    literal octet, the Google-parser behavior). Empty rule paths never
+    reach here (robots_applicable drops them).
+
+    Scale shape: the regex STRING is built from rule_path columns on
+    the (tiny, broadcast) rules side of the politeness join, so the
+    per-URL work is one regexp_like against an already-materialized
+    pattern; no Python, no UDF."""
+    anchored = rule_path.endswith("$")
+    core = F.when(
+        anchored,
+        F.substring(rule_path, F.lit(1), F.length(rule_path) - 1),
+    ).otherwise(rule_path)
+    # escape Java-regex metachars except '*' (replacement '\\$1' is
+    # the Java-replacement escape: literal backslash + group 1)
+    esc = F.regexp_replace(
+        core, r"([.^$+?(){}\[\]|\\])", r"\\$1"
+    )
+    rx = F.concat(
+        F.lit("^"),
+        F.regexp_replace(esc, r"\*", ".*"),
+        F.when(anchored, F.lit("$")).otherwise(F.lit("")),
+    )
+    literal = (~rule_path.contains("*")) & (~anchored)
+    return F.when(literal, path.startswith(rule_path)).otherwise(
+        F.regexp_like(path, rx)
+    )
+
+
 def robots_filter(
     urls: DataFrame, rules: DataFrame, agent: str = ROBOTS_AGENT
 ) -> DataFrame:
     """Apply parsed robots rules to a URL frontier for one crawler
-    agent. REP precedence, the Google-documented subset: if a host has
-    any group naming OUR agent, ONLY those rules apply (the '*' groups
-    are ignored wholesale); otherwise the '*' rules apply. Among
-    matching rules (literal case-significant path prefix over the
-    URL's path; empty-path rules match nothing) the LONGEST path wins,
-    and allow beats disallow on equal length. No matching rule (or no
-    rules at all for the host) = allowed. Output one row per URL:
-    (doc_id, url, host, allowed, match_len — length of the winning
-    rule path, NULL when nothing matched).
+    agent. REP precedence, RFC 9309 + the Google-documented group
+    semantics: if a host has any group naming OUR agent, ONLY those
+    rules apply (the '*' groups are ignored wholesale); otherwise the
+    '*' rules apply. Rule paths match case-significantly with RFC 9309
+    wildcards — '*' spans any character sequence, a trailing '$'
+    anchors end-of-path, everything else is literal (empty-path rules
+    match nothing; see _robots_rule_match). Among matching rules the
+    MOST-SPECIFIC (most octets of the rule path as written, wildcards
+    counted — the Google-parser priority) wins, and allow beats
+    disallow on equal length. No matching rule (or no rules at all for
+    the host) = allowed. Output one row per URL: (doc_id, url, host,
+    allowed, match_len — length of the winning rule path, NULL when
+    nothing matched).
 
     Scale shape: precedence encodes as one integer per candidate rule
     (path_len * 2 + is_allow) so the per-URL verdict is a plain
@@ -3339,7 +3389,7 @@ def robots_filter(
     )
     joined = parsed.join(F.broadcast(appl), "host", "left")
     score = F.when(
-        F.col("path").startswith(F.col("rule_path")),
+        _robots_rule_match(F.col("path"), F.col("rule_path")),
         F.length("rule_path").cast("long") * 2
         + (F.col("rule") == "allow").cast("long"),
     )

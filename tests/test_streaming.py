@@ -646,6 +646,9 @@ def test_url_frontier_stream_robots_gate(spark, tmp_path):
             ("a.com", "*", "allow", "/p/ok"),
             ("b.com", "*", "disallow", "/"),
             ("b.com", "mybot", "disallow", "/only"),
+            ("d.com", "*", "disallow", "/*.pdf$"),
+            ("d.com", "*", "disallow", "/d"),
+            ("d.com", "*", "allow", "/d*z"),
         ],
         "host string, agent string, rule string, path string",
     )
@@ -656,6 +659,10 @@ def test_url_frontier_stream_robots_gate(spark, tmp_path):
         (4, "https://b.com/anything"), # allowed (mybot group overrides)
         (5, "https://b.com/only/z"),   # denied (mybot rule)
         (6, "https://c.com/norules"),  # allowed (no rules for host)
+        (7, "https://d.com/x/doc.pdf"),   # denied (anchored wildcard)
+        (8, "https://d.com/x/doc.pdfx"),  # allowed ('$' anchor missed)
+        (9, "https://d.com/d123z"),    # allowed (starred allow wins)
+        (10, "https://d.com/dxx"),     # denied (plain /d rule)
     ]
     spark.createDataFrame(rows, "doc_id long, url string") \
         .coalesce(1).write.mode("append").parquet(in_path)
@@ -674,7 +681,7 @@ def test_url_frontier_stream_robots_gate(spark, tmp_path):
     got = sorted(
         r.first_doc_id for r in spark.read.parquet(out_path).collect()
     )
-    assert got == [2, 3, 4, 6], got
+    assert got == [2, 3, 4, 6, 8, 9], got
     # and the batch filter agrees verdict-for-verdict
     urls_df = spark.createDataFrame(rows, "doc_id long, url string")
     batch = {
@@ -682,7 +689,7 @@ def test_url_frontier_stream_robots_gate(spark, tmp_path):
         for r in textops.robots_filter(urls_df, rules, "MyBot").collect()
     }
     assert batch == {1: False, 2: True, 3: True, 4: True, 5: False,
-                     6: True}
+                     6: True, 7: False, 8: True, 9: True, 10: False}
 
 
 def test_url_frontier_stream_matches_batch_groups(spark, tmp_path):

@@ -1681,6 +1681,51 @@ def test_robots_filter_precedence(spark):
     }, got
 
 
+def test_robots_filter_rfc9309_wildcards(spark):
+    """RFC 9309 wildcard matching: '*' spans any char run (incl '/'),
+    a trailing '$' anchors end-of-path, '$' elsewhere is a literal
+    octet, regex metacharacters in rule paths are literal, and
+    precedence counts the rule path's octets AS WRITTEN (wildcards
+    included)."""
+    rules = spark.createDataFrame(
+        [
+            ("h1", "*", "disallow", "/*.json$"),
+            ("h1", "*", "allow", "/wild/*/ok"),
+            ("h1", "*", "disallow", "/wild"),
+            ("h2", "*", "disallow", "/end*"),
+            ("h2", "*", "disallow", "/a$b"),
+            ("h3", "*", "disallow", "/p.q*z"),
+            ("h3", "*", "disallow", "/m*n*o"),
+        ],
+        "host string, agent string, rule string, path string",
+    )
+    urls = spark.createDataFrame(
+        [
+            (0, "https://h1/f.json"),        # anchored deny
+            (1, "https://h1/f.jsonx"),       # '$' anchor: no match
+            (2, "https://h1/deep/f.json"),   # '*' spans '/'
+            (3, "https://h1/wild/a/b/ok"),   # allow(10) beats deny(5)
+            (4, "https://h1/wild/plain"),    # only the deny matches
+            (5, "https://h2/endless"),       # trailing '*' prefix
+            (6, "https://h2/end"),           # '*' matches empty
+            (7, "https://h2/a$b/c"),         # mid '$' is a literal
+            (8, "https://h2/ab"),            # ...and never an anchor
+            (9, "https://h3/p.qfooz"),       # '.' literal + star
+            (10, "https://h3/pxqfooz"),      # '.' is NOT regex-dot
+            (11, "https://h3/mxxnyyo"),      # two stars
+        ],
+        "doc_id long, url string",
+    )
+    got = {r.doc_id: (r.allowed, r.match_len)
+           for r in textops.robots_filter(urls, rules, "MyBot").collect()}
+    assert got == {
+        0: (False, 8), 1: (True, None), 2: (False, 8),
+        3: (True, 10), 4: (False, 5),
+        5: (False, 5), 6: (False, 5), 7: (False, 4), 8: (True, None),
+        9: (False, 6), 10: (True, None), 11: (False, 6),
+    }, got
+
+
 def test_chunk_documents_differential(spark):
     """Chunk boundaries vs a Python reference across word counts
     bracketing every boundary case (empty-ish, < window, == window,
