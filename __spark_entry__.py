@@ -1545,8 +1545,76 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+# Registry prefix for the round-5 driver CORRECTNESS window. The
+# driver checks queries() in insertion order, first 50 entries; rounds
+# 1-4 left 54 registry entries without any external driver row (they
+# are covered by the in-repo DuckDB-parity harness over ALL entries,
+# tests/test_query_oracles.py). This window front-loads: five
+# sentinels — the two flagship extraction queries plus the three whose
+# behavior changed this round (quality_calibration's oracle dtype fix,
+# the robots pair's RFC 9309 wildcards) — then 45 of the 54
+# never-driver-checked queries. The nine left outside the window
+# (dedup_recall, ann_recall, ivf_list_sizes, shuffle_shards,
+# split_holdout, user_paths, props_stats, length_quantiles,
+# normalize_text) are gauges/telemetry whose underlying components ARE
+# in the window, or trivial deterministic splits; all nine stay
+# parity-tested in-repo.
+_R5_DRIVER_WINDOW = [
+    "extract_main_text",
+    "parse_roundtrip",
+    "quality_calibration",
+    "robots_parse",
+    "robots_filter",
+    "link_graph_rank",
+    "domain_stats",
+    "html_metadata",
+    "anchor_text_agg",
+    "c4_line_filter",
+    "url_filter",
+    "host_boilerplate",
+    "segment_dedup",
+    "span_dedup",
+    "retention_cohorts",
+    "funnel_steps",
+    "pq_codes",
+    "ann_pq_topk",
+    "ann_pq_rerank",
+    "ann_ivfpq_topk",
+    "semdedup",
+    "warc_roundtrip",
+    "media_dhash",
+    "wav_near_dup",
+    "bloom_dedup",
+    "corpus_diff",
+    "extract_code",
+    "cluster_topics",
+    "distinct_sketch",
+    "heavy_hitters",
+    "bm25_topk",
+    "pmi_topk",
+    "char_entropy",
+    "script_profile",
+    "script_mixture",
+    "dom_templates",
+    "cms_counts",
+    "graph_components",
+    "embedding_stats",
+    "feed_entries",
+    "sitemap_index",
+    "graph_degrees",
+    "bitext_mine",
+    "robots_sitemaps",
+    "recrawl_priority",
+    "extract_coverage",
+    "winnow_fingerprints",
+    "winnow_contamination",
+    "lm2_surprisal",
+    "tokenizer_fertility",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    reg = {
         "extract_main_text": q_extract_main_text,
         "parse_roundtrip": q_parse_roundtrip,
         "traverse_rewrite": q_traverse_rewrite,
@@ -1668,6 +1736,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm2_surprisal": q_lm2_surprisal,
         "tokenizer_fertility": q_tokenizer_fertility,
     }
+    out = {k: reg[k] for k in _R5_DRIVER_WINDOW}
+    out.update((k, v) for k, v in reg.items() if k not in out)
+    return out
 
 
 # ---------------------------------------------------------------------------
