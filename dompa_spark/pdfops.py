@@ -70,10 +70,23 @@ FONT_SIZE_2COL = 5
 
 # Layout-analysis tolerances: runs within Y_TOL pt share a line; an
 # x-range never covered by any run and wider than GUTTER_MIN pt is a
-# column gutter (x-interval-union projection, the classic recursive-XY-
-# cut vertical step).
+# column gutter (x-interval-union projection, the vertical step of
+# recursive XY-cut); a baseline-to-baseline y-gap taller than
+# BAND_GUTTER_MIN pt is a horizontal band gutter (the horizontal step).
+# BAND_GUTTER_MIN is calibrated in baseline-gap space — the parser does
+# not track glyph heights — strictly above 2x LEADING so a single blank
+# grid line never opens a band, and well under the generator's
+# header/body gap (78 pt).
 Y_TOL = 3.0
 GUTTER_MIN = 36.0
+BAND_GUTTER_MIN = 40.0
+
+# Banded page geometry (build_pdf banded=True): a full-width header band
+# of BAND_HEADER_LINES lines at FONT_SIZE from TOP_Y, then a two-column
+# body at FONT_SIZE_2COL starting at BAND_BODY_Y (header bottom baseline
+# 720 - 3*14 = 678; 678 - 600 = 78 pt band gap).
+BAND_HEADER_LINES = 4
+BAND_BODY_Y = 600
 
 _ESC = {ord("\\"): b"\\\\", ord("("): b"\\(", ord(")"): b"\\)",
         ord("\n"): b"\\n", ord("\r"): b"\\r", ord("\t"): b"\\t"}
@@ -96,16 +109,21 @@ def _esc_string(s: str) -> bytes:
 # generator
 # ---------------------------------------------------------------------------
 
-def build_pdf(text: str, two_col: bool = False) -> bytes:
+def build_pdf(text: str, two_col: bool = False,
+              banded: bool = False) -> bytes:
     """Render `text` as a minimal valid PDF (1.4): fixed-width lines on a
     page grid, Flate-compressed content streams, correct xref/trailer.
 
     Deterministic: same text+mode -> same bytes. Two-column pages place
-    lines 0..19 in the left column and 20..39 in the right one (reading
-    order preserved by the layout pass). Content streams exercise the
-    full operator subset: Tm+TL+T* (single column), Td/TD and TJ-with-
-    kerning on every 7th line, indirect /Length objects in two-col mode.
+    lines 0..19 in the left column and 20..39 in the right one; banded
+    pages place lines 0..3 in a full-width header band and the rest in
+    a two-column body below a 78 pt band gap (reading order preserved by
+    the layout pass in both modes). Content streams exercise the full
+    operator subset: Tm+TL+T* (single column), Td/TD and TJ-with-kerning
+    on every 7th line, indirect /Length objects in two-col mode.
     """
+    if two_col and banded:
+        raise ValueError("two_col and banded are mutually exclusive")
     lines = [text[i:i + LINE_WIDTH] for i in range(0, len(text), LINE_WIDTH)]
     pages = [lines[i:i + LINES_PER_PAGE]
              for i in range(0, len(lines), LINES_PER_PAGE)] or [[]]
@@ -125,7 +143,7 @@ def build_pdf(text: str, two_col: bool = False) -> bytes:
 
     content_ids = []
     for pg in pages:
-        stream = _page_stream(pg, two_col)
+        stream = _page_stream(pg, two_col, banded)
         comp = zlib.compress(stream)
         if two_col:
             # indirect /Length: exercises two-phase length resolution
@@ -166,7 +184,8 @@ def build_pdf(text: str, two_col: bool = False) -> bytes:
     return bytes(out)
 
 
-def _page_stream(pg_lines: list[str], two_col: bool) -> bytes:
+def _page_stream(pg_lines: list[str], two_col: bool,
+                 banded: bool = False) -> bytes:
     buf = bytearray()
     if not pg_lines:
         return bytes(buf)
@@ -180,6 +199,27 @@ def _page_stream(pg_lines: list[str], two_col: bool) -> bytes:
             for j, ln in enumerate(col):
                 if j:
                     # TD: sets leading AND moves — parser must handle both
+                    buf += b"0 %d TD " % -LEADING
+                buf += _line_ops(ln, j)
+            buf += b"ET\n"
+    elif banded:
+        head = pg_lines[:BAND_HEADER_LINES]
+        body = pg_lines[BAND_HEADER_LINES:]
+        buf += (b"BT /F1 %d Tf %d TL 1 0 0 1 %d %d Tm "
+                % (FONT_SIZE, LEADING, MARGIN_X, TOP_Y))
+        for j, ln in enumerate(head):
+            if j:
+                buf += b"T* "
+            buf += _line_ops(ln, j)
+        buf += b"ET\n"
+        half = (len(body) + 1) // 2
+        for x0, col in ((MARGIN_X, body[:half]), (COL2_X, body[half:])):
+            if not col:
+                continue
+            buf += b"BT /F1 %d Tf %d %d Td " % (FONT_SIZE_2COL, x0,
+                                                BAND_BODY_Y)
+            for j, ln in enumerate(col):
+                if j:
                     buf += b"0 %d TD " % -LEADING
                 buf += _line_ops(ln, j)
             buf += b"ET\n"
@@ -608,38 +648,93 @@ def _column_boundaries(runs) -> list[float]:
             for k in range(len(merged) - 1)]
 
 
-def layout_lines(runs: list[tuple[float, float, str, float]]) -> list[str]:
-    """Runs of one page -> ordered line texts (reading order).
+def _band_boundaries(runs) -> list[float]:
+    """Project run baselines onto the y-axis; every gap between adjacent
+    distinct baselines taller than BAND_GUTTER_MIN is a horizontal band
+    gutter. Returns the gutter midpoints in descending y (top->bottom
+    reading order) — n gutters => n+1 bands. This is the horizontal step
+    of recursive XY-cut (Nagy & Seth 1984). Baselines stand in for glyph
+    boxes (the run model carries no glyph height), so the threshold is
+    calibrated in baseline-gap space: normal leading is LEADING pt, and
+    side-by-side columns with staggered baselines can only SHRINK a gap,
+    never fake one."""
+    ys = sorted({r[1] for r in runs}, reverse=True)
+    return [(a + b) / 2 for a, b in zip(ys, ys[1:])
+            if a - b > BAND_GUTTER_MIN]
 
-    1. find column gutters by x-interval-union projection (so columns
-       are split BEFORE line grouping — clustering on y first would glue
-       same-baseline lines of adjacent columns together);
-    2. cluster each column's runs into lines by y (tolerance Y_TOL);
-    3. order columns left->right, lines within a column top->bottom,
-       runs within a line left->right (stable on x ties).
+
+def _leaf_lines(runs) -> list[str]:
+    """Terminal zone of the XY-cut: cluster runs into lines by y
+    (tolerance Y_TOL), order lines top->bottom, runs within a line
+    left->right (stable on x ties)."""
+    runs = sorted(runs, key=lambda r: -r[1])
+    lines: list[list] = []
+    for r in runs:
+        if lines and abs(lines[-1][0][1] - r[1]) <= Y_TOL:
+            lines[-1].append(r)
+        else:
+            lines.append([r])
+    out: list[str] = []
+    for ln in lines:
+        ln.sort(key=lambda r: r[0])
+        out.append("".join(t for _, _, t, _ in ln))
+    return out
+
+
+def _xy_lines(runs, axis: str) -> list[str]:
+    """One level of recursive XY-cut. Try a cut on `axis`; if it splits,
+    recurse into each part on the OTHER axis (a y-split leaves no
+    further y-gutter inside a band, and symmetrically for x, so the
+    immediate re-try is always the other projection); if neither axis
+    cuts, the zone is a leaf. Terminates because a found cut always
+    splits into >=2 strictly smaller non-empty parts (gutters lie
+    between occupied intervals)."""
+    for _ in range(2):
+        if axis == "y":
+            cuts = _band_boundaries(runs)
+            if cuts:
+                bands: list[list] = [[] for _ in range(len(cuts) + 1)]
+                for r in runs:
+                    k = 0
+                    while k < len(cuts) and r[1] < cuts[k]:
+                        k += 1
+                    bands[k].append(r)
+                return [ln for band in bands if band
+                        for ln in _xy_lines(band, "x")]
+        else:
+            bounds = _column_boundaries(runs)
+            if bounds:
+                cols: list[list] = [[] for _ in range(len(bounds) + 1)]
+                for r in runs:
+                    k = 0
+                    while k < len(bounds) and r[0] >= bounds[k]:
+                        k += 1
+                    cols[k].append(r)
+                return [ln for col in cols if col
+                        for ln in _xy_lines(col, "y")]
+        axis = "x" if axis == "y" else "y"
+    return _leaf_lines(runs)
+
+
+def layout_lines(runs: list[tuple[float, float, str, float]]) -> list[str]:
+    """Runs of one page -> ordered line texts (reading order) by full
+    recursive XY-cut:
+
+    1. horizontal band cuts first (y-projection gaps > BAND_GUTTER_MIN),
+       so full-width header/footer bands and stacked zones order
+       top->bottom before any column logic sees them;
+    2. column cuts within a band (x-interval-union projection, gutters
+       > GUTTER_MIN) — columns split BEFORE line grouping, since
+       clustering on y first would glue same-baseline lines of adjacent
+       columns together;
+    3. recurse (a column may itself stack zones) until no gutter
+       remains, then cluster the leaf zone's runs into lines by y
+       (tolerance Y_TOL), ordering bands top->bottom, columns
+       left->right, lines top->bottom, runs left->right.
     """
     if not runs:
         return []
-    bounds = _column_boundaries(runs)
-    cols: list[list] = [[] for _ in range(len(bounds) + 1)]
-    for r in runs:
-        k = 0
-        while k < len(bounds) and r[0] >= bounds[k]:
-            k += 1
-        cols[k].append(r)
-    out: list[str] = []
-    for col in cols:
-        col.sort(key=lambda r: -r[1])
-        lines: list[list] = []
-        for r in col:
-            if lines and abs(lines[-1][0][1] - r[1]) <= Y_TOL:
-                lines[-1].append(r)
-            else:
-                lines.append([r])
-        for ln in lines:
-            ln.sort(key=lambda r: r[0])
-            out.append("".join(t for _, _, t, _ in ln))
-    return out
+    return _xy_lines(runs, "y")
 
 
 def extract_pdf(data: bytes) -> dict:
@@ -693,15 +788,18 @@ PDF_SPANS_SCHEMA = StructType([
 
 def docs_to_pdf(df: DataFrame, two_col_mod: int = 3) -> DataFrame:
     """(doc_id, text) -> (doc_id, pdf bytes). Arrow-batched; layout mode
-    (single vs two-column) is deterministic in doc_id (`doc_id % mod == 0`
-    -> two-column) so the corpus exercises both page geometries."""
+    is deterministic in doc_id (`doc_id % mod == 0` -> two-column,
+    `doc_id % mod == 1` -> banded header + two-column body, else single
+    column) so the corpus exercises all three page geometries — and both
+    XY-cut steps — on every run."""
     import pandas as pd
 
     def _gen(batches: Iterator["pd.DataFrame"]):
         for pdf_b in batches:
             blobs = [
                 build_pdf(t if isinstance(t, str) else "",
-                          two_col=bool(int(d) % two_col_mod == 0))
+                          two_col=bool(int(d) % two_col_mod == 0),
+                          banded=bool(int(d) % two_col_mod == 1))
                 for d, t in zip(pdf_b["doc_id"], pdf_b["text"])
             ]
             yield pd.DataFrame({"doc_id": pdf_b["doc_id"].astype("int64"),

@@ -132,18 +132,74 @@ def test_layout_kerning_gap_not_a_column():
     assert pdfops.layout_lines(runs) == ["abcd", "ef"]
 
 
+def test_layout_bands_reading_order():
+    # a full-width header band above a two-column body: the header's
+    # x-span covers the column gutter, so a column-first pass would see
+    # ONE column and interleave header and body lines; the y-cut must
+    # split the bands first (header, then left column, then right).
+    runs = [(72.0, 720.0, "H0", 512.0), (72.0, 706.0, "H1", 512.0)]
+    for j in range(3):
+        y = 600.0 - 14 * j
+        runs.append((72.0, y, f"L{j}", 272.0))
+        runs.append((320.0, y, f"R{j}", 520.0))
+    assert pdfops.layout_lines(runs) == [
+        "H0", "H1", "L0", "L1", "L2", "R0", "R1", "R2"]
+
+
+def test_layout_nested_zone_recursion():
+    # XY-cut recursion beyond one alternation: left column is one run
+    # block; the RIGHT column internally stacks two zones separated by
+    # a y-gutter that the left column masks in the page-level
+    # projection (left has baselines inside the right column's gap).
+    runs = []
+    for j in range(7):
+        runs.append((72.0, 700.0 - 14 * j, f"L{j}", 272.0))
+    runs += [(320.0, 700.0, "Rtop", 520.0),
+             (320.0, 700.0 - 14 * 6, "Rbot", 520.0)]
+    assert pdfops.layout_lines(runs) == [
+        "L0", "L1", "L2", "L3", "L4", "L5", "L6", "Rtop", "Rbot"]
+
+
+def test_layout_blank_line_not_a_band():
+    # a single skipped grid line (2x leading = 28 pt baseline gap) must
+    # NOT open a band (BAND_GUTTER_MIN = 40)
+    runs = [(72.0, 700.0, "a", 512.0), (72.0, 672.0, "b", 512.0)]
+    assert pdfops._band_boundaries(runs) == []
+    assert pdfops.layout_lines(runs) == ["a", "b"]
+
+
+def test_banded_page_geometry():
+    # generated banded page: exactly one band gutter between the header
+    # bottom (678) and body top (600) baselines, three text zones
+    data = pdfops.build_pdf("x" * (80 * 40), banded=True)
+    runs = pdfops.text_runs(pdfops.page_content_streams(data)[0])
+    cuts = pdfops._band_boundaries(runs)
+    assert cuts == [(678.0 + 600.0) / 2], cuts
+    body = [r for r in runs if r[1] < cuts[0]]
+    assert pdfops._column_boundaries(body)  # two columns below the band
+    assert not pdfops._column_boundaries(runs)  # header masks the gutter
+
+
+def test_build_pdf_mode_exclusivity():
+    with pytest.raises(ValueError):
+        pdfops.build_pdf("x", two_col=True, banded=True)
+
+
 # ---------------------------------------------------------------------------
 # round trip (generate -> parse -> layout)
 # ---------------------------------------------------------------------------
 
-@pytest.mark.parametrize("two_col", [False, True])
+MODES = [{}, {"two_col": True}, {"banded": True}]
+
+
+@pytest.mark.parametrize("mode", MODES)
 @pytest.mark.parametrize("text", [
     "", "hello world", "x" * 79, "x" * 80, "x" * 81,
     "x" * (80 * 40), "x" * (80 * 40 + 1), "word " * 400,
     "par(en)s \\ back\nnew\ttab\rcr", "üñïçødé ×" * 40,
 ])
-def test_roundtrip(text, two_col):
-    r = pdfops.extract_pdf(pdfops.build_pdf(text, two_col=two_col))
+def test_roundtrip(text, mode):
+    r = pdfops.extract_pdf(pdfops.build_pdf(text, **mode))
     n_pages, n_lines = _expect(text)
     assert r["text"] == text
     assert (r["n_pages"], r["n_lines"]) == (n_pages, n_lines)
@@ -155,9 +211,9 @@ def test_roundtrip(text, two_col):
 
 @settings(max_examples=60, deadline=None)
 @given(st.text(alphabet="abc ()\\\n\t\r<>[]%/#'\"üλ", max_size=7000),
-       st.booleans())
-def test_roundtrip_property(text, two_col):
-    r = pdfops.extract_pdf(pdfops.build_pdf(text, two_col=two_col))
+       st.sampled_from(MODES))
+def test_roundtrip_property(text, mode):
+    r = pdfops.extract_pdf(pdfops.build_pdf(text, **mode))
     assert r["text"] == text
     assert (r["n_pages"], r["n_lines"]) == _expect(text)
 
