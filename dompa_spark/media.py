@@ -20,6 +20,7 @@ import hashlib
 import struct
 from typing import Iterator
 
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -114,22 +115,25 @@ def _decode_stub(content: bytes, kind: str, strict: bool):
 
 def _pixel_feature(width: int, height: int, pixels: bytes) -> list[float]:
     """Unit-norm FEATURE_DIM-bin intensity histogram of real decoded
-    pixels — the PNG replacement for the sha-seeded pseudo-embedding."""
-    counts = [0] * FEATURE_DIM
-    for p in pixels:
-        counts[p * FEATURE_DIM // 256] += 1
-    norm = sum(c * c for c in counts) ** 0.5 or 1.0
-    return [float(c / norm) for c in counts]
+    pixels — the PNG replacement for the sha-seeded pseudo-embedding.
+    Vectorized (bincount over p*DIM//256); integer counts are exact, so
+    the floats match the former per-pixel loop bit-for-bit."""
+    arr = np.frombuffer(pixels, np.uint8)
+    bins = (arr.astype(np.int64) * FEATURE_DIM) // 256
+    counts = np.bincount(bins, minlength=FEATURE_DIM).astype(np.int64)
+    norm = float(np.dot(counts, counts)) ** 0.5 or 1.0
+    return [float(c) / norm for c in counts]
 
 
-def _sample_feature(samples: list[int]) -> list[float]:
+def _sample_feature(samples) -> list[float]:
     """Unit-norm FEATURE_DIM-bin amplitude histogram of real decoded PCM
-    samples — the WAV replacement for the pseudo-embedding."""
-    counts = [0] * FEATURE_DIM
-    for s in samples:
-        counts[(s + 32768) * FEATURE_DIM // 65536] += 1
-    norm = sum(c * c for c in counts) ** 0.5 or 1.0
-    return [float(c / norm) for c in counts]
+    samples — the WAV replacement for the pseudo-embedding. Vectorized;
+    same exactness argument as _pixel_feature."""
+    arr = np.asarray(samples, dtype=np.int64)
+    bins = ((arr + 32768) * FEATURE_DIM) // 65536
+    counts = np.bincount(bins, minlength=FEATURE_DIM).astype(np.int64)
+    norm = float(np.dot(counts, counts)) ** 0.5 or 1.0
+    return [float(c) / norm for c in counts]
 
 
 def featurize_media(df: DataFrame, strict: bool = False) -> DataFrame:
@@ -263,8 +267,10 @@ def decode_images(df: DataFrame, strict: bool = True) -> DataFrame:
                 ws.append(w)
                 hs.append(h)
                 ns.append(len(px))
-                sums.append(sum(px))
-                cks.append(sum(p * (j + 1) for j, p in enumerate(px)))
+                arr = np.frombuffer(px, np.uint8).astype(np.int64)
+                sums.append(int(arr.sum()))
+                cks.append(int(np.dot(
+                    arr, np.arange(1, len(px) + 1, dtype=np.int64))))
             yield pd.DataFrame(
                 {
                     "media_ref": refs,
@@ -313,10 +319,10 @@ def decode_audio(df: DataFrame, strict: bool = True) -> DataFrame:
                 rates.append(rate)
                 chans.append(nch)
                 ns.append(len(samples))
-                sums.append(sum(samples))
-                cks.append(
-                    sum(s * (j + 1) for j, s in enumerate(samples))
-                )
+                arr = np.asarray(samples, dtype=np.int64)
+                sums.append(int(arr.sum()))
+                cks.append(int(np.dot(
+                    arr, np.arange(1, arr.size + 1, dtype=np.int64))))
             yield pd.DataFrame(
                 {
                     "media_ref": refs,
@@ -350,9 +356,8 @@ def docs_to_wav(docs: DataFrame) -> DataFrame:
                 rate = 8000 + (doc_id % 3) * 4000
                 nch = 1 + doc_id % 2
                 n = (120 + doc_id % 80) * nch
-                samples = [
-                    ((doc_id * 13 + j * 11) % 2003) - 1001 for j in range(n)
-                ]
+                j = np.arange(n, dtype=np.int64)
+                samples = (((doc_id * 13 + j * 11) % 2003) - 1001).tolist()
                 refs.append(f"wav://doc/{doc_id}")
                 contents.append(wavcodec.encode_wav(samples, rate, nch))
                 durs.append((n // nch) * 1000 // rate)
@@ -397,16 +402,14 @@ def resize_images(
                     if strict:
                         raise
                     continue
-                out = bytearray(out_w * out_h)
-                for y in range(out_h):
-                    sy = y * h // out_h
-                    base = sy * w
-                    for x in range(out_w):
-                        out[y * out_w + x] = px[base + x * w // out_w]
+                arr = np.frombuffer(px, np.uint8).reshape(h, w)
+                ys = (np.arange(out_h) * h) // out_h
+                xs = (np.arange(out_w) * w) // out_w
+                out = arr[np.ix_(ys, xs)].tobytes()
                 keep["media_ref"].append(row.media_ref)
                 keep["kind"].append(row.kind)
                 keep["content"].append(
-                    pngcodec.encode_png(bytes(out), out_w, out_h)
+                    pngcodec.encode_png(out, out_w, out_h)
                 )
                 keep["mime"].append(row.mime)
                 keep["width"].append(out_w)
@@ -439,7 +442,9 @@ def docs_to_png(docs: DataFrame) -> DataFrame:
                 doc_id = int(doc_id)
                 w = 8 + doc_id % 9
                 h = 8 + doc_id % 7
-                px = bytes((doc_id * 31 + j * 7) % 251 for j in range(w * h))
+                j = np.arange(w * h, dtype=np.int64)
+                px = ((doc_id * 31 + j * 7) % 251).astype(
+                    np.uint8).tobytes()
                 refs.append(f"png://doc/{doc_id}")
                 contents.append(pngcodec.encode_png(px, w, h))
             yield pd.DataFrame(
@@ -484,10 +489,10 @@ def docs_to_png_textured(docs: DataFrame) -> DataFrame:
                 w = 8 + src % 9
                 h = 8 + src % 7
                 m = 1 + src % 17
-                px = bytes(
-                    min((src * 31 + j * 7 + j * j * m) % 251 + shift, 250)
-                    for j in range(w * h)
-                )
+                j = np.arange(w * h, dtype=np.int64)
+                px = np.minimum(
+                    (src * 31 + j * 7 + j * j * m) % 251 + shift, 250
+                ).astype(np.uint8).tobytes()
                 refs.append(f"png://doc/{doc_id}")
                 contents.append(pngcodec.encode_png(px, w, h))
             yield pd.DataFrame(
@@ -542,19 +547,17 @@ def dhash_images(df: DataFrame, strict: bool = True) -> DataFrame:
                     if strict:
                         raise
                     continue
-                cells = [
-                    px[(y * h // gh) * w + (x * w // gw)]
-                    for y in range(gh)
-                    for x in range(gw)
-                ]
-                acc = 0
-                for y in range(gh):
-                    row = y * gw
-                    for x in range(gw - 1):
-                        if cells[row + x] < cells[row + x + 1]:
-                            acc |= 1 << (y * (gw - 1) + x)
+                arr = np.frombuffer(px, np.uint8).reshape(h, w)
+                ys = (np.arange(gh) * h) // gh
+                xs = (np.arange(gw) * w) // gw
+                cells = arr[np.ix_(ys, xs)]
+                # bit y*(gw-1)+x == row-major flatten of the gradient grid
+                bits = (cells[:, :-1] < cells[:, 1:]).reshape(-1)
+                weights = np.left_shift(
+                    np.int64(1), np.arange(bits.size, dtype=np.int64)
+                )
                 refs.append(ref)
-                hashes.append(acc)
+                hashes.append(int(np.dot(bits.astype(np.int64), weights)))
             yield pd.DataFrame({"media_ref": refs, "dhash": hashes})
 
     return df.mapInPandas(_iter, schema="media_ref string, dhash long")
@@ -668,10 +671,10 @@ def docs_to_wav_variants(docs: DataFrame) -> DataFrame:
                 rate = 8000 + (src % 3) * 4000
                 nch = 1 + src % 2
                 n = (120 + src % 80) * nch
-                samples = [
+                j = np.arange(n, dtype=np.int64)
+                samples = (
                     (src * 13 + j * 11) % 2003 - 1001 + shift
-                    for j in range(n)
-                ]
+                ).tolist()
                 refs.append(f"wav://doc/{doc_id}")
                 contents.append(wavcodec.encode_wav(samples, rate, nch))
                 durs.append((n // nch) * 1000 // rate)
@@ -720,16 +723,21 @@ def audio_fingerprint(df: DataFrame, strict: bool = True) -> DataFrame:
                         raise
                     continue
                 n = len(samples)
-                sums = [
-                    sum(samples[i * n // K:(i + 1) * n // K])
-                    for i in range(K)
-                ]
-                acc = 0
-                for i in range(K - 1):
-                    if sums[i] < sums[i + 1]:
-                        acc |= 1 << i
+                arr = np.asarray(samples, dtype=np.int64)
+                # window i covers [i*n//K, (i+1)*n//K): exact integer
+                # window sums via prefix sums (empty windows sum to 0,
+                # which reduceat would get wrong)
+                cs = np.concatenate(
+                    [np.zeros(1, np.int64), np.cumsum(arr, dtype=np.int64)]
+                )
+                edges = (np.arange(K + 1, dtype=np.int64) * n) // K
+                sums = cs[edges[1:]] - cs[edges[:-1]]
+                bits = sums[:-1] < sums[1:]
+                weights = np.left_shift(
+                    np.int64(1), np.arange(K - 1, dtype=np.int64)
+                )
                 refs.append(ref)
-                fps.append(acc)
+                fps.append(int(np.dot(bits.astype(np.int64), weights)))
             yield pd.DataFrame({"media_ref": refs, "afp": fps})
 
     return df.mapInPandas(_iter, schema="media_ref string, afp long")

@@ -428,3 +428,109 @@ def test_perceptual_hash_kernels_tiny_inputs(spark):
         if sums[i] < sums[i + 1]:
             want |= 1 << i
     assert row.afp == want
+
+
+# ---------------------------------------------------------------------------
+# vectorized kernels == pure-Python references (bit-for-bit)
+# ---------------------------------------------------------------------------
+
+def test_png_filter_unfilter_differential():
+    """The numpy filter/unfilter paths must match the retained
+    pure-Python references byte-for-byte on random images covering all
+    five filter types, including degenerate 0/1-wide shapes."""
+    import random
+
+    from dompa_spark import pngcodec
+
+    rng = random.Random(7)
+    shapes = [(0, 0), (1, 1), (1, 9), (9, 1), (3, 40), (40, 3)]
+    shapes += [(rng.randrange(1, 33), rng.randrange(1, 33))
+               for _ in range(40)]
+    for w, h in shapes:
+        px = bytes(rng.randrange(256) for _ in range(w * h))
+        raw = pngcodec._filter_rows(px, w, h)
+        assert raw == pngcodec._filter_rows_py(px, w, h), (w, h)
+        assert (pngcodec._unfilter_rows(raw, w, h)
+                == pngcodec._unfilter_rows_py(raw, w, h) == px), (w, h)
+
+
+def test_png_unfilter_bad_filter_type_parity():
+    from dompa_spark import pngcodec
+
+    raw = bytearray(pngcodec._filter_rows(bytes(range(20)), 10, 2))
+    raw[11] = 9  # second row's filter byte
+    for fn in (pngcodec._unfilter_rows, pngcodec._unfilter_rows_py):
+        with pytest.raises(ValueError, match="filter type 9 on row 1"):
+            fn(bytes(raw), 10, 2)
+
+
+def test_histogram_features_match_scalar_reference():
+    """_pixel_feature/_sample_feature (vectorized) == the per-element
+    loop they replaced, bit-for-bit (integer bincount + same float
+    ops)."""
+    import random
+
+    rng = random.Random(11)
+    for n in (0, 1, 7, 300):
+        px = bytes(rng.randrange(256) for _ in range(n))
+        counts = [0] * media.FEATURE_DIM
+        for p in px:
+            counts[p * media.FEATURE_DIM // 256] += 1
+        norm = sum(c * c for c in counts) ** 0.5 or 1.0
+        want = [float(c / norm) for c in counts]
+        assert media._pixel_feature(0, 0, px) == want, n
+
+        smp = [rng.randrange(-32768, 32768) for _ in range(n)]
+        counts = [0] * media.FEATURE_DIM
+        for s in smp:
+            counts[(s + 32768) * media.FEATURE_DIM // 65536] += 1
+        norm = sum(c * c for c in counts) ** 0.5 or 1.0
+        want = [float(c / norm) for c in counts]
+        assert media._sample_feature(smp) == want, n
+
+
+def test_dhash_and_afp_match_scalar_reference(spark):
+    """Vectorized dhash/audio-fingerprint == the scalar bit loops they
+    replaced, on random real-codec payloads."""
+    import random
+
+    from dompa_spark import pngcodec, wavcodec
+
+    rng = random.Random(13)
+    img_rows, want_dhash = [], {}
+    for i in range(12):
+        w, h = rng.randrange(1, 24), rng.randrange(1, 24)
+        px = bytes(rng.randrange(256) for _ in range(w * h))
+        img_rows.append((f"i{i}", bytearray(pngcodec.encode_png(px, w, h))))
+        gw, gh = media.DHASH_GRID_W, media.DHASH_GRID_H
+        cells = [px[(y * h // gh) * w + (x * w // gw)]
+                 for y in range(gh) for x in range(gw)]
+        acc = 0
+        for y in range(gh):
+            for x in range(gw - 1):
+                if cells[y * gw + x] < cells[y * gw + x + 1]:
+                    acc |= 1 << (y * (gw - 1) + x)
+        want_dhash[f"i{i}"] = acc
+    img = spark.createDataFrame(
+        img_rows, "media_ref string, content binary")
+    got = {r.media_ref: r.dhash for r in media.dhash_images(img).collect()}
+    assert got == want_dhash
+
+    wav_rows, want_afp = [], {}
+    K = media.AUDIO_FP_WINDOWS
+    for i in range(12):
+        n = rng.randrange(1, 300)
+        smp = [rng.randrange(-32768, 32768) for _ in range(n)]
+        wav_rows.append(
+            (f"w{i}", bytearray(wavcodec.encode_wav(smp, 8000, 1))))
+        sums = [sum(smp[k * n // K:(k + 1) * n // K]) for k in range(K)]
+        acc = 0
+        for k in range(K - 1):
+            if sums[k] < sums[k + 1]:
+                acc |= 1 << k
+        want_afp[f"w{i}"] = acc
+    wav = spark.createDataFrame(
+        wav_rows, "media_ref string, content binary")
+    got = {r.media_ref: r.afp
+           for r in media.audio_fingerprint(wav).collect()}
+    assert got == want_afp
