@@ -3,15 +3,17 @@ metadata, with Arrow-batched kernels for decode / feature-extract /
 resize / frame-sample.
 
 The Spark-side plumbing (schemas, batch shapes, partitioning, operator
-signatures) is real and tested. PNG decode is REAL — a from-scratch
-stdlib codec (pngcodec.py: chunk walk, zlib inflate, filters 0-4) runs
-inside the Arrow batch kernels, and featurize derives image features
-from actual decoded pixels. Non-PNG codec work remains stubbed behind
-`_HAS_CODECS` because the sandbox ships no image/audio libraries — each
-stub either raises NotImplementedError (strict mode) or produces a
-deterministic fake derived from the bytes (test mode), so downstream
-operators (dedup by content hash, embedding join, frame tables) are
-exercised end-to-end.
+signatures) is real and tested. Image decode is REAL for the two
+dominant web formats — from-scratch codecs run inside the Arrow batch
+kernels (pngcodec.py: chunk walk, zlib inflate, filters 0-4;
+jpegcodec.py: baseline JFIF marker walk, Huffman, IDCT), dispatched on
+magic bytes by `_decode_image`, and featurize derives image features
+from actual decoded pixels. Everything else (video, non-baseline JPEG,
+other image formats) remains stubbed behind `_HAS_CODECS` because the
+sandbox ships no media libraries — each stub either raises
+NotImplementedError (strict mode) or produces a deterministic fake
+derived from the bytes (test mode), so downstream operators (dedup by
+content hash, embedding join, frame tables) are exercised end-to-end.
 """
 
 from __future__ import annotations
@@ -24,7 +26,7 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from . import pngcodec, wavcodec
+from . import jpegcodec, pngcodec, wavcodec
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -95,14 +97,30 @@ def _fake_feature(content: bytes) -> list[float]:
     return [float(x / norm) for x in out]
 
 
-def _decode_stub(content: bytes, kind: str, strict: bool):
-    """Decode dispatch: PNG bytes of an image row hit the real
-    from-scratch codec and return (width, height, pixels); everything
-    else is stubbed. The real-PNG path is gated on kind == "image" so a
-    video/audio payload that merely starts with the PNG magic can't
-    crash a non-strict pipeline on decode_png's format checks."""
-    if kind == "image" and content[:8] == pngcodec.PNG_SIG:
+def _decode_image(content: bytes) -> tuple:
+    """Magic-dispatched image decode -> (width, height, pixels): the PNG
+    signature routes to the from-scratch PNG codec, the JPEG SOI marker
+    to the from-scratch baseline-JFIF codec (jpegcodec.py). Everything
+    else (including JPEG variants outside the baseline-grayscale subset)
+    raises ValueError so callers' strict/skip policy applies uniformly
+    across formats."""
+    if content[:8] == pngcodec.PNG_SIG:
         return pngcodec.decode_png(content)
+    if content[:2] == jpegcodec.SOI:
+        return jpegcodec.decode_jpeg(content)
+    raise ValueError("unrecognized image magic (not PNG or JPEG)")
+
+
+def _decode_stub(content: bytes, kind: str, strict: bool):
+    """Decode dispatch: PNG/JPEG bytes of an image row hit the real
+    from-scratch codecs and return (width, height, pixels); everything
+    else is stubbed. The real-decode path is gated on kind == "image" so
+    a video/audio payload that merely starts with an image magic can't
+    crash a non-strict pipeline on the codecs' format checks."""
+    if kind == "image" and (
+        content[:8] == pngcodec.PNG_SIG or content[:2] == jpegcodec.SOI
+    ):
+        return _decode_image(content)
     if _HAS_CODECS:  # pragma: no cover
         raise NotImplementedError("real codec path not wired in sandbox")
     if strict:
@@ -245,9 +263,10 @@ IMAGE_STATS_SCHEMA = StructType(
 
 def decode_images(df: DataFrame, strict: bool = True) -> DataFrame:
     """(MEDIA_SCHEMA rows) -> per-image decoded-pixel statistics via the
-    REAL PNG codec (Arrow-batched; the decode runs per batch inside
-    mapInPandas). pixel_checksum = sum(pixel_j * (j+1)) over row-major
-    pixels — position-sensitive, so any unfiltering mistake shows.
+    REAL codecs (PNG or baseline JPEG, dispatched on magic bytes;
+    Arrow-batched — the decode runs per batch inside mapInPandas).
+    pixel_checksum = sum(pixel_j * (j+1)) over row-major pixels —
+    position-sensitive, so any unfilter/IDCT mistake shows.
     strict=True (default) raises on undecodable bytes; strict=False
     drops them (the corpus-hygiene mode)."""
     import pandas as pd
@@ -258,7 +277,7 @@ def decode_images(df: DataFrame, strict: bool = True) -> DataFrame:
             for ref, content in zip(pdf["media_ref"], pdf["content"]):
                 content = bytes(content) if content is not None else b""
                 try:
-                    w, h, px = pngcodec.decode_png(content)
+                    w, h, px = _decode_image(content)
                 except ValueError:
                     if strict:
                         raise
@@ -379,11 +398,14 @@ def docs_to_wav(docs: DataFrame) -> DataFrame:
 def resize_images(
     df: DataFrame, out_w: int, out_h: int, strict: bool = True
 ) -> DataFrame:
-    """(MEDIA_SCHEMA rows with PNG content) -> MEDIA_SCHEMA rows resized
-    to out_w x out_h via nearest-neighbor resampling through the REAL
-    codec: decode -> sample src[floor(y*H/out_h)][floor(x*W/out_w)] ->
-    re-encode. Arrow-batched; width/height metadata updated to match the
-    re-encoded payload. strict=False drops undecodable rows."""
+    """(MEDIA_SCHEMA rows with PNG/JPEG content) -> MEDIA_SCHEMA rows
+    resized to out_w x out_h via nearest-neighbor resampling through the
+    REAL codecs: decode (magic-dispatched) -> sample
+    src[floor(y*H/out_h)][floor(x*W/out_w)] -> re-encode. The resized
+    payload is always PNG (lossless, so the resample oracle holds
+    regardless of the input format); mime is updated to match.
+    Arrow-batched; width/height metadata updated to the re-encoded
+    payload. strict=False drops undecodable rows."""
     import pandas as pd
 
     def _iter(batches: Iterator["pd.DataFrame"]):
@@ -397,7 +419,7 @@ def resize_images(
                     bytes(row.content) if row.content is not None else b""
                 )
                 try:
-                    w, h, px = pngcodec.decode_png(content)
+                    w, h, px = _decode_image(content)
                 except ValueError:
                     if strict:
                         raise
@@ -411,7 +433,7 @@ def resize_images(
                 keep["content"].append(
                     pngcodec.encode_png(out, out_w, out_h)
                 )
-                keep["mime"].append(row.mime)
+                keep["mime"].append("image/png")
                 keep["width"].append(out_w)
                 keep["height"].append(out_h)
                 keep["duration_ms"].append(row.duration_ms)
@@ -511,6 +533,49 @@ def docs_to_png_textured(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(_iter, schema=MEDIA_SCHEMA)
 
 
+def docs_to_jpeg(docs: DataFrame) -> DataFrame:
+    """Render each document row as a deterministic grayscale baseline
+    JPEG (MEDIA_SCHEMA). The images are CONSTANT within each 8x8 DCT
+    block, which with jpegcodec's default all-ones quantization table
+    round-trips bit-exactly (jpegcodec.py exactness contract) — so the
+    SQL oracle can predict the decoded pixels closed-form:
+        w = 8 + doc_id % 9,  h = 8 + doc_id % 7,  bw = (w + 7) // 8
+        pixel(x, y) = (doc_id*31 + ((y//8)*bw + x//8)*53) % 251
+    Dimensions are deliberately non-multiples of 8 for most doc_ids so
+    decoding exercises the pad-and-crop path and multi-block DC
+    prediction, not just a single full block."""
+    import pandas as pd
+
+    def _iter(batches: Iterator["pd.DataFrame"]):
+        for pdf in batches:
+            refs, contents = [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w = 8 + doc_id % 9
+                h = 8 + doc_id % 7
+                bw = (w + 7) // 8
+                j = np.arange(w * h, dtype=np.int64)
+                blk = (j // w // 8) * bw + (j % w) // 8
+                px = ((doc_id * 31 + blk * 53) % 251).astype(
+                    np.uint8).tobytes()
+                refs.append(f"jpg://doc/{doc_id}")
+                contents.append(jpegcodec.encode_jpeg(px, w, h))
+            yield pd.DataFrame(
+                {
+                    "media_ref": refs,
+                    "kind": ["image"] * len(refs),
+                    "content": contents,
+                    "mime": ["image/jpeg"] * len(refs),
+                    "width": pd.array([None] * len(refs), dtype="Int32"),
+                    "height": pd.array([None] * len(refs), dtype="Int32"),
+                    "duration_ms": pd.array([None] * len(refs),
+                                            dtype="Int64"),
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(_iter, schema=MEDIA_SCHEMA)
+
+
 # dHash geometry: sample a 9x7 pixel grid (nearest-neighbor, the
 # resize_images resampling rule), emit one horizontal-gradient bit per
 # adjacent column pair -> 8x7 = 56 bits. 56 keeps the hash a
@@ -525,13 +590,15 @@ DHASH_BAND_MASK = (1 << DHASH_BAND_BITS) - 1
 
 
 def dhash_images(df: DataFrame, strict: bool = True) -> DataFrame:
-    """(MEDIA_SCHEMA rows with PNG content) -> (media_ref, dhash): a
-    56-bit difference hash over the REAL decoded pixels. Robust to
-    re-encoding and global brightness shifts (gradient SIGNS, not
-    values), which is exactly what byte-exact media_dedup cannot see.
-    Arrow-batched; per image the hash reads 63 sampled pixels, so the
-    PNG decode dominates — pair it with media_near_dup for the banded
-    near-dup join. strict=False drops undecodable rows."""
+    """(MEDIA_SCHEMA rows with PNG/JPEG content) -> (media_ref, dhash):
+    a 56-bit difference hash over the REAL decoded pixels
+    (magic-dispatched codec). Robust to re-encoding and global
+    brightness shifts (gradient SIGNS, not values), which is exactly
+    what byte-exact media_dedup cannot see — including the same image
+    stored once as PNG and once as JPEG. Arrow-batched; per image the
+    hash reads 63 sampled pixels, so the decode dominates — pair it
+    with media_near_dup for the banded near-dup join. strict=False
+    drops undecodable rows."""
     import pandas as pd
 
     gw, gh = DHASH_GRID_W, DHASH_GRID_H
@@ -542,7 +609,7 @@ def dhash_images(df: DataFrame, strict: bool = True) -> DataFrame:
             for ref, content in zip(pdf["media_ref"], pdf["content"]):
                 content = bytes(content) if content is not None else b""
                 try:
-                    w, h, px = pngcodec.decode_png(content)
+                    w, h, px = _decode_image(content)
                 except ValueError:
                     if strict:
                         raise

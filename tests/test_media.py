@@ -534,3 +534,137 @@ def test_dhash_and_afp_match_scalar_reference(spark):
     got = {r.media_ref: r.afp
            for r in media.audio_fingerprint(wav).collect()}
     assert got == want_afp
+
+
+# ---------------------------------------------------------------------------
+# Real baseline JPEG codec (jpegcodec.py — struct + numpy, SOF0 grayscale)
+# ---------------------------------------------------------------------------
+
+def _block_constant(doc_id, w, h):
+    """The docs_to_jpeg pixel formula: constant within each 8x8 block."""
+    return bytes(
+        (doc_id * 31 + ((j // w // 8) * ((w + 7) // 8) + (j % w) // 8) * 53)
+        % 251
+        for j in range(w * h)
+    )
+
+
+def test_jpeg_roundtrip_block_constant_exact():
+    """The exactness contract the jpeg_decode oracle relies on: with the
+    default all-ones quant table, images constant per 8x8 block
+    round-trip bit-exactly — including partial edge blocks (w, h not
+    multiples of 8) via pad-and-crop."""
+    from dompa_spark import jpegcodec
+
+    for doc_id in range(30):
+        w, h = 8 + doc_id % 9, 8 + doc_id % 7
+        px = _block_constant(doc_id, w, h)
+        data = jpegcodec.encode_jpeg(px, w, h)
+        assert data[:2] == jpegcodec.SOI
+        assert jpegcodec.decode_jpeg(data) == (w, h, px), doc_id
+
+
+def test_jpeg_roundtrip_property():
+    """Arbitrary (non-block-constant) images round-trip within +/-1
+    intensity at all-ones quant (float DCT rounding only)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dompa_spark import jpegcodec
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 33),
+        h=st.integers(1, 33),
+        seed=st.integers(0, 2**20),
+    )
+    def check(w, h, seed):
+        px = bytes((seed + j * 7 + j * j) % 256 for j in range(w * h))
+        gw, gh, got = jpegcodec.decode_jpeg(jpegcodec.encode_jpeg(px, w, h))
+        assert (gw, gh) == (w, h)
+        assert all(abs(a - b) <= 1 for a, b in zip(px, got))
+
+    check()
+
+
+def test_jpeg_quant_table_applied():
+    """DC quantization divides 8*(c-128) exactly for q | 8, so a
+    block-constant image still round-trips exactly at quant DC=8 — and
+    the stream must carry/apply the table (a decoder ignoring DQT would
+    reconstruct pixels 8x closer to 128)."""
+    from dompa_spark import jpegcodec
+
+    px = _block_constant(5, 16, 16)
+    data = jpegcodec.encode_jpeg(px, 16, 16, quant=[8] + [1] * 63)
+    assert jpegcodec.decode_jpeg(data) == (16, 16, px)
+
+
+def test_jpeg_rejects_corruption():
+    from dompa_spark import jpegcodec
+
+    px = _block_constant(3, 17, 13)
+    data = bytearray(jpegcodec.encode_jpeg(px, 17, 13))
+    with pytest.raises(ValueError, match="SOI"):
+        jpegcodec.decode_jpeg(b"\x89PNG" + bytes(data[4:]))
+    with pytest.raises(ValueError, match="truncated"):
+        jpegcodec.decode_jpeg(bytes(data[: len(data) // 2]))
+    # progressive (SOF2) must be refused, not mis-decoded
+    sof = data.find(b"\xff\xc0")
+    progressive = bytearray(data)
+    progressive[sof + 1] = 0xC2
+    with pytest.raises(ValueError, match="SOF|baseline"):
+        jpegcodec.decode_jpeg(bytes(progressive))
+    # 3-component SOF (color) is outside the grayscale subset
+    color = bytearray(data)
+    color[sof + 9] = 3
+    with pytest.raises(ValueError, match="component|grayscale"):
+        jpegcodec.decode_jpeg(bytes(color))
+
+
+def test_decode_images_dispatches_png_and_jpeg(spark):
+    """decode_images handles a MIXED corpus: PNG and JPEG rows in the
+    same DataFrame, each through its own real codec, stats identical to
+    the per-format formulas."""
+    from dompa_spark import jpegcodec, media, pngcodec
+
+    rows = []
+    want = {}
+    for i in range(6):
+        w, h = 8 + i % 9, 8 + i % 7
+        png_px = _pixels(w, h, seed=i)
+        jpg_px = _block_constant(i, w, h)
+        rows.append((f"png://{i}", "image",
+                     bytearray(pngcodec.encode_png(png_px, w, h)),
+                     "image/png", None, None, None))
+        rows.append((f"jpg://{i}", "image",
+                     bytearray(jpegcodec.encode_jpeg(jpg_px, w, h)),
+                     "image/jpeg", None, None, None))
+        for ref, px in ((f"png://{i}", png_px), (f"jpg://{i}", jpg_px)):
+            want[ref] = (w, h, len(px), sum(px),
+                         sum(p * (j + 1) for j, p in enumerate(px)))
+    df = spark.createDataFrame(rows, media.MEDIA_SCHEMA)
+    got = {
+        r.media_ref: (r.width, r.height, r.n_pixels, r.pixel_sum,
+                      r.pixel_checksum)
+        for r in media.decode_images(df).collect()
+    }
+    assert got == want
+
+
+def test_dhash_identical_for_png_jpeg_pair(spark):
+    """The cross-format near-dup story: the same image stored once as
+    PNG and once as (losslessly round-tripping) JPEG has different
+    bytes — invisible to byte-exact media_dedup — but the identical
+    56-bit dHash, so media_near_dup pairs them at hamming 0."""
+    from dompa_spark import jpegcodec, media, pngcodec
+
+    w, h = 17, 15
+    px = _block_constant(11, w, h)
+    df = spark.createDataFrame(
+        [("png://x", bytearray(pngcodec.encode_png(px, w, h))),
+         ("jpg://x", bytearray(jpegcodec.encode_jpeg(px, w, h)))],
+        "media_ref string, content binary",
+    )
+    hashes = {r.media_ref: r.dhash
+              for r in media.dhash_images(df).collect()}
+    assert hashes["png://x"] == hashes["jpg://x"]
