@@ -30,9 +30,10 @@ snapshot pair matches an already-completed cycle takes the
 schedule-only recovery path — the diff is skipped, the schedule is
 recomputed from the log, and nothing is double-counted ("diffed
 once, ever" holds across every crash window, including a crash
-between the schedule write and the process exit). A completed cycle
-number is refused only when the requested pair is genuinely
-different. The log read also goes through the completed-cycle list
+between the schedule write and the process exit). Two refusals guard
+the invariant: a completed cycle number with a genuinely different
+pair, and a fresh cycle number with an already-covered pair (either
+would double-count observations). The log read also goes through the completed-cycle list
 only, so a partial write can never leak rows into a schedule.
 
 Scale shape: corpus_diff moves two slim (doc_id, fp) projections
@@ -60,11 +61,15 @@ def _fs(spark, path: str):
 
 def _pair_fingerprint(spark, old: str, new: str) -> str:
     """Deterministic id for an (old, new) snapshot pair: md5 over each
-    side's path plus its data-file inventory (name:length, sorted).
-    The inventory makes the fingerprint track the snapshot CONTENT a
-    path points at, so overwriting a snapshot path with fresh data
-    yields a new pair (append is then correct), while re-running the
-    same command after a crash yields the same one."""
+    side's path plus its RECURSIVE data-file inventory
+    (relative-path:length, sorted). Recursion matters: partitioned
+    snapshots keep their data files in subdirectories, and a top-level
+    listing would reduce the fingerprint to the two paths alone —
+    overwriting a path with fresh data would then be misdetected as
+    the already-diffed pair and silently skipped. The inventory makes
+    the fingerprint track the snapshot CONTENT a path points at, so
+    fresh data yields a new pair (append is then correct), while
+    re-running the same command after a crash yields the same one."""
     import hashlib
 
     sides = []
@@ -72,10 +77,17 @@ def _pair_fingerprint(spark, old: str, new: str) -> str:
         jvm, p, fs = _fs(spark, path)
         inv = []
         if fs.exists(p):
-            for st in fs.listStatus(p):
-                name = st.getPath().getName()
-                if st.isFile() and not name.startswith(("_", ".")):
-                    inv.append(f"{name}:{st.getLen()}")
+            qroot = str(fs.makeQualified(p))
+            it = fs.listFiles(p, True)  # recursive
+            while it.hasNext():
+                st = it.next()
+                rel = str(st.getPath())[len(qroot):].lstrip("/")
+                # skip marker/hidden files and anything under a
+                # hidden directory (_temporary staging etc.)
+                if any(seg.startswith(("_", "."))
+                       for seg in rel.split("/")):
+                    continue
+                inv.append(f"{rel}:{st.getLen()}")
         sides.append(
             f"{label}={fs.makeQualified(p)}|{','.join(sorted(inv))}"
         )
@@ -176,6 +188,16 @@ def main(argv=None) -> int:
         # and the schedule write). Skip the diff — diffed once, ever —
         # and just recompute the schedule from the log below.
         cycle, recovered = covered, True
+    elif covered is not None:
+        # an explicit FRESH cycle number cannot re-diff an
+        # already-covered pair either — that would double-count every
+        # observation (inflated n_obs, halved intervals)
+        raise ValueError(
+            f"geometry: snapshot pair already diffed as cycle "
+            f"{covered} in {args.obs} — observations are diffed once, "
+            f"ever; rerun without --cycle (or with --cycle {covered}) "
+            "for the schedule-only recovery path"
+        )
     elif cycle in cycles:
         raise ValueError(
             f"geometry: cycle {cycle} is already COMPLETED in "

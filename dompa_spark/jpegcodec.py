@@ -261,7 +261,18 @@ def _extend(v: int, s: int) -> int:
 def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
     """Decode a baseline grayscale JFIF -> (width, height, row-major
     pixel bytes). Raises ValueError on anything outside the supported
-    subset (see module docstring)."""
+    subset (see module docstring) — including truncated/garbled
+    segments, so callers' strict=False drop policy sees ONE exception
+    type for every malformed input."""
+    try:
+        return _decode_jpeg(data)
+    except (IndexError, struct.error) as exc:
+        # short DHT/SOF/SOS segments index past their slice; the
+        # ValueError contract is what media.py's skip paths catch
+        raise ValueError(f"truncated or malformed segment ({exc})")
+
+
+def _decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
     if data[:2] != SOI:
         raise ValueError("not a JPEG (bad SOI)")
     pos = 2

@@ -117,10 +117,15 @@ def _decode_stub(content: bytes, kind: str, strict: bool):
     else is stubbed. The real-decode path is gated on kind == "image" so
     a video/audio payload that merely starts with an image magic can't
     crash a non-strict pipeline on the codecs' format checks."""
-    if kind == "image" and (
-        content[:8] == pngcodec.PNG_SIG or content[:2] == jpegcodec.SOI
-    ):
-        return _decode_image(content)
+    if kind == "image":
+        try:
+            return _decode_image(content)
+        except ValueError as exc:
+            # unrecognized magic -> stub/fake path below; recognized
+            # magic with corrupt payload -> surface to the caller's
+            # strict/skip policy (callers catch ValueError)
+            if "unrecognized image magic" not in str(exc):
+                raise
     if _HAS_CODECS:  # pragma: no cover
         raise NotImplementedError("real codec path not wired in sandbox")
     if strict:
@@ -376,7 +381,11 @@ def docs_to_wav(docs: DataFrame) -> DataFrame:
                 nch = 1 + doc_id % 2
                 n = (120 + doc_id % 80) * nch
                 j = np.arange(n, dtype=np.int64)
-                samples = (((doc_id * 13 + j * 11) % 2003) - 1001).tolist()
+                # reduce the doc_id term in exact Python-int math BEFORE
+                # numpy: full-range 64-bit surrogate ids (xxhash64) would
+                # overflow int64 under doc_id*13 inside the array expr
+                base = (doc_id * 13) % 2003
+                samples = (((base + j * 11) % 2003) - 1001).tolist()
                 refs.append(f"wav://doc/{doc_id}")
                 contents.append(wavcodec.encode_wav(samples, rate, nch))
                 durs.append((n // nch) * 1000 // rate)
@@ -465,7 +474,9 @@ def docs_to_png(docs: DataFrame) -> DataFrame:
                 w = 8 + doc_id % 9
                 h = 8 + doc_id % 7
                 j = np.arange(w * h, dtype=np.int64)
-                px = ((doc_id * 31 + j * 7) % 251).astype(
+                # exact Python-int reduction first: int64-safe for
+                # full-range 64-bit surrogate doc_ids
+                px = (((doc_id * 31) % 251 + j * 7) % 251).astype(
                     np.uint8).tobytes()
                 refs.append(f"png://doc/{doc_id}")
                 contents.append(pngcodec.encode_png(px, w, h))
@@ -513,7 +524,8 @@ def docs_to_png_textured(docs: DataFrame) -> DataFrame:
                 m = 1 + src % 17
                 j = np.arange(w * h, dtype=np.int64)
                 px = np.minimum(
-                    (src * 31 + j * 7 + j * j * m) % 251 + shift, 250
+                    ((src * 31) % 251 + j * 7 + j * j * m) % 251 + shift,
+                    250,
                 ).astype(np.uint8).tobytes()
                 refs.append(f"png://doc/{doc_id}")
                 contents.append(pngcodec.encode_png(px, w, h))
@@ -556,7 +568,8 @@ def docs_to_jpeg(docs: DataFrame) -> DataFrame:
                 bw = (w + 7) // 8
                 j = np.arange(w * h, dtype=np.int64)
                 blk = (j // w // 8) * bw + (j % w) // 8
-                px = ((doc_id * 31 + blk * 53) % 251).astype(
+                # exact Python-int reduction first (int64-safe, as above)
+                px = (((doc_id * 31) % 251 + blk * 53) % 251).astype(
                     np.uint8).tobytes()
                 refs.append(f"jpg://doc/{doc_id}")
                 contents.append(jpegcodec.encode_jpeg(px, w, h))
@@ -740,7 +753,7 @@ def docs_to_wav_variants(docs: DataFrame) -> DataFrame:
                 n = (120 + src % 80) * nch
                 j = np.arange(n, dtype=np.int64)
                 samples = (
-                    (src * 13 + j * 11) % 2003 - 1001 + shift
+                    ((src * 13) % 2003 + j * 11) % 2003 - 1001 + shift
                 ).tolist()
                 refs.append(f"wav://doc/{doc_id}")
                 contents.append(wavcodec.encode_wav(samples, rate, nch))
