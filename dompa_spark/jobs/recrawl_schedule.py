@@ -23,17 +23,23 @@ only when its directory carries BOTH the _SUCCESS marker (the
 parquet commit) and a _PAIR.json marker naming the (old, new)
 snapshot pair it was diffed from (fingerprint of the input paths +
 their file inventories, written strictly after the parquet commit).
---cycle defaults to max(completed)+1, and re-running after ANY crash
-is the happy-path command: a partial cycle directory (missing either
-marker) is invisible and simply overwritten, while a rerun whose
-snapshot pair matches an already-completed cycle takes the
-schedule-only recovery path — the diff is skipped, the schedule is
-recomputed from the log, and nothing is double-counted ("diffed
-once, ever" holds across every crash window, including a crash
-between the schedule write and the process exit). Two refusals guard
-the invariant: a completed cycle number with a genuinely different
-pair, and a fresh cycle number with an already-covered pair (either
-would double-count observations). The log read also goes through the completed-cycle list
+--cycle defaults to max(completed)+1, and re-running after a crash
+is the happy-path command: a cycle directory without _SUCCESS is
+invisible and simply overwritten, while a rerun whose snapshot pair
+matches an already-completed cycle takes the schedule-only recovery
+path — the diff is skipped, the schedule is recomputed from the log,
+and nothing is double-counted ("diffed once, ever" holds across
+every crash window, including a crash between the schedule write and
+the process exit). Two refusals guard the invariant: a completed
+cycle number with a genuinely different pair, and a fresh cycle
+number with an already-covered pair (either would double-count
+observations). A third refusal guards the DATA: a cycle dir with
+_SUCCESS but no _PAIR.json (a pre-marker-era log, or a crash in the
+narrow window between the parquet commit and the marker write) is an
+orphan of unknown provenance — the job stops and demands either an
+explicit --cycle N re-diff of that slot or --adopt-orphans, never
+silently renumbering over committed history or dropping it from the
+schedule. The log read also goes through the completed-cycle list
 only, so a partial write can never leak rows into a schedule.
 
 Scale shape: corpus_diff moves two slim (doc_id, fp) projections
@@ -62,14 +68,15 @@ def _fs(spark, path: str):
 def _pair_fingerprint(spark, old: str, new: str) -> str:
     """Deterministic id for an (old, new) snapshot pair: md5 over each
     side's path plus its RECURSIVE data-file inventory
-    (relative-path:length, sorted). Recursion matters: partitioned
-    snapshots keep their data files in subdirectories, and a top-level
-    listing would reduce the fingerprint to the two paths alone —
-    overwriting a path with fresh data would then be misdetected as
-    the already-diffed pair and silently skipped. The inventory makes
-    the fingerprint track the snapshot CONTENT a path points at, so
-    fresh data yields a new pair (append is then correct), while
-    re-running the same command after a crash yields the same one."""
+    (relative-path:length:mtime, sorted). Recursion matters:
+    partitioned snapshots keep their data files in subdirectories, and
+    a top-level listing would reduce the fingerprint to the two paths
+    alone — overwriting a path with fresh data would then be
+    misdetected as the already-diffed pair and silently skipped. The
+    inventory makes the fingerprint track the snapshot CONTENT a path
+    points at, so fresh data yields a new pair (append is then
+    correct), while re-running the same command after a crash — which
+    rewrites nothing under either snapshot — yields the same one."""
     import hashlib
 
     sides = []
@@ -87,7 +94,13 @@ def _pair_fingerprint(spark, old: str, new: str) -> str:
                 if any(seg.startswith(("_", "."))
                        for seg in rel.split("/")):
                     continue
-                inv.append(f"{rel}:{st.getLen()}")
+                # mtime guards against a rewrite that happens to
+                # reproduce identical file names AND lengths (fixed-
+                # schema parquet of the same row count can): same-name
+                # same-length fresh data still yields a new pair
+                inv.append(
+                    f"{rel}:{st.getLen()}:{st.getModificationTime()}"
+                )
         sides.append(
             f"{label}={fs.makeQualified(p)}|{','.join(sorted(inv))}"
         )
@@ -110,31 +123,43 @@ def _read_pair_marker(spark, cycle_path: str) -> dict | None:
     p = jvm.org.apache.hadoop.fs.Path(cycle_path, PAIR_MARKER)
     if not fs.exists(p):
         return None
-    txt = jvm.org.apache.commons.io.IOUtils.toString(
-        fs.open(p), "UTF-8"
-    )
+    stream = fs.open(p)
+    try:
+        txt = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()  # IOUtils.toString does not close its argument
     return json.loads(txt)
 
 
-def _completed_cycles(spark, obs_root: str) -> list[int]:
-    """Cycle numbers whose partition directory carries BOTH _SUCCESS
-    and _PAIR.json — the marker is written after the parquet commit,
-    so a crash in ANY window before it leaves the cycle invisible to
-    the duplicate-pair check, the default-cycle pick, and the
-    schedule read alike (rerun-the-same-command recovers them all)."""
+def _completed_cycles(
+    spark, obs_root: str
+) -> tuple[list[int], list[int]]:
+    """(complete, orphan) cycle numbers. Complete = the partition
+    directory carries BOTH _SUCCESS and _PAIR.json; the marker is
+    written after the parquet commit, so a crash before _SUCCESS
+    leaves the cycle invisible and rerun-the-same-command overwrites
+    it. Orphan = _SUCCESS without _PAIR.json: committed parquet of
+    UNKNOWN provenance — either a pre-marker-era log or a crash in the
+    narrow window between the parquet commit and the marker write.
+    Orphans are surfaced, never guessed at: main() refuses to run past
+    them without an explicit operator decision (silently overwriting
+    one destroys history; silently skipping one drops its observations
+    from every schedule)."""
     jvm, root, fs = _fs(spark, obs_root)
     if not fs.exists(root):
-        return []
-    out = []
+        return [], []
+    complete, orphan = [], []
     for st in fs.listStatus(root):
         name = st.getPath().getName()
         if not (st.isDirectory() and name.startswith("cycle=")):
             continue
         ok = jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")
         pair = jvm.org.apache.hadoop.fs.Path(st.getPath(), PAIR_MARKER)
-        if fs.exists(ok) and fs.exists(pair):
-            out.append(int(name.split("=", 1)[1]))
-    return sorted(out)
+        if fs.exists(ok):
+            (complete if fs.exists(pair) else orphan).append(
+                int(name.split("=", 1)[1])
+            )
+    return sorted(complete), sorted(orphan)
 
 
 def main(argv=None) -> int:
@@ -153,6 +178,12 @@ def main(argv=None) -> int:
     p.add_argument("--cycle", type=int, default=None,
                    help="cycle number for this diff (default: "
                         "max(existing)+1, or 0 for a fresh log)")
+    p.add_argument("--adopt-orphans", action="store_true",
+                   help="stamp cycle dirs that have _SUCCESS but no "
+                        "_PAIR.json (pre-marker-era logs, or a crash "
+                        "between the parquet commit and the marker "
+                        "write) with an unknown-pair marker, adopting "
+                        "their observations into the schedule")
     p.add_argument("--base-days", type=int, default=None)
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
@@ -168,7 +199,30 @@ def main(argv=None) -> int:
     owns_session = SparkSession.getActiveSession() is None
     spark = pipeline.session_confs(builder).getOrCreate()
 
-    cycles = _completed_cycles(spark, args.obs)
+    cycles, orphans = _completed_cycles(spark, args.obs)
+    if orphans and args.adopt_orphans:
+        # operator vouches for the orphan data: adopt it as completed-
+        # with-unknown-pair (pair_fp None never matches a real
+        # fingerprint, so adopted cycles can't satisfy the covered-pair
+        # recovery path — they only count in numbering + the schedule)
+        for c in orphans:
+            _write_pair_marker(spark, f"{args.obs}/cycle={c}", {
+                "pair_fp": None, "adopted": True, "cycle": c,
+            })
+        cycles = sorted(cycles + orphans)
+        orphans = []
+    if orphans and args.cycle not in orphans:
+        # refuse rather than guess: the default cycle pick would
+        # renumber over an orphan (destroying committed history) and
+        # the schedule read would silently drop its observations
+        raise ValueError(
+            f"geometry: cycle dir(s) {orphans} in {args.obs} have "
+            "_SUCCESS but no _PAIR.json (pre-marker log, or a crash "
+            "between the parquet commit and the marker write). Either "
+            "re-diff the crashed cycle explicitly with --cycle N and "
+            "its snapshot pair, or pass --adopt-orphans to keep the "
+            "data as-is with an unknown-pair marker"
+        )
     pair_fp = _pair_fingerprint(spark, args.old, args.new)
     covered = next(
         (

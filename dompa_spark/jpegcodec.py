@@ -281,10 +281,20 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
     width = height = None
     comp_q = comp_dc = comp_ac = 0
     scan_at = None
-    while pos + 4 <= len(data):
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
         marker = data[pos + 1]
+        if marker == 0xFF:  # fill byte (T.81 B.1.1.2): 0xFF runs pad
+            pos += 1
+            continue
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            pos += 2  # TEM / RSTn: parameterless, no length field
+            continue
+        if marker == 0xD9:
+            raise ValueError("EOI before SOS (no image data)")
+        if pos + 4 > len(data):
+            raise ValueError(f"truncated marker 0xff{marker:02x}")
         (seg_len,) = struct.unpack_from(">H", data, pos + 2)
         if pos + 2 + seg_len > len(data):
             raise ValueError(f"truncated segment 0xff{marker:02x}")

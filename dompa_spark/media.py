@@ -117,15 +117,13 @@ def _decode_stub(content: bytes, kind: str, strict: bool):
     else is stubbed. The real-decode path is gated on kind == "image" so
     a video/audio payload that merely starts with an image magic can't
     crash a non-strict pipeline on the codecs' format checks."""
-    if kind == "image":
-        try:
-            return _decode_image(content)
-        except ValueError as exc:
-            # unrecognized magic -> stub/fake path below; recognized
-            # magic with corrupt payload -> surface to the caller's
-            # strict/skip policy (callers catch ValueError)
-            if "unrecognized image magic" not in str(exc):
-                raise
+    if kind == "image" and (
+        content[:8] == pngcodec.PNG_SIG or content[:2] == jpegcodec.SOI
+    ):
+        # recognized magic: decode for real; a corrupt payload raises
+        # ValueError through to the caller's strict/skip policy.
+        # Unrecognized magic takes the stub/fake path below.
+        return _decode_image(content)
     if _HAS_CODECS:  # pragma: no cover
         raise NotImplementedError("real codec path not wired in sandbox")
     if strict:

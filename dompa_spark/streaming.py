@@ -516,14 +516,18 @@ def url_frontier_stream(
     )
     if robots_rules is not None:
         packed = (
-            textops.robots_applicable(
-                robots_rules, agent or textops.ROBOTS_AGENT
+            textops._with_rule_pattern(
+                textops.robots_applicable(
+                    robots_rules, agent or textops.ROBOTS_AGENT
+                )
             )
             .groupBy("host")
             .agg(
-                F.collect_list(F.struct("rule", "rule_path")).alias(
-                    "rrules"
-                )
+                F.collect_list(
+                    F.struct(
+                        "rule", "rule_path", "rule_literal", "rule_rx"
+                    )
+                ).alias("rrules")
             )
         )
         path = F.regexp_extract(
@@ -543,7 +547,10 @@ def url_frontier_stream(
                 F.filter(
                     F.col("rrules"),
                     lambda r: textops._robots_rule_match(
-                        path, r["rule_path"]
+                        path,
+                        r["rule_path"],
+                        r["rule_literal"],
+                        r["rule_rx"],
                     ),
                 ),
                 lambda r: F.length(r["rule_path"]).cast("long") * 2

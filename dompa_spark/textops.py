@@ -3317,21 +3317,22 @@ def robots_applicable(rules: DataFrame, agent: str) -> DataFrame:
     )
 
 
-def _robots_rule_match(path: Column, rule_path: Column) -> Column:
-    """RFC 9309 rule-path match as pure Catalyst expressions. A rule
-    path with no '*' and no trailing '$' takes the literal-prefix fast
-    path (startswith — the overwhelmingly common case stays a
-    codegen'd memcmp); otherwise the pattern compiles to an anchored
-    regex: every regex metacharacter escaped EXCEPT '*', '*' -> '.*'
-    (matches any char sequence incl '/'), and a single trailing '$'
-    stripped and re-emitted as the end anchor ('$' elsewhere is a
-    literal octet, the Google-parser behavior). Empty rule paths never
-    reach here (robots_applicable drops them).
+def _robots_rule_pattern(rule_path: Column) -> tuple[Column, Column]:
+    """Compile an RFC 9309 rule path to its match strategy, as pure
+    Catalyst expressions: returns (literal, rx). literal=true when the
+    path has no '*' and no trailing '$' — the overwhelmingly common
+    case, which matches by startswith (a codegen'd memcmp) and carries
+    a NULL rx. Otherwise rx is the anchored Java regex: every regex
+    metacharacter escaped EXCEPT '*', '*' -> '.*' (matches any char
+    sequence incl '/'), and a single trailing '$' stripped and
+    re-emitted as the end anchor ('$' elsewhere is a literal octet,
+    the Google-parser behavior). Empty rule paths never reach here
+    (robots_applicable drops them).
 
-    Scale shape: the regex STRING is built from rule_path columns on
-    the (tiny, broadcast) rules side of the politeness join, so the
-    per-URL work is one regexp_like against an already-materialized
-    pattern; no Python, no UDF."""
+    Scale shape: call this ON THE RULES SIDE (tiny, broadcast) so the
+    regex string is materialized once per rule in the broadcast table;
+    the per-URL hot path is then one startswith or one regexp_like
+    against the prebuilt pattern — it never re-derives the string."""
     anchored = rule_path.endswith("$")
     core = F.when(
         anchored,
@@ -3348,6 +3349,29 @@ def _robots_rule_match(path: Column, rule_path: Column) -> Column:
         F.when(anchored, F.lit("$")).otherwise(F.lit("")),
     )
     literal = (~rule_path.contains("*")) & (~anchored)
+    return literal, F.when(~literal, rx)
+
+
+def _with_rule_pattern(appl: DataFrame) -> DataFrame:
+    """robots_applicable output + precompiled (rule_literal, rule_rx)
+    columns — the projection that puts pattern compilation on the
+    broadcast side of the politeness join."""
+    literal, rx = _robots_rule_pattern(F.col("rule_path"))
+    return appl.withColumns({"rule_literal": literal, "rule_rx": rx})
+
+
+def _robots_rule_match(
+    path: Column,
+    rule_path: Column,
+    literal: Column | None = None,
+    rx: Column | None = None,
+) -> Column:
+    """RFC 9309 rule-path match. Pass the precompiled (literal, rx)
+    columns from _with_rule_pattern so the pattern work stays on the
+    rules side; deriving them inline from rule_path is supported for
+    tests but rebuilds the pattern per evaluated row."""
+    if literal is None or rx is None:
+        literal, rx = _robots_rule_pattern(rule_path)
     return F.when(literal, path.startswith(rule_path)).otherwise(
         F.regexp_like(path, rx)
     )
@@ -3378,7 +3402,7 @@ def robots_filter(
     included) is rules-cardinality slim and explicitly broadcast; the
     frontier is touched by exactly one map-side join + one rollup
     shuffle on the URL key, the url_filter contract."""
-    appl = robots_applicable(rules, agent)
+    appl = _with_rule_pattern(robots_applicable(rules, agent))
     u = F.col("url")
     rest = F.regexp_replace(u, _AUTHORITY_STRIP_RE, "")
     parsed = urls.select(
@@ -3389,7 +3413,12 @@ def robots_filter(
     )
     joined = parsed.join(F.broadcast(appl), "host", "left")
     score = F.when(
-        _robots_rule_match(F.col("path"), F.col("rule_path")),
+        _robots_rule_match(
+            F.col("path"),
+            F.col("rule_path"),
+            F.col("rule_literal"),
+            F.col("rule_rx"),
+        ),
         F.length("rule_path").cast("long") * 2
         + (F.col("rule") == "allow").cast("long"),
     )

@@ -621,6 +621,24 @@ def test_jpeg_rejects_corruption():
         jpegcodec.decode_jpeg(bytes(color))
 
 
+def test_jpeg_fill_bytes_and_parameterless_markers():
+    """T.81 B.1.1.2: any run of 0xFF fill bytes may precede a marker,
+    and TEM/RSTn carry no length field — other encoders emit both, so
+    the marker walk must skip them instead of misparsing the next two
+    bytes as a segment length."""
+    from dompa_spark import jpegcodec
+
+    px = _block_constant(7, 16, 16)
+    data = jpegcodec.encode_jpeg(px, 16, 16)
+    # splice fill bytes + TEM + RST3 between APP0 and the DQT segment
+    # (SOI 2 + APP0 marker 2 + APP0 payload 16 = offset 20)
+    spliced = data[:20] + b"\xff\xff\xff\x01\xff\xd3\xff" + data[20:]
+    assert jpegcodec.decode_jpeg(spliced) == (16, 16, px)
+    # EOI with no scan is malformed, not an infinite walk
+    with pytest.raises(ValueError, match="EOI|SOS"):
+        jpegcodec.decode_jpeg(data[:2] + b"\xff\xd9")
+
+
 def test_decode_images_dispatches_png_and_jpeg(spark):
     """decode_images handles a MIXED corpus: PNG and JPEG rows in the
     same DataFrame, each through its own real codec, stats identical to

@@ -48,7 +48,8 @@ def _canon_spark(t):
         "bigint": "i64", "int": "i32", "smallint": "i16",
         "tinyint": "i8", "double": "f64", "float": "f32",
         "string": "str", "boolean": "bool", "binary": "bin",
-    }.get(t, t)
+    }.get(t, t.upper())  # match _canon_duck's fallback case so e.g.
+    # decimal(18,3) == DECIMAL(18,3) compares equal across engines
 
 
 def normalize(df):

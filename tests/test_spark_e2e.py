@@ -827,3 +827,37 @@ def test_recrawl_schedule_job_two_cycles(spark, tmp_path, capsys):
         tuple, textops.recrawl_priority(all_obs2).collect()))
     got2 = sorted(map(tuple, spark.read.parquet(out).collect()))
     assert got2 == want2
+
+    # ORPHAN cycle (_SUCCESS committed, _PAIR.json missing — a
+    # pre-marker-era log or a crash between the parquet commit and
+    # the marker write): the job must refuse to renumber over it or
+    # silently drop its observations from the schedule
+    cycle2_rows = sorted(
+        map(tuple, all_obs2.filter("cycle = 2").collect())
+    )
+    _os.remove(f"{obs}/cycle=2/{recrawl_schedule.PAIR_MARKER}")
+    s4 = snap(str(tmp_path / "s4"),
+              [(1, "alpha final"), (2, "beta again"),
+               (3, "back"), (4, "delta FRESH")])
+    with pytest.raises(ValueError, match="orphan|_PAIR"):
+        recrawl_schedule.main(["--old", s3, "--new", s4] + base)
+    # recovery path A: explicitly re-diff the orphan slot with its
+    # original snapshot pair — identical rows, marker restored
+    assert recrawl_schedule.main(
+        ["--old", s2, "--new", s3, "--cycle", "2"] + base) == 0
+    capsys.readouterr()
+    assert sorted(map(
+        tuple, spark.read.parquet(obs).filter("cycle = 2").collect()
+    )) == cycle2_rows
+    # recovery path B: adopt the orphan data as-is
+    _os.remove(f"{obs}/cycle=2/{recrawl_schedule.PAIR_MARKER}")
+    assert recrawl_schedule.main(
+        ["--old", s3, "--new", s4, "--adopt-orphans"] + base) == 0
+    st4 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st4["cycle"] == 3  # numbering continued PAST the orphan
+    all_obs3 = spark.read.parquet(obs)
+    assert all_obs3.filter("cycle = 2").count() == 4  # data kept
+    want3 = sorted(map(
+        tuple, textops.recrawl_priority(all_obs3).collect()))
+    assert sorted(
+        map(tuple, spark.read.parquet(out).collect())) == want3
