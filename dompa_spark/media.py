@@ -3,10 +3,11 @@ metadata, with Arrow-batched kernels for decode / feature-extract /
 resize / frame-sample.
 
 The Spark-side plumbing (schemas, batch shapes, partitioning, operator
-signatures) is real and tested. Image decode is REAL for the two
-dominant web formats — from-scratch codecs run inside the Arrow batch
+signatures) is real and tested. Image decode is REAL for the three
+classic web formats — from-scratch codecs run inside the Arrow batch
 kernels (pngcodec.py: chunk walk, zlib inflate, filters 0-4;
-jpegcodec.py: baseline JFIF marker walk, Huffman, IDCT), dispatched on
+jpegcodec.py: baseline JFIF marker walk, Huffman, IDCT; gifcodec.py:
+block walk + GIF-flavor LZW, grayscale palettes), dispatched on
 magic bytes by `_decode_image`, and featurize derives image features
 from actual decoded pixels. Everything else (video, non-baseline JPEG,
 other image formats) remains stubbed behind `_HAS_CODECS` because the
@@ -26,7 +27,7 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from . import jpegcodec, pngcodec, wavcodec
+from . import gifcodec, jpegcodec, pngcodec, wavcodec
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -100,25 +101,30 @@ def _fake_feature(content: bytes) -> list[float]:
 def _decode_image(content: bytes) -> tuple:
     """Magic-dispatched image decode -> (width, height, pixels): the PNG
     signature routes to the from-scratch PNG codec, the JPEG SOI marker
-    to the from-scratch baseline-JFIF codec (jpegcodec.py). Everything
-    else (including JPEG variants outside the baseline-grayscale subset)
-    raises ValueError so callers' strict/skip policy applies uniformly
-    across formats."""
+    to the from-scratch baseline-JFIF codec (jpegcodec.py), the
+    GIF87a/GIF89a magic to the from-scratch LZW codec (gifcodec.py).
+    Everything else (including JPEG variants outside the
+    baseline-grayscale subset) raises ValueError so callers' strict/skip
+    policy applies uniformly across formats."""
     if content[:8] == pngcodec.PNG_SIG:
         return pngcodec.decode_png(content)
     if content[:2] == jpegcodec.SOI:
         return jpegcodec.decode_jpeg(content)
-    raise ValueError("unrecognized image magic (not PNG or JPEG)")
+    if content[:6] in gifcodec.GIF_MAGICS:
+        return gifcodec.decode_gif(content)
+    raise ValueError("unrecognized image magic (not PNG, JPEG, or GIF)")
 
 
 def _decode_stub(content: bytes, kind: str, strict: bool):
-    """Decode dispatch: PNG/JPEG bytes of an image row hit the real
+    """Decode dispatch: PNG/JPEG/GIF bytes of an image row hit the real
     from-scratch codecs and return (width, height, pixels); everything
     else is stubbed. The real-decode path is gated on kind == "image" so
     a video/audio payload that merely starts with an image magic can't
     crash a non-strict pipeline on the codecs' format checks."""
     if kind == "image" and (
-        content[:8] == pngcodec.PNG_SIG or content[:2] == jpegcodec.SOI
+        content[:8] == pngcodec.PNG_SIG
+        or content[:2] == jpegcodec.SOI
+        or content[:6] in gifcodec.GIF_MAGICS
     ):
         # recognized magic: decode for real; a corrupt payload raises
         # ValueError through to the caller's strict/skip policy.
@@ -266,7 +272,7 @@ IMAGE_STATS_SCHEMA = StructType(
 
 def decode_images(df: DataFrame, strict: bool = True) -> DataFrame:
     """(MEDIA_SCHEMA rows) -> per-image decoded-pixel statistics via the
-    REAL codecs (PNG or baseline JPEG, dispatched on magic bytes;
+    REAL codecs (PNG, baseline JPEG, or GIF — magic-dispatched;
     Arrow-batched — the decode runs per batch inside mapInPandas).
     pixel_checksum = sum(pixel_j * (j+1)) over row-major pixels —
     position-sensitive, so any unfilter/IDCT mistake shows.
@@ -405,7 +411,7 @@ def docs_to_wav(docs: DataFrame) -> DataFrame:
 def resize_images(
     df: DataFrame, out_w: int, out_h: int, strict: bool = True
 ) -> DataFrame:
-    """(MEDIA_SCHEMA rows with PNG/JPEG content) -> MEDIA_SCHEMA rows
+    """(MEDIA_SCHEMA rows with PNG/JPEG/GIF content) -> MEDIA_SCHEMA rows
     resized to out_w x out_h via nearest-neighbor resampling through the
     REAL codecs: decode (magic-dispatched) -> sample
     src[floor(y*H/out_h)][floor(x*W/out_w)] -> re-encode. The resized
@@ -587,6 +593,49 @@ def docs_to_jpeg(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(_iter, schema=MEDIA_SCHEMA)
 
 
+def docs_to_gif(docs: DataFrame) -> DataFrame:
+    """Render each document row as a deterministic grayscale GIF89a
+    (MEDIA_SCHEMA). GIF is lossless (gifcodec.py exactness contract:
+    LZW round-trips bit-exactly and the 256-entry gray palette is the
+    identity on intensities), so the SQL oracle predicts the decoded
+    pixels closed-form with NO block-constant restriction:
+        w = 8 + doc_id % 11,  h = 8 + doc_id % 5
+        pixel(j) = (doc_id*41 + j*13) % 251       (j row-major)
+    The moduli and multipliers differ from the PNG (%9/%7, *31+j*7) and
+    JPEG (%9/%7, *31+blk*53) fixtures so a pipeline that silently
+    swapped formats would mismatch its oracle."""
+    import pandas as pd
+
+    def _iter(batches: Iterator["pd.DataFrame"]):
+        for pdf in batches:
+            refs, contents = [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w = 8 + doc_id % 11
+                h = 8 + doc_id % 5
+                j = np.arange(w * h, dtype=np.int64)
+                # exact Python-int reduction first (full-range 64-bit
+                # surrogate ids would overflow int64 under doc_id*41)
+                base = (doc_id * 41) % 251
+                px = ((base + j * 13) % 251).astype(np.uint8).tobytes()
+                refs.append(f"gif://doc/{doc_id}")
+                contents.append(gifcodec.encode_gif(px, w, h))
+            yield pd.DataFrame(
+                {
+                    "media_ref": refs,
+                    "kind": ["image"] * len(refs),
+                    "content": contents,
+                    "mime": ["image/gif"] * len(refs),
+                    "width": pd.array([None] * len(refs), dtype="Int32"),
+                    "height": pd.array([None] * len(refs), dtype="Int32"),
+                    "duration_ms": pd.array([None] * len(refs),
+                                            dtype="Int64"),
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(_iter, schema=MEDIA_SCHEMA)
+
+
 # dHash geometry: sample a 9x7 pixel grid (nearest-neighbor, the
 # resize_images resampling rule), emit one horizontal-gradient bit per
 # adjacent column pair -> 8x7 = 56 bits. 56 keeps the hash a
@@ -601,7 +650,7 @@ DHASH_BAND_MASK = (1 << DHASH_BAND_BITS) - 1
 
 
 def dhash_images(df: DataFrame, strict: bool = True) -> DataFrame:
-    """(MEDIA_SCHEMA rows with PNG/JPEG content) -> (media_ref, dhash):
+    """(MEDIA_SCHEMA rows with PNG/JPEG/GIF content) -> (media_ref, dhash):
     a 56-bit difference hash over the REAL decoded pixels
     (magic-dispatched codec). Robust to re-encoding and global
     brightness shifts (gradient SIGNS, not values), which is exactly

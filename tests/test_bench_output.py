@@ -10,7 +10,7 @@ sys.path.insert(0, "/root/repo")
 
 import bench  # noqa: E402
 
-# realistic query names (the live set is 121; headroom for growth —
+# realistic query names (the live set is 122; headroom for growth —
 # the degrade path drops fastest queries first when over budget),
 # at the live set's name-length distribution.
 _QUERY_NAMES = [
@@ -52,7 +52,7 @@ _QUERY_NAMES = [
     "robots_sitemaps", "recrawl_priority", "extract_coverage",
     "quality_calibration", "user_paths", "dedup_cluster_stats",
     "graph_components", "script_mixture", "embedding_stats",
-    "jpeg_decode",
+    "jpeg_decode", "gif_decode",
     "extra_query_name_j", "extra_query_name_k",
 ]
 

@@ -686,3 +686,206 @@ def test_dhash_identical_for_png_jpeg_pair(spark):
     hashes = {r.media_ref: r.dhash
               for r in media.dhash_images(df).collect()}
     assert hashes["png://x"] == hashes["jpg://x"]
+
+
+# ---------------------------------------------------------------------------
+# Real GIF codec (gifcodec.py — stdlib struct, GIF-flavor LZW)
+# ---------------------------------------------------------------------------
+
+def _gif_formula(doc_id, w, h):
+    """The docs_to_gif pixel formula (no block restriction — lossless)."""
+    return bytes((doc_id * 41 + j * 13) % 251 for j in range(w * h))
+
+
+def test_gif_roundtrip_fixture_exact():
+    """The exactness contract the gif_decode oracle relies on: LZW is
+    lossless and the gray palette is the identity on intensities, so the
+    fixture round-trips bit-exactly for every doc_id."""
+    from dompa_spark import gifcodec
+
+    for doc_id in range(30):
+        w, h = 8 + doc_id % 11, 8 + doc_id % 5
+        px = _gif_formula(doc_id, w, h)
+        data = gifcodec.encode_gif(px, w, h)
+        assert data[:6] in gifcodec.GIF_MAGICS
+        assert gifcodec.decode_gif(data) == (w, h, px), doc_id
+
+
+def test_gif_roundtrip_property():
+    """ANY grayscale image round-trips bit-exactly (stronger than the
+    JPEG +/-1 contract) — arbitrary sizes exercise sub-block chunking
+    and LZW code-width growth."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dompa_spark import gifcodec
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 40),
+        h=st.integers(1, 40),
+        seed=st.integers(0, 2**20),
+    )
+    def check(w, h, seed):
+        px = bytes((seed + j * 7 + j * j) % 256 for j in range(w * h))
+        assert gifcodec.decode_gif(gifcodec.encode_gif(px, w, h)) == (
+            w, h, px)
+
+    check()
+
+
+def test_gif_lzw_width_growth_and_table_fill():
+    """A high-entropy 30k-byte stream drives the LZW code width through
+    9..12 bits and past the 4096-entry table limit several times
+    (~7 clear/reset cycles at this size — verified at authoring), so
+    the deferred-reset encoder/decoder sync is exercised, not just the
+    small-table happy path. A 4-symbol alphabet exercises the
+    min_code_size=2 widths (3..12 bits) the 8-bit path never visits;
+    an all-equal run pins the KwKwK (code == next_code) case."""
+    import hashlib
+
+    from dompa_spark import gifcodec
+
+    buf = bytearray()
+    block = b"gif-lzw-seed"
+    while len(buf) < 30000:
+        block = hashlib.sha256(block).digest()
+        buf += block
+    px = bytes(buf[:30000])
+    assert gifcodec._lzw_decode(
+        gifcodec._lzw_encode(px, 8), 8, len(px)) == px
+    quat = bytes(b & 3 for b in px)
+    assert gifcodec._lzw_decode(
+        gifcodec._lzw_encode(quat, 2), 2, len(quat)) == quat
+    run = bytes([7]) * 500
+    assert gifcodec._lzw_decode(
+        gifcodec._lzw_encode(run, 8), 8, len(run)) == run
+
+
+def test_gif_extensions_skipped_and_first_frame_decoded():
+    """Extension blocks (graphic control, comment) before the image
+    descriptor are length-prefixed sub-block chains the walk must skip;
+    an animated GIF (trailing second frame) decodes as its FIRST frame
+    provided that frame covers the logical screen."""
+    from dompa_spark import gifcodec
+
+    px = _gif_formula(3, 16, 12)
+    data = gifcodec.encode_gif(px, 16, 12)
+    # header 6 + LSD 7 + 256-entry GCT 768 = image descriptor at 781
+    assert data[781] == 0x2C
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    comment = b"\x21\xfe\x05hello\x00"
+    spliced = data[:781] + gce + comment + data[781:]
+    assert gifcodec.decode_gif(spliced) == (16, 12, px)
+    # animated: second frame appended before the trailer is never read
+    frame2 = data[781:-1]  # descriptor + LZW data, sans trailer
+    animated = data[:-1] + gce + frame2 + b"\x3b"
+    assert gifcodec.decode_gif(animated) == (16, 12, px)
+
+
+def test_gif_local_color_table_and_small_code_size():
+    """A hand-built GIF with NO global table, a 4-entry grayscale LOCAL
+    color table, and min_code_size=2: the decoder must read the LCT and
+    map palette indices -> intensities."""
+    import struct
+
+    from dompa_spark import gifcodec
+
+    w, h = 6, 5
+    idx = bytes((j * 3 + 1) % 4 for j in range(w * h))
+    pal = bytes(v for i in (0, 85, 170, 255) for v in (i, i, i))
+    lzw = gifcodec._lzw_encode(idx, 2)
+    data = (
+        b"GIF89a" + struct.pack("<HHBBB", w, h, 0x00, 0, 0)
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x81) + pal
+        + bytes([2, len(lzw)]) + lzw + b"\x00\x3b"
+    )
+    want = bytes((85 * ((j * 3 + 1) % 4)) % 256 for j in range(w * h))
+    assert gifcodec.decode_gif(data) == (w, h, want)
+
+
+def test_gif_rejects_unsupported():
+    import struct
+
+    from dompa_spark import gifcodec
+
+    px = _gif_formula(5, 16, 12)
+    data = bytearray(gifcodec.encode_gif(px, 16, 12))
+    with pytest.raises(ValueError, match="magic"):
+        gifcodec.decode_gif(b"NOTGIF" + bytes(data[6:]))
+    with pytest.raises(ValueError, match="truncated"):
+        gifcodec.decode_gif(bytes(data[: len(data) // 2]))
+    # non-grayscale palette entry
+    bad = bytearray(data)
+    bad[13 + 3 * 10 + 1] ^= 0x40
+    with pytest.raises(ValueError, match="grayscale"):
+        gifcodec.decode_gif(bytes(bad))
+    # interlaced flag on the image descriptor (offset 781 + 9 = flags)
+    inter = bytearray(data)
+    assert inter[781] == 0x2C
+    inter[790] |= 0x40
+    with pytest.raises(ValueError, match="interlaced"):
+        gifcodec.decode_gif(bytes(inter))
+    # first frame smaller than the logical screen
+    sub = bytearray(data)
+    sub[782:784] = struct.pack("<H", 1)  # left = 1
+    with pytest.raises(ValueError, match="logical screen"):
+        gifcodec.decode_gif(bytes(sub))
+    # trailer with no image data
+    with pytest.raises(ValueError, match="no image"):
+        gifcodec.decode_gif(bytes(data[:781]) + b"\x3b")
+
+
+def test_decode_images_dispatches_gif(spark):
+    """decode_images on a MIXED three-format corpus: PNG, JPEG, and GIF
+    rows each route to their own real codec by magic bytes."""
+    from dompa_spark import gifcodec, jpegcodec, media, pngcodec
+
+    rows = []
+    want = {}
+    for i in range(4):
+        w, h = 8 + i % 9, 8 + i % 7
+        gw, gh = 8 + i % 11, 8 + i % 5
+        png_px = _pixels(w, h, seed=i)
+        jpg_px = _block_constant(i, w, h)
+        gif_px = _gif_formula(i, gw, gh)
+        rows.append((f"png://{i}", "image",
+                     bytearray(pngcodec.encode_png(png_px, w, h)),
+                     "image/png", None, None, None))
+        rows.append((f"jpg://{i}", "image",
+                     bytearray(jpegcodec.encode_jpeg(jpg_px, w, h)),
+                     "image/jpeg", None, None, None))
+        rows.append((f"gif://{i}", "image",
+                     bytearray(gifcodec.encode_gif(gif_px, gw, gh)),
+                     "image/gif", None, None, None))
+        for ref, px, dims in ((f"png://{i}", png_px, (w, h)),
+                              (f"jpg://{i}", jpg_px, (w, h)),
+                              (f"gif://{i}", gif_px, (gw, gh))):
+            want[ref] = (*dims, len(px), sum(px),
+                         sum(p * (j + 1) for j, p in enumerate(px)))
+    df = spark.createDataFrame(rows, media.MEDIA_SCHEMA)
+    got = {
+        r.media_ref: (r.width, r.height, r.n_pixels, r.pixel_sum,
+                      r.pixel_checksum)
+        for r in media.decode_images(df).collect()
+    }
+    assert got == want
+
+
+def test_dhash_identical_for_png_gif_pair(spark):
+    """Cross-format perceptual identity for the lossless pair: the same
+    pixels as PNG and as GIF have different bytes but the identical
+    56-bit dHash — no block-constant restriction needed (unlike the
+    PNG/JPEG pair), since both codecs are exact."""
+    from dompa_spark import gifcodec, media, pngcodec
+
+    w, h = 19, 14
+    px = _pixels(w, h, seed=9)
+    df = spark.createDataFrame(
+        [("png://y", bytearray(pngcodec.encode_png(px, w, h))),
+         ("gif://y", bytearray(gifcodec.encode_gif(px, w, h)))],
+        "media_ref string, content binary",
+    )
+    hashes = {r.media_ref: r.dhash
+              for r in media.dhash_images(df).collect()}
+    assert hashes["png://y"] == hashes["gif://y"]
