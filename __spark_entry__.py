@@ -1105,6 +1105,58 @@ def q_gif_decode(spark, sf_dir):
     )
 
 
+def q_y4m_decode(spark, sf_dir):
+    """Real-bytes VIDEO decode end-to-end: render each document as a
+    deterministic grayscale Y4M stream (y4mcodec.py — raw luma planes,
+    lossless, so the round-trip is bit-exact like PNG/GIF, not ±1 like
+    JPEG), then recover dimensions/frame-count/luma statistics through
+    the from-scratch YUV4MPEG2 parser inside the same Arrow kernel
+    shape the image paths use. Oracle is closed-form: pixel(f, j) is a
+    function of doc_id, so DuckDB predicts the decoded stats — the
+    checksum weights by global stream position, pinning frame ORDER."""
+    from dompa_spark import media
+
+    docs = _docs_par(spark, sf_dir)
+    out = media.decode_video(media.docs_to_y4m(docs))
+    return out.select(
+        F.element_at(F.split("media_ref", "/"), -1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("n_frames").cast("long").alias("n_frames"),
+        "luma_sum",
+        "luma_checksum",
+    )
+
+
+def q_video_frames(spark, sf_dir):
+    """REAL frame sampling end-to-end: Y4M content takes
+    media.sample_frames' real path — the sample count comes from the
+    STREAM's intrinsic clock (n_frames/fps; the fixture plants a
+    deliberately-wrong duration_ms=9999 to pin that), each timestamp
+    maps to a frame via the stream framerate, and the 16-byte thumb is
+    a real 4x4 nearest-neighbor luma thumbnail. The thumb checksum is
+    unpacked JVM-side (hex + aggregate HOF — no Python), and the oracle
+    predicts every thumb byte closed-form from the fixture formula."""
+    from dompa_spark import media
+
+    docs = _docs_par(spark, sf_dir)
+    out = media.sample_frames(media.docs_to_y4m(docs), every_ms=250)
+    return out.select(
+        F.element_at(F.split("media_ref", "/"), -1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("ts_ms").cast("long").alias("ts_ms"),
+        F.expr(
+            "aggregate(sequence(0, 15), cast(0 as bigint),"
+            " (acc, p) -> acc + cast(conv(substring(hex(thumb),"
+            " p*2 + 1, 2), 16, 10) as bigint) * (p + 1))"
+        ).alias("thumb_checksum"),
+    )
+
+
 RESIZE_W, RESIZE_H = 16, 12
 
 
@@ -1773,6 +1825,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "png_decode": q_png_decode,
         "jpeg_decode": q_jpeg_decode,
         "gif_decode": q_gif_decode,
+        "y4m_decode": q_y4m_decode,
+        "video_frames": q_video_frames,
         "png_resize": q_png_resize,
         "wav_decode": q_wav_decode,
         "pdf_layout": q_pdf_layout,
@@ -5065,6 +5119,57 @@ def oracle_sql() -> dict[str, str]:
                      j -> ((doc_id*41 + j*13) % 251) * (j+1))) AS BIGINT)
                      AS pixel_checksum
             FROM base
+        """,
+        # y4m_decode: Y4M is lossless (raw luma planes), so the oracle
+        # predicts every decoded pixel closed-form; the checksum weights
+        # by GLOBAL stream position t = f*w*h + j, pinning frame order
+        "y4m_decode": """
+            WITH base AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     8 + CAST(doc_id AS BIGINT) % 13 AS w,
+                     8 + CAST(doc_id AS BIGINT) % 3 AS h,
+                     2 + CAST(doc_id AS BIGINT) % 4 AS nf
+              FROM documents)
+            SELECT doc_id,
+                   CAST(w AS BIGINT) AS width,
+                   CAST(h AS BIGINT) AS height,
+                   CAST(nf AS BIGINT) AS n_frames,
+                   CAST(list_sum(list_transform(
+                     generate_series(0, nf*w*h - 1),
+                     t -> (doc_id*37 + (t // (w*h))*19 + (t % (w*h))*11)
+                          % 247)) AS BIGINT)
+                     AS luma_sum,
+                   CAST(list_sum(list_transform(
+                     generate_series(0, nf*w*h - 1),
+                     t -> ((doc_id*37 + (t // (w*h))*19 + (t % (w*h))*11)
+                           % 247) * (t+1))) AS BIGINT)
+                     AS luma_checksum
+            FROM base
+        """,
+        # video_frames: stream-intrinsic clock — nf frames at F4:1 is
+        # nf*250 ms, so every_ms=250 samples exactly frame k at t=250k
+        # (the fixture's wrong duration_ms=9999 would give 39 rows/doc
+        # if the kernel trusted the table); thumb byte p samples luma
+        # at (y,x) = ((p/4)*h/4, (p%4)*w/4), the resize_images rule
+        "video_frames": """
+            WITH base AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     8 + CAST(doc_id AS BIGINT) % 13 AS w,
+                     8 + CAST(doc_id AS BIGINT) % 3 AS h,
+                     2 + CAST(doc_id AS BIGINT) % 4 AS nf
+              FROM documents)
+            SELECT doc_id,
+                   CAST(u.k AS BIGINT) AS frame_idx,
+                   CAST(u.k * 250 AS BIGINT) AS ts_ms,
+                   CAST(list_sum(list_transform(
+                     generate_series(0, 15),
+                     p -> ((doc_id*37 + u.k*19 +
+                            (((p // 4) * h // 4) * w
+                             + ((p % 4) * w // 4)) * 11) % 247)
+                          * (p+1))) AS BIGINT)
+                     AS thumb_checksum
+            FROM base,
+                 UNNEST(generate_series(0, CAST(nf AS BIGINT) - 1)) AS u(k)
         """,
         # png_resize: nearest-neighbor resample of the closed-form PNG
         # pixels — out(x,y) = src(x*W//16, y*H//12); the oracle computes

@@ -27,7 +27,7 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from . import gifcodec, jpegcodec, pngcodec, wavcodec
+from . import gifcodec, jpegcodec, pngcodec, wavcodec, y4mcodec
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -187,6 +187,17 @@ def featurize_media(df: DataFrame, strict: bool = False) -> DataFrame:
                         continue
                     except ValueError:
                         pass  # broken RIFF -> stub/fake path below
+                if content[: len(y4mcodec.Y4M_MAGIC)] == y4mcodec.Y4M_MAGIC:
+                    try:
+                        w, h, _fn, _fd, frames = y4mcodec.decode_y4m(
+                            content)
+                        # intensity histogram over the whole stream's
+                        # luma bytes — real pixels, same recipe as images
+                        feats.append(_pixel_feature(
+                            w, h * len(frames), b"".join(frames)))
+                        continue
+                    except ValueError:
+                        pass  # broken Y4M -> stub/fake path below
 
                 try:
                     decoded = _decode_stub(content, kind, strict)
@@ -211,12 +222,32 @@ def featurize_media(df: DataFrame, strict: bool = False) -> DataFrame:
     return df.mapInPandas(_iter, schema=FEATURES_SCHEMA)
 
 
+THUMB_W, THUMB_H = 4, 4  # real-path thumbs: 4x4 luma = 16 bytes
+
+
+def _luma_thumb(luma: bytes, w: int, h: int) -> bytes:
+    """Nearest-neighbor 4x4 luma thumbnail (16 bytes) — the same
+    src[y*H//out][x*W//out] sampling rule as resize_images, so the SQL
+    oracle predicts every thumb byte closed-form from the frame."""
+    arr = np.frombuffer(luma, np.uint8).reshape(h, w)
+    ys = (np.arange(THUMB_H) * h) // THUMB_H
+    xs = (np.arange(THUMB_W) * w) // THUMB_W
+    return arr[np.ix_(ys, xs)].tobytes()
+
+
 def sample_frames(df: DataFrame, every_ms: int = 1000,
                   strict: bool = False) -> DataFrame:
-    """video rows -> one row per sampled frame (deterministic fake thumbs:
-    a sha-derived 16-byte token per frame; a real build would emit JPEG
-    bytes). Output explodes ~duration/every_ms rows per video — the batch
-    shape downstream operators (frame dedup, frame-level ANN) need."""
+    """video rows -> one row per sampled frame. Y4M content takes the
+    REAL path (y4mcodec.py): frames decode from the stream, the sample
+    count comes from the stream-intrinsic duration (n_frames/fps — a
+    real video carries its own clock; the table's duration_ms column is
+    metadata), the frame at each timestamp is picked by the stream's
+    framerate, and the thumb is a real 4x4 nearest-neighbor luma
+    thumbnail. Compressed containers stay on the honest stub path
+    (deterministic sha-derived 16-byte token per frame; the sandbox
+    ships no codec libraries) keyed off the table's duration_ms. Output
+    explodes ~duration/every_ms rows per video — the batch shape
+    downstream operators (frame dedup, frame-level ANN) need."""
     import pandas as pd
 
     def _iter(batches: Iterator["pd.DataFrame"]):
@@ -226,9 +257,31 @@ def sample_frames(df: DataFrame, every_ms: int = 1000,
                 pdf["media_ref"], pdf["kind"], pdf["content"],
                 pdf["duration_ms"],
             ):
-                if kind != "video" or dur is None:
+                if kind != "video":
                     continue
                 content = bytes(content) if content is not None else b""
+                if content[: len(y4mcodec.Y4M_MAGIC)] == y4mcodec.Y4M_MAGIC:
+                    # real path: decode, sample by the stream's own clock
+                    try:
+                        w, h, fn, fd, frames = y4mcodec.decode_y4m(content)
+                    except ValueError:
+                        if strict:
+                            raise
+                        continue  # recognized magic but undecodable: drop
+                    if not frames:
+                        continue
+                    stream_dur = y4mcodec.duration_ms(len(frames), fn, fd)
+                    n = max(1, stream_dur // every_ms)
+                    for k in range(n):
+                        ts = k * every_ms
+                        f = min(len(frames) - 1, ts * fn // (1000 * fd))
+                        refs.append(ref)
+                        idxs.append(k)
+                        tss.append(ts)
+                        thumbs.append(_luma_thumb(frames[f], w, h))
+                    continue
+                if dur is None:
+                    continue
                 try:
                     _decode_stub(content, kind, strict)
                 except ValueError:
@@ -363,6 +416,69 @@ def decode_audio(df: DataFrame, strict: bool = True) -> DataFrame:
             )
 
     return df.mapInPandas(_iter, schema=AUDIO_STATS_SCHEMA)
+
+
+VIDEO_STATS_SCHEMA = StructType(
+    [
+        StructField("media_ref", StringType(), nullable=False),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("fps_num", IntegerType()),
+        StructField("fps_den", IntegerType()),
+        StructField("luma_sum", LongType()),
+        StructField("luma_checksum", LongType()),
+    ]
+)
+
+
+def decode_video(df: DataFrame, strict: bool = True) -> DataFrame:
+    """(MEDIA_SCHEMA rows with Y4M content) -> per-video decoded-luma
+    statistics via the REAL Y4M codec (Arrow-batched). luma_checksum =
+    sum(pixel_j * (j+1)) over the whole stream's row-major luma bytes in
+    frame order — position- AND frame-order-sensitive, so any frame
+    skip/reorder or plane-offset mistake shows. strict=True raises on
+    undecodable bytes; strict=False drops them (compressed containers
+    the sandbox can't decode fall out here, by design)."""
+    import pandas as pd
+
+    def _iter(batches: Iterator["pd.DataFrame"]):
+        for pdf in batches:
+            refs, ws, hs, nfs, fns, fds, sums, cks = ([], [], [], [],
+                                                      [], [], [], [])
+            for ref, content in zip(pdf["media_ref"], pdf["content"]):
+                content = bytes(content) if content is not None else b""
+                try:
+                    w, h, fn, fd, frames = y4mcodec.decode_y4m(content)
+                except ValueError:
+                    if strict:
+                        raise
+                    continue
+                arr = np.frombuffer(b"".join(frames), np.uint8).astype(
+                    np.int64)
+                refs.append(ref)
+                ws.append(w)
+                hs.append(h)
+                nfs.append(len(frames))
+                fns.append(fn)
+                fds.append(fd)
+                sums.append(int(arr.sum()))
+                cks.append(int(np.dot(
+                    arr, np.arange(1, arr.size + 1, dtype=np.int64))))
+            yield pd.DataFrame(
+                {
+                    "media_ref": refs,
+                    "width": ws,
+                    "height": hs,
+                    "n_frames": nfs,
+                    "fps_num": fns,
+                    "fps_den": fds,
+                    "luma_sum": sums,
+                    "luma_checksum": cks,
+                }
+            )
+
+    return df.mapInPandas(_iter, schema=VIDEO_STATS_SCHEMA)
 
 
 def docs_to_wav(docs: DataFrame) -> DataFrame:
@@ -629,6 +745,56 @@ def docs_to_gif(docs: DataFrame) -> DataFrame:
                     "width": pd.array([None] * len(refs), dtype="Int32"),
                     "height": pd.array([None] * len(refs), dtype="Int32"),
                     "duration_ms": pd.array([None] * len(refs),
+                                            dtype="Int64"),
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(_iter, schema=MEDIA_SCHEMA)
+
+
+def docs_to_y4m(docs: DataFrame) -> DataFrame:
+    """Render each document row as a deterministic grayscale Y4M video
+    (MEDIA_SCHEMA). Y4M is lossless (raw luma planes), so the SQL
+    oracles predict every decoded pixel closed-form:
+        w = 8 + doc_id % 13,  h = 8 + doc_id % 3
+        n_frames = 2 + doc_id % 4,  F4:1 (250 ms/frame)
+        pixel(f, j) = (doc_id*37 + f*19 + j*11) % 247   (j row-major)
+    Moduli and multipliers differ from the PNG/JPEG/GIF/WAV fixtures so
+    a pipeline that silently swapped formats would mismatch its oracle.
+    The table's duration_ms deliberately DISAGREES with the stream
+    (9999): the real sample_frames path must clock off the stream's own
+    n_frames/fps, and the oracle pins that."""
+    import pandas as pd
+
+    def _iter(batches: Iterator["pd.DataFrame"]):
+        for pdf in batches:
+            refs, contents = [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w = 8 + doc_id % 13
+                h = 8 + doc_id % 3
+                nf = 2 + doc_id % 4
+                # exact Python-int reduction first (full-range 64-bit
+                # surrogate ids would overflow int64 under doc_id*37)
+                base = (doc_id * 37) % 247
+                j = np.arange(w * h, dtype=np.int64)
+                frames = [
+                    ((base + f * 19 + j * 11) % 247)
+                    .astype(np.uint8).tobytes()
+                    for f in range(nf)
+                ]
+                refs.append(f"y4m://doc/{doc_id}")
+                contents.append(
+                    y4mcodec.encode_y4m(frames, w, h, fps_num=4))
+            yield pd.DataFrame(
+                {
+                    "media_ref": refs,
+                    "kind": ["video"] * len(refs),
+                    "content": contents,
+                    "mime": ["video/x-yuv4mpeg"] * len(refs),
+                    "width": pd.array([None] * len(refs), dtype="Int32"),
+                    "height": pd.array([None] * len(refs), dtype="Int32"),
+                    "duration_ms": pd.array([9999] * len(refs),
                                             dtype="Int64"),
                 }
             )

@@ -889,3 +889,192 @@ def test_dhash_identical_for_png_gif_pair(spark):
     hashes = {r.media_ref: r.dhash
               for r in media.dhash_images(df).collect()}
     assert hashes["png://y"] == hashes["gif://y"]
+
+
+# ---------------------------------------------------------------------------
+# Real Y4M video codec (y4mcodec.py — YUV4MPEG2, raw luma planes)
+# ---------------------------------------------------------------------------
+
+def _y4m_frames(doc_id):
+    """The docs_to_y4m fixture: (w, h, [frame bytes]) for a doc_id."""
+    w, h = 8 + doc_id % 13, 8 + doc_id % 3
+    nf = 2 + doc_id % 4
+    frames = [
+        bytes((doc_id * 37 + f * 19 + j * 11) % 247 for j in range(w * h))
+        for f in range(nf)
+    ]
+    return w, h, frames
+
+
+def test_y4m_roundtrip_fixture_exact():
+    """The exactness contract the y4m_decode oracle relies on: raw luma
+    planes round-trip bit-exactly for every doc_id, frame order kept."""
+    from dompa_spark import y4mcodec
+
+    for doc_id in range(30):
+        w, h, frames = _y4m_frames(doc_id)
+        data = y4mcodec.encode_y4m(frames, w, h, fps_num=4)
+        assert data[:10] == y4mcodec.Y4M_MAGIC
+        assert y4mcodec.decode_y4m(data) == (w, h, 4, 1, frames), doc_id
+
+
+def test_y4m_roundtrip_property():
+    """ANY luma stream round-trips bit-exactly through ANY supported
+    colorspace (the encoder writes neutral chroma, the decoder skips
+    it) — arbitrary sizes exercise the frame-size arithmetic per
+    subsampling mode."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dompa_spark import y4mcodec
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 20).map(lambda v: v * 2),
+        h=st.integers(1, 20).map(lambda v: v * 2),
+        nf=st.integers(1, 5),
+        seed=st.integers(0, 2**20),
+        cs=st.sampled_from(["mono", "420", "420jpeg", "422", "444"]),
+    )
+    def check(w, h, nf, seed, cs):
+        frames = [
+            bytes((seed + f * 31 + j * 7 + j * j) % 256
+                  for j in range(w * h))
+            for f in range(nf)
+        ]
+        data = y4mcodec.encode_y4m(frames, w, h, fps_num=25,
+                                   colorspace=cs)
+        assert y4mcodec.decode_y4m(data) == (w, h, 25, 1, frames)
+
+    check()
+
+
+def test_y4m_header_tolerance():
+    """Writers vary: X params anywhere are skipped per spec, a missing
+    F defaults to 30:1, FRAME lines may carry their own X params, and
+    odd dimensions are fine under Cmono."""
+    from dompa_spark import y4mcodec
+
+    luma = bytes(range(15))
+    data = (b"YUV4MPEG2 W5 H3 Ip A1:1 Cmono XYSCSS=MONO\n"
+            b"FRAME Xtimecode=00:00\n" + luma)
+    assert y4mcodec.decode_y4m(data) == (5, 3, 30, 1, [luma])
+    # double spaces between params (some writers pad)
+    data2 = b"YUV4MPEG2 W5  H3 F10:1 Cmono\nFRAME\n" + luma
+    assert y4mcodec.decode_y4m(data2) == (5, 3, 10, 1, [luma])
+
+
+def test_y4m_rejects_unsupported():
+    from dompa_spark import y4mcodec
+
+    luma = bytes(16)
+    good = y4mcodec.encode_y4m([luma], 4, 4, fps_num=4)
+    with pytest.raises(ValueError, match="magic"):
+        y4mcodec.decode_y4m(b"YUV4MPEG1 W4 H4 Cmono\n" + luma)
+    with pytest.raises(ValueError, match="interlaced"):
+        y4mcodec.decode_y4m(b"YUV4MPEG2 W4 H4 It Cmono\nFRAME\n" + luma)
+    with pytest.raises(ValueError, match="colorspace"):
+        y4mcodec.decode_y4m(b"YUV4MPEG2 W4 H4 C411\nFRAME\n" + luma)
+    with pytest.raises(ValueError, match="even"):
+        y4mcodec.decode_y4m(b"YUV4MPEG2 W3 H4 C420\nFRAME\n" + luma)
+    with pytest.raises(ValueError, match="missing W or H"):
+        y4mcodec.decode_y4m(b"YUV4MPEG2 W4 Cmono\nFRAME\n" + luma)
+    with pytest.raises(ValueError, match="unknown header tag"):
+        y4mcodec.decode_y4m(b"YUV4MPEG2 W4 H4 Q9 Cmono\nFRAME\n" + luma)
+    with pytest.raises(ValueError, match="truncated"):
+        y4mcodec.decode_y4m(good[:-3])
+    with pytest.raises(ValueError, match="FRAME"):
+        y4mcodec.decode_y4m(good[:-len(luma) - 6] + b"FRUME\n" + luma)
+    with pytest.raises(ValueError, match="zero framerate"):
+        y4mcodec.decode_y4m(b"YUV4MPEG2 W4 H4 F0:1 Cmono\nFRAME\n" + luma)
+    with pytest.raises(ValueError, match="frame size"):
+        y4mcodec.encode_y4m([luma[:-1]], 4, 4)
+
+
+def test_sample_frames_real_path_clocks_off_stream(spark):
+    """Y4M rows take the REAL path: the sample count comes from the
+    stream's n_frames/fps (the fixture's duration_ms=9999 would yield
+    39 rows if the kernel trusted the table), each thumb is the actual
+    4x4 nearest-neighbor luma sample, and a non-Y4M video row on the
+    same DataFrame still takes the sha-derived fake path."""
+    import hashlib
+    import struct as _struct
+
+    from dompa_spark import media
+
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    out = media.sample_frames(media.docs_to_y4m(docs), every_ms=250)
+    rows = out.collect()
+    by_doc = {}
+    for r in rows:
+        doc_id = int(r.media_ref.rsplit("/", 1)[1])
+        by_doc.setdefault(doc_id, []).append(r)
+    for doc_id in range(6):
+        w, h, frames = _y4m_frames(doc_id)
+        got = sorted(by_doc[doc_id], key=lambda r: r.frame_idx)
+        assert len(got) == len(frames)  # nf, not 9999//250
+        for k, r in enumerate(got):
+            assert r.ts_ms == k * 250
+            want = bytes(
+                frames[k][(ty * h // 4) * w + (tx * w // 4)]
+                for ty in range(4) for tx in range(4)
+            )
+            assert bytes(r.thumb) == want, (doc_id, k)
+    # fake path: opaque (non-Y4M) video bytes keyed off duration_ms
+    fake = spark.createDataFrame(
+        [("vid://x", "video", bytearray(b"mp4garbage"), "video/mp4",
+          None, None, 600)],
+        media.MEDIA_SCHEMA,
+    )
+    frows = media.sample_frames(fake, every_ms=250).collect()
+    assert [r.frame_idx for r in frows] == [0, 1]
+    assert bytes(frows[0].thumb) == hashlib.sha256(
+        b"mp4garbage" + _struct.pack("<I", 0)).digest()[:16]
+
+
+def test_decode_video_stats_and_strict_gate(spark):
+    """decode_video recovers the exact per-stream luma statistics; a
+    compressed container raises in strict mode and drops otherwise."""
+    from dompa_spark import media
+
+    docs = spark.createDataFrame([(i,) for i in range(5)], "doc_id long")
+    got = {
+        int(r.media_ref.rsplit("/", 1)[1]): r
+        for r in media.decode_video(media.docs_to_y4m(docs)).collect()
+    }
+    for doc_id in range(5):
+        w, h, frames = _y4m_frames(doc_id)
+        stream = b"".join(frames)
+        r = got[doc_id]
+        assert (r.width, r.height, r.n_frames) == (w, h, len(frames))
+        assert (r.fps_num, r.fps_den) == (4, 1)
+        assert r.luma_sum == sum(stream)
+        assert r.luma_checksum == sum(
+            p * (t + 1) for t, p in enumerate(stream))
+    bad = spark.createDataFrame(
+        [("vid://x", "video", bytearray(b"mp4garbage"), "video/mp4",
+          None, None, 600)],
+        media.MEDIA_SCHEMA,
+    )
+    assert media.decode_video(bad, strict=False).count() == 0
+    with pytest.raises(Exception, match="magic"):
+        media.decode_video(bad, strict=True).collect()
+
+
+def test_featurize_y4m_real_feature(spark):
+    """featurize_media on a Y4M row derives the feature from REAL
+    decoded luma bytes — the unit-norm intensity histogram of the whole
+    stream — not the sha-seeded fake."""
+    from dompa_spark import media
+
+    docs = spark.createDataFrame([(7,)], "doc_id long")
+    row = media.featurize_media(media.docs_to_y4m(docs)).collect()[0]
+    _w, _h, frames = _y4m_frames(7)
+    stream = b"".join(frames)
+    counts = [0] * media.FEATURE_DIM
+    for p in stream:
+        counts[p * media.FEATURE_DIM // 256] += 1
+    norm = sum(c * c for c in counts) ** 0.5
+    want = [c / norm for c in counts]
+    # feature column is float32 in FEATURES_SCHEMA -> float32 tolerance
+    assert row.feature == pytest.approx(want, rel=1e-6, abs=1e-7)
