@@ -1157,6 +1157,28 @@ def q_video_frames(spark, sf_dir):
     )
 
 
+def q_video_near_dup(spark, sf_dir):
+    """Perceptual VIDEO near-dup end-to-end through the REAL Y4M
+    codec: deterministic videos (every 6th doc a +1-brightness
+    re-render of the previous doc — different bytes, same luma
+    structure) -> y4mcodec decode -> 56-bit sign-of-delta window
+    fingerprint over the frame-ordered luma stream -> the SAME
+    banded+salted hamming pairer as the image dHash and audio
+    fingerprint (media_near_dup, hash_col='vfp'). Oracle predicts
+    every fingerprint closed-form from the pixel formula."""
+    from dompa_spark import media
+
+    docs = _docs_par(spark, sf_dir)
+    fp = media.video_fingerprint(media.docs_to_y4m_variants(docs))
+    ids = fp.select(
+        F.element_at(F.split("media_ref", "/"), -1)
+        .cast("long")
+        .alias("doc_id"),
+        "vfp",
+    )
+    return media.media_near_dup(ids, id_col="doc_id", hash_col="vfp")
+
+
 RESIZE_W, RESIZE_H = 16, 12
 
 
@@ -1827,6 +1849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gif_decode": q_gif_decode,
         "y4m_decode": q_y4m_decode,
         "video_frames": q_video_frames,
+        "video_near_dup": q_video_near_dup,
         "png_resize": q_png_resize,
         "wav_decode": q_wav_decode,
         "pdf_layout": q_pdf_layout,
@@ -5170,6 +5193,57 @@ def oracle_sql() -> dict[str, str]:
                      AS thumb_checksum
             FROM base,
                  UNNEST(generate_series(0, CAST(nf AS BIGINT) - 1)) AS u(k)
+        """,
+        # video_near_dup: the variant-Y4M luma payload is closed-form in
+        # doc_id (media.docs_to_y4m_variants), so the oracle predicts
+        # each 56-bit window fingerprint without a decoder, then mirrors
+        # the banded + salted hamming pairing (media.media_near_dup)
+        "video_near_dup": f"""
+            WITH base AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     CASE WHEN doc_id % 6 = 5
+                          THEN CAST(doc_id AS BIGINT) - 1
+                          ELSE CAST(doc_id AS BIGINT) END AS src,
+                     CASE WHEN doc_id % 6 = 5 THEN 1 ELSE 0 END AS shift
+              FROM documents),
+            d2 AS (
+              SELECT doc_id, src, shift,
+                     (8 + src % 13) * (8 + src % 3) AS wh,
+                     (2 + src % 4) * (8 + src % 13) * (8 + src % 3) AS n
+              FROM base),
+            fp AS (
+              SELECT doc_id,
+                CAST(list_sum(list_transform(generate_series(0, 55), i ->
+                  CASE WHEN sums[CAST(i AS INT) + 1] <
+                            sums[CAST(i AS INT) + 2]
+                  THEN CAST(1 AS BIGINT) << CAST(i AS INT)
+                  ELSE 0 END)) AS BIGINT) AS vfp
+              FROM (
+                SELECT doc_id,
+                  list_transform(generate_series(0, 56), i ->
+                    list_sum(list_transform(
+                      generate_series(i*n//57, (i+1)*n//57 - 1),
+                      t -> (src*37 + (t // wh)*19 + (t % wh)*11) % 247
+                           + shift)))
+                    AS sums
+                FROM d2)),
+            abanded AS (
+              SELECT doc_id, b.band,
+                     CAST((vfp >> CAST(b.band * 14 AS INT)) & 16383
+                          AS VARCHAR) AS bkey
+              FROM fp, (SELECT unnest(generate_series(0, 3)) AS band) b),
+            {_salted_keyed_cte(64, src='abanded')},
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_id_a, bb.doc_id AS doc_id_b
+              FROM keyed a JOIN keyed bb
+                ON a.band = bb.band AND a.skey = bb.skey
+                   AND a.doc_id < bb.doc_id)
+            SELECT c.doc_id_a, c.doc_id_b,
+                   CAST(bit_count(xor(x.vfp, y.vfp)) AS BIGINT)
+                     AS hamming
+            FROM cand c JOIN fp x ON x.doc_id = c.doc_id_a
+                        JOIN fp y ON y.doc_id = c.doc_id_b
+            WHERE bit_count(xor(x.vfp, y.vfp)) <= 4
         """,
         # png_resize: nearest-neighbor resample of the closed-form PNG
         # pixels — out(x,y) = src(x*W//16, y*H//12); the oracle computes

@@ -802,6 +802,53 @@ def docs_to_y4m(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(_iter, schema=MEDIA_SCHEMA)
 
 
+def docs_to_y4m_variants(docs: DataFrame) -> DataFrame:
+    """Render deterministic Y4M videos with engineered PERCEPTUAL
+    near-duplicates: every 6th doc (doc_id % 6 == 5) re-renders the
+    PREVIOUS doc's video with a +1 global brightness offset —
+    different bytes (sha misses it), same luma structure. Closed-form
+    for the SQL oracle, with src = doc_id - shift and shift in {0, 1}:
+        w = 8 + src % 13,  h = 8 + src % 3,  n_frames = 2 + src % 4
+        pixel(f, j) = (src*37 + f*19 + j*11) % 247 + shift
+    (max intensity 246 + 1 <= 255, so the offset never clips)."""
+    import pandas as pd
+
+    def _iter(batches: Iterator["pd.DataFrame"]):
+        for pdf in batches:
+            refs, contents = [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                shift = 1 if doc_id % 6 == 5 else 0
+                src = doc_id - shift
+                w = 8 + src % 13
+                h = 8 + src % 3
+                nf = 2 + src % 4
+                base = (src * 37) % 247
+                j = np.arange(w * h, dtype=np.int64)
+                frames = [
+                    ((base + f * 19 + j * 11) % 247 + shift)
+                    .astype(np.uint8).tobytes()
+                    for f in range(nf)
+                ]
+                refs.append(f"y4m://doc/{doc_id}")
+                contents.append(
+                    y4mcodec.encode_y4m(frames, w, h, fps_num=4))
+            yield pd.DataFrame(
+                {
+                    "media_ref": refs,
+                    "kind": ["video"] * len(refs),
+                    "content": contents,
+                    "mime": ["video/x-yuv4mpeg"] * len(refs),
+                    "width": pd.array([None] * len(refs), dtype="Int32"),
+                    "height": pd.array([None] * len(refs), dtype="Int32"),
+                    "duration_ms": pd.array([None] * len(refs),
+                                            dtype="Int64"),
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(_iter, schema=MEDIA_SCHEMA)
+
+
 # dHash geometry: sample a 9x7 pixel grid (nearest-neighbor, the
 # resize_images resampling rule), emit one horizontal-gradient bit per
 # adjacent column pair -> 8x7 = 56 bits. 56 keeps the hash a
@@ -1034,6 +1081,53 @@ def audio_fingerprint(df: DataFrame, strict: bool = True) -> DataFrame:
             yield pd.DataFrame({"media_ref": refs, "afp": fps})
 
     return df.mapInPandas(_iter, schema="media_ref string, afp long")
+
+
+def video_fingerprint(df: DataFrame, strict: bool = True) -> DataFrame:
+    """(MEDIA_SCHEMA rows with Y4M content) -> (media_ref, vfp): a
+    56-bit video fingerprint over the REAL decoded luma stream in frame
+    order — the same 57-window sign-of-delta recipe as
+    audio_fingerprint, applied to the concatenated frames' bytes.
+    Integer window sums keep the oracle exact; sign-of-delta makes the
+    fingerprint invariant to a global brightness offset whenever
+    windows are equal-length (near-invariant otherwise), which is what
+    byte-exact media_dedup cannot see. Pair with
+    media_near_dup(hash_col='vfp') — the same 4x14-bit banded machinery
+    as the image dHash. Arrow-batched; strict=False drops undecodable
+    rows (compressed containers, by design)."""
+    import pandas as pd
+
+    K = AUDIO_FP_WINDOWS
+
+    def _iter(batches: Iterator["pd.DataFrame"]):
+        for pdf in batches:
+            refs, fps = [], []
+            for ref, content in zip(pdf["media_ref"], pdf["content"]):
+                content = bytes(content) if content is not None else b""
+                try:
+                    _w, _h, _fn, _fd, frames = y4mcodec.decode_y4m(
+                        content)
+                except ValueError:
+                    if strict:
+                        raise
+                    continue
+                arr = np.frombuffer(b"".join(frames), np.uint8).astype(
+                    np.int64)
+                n = arr.size
+                cs = np.concatenate(
+                    [np.zeros(1, np.int64), np.cumsum(arr, dtype=np.int64)]
+                )
+                edges = (np.arange(K + 1, dtype=np.int64) * n) // K
+                sums = cs[edges[1:]] - cs[edges[:-1]]
+                bits = sums[:-1] < sums[1:]
+                weights = np.left_shift(
+                    np.int64(1), np.arange(K - 1, dtype=np.int64)
+                )
+                refs.append(ref)
+                fps.append(int(np.dot(bits.astype(np.int64), weights)))
+            yield pd.DataFrame({"media_ref": refs, "vfp": fps})
+
+    return df.mapInPandas(_iter, schema="media_ref string, vfp long")
 
 
 def media_dedup(features: DataFrame) -> DataFrame:

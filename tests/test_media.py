@@ -1078,3 +1078,60 @@ def test_featurize_y4m_real_feature(spark):
     want = [c / norm for c in counts]
     # feature column is float32 in FEATURES_SCHEMA -> float32 tolerance
     assert row.feature == pytest.approx(want, rel=1e-6, abs=1e-7)
+
+
+def test_video_fingerprint_brightness_invariance_and_pairs(spark):
+    """Video fingerprint pins: a +1 global brightness offset
+    (different bytes, sha misses it) hashes IDENTICALLY when the luma
+    stream length divides the 57 windows exactly (every window sum
+    shifts by the same amount, so every delta is unchanged) ->
+    verified pair at hamming 0; the inverted video (255 - pixel)
+    flips every strict delta -> no pair."""
+    from dompa_spark import media, y4mcodec
+
+    w, h, nf = 19, 3, 3  # 19*3*3 = 171 = 57*3 luma bytes
+    base = [
+        bytes((f * 29 + j * 5) % 200 for j in range(w * h))
+        for f in range(nf)
+    ]
+    bright = [bytes(p + 1 for p in fr) for fr in base]
+    inverted = [bytes(255 - p for p in fr) for fr in base]
+    rows = [
+        ("a", bytearray(y4mcodec.encode_y4m(base, w, h))),
+        ("b", bytearray(y4mcodec.encode_y4m(bright, w, h))),
+        ("c", bytearray(y4mcodec.encode_y4m(inverted, w, h))),
+    ]
+    df = spark.createDataFrame(rows, "media_ref string, content binary")
+    fp = media.video_fingerprint(df)
+    got = {r.media_ref: r.vfp for r in fp.collect()}
+    assert got["a"] == got["b"]
+    assert got["a"] != got["c"]
+    pairs = media.media_near_dup(fp, hash_col="vfp").collect()
+    assert [(p.media_ref_a, p.media_ref_b, p.hamming) for p in pairs] \
+        == [("a", "b", 0)]
+
+
+def test_docs_to_y4m_variants_engineered_pairs(spark):
+    """The variant fixture's engineered near-dups surface end-to-end:
+    on doc_ids 0..11 exactly the (4,5) and (10,11) pairs emerge from
+    decode -> fingerprint -> banded pairer, each at hamming 0 with
+    different content bytes (byte-exact dedup would miss both)."""
+    from pyspark.sql import functions as F
+
+    from dompa_spark import media
+
+    docs = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    tbl = media.docs_to_y4m_variants(docs)
+    contents = {
+        int(r.media_ref.rsplit("/", 1)[1]): bytes(r.content)
+        for r in tbl.collect()
+    }
+    assert contents[4] != contents[5]  # different bytes...
+    fp = media.video_fingerprint(tbl)
+    ids = fp.select(
+        F.element_at(F.split("media_ref", "/"), -1).cast("long")
+        .alias("doc_id"), "vfp")
+    pairs = media.media_near_dup(ids, id_col="doc_id", hash_col="vfp")
+    got = sorted((p.doc_id_a, p.doc_id_b, p.hamming)
+                 for p in pairs.collect())
+    assert got == [(4, 5, 0), (10, 11, 0)]
