@@ -956,10 +956,17 @@ def media_near_dup(
         F.col("bs.band").alias("band"),
         F.col("bs.bkey").alias("bkey"),
         "dhash",
-    )
+    ).cache()
     salted = textops._salt_hot_buckets(
         banded, bucket_cap, extras=("dhash",)
-    )
+    ).cache()
+    # .cache() on banded+salted (the dedup_minhash_lsh pattern): the
+    # banded table is consumed twice by the salt step (rows + hot
+    # counts) and salted twice by the self-join — without the cache
+    # every consumer re-runs the upstream DECODE kernel, the dominant
+    # cost (plan-verified: 4x MapInPandas trees). Slim rows only
+    # (id, band, key, hash — 4 per media); lifecycle is caller-owned,
+    # scoped to one invocation (bench clears per query).
     a, b = salted.alias("a"), salted.alias("b")
     cand = (
         a.join(b, ["band", "bkey"])
