@@ -84,6 +84,43 @@ def markdown_stream(
     return writer.start()
 
 
+def frames_stream(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    checkpoint: str,
+    every_ms: int = 500,
+    available_now: bool = True,
+    max_files_per_trigger: int = 8,
+):
+    """Stream video frame sampling: media-table file source
+    (media.MEDIA_SCHEMA parquet drops) -> sample_frames' Arrow kernel
+    -> parquet sink. The 'sample frames off new video arrivals as they
+    land' form of the batch operator: Y4M payloads take the REAL
+    decode path (stream-intrinsic clock, real 4x4 luma thumbs),
+    compressed containers the deterministic stub — identical per-row
+    semantics to batch, so stream == batch row-for-row. Stateless (one
+    map): no state store, no watermark; exactly-once via the same
+    source-offset + sink-commit-log contract as extract_stream."""
+    from . import media
+
+    tbl = (
+        spark.readStream.schema(media.MEDIA_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(in_path)
+    )
+    out = media.sample_frames(tbl, every_ms=every_ms)
+    writer = (
+        out.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 EVENTS_SCHEMA_DDL = (
     "event_id long, ts timestamp_ntz, user_id long, event_type string, "
     "value double, props string"

@@ -921,3 +921,61 @@ def test_cms_sketch_stream_matches_batch(spark, tmp_path):
     assert got2 == want2
     # one-sided accumulation: no counter ever shrinks
     assert all(got2[k] >= got1[k] for k in got1)
+
+
+def test_frames_stream_matches_batch_and_resumes(spark, tmp_path):
+    """Stream == batch for video frame sampling (REAL Y4M path + stub
+    path in one source), plus incremental exactly-once: a late media
+    drop samples without reprocessing old rows."""
+    from dompa_spark import media
+
+    in_path = str(tmp_path / "fin")
+    out_path = str(tmp_path / "fout")
+    ckpt = str(tmp_path / "fckpt")
+
+    docs = spark.createDataFrame([(i,) for i in range(20)], "doc_id long")
+    tbl = media.docs_to_y4m(docs).unionByName(
+        spark.createDataFrame(
+            [("vid://opaque", "video", bytearray(b"mp4garbage"),
+              "video/mp4", None, None, 1200),
+             ("img://skip", "image", bytearray(b"notvideo"),
+              "image/png", None, None, None)],
+            media.MEDIA_SCHEMA,
+        )
+    )
+    tbl.coalesce(2).write.parquet(in_path)
+
+    q = streaming.frames_stream(spark, in_path, out_path, ckpt)
+    q.awaitTermination(300)
+    got = sorted(
+        (r.media_ref, r.frame_idx, r.ts_ms, bytes(r.thumb))
+        for r in spark.read.parquet(out_path).collect()
+    )
+    batch = sorted(
+        (r.media_ref, r.frame_idx, r.ts_ms, bytes(r.thumb))
+        for r in media.sample_frames(
+            spark.read.parquet(in_path), every_ms=500
+        ).collect()
+    )
+    assert got == batch
+    # real path present (y4m refs), stub path present (opaque video),
+    # non-video absent
+    refs = {g[0] for g in got}
+    assert any(r.startswith("y4m://") for r in refs)
+    assert "vid://opaque" in refs
+    assert "img://skip" not in refs
+
+    # late drop: only the new docs' frames are appended
+    late = spark.createDataFrame([(i,) for i in range(20, 25)],
+                                 "doc_id long")
+    media.docs_to_y4m(late).coalesce(1).write.mode("append") \
+        .parquet(in_path)
+    q2 = streaming.frames_stream(spark, in_path, out_path, ckpt)
+    q2.awaitTermination(300)
+    again = [r for r in spark.read.parquet(out_path).collect()]
+    new_refs = {r.media_ref for r in again} - refs
+    assert new_refs == {f"y4m://doc/{i}" for i in range(20, 25)}
+    # no duplicates of the old rows
+    from collections import Counter
+    counts = Counter((r.media_ref, r.frame_idx) for r in again)
+    assert max(counts.values()) == 1
