@@ -973,3 +973,100 @@ def test_spark_submit_text_index_delete_tombstones(workdir, spark):
         map(tuple, spark.read.parquet(str(workdir / "del_out3")).collect())
     )
     assert got3 == want3  # re-added doc fully live again
+
+
+def test_spark_submit_media_pipeline(workdir, spark):
+    """The media-family job under REAL spark-submit --py-files: one
+    submit over a mixed media table -> decode stats for all three
+    kinds, frame sampling (real Y4M clock + stub), exact dedup, and
+    the three perceptual near-dup families."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from dompa_spark import media, pngcodec
+
+    docs12 = spark.createDataFrame([(i,) for i in range(12)],
+                                   "doc_id long")
+    vids = media.docs_to_y4m_variants(docs12)
+    docs8 = spark.createDataFrame([(i,) for i in range(8)],
+                                  "doc_id long")
+    auds = media.docs_to_wav_variants(docs8)
+    w, h = 16, 12
+    px = bytes((j * 7) % 200 for j in range(w * h))
+    px2 = bytes(p + 1 for p in px)  # brightness pair: same dHash
+    rows = [
+        ("png://a", "image", bytearray(pngcodec.encode_png(px, w, h)),
+         "image/png", None, None, None),
+        ("png://a2", "image", bytearray(pngcodec.encode_png(px, w, h)),
+         "image/png", None, None, None),  # byte-exact dup of png://a
+        ("png://b", "image", bytearray(pngcodec.encode_png(px2, w, h)),
+         "image/png", None, None, None),
+        ("img://junk", "image", bytearray(b"junk-img"), "image/png",
+         None, None, None),
+        ("aud://junk", "audio", bytearray(b"junk-aud"), "audio/wav",
+         None, None, None),
+        ("vid://opaque", "video", bytearray(b"mp4garbage"), "video/mp4",
+         None, None, 1200),
+    ]
+    extra = spark.createDataFrame(rows, media.MEDIA_SCHEMA)
+    in_path = str(workdir / "media_tbl")
+    vids.unionByName(auds).unionByName(extra).write.mode(
+        "overwrite").parquet(in_path)
+
+    shutil.copy(
+        os.path.join(REPO, "dompa_spark", "jobs", "media_pipeline.py"),
+        os.path.join(str(workdir), "media_pipeline.py"),
+    )
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["PYSPARK_PYTHON"] = env["PYSPARK_DRIVER_PYTHON"] = sys.executable
+    proc = subprocess.run(
+        [
+            _spark_submit(),
+            "--master", "local[4]",
+            "--conf", "spark.sql.shuffle.partitions=8",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", str(workdir / "dompa_spark.zip"),
+            str(workdir / "media_pipeline.py"),
+            "--input", in_path,
+            "--output", str(workdir / "media_out"),
+            "--parts", "4",
+        ],
+        cwd=str(workdir),
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    stats = json.loads(
+        [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
+    )
+    assert stats["media"] == {"image": 4, "audio": 9, "video": 13}
+    # junk rows drop from the decode stats (strict=False), never crash
+    assert stats["decoded_images"] == 3
+    assert stats["decoded_audio"] == 8
+    assert stats["decoded_videos"] == 12
+    # frames: Y4M docs clock off the stream (nf frames at F4:1 ->
+    # nf*250 ms), the opaque mp4 off its table duration_ms
+    want_frames = 2  # vid://opaque: max(1, 1200 // 500)
+    for doc in range(12):
+        src = doc - (1 if doc % 6 == 5 else 0)
+        nf = 2 + src % 4
+        want_frames += max(1, nf * 250 // 500)
+    assert stats["frames"] == want_frames
+    assert stats["exact_dups"] == 1  # png://a2 repeats png://a's bytes
+    # identical/brightness-shifted dHashes pair all three PNGs; the
+    # engineered audio (5,6) and video (4,5),(10,11) re-renders pair
+    assert stats["near_dups"]["image"] == 3
+    pairs = {
+        (r.family, r.media_ref_a, r.media_ref_b, r.hamming)
+        for r in spark.read.parquet(
+            str(workdir / "media_out" / "near_dups")).collect()
+    }
+    assert ("audio", "wav://doc/5", "wav://doc/6", 0) in pairs
+    assert ("video", "y4m://doc/4", "y4m://doc/5", 0) in pairs
+    assert ("video", "y4m://doc/10", "y4m://doc/11", 0) in pairs
+    assert ("image", "png://a", "png://a2", 0) in pairs
+    assert ("image", "png://a", "png://b", 0) in pairs
+    # summary.json persisted next to the tables and matches stdout
+    with open(str(workdir / "media_out" / "summary.json")) as f:
+        assert json.load(f) == stats
