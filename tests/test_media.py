@@ -614,11 +614,111 @@ def test_jpeg_rejects_corruption():
     progressive[sof + 1] = 0xC2
     with pytest.raises(ValueError, match="SOF|baseline"):
         jpegcodec.decode_jpeg(bytes(progressive))
-    # 3-component SOF (color) is outside the grayscale subset
-    color = bytearray(data)
-    color[sof + 9] = 3
-    with pytest.raises(ValueError, match="component|grayscale"):
-        jpegcodec.decode_jpeg(bytes(color))
+    # 2-component SOF is outside the grayscale/YCbCr subset
+    two = bytearray(data)
+    two[sof + 9] = 2
+    with pytest.raises(ValueError, match="component count"):
+        jpegcodec.decode_jpeg(bytes(two))
+    # 3x1 luma sampling is outside the 1..2 factor subset
+    samp = bytearray(data)
+    samp[sof + 11] = 0x31
+    with pytest.raises(ValueError, match="sampling"):
+        jpegcodec.decode_jpeg(bytes(samp))
+
+
+def test_jpeg_color_roundtrip_block_constant_exact():
+    """The exactness contract extends to YCbCr: the encoder writes the
+    identical Y-plane coefficients in every sampling mode and neutral
+    (all-zero-coefficient) chroma, so block-constant images round-trip
+    bit-exactly through the interleaved-MCU decode path too."""
+    from dompa_spark import jpegcodec
+
+    for samp in [(1, 1), (2, 1), (1, 2), (2, 2)]:
+        for doc_id in range(12):
+            w, h = 8 + doc_id % 9, 8 + doc_id % 7
+            px = _block_constant(doc_id, w, h)
+            data = jpegcodec.encode_jpeg(px, w, h, color=True,
+                                         sampling=samp)
+            assert jpegcodec.decode_jpeg(data) == (w, h, px), (samp, doc_id)
+
+
+def test_jpeg_color_luma_equals_grayscale_decode():
+    """For ARBITRARY pixels the color modes must decode to exactly the
+    same luma the grayscale encoding decodes to — same Y coefficients,
+    same quant — i.e. chroma interleaving and restart resync move the
+    bitstream position without perturbing a single luma sample."""
+    import numpy as np
+
+    from dompa_spark import jpegcodec
+
+    rng = np.random.default_rng(42)
+    for trial in range(8):
+        w = int(rng.integers(1, 40))
+        h = int(rng.integers(1, 40))
+        px = rng.integers(0, 256, w * h, dtype=np.uint8).tobytes()
+        gray = jpegcodec.decode_jpeg(jpegcodec.encode_jpeg(px, w, h))
+        for samp in [(2, 2), (2, 1), (1, 1)]:
+            got = jpegcodec.decode_jpeg(jpegcodec.encode_jpeg(
+                px, w, h, color=True, sampling=samp))
+            assert got == gray, (trial, samp)
+        # and the shared ±1 intensity bound vs the source still holds
+        arr = np.frombuffer(gray[2], np.uint8).astype(int)
+        src = np.frombuffer(px, np.uint8).astype(int)
+        assert np.abs(arr - src).max() <= 1, trial
+
+
+def test_jpeg_restart_markers():
+    """DRI/RSTn: every interval boundary byte-aligns, emits the cycling
+    RST0..RST7 marker, and resets DC predictors — decode must resync
+    and reproduce the no-restart decode exactly, in both grayscale and
+    interleaved color scans (>8 intervals exercises the modulo cycle)."""
+    import numpy as np
+
+    from dompa_spark import jpegcodec
+
+    rng = np.random.default_rng(3)
+    w, h = 37, 29
+    px = rng.integers(0, 256, w * h, dtype=np.uint8).tobytes()
+    for ri in (1, 2, 7):
+        plain = jpegcodec.decode_jpeg(jpegcodec.encode_jpeg(px, w, h))
+        with_rst = jpegcodec.decode_jpeg(
+            jpegcodec.encode_jpeg(px, w, h, restart_interval=ri))
+        assert with_rst == plain, ("gray", ri)
+        plain_c = jpegcodec.decode_jpeg(jpegcodec.encode_jpeg(
+            px, w, h, color=True, sampling=(2, 2)))
+        with_rst_c = jpegcodec.decode_jpeg(jpegcodec.encode_jpeg(
+            px, w, h, color=True, sampling=(2, 2), restart_interval=ri))
+        assert with_rst_c == plain_c, ("color", ri)
+    # a wrong RSTn in sequence is corruption, not silent resync
+    data = bytearray(jpegcodec.encode_jpeg(px, w, h, restart_interval=1))
+    sos = data.find(b"\xff\xda")
+    first_rst = data.find(b"\xff\xd0", sos)
+    assert first_rst > 0
+    data[first_rst + 1] = 0xD5  # RST0 slot carries RST5
+    with pytest.raises(ValueError, match="RST"):
+        jpegcodec.decode_jpeg(bytes(data))
+
+
+def test_dhash_identical_for_png_color_jpeg_pair(spark):
+    """Cross-format perceptual identity extends to COLOR JPEG: the same
+    block-constant pixels stored as PNG and as 4:2:0 YCbCr JPEG (the
+    dominant web format) produce the identical 56-bit dHash, so
+    near-dup pairing sees through the re-encode."""
+    from dompa_spark import jpegcodec, media, pngcodec
+
+    w, h = 24, 16
+    px = _block_constant(9, w, h)
+    rows = [("png://c", bytearray(pngcodec.encode_png(px, w, h))),
+            ("jpg://c", bytearray(jpegcodec.encode_jpeg(
+                px, w, h, color=True, sampling=(2, 2),
+                restart_interval=2)))]
+    df = spark.createDataFrame(
+        [(r, "image", c, "image/x", None, None, None) for r, c in rows],
+        schema=media.MEDIA_SCHEMA,
+    )
+    hashes = {r["media_ref"]: r["dhash"]
+              for r in media.dhash_images(df).collect()}
+    assert hashes["png://c"] == hashes["jpg://c"]
 
 
 def test_jpeg_fill_bytes_and_parameterless_markers():
