@@ -1133,6 +1133,35 @@ def q_y4m_decode(spark, sf_dir):
     )
 
 
+def q_avi_decode(spark, sf_dir):
+    """Real-bytes COMPRESSED-CONTAINER video decode end-to-end: render
+    each document as a deterministic MJPEG AVI (avicodec.py — a
+    struct-only RIFF/hdrl/movi walk whose every '00dc' frame goes
+    through the from-scratch baseline-JFIF decoder; the fixture cycles
+    grayscale / 4:2:0 / 4:2:2+restart JPEG encodings inside the
+    container), then recover dimensions/framerate/frame-count/luma
+    statistics through media.decode_video — the SAME kernel the Y4M
+    path uses, dispatched on the RIFF magic. Frames are block-constant,
+    so the all-ones-quant JPEG round-trip is bit-exact and the oracle
+    predicts the decoded stats closed-form; the checksum weights by
+    global stream position, pinning frame ORDER through the container
+    walk."""
+    from dompa_spark import media
+
+    docs = _docs_par(spark, sf_dir)
+    out = media.decode_video(media.docs_to_avi(docs))
+    return out.select(
+        F.element_at(F.split("media_ref", "/"), -1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("n_frames").cast("long").alias("n_frames"),
+        "luma_sum",
+        "luma_checksum",
+    )
+
+
 def q_video_frames(spark, sf_dir):
     """REAL frame sampling end-to-end: Y4M content takes
     media.sample_frames' real path — the sample count comes from the
@@ -1851,6 +1880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_decode": q_jpeg_decode,
         "gif_decode": q_gif_decode,
         "y4m_decode": q_y4m_decode,
+        "avi_decode": q_avi_decode,
         "video_frames": q_video_frames,
         "video_near_dup": q_video_near_dup,
         "png_resize": q_png_resize,
@@ -5171,6 +5201,39 @@ def oracle_sql() -> dict[str, str]:
                      generate_series(0, nf*w*h - 1),
                      t -> ((doc_id*37 + (t // (w*h))*19 + (t % (w*h))*11)
                            % 247) * (t+1))) AS BIGINT)
+                     AS luma_checksum
+            FROM base
+        """,
+        # avi_decode: the MJPEG-AVI frames are block-constant per 8x8
+        # DCT cell (media.docs_to_avi), so the all-ones-quant JPEG
+        # round-trip is bit-exact THROUGH the RIFF container walk and
+        # the oracle predicts every decoded pixel closed-form; the
+        # checksum weights by global stream position t = f*w*h + j,
+        # pinning frame order through the movi chunk walk
+        "avi_decode": """
+            WITH base AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     8 + CAST(doc_id AS BIGINT) % 10 AS w,
+                     8 + CAST(doc_id AS BIGINT) % 6 AS h,
+                     2 + CAST(doc_id AS BIGINT) % 3 AS nf
+              FROM documents)
+            SELECT doc_id,
+                   CAST(w AS BIGINT) AS width,
+                   CAST(h AS BIGINT) AS height,
+                   CAST(nf AS BIGINT) AS n_frames,
+                   CAST(list_sum(list_transform(
+                     generate_series(0, nf*w*h - 1),
+                     t -> (doc_id*43 + (t // (w*h))*29
+                           + (((t % (w*h)) // w // 8) * ((w + 7) // 8)
+                              + ((t % (w*h)) % w) // 8) * 59)
+                          % 251)) AS BIGINT)
+                     AS luma_sum,
+                   CAST(list_sum(list_transform(
+                     generate_series(0, nf*w*h - 1),
+                     t -> ((doc_id*43 + (t // (w*h))*29
+                            + (((t % (w*h)) // w // 8) * ((w + 7) // 8)
+                               + ((t % (w*h)) % w) // 8) * 59)
+                           % 251) * (t+1))) AS BIGINT)
                      AS luma_checksum
             FROM base
         """,

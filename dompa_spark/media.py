@@ -27,7 +27,7 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from . import gifcodec, jpegcodec, pngcodec, wavcodec, y4mcodec
+from . import avicodec, gifcodec, jpegcodec, pngcodec, wavcodec, y4mcodec
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -116,6 +116,30 @@ def _decode_image(content: bytes) -> tuple:
     raise ValueError("unrecognized image magic (not PNG, JPEG, or GIF)")
 
 
+def _video_magic(content: bytes) -> bool:
+    return (
+        content[: len(y4mcodec.Y4M_MAGIC)] == y4mcodec.Y4M_MAGIC
+        or avicodec.is_avi(content)
+    )
+
+
+def _decode_video_stream(
+    content: bytes,
+) -> tuple[int, int, int, int, list[bytes]]:
+    """Magic-dispatched video decode -> (w, h, fps_num, fps_den,
+    luma_frames): the YUV4MPEG2 magic routes to the raw-plane Y4M codec,
+    the RIFF/AVI magic to the MJPEG container walk (avicodec.py — every
+    frame through the from-scratch JPEG decoder). Everything else
+    (interframe-coded containers: mp4/webm/...) raises ValueError so
+    callers' strict/skip policy applies uniformly, exactly like
+    _decode_image."""
+    if content[: len(y4mcodec.Y4M_MAGIC)] == y4mcodec.Y4M_MAGIC:
+        return y4mcodec.decode_y4m(content)
+    if avicodec.is_avi(content):
+        return avicodec.decode_avi(content)
+    raise ValueError("unrecognized video magic (not Y4M or MJPEG AVI)")
+
+
 def _decode_stub(content: bytes, kind: str, strict: bool):
     """Decode dispatch: PNG/JPEG/GIF bytes of an image row hit the real
     from-scratch codecs and return (width, height, pixels); everything
@@ -188,9 +212,9 @@ def featurize_media(df: DataFrame, strict: bool = False) -> DataFrame:
                         continue
                     except ValueError:
                         pass  # broken RIFF -> stub/fake path below
-                if content[: len(y4mcodec.Y4M_MAGIC)] == y4mcodec.Y4M_MAGIC:
+                if _video_magic(content):
                     try:
-                        w, h, _fn, _fd, frames = y4mcodec.decode_y4m(
+                        w, h, _fn, _fd, frames = _decode_video_stream(
                             content)
                         # intensity histogram over the whole stream's
                         # luma bytes — real pixels, same recipe as images
@@ -198,7 +222,7 @@ def featurize_media(df: DataFrame, strict: bool = False) -> DataFrame:
                             w, h * len(frames), b"".join(frames)))
                         continue
                     except ValueError:
-                        pass  # broken Y4M -> stub/fake path below
+                        pass  # broken Y4M/AVI -> stub/fake path below
 
                 try:
                     decoded = _decode_stub(content, kind, strict)
@@ -238,13 +262,14 @@ def _luma_thumb(luma: bytes, w: int, h: int) -> bytes:
 
 def sample_frames(df: DataFrame, every_ms: int = 1000,
                   strict: bool = False) -> DataFrame:
-    """video rows -> one row per sampled frame. Y4M content takes the
-    REAL path (y4mcodec.py): frames decode from the stream, the sample
-    count comes from the stream-intrinsic duration (n_frames/fps — a
-    real video carries its own clock; the table's duration_ms column is
+    """video rows -> one row per sampled frame. Y4M and MJPEG-AVI
+    content take the REAL path (y4mcodec.py / avicodec.py, dispatched
+    on magic): frames decode from the stream, the sample count comes
+    from the stream-intrinsic duration (n_frames/fps — a real video
+    carries its own clock; the table's duration_ms column is
     metadata), the frame at each timestamp is picked by the stream's
     framerate, and the thumb is a real 4x4 nearest-neighbor luma
-    thumbnail. Compressed containers stay on the honest stub path
+    thumbnail. Interframe-coded containers stay on the honest stub path
     (deterministic sha-derived 16-byte token per frame; the sandbox
     ships no codec libraries) keyed off the table's duration_ms. Output
     explodes ~duration/every_ms rows per video — the batch shape
@@ -261,10 +286,11 @@ def sample_frames(df: DataFrame, every_ms: int = 1000,
                 if kind != "video":
                     continue
                 content = bytes(content) if content is not None else b""
-                if content[: len(y4mcodec.Y4M_MAGIC)] == y4mcodec.Y4M_MAGIC:
+                if _video_magic(content):
                     # real path: decode, sample by the stream's own clock
                     try:
-                        w, h, fn, fd, frames = y4mcodec.decode_y4m(content)
+                        w, h, fn, fd, frames = _decode_video_stream(
+                            content)
                     except ValueError:
                         if strict:
                             raise
@@ -434,13 +460,14 @@ VIDEO_STATS_SCHEMA = StructType(
 
 
 def decode_video(df: DataFrame, strict: bool = True) -> DataFrame:
-    """(MEDIA_SCHEMA rows with Y4M content) -> per-video decoded-luma
-    statistics via the REAL Y4M codec (Arrow-batched). luma_checksum =
-    sum(pixel_j * (j+1)) over the whole stream's row-major luma bytes in
-    frame order — position- AND frame-order-sensitive, so any frame
-    skip/reorder or plane-offset mistake shows. strict=True raises on
-    undecodable bytes; strict=False drops them (compressed containers
-    the sandbox can't decode fall out here, by design)."""
+    """(MEDIA_SCHEMA rows with Y4M or MJPEG-AVI content) -> per-video
+    decoded-luma statistics via the REAL video codecs (magic-dispatched,
+    Arrow-batched). luma_checksum = sum(pixel_j * (j+1)) over the whole
+    stream's row-major luma bytes in frame order — position- AND
+    frame-order-sensitive, so any frame skip/reorder or plane-offset
+    mistake shows. strict=True raises on undecodable bytes;
+    strict=False drops them (interframe-coded containers the sandbox
+    can't decode fall out here, by design)."""
     import pandas as pd
 
     def _iter(batches: Iterator["pd.DataFrame"]):
@@ -450,7 +477,7 @@ def decode_video(df: DataFrame, strict: bool = True) -> DataFrame:
             for ref, content in zip(pdf["media_ref"], pdf["content"]):
                 content = bytes(content) if content is not None else b""
                 try:
-                    w, h, fn, fd, frames = y4mcodec.decode_y4m(content)
+                    w, h, fn, fd, frames = _decode_video_stream(content)
                 except ValueError:
                     if strict:
                         raise
@@ -864,6 +891,71 @@ def docs_to_y4m_variants(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(_iter, schema=MEDIA_SCHEMA)
 
 
+def docs_to_avi(docs: DataFrame) -> DataFrame:
+    """Render each document row as a deterministic MJPEG AVI
+    (MEDIA_SCHEMA). Every frame is a baseline JPEG CONSTANT within each
+    8x8 DCT block, so with avicodec's default all-ones quantization the
+    container round-trip is bit-exact (jpegcodec.py exactness contract
+    carried through the RIFF walk) and the SQL oracle predicts every
+    decoded pixel closed-form:
+        w = 8 + doc_id % 10,  h = 8 + doc_id % 6,  bw = (w + 7) // 8
+        n_frames = 2 + doc_id % 3,  F4:1 (250 ms/frame)
+        pixel(f, x, y) = (doc_id*43 + f*29 + ((y//8)*bw + x//8)*59) % 251
+    doc_id%3 cycles the JPEG encodings inside the container (grayscale /
+    4:2:0 color / 4:2:2 color with restart markers every 2 MCUs) — the
+    luma plane is identical across all three, so the oracle is
+    mode-blind while the decode exercises every scan shape. Moduli and
+    multipliers differ from the other media fixtures so a silently
+    swapped format mismatches its oracle. The table's duration_ms
+    deliberately DISAGREES with the stream (8888): the real
+    sample_frames path must clock off the container's own n_frames/fps."""
+    import pandas as pd
+
+    def _iter(batches: Iterator["pd.DataFrame"]):
+        for pdf in batches:
+            refs, contents = [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w = 8 + doc_id % 10
+                h = 8 + doc_id % 6
+                nf = 2 + doc_id % 3
+                bw = (w + 7) // 8
+                j = np.arange(w * h, dtype=np.int64)
+                blk = (j // w // 8) * bw + (j % w) // 8
+                # exact Python-int reduction first (full-range 64-bit
+                # surrogate ids would overflow int64 under doc_id*43)
+                base = (doc_id * 43) % 251
+                frames = [
+                    ((base + f * 29 + blk * 59) % 251)
+                    .astype(np.uint8).tobytes()
+                    for f in range(nf)
+                ]
+                mode = doc_id % 3
+                kwargs = (
+                    {} if mode == 0
+                    else {"color": True, "sampling": (2, 2)} if mode == 1
+                    else {"color": True, "sampling": (2, 1),
+                          "restart_interval": 2}
+                )
+                refs.append(f"avi://doc/{doc_id}")
+                contents.append(
+                    avicodec.encode_avi(frames, w, h, fps_num=4, **kwargs))
+            yield pd.DataFrame(
+                {
+                    "media_ref": refs,
+                    "kind": ["video"] * len(refs),
+                    "content": contents,
+                    "mime": ["video/x-msvideo"] * len(refs),
+                    "width": pd.array([None] * len(refs), dtype="Int32"),
+                    "height": pd.array([None] * len(refs), dtype="Int32"),
+                    "duration_ms": pd.array([8888] * len(refs),
+                                            dtype="Int64"),
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(_iter, schema=MEDIA_SCHEMA)
+
+
 # dHash geometry: sample a 9x7 pixel grid (nearest-neighbor, the
 # resize_images resampling rule), emit one horizontal-gradient bit per
 # adjacent column pair -> 8x7 = 56 bits. 56 keeps the hash a
@@ -1106,9 +1198,10 @@ def audio_fingerprint(df: DataFrame, strict: bool = True) -> DataFrame:
 
 
 def video_fingerprint(df: DataFrame, strict: bool = True) -> DataFrame:
-    """(MEDIA_SCHEMA rows with Y4M content) -> (media_ref, vfp): a
-    56-bit video fingerprint over the REAL decoded luma stream in frame
-    order — the same 57-window sign-of-delta recipe as
+    """(MEDIA_SCHEMA rows with Y4M or MJPEG-AVI content) ->
+    (media_ref, vfp): a 56-bit video fingerprint over the REAL decoded
+    luma stream in frame order — the same 57-window sign-of-delta
+    recipe as
     audio_fingerprint, applied to the concatenated frames' bytes.
     Integer window sums keep the oracle exact; sign-of-delta makes the
     fingerprint invariant to a global brightness offset whenever
@@ -1127,7 +1220,7 @@ def video_fingerprint(df: DataFrame, strict: bool = True) -> DataFrame:
             for ref, content in zip(pdf["media_ref"], pdf["content"]):
                 content = bytes(content) if content is not None else b""
                 try:
-                    _w, _h, _fn, _fd, frames = y4mcodec.decode_y4m(
+                    _w, _h, _fn, _fd, frames = _decode_video_stream(
                         content)
                 except ValueError:
                     if strict:

@@ -1235,3 +1235,233 @@ def test_docs_to_y4m_variants_engineered_pairs(spark):
     got = sorted((p.doc_id_a, p.doc_id_b, p.hamming)
                  for p in pairs.collect())
     assert got == [(4, 5, 0), (10, 11, 0)]
+
+
+# ---------------------------------------------------------------------
+# MJPEG-AVI container codec (avicodec.py — RIFF walk + per-frame JPEG)
+
+
+def _avi_frames(doc_id):
+    """The docs_to_avi fixture: (w, h, [block-constant frame bytes])."""
+    w = 8 + doc_id % 10
+    h = 8 + doc_id % 6
+    nf = 2 + doc_id % 3
+    bw = (w + 7) // 8
+    frames = [
+        bytes(
+            (doc_id * 43 + f * 29 + ((j // w // 8) * bw
+                                     + (j % w) // 8) * 59) % 251
+            for j in range(w * h)
+        )
+        for f in range(nf)
+    ]
+    return w, h, frames
+
+
+def test_avi_roundtrip_fixture_exact():
+    """The exactness contract the avi_decode oracle relies on:
+    block-constant JPEG frames round-trip bit-exactly through the RIFF
+    container in every encoding mode the fixture cycles."""
+    from dompa_spark import avicodec
+
+    for doc_id in range(9):
+        w, h, frames = _avi_frames(doc_id)
+        mode = doc_id % 3
+        kwargs = (
+            {} if mode == 0
+            else {"color": True, "sampling": (2, 2)} if mode == 1
+            else {"color": True, "sampling": (2, 1), "restart_interval": 2}
+        )
+        data = avicodec.encode_avi(frames, w, h, fps_num=4, **kwargs)
+        assert avicodec.is_avi(data)
+        assert avicodec.decode_avi(data) == (w, h, 4, 1, frames), doc_id
+
+
+def test_avi_differential_vs_bare_jpeg():
+    """The container adds no loss: decode_avi on arbitrary frames
+    yields exactly the per-frame bare-JPEG round-trip, frame for frame
+    (the RIFF walk's only job is framing + order)."""
+    import random
+
+    from dompa_spark import avicodec, jpegcodec
+
+    rng = random.Random(4242)
+    w, h = 21, 13
+    frames = [
+        bytes(rng.randrange(256) for _ in range(w * h)) for _ in range(4)
+    ]
+    data = avicodec.encode_avi(frames, w, h, fps_num=25, fps_den=2)
+    gw, gh, fn, fd, got = avicodec.decode_avi(data)
+    assert (gw, gh, fn, fd) == (w, h, 25, 2)
+    want = [
+        jpegcodec.decode_jpeg(jpegcodec.encode_jpeg(f, w, h))[2]
+        for f in frames
+    ]
+    assert got == want
+    # lossy but bounded: +/-1 per pixel vs the source
+    for src, out in zip(frames, got):
+        assert max(abs(a - b) for a, b in zip(src, out)) <= 1
+
+
+def test_avi_rec_list_blank_handler_and_fps_fallback():
+    """Spec corners other writers emit: frames grouped under a 'rec '
+    LIST decode in order; a blank fccHandler with MJPG biCompression is
+    accepted; zeroed strh scale/rate falls back to the avih
+    microseconds-per-frame period."""
+    import struct as _struct
+
+    from dompa_spark import avicodec
+
+    w, h, frames = _avi_frames(3)
+    data = avicodec.encode_avi(frames, w, h, fps_num=4)
+
+    # wrap every 00dc chunk in one rec LIST
+    movi_at = data.find(b"LIST", 12)
+    while data[movi_at + 8 : movi_at + 12] != b"movi":
+        movi_at = data.find(b"LIST", movi_at + 4)
+    (movi_size,) = _struct.unpack_from("<I", data, movi_at + 4)
+    body = data[movi_at + 12 : movi_at + 8 + movi_size]
+    rec = b"LIST" + _struct.pack("<I", 4 + len(body)) + b"rec " + body
+    rebuilt = bytearray(
+        data[: movi_at + 4]
+        + _struct.pack("<I", 4 + len(rec))
+        + b"movi"
+        + rec
+        + data[movi_at + 8 + movi_size :]
+    )
+    riff_size = len(rebuilt) - 8
+    rebuilt[4:8] = _struct.pack("<I", riff_size)
+    assert avicodec.decode_avi(bytes(rebuilt))[4] == frames
+
+    # blank handler + zero scale/rate -> avih usec/frame (250000 = F4:1)
+    strh_at = data.find(b"strh")
+    mutated = bytearray(data)
+    mutated[strh_at + 12 : strh_at + 16] = b"\x00" * 4  # fccHandler
+    mutated[strh_at + 28 : strh_at + 36] = b"\x00" * 8  # dwScale, dwRate
+    got = avicodec.decode_avi(bytes(mutated))
+    assert got[2:4] == (1_000_000, 250_000)
+    assert got[4] == frames
+
+
+def test_avi_rejects_unsupported():
+    """Refusal surface: every malformed/out-of-scope container raises
+    ValueError (the media kernels' strict/skip contract)."""
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from dompa_spark import avicodec, jpegcodec
+
+    w, h, frames = _avi_frames(1)
+    good = avicodec.encode_avi(frames, w, h, fps_num=4)
+
+    with _pytest.raises(ValueError, match="magic"):
+        avicodec.decode_avi(b"RIFX" + good[4:])
+    with _pytest.raises(ValueError, match="magic"):
+        avicodec.decode_avi(good[:8] + b"WAVE" + good[12:])
+    with _pytest.raises(ValueError):
+        avicodec.decode_avi(good[:-10])  # truncated idx1 chunk
+    # vids -> auds: no video stream at all
+    strh_at = good.find(b"strh")
+    no_vids = bytearray(good)
+    no_vids[strh_at + 8 : strh_at + 12] = b"auds"
+    with _pytest.raises(ValueError, match="no video stream"):
+        avicodec.decode_avi(bytes(no_vids))
+    # non-MJPG compression refuses
+    h264 = good.replace(b"MJPG", b"H264")
+    with _pytest.raises(ValueError, match="MJPG"):
+        avicodec.decode_avi(h264)
+    # uncompressed DIB frames refuse
+    dib = good.replace(b"00dc", b"00db", 1)
+    with _pytest.raises(ValueError, match="DIB"):
+        avicodec.decode_avi(dib)
+    # dimension drift across frames refuses: splice a wrong-size JPEG
+    # into the first 00dc chunk (same byte length, different SOF dims)
+    jpg_ok = jpegcodec.encode_jpeg(frames[0], w, h)
+    other = jpegcodec.encode_jpeg(bytes((w - 1) * (h + 1)), w - 1, h + 1)
+    if len(other) <= len(jpg_ok):
+        padded = other[:-2] + b"\xff\x01" * (
+            (len(jpg_ok) - len(other)) // 2) + other[-2:]
+        if len(padded) == len(jpg_ok):
+            dc_at = good.find(b"00dc")
+            drift = good[: dc_at + 8] + padded + good[dc_at + 8
+                                                      + len(jpg_ok):]
+            with _pytest.raises(ValueError, match="strf|drift"):
+                avicodec.decode_avi(drift)
+    # frames must match the advertised strf geometry
+    strf_at = good.find(b"strf")
+    wrong_geo = bytearray(good)
+    wrong_geo[strf_at + 12 : strf_at + 16] = _struct.pack("<i", w + 1)
+    with _pytest.raises(ValueError, match="strf"):
+        avicodec.decode_avi(bytes(wrong_geo))
+
+
+def test_decode_video_dispatches_avi_and_y4m(spark):
+    """One decode_video call over a MIXED corpus (Y4M rows + MJPEG-AVI
+    rows) recovers each stream's exact luma statistics through its own
+    codec — the magic dispatch the crawl-shaped table needs."""
+    from dompa_spark import media
+
+    docs = spark.createDataFrame([(i,) for i in range(4)], "doc_id long")
+    mixed = media.docs_to_avi(docs).unionByName(media.docs_to_y4m(docs))
+    got = {r.media_ref: r for r in media.decode_video(mixed).collect()}
+    assert len(got) == 8
+    for doc_id in range(4):
+        w, h, frames = _avi_frames(doc_id)
+        r = got[f"avi://doc/{doc_id}"]
+        stream = b"".join(frames)
+        assert (r.width, r.height, r.n_frames) == (w, h, len(frames))
+        assert (r.fps_num, r.fps_den) == (4, 1)
+        assert r.luma_sum == sum(stream)
+        assert r.luma_checksum == sum(
+            p * (t + 1) for t, p in enumerate(stream))
+        yw, yh, yframes = _y4m_frames(doc_id)
+        ry = got[f"y4m://doc/{doc_id}"]
+        assert (ry.width, ry.height, ry.n_frames) == (yw, yh, len(yframes))
+
+
+def test_sample_frames_avi_clocks_off_container(spark):
+    """AVI rows take sample_frames' REAL path: the fixture's wrong
+    duration_ms=8888 is ignored (the container's n_frames/fps is the
+    clock) and each thumb is the actual 4x4 luma sample of the decoded
+    JPEG frame."""
+    from dompa_spark import media
+
+    docs = spark.createDataFrame([(i,) for i in range(5)], "doc_id long")
+    out = media.sample_frames(media.docs_to_avi(docs), every_ms=250)
+    by_doc = {}
+    for r in out.collect():
+        doc_id = int(r.media_ref.rsplit("/", 1)[1])
+        by_doc.setdefault(doc_id, []).append(r)
+    for doc_id in range(5):
+        w, h, frames = _avi_frames(doc_id)
+        got = sorted(by_doc[doc_id], key=lambda r: r.frame_idx)
+        assert len(got) == len(frames)  # nf, not 8888//250
+        for k, r in enumerate(got):
+            assert r.ts_ms == k * 250
+            want = bytes(
+                frames[k][(ty * h // 4) * w + (tx * w // 4)]
+                for ty in range(4) for tx in range(4)
+            )
+            assert bytes(r.thumb) == want, (doc_id, k)
+
+
+def test_video_fingerprint_cross_container_y4m_avi(spark):
+    """The SAME pixels through different containers (raw Y4M vs
+    block-constant MJPEG AVI — lossless in both) fingerprint
+    IDENTICALLY, so the banded pairer finds the cross-container pair:
+    the near-dup story byte-exact media_dedup cannot see."""
+    from dompa_spark import avicodec, media, y4mcodec
+
+    w, h, frames = _avi_frames(2)  # block-constant -> AVI is lossless
+    rows = [
+        ("y4m://x", bytearray(y4mcodec.encode_y4m(frames, w, h))),
+        ("avi://x", bytearray(avicodec.encode_avi(frames, w, h))),
+    ]
+    df = spark.createDataFrame(rows, "media_ref string, content binary")
+    fp = media.video_fingerprint(df)
+    got = {r.media_ref: r.vfp for r in fp.collect()}
+    assert got["y4m://x"] == got["avi://x"]
+    pairs = media.media_near_dup(fp, hash_col="vfp").collect()
+    assert [(p.media_ref_a, p.media_ref_b, p.hamming)
+            for p in pairs] == [("avi://x", "y4m://x", 0)]
