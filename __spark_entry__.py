@@ -1056,16 +1056,18 @@ def q_png_decode(spark, sf_dir):
 
 def q_jpeg_decode(spark, sf_dir):
     """Real-bytes JPEG decode end-to-end: render each document as a
-    deterministic baseline JFIF cycling the formats a crawl mixes —
-    grayscale, 4:2:0 YCbCr, 4:2:2 YCbCr with restart markers (doc_id%3;
-    all carry the same block-constant luma, so the all-ones-quant
-    round-trip is bit-exact — jpegcodec.py exactness contract) — then
-    recover width/height/pixel statistics through the from-scratch
-    Huffman+IDCT decoder inside the same Arrow kernel the PNG path uses
-    (media.decode_images dispatches on magic bytes). Oracle is
-    closed-form: pixel(x,y) is a function of doc_id alone, identical
-    across the three encodings, so DuckDB predicts the decoded stats
-    without any decoder."""
+    deterministic JFIF cycling the formats a crawl mixes — grayscale
+    baseline, 4:2:0 YCbCr, 4:2:2 YCbCr with restart markers, and
+    PROGRESSIVE 4:2:0 (SOF2 spectral selection + successive
+    approximation) (doc_id%4; all carry the same block-constant luma,
+    so the all-ones-quant round-trip is bit-exact — jpegcodec.py
+    exactness contract, and progressive conveys the exact baseline
+    coefficients) — then recover width/height/pixel statistics through
+    the from-scratch Huffman+IDCT decoder inside the same Arrow kernel
+    the PNG path uses (media.decode_images dispatches on magic bytes).
+    Oracle is closed-form: pixel(x,y) is a function of doc_id alone,
+    identical across the four encodings, so DuckDB predicts the
+    decoded stats without any decoder."""
     from dompa_spark import media
 
     docs = _docs_par(spark, sf_dir)
@@ -5129,10 +5131,10 @@ def oracle_sql() -> dict[str, str]:
         # jpeg_decode: the JPEG payload is block-constant per 8x8 DCT
         # cell (media.docs_to_jpeg), which with all-ones quantization
         # round-trips bit-exactly in every encoding the fixture cycles
-        # (grayscale / 4:2:0 color / 4:2:2 color + restarts) — so the
-        # oracle predicts the decoded pixels closed-form; any
-        # Huffman/dequant/IDCT/crop/MCU-interleave/RST-resync bug
-        # mismatches
+        # (grayscale / 4:2:0 color / 4:2:2 color + restarts /
+        # progressive 4:2:0) — so the oracle predicts the decoded
+        # pixels closed-form; any Huffman/dequant/IDCT/crop/
+        # MCU-interleave/RST-resync/progressive-scan bug mismatches
         "jpeg_decode": """
             WITH base AS (
               SELECT CAST(doc_id AS BIGINT) AS doc_id,

@@ -1,4 +1,5 @@
-"""From-scratch baseline JPEG codec (struct + numpy), luma-plane output.
+"""From-scratch JPEG codec (struct + numpy), baseline + progressive,
+luma-plane output.
 
 Third real-bytes decode path for the multimodal column family (VERDICT
 r04 item 3): real web images are overwhelmingly JPEG, so the image
@@ -11,15 +12,24 @@ Huffman decode with 0xFF00 byte-unstuffing, restart-marker (RSTn)
 resync, interleaved-MCU traversal with sampling factors,
 dequantization, de-zigzag, float64 IDCT, level shift, clamp.
 
-Scope: baseline sequential DCT (SOF0), 8-bit, one component
+Scope: baseline sequential DCT (SOF0) AND progressive DCT (SOF2 —
+spectral selection + successive approximation per ITU T.81 Annex G,
+the other encoding web JPEGs actually use), 8-bit, one component
 (grayscale) or three components (JFIF YCbCr — the dominant web
 format) with luma sampling factors 1..2 each way (covers 4:4:4, 4:2:2,
 4:4:0, 4:2:0), restart intervals. The pipeline's image contract is
 grayscale, so a color JPEG decodes to its LUMA plane: chroma blocks
 are entropy-decoded (the bitstream demands it) but never dequantized
-or transformed. Progressive/arithmetic coding, 16-bit precision,
-luma-subsampled-below-chroma frames, and 2/4-component frames raise
-ValueError (callers route those to the stub path).
+or transformed. Arithmetic coding, 16-bit precision, hierarchical /
+lossless frames, luma-subsampled-below-chroma frames, and 2/4-component
+frames raise ValueError (callers route those to the stub path).
+
+Progressive correctness contract: the scan sequence conveys exactly
+the quantized coefficients — DC via two's-complement arithmetic-shift
+successive approximation, AC via sign-magnitude shifts with EOB-run
+coding and correction-bit refinement (T.81 G.1.2) — so a progressive
+encoding decodes BIT-IDENTICALLY to the baseline encoding of the same
+pixels with the same quantization table (differentially tested).
 
 Huffman tables are the public ITU T.81 Annex K luminance + chrominance
 tables; the encoder embeds them in DHT and the decoder always builds
@@ -115,6 +125,22 @@ CHROMA_AC_VALS = [
     0xF9, 0xFA,
 ]
 
+# Progressive AC Huffman spec: the Annex-K baseline AC tables carry
+# only EOB0 (0x00) and ZRL (0xF0) among the size-0 symbols, but
+# progressive AC scans also emit EOBn run symbols 0x10..0xE0 (T.81
+# G.1.2.2) — progressive encoders therefore define their own tables.
+# Ours is the simplest valid canonical spec: all 176 symbols the
+# progressive AC grammar can produce (EOB0..EOB14, ZRL, every
+# run/size pair) at a flat 8-bit code length, leaving the all-ones
+# codeword unassigned as T.81 C.2 requires. The decoder always builds
+# tables from the stream's DHT, so interop is by construction.
+PROG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0]
+PROG_AC_VALS = (
+    [r << 4 for r in range(15)]  # EOB0..EOB14
+    + [0xF0]  # ZRL
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+
 # orthonormal 8-point DCT-II matrix: coefs = M @ block @ M.T,
 # block = M.T @ coefs @ M; DC of a constant block c is exactly 8c
 _M = np.zeros((8, 8))
@@ -179,6 +205,16 @@ def _category(v: int) -> int:
     return abs(v).bit_length()
 
 
+def _block_zz(blk: "np.ndarray", qz: "np.ndarray") -> "np.ndarray":
+    """One 8x8 pixel block -> quantized zigzag coefficients (int64).
+    Shared by the baseline and progressive encoders — the float DCT
+    summation ORDER must be identical between them, or np.rint ties at
+    *.5 land on different integers and progressive stops being
+    bit-identical to baseline."""
+    coefs = _M @ (blk.astype(np.float64) - 128.0) @ _M.T
+    return np.rint(coefs.reshape(-1)[ZIGZAG] / qz).astype(np.int64)
+
+
 def _encode_block(
     w: _BitWriter,
     zz: "np.ndarray",
@@ -220,6 +256,315 @@ def _dht_segment(tc_th: int, bits: list[int], vals: list[int]) -> bytes:
             + bytes([tc_th]) + bytes(bits) + bytes(vals))
 
 
+# --- progressive (SOF2) encoder: T.81 Annex G scan emission ----------
+#
+# The scan script below is the conventional web shape (what cjpeg's
+# -progressive emits, re-derived from the spec): an interleaved DC
+# first scan at Al=1, per-component AC first scans split into a low
+# band and the tail at Al=2, two AC refinement passes down to Al=0,
+# and a DC refinement bit. Chroma (neutral in our encoder) gets one
+# full-band AC scan at Al=0.
+
+_PROG_EOBRUN_MAX = 0x7FFF  # largest EOB run one EOBn symbol can carry
+
+
+class _ProgACState:
+    """Pending EOB run + buffered correction bits shared across blocks
+    within one AC scan (T.81 G.1.2.2-3: correction bits for
+    already-nonzero coefficients ride the next emitted symbol)."""
+
+    def __init__(self) -> None:
+        self.eobrun = 0
+        self.bits: list[int] = []
+
+    def flush(self, w: _BitWriter, ac_codes: dict) -> None:
+        if self.eobrun:
+            r = self.eobrun.bit_length() - 1
+            ln, code = ac_codes[r << 4]
+            w.put(code, ln)
+            if r:
+                w.put(self.eobrun - (1 << r), r)
+            self.eobrun = 0
+        for b in self.bits:
+            w.put(b, 1)
+        self.bits = []
+
+
+def _sos_segment(scan_comps: list[tuple[int, int, int]],
+                 ss: int, se: int, ah: int, al: int) -> bytes:
+    body = bytes([len(scan_comps)])
+    for cid, dc_id, ac_id in scan_comps:
+        body += bytes([cid, (dc_id << 4) | ac_id])
+    body += bytes([ss, se, (ah << 4) | al])
+    return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
+
+
+def _prog_restart(w: _BitWriter, rst: int,
+                  st: "_ProgACState | None", ac_codes: dict | None) -> int:
+    """Flush pending AC state, byte-align, emit the next RSTn."""
+    if st is not None:
+        st.flush(w, ac_codes)
+    w.align()
+    w.raw(bytes([0xFF, 0xD0 + rst]))
+    return (rst + 1) & 7
+
+
+def _encode_dc_scan(
+    grids: list["np.ndarray"],
+    hvs: list[tuple[int, int]],
+    dc_codes: list[dict],
+    al: int,
+    ah: int,
+    restart_interval: int,
+) -> bytes:
+    """Interleaved DC scan over every component's (padded) block grid:
+    first pass (ah == 0) diff-codes the arithmetic-shifted DC, the
+    refinement pass emits one raw bit per block (T.81 G.1.2.1)."""
+    w = _BitWriter()
+    mcus_y = grids[0].shape[0] // hvs[0][1]
+    mcus_x = grids[0].shape[1] // hvs[0][0]
+    preds = [0] * len(grids)
+    rst = 0
+    mcu_i = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                rst = _prog_restart(w, rst, None, None)
+                preds = [0] * len(grids)
+            mcu_i += 1
+            for ci, (hs, vs) in enumerate(hvs):
+                for v_i in range(vs):
+                    for h_i in range(hs):
+                        dc = int(grids[ci][my * vs + v_i, mx * hs + h_i, 0])
+                        if ah:
+                            w.put((dc >> al) & 1, 1)
+                            continue
+                        t = dc >> al  # two's-complement arithmetic shift
+                        diff = t - preds[ci]
+                        preds[ci] = t
+                        s = _category(diff)
+                        ln, code = dc_codes[ci][s]
+                        w.put(code, ln)
+                        if s:
+                            w.put(
+                                diff if diff >= 0
+                                else diff + (1 << s) - 1, s)
+    return w.flush()
+
+
+def _encode_ac_first_scan(
+    grid: "np.ndarray",
+    bh: int,
+    bw: int,
+    ac_codes: dict,
+    ss: int,
+    se: int,
+    al: int,
+    restart_interval: int,
+) -> bytes:
+    """Non-interleaved AC first scan over the REAL block dims of one
+    component: magnitude-shifted coefficients with ZRL + EOB-run
+    coding (T.81 G.1.2.2)."""
+    w = _BitWriter()
+    st = _ProgACState()
+    rst = 0
+    mcu_i = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                rst = _prog_restart(w, rst, st, ac_codes)
+            mcu_i += 1
+            zz = grid[by, bx]
+            run = 0
+            for k in range(ss, se + 1):
+                v = int(zz[k])
+                t = (v if v >= 0 else -v) >> al
+                if t == 0:
+                    run += 1
+                    continue
+                st.flush(w, ac_codes)
+                while run > 15:
+                    ln, code = ac_codes[0xF0]  # ZRL
+                    w.put(code, ln)
+                    run -= 16
+                s = t.bit_length()
+                ln, code = ac_codes[(run << 4) | s]
+                w.put(code, ln)
+                w.put(t if v >= 0 else (-t) + (1 << s) - 1, s)
+                run = 0
+            if run:
+                st.eobrun += 1
+                if st.eobrun == _PROG_EOBRUN_MAX:
+                    st.flush(w, ac_codes)
+    st.flush(w, ac_codes)
+    return w.flush()
+
+
+def _encode_ac_refine_scan(
+    grid: "np.ndarray",
+    bh: int,
+    bw: int,
+    ac_codes: dict,
+    ss: int,
+    se: int,
+    al: int,
+    restart_interval: int,
+) -> bytes:
+    """Non-interleaved AC refinement scan (T.81 G.1.2.3): newly-nonzero
+    coefficients (shifted magnitude exactly 1) get run-coded symbols +
+    sign bits; already-nonzero ones contribute buffered correction
+    bits that ride the next symbol or EOB-run flush."""
+    w = _BitWriter()
+    st = _ProgACState()
+    rst = 0
+    mcu_i = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                rst = _prog_restart(w, rst, st, ac_codes)
+            mcu_i += 1
+            zz = grid[by, bx]
+            absv = []
+            eob = ss - 1  # position of the LAST newly-nonzero coef
+            for k in range(ss, se + 1):
+                v = int(zz[k])
+                t = (v if v >= 0 else -v) >> al
+                absv.append(t)
+                if t == 1:
+                    eob = k
+            # bit-order contract (what the decoder's sweep consumes):
+            # EOBn symbol, then the bits attached to the run (st.bits —
+            # the covered blocks' correction bits), then the next
+            # symbol, then the CURRENT block's bits buffered since the
+            # last symbol (br). Conflating st.bits and br would emit
+            # the current block's corrections before its symbol.
+            run = 0
+            br: list[int] = []
+            for k in range(ss, se + 1):
+                t = absv[k - ss]
+                if t == 0:
+                    run += 1
+                    continue
+                while run > 15 and k <= eob:
+                    st.flush(w, ac_codes)
+                    ln, code = ac_codes[0xF0]  # ZRL
+                    w.put(code, ln)
+                    run -= 16
+                    for b in br:
+                        w.put(b, 1)
+                    br = []
+                if t > 1:
+                    # history coefficient: buffer its correction bit
+                    br.append(t & 1)
+                    continue
+                st.flush(w, ac_codes)
+                ln, code = ac_codes[(run << 4) | 1]
+                w.put(code, ln)
+                w.put(1 if int(zz[k]) >= 0 else 0, 1)
+                for b in br:
+                    w.put(b, 1)
+                br = []
+                run = 0
+            if run or br:
+                st.eobrun += 1
+                st.bits.extend(br)
+                if st.eobrun == _PROG_EOBRUN_MAX:
+                    st.flush(w, ac_codes)
+    st.flush(w, ac_codes)
+    return w.flush()
+
+
+def _encode_progressive(
+    padded: "np.ndarray",
+    width: int,
+    height: int,
+    q: list[int],
+    qz: "np.ndarray",
+    hs: int,
+    vs: int,
+    mcus_x: int,
+    mcus_y: int,
+    color: bool,
+    restart_interval: int,
+) -> bytes:
+    """Assemble the SOF2 file: quantized coefficient grids once, then
+    the Annex-G scan script (module comment above) over them."""
+    bh, bw = mcus_y * vs, mcus_x * hs
+    zzg = np.empty((bh, bw, 64), np.int64)
+    for by in range(bh):
+        for bx in range(bw):
+            zzg[by, bx] = _block_zz(
+                padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8], qz)
+
+    grids = [zzg]
+    hvs = [(hs, vs)]
+    dc_codes = [_build_codes(DC_BITS, DC_VALS)]
+    ac_prog = _build_codes(PROG_AC_BITS, PROG_AC_VALS)
+    # real (non-interleaved) block dims: luma carries hmax x vmax, so
+    # its real dims are ceil(w/8) x ceil(h/8); chroma divides by the
+    # luma sampling factors first (T.81 A.1.1)
+    real = [((height + 7) // 8, (width + 7) // 8)]
+    if color:
+        zero = np.zeros((mcus_y, mcus_x, 64), np.int64)
+        grids += [zero, zero]
+        hvs += [(1, 1), (1, 1)]
+        dc_c = _build_codes(CHROMA_DC_BITS, CHROMA_DC_VALS)
+        dc_codes += [dc_c, dc_c]
+        cw = ((width + hs - 1) // hs + 7) // 8
+        ch = ((height + vs - 1) // vs + 7) // 8
+        real += [(ch, cw), (ch, cw)]
+
+    ncomp = 3 if color else 1
+    out = bytearray(SOI)
+    out += b"\xff\xe0" + struct.pack(">H", 16)
+    out += b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00"
+    out += bytes(q[ZIGZAG[z]] for z in range(64))
+    if color:
+        out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x01"
+        out += bytes([1] * 64)
+    out += b"\xff\xc2" + struct.pack(">H", 8 + 3 * ncomp) + b"\x08"
+    out += struct.pack(">HH", height, width) + bytes([ncomp])
+    if color:
+        out += bytes([1, (hs << 4) | vs, 0, 2, 0x11, 1, 3, 0x11, 1])
+    else:
+        out += b"\x01\x11\x00"
+    out += _dht_segment(0x00, DC_BITS, DC_VALS)
+    out += _dht_segment(0x10, PROG_AC_BITS, PROG_AC_VALS)
+    if color:
+        out += _dht_segment(0x01, CHROMA_DC_BITS, CHROMA_DC_VALS)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    all_ids = [(ci + 1, 0 if ci == 0 else 1, 0) for ci in range(ncomp)]
+    ri = restart_interval
+    # 1. DC first, interleaved, Al=1
+    out += _sos_segment(all_ids, 0, 0, 0, 1)
+    out += _encode_dc_scan(grids, hvs, dc_codes, 1, 0, ri)
+    # 2-3. luma AC first, split spectral bands, Al=2
+    for ss, se in ((1, 5), (6, 63)):
+        out += _sos_segment([(1, 0, 0)], ss, se, 0, 2)
+        out += _encode_ac_first_scan(
+            zzg, real[0][0], real[0][1], ac_prog, ss, se, 2, ri)
+    # 4. chroma AC, full band at Al=0 (neutral chroma: pure EOB runs,
+    # through the same AC table id 0)
+    if color:
+        for ci in (1, 2):
+            out += _sos_segment([(ci + 1, 0, 0)], 1, 63, 0, 0)
+            out += _encode_ac_first_scan(
+                grids[ci], real[ci][0], real[ci][1], ac_prog, 1, 63, 0, ri)
+    # 5-6. luma AC refinement down to full precision
+    for ah, al in ((2, 1), (1, 0)):
+        out += _sos_segment([(1, 0, 0)], 1, 63, ah, al)
+        out += _encode_ac_refine_scan(
+            zzg, real[0][0], real[0][1], ac_prog, 1, 63, al, ri)
+    # 7. DC refinement bit
+    out += _sos_segment(all_ids, 0, 0, 1, 0)
+    out += _encode_dc_scan(grids, hvs, dc_codes, 0, 1, ri)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def encode_jpeg(
     pixels: bytes,
     width: int,
@@ -229,6 +574,7 @@ def encode_jpeg(
     color: bool = False,
     sampling: tuple[int, int] = (2, 2),
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
     """Encode 8-bit grayscale pixels (row-major, len == width*height)
     as baseline JFIF. quant is a 64-entry luma table in NATURAL
@@ -246,7 +592,15 @@ def encode_jpeg(
 
     restart_interval=r > 0 writes a DRI segment and an RSTn marker
     (byte-aligned, cycling RST0..RST7, DC predictors reset) after every
-    r MCUs, matching what most hardware encoders emit."""
+    r MCUs, matching what most hardware encoders emit.
+
+    progressive=True writes a SOF2 frame instead: the same quantized
+    coefficients conveyed by the Annex-G scan script (interleaved DC at
+    Al=1 + refinement, luma AC split into spectral bands at Al=2 with
+    two refinement passes, full-band chroma AC), so the decoded image
+    is BIT-IDENTICAL to the baseline encoding of the same pixels —
+    successive approximation transmits every coefficient bit.
+    Restart markers apply per scan (RST numbering resets each scan)."""
     if len(pixels) != width * height:
         raise ValueError(f"pixel buffer {len(pixels)} != {width}x{height}")
     if not (0 < width <= 0xFFFF and 0 < height <= 0xFFFF):
@@ -269,6 +623,12 @@ def encode_jpeg(
     padded[:height, :width] = img
     padded[:height, width:] = img[:, -1:]  # edge replication
     padded[height:, :] = padded[height - 1 : height, :]
+
+    if progressive:
+        return _encode_progressive(
+            padded, width, height, q, qz, hs, vs, mcus_x, mcus_y,
+            color, restart_interval,
+        )
 
     dc_y = _build_codes(DC_BITS, DC_VALS)
     ac_y = _build_codes(AC_BITS, AC_VALS)
@@ -293,9 +653,7 @@ def encode_jpeg(
                     y0 = my * mh + v_i * 8
                     x0 = mx * mw + h_i * 8
                     blk = padded[y0 : y0 + 8, x0 : x0 + 8]
-                    coefs = _M @ (blk.astype(np.float64) - 128.0) @ _M.T
-                    zz = np.rint(coefs.reshape(-1)[ZIGZAG] / qz).astype(
-                        np.int64)
+                    zz = _block_zz(blk, qz)
                     pred_y = _encode_block(w, zz, dc_y, ac_y, pred_y)
             if color:
                 pred_cb = _encode_block(w, zz_zero, dc_c, ac_c, pred_cb)
@@ -431,15 +789,194 @@ def _decode_block(
     return zz, pred
 
 
+def _prog_ac_first_block(
+    rd: _BitReader, ac_tab: dict, blk: list, ss: int, se: int, al: int,
+    eobrun: int,
+) -> int:
+    """Decode one block of a progressive AC FIRST scan (T.81 G.1.2.2):
+    magnitude-shifted coefficients with ZRL + EOB-run coding. Returns
+    the remaining EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = rd.symbol(ac_tab)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r < 15:
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += rd.bits(r)
+                return eobrun
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("AC run past spectral band")
+        blk[k] = _extend(rd.bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _prog_ac_refine_block(
+    rd: _BitReader, ac_tab: dict, blk: list, ss: int, se: int, al: int,
+    eobrun: int,
+) -> int:
+    """Decode one block of a progressive AC REFINEMENT scan (T.81
+    G.1.2.3): newly-nonzero coefficients arrive as run-coded symbols
+    with a sign bit; every already-nonzero coefficient passed over (by
+    a run, or by the EOB-run sweep) consumes one correction bit that
+    may bump its magnitude by 2^Al."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = rd.symbol(ac_tab)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r < 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += rd.bits(r)
+                    break
+                # r == 15: ZRL — skip 16 zero-history positions
+            elif s == 1:
+                val = p1 if rd.bit() else m1
+            else:
+                raise ValueError("bad AC refinement magnitude")
+            while k <= se:
+                c = blk[k]
+                if c:
+                    if rd.bit() and (c & p1) == 0:
+                        blk[k] = c + (p1 if c > 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            c = blk[k]
+            if c:
+                if rd.bit() and (c & p1) == 0:
+                    blk[k] = c + (p1 if c > 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_prog_scan(
+    data: bytes,
+    pos: int,
+    comps: list[dict],
+    scan: list[tuple[int, int, int]],
+    stores: list[list],
+    htables: dict,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    restart_interval: int,
+    real_dims: list[tuple[int, int]],
+    mcus_x: int,
+    mcus_y: int,
+) -> int:
+    """Decode one progressive scan's entropy data into the coefficient
+    stores; returns the stream position just past it. scan is
+    [(component index, dc table id, ac table id)]. A multi-component
+    scan is MCU-interleaved (DC only, per T.81 G.1.1); a
+    single-component scan traverses that component's REAL block dims
+    row-major."""
+    if se > 63 or ss > se:
+        raise ValueError(f"bad spectral band {ss}..{se}")
+    if ss == 0 and se != 0:
+        raise ValueError("progressive scan mixes DC and AC")
+    if ss > 0 and len(scan) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    if ah and ah != al + 1:
+        raise ValueError(f"bad successive approximation {ah}->{al}")
+
+    dc_tabs: dict[int, dict] = {}
+    ac_tab = None
+    if ss == 0:
+        if ah == 0:
+            for ci, dc_id, _ in scan:
+                if (0, dc_id) not in htables:
+                    raise ValueError("missing DC Huffman table")
+                dc_tabs[ci] = htables[(0, dc_id)]
+        # DC refinement reads raw bits only — no table needed
+    else:
+        ac_id = scan[0][2]
+        if (1, ac_id) not in htables:
+            raise ValueError("missing AC Huffman table")
+        ac_tab = htables[(1, ac_id)]
+
+    def mcu_units():
+        if len(scan) > 1:
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    units = []
+                    for ci, _, _ in scan:
+                        h, v = comps[ci]["h"], comps[ci]["v"]
+                        for v_i in range(v):
+                            for h_i in range(h):
+                                units.append(
+                                    (ci, my * v + v_i, mx * h + h_i))
+                    yield units
+        else:
+            ci = scan[0][0]
+            bh_r, bw_r = real_dims[ci]
+            for by in range(bh_r):
+                for bx in range(bw_r):
+                    yield [(ci, by, bx)]
+
+    rd = _BitReader(data, pos)
+    eobrun = 0
+    preds = {ci: 0 for ci, _, _ in scan}
+    rst = 0
+    mcu_i = 0
+    for units in mcu_units():
+        if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+            rd.restart(rst)
+            rst = (rst + 1) & 7
+            preds = {ci: 0 for ci in preds}
+            eobrun = 0
+        mcu_i += 1
+        for ci, by, bx in units:
+            blk = stores[ci][by][bx]
+            if ss == 0:
+                if ah == 0:
+                    s = rd.symbol(dc_tabs[ci])
+                    if s > 11:
+                        raise ValueError(f"bad DC category {s}")
+                    diff = _extend(rd.bits(s), s) if s else 0
+                    preds[ci] += diff
+                    blk[0] = preds[ci] << al
+                elif rd.bit():
+                    blk[0] |= 1 << al
+            elif ah == 0:
+                eobrun = _prog_ac_first_block(
+                    rd, ac_tab, blk, ss, se, al, eobrun)
+            else:
+                eobrun = _prog_ac_refine_block(
+                    rd, ac_tab, blk, ss, se, al, eobrun)
+    return rd.pos
+
+
 def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
-    """Decode a baseline JFIF -> (width, height, row-major LUMA pixel
-    bytes): the single component of a grayscale frame, or the Y plane
-    of a 3-component YCbCr frame (the pipeline's grayscale contract —
-    chroma is entropy-decoded to keep bitstream position, then
-    dropped). Raises ValueError on anything outside the supported
-    subset (see module docstring) — including truncated/garbled
-    segments, so callers' strict=False drop policy sees ONE exception
-    type for every malformed input."""
+    """Decode a baseline (SOF0) or progressive (SOF2) JFIF -> (width,
+    height, row-major LUMA pixel bytes): the single component of a
+    grayscale frame, or the Y plane of a 3-component YCbCr frame (the
+    pipeline's grayscale contract — chroma is entropy-decoded to keep
+    bitstream position, then dropped). Raises ValueError on anything
+    outside the supported subset (see module docstring) — including
+    truncated/garbled segments, so callers' strict=False drop policy
+    sees ONE exception type for every malformed input."""
     try:
         return _decode_jpeg(data)
     except (IndexError, struct.error) as exc:
@@ -459,6 +996,9 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
     restart_interval = 0
     scan_tabs: list[tuple[int, int]] = []  # (dc id, ac id) per component
     scan_at = None
+    progressive = False
+    stores: list[list] | None = None  # per-comp [by][bx][64] coef ints
+    prog_geom = None  # (real_dims, mcus_x, mcus_y) once allocated
     while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
@@ -470,6 +1010,8 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
             pos += 2  # TEM / RSTn: parameterless, no length field
             continue
         if marker == 0xD9:
+            if progressive and stores is not None:
+                break  # all scans consumed: assemble below
             raise ValueError("EOI before SOS (no image data)")
         if pos + 4 > len(data):
             raise ValueError(f"truncated marker 0xff{marker:02x}")
@@ -506,7 +1048,8 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
                     (ln, code): sym for sym, (ln, code) in codes.items()
                 }
                 i += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             if seg[0] != 8:
                 raise ValueError(f"unsupported precision {seg[0]}")
             height, width = struct.unpack_from(">HH", seg, 1)
@@ -537,10 +1080,11 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
                 raise ValueError(
                     "luma must carry the max sampling factors"
                 )
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                f"unsupported SOF type 0xff{marker:02x} (baseline only)"
+                f"unsupported SOF type 0xff{marker:02x} "
+                "(baseline or progressive DCT only)"
             )
         elif marker == 0xDD:  # DRI
             if len(seg) < 2:
@@ -549,25 +1093,78 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
         elif marker == 0xDA:  # SOS
             if not comps:
                 raise ValueError("SOS before SOF")
-            if seg[0] != len(comps):
-                raise ValueError(
-                    f"scan component count {seg[0]} != frame {len(comps)}"
-                )
-            if len(seg) < 1 + 2 * len(comps):
+            ns = seg[0]
+            if len(seg) < 1 + 2 * ns + 3:
                 raise ValueError("truncated SOS")
             by_id = {c["id"]: i for i, c in enumerate(comps)}
-            scan_tabs = [(-1, -1)] * len(comps)
-            for si in range(len(comps)):
+            scan: list[tuple[int, int, int]] = []
+            for si in range(ns):
                 cs = seg[1 + 2 * si]
                 if cs not in by_id:
                     raise ValueError(f"scan component {cs} not in frame")
                 tb = seg[2 + 2 * si]
-                scan_tabs[by_id[cs]] = (tb >> 4, tb & 0x0F)
-            if any(t == (-1, -1) for t in scan_tabs):
+                scan.append((by_id[cs], tb >> 4, tb & 0x0F))
+            if len({ci for ci, _, _ in scan}) != ns:
                 raise ValueError("duplicate scan component")
-            scan_at = pos
-            break
+            if not progressive:
+                if ns != len(comps):
+                    raise ValueError(
+                        f"scan component count {ns} != frame {len(comps)}"
+                    )
+                scan_tabs = [(-1, -1)] * len(comps)
+                for ci, dc_id, ac_id in scan:
+                    scan_tabs[ci] = (dc_id, ac_id)
+                scan_at = pos
+                break
+            # progressive: decode this scan's entropy data in place,
+            # then keep walking markers (DHT/DRI may redefine between
+            # scans; EOI ends the frame)
+            if stores is None:
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+                mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+                real_dims = []
+                stores = []
+                for c in comps:
+                    sx = (width * c["h"] + hmax - 1) // hmax
+                    sy = (height * c["v"] + vmax - 1) // vmax
+                    real_dims.append(((sy + 7) // 8, (sx + 7) // 8))
+                    stores.append(
+                        [
+                            [[0] * 64 for _ in range(mcus_x * c["h"])]
+                            for _ in range(mcus_y * c["v"])
+                        ]
+                    )
+                prog_geom = (real_dims, mcus_x, mcus_y)
+            ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            pos = _decode_prog_scan(
+                data, pos, comps, scan, stores, htables,
+                ss, se, ahal >> 4, ahal & 0x0F, restart_interval,
+                prog_geom[0], prog_geom[1], prog_geom[2],
+            )
         # else: APPn/COM/etc — skipped
+    if progressive and stores is not None:
+        # dequantize + IDCT the accumulated LUMA coefficients (chroma
+        # stores were filled to keep bitstream position, then dropped)
+        if comps[0]["tq"] not in qtables:
+            raise ValueError(f"missing quant table {comps[0]['tq']}")
+        qt = np.array(qtables[comps[0]["tq"]], np.float64).reshape(8, 8)
+        bh_pad = len(stores[0])
+        bw_pad = len(stores[0][0])
+        out = np.empty((bh_pad * 8, bw_pad * 8), np.uint8)
+        coefs = np.zeros(64, np.float64)
+        for by in range(bh_pad):
+            for bx in range(bw_pad):
+                # the exact baseline-decoder expression (same float
+                # summation order), so progressive decode of identical
+                # coefficients is bit-identical to baseline decode
+                coefs[ZIGZAG] = stores[0][by][bx]
+                blk = _M.T @ (coefs.reshape(8, 8) * qt) @ _M
+                out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                    np.rint(blk) + 128.0, 0.0, 255.0
+                ).astype(np.uint8)
+        return width, height, out[:height, :width].tobytes()
     if scan_at is None or width is None:
         raise ValueError("missing SOF or SOS")
     qts = []

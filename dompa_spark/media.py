@@ -101,12 +101,12 @@ def _fake_feature(content: bytes) -> list[float]:
 def _decode_image(content: bytes) -> tuple:
     """Magic-dispatched image decode -> (width, height, pixels): the PNG
     signature routes to the from-scratch PNG codec, the JPEG SOI marker
-    to the from-scratch baseline-JFIF codec (jpegcodec.py — grayscale
-    or YCbCr, luma plane out), the GIF87a/GIF89a magic to the
-    from-scratch LZW codec (gifcodec.py). Everything else (including
-    JPEG variants outside the baseline subset, e.g. progressive) raises
-    ValueError so callers' strict/skip policy applies uniformly across
-    formats."""
+    to the from-scratch JFIF codec (jpegcodec.py — baseline or
+    progressive, grayscale or YCbCr, luma plane out), the GIF87a/GIF89a
+    magic to the from-scratch LZW codec (gifcodec.py). Everything else
+    (including JPEG variants outside the DCT subset, e.g.
+    arithmetic-coded or lossless) raises ValueError so callers'
+    strict/skip policy applies uniformly across formats."""
     if content[:8] == pngcodec.PNG_SIG:
         return pngcodec.decode_png(content)
     if content[:2] == jpegcodec.SOI:
@@ -694,11 +694,13 @@ def docs_to_png_textured(docs: DataFrame) -> DataFrame:
 
 
 def docs_to_jpeg(docs: DataFrame) -> DataFrame:
-    """Render each document row as a deterministic baseline JPEG
-    (MEDIA_SCHEMA), cycling the real formats a crawl mixes — doc_id%3
-    picks grayscale, 4:2:0 color, or 4:2:2 color with restart markers
-    every 2 MCUs. All three carry the SAME luma plane (color mode
-    writes neutral chroma), and the images are CONSTANT within each
+    """Render each document row as a deterministic JPEG (MEDIA_SCHEMA),
+    cycling the real formats a crawl mixes — doc_id%4 picks grayscale
+    baseline, 4:2:0 color, 4:2:2 color with restart markers every
+    2 MCUs, or PROGRESSIVE 4:2:0 color (SOF2 — spectral selection +
+    successive approximation). All four carry the SAME luma plane
+    (color modes write neutral chroma; progressive conveys the exact
+    baseline coefficients), and the images are CONSTANT within each
     8x8 DCT block, which with jpegcodec's default all-ones quantization
     table round-trips bit-exactly (jpegcodec.py exactness contract) —
     so the SQL oracle predicts the decoded pixels closed-form
@@ -707,8 +709,8 @@ def docs_to_jpeg(docs: DataFrame) -> DataFrame:
         pixel(x, y) = (doc_id*31 + ((y//8)*bw + x//8)*53) % 251
     Dimensions are deliberately non-multiples of 8 for most doc_ids so
     decoding exercises the pad-and-crop path, multi-block DC
-    prediction, interleaved-MCU traversal, and RSTn resync, not just a
-    single full block."""
+    prediction, interleaved-MCU traversal, RSTn resync, and the
+    progressive scan script, not just a single full block."""
     import pandas as pd
 
     def _iter(batches: Iterator["pd.DataFrame"]):
@@ -725,16 +727,20 @@ def docs_to_jpeg(docs: DataFrame) -> DataFrame:
                 px = (((doc_id * 31) % 251 + blk * 53) % 251).astype(
                     np.uint8).tobytes()
                 refs.append(f"jpg://doc/{doc_id}")
-                mode = doc_id % 3
+                mode = doc_id % 4
                 if mode == 0:
                     contents.append(jpegcodec.encode_jpeg(px, w, h))
                 elif mode == 1:
                     contents.append(jpegcodec.encode_jpeg(
                         px, w, h, color=True, sampling=(2, 2)))
-                else:
+                elif mode == 2:
                     contents.append(jpegcodec.encode_jpeg(
                         px, w, h, color=True, sampling=(2, 1),
                         restart_interval=2))
+                else:
+                    contents.append(jpegcodec.encode_jpeg(
+                        px, w, h, color=True, sampling=(2, 2),
+                        progressive=True))
             yield pd.DataFrame(
                 {
                     "media_ref": refs,

@@ -608,12 +608,19 @@ def test_jpeg_rejects_corruption():
         jpegcodec.decode_jpeg(b"\x89PNG" + bytes(data[4:]))
     with pytest.raises(ValueError, match="truncated"):
         jpegcodec.decode_jpeg(bytes(data[: len(data) // 2]))
-    # progressive (SOF2) must be refused, not mis-decoded
+    # a baseline stream with its marker flipped to SOF2 is a GARBLED
+    # progressive file (a full-band interleaved SOS violates the
+    # Annex-G scan grammar) — still ValueError, never a mis-decode
     sof = data.find(b"\xff\xc0")
-    progressive = bytearray(data)
-    progressive[sof + 1] = 0xC2
-    with pytest.raises(ValueError, match="SOF|baseline"):
-        jpegcodec.decode_jpeg(bytes(progressive))
+    flipped = bytearray(data)
+    flipped[sof + 1] = 0xC2
+    with pytest.raises(ValueError, match="mixes DC and AC"):
+        jpegcodec.decode_jpeg(bytes(flipped))
+    # arithmetic-coded SOF stays refused
+    arith = bytearray(data)
+    arith[sof + 1] = 0xC9
+    with pytest.raises(ValueError, match="SOF|progressive"):
+        jpegcodec.decode_jpeg(bytes(arith))
     # 2-component SOF is outside the grayscale/YCbCr subset
     two = bytearray(data)
     two[sof + 9] = 2
@@ -1465,3 +1472,169 @@ def test_video_fingerprint_cross_container_y4m_avi(spark):
     pairs = media.media_near_dup(fp, hash_col="vfp").collect()
     assert [(p.media_ref_a, p.media_ref_b, p.hamming)
             for p in pairs] == [("avi://x", "y4m://x", 0)]
+
+
+# ---------------------------------------------------------------------
+# Progressive JPEG (SOF2 — T.81 Annex G spectral selection +
+# successive approximation)
+
+
+def test_jpeg_progressive_bit_identical_to_baseline():
+    """The progressive correctness contract: the scan script conveys
+    exactly the quantized coefficients, so progressive and baseline
+    encodings of the same pixels decode BIT-IDENTICALLY — across
+    grayscale/color, every sampling mode, restart intervals, and
+    non-trivial quant tables."""
+    import random
+
+    from dompa_spark import jpegcodec
+
+    rng = random.Random(2026)
+    cases = [
+        (8, 8, False, (1, 1), 0, None),
+        (17, 13, False, (1, 1), 0, None),
+        (1, 1, False, (1, 1), 0, None),
+        (3, 70, False, (1, 1), 0, None),
+        (16, 16, True, (2, 2), 0, None),
+        (33, 29, True, (2, 1), 0, None),
+        (17, 13, True, (1, 2), 0, None),
+        (24, 16, True, (2, 2), 2, None),
+        (24, 16, False, (1, 1), 1, None),
+        (32, 24, True, (2, 2), 0, [1 + ((i * 7) % 13) for i in range(64)]),
+    ]
+    for _ in range(25):
+        w, h = rng.randrange(1, 48), rng.randrange(1, 48)
+        cases.append((
+            w, h, rng.random() < 0.5, (rng.choice([1, 2]),
+                                       rng.choice([1, 2])),
+            rng.choice([0, 0, 1, 3]),
+            None if rng.random() < 0.5
+            else [1 + ((i * rng.randrange(1, 9)) % 17) for i in range(64)],
+        ))
+    for w, h, color, sampling, ri, quant in cases:
+        px = bytes(rng.randrange(256) for _ in range(w * h))
+        base = jpegcodec.decode_jpeg(jpegcodec.encode_jpeg(
+            px, w, h, quant, color=color, sampling=sampling,
+            restart_interval=ri))
+        prog = jpegcodec.decode_jpeg(jpegcodec.encode_jpeg(
+            px, w, h, quant, color=color, sampling=sampling,
+            restart_interval=ri, progressive=True))
+        assert base == prog, (w, h, color, sampling, ri)
+
+
+def test_jpeg_progressive_block_constant_exact():
+    """The jpeg_decode oracle's exactness contract extends to the
+    progressive fixture mode: block-constant pixels with all-ones
+    quant round-trip bit-exactly through SOF2."""
+    from dompa_spark import jpegcodec
+
+    for doc_id in range(12):
+        w, h = 8 + doc_id % 9, 8 + doc_id % 7
+        px = _block_constant(doc_id, w, h)
+        data = jpegcodec.encode_jpeg(
+            px, w, h, color=True, sampling=(2, 2), progressive=True)
+        assert data[:2] == b"\xff\xd8"
+        assert b"\xff\xc2" in data  # SOF2, not SOF0
+        assert jpegcodec.decode_jpeg(data) == (w, h, px), doc_id
+
+
+def test_jpeg_progressive_eob_runs():
+    """Heavy quantization zeroes whole blocks, so the AC scans code
+    multi-block EOBn runs (the coarse-run path a flat fixture never
+    hits) — and still reconstruct exactly what baseline does."""
+    import random
+
+    from dompa_spark import jpegcodec
+
+    rng = random.Random(7)
+    w = h = 64
+    px = bytes(
+        128 + (rng.randrange(-2, 3) if rng.random() < 0.05 else 0)
+        for _ in range(w * h)
+    )
+    quant = [255] * 64
+    base = jpegcodec.decode_jpeg(jpegcodec.encode_jpeg(px, w, h, quant))
+    prog = jpegcodec.decode_jpeg(
+        jpegcodec.encode_jpeg(px, w, h, quant, progressive=True))
+    assert base == prog
+
+
+def test_jpeg_progressive_rejects_malformed():
+    """Refusal surface for progressive streams: truncation mid-scan,
+    scans violating the Annex-G grammar, and EOI with no scan at all
+    raise ValueError."""
+    import pytest as _pytest
+
+    from dompa_spark import jpegcodec
+
+    px = _block_constant(3, 16, 16)
+    good = jpegcodec.encode_jpeg(px, 16, 16, progressive=True)
+
+    with _pytest.raises(ValueError):
+        jpegcodec.decode_jpeg(good[:-40])  # truncated scan data
+    # no scans at all: SOF2 then EOI
+    sof_end = good.find(b"\xff\xc4")  # first DHT
+    with _pytest.raises(ValueError, match="EOI before SOS"):
+        jpegcodec.decode_jpeg(good[:sof_end] + b"\xff\xd9")
+    # corrupt a scan header into an AC scan spanning two components:
+    # find the first single-component AC SOS (ns=1) and widen ns
+    at = good.find(b"\xff\xda")  # DC scan (ns-many comps, Ss=0)
+    at = good.find(b"\xff\xda", at + 2)  # first AC scan
+    seg = bytearray(good)
+    # SOS payload: len(2) ns(1) [cid tb] ss se ahal -> grow ns to 2
+    # and extend the length so the parse sees 2 components
+    seg[at + 2 : at + 4] = (0, 10)  # length 10: ns=2 + 2 pairs + 3
+    seg[at + 4] = 2
+    seg.insert(at + 7, 0)  # second (cid, tb) pair, bogus
+    seg.insert(at + 8, 0)
+    with _pytest.raises(ValueError):
+        jpegcodec.decode_jpeg(bytes(seg))
+
+
+def test_decode_images_full_jpeg_mode_cycle(spark):
+    """decode_images over docs_to_jpeg recovers the closed-form pixel
+    stats for ALL FOUR encodings the fixture cycles — doc_id%4 == 3 is
+    the progressive mode, proving SOF2 end-to-end inside the Arrow
+    kernel."""
+    from dompa_spark import media
+
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    tbl = media.docs_to_jpeg(docs)
+    # the fixture really does emit SOF2 for doc_id%4==3
+    markers = {
+        int(r.media_ref.rsplit("/", 1)[1]):
+            (b"\xff\xc2" in bytes(r.content))
+        for r in tbl.collect()
+    }
+    assert markers[3] and markers[7]
+    assert not any(markers[i] for i in (0, 1, 2, 4, 5, 6))
+    got = {
+        int(r.media_ref.rsplit("/", 1)[1]): r
+        for r in media.decode_images(tbl).collect()
+    }
+    for doc_id in range(8):
+        w, h = 8 + doc_id % 9, 8 + doc_id % 7
+        px = _block_constant(doc_id, w, h)
+        r = got[doc_id]
+        assert (r.width, r.height, r.n_pixels) == (w, h, w * h)
+        assert r.pixel_sum == sum(px)
+        assert r.pixel_checksum == sum(
+            p * (j + 1) for j, p in enumerate(px))
+
+
+def test_dhash_identical_for_baseline_progressive_pair(spark):
+    """The same block-constant pixels as baseline grayscale and as
+    progressive color JPEG get the identical 56-bit dHash — the
+    cross-encoding near-dup story."""
+    from dompa_spark import jpegcodec, media
+
+    px = _block_constant(5, 24, 16)
+    rows = [
+        ("base://x", bytearray(jpegcodec.encode_jpeg(px, 24, 16))),
+        ("prog://x", bytearray(jpegcodec.encode_jpeg(
+            px, 24, 16, color=True, sampling=(2, 2), progressive=True))),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_ref string, content binary")
+    got = {r.media_ref: r.dhash for r in media.dhash_images(df).collect()}
+    assert got["base://x"] == got["prog://x"]
