@@ -1016,32 +1016,18 @@ def dhash_images(df: DataFrame, strict: bool = True) -> DataFrame:
     return df.mapInPandas(_iter, schema="media_ref string, dhash long")
 
 
-def media_near_dup(
+def banded_hashes(
     hashes: DataFrame,
-    max_hamming: int = 4,
     id_col: str = "media_ref",
-    bucket_cap: int = 64,
     hash_col: str = "dhash",
 ) -> DataFrame:
-    """(id, hash) -> verified perceptual near-dup pairs
-    (id_a, id_b, hamming): one pairer for every 56-bit perceptual hash
-    (image dHash by default; audio_fingerprint via hash_col='afp') —
-    band the hash into 4 x 14-bit keys,
-    self-join within bands on the SLIM (id, band, key, hash) rows, then
-    verify bit_count(xor) <= max_hamming on the deduped candidates —
-    all JVM-side (shiftright/bit_count codegen), no kernel.
-
-    Banding guarantees recall only for hamming <= DHASH_BANDS - 1
-    (pigeonhole: 4 flipped bits can land in all 4 bands); the oracle
-    mirrors the banded algorithm, not ideal hamming. Hot buckets (a
-    tiling/logo image repeated across the corpus) go through the shared
-    textops._salt_hot_buckets cap, so a B-clique emits ~B*cap/2
-    candidates, not B^2/2 — same contract as the text-LSH operators.
-    At 10^9 images the 14-bit keyspace is the band-join bucket bound;
-    widen the grid (DHASH_GRID_W/H) before widening max_hamming."""
-    from dompa_spark import textops
-
-    banded = hashes.select(
+    """(id, 56-bit perceptual hash) -> exploded (doc_id, band, bkey,
+    dhash) rows: the 4 x 14-bit banding shared by the batch pairer
+    (media_near_dup) and the streaming anchor-edge gate
+    (streaming.media_near_dup_stream). All JVM-side
+    (shiftright/bit_count codegen) — works unchanged on streaming
+    plans."""
+    return hashes.select(
         F.col(id_col).alias("doc_id"),
         F.col(hash_col).alias("dhash"),
         F.explode(
@@ -1069,7 +1055,36 @@ def media_near_dup(
         F.col("bs.band").alias("band"),
         F.col("bs.bkey").alias("bkey"),
         "dhash",
-    ).cache()
+    )
+
+
+def media_near_dup(
+    hashes: DataFrame,
+    max_hamming: int = 4,
+    id_col: str = "media_ref",
+    bucket_cap: int = 64,
+    hash_col: str = "dhash",
+) -> DataFrame:
+    """(id, hash) -> verified perceptual near-dup pairs
+    (id_a, id_b, hamming): one pairer for every 56-bit perceptual hash
+    (image dHash by default; audio_fingerprint via hash_col='afp') —
+    band the hash into 4 x 14-bit keys,
+    self-join within bands on the SLIM (id, band, key, hash) rows, then
+    verify bit_count(xor) <= max_hamming on the deduped candidates —
+    all JVM-side (shiftright/bit_count codegen), no kernel.
+
+    Banding guarantees recall only for hamming <= DHASH_BANDS - 1
+    (pigeonhole: 4 flipped bits can land in all 4 bands); the oracle
+    mirrors the banded algorithm, not ideal hamming. Hot buckets (a
+    tiling/logo image repeated across the corpus) go through the shared
+    textops._salt_hot_buckets cap, so a B-clique emits ~B*cap/2
+    candidates, not B^2/2 — same contract as the text-LSH operators.
+    At 10^9 images the 14-bit keyspace is the band-join bucket bound;
+    widen the grid (DHASH_GRID_W/H) before widening max_hamming."""
+    from dompa_spark import textops
+
+    banded = banded_hashes(hashes, id_col=id_col,
+                           hash_col=hash_col).cache()
     salted = textops._salt_hot_buckets(
         banded, bucket_cap, extras=("dhash",)
     ).cache()

@@ -453,6 +453,57 @@ def dedup_near_stream(
     return _anchor_edge_stream(banded)
 
 
+def media_near_dup_stream(
+    spark: SparkSession,
+    in_path: str,
+    max_files_per_trigger: int = 8,
+    kind: str = "image",
+) -> DataFrame:
+    """Streaming PERCEPTUAL media near-dup: the perceptual hash kernels
+    (image dHash / audio fingerprint / video fingerprint — all REAL
+    decodes: PNG/JPEG/GIF, WAV, Y4M/MJPEG-AVI) run inside the stream's
+    Arrow batches (mapInPandas is stateless, so it rides a streaming
+    plan unchanged), the 56-bit hash bands into the SAME 4 x 14-bit
+    keys as batch media_near_dup (media.banded_hashes), and each
+    occupied (band, bkey) bucket keeps the anchor-edge state of
+    dedup_near_stream — so the connected components of the emitted
+    star/splice edges equal those of the batch banded bucket graph
+    over the union of all arrivals.
+
+    Contract notes (same as dedup_near_stream): edges are BAND-bucket
+    edges with no hamming verify — bucket collisions merge clusters,
+    matching the batch band-edge semantics, not the verified batch
+    pairer; doc ids are xxhash64 surrogates of media_ref (recompute
+    with F.xxhash64(media_ref) to join back); the hot-bucket contract
+    is per-trigger (size max_files_per_trigger so the hottest bucket's
+    per-trigger membership fits one task); state is one long per
+    occupied bucket, <= 4 per distinct hash."""
+    from . import media
+
+    kernels = {
+        "image": (media.dhash_images, "dhash"),
+        "audio": (media.audio_fingerprint, "afp"),
+        "video": (media.video_fingerprint, "vfp"),
+    }
+    if kind not in kernels:
+        raise ValueError(f"unknown media near-dup stream kind: {kind!r}")
+    kernel, hash_col = kernels[kind]
+    tbl = (
+        spark.readStream.schema(media.MEDIA_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(in_path)
+    )
+    hashed = kernel(tbl.filter(F.col("kind") == kind), strict=False)
+    banded = media.banded_hashes(
+        hashed.select(
+            F.xxhash64("media_ref").alias("media_ref"), F.col(hash_col)
+        ),
+        id_col="media_ref",
+        hash_col=hash_col,
+    )
+    return _anchor_edge_stream(banded.select("doc_id", "band", "bkey"))
+
+
 URLS_SCHEMA_DDL = "doc_id long, url string"
 
 _FRONTIER_OUT_DDL = "url_canon string, host string, first_doc_id long"

@@ -979,3 +979,128 @@ def test_frames_stream_matches_batch_and_resumes(spark, tmp_path):
     from collections import Counter
     counts = Counter((r.media_ref, r.frame_idx) for r in again)
     assert max(counts.values()) == 1
+
+
+def test_media_near_dup_stream_components_match_batch(spark, tmp_path):
+    """Streaming perceptual media near-dup == batch: the connected
+    components of the streamed anchor edges over the REAL video
+    fingerprints (Y4M decode inside the stream) equal those of the
+    batch banded bucket graph, and the fixture's engineered
+    +1-brightness re-renders land in one component."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dompa_spark import graphops, media
+
+    in_path = str(tmp_path / "mnd_in")
+    os.makedirs(in_path)
+    docs = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    media.docs_to_y4m_variants(docs).coalesce(1).write.mode(
+        "append").parquet(in_path)
+    out_path = str(tmp_path / "mnd_out")
+
+    def drain():
+        q = (
+            streaming.media_near_dup_stream(spark, in_path, kind="video")
+            .writeStream.format("parquet")
+            .option("path", out_path)
+            .option("checkpointLocation", str(tmp_path / "mnd_ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return spark.read.parquet(out_path).dropDuplicates(
+            ["doc_a", "doc_b"])
+
+    def components(edges):
+        return {
+            r.doc_id: r.component
+            for r in graphops.connected_components(edges).collect()
+        }
+
+    def batch_components():
+        tbl = spark.read.parquet(in_path)
+        fp = media.video_fingerprint(tbl, strict=False)
+        banded = media.banded_hashes(
+            fp.select(F.xxhash64("media_ref").alias("media_ref"), "vfp"),
+            hash_col="vfp",
+        )
+        anchors = banded.groupBy("band", "bkey").agg(
+            F.min("doc_id").alias("doc_a"))
+        edges = (
+            banded.join(anchors, ["band", "bkey"])
+            .filter(F.col("doc_id") != F.col("doc_a"))
+            .select("doc_a", F.col("doc_id").alias("doc_b"))
+            .dropDuplicates()
+        )
+        return components(edges)
+
+    got = components(drain())
+    assert got == batch_components()
+    # the engineered pairs (4,5) and (10,11) share a component
+    sur = {
+        int(r.doc_id): r.s
+        for r in docs.select(
+            "doc_id",
+            F.xxhash64(F.concat(F.lit("y4m://doc/"),
+                                F.col("doc_id"))).alias("s"),
+        ).collect()
+    }
+    assert got[sur[4]] == got[sur[5]]
+    assert got[sur[10]] == got[sur[11]]
+
+    # wave 2: more docs (including new engineered pairs) append-only;
+    # stream components still match batch over the union
+    late = spark.createDataFrame([(i,) for i in range(12, 24)],
+                                 "doc_id long")
+    media.docs_to_y4m_variants(late).coalesce(1).write.mode(
+        "append").parquet(in_path)
+    got2 = components(drain())
+    assert got2 == batch_components()
+
+
+def test_media_near_dup_stream_image_kind_and_refusal(spark, tmp_path):
+    """kind='image' hashes PNG rows through the real dHash kernel (a
+    byte-identical PNG pair collapses); unknown kinds refuse."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from dompa_spark import graphops, media
+
+    in_path = str(tmp_path / "mndi_in")
+    os.makedirs(in_path)
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    # duplicate pixel content under two refs: doc 0's PNG re-labeled
+    tbl = media.docs_to_png(docs)
+    dup = tbl.filter(F.col("media_ref") == "png://doc/0").withColumn(
+        "media_ref", F.lit("png://copy/0"))
+    tbl.unionByName(dup).coalesce(1).write.mode("append").parquet(in_path)
+    out_path = str(tmp_path / "mndi_out")
+
+    q = (
+        streaming.media_near_dup_stream(spark, in_path, kind="image")
+        .writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", str(tmp_path / "mndi_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    edges = spark.read.parquet(out_path).dropDuplicates(
+        ["doc_a", "doc_b"])
+    comps = {
+        r.doc_id: r.component
+        for r in graphops.connected_components(edges).collect()
+    }
+    a = spark.sql(
+        "SELECT xxhash64('png://doc/0') a, xxhash64('png://copy/0') b"
+    ).collect()[0]
+    assert comps[a.a] == comps[a.b]
+
+    with _pytest.raises(ValueError, match="kind"):
+        streaming.media_near_dup_stream(spark, in_path, kind="text")
