@@ -910,6 +910,32 @@ def q_warc_roundtrip(spark, sf_dir):
     )
 
 
+def q_warc_gz_roundtrip(spark, sf_dir):
+    """The .warc.gz ingestion boundary (the form crawl archives
+    actually ship as): the same documents -> WARC serialization, then
+    MEMBER-PER-RECORD gzip (warc.docs_to_warc_gz; deterministic zlib
+    gzip framing), then parse_warc's transparent member inflation off
+    the gzip magic and the same Content-Length record walk. Lossless,
+    so the recovered records are byte-identical to the plain path and
+    the oracle is warc_roundtrip's template algebra verbatim — a
+    framing bug in EITHER the member splitter or the inflater fails
+    the per-record payload hash."""
+    from dompa_spark import warc
+
+    docs = _docs(spark, sf_dir)
+    recs = warc.parse_warc(warc.docs_to_warc_gz(docs))
+    return recs.select(
+        F.regexp_extract("url", r"/(?:doc|img)/(\d+)", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "warc_type",
+        "mime",
+        "http_status",
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+        F.sha2("payload", 256).alias("payload_sha"),
+    )
+
+
 def q_media_dedup(spark, sf_dir):
     """Multimodal path end-to-end: derive a media table from documents
     (content = utf-8 text bytes; every 7th doc repeats the previous
@@ -1874,6 +1900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "semdedup": q_semdedup,
         "warc_roundtrip": q_warc_roundtrip,
+        "warc_gz_roundtrip": q_warc_gz_roundtrip,
         "media_dedup": q_media_dedup,
         "media_dhash": q_media_dhash,
         "wav_near_dup": q_wav_near_dup,
@@ -2973,7 +3000,7 @@ def oracle_sql() -> dict[str, str]:
     warc_info_body_e = _warc.WARCINFO_BODY.replace("\r", "\\r").replace(
         "\n", "\\n"
     )
-    return {
+    oracles = {
         "extract_main_text": """
             SELECT CAST(doc_id AS BIGINT) AS doc_id,
                    CASE WHEN length(substr(text, 1, n_chars % 80)) >= 40
@@ -6030,3 +6057,8 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY b.lang
         """,
     }
+    # the gz round-trip recovers byte-identical records (lossless
+    # members), so it shares the plain round-trip's template-algebra
+    # oracle verbatim
+    oracles["warc_gz_roundtrip"] = oracles["warc_roundtrip"]
+    return oracles

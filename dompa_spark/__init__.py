@@ -15,7 +15,11 @@ read-only at /root/reference), re-architected Spark-first:
 - `dompa_spark.media`    — multimodal binary columns
                            (featurize/frames/resize/dedup)
 - `dompa_spark.pngcodec` — from-scratch stdlib PNG codec (filters 0-4)
+- `dompa_spark.jpegcodec`— from-scratch JPEG codec (baseline + progressive)
+- `dompa_spark.gifcodec` — from-scratch stdlib GIF codec (LZW)
 - `dompa_spark.wavcodec` — from-scratch stdlib RIFF/PCM WAV codec
+- `dompa_spark.y4mcodec` — from-scratch Y4M video codec (raw luma planes)
+- `dompa_spark.avicodec` — from-scratch MJPEG-in-AVI container codec
 - `dompa_spark.pdfops`   — from-scratch ISO 32000 subset + XY-cut layout
 - `dompa_spark.streaming`— Structured Streaming front-end (same kernels)
 - `dompa_spark.dsl`      — node-construction DSL (the reference's $ / defhtml)

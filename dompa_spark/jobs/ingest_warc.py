@@ -70,7 +70,9 @@ def main(argv=None) -> int:
     if args.input_format == "binary":
         shards = (
             spark.read.format("binaryFile")
-            .option("pathGlobFilter", "*.warc")
+            # *.warc and *.warc.gz both match; parse_warc inflates
+            # member-per-record gzip transparently off the magic
+            .option("pathGlobFilter", "*.warc*")
             .load(args.input)
             .select(
                 F.xxhash64("path").alias("warc_id"),

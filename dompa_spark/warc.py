@@ -19,6 +19,10 @@ third-party libs):
   `application/http;msgtype=response` bodies into (status, mime,
   payload), and stops at the first truncated/foreign byte run (partial
   shards surface what they carry — the documented contract, tested).
+  `.warc.gz` shards (member-per-record gzip, the Common Crawl shipping
+  convention) inflate transparently off the gzip magic
+  (`gunzip_members`); `docs_to_warc_gz` writes that form
+  deterministically (zlib gzip header, mtime 0).
 
 Scale shape: the writer's only wide operation is the shard assembly
 shuffle (records ride once; docs_per_shard controls shard size — real
@@ -193,6 +197,110 @@ def docs_to_warc(
     )
 
 
+GZIP_MAGIC = b"\x1f\x8b"
+
+
+def _record_spans(buf: bytes):
+    """Yield (start, end) byte spans of consecutive WARC records
+    (headers + body + trailing CRLF CRLF), framed by Content-Length
+    exactly like _parse_shard; stops at the first truncated/foreign
+    run. Used by the gz writer to put ONE RECORD PER GZIP MEMBER —
+    the ISO 28500 Annex / Common Crawl convention that lets a reader
+    seek to any record and inflate it independently."""
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        start = pos
+        while buf[pos : pos + 2] == b"\r\n":
+            pos += 2
+        if pos >= n or not buf[pos : pos + 5] == b"WARC/":
+            return
+        hdr_end = buf.find(b"\r\n\r\n", pos)
+        if hdr_end < 0:
+            return
+        _, fields = _parse_headers(buf[pos:hdr_end])
+        try:
+            clen = int(fields.get("content-length", ""))
+        except ValueError:
+            return
+        end = hdr_end + 4 + clen
+        if end > n:
+            return
+        # the record separator belongs to this member
+        while buf[end : end + 2] == b"\r\n":
+            end += 2
+        yield start, end
+        pos = end
+
+
+def gzip_shard(buf: bytes, level: int = 6) -> bytes:
+    """Plain WARC shard bytes -> member-per-record gzip bytes
+    (.warc.gz convention). zlib with wbits=31 writes a deterministic
+    gzip header (mtime 0), so same input -> same archive bytes — the
+    property the byte-level oracles and exact resume rely on."""
+    import zlib
+
+    out = bytearray()
+    for start, end in _record_spans(buf):
+        c = zlib.compressobj(level, zlib.DEFLATED, 31)
+        out += c.compress(buf[start:end])
+        out += c.flush()
+    return bytes(out)
+
+
+def gunzip_members(buf: bytes) -> bytes:
+    """Concatenated gzip members -> the concatenated plain bytes.
+    Only COMPLETE members contribute (eof reached, so zlib verified
+    the member's CRC32 + ISIZE trailer): a truncated or garbled
+    trailing member is dropped whole, never surfaced unverified —
+    the gz analogue of _parse_shard's truncation stop."""
+    import zlib
+
+    out = bytearray()
+    data = buf
+    while data[:2] == GZIP_MAGIC:
+        d = zlib.decompressobj(31)
+        try:
+            member = d.decompress(data) + d.flush()
+        except zlib.error:
+            break
+        if not d.eof:
+            break  # truncated member: trailer never verified — drop
+        out += member
+        data = d.unused_data
+    return bytes(out)
+
+
+def docs_to_warc_gz(
+    docs: DataFrame,
+    docs_per_shard: int = DOCS_PER_SHARD,
+    media_every: int = MEDIA_EVERY,
+    level: int = 6,
+) -> DataFrame:
+    """docs_to_warc, then per-record gzip members (.warc.gz — the
+    format crawl archives actually ship as): the record framing comes
+    from the pure-expression writer; the compression is an Arrow
+    kernel over whole shards (the same one-row-per-shard batch unit
+    the parser uses). Lossless, so parse_warc(docs_to_warc_gz(d)) ==
+    parse_warc(docs_to_warc(d)) record-for-record."""
+    import pandas as pd
+
+    plain = docs_to_warc(docs, docs_per_shard, media_every)
+
+    def _iter(batches: Iterator["pd.DataFrame"]):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "warc_id": pdf["warc_id"],
+                    "content": [
+                        gzip_shard(bytes(c), level) for c in pdf["content"]
+                    ],
+                }
+            )
+
+    return plain.mapInPandas(_iter, schema="warc_id long, content binary")
+
+
 WARC_PARSE_SCHEMA = StructType(
     [
         StructField("warc_id", LongType()),
@@ -262,10 +370,12 @@ def _parse_shard(wid, buf: bytes):
 
 def parse_warc(shards: DataFrame) -> DataFrame:
     """(warc_id, rec_idx, warc_type, url, mime, http_status, payload)
-    from (warc_id, content) shards. Arrow-batched kernel, one shard per
-    row — the parallelism unit matches how shards land on object
-    storage, so a 1000-executor run scales by shard count with zero
-    coordination."""
+    from (warc_id, content) shards — plain WARC or member-per-record
+    .warc.gz (the gzip magic is detected per shard and members inflate
+    transparently before the record walk). Arrow-batched kernel, one
+    shard per row — the parallelism unit matches how shards land on
+    object storage, so a 1000-executor run scales by shard count with
+    zero coordination."""
     import pandas as pd
 
     def _iter(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -275,7 +385,10 @@ def parse_warc(shards: DataFrame) -> DataFrame:
             for wid, content in zip(pdf["warc_id"], pdf["content"]):
                 if content is None:
                     continue
-                rows.extend(_parse_shard(int(wid), bytes(content)))
+                content = bytes(content)
+                if content[:2] == GZIP_MAGIC:
+                    content = gunzip_members(content)
+                rows.extend(_parse_shard(int(wid), content))
             yield pd.DataFrame(rows, columns=cols)
 
     return shards.mapInPandas(_iter, schema=WARC_PARSE_SCHEMA)

@@ -141,3 +141,75 @@ def test_unicode_content_length_is_octets(spark):
     rows = _parse_all(spark, warc.docs_to_warc(docs))
     body = bytes(rows[1].payload).decode("utf-8")
     assert body == warc.WARC_HTML_PRE + text + warc.WARC_HTML_POST
+
+
+def test_gz_roundtrip_matches_plain_record_for_record(spark):
+    """.warc.gz (member-per-record gzip) parses to records
+    byte-identical to the plain path — framing + inflation are
+    lossless end to end."""
+    rows = [(i, f"text {i} " + "x" * (i % 37), f"s{i % 3}")
+            for i in range(40)]
+    docs = _docs(spark, rows)
+    plain = _parse_all(spark, warc.docs_to_warc(docs))
+    gz = _parse_all(spark, warc.docs_to_warc_gz(docs))
+    assert len(plain) == len(gz) > 0
+    for p, g in zip(plain, gz):
+        assert (p.warc_id, p.rec_idx, p.warc_type, p.url, p.mime,
+                p.http_status, bytes(p.payload)) == \
+               (g.warc_id, g.rec_idx, g.warc_type, g.url, g.mime,
+                g.http_status, bytes(g.payload))
+
+
+def test_gz_member_per_record_and_determinism(spark):
+    """The .gz convention contract: one gzip member PER RECORD (each
+    independently inflatable — what lets a reader seek into a shard),
+    and the writer is deterministic (same docs -> same archive
+    bytes)."""
+    import zlib
+
+    docs = _docs(spark, [(i, f"t{i}", "s") for i in range(10)])
+    shard = warc.docs_to_warc(docs).collect()[0]
+    plain = bytes(shard.content)
+    gz = warc.gzip_shard(plain)
+    # member count == record count (warcinfo + responses + resources)
+    n_records = sum(1 for _ in warc._record_spans(plain))
+    assert n_records == 10 + 1 + sum(1 for i in range(10)
+                                     if i % warc.MEDIA_EVERY == 0)
+    # walk members independently
+    members = []
+    data = gz
+    while data:
+        d = zlib.decompressobj(31)
+        members.append(d.decompress(data) + d.flush())
+        assert d.eof
+        data = d.unused_data
+    assert len(members) == n_records
+    assert b"".join(members) == plain
+    # every member is itself a whole record
+    for m in members:
+        assert m.startswith(b"WARC/1.0\r\n") and m.endswith(b"\r\n\r\n")
+    # determinism
+    assert warc.gzip_shard(plain) == gz
+
+
+def test_gz_truncated_member_partial_contract():
+    """A shard cut mid-member surfaces the records that decode — the
+    same partial-shard contract as the plain parser's truncation
+    stop."""
+    import zlib
+
+    recs = []
+    for i in range(3):
+        body = f"payload {i}"
+        rec = (f"WARC/1.0\r\nWARC-Type: resource\r\n"
+               f"Content-Length: {len(body)}\r\n\r\n{body}\r\n\r\n")
+        recs.append(rec.encode())
+    gz = warc.gzip_shard(b"".join(recs))
+    # cut inside the LAST member
+    cut = gz[:-5]
+    out = warc.gunzip_members(cut)
+    assert out == b"".join(recs[:2])
+    # garbage after valid members stops cleanly too
+    assert warc.gunzip_members(gz + b"\x1f\x8bgarbage") == b"".join(recs)
+    # non-gz bytes: nothing decodes
+    assert warc.gunzip_members(b"not gzip") == b""
