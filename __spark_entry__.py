@@ -936,6 +936,41 @@ def q_warc_gz_roundtrip(spark, sf_dir):
     )
 
 
+def q_wds_roundtrip(spark, sf_dir):
+    """WebDataset ingestion boundary, end-to-end: serialize documents
+    into deterministic tar shards (one member per modality per sample:
+    .txt text, .json canonical metadata, .png REAL image bytes for
+    every 5th doc — wds.docs_to_wds), parse the shards back member by
+    member, sha-hash the text/json bytes, and DECODE the png members
+    through the real codec to their position-weighted pixel checksum.
+    The oracle predicts every member: text/json via template algebra
+    (exact bytes), png via the closed-form fixture pixels — so a tar
+    framing bug, a member-order bug, OR a codec bug each fails a row."""
+    from dompa_spark import media, wds
+
+    docs = _docs(spark, sf_dir)
+    mem = wds.parse_wds(wds.docs_to_wds(docs)).cache()
+    flat = mem.filter(F.col("ext") != "png").select(
+        F.col("key").cast("long").alias("doc_id"),
+        "ext",
+        F.octet_length("content").cast("long").alias("n_bytes"),
+        F.sha2("content", 256).alias("member_sha"),
+        F.lit(None).cast("long").alias("pixel_checksum"),
+    )
+    png = media.decode_images(
+        mem.filter(F.col("ext") == "png").select(
+            F.col("key").alias("media_ref"), "content"
+        )
+    ).select(
+        F.col("media_ref").cast("long").alias("doc_id"),
+        F.lit("png").alias("ext"),
+        F.lit(None).cast("long").alias("n_bytes"),
+        F.lit(None).cast("string").alias("member_sha"),
+        F.col("pixel_checksum"),
+    )
+    return flat.unionByName(png)
+
+
 def q_media_dedup(spark, sf_dir):
     """Multimodal path end-to-end: derive a media table from documents
     (content = utf-8 text bytes; every 7th doc repeats the previous
@@ -1901,6 +1936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "warc_roundtrip": q_warc_roundtrip,
         "warc_gz_roundtrip": q_warc_gz_roundtrip,
+        "wds_roundtrip": q_wds_roundtrip,
         "media_dedup": q_media_dedup,
         "media_dhash": q_media_dhash,
         "wav_near_dup": q_wav_near_dup,
@@ -6061,4 +6097,44 @@ def oracle_sql() -> dict[str, str]:
     # members), so it shares the plain round-trip's template-algebra
     # oracle verbatim
     oracles["warc_gz_roundtrip"] = oracles["warc_roundtrip"]
+    # wds_roundtrip: one row per tar member — txt/json bytes predicted
+    # exactly by template algebra (key = doc_id, canonical compact
+    # JSON), png members by the closed-form fixture pixels through the
+    # position-weighted checksum (the png_decode recipe; tar framing
+    # and the member walk add no transform)
+    oracles["wds_roundtrip"] = """
+        WITH d AS (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                 coalesce(text, '') AS text,
+                 coalesce(source, 'src') AS source
+          FROM documents),
+        txt AS (
+          SELECT doc_id, 'txt' AS ext,
+                 CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                 sha256(text) AS member_sha,
+                 CAST(NULL AS BIGINT) AS pixel_checksum
+          FROM d),
+        js AS (
+          SELECT doc_id, 'json' AS ext,
+                 CAST(octet_length(encode(
+                   '{"doc_id":' || doc_id || ',"source":"' || source
+                   || '"}')) AS BIGINT) AS n_bytes,
+                 sha256('{"doc_id":' || doc_id || ',"source":"'
+                        || source || '"}') AS member_sha,
+                 CAST(NULL AS BIGINT) AS pixel_checksum
+          FROM d),
+        png AS (
+          SELECT doc_id, 'png' AS ext,
+                 CAST(NULL AS BIGINT) AS n_bytes,
+                 CAST(NULL AS VARCHAR) AS member_sha,
+                 CAST(list_sum(list_transform(
+                   generate_series(0, (8 + doc_id % 8)
+                                      * (8 + doc_id % 5) - 1),
+                   j -> ((doc_id*47 + j*17) % 249) * (j+1)))
+                   AS BIGINT) AS pixel_checksum
+          FROM d WHERE doc_id % 5 = 0)
+        SELECT * FROM txt
+        UNION ALL SELECT * FROM js
+        UNION ALL SELECT * FROM png
+    """
     return oracles

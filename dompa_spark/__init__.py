@@ -20,6 +20,8 @@ read-only at /root/reference), re-architected Spark-first:
 - `dompa_spark.wavcodec` — from-scratch stdlib RIFF/PCM WAV codec
 - `dompa_spark.y4mcodec` — from-scratch Y4M video codec (raw luma planes)
 - `dompa_spark.avicodec` — from-scratch MJPEG-in-AVI container codec
+- `dompa_spark.warc`     — WARC/ISO 28500 writer + parser (.warc, .warc.gz)
+- `dompa_spark.wds`      — WebDataset tar-shard writer + parser
 - `dompa_spark.pdfops`   — from-scratch ISO 32000 subset + XY-cut layout
 - `dompa_spark.streaming`— Structured Streaming front-end (same kernels)
 - `dompa_spark.dsl`      — node-construction DSL (the reference's $ / defhtml)
