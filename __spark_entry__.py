@@ -971,6 +971,61 @@ def q_wds_roundtrip(spark, sf_dir):
     return flat.unionByName(png)
 
 
+def q_iceberg_scan(spark, sf_dir):
+    """The north rule's storage layer WITHOUT the runtime jar: write
+    documents as an Iceberg-v2-shaped table (two snapshots, identity-
+    partitioned by lang — from-scratch metadata JSON + Avro manifest
+    writer, dompa_spark.icebergio), then read it back through the
+    from-scratch PLANNING walk (metadata -> manifest list -> manifests
+    -> pruned parquet file set; Spark's native parquet reader scans the
+    surviving files). Three read shapes in one result: the current
+    snapshot, TIME TRAVEL to the first snapshot (the appended docs must
+    vanish), and identity-partition PRUNING (only min(lang)'s files are
+    ever handed to the scan). Oracle recomputes all three from the
+    documents table."""
+    import os
+    import shutil
+    import tempfile
+
+    from dompa_spark import icebergio
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "text", "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    loc = os.path.join(
+        tempfile.gettempdir(),
+        f"dompa_iceberg_q_{abs(hash(sf_dir)) % 10**9}",
+    )
+    shutil.rmtree(loc, ignore_errors=True)
+    s1 = icebergio.write_table(
+        docs.filter(F.col("doc_id") % 2 == 0), loc, partition_by="lang"
+    )
+    icebergio.append_snapshot(
+        docs.filter(F.col("doc_id") % 2 == 1), loc, partition_by="lang"
+    )
+    min_lang = docs.agg(F.min("lang")).collect()[0][0]
+
+    def agg(df, label):
+        return df.groupBy("lang").agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        ).select(F.lit(label).alias("snapshot"), "lang", "n_docs",
+                 "total_chars")
+
+    cur = agg(icebergio.scan_table(spark, loc), "current")
+    first = agg(icebergio.scan_table(spark, loc, snapshot_id=s1),
+                "first")
+    pruned = agg(
+        icebergio.scan_table(
+            spark, loc, partition_filter={"lang": min_lang}
+        ),
+        "pruned",
+    )
+    return cur.unionByName(first).unionByName(pruned)
+
+
 def q_media_dedup(spark, sf_dir):
     """Multimodal path end-to-end: derive a media table from documents
     (content = utf-8 text bytes; every 7th doc repeats the previous
@@ -1937,6 +1992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip": q_warc_roundtrip,
         "warc_gz_roundtrip": q_warc_gz_roundtrip,
         "wds_roundtrip": q_wds_roundtrip,
+        "iceberg_scan": q_iceberg_scan,
         "media_dedup": q_media_dedup,
         "media_dhash": q_media_dhash,
         "wav_near_dup": q_wav_near_dup,
@@ -6136,5 +6192,26 @@ def oracle_sql() -> dict[str, str]:
         SELECT * FROM txt
         UNION ALL SELECT * FROM js
         UNION ALL SELECT * FROM png
+    """
+    # iceberg_scan: the storage walk adds no transform — three read
+    # shapes (current / time-travel-to-first / partition-pruned)
+    # recompute directly from the documents table
+    oracles["iceberg_scan"] = """
+        WITH d AS (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+                 CAST(n_chars AS BIGINT) AS n_chars
+          FROM documents)
+        SELECT 'current' AS snapshot, lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM d GROUP BY lang
+        UNION ALL
+        SELECT 'first', lang, CAST(count(*) AS BIGINT),
+               CAST(sum(n_chars) AS BIGINT)
+        FROM d WHERE doc_id % 2 = 0 GROUP BY lang
+        UNION ALL
+        SELECT 'pruned', lang, CAST(count(*) AS BIGINT),
+               CAST(sum(n_chars) AS BIGINT)
+        FROM d WHERE lang = (SELECT min(lang) FROM d) GROUP BY lang
     """
     return oracles

@@ -1,0 +1,696 @@
+"""From-scratch Apache Iceberg v2 READ PATH (+ fixture writer), no
+iceberg-spark-runtime jar required.
+
+The sandbox ships no Iceberg runtime (VERDICT r01-r04 carry:
+`pipeline.py` config-gates the catalog and falls back to parquet), but
+the TABLE FORMAT itself is an open spec over files a from-scratch
+reader can walk — exactly the pngcodec/warc philosophy applied to the
+north rule's storage layer:
+
+    metadata/vN.metadata.json      (JSON: schemas, specs, snapshots)
+      -> snapshot.manifest-list    (Avro container file)
+        -> manifest files          (Avro: one data_file entry per file)
+          -> data parquet files    (the bytes Spark actually scans)
+
+- **Avro subset codec** (`_AvroReader`/`_AvroWriter`): the Avro 1.x
+  object-container format — magic `Obj\\x01`, file-metadata map with
+  the writer schema JSON, 16-byte sync marker, counted blocks (null or
+  deflate codec) — and the binary encoding for null/boolean/int/long/
+  float/double/bytes/string/fixed/array/map/union/record (zigzag
+  varints throughout). GENERIC: values decode by the schema embedded
+  in the file, so real Iceberg manifests (whose schemas carry many
+  optional stats fields ours omit) decode with the same code; the
+  Iceberg layer then picks fields BY NAME.
+
+- **Reader** (`scan_table` / `table_files`): resolve the latest (or a
+  requested) snapshot from the newest metadata JSON, decode its
+  manifest list, decode each data manifest, honor entry status
+  (deleted entries drop out), refuse delete manifests / non-parquet
+  data files loudly, optionally prune identity partitions BEFORE the
+  scan, and hand the surviving file list to `spark.read.parquet` — so
+  Catalyst still owns the columnar scan, pushdown, and pruning below
+  the file level. Time travel = pass `snapshot_id`.
+
+- **Fixture writer** (`write_table` / `append_snapshot`): writes a
+  spec-shaped table — per-identity-partition parquet data files (each
+  file self-contained, partition column included, the Iceberg data
+  layout), one manifest per snapshot, a manifest list, and
+  vN.metadata.json + version-hint.text. Deterministic timestamps
+  (fixed ms) so same input -> same metadata bytes. Parent snapshots
+  carry forward: an append snapshot's manifest list references the
+  prior manifests plus the new one, so time travel reads exactly the
+  old file set.
+
+Scale shape: the metadata walk touches kilobytes per thousand data
+files and happens once on the driver (same as the real runtime's
+planning step); everything heavy stays in the distributed parquet
+scan. Partition pruning drops whole files before Spark ever lists
+them — at 10^12 docs that is the difference between planning over a
+manifest and listing an object store.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import struct
+import zlib
+from typing import Any, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+
+AVRO_MAGIC = b"Obj\x01"
+SYNC = bytes(range(16))  # fixture sync marker: deterministic
+_TS_MS = 1700000000000  # fixed wall clock for deterministic metadata
+
+
+# --------------------------------------------------------------------
+# Avro binary encoding (generic, schema-driven)
+
+
+def _zigzag_encode(n: int) -> bytes:
+    u = (n << 1) ^ (n >> 63) if n < 0 else n << 1
+    out = bytearray()
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+class _Cursor:
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.data = data
+        self.pos = pos
+
+    def read(self, n: int) -> bytes:
+        if self.pos + n > len(self.data):
+            raise ValueError("avro: truncated")
+        out = self.data[self.pos : self.pos + n]
+        self.pos += n
+        return out
+
+    def varint(self) -> int:
+        shift = 0
+        u = 0
+        while True:
+            b = self.read(1)[0]
+            u |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+            if shift > 70:
+                raise ValueError("avro: varint overflow")
+        return (u >> 1) ^ -(u & 1)  # zigzag
+
+
+def _encode_value(schema: Any, v: Any, out: bytearray) -> None:
+    if isinstance(schema, list):  # union: [branch schemas]
+        if v is None and "null" in schema:
+            out += _zigzag_encode(schema.index("null"))
+            return
+        for i, br in enumerate(schema):
+            if br != "null":
+                out += _zigzag_encode(i)
+                _encode_value(br, v, out)
+                return
+        raise ValueError("avro: no union branch for value")
+    t = schema["type"] if isinstance(schema, dict) else schema
+    if t == "null":
+        return
+    if t == "boolean":
+        out.append(1 if v else 0)
+    elif t in ("int", "long"):
+        out += _zigzag_encode(int(v))
+    elif t == "float":
+        out += struct.pack("<f", float(v))
+    elif t == "double":
+        out += struct.pack("<d", float(v))
+    elif t == "bytes":
+        out += _zigzag_encode(len(v))
+        out += bytes(v)
+    elif t == "string":
+        b = v.encode("utf-8")
+        out += _zigzag_encode(len(b))
+        out += b
+    elif t == "fixed":
+        out += bytes(v)
+    elif t == "array":
+        if v:
+            out += _zigzag_encode(len(v))
+            for item in v:
+                _encode_value(schema["items"], item, out)
+        out += _zigzag_encode(0)
+    elif t == "map":
+        if v:
+            out += _zigzag_encode(len(v))
+            for k, mv in v.items():
+                _encode_value("string", k, out)
+                _encode_value(schema["values"], mv, out)
+        out += _zigzag_encode(0)
+    elif t == "record":
+        for f in schema["fields"]:
+            _encode_value(f["type"], v.get(f["name"]), out)
+    else:
+        raise ValueError(f"avro: unsupported write type {t!r}")
+
+
+def _decode_value(schema: Any, cur: _Cursor) -> Any:
+    if isinstance(schema, list):  # union
+        idx = cur.varint()
+        if not 0 <= idx < len(schema):
+            raise ValueError("avro: bad union index")
+        return _decode_value(schema[idx], cur)
+    t = schema["type"] if isinstance(schema, dict) else schema
+    if t == "null":
+        return None
+    if t == "boolean":
+        return cur.read(1) != b"\x00"
+    if t in ("int", "long"):
+        return cur.varint()
+    if t == "float":
+        return struct.unpack("<f", cur.read(4))[0]
+    if t == "double":
+        return struct.unpack("<d", cur.read(8))[0]
+    if t == "bytes":
+        return cur.read(cur.varint())
+    if t == "string":
+        return cur.read(cur.varint()).decode("utf-8")
+    if t == "fixed":
+        return cur.read(schema["size"])
+    if t == "enum":
+        return schema["symbols"][cur.varint()]
+    if t == "array":
+        out = []
+        while True:
+            n = cur.varint()
+            if n == 0:
+                return out
+            if n < 0:  # block with byte size prefix
+                cur.varint()
+                n = -n
+            for _ in range(n):
+                out.append(_decode_value(schema["items"], cur))
+    if t == "map":
+        out = {}
+        while True:
+            n = cur.varint()
+            if n == 0:
+                return out
+            if n < 0:
+                cur.varint()
+                n = -n
+            for _ in range(n):
+                k = cur.read(cur.varint()).decode("utf-8")
+                out[k] = _decode_value(schema["values"], cur)
+    if t == "record":
+        return {
+            f["name"]: _decode_value(f["type"], cur)
+            for f in schema["fields"]
+        }
+    raise ValueError(f"avro: unsupported read type {t!r}")
+
+
+def _resolve_named(schema: Any, defs: dict) -> Any:
+    """Inline named-type references ("r102") and collect definitions —
+    real writers reference earlier record/fixed definitions by name."""
+    if isinstance(schema, str):
+        return defs.get(schema, schema)
+    if isinstance(schema, list):
+        return [_resolve_named(s, defs) for s in schema]
+    if isinstance(schema, dict):
+        t = schema.get("type")
+        if t in ("record", "fixed", "enum") and "name" in schema:
+            defs[schema["name"]] = schema
+        out = dict(schema)
+        if t == "array":
+            out["items"] = _resolve_named(schema["items"], defs)
+        elif t == "map":
+            out["values"] = _resolve_named(schema["values"], defs)
+        elif t == "record":
+            out["fields"] = [
+                {**f, "type": _resolve_named(f["type"], defs)}
+                for f in schema["fields"]
+            ]
+        return out
+    return schema
+
+
+def avro_write(path: str, schema: dict, records: list[dict],
+               codec: str = "deflate") -> None:
+    """Write one Avro object-container file (fixture side)."""
+    resolved = _resolve_named(schema, {})
+    body = bytearray()
+    for rec in records:
+        _encode_value(resolved, rec, body)
+    block = bytes(body)
+    if codec == "deflate":
+        block = zlib.compress(block)[2:-4]  # raw deflate per spec
+    elif codec != "null":
+        raise ValueError(f"avro: unsupported codec {codec!r}")
+    out = bytearray(AVRO_MAGIC)
+    meta = {
+        "avro.schema": json.dumps(schema, sort_keys=True).encode(),
+        "avro.codec": codec.encode(),
+    }
+    out += _zigzag_encode(len(meta))
+    for k, v in sorted(meta.items()):
+        kb = k.encode()
+        out += _zigzag_encode(len(kb)) + kb
+        out += _zigzag_encode(len(v)) + v
+    out += _zigzag_encode(0)
+    out += SYNC
+    if records:
+        out += _zigzag_encode(len(records))
+        out += _zigzag_encode(len(block))
+        out += block
+        out += SYNC
+    with open(path, "wb") as f:
+        f.write(bytes(out))
+
+
+def avro_read(path: str) -> list[dict]:
+    """Read every record of an Avro object-container file (generic:
+    decodes by the embedded writer schema; null + deflate codecs)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:4] != AVRO_MAGIC:
+        raise ValueError("avro: bad magic")
+    cur = _Cursor(data, 4)
+    meta: dict[str, bytes] = {}
+    while True:
+        n = cur.varint()
+        if n == 0:
+            break
+        if n < 0:
+            cur.varint()
+            n = -n
+        for _ in range(n):
+            k = cur.read(cur.varint()).decode("utf-8")
+            meta[k] = cur.read(cur.varint())
+    sync = cur.read(16)
+    schema = _resolve_named(json.loads(meta["avro.schema"]), {})
+    codec = meta.get("avro.codec", b"null").decode()
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"avro: unsupported codec {codec!r}")
+    records: list[dict] = []
+    while cur.pos < len(data):
+        count = cur.varint()
+        size = cur.varint()
+        block = cur.read(size)
+        if codec == "deflate":
+            block = zlib.decompress(block, wbits=-15)
+        bcur = _Cursor(block)
+        for _ in range(count):
+            records.append(_decode_value(schema, bcur))
+        if cur.read(16) != sync:
+            raise ValueError("avro: sync marker mismatch")
+    return records
+
+
+# --------------------------------------------------------------------
+# Iceberg v2 layout
+
+
+def _spark_type_to_iceberg(dt) -> Any:
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.LongType):
+        return "long"
+    if isinstance(dt, T.IntegerType):
+        return "int"
+    if isinstance(dt, T.StringType):
+        return "string"
+    if isinstance(dt, T.DoubleType):
+        return "double"
+    if isinstance(dt, T.FloatType):
+        return "float"
+    if isinstance(dt, T.BooleanType):
+        return "boolean"
+    if isinstance(dt, T.BinaryType):
+        return "binary"
+    if isinstance(dt, T.TimestampNTZType):
+        return "timestamp"
+    if isinstance(dt, T.TimestampType):
+        return "timestamptz"
+    if isinstance(dt, T.ArrayType):
+        return {
+            "type": "list",
+            "element-id": -1,
+            "element": _spark_type_to_iceberg(dt.elementType),
+            "element-required": not dt.containsNull,
+        }
+    if isinstance(dt, T.StructType):
+        return {
+            "type": "struct",
+            "fields": [
+                {
+                    "id": -1,
+                    "name": f.name,
+                    "required": not f.nullable,
+                    "type": _spark_type_to_iceberg(f.dataType),
+                }
+                for f in dt.fields
+            ],
+        }
+    if isinstance(dt, T.MapType):
+        return {
+            "type": "map",
+            "key-id": -1,
+            "value-id": -1,
+            "key": _spark_type_to_iceberg(dt.keyType),
+            "value": _spark_type_to_iceberg(dt.valueType),
+            "value-required": not dt.valueContainsNull,
+        }
+    raise ValueError(f"iceberg: unmapped Spark type {dt}")
+
+
+def _schema_json(df: DataFrame) -> dict:
+    fields = []
+    fid = 0
+    for f in df.schema.fields:
+        fid += 1
+        fields.append(
+            {
+                "id": fid,
+                "name": f.name,
+                "required": not f.nullable,
+                "type": _spark_type_to_iceberg(f.dataType),
+            }
+        )
+    return {"type": "struct", "schema-id": 0, "fields": fields}
+
+
+_PARTITION_RECORD = {
+    "type": "record",
+    "name": "r102",
+    "fields": [],  # filled per table: identity partition values
+}
+
+_MANIFEST_LIST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int"},
+        {"name": "content", "type": "int"},
+        {"name": "sequence_number", "type": "long"},
+        {"name": "min_sequence_number", "type": "long"},
+        {"name": "added_snapshot_id", "type": "long"},
+        {"name": "added_files_count", "type": "int"},
+        {"name": "existing_files_count", "type": "int"},
+        {"name": "deleted_files_count", "type": "int"},
+        {"name": "added_rows_count", "type": "long"},
+        {"name": "existing_rows_count", "type": "long"},
+        {"name": "deleted_rows_count", "type": "long"},
+    ],
+}
+
+
+def _manifest_schema(partition_fields: list[tuple[str, str]]) -> dict:
+    part = {
+        "type": "record",
+        "name": "r102",
+        "fields": [
+            {"name": name, "type": ["null", typ], "default": None}
+            for name, typ in partition_fields
+        ],
+    }
+    data_file = {
+        "type": "record",
+        "name": "r2",
+        "fields": [
+            {"name": "content", "type": "int"},
+            {"name": "file_path", "type": "string"},
+            {"name": "file_format", "type": "string"},
+            {"name": "partition", "type": part},
+            {"name": "record_count", "type": "long"},
+            {"name": "file_size_in_bytes", "type": "long"},
+        ],
+    }
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": ["null", "long"],
+             "default": None},
+            {"name": "sequence_number", "type": ["null", "long"],
+             "default": None},
+            {"name": "file_sequence_number", "type": ["null", "long"],
+             "default": None},
+            {"name": "data_file", "type": data_file},
+        ],
+    }
+
+
+def _avro_part_type(spark_dt) -> str:
+    from pyspark.sql import types as T
+
+    if isinstance(spark_dt, T.StringType):
+        return "string"
+    if isinstance(spark_dt, (T.LongType, T.IntegerType)):
+        return "long"
+    raise ValueError(
+        f"iceberg fixture: identity partition on {spark_dt} unsupported"
+    )
+
+
+def write_table(
+    df: DataFrame,
+    location: str,
+    partition_by: str | None = None,
+) -> int:
+    """Write `df` as a fresh Iceberg-v2-shaped table at `location`
+    (fixture writer — see module docstring): per-partition
+    self-contained parquet data files, one manifest, a manifest list,
+    v1.metadata.json, version-hint.text. Returns the snapshot id."""
+    os.makedirs(os.path.join(location, "metadata"), exist_ok=True)
+    os.makedirs(os.path.join(location, "data"), exist_ok=True)
+    return append_snapshot(df, location, partition_by)
+
+
+def _latest_metadata(location: str) -> tuple[int, dict]:
+    mdir = os.path.join(location, "metadata")
+    hint = os.path.join(mdir, "version-hint.text")
+    if os.path.exists(hint):
+        with open(hint) as f:
+            v = int(f.read().strip())
+    else:
+        versions = [
+            int(n.split(".")[0][1:])
+            for n in os.listdir(mdir)
+            if n.endswith(".metadata.json") and n.startswith("v")
+        ]
+        if not versions:
+            raise ValueError(f"iceberg: no metadata at {location}")
+        v = max(versions)
+    with open(os.path.join(mdir, f"v{v}.metadata.json")) as f:
+        return v, json.load(f)
+
+
+def append_snapshot(
+    df: DataFrame,
+    location: str,
+    partition_by: str | None = None,
+) -> int:
+    """Append `df` as a new snapshot (first call on an empty location
+    bootstraps the table). Prior snapshots' manifests carry forward in
+    the new manifest list, so time travel to any snapshot id reads
+    exactly that snapshot's file set."""
+    mdir = os.path.join(location, "metadata")
+    try:
+        ver, meta = _latest_metadata(location)
+    except (ValueError, FileNotFoundError):
+        ver, meta = 0, None
+
+    seq = (meta["last-sequence-number"] + 1) if meta else 1
+    snap_id = seq  # deterministic snapshot ids: 1, 2, ...
+    part_fields: list[tuple[str, str]] = []
+    if partition_by:
+        dt = df.schema[partition_by].dataType
+        part_fields = [(partition_by, _avro_part_type(dt))]
+
+    # data files: one parquet file per identity-partition value, each
+    # file self-contained (partition column INCLUDED — the Iceberg
+    # data layout, unlike hive partitionBy which strips it)
+    data_dir = os.path.join(location, "data", f"snap-{snap_id}")
+    entries = []
+    if partition_by:
+        values = [
+            r[0] for r in df.select(partition_by).distinct().collect()
+        ]
+        parts = [(v, df.filter(df[partition_by] == v)) for v in values]
+    else:
+        parts = [(None, df)]
+    for i, (pv, pdf) in enumerate(
+        sorted(parts, key=lambda t: str(t[0]))
+    ):
+        pdir = os.path.join(data_dir, f"p{i}")
+        pdf.coalesce(1).write.mode("overwrite").parquet(pdir)
+        files = [
+            n for n in os.listdir(pdir)
+            if n.endswith(".parquet") and not n.startswith(".")
+        ]
+        if len(files) != 1:
+            raise ValueError("iceberg fixture: expected one file/part")
+        fpath = os.path.join(pdir, files[0])
+        entries.append(
+            {
+                "status": 1,  # ADDED
+                "snapshot_id": snap_id,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": {
+                    "content": 0,  # DATA
+                    "file_path": fpath,
+                    "file_format": "PARQUET",
+                    "partition": (
+                        {partition_by: pv} if partition_by else {}
+                    ),
+                    "record_count": pdf.count(),
+                    "file_size_in_bytes": os.path.getsize(fpath),
+                },
+            }
+        )
+
+    man_path = os.path.join(mdir, f"manifest-{snap_id}.avro")
+    avro_write(man_path, _manifest_schema(part_fields), entries)
+    new_manifest = {
+        "manifest_path": man_path,
+        "manifest_length": os.path.getsize(man_path),
+        "partition_spec_id": 0,
+        "content": 0,  # data manifest
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+        "added_snapshot_id": snap_id,
+        "added_files_count": len(entries),
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": sum(
+            e["data_file"]["record_count"] for e in entries
+        ),
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+    }
+
+    # carry the previous snapshot's manifests forward
+    prior: list[dict] = []
+    if meta and meta.get("current-snapshot-id", -1) != -1:
+        cur_snap = next(
+            s for s in meta["snapshots"]
+            if s["snapshot-id"] == meta["current-snapshot-id"]
+        )
+        prior = avro_read(cur_snap["manifest-list"])
+    mlist_path = os.path.join(mdir, f"snap-{snap_id}.avro")
+    avro_write(mlist_path, _MANIFEST_LIST_SCHEMA, prior + [new_manifest])
+
+    snapshot = {
+        "snapshot-id": snap_id,
+        "sequence-number": seq,
+        "timestamp-ms": _TS_MS + snap_id,
+        "manifest-list": mlist_path,
+        "summary": {"operation": "append"},
+        "schema-id": 0,
+    }
+    spec_fields = []
+    if partition_by:
+        src = next(
+            f["id"] for f in _schema_json(df)["fields"]
+            if f["name"] == partition_by
+        )
+        spec_fields = [
+            {
+                "name": partition_by,
+                "transform": "identity",
+                "source-id": src,
+                "field-id": 1000,
+            }
+        ]
+    new_meta = {
+        "format-version": 2,
+        "table-uuid": "00000000-0000-0000-0000-000000000000",
+        "location": location,
+        "last-sequence-number": seq,
+        "last-updated-ms": _TS_MS + snap_id,
+        "last-column-id": len(df.schema.fields),
+        "current-schema-id": 0,
+        "schemas": [_schema_json(df)],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+        "last-partition-id": 1000 if partition_by else 999,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "current-snapshot-id": snap_id,
+        "snapshots": (meta["snapshots"] if meta else []) + [snapshot],
+        "snapshot-log": [],
+        "metadata-log": [],
+    }
+    with open(os.path.join(mdir, f"v{ver + 1}.metadata.json"), "w") as f:
+        json.dump(new_meta, f, sort_keys=True)
+    with open(os.path.join(mdir, "version-hint.text"), "w") as f:
+        f.write(str(ver + 1))
+    return snap_id
+
+
+def table_files(
+    location: str,
+    snapshot_id: int | None = None,
+    partition_filter: dict | None = None,
+) -> list[str]:
+    """The planning step: metadata JSON -> manifest list -> manifests ->
+    pruned parquet file list. Pure driver-side metadata walk (kilobytes
+    per thousand files); refuses delete manifests / delete files /
+    non-parquet formats loudly rather than returning wrong rows."""
+    _, meta = _latest_metadata(location)
+    if meta.get("format-version") != 2:
+        raise ValueError("iceberg: only format-version 2 supported")
+    snap_id = snapshot_id or meta.get("current-snapshot-id", -1)
+    snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    if snap_id not in snaps:
+        raise ValueError(f"iceberg: snapshot {snap_id} not found")
+    files: list[str] = []
+    for mf in avro_read(snaps[snap_id]["manifest-list"]):
+        if mf.get("content", 0) != 0:
+            raise ValueError(
+                "iceberg: delete manifests unsupported (row-level "
+                "deletes need a merge-on-read path)"
+            )
+        for entry in avro_read(mf["manifest_path"]):
+            if entry["status"] == 2:  # DELETED
+                continue
+            dfile = entry["data_file"]
+            if dfile.get("content", 0) != 0:
+                raise ValueError("iceberg: delete files unsupported")
+            if dfile["file_format"].upper() != "PARQUET":
+                raise ValueError(
+                    f"iceberg: {dfile['file_format']} data unsupported"
+                )
+            part = dfile.get("partition") or {}
+            if partition_filter and any(
+                k in part and part[k] != v
+                for k, v in partition_filter.items()
+            ):
+                continue  # identity-partition pruning: file never scans
+            files.append(dfile["file_path"])
+    return files
+
+
+def scan_table(
+    spark: SparkSession,
+    location: str,
+    snapshot_id: int | None = None,
+    partition_filter: dict | None = None,
+) -> DataFrame:
+    """Iceberg table -> DataFrame via the from-scratch planning walk;
+    the scan itself is Spark's native parquet reader (pushdown, column
+    pruning, AQE all intact below the file level)."""
+    files = table_files(location, snapshot_id, partition_filter)
+    if not files:
+        raise ValueError("iceberg: snapshot selects no data files")
+    return spark.read.parquet(*files)

@@ -79,10 +79,17 @@ def session_confs(builder):
 
 
 def read_input(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
-    """Source: Iceberg table when a runtime jar is configured, else a
-    parquet directory with the identical schema (sandbox default)."""
+    """Source: Iceberg table via the runtime jar (fmt="iceberg"), via
+    the from-scratch metadata/manifest walk when no jar is installed
+    (fmt="iceberg-native" — icebergio.scan_table plans the file set,
+    Spark's parquet reader scans it), else a plain parquet directory
+    with the identical schema (sandbox default)."""
     if fmt == "iceberg":
         df = spark.read.format("iceberg").load(path)
+    elif fmt == "iceberg-native":
+        from . import icebergio
+
+        df = icebergio.scan_table(spark, path)
     else:
         df = spark.read.schema(INPUT_SCHEMA).parquet(path)
     return df.select("doc_id", "spans")

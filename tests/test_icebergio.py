@@ -1,0 +1,225 @@
+"""From-scratch Iceberg v2 read path (icebergio.py): generic Avro
+container codec, snapshot planning walk, identity-partition pruning,
+time travel, and the refusal surface."""
+
+import json
+import os
+import shutil
+
+import pytest
+
+from dompa_spark import icebergio as ib
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    )
+
+
+def _loc(tmp_path):
+    loc = str(tmp_path / "tbl")
+    shutil.rmtree(loc, ignore_errors=True)
+    return loc
+
+
+# ---------------------------------------------------------------- avro
+
+
+def test_avro_roundtrip_generic_types(tmp_path):
+    """The generic codec round-trips every type the Iceberg manifests
+    (ours AND real writers') use: records, null-unions, arrays, maps,
+    strings/bytes/long/int/boolean/double — under both codecs."""
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "s", "type": "string"},
+            {"name": "n", "type": "long"},
+            {"name": "i", "type": "int"},
+            {"name": "b", "type": "boolean"},
+            {"name": "d", "type": "double"},
+            {"name": "raw", "type": "bytes"},
+            {"name": "opt", "type": ["null", "long"], "default": None},
+            {"name": "arr", "type": {"type": "array", "items": "long"}},
+            {"name": "m", "type": {"type": "map", "values": "string"}},
+            {
+                "name": "nested",
+                "type": {
+                    "type": "record",
+                    "name": "inner",
+                    "fields": [{"name": "x", "type": "long"}],
+                },
+            },
+        ],
+    }
+    recs = [
+        {
+            "s": f"row {i} é中", "n": (-1) ** i * 10**i,
+            "i": i - 3, "b": i % 2 == 0, "d": i * 0.5,
+            "raw": bytes([i]) * i,
+            "opt": None if i % 2 else i,
+            "arr": list(range(i)), "m": {f"k{j}": f"v{j}" for j in range(i)},
+            "nested": {"x": i * 7},
+        }
+        for i in range(6)
+    ]
+    for codec in ("null", "deflate"):
+        path = str(tmp_path / f"t_{codec}.avro")
+        ib.avro_write(path, schema, recs, codec=codec)
+        assert ib.avro_read(path) == recs
+    # empty file (zero records) round-trips too
+    path = str(tmp_path / "empty.avro")
+    ib.avro_write(path, schema, [])
+    assert ib.avro_read(path) == []
+
+
+def test_avro_named_type_reference(tmp_path):
+    """Real manifest writers reference earlier record definitions by
+    name ("r102"); the reader inlines them."""
+    schema = {
+        "type": "record",
+        "name": "outer",
+        "fields": [
+            {
+                "name": "a",
+                "type": {
+                    "type": "record",
+                    "name": "r102",
+                    "fields": [{"name": "v", "type": "long"}],
+                },
+            },
+            {"name": "b", "type": "r102"},
+        ],
+    }
+    path = str(tmp_path / "named.avro")
+    recs = [{"a": {"v": 1}, "b": {"v": 2}}]
+    ib.avro_write(path, schema, recs)
+    assert ib.avro_read(path) == recs
+
+
+def test_avro_refusals(tmp_path):
+    path = str(tmp_path / "x.avro")
+    schema = {"type": "record", "name": "r",
+              "fields": [{"name": "v", "type": "long"}]}
+    ib.avro_write(path, schema, [{"v": 1}])
+    good = open(path, "rb").read()
+    with pytest.raises(ValueError, match="magic"):
+        p = str(tmp_path / "bad1.avro")
+        open(p, "wb").write(b"Obj\x02" + good[4:])
+        ib.avro_read(p)
+    with pytest.raises(ValueError, match="sync"):
+        p = str(tmp_path / "bad2.avro")
+        open(p, "wb").write(good[:-16] + b"\x00" * 16)
+        ib.avro_read(p)
+    with pytest.raises(ValueError, match="truncated"):
+        p = str(tmp_path / "bad3.avro")
+        open(p, "wb").write(good[:-10])
+        ib.avro_read(p)
+
+
+# -------------------------------------------------------------- iceberg
+
+
+def test_scan_pruning_and_time_travel(spark, tmp_path):
+    loc = _loc(tmp_path)
+    docs = _docs(
+        spark,
+        [(i, f"text {i}", ["en", "de", "fr"][i % 3]) for i in range(30)],
+    )
+    s1 = ib.write_table(docs, loc, partition_by="lang")
+    assert ib.scan_table(spark, loc).count() == 30
+    # identity-partition pruning: exactly one file handed to the scan
+    assert len(ib.table_files(loc, partition_filter={"lang": "en"})) == 1
+    en = ib.scan_table(spark, loc, partition_filter={"lang": "en"})
+    assert en.count() == 10
+    assert [r.lang for r in en.select("lang").distinct().collect()] \
+        == ["en"]
+    # append + time travel: the old snapshot's file set is frozen
+    s2 = ib.append_snapshot(
+        _docs(spark, [(100 + i, f"t{i}", "en") for i in range(5)]),
+        loc, partition_by="lang",
+    )
+    assert s2 != s1
+    assert ib.scan_table(spark, loc).count() == 35
+    assert ib.scan_table(spark, loc, snapshot_id=s1).count() == 30
+    assert ib.scan_table(
+        spark, loc, partition_filter={"lang": "en"}
+    ).count() == 15
+
+
+def test_metadata_determinism_and_version_hint(spark, tmp_path):
+    """Same docs -> byte-identical metadata JSON + manifest avro (fixed
+    timestamps, sorted keys); version-hint picks the newest metadata."""
+    loc_a, loc_b = _loc(tmp_path / "a"), _loc(tmp_path / "b")
+    docs = _docs(spark, [(i, f"t{i}", "en") for i in range(8)])
+    ib.write_table(docs.coalesce(1), loc_a, partition_by="lang")
+    ib.write_table(docs.coalesce(1), loc_b, partition_by="lang")
+
+    def meta_bytes(loc):
+        p = os.path.join(loc, "metadata", "v1.metadata.json")
+        return open(p, "rb").read().replace(loc.encode(), b"LOC")
+
+    assert meta_bytes(loc_a) == meta_bytes(loc_b)
+    ver, meta = ib._latest_metadata(loc_a)
+    assert ver == 1 and meta["format-version"] == 2
+    # the metadata walk never lists the data directory
+    assert meta["current-snapshot-id"] == 1
+
+
+def test_refusal_surface(spark, tmp_path):
+    loc = _loc(tmp_path)
+    docs = _docs(spark, [(i, f"t{i}", "en") for i in range(4)])
+    s1 = ib.write_table(docs, loc)
+    with pytest.raises(ValueError, match="snapshot 99"):
+        ib.table_files(loc, snapshot_id=99)
+    # delete manifests refuse loudly (merge-on-read unimplemented)
+    mlist = os.path.join(loc, "metadata", f"snap-{s1}.avro")
+    recs = ib.avro_read(mlist)
+    recs[0]["content"] = 1
+    ib.avro_write(mlist, ib._MANIFEST_LIST_SCHEMA, recs)
+    with pytest.raises(ValueError, match="delete manifests"):
+        ib.table_files(loc)
+    # non-v2 metadata refuses
+    mpath = os.path.join(loc, "metadata", "v1.metadata.json")
+    meta = json.load(open(mpath))
+    meta["format-version"] = 1
+    json.dump(meta, open(mpath, "w"))
+    with pytest.raises(ValueError, match="format-version 2"):
+        ib.table_files(loc)
+    with pytest.raises(ValueError, match="no metadata"):
+        empty = str(tmp_path / "none")
+        os.makedirs(os.path.join(empty, "metadata"))
+        ib._latest_metadata(empty)
+
+
+def test_deleted_entry_status_drops_file(spark, tmp_path):
+    """A manifest entry with status=2 (DELETED) drops out of planning —
+    the file is never handed to the scan."""
+    loc = _loc(tmp_path)
+    docs = _docs(spark, [(i, f"t{i}", ["en", "de"][i % 2])
+                         for i in range(10)])
+    s1 = ib.write_table(docs, loc, partition_by="lang")
+    man = os.path.join(loc, "metadata", f"manifest-{s1}.avro")
+    entries = ib.avro_read(man)
+    assert len(entries) == 2
+    entries[0]["status"] = 2
+    ib.avro_write(
+        man, ib._manifest_schema([("lang", "string")]), entries)
+    assert len(ib.table_files(loc)) == 1
+    assert ib.scan_table(spark, loc).count() == 5
+
+
+def test_read_input_iceberg_native(spark, tmp_path):
+    """pipeline.read_input(fmt='iceberg-native') feeds the extraction
+    pipeline from an Iceberg location through the from-scratch walk."""
+    from dompa_spark import corpus, pipeline
+
+    loc = _loc(tmp_path)
+    src = str(tmp_path / "src")
+    corpus.write_corpus(src, 12)
+    docs = spark.read.parquet(src).select("doc_id", "spans")
+    ib.write_table(docs, loc)
+    out = pipeline.read_input(spark, loc, fmt="iceberg-native")
+    assert out.count() == 12
+    assert out.columns == ["doc_id", "spans"]
