@@ -1026,6 +1026,49 @@ def q_iceberg_scan(spark, sf_dir):
     return cur.unionByName(first).unionByName(pruned)
 
 
+def q_iceberg_sink(spark, sf_dir):
+    """North-rule WRITE side closed end-to-end: the extraction pipeline
+    runs with sink="iceberg" — each completed chunk's distributed
+    parquet files are committed as an Iceberg append snapshot via the
+    METADATA-ONLY `icebergio.commit_files` (no coalesce, no second data
+    pass; the snapshot history IS the chunk lineage, summary.chunk = C)
+    — and the result is read back through the from-scratch PLANNING
+    WALK (metadata -> manifest list -> manifests -> file set), never
+    the parquet directories. Per-doc rows must equal extract_main_text
+    exactly, so any file lost or duplicated by the manifest fabric
+    fails a row; n_snapshots pins one snapshot per chunk (8 parts / 4
+    per chunk = 2). Crash reconciliation, idempotent resume, and
+    snapshot-1 == chunk-0 time travel are pytest-pinned
+    (tests/test_iceberg_sink.py)."""
+    import os
+    import shutil
+    import tempfile
+
+    from dompa_spark import icebergio
+
+    wrapped = textops.boiler_wrapped(_docs(spark, sf_dir))
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"dompa_ice_sink_{abs(hash(sf_dir)) % 10**9}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    in_path = os.path.join(base, "in")
+    out = os.path.join(base, "out")
+    wrapped.write.parquet(in_path)
+    pipeline.run_extract(
+        spark, in_path, out,
+        light_parts=6, heavy_parts=2, chunk_parts=4, sink="iceberg",
+    )
+    n_snaps = len(icebergio.committed_chunks(out))
+    table = icebergio.scan_table(spark, out)
+    return table.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        _concat_text_spans().alias("main_text"),
+        F.size("spans").cast("long").alias("n_spans"),
+        F.lit(n_snaps).cast("long").alias("n_snapshots"),
+    )
+
+
 def q_media_dedup(spark, sf_dir):
     """Multimodal path end-to-end: derive a media table from documents
     (content = utf-8 text bytes; every 7th doc repeats the previous
@@ -1993,6 +2036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_gz_roundtrip": q_warc_gz_roundtrip,
         "wds_roundtrip": q_wds_roundtrip,
         "iceberg_scan": q_iceberg_scan,
+        "iceberg_sink": q_iceberg_sink,
         "media_dedup": q_media_dedup,
         "media_dhash": q_media_dhash,
         "wav_near_dup": q_wav_near_dup,
@@ -6213,5 +6257,18 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'pruned', lang, CAST(count(*) AS BIGINT),
                CAST(sum(n_chars) AS BIGINT)
         FROM d WHERE lang = (SELECT min(lang) FROM d) GROUP BY lang
+    """
+    # iceberg_sink: the sink + planning walk must be row-transparent —
+    # the oracle is extract_main_text's template algebra verbatim, plus
+    # the constant snapshot-per-chunk count (8 parts / 4 per chunk)
+    oracles["iceberg_sink"] = """
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CASE WHEN length(substr(text, 1, n_chars % 80)) >= 40
+                    THEN substr(text, 1, n_chars % 80) ELSE '' END
+                 AS main_text,
+               CAST(CASE WHEN length(substr(text, 1, n_chars % 80)) >= 40
+                    THEN 1 ELSE 0 END AS BIGINT) AS n_spans,
+               CAST(2 AS BIGINT) AS n_snapshots
+        FROM documents
     """
     return oracles

@@ -494,6 +494,18 @@ def _latest_metadata(location: str) -> tuple[int, dict]:
         return v, json.load(f)
 
 
+def _next_ids(location: str) -> tuple[int, dict | None, int, int]:
+    """(metadata version, metadata or None, next sequence number, next
+    snapshot id). Snapshot ids are the sequence numbers — deterministic
+    1, 2, ... so fixtures and resumed sinks are byte-stable."""
+    try:
+        ver, meta = _latest_metadata(location)
+    except (ValueError, FileNotFoundError):
+        ver, meta = 0, None
+    seq = (meta["last-sequence-number"] + 1) if meta else 1
+    return ver, meta, seq, seq
+
+
 def append_snapshot(
     df: DataFrame,
     location: str,
@@ -502,25 +514,19 @@ def append_snapshot(
     """Append `df` as a new snapshot (first call on an empty location
     bootstraps the table). Prior snapshots' manifests carry forward in
     the new manifest list, so time travel to any snapshot id reads
-    exactly that snapshot's file set."""
-    mdir = os.path.join(location, "metadata")
-    try:
-        ver, meta = _latest_metadata(location)
-    except (ValueError, FileNotFoundError):
-        ver, meta = 0, None
+    exactly that snapshot's file set.
 
-    seq = (meta["last-sequence-number"] + 1) if meta else 1
-    snap_id = seq  # deterministic snapshot ids: 1, 2, ...
-    part_fields: list[tuple[str, str]] = []
-    if partition_by:
-        dt = df.schema[partition_by].dataType
-        part_fields = [(partition_by, _avro_part_type(dt))]
+    FIXTURE-SHAPED writer: one coalesced parquet file per identity-
+    partition value (distinct+collect on the partition column). For the
+    scale path — committing files Spark already wrote distributed —
+    use `commit_files`."""
+    _, _, seq, snap_id = _next_ids(location)
 
     # data files: one parquet file per identity-partition value, each
     # file self-contained (partition column INCLUDED — the Iceberg
     # data layout, unlike hive partitionBy which strips it)
     data_dir = os.path.join(location, "data", f"snap-{snap_id}")
-    entries = []
+    data_files = []
     if partition_by:
         values = [
             r[0] for r in df.select(partition_by).distinct().collect()
@@ -540,24 +546,104 @@ def append_snapshot(
         if len(files) != 1:
             raise ValueError("iceberg fixture: expected one file/part")
         fpath = os.path.join(pdir, files[0])
-        entries.append(
+        data_files.append(
             {
-                "status": 1,  # ADDED
-                "snapshot_id": snap_id,
-                "sequence_number": seq,
-                "file_sequence_number": seq,
-                "data_file": {
-                    "content": 0,  # DATA
-                    "file_path": fpath,
-                    "file_format": "PARQUET",
-                    "partition": (
-                        {partition_by: pv} if partition_by else {}
-                    ),
-                    "record_count": pdf.count(),
-                    "file_size_in_bytes": os.path.getsize(fpath),
-                },
+                "content": 0,  # DATA
+                "file_path": fpath,
+                "file_format": "PARQUET",
+                "partition": (
+                    {partition_by: pv} if partition_by else {}
+                ),
+                "record_count": pdf.count(),
+                "file_size_in_bytes": os.path.getsize(fpath),
             }
         )
+    return _commit(df, location, data_files, partition_by=partition_by)
+
+
+def commit_files(
+    df: DataFrame,
+    location: str,
+    file_paths: list[str],
+    summary: dict | None = None,
+) -> int:
+    """The SCALE-shaped commit: append already-written parquet files as
+    a new snapshot, moving METADATA ONLY — exactly how the real Iceberg
+    runtime commits an engine's output (files land distributed, the
+    commit fabricates manifest entries pointing at them). No coalesce,
+    no second pass over the data; per-file record counts come from the
+    parquet footers (a driver-side metadata read, the same cost class
+    as the runtime's stats collection — kilobytes per file).
+
+    `df` supplies the TABLE SCHEMA only and is never scanned (pass e.g.
+    `spark.read.parquet(file_paths[0])`). `summary` entries land in the
+    snapshot summary (string-valued, per the spec) — the run_extract
+    sink stamps `{"chunk": cid}` there so resumes can see which chunks
+    already committed without re-reading any manifest."""
+    import pyarrow.parquet as pq
+
+    if not file_paths:
+        raise ValueError("iceberg: commit_files with no files")
+    data_files = []
+    for fpath in sorted(file_paths):
+        md = pq.ParquetFile(fpath).metadata
+        data_files.append(
+            {
+                "content": 0,  # DATA
+                "file_path": fpath,
+                "file_format": "PARQUET",
+                "partition": {},
+                "record_count": md.num_rows,
+                "file_size_in_bytes": os.path.getsize(fpath),
+            }
+        )
+    return _commit(df, location, data_files, summary=summary)
+
+
+def committed_chunks(location: str) -> dict[int, int]:
+    """chunk id -> snapshot id for every snapshot whose summary carries
+    a "chunk" key (the run_extract iceberg sink's idempotence index).
+    Empty when no table exists yet. Driver-side JSON read only."""
+    try:
+        _, meta = _latest_metadata(location)
+    except (ValueError, FileNotFoundError):
+        return {}
+    out: dict[int, int] = {}
+    for s in (meta or {}).get("snapshots", []):
+        c = (s.get("summary") or {}).get("chunk")
+        if c is not None:
+            out[int(c)] = s["snapshot-id"]
+    return out
+
+
+def _commit(
+    df: DataFrame,
+    location: str,
+    data_files: list[dict],
+    partition_by: str | None = None,
+    summary: dict | None = None,
+) -> int:
+    """Shared commit tail: wrap `data_files` in ADDED manifest entries,
+    write manifest + manifest list (prior manifests carried forward),
+    and publish the next vN.metadata.json + version-hint atomically
+    last — a crash before the hint write leaves the old version live."""
+    mdir = os.path.join(location, "metadata")
+    os.makedirs(mdir, exist_ok=True)
+    ver, meta, seq, snap_id = _next_ids(location)
+    part_fields: list[tuple[str, str]] = []
+    if partition_by:
+        dt = df.schema[partition_by].dataType
+        part_fields = [(partition_by, _avro_part_type(dt))]
+    entries = [
+        {
+            "status": 1,  # ADDED
+            "snapshot_id": snap_id,
+            "sequence_number": seq,
+            "file_sequence_number": seq,
+            "data_file": d,
+        }
+        for d in data_files
+    ]
 
     man_path = os.path.join(mdir, f"manifest-{snap_id}.avro")
     avro_write(man_path, _manifest_schema(part_fields), entries)
@@ -595,7 +681,10 @@ def append_snapshot(
         "sequence-number": seq,
         "timestamp-ms": _TS_MS + snap_id,
         "manifest-list": mlist_path,
-        "summary": {"operation": "append"},
+        "summary": {
+            "operation": "append",
+            **{k: str(v) for k, v in (summary or {}).items()},
+        },
         "schema-id": 0,
     }
     spec_fields = []

@@ -562,6 +562,7 @@ def run_extract(
     chunk_parts: int = 0,
     resume: bool = True,
     passthrough: bool = False,
+    sink: str = "parquet",
 ) -> dict:
     """End-to-end extraction job with per-partition checkpoint/lineage.
 
@@ -584,6 +585,21 @@ def run_extract(
     (VERDICT r01 item 5). Staging costs one extra full read+write; any
     run with more than two chunks — and any resume at all — comes out
     ahead. The stage is itself resumable (guarded by a _STAGED marker).
+
+    sink="iceberg": after each chunk's manifest commits, the chunk's
+    parquet files are ALSO committed as an Iceberg append snapshot at
+    {out_path} via `icebergio.commit_files` — metadata only, no second
+    pass over the data — with `summary.chunk = C`, so the output is a
+    time-travelable Iceberg v2 table whose snapshot history IS the
+    chunk lineage (`icebergio.scan_table(spark, out_path)` reads it
+    back; snapshot N = the first N completed chunks). Crash-safe and
+    idempotent: the part manifest stays the resume source of truth and
+    the snapshot commits strictly AFTER it, so a crash between the two
+    leaves a done-but-uncommitted chunk that the next run's
+    reconciliation pass commits from its existing files, and chunks
+    whose summary already carries their id are never committed twice.
+    (Snapshot commits here use local fs listings — at cluster scale the
+    same walk runs against the object store's list API.)
     """
     data_path = f"{out_path}/data"
     manifest_path = f"{out_path}/_manifest"
@@ -600,8 +616,22 @@ def run_extract(
             # lineages (and, when chunked, read a stale staged copy)
             "in_path": in_path,
             "engine": ENGINE_VERSION,
+            # switching sink mid-resume would leave a half-committed table
+            "sink": sink,
         },
     )
+    if sink == "iceberg":
+        from . import icebergio
+
+        if not resume and icebergio.committed_chunks(out_path):
+            # resume=False rewrites chunk dirs wholesale; existing
+            # snapshots would point at deleted files — refuse loudly
+            raise ValueError(
+                "iceberg sink: resume=False over an existing table would "
+                "orphan its snapshots; use a clean out_path"
+            )
+    elif sink != "parquet":
+        raise ValueError(f"unknown sink {sink!r} (parquet|iceberg)")
 
     df = read_input(spark, in_path, fmt)
     df = with_part_id(df, light_parts, heavy_parts, heavy_chars)
@@ -624,6 +654,20 @@ def run_extract(
         }
     )
     n_chunks_total = (n_parts + chunk_size - 1) // chunk_size
+    if sink == "iceberg":
+        # reconciliation: a crash AFTER a chunk's manifest write but
+        # BEFORE its snapshot commit leaves the chunk done-but-
+        # uncommitted; its files are final (data precedes manifest), so
+        # commit them now. Already-committed chunks are skipped by id.
+        from . import icebergio
+
+        committed = icebergio.committed_chunks(out_path)
+        for c in range(n_chunks_total):
+            parts_of_c = range(
+                c * chunk_size, min((c + 1) * chunk_size, n_parts)
+            )
+            if c not in committed and all(p in done for p in parts_of_c):
+                _commit_chunk_snapshot(spark, out_path, c)
     stats = {
         "parts_total": n_parts,
         "parts_skipped": len(done),
@@ -673,7 +717,41 @@ def run_extract(
         pdf = metrics.toPandas()
         _write_manifest_chunk(f"{manifest_path}/chunk={cid}", pdf)
         stats["docs"] += int(pdf["doc_count"].sum())
+        if sink == "iceberg":
+            # strictly after the manifest: the manifest is the resume
+            # source of truth, the snapshot is derived state
+            _commit_chunk_snapshot(spark, out_path, cid)
+    if sink == "iceberg":
+        from . import icebergio
+
+        stats["snapshots"] = len(icebergio.committed_chunks(out_path))
     return stats
+
+
+def _commit_chunk_snapshot(spark: SparkSession, out_path: str, cid: int):
+    """Commit chunk `cid`'s already-written parquet files as an Iceberg
+    append snapshot at {out_path} (metadata-only — see run_extract).
+    Idempotent by snapshot summary; an all-empty chunk (no parquet
+    files survived the write) adds no snapshot and returns None."""
+    import os
+
+    from . import icebergio
+
+    if cid in icebergio.committed_chunks(out_path):
+        return None
+    chunk_dir = os.path.join(out_path, "data", f"chunk={cid}")
+    files = [
+        os.path.join(chunk_dir, n)
+        for n in sorted(os.listdir(chunk_dir))
+        if n.endswith(".parquet") and not n.startswith((".", "_"))
+    ]
+    if not files:
+        return None
+    # schema from one footer; the file is never scanned
+    schema_df = spark.read.parquet(files[0])
+    return icebergio.commit_files(
+        schema_df, out_path, files, summary={"chunk": cid}
+    )
 
 
 def write_bucketed(
