@@ -1323,6 +1323,35 @@ def q_avi_decode(spark, sf_dir):
     )
 
 
+def q_mp4_decode(spark, sf_dir):
+    """The DOMINANT web container decoded for real: render each
+    document as a deterministic MJPEG MP4 (mp4codec.py — a struct-only
+    ISO BMFF box walk that locates every sample via the
+    stsd/stts/stsc/stsz/stco tables and decodes it through the
+    from-scratch JPEG codec; the fixture cycles grayscale / 4:2:0 /
+    4:2:2+restart / PROGRESSIVE encodings inside the container), then
+    recover dimensions/framerate/frame-count/luma statistics through
+    media.decode_video — the SAME kernel as Y4M/AVI, dispatched on the
+    ftyp magic. Frames are block-constant, so the all-ones-quant JPEG
+    round-trip is bit-exact and the oracle predicts the decoded stats
+    closed-form; the checksum weights by global stream position,
+    pinning frame ORDER through the sample-table offset algebra."""
+    from dompa_spark import media
+
+    docs = _docs_par(spark, sf_dir)
+    out = media.decode_video(media.docs_to_mp4(docs))
+    return out.select(
+        F.element_at(F.split("media_ref", "/"), -1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("n_frames").cast("long").alias("n_frames"),
+        "luma_sum",
+        "luma_checksum",
+    )
+
+
 def q_video_frames(spark, sf_dir):
     """REAL frame sampling end-to-end: Y4M content takes
     media.sample_frames' real path — the sample count comes from the
@@ -2046,6 +2075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gif_decode": q_gif_decode,
         "y4m_decode": q_y4m_decode,
         "avi_decode": q_avi_decode,
+        "mp4_decode": q_mp4_decode,
         "video_frames": q_video_frames,
         "video_near_dup": q_video_near_dup,
         "png_resize": q_png_resize,
@@ -5398,6 +5428,36 @@ def oracle_sql() -> dict[str, str]:
                      t -> ((doc_id*43 + (t // (w*h))*29
                             + (((t % (w*h)) // w // 8) * ((w + 7) // 8)
                                + ((t % (w*h)) % w) // 8) * 59)
+                           % 251) * (t+1))) AS BIGINT)
+                     AS luma_checksum
+            FROM base
+        """,
+        # mp4_decode: same bit-exact story as avi_decode, through the
+        # ISO BMFF sample tables instead of the RIFF walk; moduli and
+        # multipliers are the docs_to_mp4 fixture's own
+        "mp4_decode": """
+            WITH base AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     8 + CAST(doc_id AS BIGINT) % 9 AS w,
+                     8 + CAST(doc_id AS BIGINT) % 7 AS h,
+                     2 + CAST(doc_id AS BIGINT) % 4 AS nf
+              FROM documents)
+            SELECT doc_id,
+                   CAST(w AS BIGINT) AS width,
+                   CAST(h AS BIGINT) AS height,
+                   CAST(nf AS BIGINT) AS n_frames,
+                   CAST(list_sum(list_transform(
+                     generate_series(0, nf*w*h - 1),
+                     t -> (doc_id*47 + (t // (w*h))*31
+                           + (((t % (w*h)) // w // 8) * ((w + 7) // 8)
+                              + ((t % (w*h)) % w) // 8) * 61)
+                          % 251)) AS BIGINT)
+                     AS luma_sum,
+                   CAST(list_sum(list_transform(
+                     generate_series(0, nf*w*h - 1),
+                     t -> ((doc_id*47 + (t // (w*h))*31
+                            + (((t % (w*h)) // w // 8) * ((w + 7) // 8)
+                               + ((t % (w*h)) % w) // 8) * 61)
                            % 251) * (t+1))) AS BIGINT)
                      AS luma_checksum
             FROM base

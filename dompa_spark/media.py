@@ -27,7 +27,8 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from . import avicodec, gifcodec, jpegcodec, pngcodec, wavcodec, y4mcodec
+from . import (avicodec, gifcodec, jpegcodec, mp4codec, pngcodec,
+               wavcodec, y4mcodec)
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -120,6 +121,7 @@ def _video_magic(content: bytes) -> bool:
     return (
         content[: len(y4mcodec.Y4M_MAGIC)] == y4mcodec.Y4M_MAGIC
         or avicodec.is_avi(content)
+        or mp4codec.is_mp4(content)
     )
 
 
@@ -128,16 +130,21 @@ def _decode_video_stream(
 ) -> tuple[int, int, int, int, list[bytes]]:
     """Magic-dispatched video decode -> (w, h, fps_num, fps_den,
     luma_frames): the YUV4MPEG2 magic routes to the raw-plane Y4M codec,
-    the RIFF/AVI magic to the MJPEG container walk (avicodec.py — every
-    frame through the from-scratch JPEG decoder). Everything else
-    (interframe-coded containers: mp4/webm/...) raises ValueError so
-    callers' strict/skip policy applies uniformly, exactly like
-    _decode_image."""
+    the RIFF/AVI magic to the MJPEG RIFF walk (avicodec.py), the ftyp
+    magic to the ISO BMFF sample-table walk (mp4codec.py) — both
+    container paths decode every frame through the from-scratch JPEG
+    codec, and an mp4 whose stsd names an interframe codec
+    (avc1/vp09/...) refuses with that fourcc. Everything else raises
+    ValueError so callers' strict/skip policy applies uniformly,
+    exactly like _decode_image."""
     if content[: len(y4mcodec.Y4M_MAGIC)] == y4mcodec.Y4M_MAGIC:
         return y4mcodec.decode_y4m(content)
     if avicodec.is_avi(content):
         return avicodec.decode_avi(content)
-    raise ValueError("unrecognized video magic (not Y4M or MJPEG AVI)")
+    if mp4codec.is_mp4(content):
+        return mp4codec.decode_mp4(content)
+    raise ValueError(
+        "unrecognized video magic (not Y4M, MJPEG AVI, or ISO BMFF)")
 
 
 def _decode_stub(content: bytes, kind: str, strict: bool):
@@ -955,6 +962,72 @@ def docs_to_avi(docs: DataFrame) -> DataFrame:
                     "width": pd.array([None] * len(refs), dtype="Int32"),
                     "height": pd.array([None] * len(refs), dtype="Int32"),
                     "duration_ms": pd.array([8888] * len(refs),
+                                            dtype="Int64"),
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(_iter, schema=MEDIA_SCHEMA)
+
+
+def docs_to_mp4(docs: DataFrame) -> DataFrame:
+    """Render each document row as a deterministic MJPEG MP4
+    (MEDIA_SCHEMA). Same exactness story as docs_to_avi — frames are
+    CONSTANT within each 8x8 DCT block, so the all-ones-quant JPEG
+    round-trip is bit-exact through the ISO BMFF sample-table walk and
+    the SQL oracle predicts every decoded pixel closed-form:
+        w = 8 + doc_id % 9,  h = 8 + doc_id % 7,  bw = (w + 7) // 8
+        n_frames = 2 + doc_id % 4,  F4:1 (250 ms/frame)
+        pixel(f, x, y) = (doc_id*47 + f*31 + ((y//8)*bw + x//8)*61) % 251
+    doc_id%4 cycles the JPEG encodings inside the container (grayscale /
+    4:2:0 color / 4:2:2+RST2 / PROGRESSIVE 4:2:0) — luma is identical
+    across all four, so the oracle is mode-blind while the decode
+    exercises every scan shape INSIDE the dominant container. Moduli
+    and multipliers differ from every other media fixture so a silently
+    swapped format mismatches its oracle. duration_ms deliberately
+    DISAGREES with the stream (7777): real paths must clock off the
+    track's own stts/mdhd."""
+    import pandas as pd
+
+    def _iter(batches: Iterator["pd.DataFrame"]):
+        for pdf in batches:
+            refs, contents = [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w = 8 + doc_id % 9
+                h = 8 + doc_id % 7
+                nf = 2 + doc_id % 4
+                bw = (w + 7) // 8
+                j = np.arange(w * h, dtype=np.int64)
+                blk = (j // w // 8) * bw + (j % w) // 8
+                # exact Python-int reduction first (full-range 64-bit
+                # surrogate ids would overflow int64 under doc_id*47)
+                base = (doc_id * 47) % 251
+                frames = [
+                    ((base + f * 31 + blk * 61) % 251)
+                    .astype(np.uint8).tobytes()
+                    for f in range(nf)
+                ]
+                mode = doc_id % 4
+                kwargs = (
+                    {} if mode == 0
+                    else {"color": True, "sampling": (2, 2)} if mode == 1
+                    else {"color": True, "sampling": (2, 1),
+                          "restart_interval": 2} if mode == 2
+                    else {"progressive": True, "color": True,
+                          "sampling": (2, 2)}
+                )
+                refs.append(f"mp4://doc/{doc_id}")
+                contents.append(
+                    mp4codec.encode_mp4(frames, w, h, fps_num=4, **kwargs))
+            yield pd.DataFrame(
+                {
+                    "media_ref": refs,
+                    "kind": ["video"] * len(refs),
+                    "content": contents,
+                    "mime": ["video/mp4"] * len(refs),
+                    "width": pd.array([None] * len(refs), dtype="Int32"),
+                    "height": pd.array([None] * len(refs), dtype="Int32"),
+                    "duration_ms": pd.array([7777] * len(refs),
                                             dtype="Int64"),
                 }
             )
