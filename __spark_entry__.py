@@ -1450,6 +1450,32 @@ def q_wav_decode(spark, sf_dir):
     )
 
 
+def q_wav_adpcm_decode(spark, sf_dir):
+    """COMPRESSED audio decode end-to-end: render each document as a
+    deterministic IMA ADPCM WAV (wavcodec.py format tag 17 — per-block
+    header re-seed + 4-bit shift-sum reconstruction, the same core the
+    C audioop implements, differentially tested against it) and recover
+    sample statistics through media.decode_audio — the SAME kernel as
+    PCM, dispatched inside decode_wav on the fmt tag. The signal is
+    constant within each block, so the lossy format round-trips
+    bit-exactly and the oracle predicts every decoded sample
+    closed-form; the checksum weights by position, pinning the
+    low-nibble-first code order and the fact-chunk trim."""
+    from dompa_spark import media
+
+    docs = _docs_par(spark, sf_dir)
+    out = media.decode_audio(media.docs_to_wav_adpcm(docs))
+    return out.select(
+        F.element_at(F.split("media_ref", "/"), -1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        "n_samples",
+        "sample_sum",
+        "sample_checksum",
+    )
+
+
 def q_pdf_layout(spark, sf_dir):
     """PDF/layout parse end-to-end: render each document as a real PDF
     (Flate streams, single- or two-column pages by doc_id) and recover
@@ -2076,6 +2102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "y4m_decode": q_y4m_decode,
         "avi_decode": q_avi_decode,
         "mp4_decode": q_mp4_decode,
+        "wav_adpcm_decode": q_wav_adpcm_decode,
         "video_frames": q_video_frames,
         "video_near_dup": q_video_near_dup,
         "png_resize": q_png_resize,
@@ -5430,6 +5457,29 @@ def oracle_sql() -> dict[str, str]:
                                + ((t % (w*h)) % w) // 8) * 59)
                            % 251) * (t+1))) AS BIGINT)
                      AS luma_checksum
+            FROM base
+        """,
+        # wav_adpcm_decode: block-constant signals round-trip the lossy
+        # 4-bit format bit-exactly (wavcodec exactness contract); the
+        # fact chunk trims doc_id%7 pad samples off the final block
+        "wav_adpcm_decode": """
+            WITH base AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     8000 + (CAST(doc_id AS BIGINT) % 2) * 8000 AS rate,
+                     (2 + CAST(doc_id AS BIGINT) % 3) * 17
+                       - CAST(doc_id AS BIGINT) % 7 AS n
+              FROM documents)
+            SELECT doc_id,
+                   CAST(rate AS BIGINT) AS sample_rate,
+                   CAST(n AS BIGINT) AS n_samples,
+                   CAST(list_sum(list_transform(
+                     generate_series(0, n - 1),
+                     j -> (doc_id*53 + (j // 17)*37) % 2003 - 1001))
+                     AS BIGINT) AS sample_sum,
+                   CAST(list_sum(list_transform(
+                     generate_series(0, n - 1),
+                     j -> ((doc_id*53 + (j // 17)*37) % 2003 - 1001)
+                          * (j+1))) AS BIGINT) AS sample_checksum
             FROM base
         """,
         # mp4_decode: same bit-exact story as avi_decode, through the

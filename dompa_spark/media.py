@@ -969,6 +969,57 @@ def docs_to_avi(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(_iter, schema=MEDIA_SCHEMA)
 
 
+def docs_to_wav_adpcm(docs: DataFrame) -> DataFrame:
+    """Render each document row as a deterministic IMA ADPCM WAV
+    (MEDIA_SCHEMA) — the COMPRESSED audio fixture. The signal is
+    CONSTANT within each 17-sample block (block_align=12), so the
+    4-bit codes round-trip bit-exactly (wavcodec exactness contract)
+    and a SQL oracle predicts every decoded sample closed-form:
+        rate = 8000 + (doc_id % 2) * 8000
+        n_blocks = 2 + doc_id % 3,  trim = doc_id % 7
+        n_samples = n_blocks*17 - trim    (fact chunk trims the pads)
+        sample[j] = ((doc_id*53 + (j//17)*37) % 2003) - 1001
+    Moduli and multipliers differ from docs_to_wav so a silently
+    swapped codec path mismatches its oracle."""
+    import pandas as pd
+
+    spb = wavcodec.samples_per_block(12)  # 17
+
+    def _iter(batches: Iterator["pd.DataFrame"]):
+        for pdf in batches:
+            refs, contents, durs = [], [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                rate = 8000 + (doc_id % 2) * 8000
+                nb = 2 + doc_id % 3
+                n = nb * spb - doc_id % 7
+                # exact Python-int reduction first (full-range 64-bit
+                # surrogate ids would overflow int64 under doc_id*53)
+                base = (doc_id * 53) % 2003
+                samples = [
+                    ((base + (j // spb) * 37) % 2003) - 1001
+                    for j in range(n)
+                ]
+                refs.append(f"adpcm://doc/{doc_id}")
+                contents.append(
+                    wavcodec.encode_wav_adpcm(samples, rate,
+                                              block_align=12))
+                durs.append(n * 1000 // rate)
+            yield pd.DataFrame(
+                {
+                    "media_ref": refs,
+                    "kind": ["audio"] * len(refs),
+                    "content": contents,
+                    "mime": ["audio/wav"] * len(refs),
+                    "width": pd.array([None] * len(refs), dtype="Int32"),
+                    "height": pd.array([None] * len(refs), dtype="Int32"),
+                    "duration_ms": durs,
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(_iter, schema=MEDIA_SCHEMA)
+
+
 def docs_to_mp4(docs: DataFrame) -> DataFrame:
     """Render each document row as a deterministic MJPEG MP4
     (MEDIA_SCHEMA). Same exactness story as docs_to_avi — frames are
