@@ -1476,6 +1476,33 @@ def q_wav_adpcm_decode(spark, sf_dir):
     )
 
 
+def q_flac_decode(spark, sf_dir):
+    """LOSSLESS compressed-audio decode end-to-end: render each document
+    as a deterministic FLAC stream (flaccodec.py — RFC 9639 subset:
+    metadata walk, frame sync + CRC-8/CRC-16 verify, rice-coded
+    residuals, FIXED predictors, all four stereo decorrelation modes)
+    and recover sample statistics through media.decode_audio — the SAME
+    kernel as WAV, magic-dispatched on 'fLaC'. Because FLAC is lossless
+    the fixture samples are arbitrary closed-form values (no
+    block-constant trick); the checksum weights by position, pinning
+    interleave order, frame reassembly order, and the decorrelation
+    arithmetic."""
+    from dompa_spark import media
+
+    docs = _docs_par(spark, sf_dir)
+    out = media.decode_audio(media.docs_to_flac(docs))
+    return out.select(
+        F.element_at(F.split("media_ref", "/"), -1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        F.col("n_channels").cast("long").alias("n_channels"),
+        "n_samples",
+        "sample_sum",
+        "sample_checksum",
+    )
+
+
 def q_pdf_layout(spark, sf_dir):
     """PDF/layout parse end-to-end: render each document as a real PDF
     (Flate streams, single- or two-column pages by doc_id) and recover
@@ -2103,6 +2130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "avi_decode": q_avi_decode,
         "mp4_decode": q_mp4_decode,
         "wav_adpcm_decode": q_wav_adpcm_decode,
+        "flac_decode": q_flac_decode,
         "video_frames": q_video_frames,
         "video_near_dup": q_video_near_dup,
         "png_resize": q_png_resize,
@@ -5480,6 +5508,31 @@ def oracle_sql() -> dict[str, str]:
                      generate_series(0, n - 1),
                      j -> ((doc_id*53 + (j // 17)*37) % 2003 - 1001)
                           * (j+1))) AS BIGINT) AS sample_checksum
+            FROM base
+        """,
+        # flac_decode: FLAC is lossless, so the arbitrary closed-form
+        # sample payload (media.docs_to_flac) is predicted verbatim —
+        # no block-constant restriction, unlike the ADPCM oracle
+        "flac_decode": """
+            WITH base AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     16000 + (CAST(doc_id AS BIGINT) % 3) * 4000 AS rate,
+                     1 + CAST(doc_id AS BIGINT) % 2 AS nch,
+                     (100 + CAST(doc_id AS BIGINT) % 90)
+                       * (1 + CAST(doc_id AS BIGINT) % 2) AS n
+              FROM documents)
+            SELECT doc_id,
+                   CAST(rate AS BIGINT) AS sample_rate,
+                   CAST(nch AS BIGINT) AS n_channels,
+                   CAST(n AS BIGINT) AS n_samples,
+                   CAST(list_sum(list_transform(
+                     generate_series(0, n - 1),
+                     j -> (doc_id*19 + j*23) % 2003 - 1001)) AS BIGINT)
+                     AS sample_sum,
+                   CAST(list_sum(list_transform(
+                     generate_series(0, n - 1),
+                     j -> ((doc_id*19 + j*23) % 2003 - 1001) * (j+1)))
+                     AS BIGINT) AS sample_checksum
             FROM base
         """,
         # mp4_decode: same bit-exact story as avi_decode, through the

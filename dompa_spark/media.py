@@ -27,8 +27,8 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from . import (avicodec, gifcodec, jpegcodec, mp4codec, pngcodec,
-               wavcodec, y4mcodec)
+from . import (avicodec, flaccodec, gifcodec, jpegcodec, mp4codec,
+               pngcodec, wavcodec, y4mcodec)
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -125,6 +125,23 @@ def _video_magic(content: bytes) -> bool:
     )
 
 
+def _audio_magic(content: bytes) -> bool:
+    return (content[:4] == wavcodec.RIFF_MAGIC
+            or content[:4] == flaccodec.FLAC_MAGIC)
+
+
+def _decode_audio_stream(content: bytes) -> tuple[int, int, list[int]]:
+    """Magic-dispatched audio decode -> (rate, n_channels, samples):
+    RIFF routes to the WAV codec (PCM or IMA ADPCM by fmt tag), fLaC
+    to the from-scratch FLAC decoder. Same uniform-refusal contract as
+    _decode_image/_decode_video_stream."""
+    if content[:4] == wavcodec.RIFF_MAGIC:
+        return wavcodec.decode_wav(content)
+    if content[:4] == flaccodec.FLAC_MAGIC:
+        return flaccodec.decode_flac(content)
+    raise ValueError("unrecognized audio magic (not RIFF/WAVE or FLAC)")
+
+
 def _decode_video_stream(
     content: bytes,
 ) -> tuple[int, int, int, int, list[bytes]]:
@@ -212,13 +229,14 @@ def featurize_media(df: DataFrame, strict: bool = False) -> DataFrame:
                 content = bytes(content) if content is not None else b""
                 shas.append(hashlib.sha256(content).hexdigest())
                 sizes.append(len(content))
-                if content[:4] == wavcodec.RIFF_MAGIC:
+                if _audio_magic(content):
                     try:
-                        _rate, _nch, samples = wavcodec.decode_wav(content)
+                        _rate, _nch, samples = _decode_audio_stream(
+                            content)
                         feats.append(_sample_feature(samples))
                         continue
                     except ValueError:
-                        pass  # broken RIFF -> stub/fake path below
+                        pass  # broken RIFF/FLAC -> stub/fake path below
                 if _video_magic(content):
                     try:
                         w, h, _fn, _fd, frames = _decode_video_stream(
@@ -425,7 +443,7 @@ def decode_audio(df: DataFrame, strict: bool = True) -> DataFrame:
             for ref, content in zip(pdf["media_ref"], pdf["content"]):
                 content = bytes(content) if content is not None else b""
                 try:
-                    rate, nch, samples = wavcodec.decode_wav(content)
+                    rate, nch, samples = _decode_audio_stream(content)
                 except ValueError:
                     if strict:
                         raise
@@ -1020,6 +1038,63 @@ def docs_to_wav_adpcm(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(_iter, schema=MEDIA_SCHEMA)
 
 
+def docs_to_flac(docs: DataFrame) -> DataFrame:
+    """Render each document row as a deterministic FLAC clip
+    (MEDIA_SCHEMA) — the LOSSLESS compressed-audio fixture. FLAC
+    round-trips EVERY signal bit-exactly, so unlike the ADPCM fixture
+    no block-constant trick is needed; the samples are arbitrary and
+    closed-form in doc_id so a SQL oracle predicts them verbatim:
+        rate = 16000 + (doc_id % 3) * 4000
+        channels = 1 + doc_id % 2     (stereo clips have 2n samples)
+        n_frames = 100 + doc_id % 90
+        sample[j] = ((doc_id * 19 + j * 23) % 2003) - 1001
+    (j indexes interleaved samples.) block_size cycles 96/144/192/240
+    (coded + uncommon-code-7 block sizes) and stereo docs cycle ALL
+    FOUR channel assignments (independent / left-side / right-side /
+    mid-side), so decoding these exercises every decorrelation branch
+    plus multi-frame reassembly. Moduli and multipliers differ from
+    every other audio fixture so a silently swapped codec path
+    mismatches its oracle."""
+    import pandas as pd
+
+    def _iter(batches: Iterator["pd.DataFrame"]):
+        for pdf in batches:
+            refs, contents, durs = [], [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                rate = 16000 + (doc_id % 3) * 4000
+                nch = 1 + doc_id % 2
+                n = (100 + doc_id % 90) * nch
+                # exact Python-int reduction first (full-range 64-bit
+                # surrogate ids would overflow int64 under doc_id*19)
+                base = (doc_id * 19) % 2003
+                j = np.arange(n, dtype=np.int64)
+                samples = (((base + j * 23) % 2003) - 1001).tolist()
+                mode = flaccodec.STEREO_MODES[(doc_id % 8) // 2]
+                refs.append(f"flac://doc/{doc_id}")
+                contents.append(
+                    flaccodec.encode_flac(
+                        samples, rate, nch,
+                        block_size=96 + (doc_id % 4) * 48,
+                        stereo_mode=mode,
+                    )
+                )
+                durs.append((n // nch) * 1000 // rate)
+            yield pd.DataFrame(
+                {
+                    "media_ref": refs,
+                    "kind": ["audio"] * len(refs),
+                    "content": contents,
+                    "mime": ["audio/flac"] * len(refs),
+                    "width": pd.array([None] * len(refs), dtype="Int32"),
+                    "height": pd.array([None] * len(refs), dtype="Int32"),
+                    "duration_ms": durs,
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(_iter, schema=MEDIA_SCHEMA)
+
+
 def docs_to_mp4(docs: DataFrame) -> DataFrame:
     """Render each document row as a deterministic MJPEG MP4
     (MEDIA_SCHEMA). Same exactness story as docs_to_avi — frames are
@@ -1316,7 +1391,7 @@ def audio_fingerprint(df: DataFrame, strict: bool = True) -> DataFrame:
             for ref, content in zip(pdf["media_ref"], pdf["content"]):
                 content = bytes(content) if content is not None else b""
                 try:
-                    _rate, _nch, samples = wavcodec.decode_wav(content)
+                    _rate, _nch, samples = _decode_audio_stream(content)
                 except ValueError:
                     if strict:
                         raise
