@@ -1503,6 +1503,42 @@ def q_flac_decode(spark, sf_dir):
     )
 
 
+def q_charset_transcode(spark, sf_dir):
+    """Charset sniff + transcode end-to-end (charset.py module-header
+    policy: BOM -> strict UTF-8 -> cp1252 fallback): render each
+    document's text as raw bytes in an encoding cycled by
+    pmod(doc_id, 4) — bare UTF-8 / UTF-8+BOM / UTF-16LE+BOM / cp1252 —
+    then recover (charset, text) through the detector. Branch prep is
+    pure Catalyst: strip any U+FEFF (a leading one would legitimately
+    re-route detection — determinism guard), then append a multibyte
+    suffix (Unicode branches) or ASCII-strip + cp1252-specific high
+    bytes (legacy branch), so every tier of the detector is genuinely
+    exercised and the oracle can reconstruct text_out in SQL. n_bytes
+    pins the encoded form itself (BOM lengths, UTF-16 code-unit math,
+    one-byte-per-char cp1252), not just the decoded text."""
+    from dompa_spark import charset as cs
+
+    docs = _docs(spark, sf_dir)
+    t = F.regexp_replace(
+        F.coalesce(F.col("text"), F.lit("")), "\\ufeff", ""
+    )
+    prep = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.when(
+            F.pmod(F.col("doc_id").cast("long"), F.lit(4)) == 3,
+            F.concat(
+                F.regexp_replace(t, r"[^\x20-\x7e]", ""),
+                F.lit(cs.CP1252_SUFFIX),
+            ),
+        )
+        .otherwise(F.concat(t, F.lit(cs.UNICODE_SUFFIX)))
+        .alias("prep_text"),
+    ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    return cs.detect_transcode(cs.docs_to_encoded(prep)).select(
+        "doc_id", "charset", "text_out", "n_bytes"
+    )
+
+
 def q_pdf_layout(spark, sf_dir):
     """PDF/layout parse end-to-end: render each document as a real PDF
     (Flate streams, single- or two-column pages by doc_id) and recover
@@ -2131,6 +2167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mp4_decode": q_mp4_decode,
         "wav_adpcm_decode": q_wav_adpcm_decode,
         "flac_decode": q_flac_decode,
+        "charset_transcode": q_charset_transcode,
         "video_frames": q_video_frames,
         "video_near_dup": q_video_near_dup,
         "png_resize": q_png_resize,
@@ -5513,6 +5550,41 @@ def oracle_sql() -> dict[str, str]:
         # flac_decode: FLAC is lossless, so the arbitrary closed-form
         # sample payload (media.docs_to_flac) is predicted verbatim —
         # no block-constant restriction, unlike the ADPCM oracle
+        # charset_transcode: the fixture branches are closed-form in
+        # doc_id and the transcode is lossless per branch, so text_out
+        # reconstructs by the same template algebra; n_bytes is pure
+        # encoding arithmetic (UTF-8 octet length via encode(); UTF-16LE
+        # = BOM + 2 bytes/code unit, astral code points costing one
+        # extra unit each; cp1252 = 1 byte/char on its ASCII+suffix
+        # alphabet; +3 for the UTF-8 BOM branch).
+        "charset_transcode": """
+            WITH p AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     ((CAST(doc_id AS BIGINT) % 4) + 4) % 4 AS b,
+                     replace(COALESCE(text, ''), chr(65279), '') AS t
+              FROM documents),
+            q AS (
+              SELECT doc_id, b,
+                     CASE WHEN b = 3
+                          THEN regexp_replace(t, '[^\\x20-\\x7e]', '', 'g')
+                               || '€—•'
+                          ELSE t || ' é漢' END AS text_out
+              FROM p)
+            SELECT doc_id,
+                   CASE b WHEN 0 THEN 'utf-8'
+                          WHEN 1 THEN 'utf-8-sig'
+                          WHEN 2 THEN 'utf-16le'
+                          ELSE 'cp1252' END AS charset,
+                   text_out,
+                   CAST(CASE b
+                     WHEN 0 THEN octet_length(encode(text_out))
+                     WHEN 1 THEN octet_length(encode(text_out)) + 3
+                     WHEN 2 THEN 2 + 2 * length(text_out)
+                          + 2 * (length(text_out) - length(regexp_replace(
+                                text_out, '[\\x{10000}-\\x{10FFFF}]', '', 'g')))
+                     ELSE length(text_out) END AS BIGINT) AS n_bytes
+            FROM q
+        """,
         "flac_decode": """
             WITH base AS (
               SELECT CAST(doc_id AS BIGINT) AS doc_id,
