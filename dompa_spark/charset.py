@@ -9,11 +9,16 @@ transcodes everything to Unicode text in one Arrow-batched pass:
        EF BB BF        -> 'utf-8-sig'
        FF FE           -> 'utf-16le'
        FE FF           -> 'utf-16be'
-  2. strict UTF-8 validation -> 'utf-8' (pure ASCII is valid UTF-8, so
+  2. declared charset — the HTTP Content-Type's charset= parameter
+     (pass per-row via detect_transcode's declared_col) or, opt-in, a
+     WHATWG-style <meta charset> prescan of the first 1024 bytes.
+     Known labels only (unknown labels are ignored, never an error);
+     a declared UTF-8 still validates strictly before being trusted.
+  3. strict UTF-8 validation -> 'utf-8' (pure ASCII is valid UTF-8, so
      ASCII payloads report 'utf-8'; no separate 'ascii' tier — the
      transcoded text is identical either way and one fewer label keeps
      the verdict deterministic across mixed corpora).
-  3. fallback 'cp1252' (windows-1252 — the de-facto "latin-1" of the
+  4. fallback 'cp1252' (windows-1252 — the de-facto "latin-1" of the
      web; every byte sequence decodes, so detection always succeeds).
      The five bytes cp1252 leaves unmapped (0x81 8D 8F 90 9D) decode
      as the same-valued C1 controls, matching the WHATWG Encoding
@@ -34,6 +39,7 @@ shuffles — parallelism is whatever the input partitioning provides
 from __future__ import annotations
 
 import codecs
+import re
 from typing import Iterator
 
 from pyspark.sql import DataFrame
@@ -67,15 +73,76 @@ UNICODE_SUFFIX = " é漢"  # " é漢"
 CP1252_SUFFIX = "€—•"  # "€—•" -> bytes 80 97 95
 
 
-def detect_and_decode(content: bytes) -> tuple[str, str]:
+# labels accepted as declared-charset hints (transport header or meta
+# prescan), normalized to the codec we decode with. Everything else —
+# unknown labels, typos, encodings outside the supported set — is
+# IGNORED and detection falls through to content tiers, never raises.
+_DECLARED_LABELS = {
+    "utf-8": "utf-8",
+    "utf8": "utf-8",
+    "windows-1252": "cp1252",
+    "cp1252": "cp1252",
+    "iso-8859-1": "cp1252",  # WHATWG aliases latin-1 TO windows-1252
+    "latin-1": "cp1252",
+    "latin1": "cp1252",
+    "us-ascii": "utf-8",  # ASCII is a UTF-8 subset; one fewer label
+    "ascii": "utf-8",
+    "utf-16le": "utf-16le",
+    "utf-16be": "utf-16be",
+}
+
+# WHATWG prescan subset: <meta charset="..."> and
+# <meta http-equiv="content-type" content="...; charset=...">, matched
+# over the first PRESCAN_BYTES of the payload decoded as latin-1 (the
+# prescan operates on bytes; latin-1 is the identity byte->char map)
+PRESCAN_BYTES = 1024
+
+_META_CHARSET = re.compile(
+    r"""<meta[^>]+?charset\s*=\s*["']?\s*([a-zA-Z0-9_\-]+)""",
+    re.IGNORECASE,
+)
+
+
+def prescan_meta_charset(content: bytes) -> str | None:
+    """WHATWG-style prescan: find a charset declaration in the first
+    1024 BYTES of an HTML payload (both the HTML5 `<meta charset=X>`
+    and the legacy `http-equiv` + `content="...;charset=X"` forms match
+    the same pattern — charset= is what carries the label in either).
+    Returns the normalized codec name or None. Per the standard, a
+    UTF-16 label found via prescan means the document self-describes
+    impossibly (the prescan only works on ASCII-compatible bytes) and
+    is treated as UTF-8."""
+    head = content[:PRESCAN_BYTES].decode("latin-1")
+    m = _META_CHARSET.search(head)
+    if not m:
+        return None
+    label = _DECLARED_LABELS.get(m.group(1).lower())
+    if label in ("utf-16le", "utf-16be"):
+        return "utf-8"
+    return label
+
+
+def detect_and_decode(
+    content: bytes, declared: str | None = None, prescan: bool = False
+) -> tuple[str, str]:
     """Single-payload detection + transcode (the kernel's core; exposed
     for unit tests and non-Spark callers). Returns (charset, text).
-    A BOM is consumed, never surfaced in the text. Bodies that violate
-    their BOM-declared encoding transcode with U+FFFD replacement
-    (crawl robustness: a truncated UTF-16 tail must not kill the task);
-    the BOM-less tiers never need replacement — strict UTF-8 failure IS
-    the signal that routes to cp1252, and cp1252+passthrough decodes
-    every byte."""
+
+    Tier order (the browser/crawler priority):
+      BOM  >  declared transport charset (e.g. the HTTP Content-Type's
+      charset= parameter, pass via `declared`)  >  meta prescan (opt-in
+      via prescan=True for HTML payloads)  >  strict UTF-8  >  cp1252.
+
+    A BOM is consumed, never surfaced in the text, and OVERRIDES any
+    declaration (the byte-order mark is ground truth; servers lie).
+    A declared/prescanned UTF-8 that fails strict validation falls
+    through to the content tiers rather than replacing — a wrong label
+    shouldn't destroy bytes that cp1252 can decode totally. Bodies that
+    violate their BOM-declared encoding transcode with U+FFFD
+    replacement (crawl robustness: a truncated UTF-16 tail must not
+    kill the task); the BOM-less tiers never need replacement — strict
+    UTF-8 failure IS the signal that routes to cp1252, and
+    cp1252+passthrough decodes every byte."""
     if content.startswith(codecs.BOM_UTF8):
         return "utf-8-sig", content[len(codecs.BOM_UTF8):].decode(
             "utf-8", "replace"
@@ -84,6 +151,15 @@ def detect_and_decode(content: bytes) -> tuple[str, str]:
         return "utf-16le", content[2:].decode("utf-16-le", "replace")
     if content.startswith(codecs.BOM_UTF16_BE):
         return "utf-16be", content[2:].decode("utf-16-be", "replace")
+    hint = _DECLARED_LABELS.get((declared or "").lower())
+    if hint is None and prescan:
+        hint = prescan_meta_charset(content)
+    if hint == "cp1252":
+        return "cp1252", content.decode("cp1252", "dompa_c1_passthrough")
+    if hint in ("utf-16le", "utf-16be"):
+        # declared UTF-16 without a BOM: trust the transport header
+        return hint, content.decode(hint.replace("16", "16-"), "replace")
+    # hint is utf-8 or absent: identical path — strict UTF-8, then fall
     try:
         return "utf-8", content.decode("utf-8")
     except UnicodeDecodeError:
@@ -92,17 +168,37 @@ def detect_and_decode(content: bytes) -> tuple[str, str]:
         return "cp1252", content.decode("cp1252", "dompa_c1_passthrough")
 
 
-def detect_transcode(df: DataFrame, content_col: str = "content") -> DataFrame:
-    """(doc_id, content:binary) -> (doc_id, charset, text_out, n_bytes)
-    via the module-header policy. One Arrow pass, no shuffle."""
+def detect_transcode(
+    df: DataFrame,
+    content_col: str = "content",
+    declared_col: str | None = None,
+    prescan: bool = False,
+) -> DataFrame:
+    """(doc_id, content:binary[, declared:string]) ->
+    (doc_id, charset, text_out, n_bytes) via the module-header policy.
+    declared_col names an optional per-row transport-charset hint (the
+    HTTP Content-Type's charset= parameter, e.g. from parse_warc's
+    headers); prescan=True enables the meta-prescan tier for HTML
+    payloads. One Arrow pass, no shuffle."""
     import pandas as pd
+
+    cols = ["doc_id", content_col] + ([declared_col] if declared_col else [])
 
     def _iter(batches: Iterator["pd.DataFrame"]):
         for pdf in batches:
             ids, charsets, texts, sizes = [], [], [], []
-            for doc_id, content in zip(pdf["doc_id"], pdf[content_col]):
+            declared_vals = (
+                pdf[declared_col] if declared_col else [None] * len(pdf)
+            )
+            for doc_id, content, declared in zip(
+                pdf["doc_id"], pdf[content_col], declared_vals
+            ):
                 content = bytes(content) if content is not None else b""
-                charset, text = detect_and_decode(content)
+                charset, text = detect_and_decode(
+                    content,
+                    declared=None if declared is None else str(declared),
+                    prescan=prescan,
+                )
                 ids.append(int(doc_id))
                 charsets.append(charset)
                 texts.append(text)
@@ -116,9 +212,7 @@ def detect_transcode(df: DataFrame, content_col: str = "content") -> DataFrame:
                 }
             )
 
-    return df.select("doc_id", content_col).mapInPandas(
-        _iter, schema=DECODED_SCHEMA
-    )
+    return df.select(*cols).mapInPandas(_iter, schema=DECODED_SCHEMA)
 
 
 def docs_to_encoded(df: DataFrame, text_col: str = "prep_text") -> DataFrame:

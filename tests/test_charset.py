@@ -75,6 +75,78 @@ def test_stripped_bom_never_surfaces_in_text():
         assert text == "ok"
 
 
+# --- declared-charset + prescan tiers ----------------------------------------
+
+
+def test_declared_cp1252_decodes_ascii_payload_as_cp1252():
+    # the label changes the VERDICT even when bytes alone would say utf-8
+    assert cs.detect_and_decode(b"plain", declared="windows-1252") == (
+        "cp1252",
+        "plain",
+    )
+
+
+def test_declared_latin1_aliases_to_cp1252_per_whatwg():
+    charset, text = cs.detect_and_decode(b"a\x80b", declared="ISO-8859-1")
+    assert (charset, text) == ("cp1252", "a€b")
+
+
+def test_declared_utf16le_without_bom_is_trusted():
+    payload = "héllo".encode("utf-16-le")  # no BOM
+    assert cs.detect_and_decode(payload, declared="utf-16le") == (
+        "utf-16le",
+        "héllo",
+    )
+
+
+def test_bom_overrides_declaration():
+    payload = codecs.BOM_UTF8 + "x".encode()
+    assert cs.detect_and_decode(payload, declared="windows-1252")[0] == (
+        "utf-8-sig"
+    )
+
+
+def test_unknown_label_is_ignored_not_fatal():
+    assert cs.detect_and_decode(b"ok", declared="klingon-8") == ("utf-8", "ok")
+
+
+def test_declared_utf8_still_validates_strictly():
+    # a lying utf-8 label on cp1252 bytes must not produce U+FFFD
+    charset, text = cs.detect_and_decode(b"a\x97b", declared="utf-8")
+    assert (charset, text) == ("cp1252", "a—b")
+
+
+def test_prescan_meta_charset_html5_form():
+    html = b'<html><head><meta charset="windows-1252"></head>a\x97b'
+    assert cs.detect_and_decode(html, prescan=True)[0] == "cp1252"
+    assert cs.prescan_meta_charset(html) == "cp1252"
+
+
+def test_prescan_meta_charset_http_equiv_form():
+    html = (
+        b'<meta http-equiv="Content-Type" '
+        b'content="text/html; charset=iso-8859-1">x'
+    )
+    assert cs.prescan_meta_charset(html) == "cp1252"
+
+
+def test_prescan_only_reads_first_1024_bytes():
+    html = b" " * 1100 + b'<meta charset="windows-1252">'
+    assert cs.prescan_meta_charset(html) is None
+
+
+def test_prescan_utf16_label_treated_as_utf8_per_whatwg():
+    assert cs.prescan_meta_charset(b'<meta charset="utf-16le">') == "utf-8"
+
+
+def test_declared_beats_prescan():
+    html = b'<meta charset="utf-8">a\x97b'
+    charset, _ = cs.detect_and_decode(
+        html, declared="windows-1252", prescan=True
+    )
+    assert charset == "cp1252"
+
+
 # --- Spark kernels -----------------------------------------------------------
 
 
@@ -120,6 +192,24 @@ def test_spark_roundtrip_n_bytes(encoded_roundtrip):
     assert got[3]["n_bytes"] == len("legacy €—•")  # 1 byte/char in cp1252
     assert got[4]["n_bytes"] == 0  # empty text, bare-utf-8 branch
     assert got[7]["n_bytes"] == 0  # NULL text -> empty payload
+
+
+def test_spark_declared_col_threading(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"a\x97b"), "windows-1252"),
+         (2, bytearray(b"plain"), None),
+         (3, bytearray(b"x\x80y"), "nonsense-charset")],
+        "doc_id long, content binary, http_charset string",
+    )
+    rows = {
+        r["doc_id"]: (r["charset"], r["text_out"])
+        for r in cs.detect_transcode(
+            df, declared_col="http_charset"
+        ).collect()
+    }
+    assert rows[1] == ("cp1252", "a—b")  # header hint honored
+    assert rows[2] == ("utf-8", "plain")  # NULL hint -> content tiers
+    assert rows[3] == ("cp1252", "x€y")  # junk hint ignored, fallback
 
 
 def test_fixture_suffix_constants_match_oracle_literals():
