@@ -168,6 +168,63 @@ def detect_and_decode(
         return "cp1252", content.decode("cp1252", "dompa_c1_passthrough")
 
 
+def transcode_expr(
+    content, declared=None, prescan: bool = False
+):
+    """Column-level variant for composing into an existing Catalyst
+    plan (e.g. the WARC ingest select): returns a
+    struct<charset:string, text:string> Column decoded from a binary
+    `content` Column and an optional per-row declared-charset Column
+    (pass the HTTP Content-Type's charset= parameter; '' and NULL both
+    mean no hint). NULL content yields a NULL-fielded struct, so
+    callers can mask the input with F.when(...) and only pay the decode
+    for the rows that need it. Arrow-vectorized pandas UDF — the same
+    C-codec per-row work as detect_transcode, usable inside one
+    projection instead of forcing a mapInPandas restructure."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    out_type = StructType(
+        [
+            StructField("charset", StringType()),
+            StructField("text", StringType()),
+        ]
+    )
+
+    def _udf(c, d):
+        charsets, texts = [], []
+        for content_b, declared_s in zip(c, d):
+            if content_b is None:
+                charsets.append(None)
+                texts.append(None)
+                continue
+            hint = (
+                None
+                if declared_s is None or declared_s == ""
+                else str(declared_s)
+            )
+            cs_name, text = detect_and_decode(
+                bytes(content_b), declared=hint, prescan=prescan
+            )
+            charsets.append(cs_name)
+            texts.append(text)
+        return pd.DataFrame({"charset": charsets, "text": texts})
+
+    # real annotation objects — `from __future__ import annotations`
+    # stringifies inline hints, which pandas_udf's type inference
+    # can't resolve for local aliases (same pattern as textops.py)
+    _udf.__annotations__ = {
+        "c": pd.Series,
+        "d": pd.Series,
+        "return": pd.DataFrame,
+    }
+    udf = F.pandas_udf(_udf, out_type)
+    if declared is None:
+        declared = F.lit(None).cast("string")
+    return udf(content, declared)
+
+
 def detect_transcode(
     df: DataFrame,
     content_col: str = "content",

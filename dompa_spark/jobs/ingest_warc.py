@@ -19,7 +19,10 @@ What becomes a document:
 - ``response`` records with 2xx status and a text/html payload become
   html-span docs: doc_id = the record's WARC-Target-URI (auditable —
   the doc id IS the fetch), spans = [one html span], payload decoded
-  as UTF-8.
+  charset-aware (dompa_spark.charset tier order: BOM > the
+  Content-Type header's charset= parameter > meta prescan > strict
+  UTF-8 > cp1252), verdict kept as a top-level ``charset`` audit
+  column.
 - ``resource`` records with an image/audio/video mime become
   media-span docs (media_ref = the URI); the parser is payload-
   agnostic, so real decode composes downstream via dompa_spark.media.
@@ -60,7 +63,7 @@ def main(argv=None) -> int:
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
-    from dompa_spark import pipeline, warc
+    from dompa_spark import charset, pipeline, warc
 
     builder = SparkSession.builder.appName("dompa-spark-ingest-warc")
     if args.master:
@@ -97,10 +100,23 @@ def main(argv=None) -> int:
         .when(F.col("mime").startswith("video/"), "video")
     )
     is_media = (F.col("warc_type") == "resource") & media_kind.isNotNull()
+    # charset-aware HTML decode (charset.py tier order): the HTTP
+    # Content-Type's charset= parameter is the declared hint, the meta
+    # prescan covers self-describing pages, and BOM / strict-UTF-8 /
+    # cp1252 handle the rest — a bare binary->string cast would mangle
+    # every legacy-encoded page. Input masked to html rows so media
+    # payloads never enter the decode batch.
+    declared = F.regexp_extract(
+        F.col("mime"), r"(?i);\s*charset=\"?\s*([A-Za-z0-9_\-]+)", 1
+    )
+    dec = charset.transcode_expr(
+        F.when(is_html, F.col("payload")), declared, prescan=True
+    )
     kept = recs.filter(is_html | is_media).select(
         F.col("url").alias("doc_id"),
         F.when(is_html, F.lit("html")).otherwise(media_kind).alias("kind"),
-        F.when(is_html, F.col("payload").cast("string")).alias("text"),
+        dec["text"].alias("text"),
+        dec["charset"].alias("charset"),
         F.when(is_media, F.col("url")).alias("media_ref"),
         F.struct("warc_id", "rec_idx").alias("cap"),
     )
@@ -108,9 +124,9 @@ def main(argv=None) -> int:
     # aggregation, so a URL captured in thousands of shards combines
     # map-side instead of sorting in one task
     docs = kept.groupBy("doc_id").agg(
-        F.min_by(F.struct("kind", "text", "media_ref"), F.col("cap")).alias(
-            "r"
-        ),
+        F.min_by(
+            F.struct("kind", "text", "charset", "media_ref"), F.col("cap")
+        ).alias("r"),
         F.count("*").cast("long").alias("n_captures"),
     )
     out = docs.select(
@@ -123,7 +139,8 @@ def main(argv=None) -> int:
                 F.lit(0).cast("int").alias("offset"),
             )
         ).alias("spans"),
-        "n_captures",  # audit column; extract's scan column-prunes it
+        "n_captures",  # audit columns; extract's scan column-prunes them
+        F.col("r.charset").alias("charset"),
     )
     out.write.mode("overwrite").parquet(args.output)
 

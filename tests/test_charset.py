@@ -212,6 +212,68 @@ def test_spark_declared_col_threading(spark):
     assert rows[3] == ("cp1252", "x€y")  # junk hint ignored, fallback
 
 
+def test_transcode_expr_warc_ingest_recipe(spark):
+    """The exact composition jobs/ingest_warc.py uses: parse_warc ->
+    charset= extracted from the HTTP Content-Type -> transcode_expr
+    masked to html rows with prescan on. One record per tier: header-
+    declared cp1252, undeclared UTF-8, meta-prescan iso-8859-1."""
+    from pyspark.sql import functions as F
+
+    from dompa_spark import warc
+
+    CRLF = "\r\n"
+
+    def response(url, body, ctype):
+        http = (
+            f"HTTP/1.1 200 OK{CRLF}Content-Type: {ctype}{CRLF}{CRLF}"
+        ).encode() + body
+        hdr = (
+            f"WARC/1.0{CRLF}WARC-Type: response{CRLF}"
+            f"WARC-Target-URI: {url}{CRLF}"
+            f"Content-Type: application/http;msgtype=response{CRLF}"
+            f"Content-Length: {len(http)}{CRLF}{CRLF}"
+        ).encode()
+        return hdr + http + (CRLF * 2).encode()
+
+    shard = (
+        response(
+            "http://a/1",
+            "café — naïve€".encode("cp1252"),
+            "text/html; charset=windows-1252",
+        )
+        + response("http://a/2", "plain utf-8 é漢".encode(), "text/html")
+        + response(
+            "http://a/3",
+            '<meta charset="iso-8859-1">sëlf'.encode("cp1252"),
+            "text/html",
+        )
+    )
+    shards = spark.createDataFrame(
+        [(1, bytearray(shard))], "warc_id long, content binary"
+    )
+    recs = warc.parse_warc(shards).filter(F.col("url").isNotNull())
+    is_html = (
+        (F.col("warc_type") == "response")
+        & F.col("http_status").between(200, 299)
+        & F.col("mime").startswith("text/html")
+    )
+    declared = F.regexp_extract(
+        F.col("mime"), r"(?i);\s*charset=\"?\s*([A-Za-z0-9_\-]+)", 1
+    )
+    dec = cs.transcode_expr(
+        F.when(is_html, F.col("payload")), declared, prescan=True
+    )
+    rows = {
+        r["url"]: (r["cs"], r["t"])
+        for r in recs.filter(is_html)
+        .select("url", dec["charset"].alias("cs"), dec["text"].alias("t"))
+        .collect()
+    }
+    assert rows["http://a/1"] == ("cp1252", "café — naïve€")
+    assert rows["http://a/2"] == ("utf-8", "plain utf-8 é漢")
+    assert rows["http://a/3"] == ("cp1252", '<meta charset="iso-8859-1">sëlf')
+
+
 def test_fixture_suffix_constants_match_oracle_literals():
     # the SQL oracle embeds these literally; a drift here is a silent
     # hash mismatch at the driver
