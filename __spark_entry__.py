@@ -936,6 +936,88 @@ def q_warc_gz_roundtrip(spark, sf_dir):
     )
 
 
+def q_cdx_index(spark, sf_dir):
+    """CDX capture index over plain WARC shards: one row per record
+    with its BYTE OFFSET and LENGTH inside the shard (the seek map a
+    wayback-style reader uses), SURT key, 14-digit timestamp, and
+    payload digest. The Spark side walks real bytes (cdx.cdx_index's
+    Arrow kernel); the oracle reconstructs every offset INDEPENDENTLY
+    from the writer's templates — header-line octet algebra + a
+    window prefix-sum over the shard's record order — so a single
+    framing byte anywhere (a header, a Content-Length digit, a
+    separator) shifts an offset and fails the row. cdx.py; tests/
+    test_cdx.py pins the seek-fetch property the index exists for."""
+    from dompa_spark import cdx, warc
+
+    docs = _docs(spark, sf_dir)
+    idx = cdx.cdx_index(warc.docs_to_warc(docs))
+    return idx.select(
+        "warc_id",
+        F.col("rec_idx").cast("long").alias("rec_idx"),
+        "surt",
+        "url",
+        "ts",
+        "warc_type",
+        "mime",
+        F.col("http_status").cast("long").alias("http_status"),
+        "offset",
+        "length",
+        "digest",
+    )
+
+
+def q_cdx_lookup(spark, sf_dir):
+    """SURT-prefix capture lookup over the .warc.gz index (the
+    wayback listing primitive, driven through the COMPRESSED member
+    walk): index member-per-record gzip shards, filter to one host
+    family's key prefix, and return the capture rows. Offsets are
+    omitted (gz member lengths are not SQL-expressible); url/ts/
+    type/mime/status/digest still pin that the gz walk parsed every
+    member identically to the plain path. cdx.cdx_lookup; the seek
+    property for the gz offsets is pinned in tests/test_cdx.py."""
+    from dompa_spark import cdx, warc
+
+    docs = _docs(spark, sf_dir)
+    idx = cdx.cdx_index(warc.docs_to_warc_gz(docs))
+    return cdx.cdx_lookup(idx, "org,example,src1").select(
+        "warc_id",
+        F.col("rec_idx").cast("long").alias("rec_idx"),
+        "surt",
+        "url",
+        "ts",
+        "warc_type",
+        "mime",
+        F.col("http_status").cast("long").alias("http_status"),
+        "digest",
+    )
+
+
+def q_wet_roundtrip(spark, sf_dir):
+    """WET conversion export, end-to-end: documents -> WARC shards ->
+    warc_to_wet (charset-aware decode + the REAL extraction kernel per
+    response record, re-framed as spec-correct `conversion` records) ->
+    parse_warc of the WET shards. One row per conversion record. The
+    oracle is the extraction closed form for the writer's single-<p>
+    template: the text survives the density walk iff >= 30 chars
+    (html's tag_count is 3, TEXT_DENSITY_MIN 10 — constants.py), else
+    the conversion payload is empty; sf fixture texts are all >= 44
+    chars so every payload is the identity, and the <30 branch stays
+    pinned by tests/test_cdx.py. cdx.warc_to_wet."""
+    from dompa_spark import cdx, warc
+
+    docs = _docs(spark, sf_dir)
+    wet = cdx.warc_to_wet(warc.docs_to_warc(docs))
+    recs = warc.parse_warc(wet)
+    return recs.filter(F.col("warc_type") == "conversion").select(
+        F.regexp_extract("url", r"/doc/(\d+)", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "mime",
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+        F.sha2("payload", 256).alias("wet_sha"),
+    )
+
+
 def q_wds_roundtrip(spark, sf_dir):
     """WebDataset ingestion boundary, end-to-end: serialize documents
     into deterministic tar shards (one member per modality per sample:
@@ -2046,9 +2128,9 @@ _R5_DRIVER_WINDOW = [
     "pmi_topk",
     "char_entropy",
     "script_profile",
-    "script_mixture",
+    "cdx_index",
     "dom_templates",
-    "cms_counts",
+    "cdx_lookup",
     "graph_components",
     "embedding_stats",
     "feed_entries",
@@ -2058,7 +2140,7 @@ _R5_DRIVER_WINDOW = [
     "robots_sitemaps",
     "recrawl_priority",
     "extract_coverage",
-    "winnow_fingerprints",
+    "wet_roundtrip",
     "winnow_contamination",
     "lm2_surprisal",
     "tokenizer_fertility",
@@ -2152,6 +2234,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "warc_roundtrip": q_warc_roundtrip,
         "warc_gz_roundtrip": q_warc_gz_roundtrip,
+        "cdx_index": q_cdx_index,
+        "cdx_lookup": q_cdx_lookup,
+        "wet_roundtrip": q_wet_roundtrip,
         "wds_roundtrip": q_wds_roundtrip,
         "iceberg_scan": q_iceberg_scan,
         "iceberg_sink": q_iceberg_sink,
@@ -5142,6 +5227,137 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM resp
             UNION ALL SELECT * FROM res
             UNION ALL SELECT * FROM info
+        """,
+        # cdx_index: every offset reconstructed INDEPENDENTLY of the
+        # byte walk — header-line octet algebra (WARC/1.0 line 10 +
+        # type line 13+len + record-id line 60 + date line 33 + uri
+        # line 19+len + content-type line 16+len + length line
+        # 20+digits + payload + separator 4 = 175 + variable parts)
+        # prefix-summed over the shard's record order behind the
+        # 242-byte warcinfo head
+        "cdx_index": f"""
+            WITH d AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     coalesce(source, 'src') AS source,
+                     '{textops_warc_pre}' || coalesce(text, '')
+                       || '{textops_warc_post}' AS html
+              FROM documents),
+            recs AS (
+              SELECT doc_id // {warc_docs_per_shard} AS warc_id,
+                     doc_id * 2 AS seq,
+                     'org,example,' || lower(source) || ')/doc/' ||
+                       doc_id AS surt,
+                     'https://' || source || '.example.org/doc/' ||
+                       doc_id AS url,
+                     'response' AS warc_type,
+                     'text/html' AS mime,
+                     CAST(200 AS BIGINT) AS http_status,
+                     'application/http;msgtype=response' AS ct,
+                     62 + length(CAST(octet_length(encode(html))
+                                      AS VARCHAR))
+                        + octet_length(encode(html)) AS clen,
+                     sha256(html) AS digest
+              FROM d
+              UNION ALL
+              SELECT doc_id // {warc_docs_per_shard},
+                     doc_id * 2 + 1,
+                     'org,example,' || lower(source) || ')/img/' ||
+                       doc_id || '.png',
+                     'https://' || source || '.example.org/img/' ||
+                       doc_id || '.png',
+                     'resource', 'image/png', CAST(NULL AS BIGINT),
+                     'image/png', 32,
+                     sha256(md5(doc_id::VARCHAR || ':png'))
+              FROM d WHERE doc_id % {warc_media_every} = 0),
+            framed AS (
+              SELECT *,
+                     CAST(175 + length(warc_type)
+                          + octet_length(encode(url)) + length(ct)
+                          + length(CAST(clen AS VARCHAR)) + clen
+                          AS BIGINT) AS rec_len
+              FROM recs),
+            numbered AS (
+              SELECT warc_id,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY warc_id
+                          ORDER BY seq) AS BIGINT) AS rec_idx,
+                     surt, url, '20240101000000' AS ts,
+                     warc_type, mime, http_status,
+                     CAST(242 + coalesce(SUM(rec_len) OVER (
+                          PARTITION BY warc_id ORDER BY seq
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS BIGINT) AS "offset",
+                     rec_len AS "length", digest
+              FROM framed),
+            info AS (
+              SELECT DISTINCT warc_id, CAST(0 AS BIGINT) AS rec_idx,
+                     CAST(NULL AS VARCHAR) AS surt,
+                     CAST(NULL AS VARCHAR) AS url,
+                     '20240101000000' AS ts, 'warcinfo' AS warc_type,
+                     'application/warc-fields' AS mime,
+                     CAST(NULL AS BIGINT) AS http_status,
+                     CAST(0 AS BIGINT) AS "offset",
+                     CAST(242 AS BIGINT) AS "length",
+                     sha256(e'{warc_info_body_e}') AS digest
+              FROM framed)
+            SELECT * FROM numbered UNION ALL SELECT * FROM info
+        """,
+        # cdx_lookup: the same record algebra (offsets omitted — gz
+        # member lengths are not SQL-expressible) filtered to the
+        # SURT prefix; rec_idx numbering is identical because the gz
+        # member walk indexes exactly the records the plain walk does
+        "cdx_lookup": f"""
+            WITH d AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     coalesce(source, 'src') AS source,
+                     '{textops_warc_pre}' || coalesce(text, '')
+                       || '{textops_warc_post}' AS html
+              FROM documents),
+            recs AS (
+              SELECT doc_id // {warc_docs_per_shard} AS warc_id,
+                     doc_id * 2 AS seq,
+                     'org,example,' || lower(source) || ')/doc/' ||
+                       doc_id AS surt,
+                     'https://' || source || '.example.org/doc/' ||
+                       doc_id AS url,
+                     'response' AS warc_type,
+                     'text/html' AS mime,
+                     CAST(200 AS BIGINT) AS http_status,
+                     sha256(html) AS digest
+              FROM d
+              UNION ALL
+              SELECT doc_id // {warc_docs_per_shard},
+                     doc_id * 2 + 1,
+                     'org,example,' || lower(source) || ')/img/' ||
+                       doc_id || '.png',
+                     'https://' || source || '.example.org/img/' ||
+                       doc_id || '.png',
+                     'resource', 'image/png', CAST(NULL AS BIGINT),
+                     sha256(md5(doc_id::VARCHAR || ':png'))
+              FROM d WHERE doc_id % {warc_media_every} = 0),
+            numbered AS (
+              SELECT warc_id,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY warc_id
+                          ORDER BY seq) AS BIGINT) AS rec_idx,
+                     surt, url, '20240101000000' AS ts,
+                     warc_type, mime, http_status, digest
+              FROM recs)
+            SELECT * FROM numbered
+            WHERE surt LIKE 'org,example,src1%'
+        """,
+        # wet_roundtrip: the extraction closed form for the writer's
+        # single-<p> template — the text survives the density walk
+        # iff >= 30 chars (html tag_count 3 x TEXT_DENSITY_MIN 10),
+        # else the conversion payload is the empty string
+        "wet_roundtrip": """
+            WITH w AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     CASE WHEN length(coalesce(text, '')) >= 30
+                          THEN coalesce(text, '') ELSE '' END AS wet
+              FROM documents)
+            SELECT doc_id, 'text/plain' AS mime,
+                   CAST(octet_length(encode(wet)) AS BIGINT) AS n_bytes,
+                   sha256(wet) AS wet_sha
+            FROM w
         """,
         "dedup_embedding_cosine": f"""
             WITH base AS (

@@ -1,0 +1,428 @@
+"""Web-archive index + derived-format layer: SURT keys, CDX capture
+index, seekable record fetch, and WET conversion export — the three
+artifacts a Common-Crawl-shaped pipeline publishes NEXT TO its WARC
+shards so downstream consumers never re-walk the archive.
+
+Reference scope note: askonomm/dompa is an HTML parser (564 LoC
+Clojure, src/dompa/*.cljc) with no archive layer; this module is part
+of the mandated large-scale-pipeline extension surface, built from the
+public specs (IA SURT convention / pywb canonicalization, the CDX(J)
+index convention, ISO 28500 WARC, Common Crawl's WET conversion
+format).
+
+- **SURT** (`surt_expr`): Sort-friendly URI Reordering Transform — the
+  canonical capture key every wayback-style index sorts by. Pinned
+  policy (the pywb default-canon subset, deterministic and
+  SQL-expressible so the DuckDB oracle can reproduce it exactly):
+  lowercase the whole URL, strip the fragment, treat http==https (the
+  scheme is dropped), drop a default port (:80/:443), strip ONE
+  leading 'www.' label, reverse the remaining host labels joined with
+  commas, then ')' + path (trailing '/' runs stripped, empty -> '/')
+  + '?' + the query params with utm_* dropped and the survivors
+  SORTED (byte order) — so `https://WWW.Example.org:443/a/?b=2&a=1`
+  keys as `org,example)/a?a=1&b=2`. Pure Catalyst expressions
+  (codegen, zero shuffles), sharing textops.url_canon_cols' regex
+  family.
+
+- **CDX index** (`cdx_index`): one row per WARC record with the
+  record's BYTE OFFSET and LENGTH inside its shard — the seek map that
+  makes a petabyte archive random-access. Works on plain WARC shards
+  (offsets in the uncompressed stream, framed by Content-Length
+  exactly like warc._record_spans) AND on member-per-record .warc.gz
+  shards (offsets/lengths of the COMPRESSED gzip members, walked via
+  zlib's unused_data chain — the member boundary IS the record
+  boundary, which is the entire point of the member-per-record
+  convention). Digest is sha256-hex of the unwrapped payload (the CDX
+  convention's base32-SHA1 field, re-pinned to sha256 so Spark and
+  DuckDB agree without a base32 builtin). Arrow-batched kernel, one
+  shard per task — the same parallelism unit as warc.parse_warc, so
+  indexing scales by shard count with zero coordination and the only
+  post-kernel work is the map-side surt projection.
+
+- **Seekable fetch** (`fetch_record`): the replay read path — given
+  (shard bytes, offset, length) return exactly one parsed record,
+  inflating a gz member independently when the magic says so. This is
+  the property the index exists to provide; the tests assert it for
+  every indexed record.
+
+- **Lookup** (`cdx_lookup`): SURT-prefix capture query (the wayback
+  "show me everything under this host/path" primitive). A plain
+  pushdown-friendly range predicate: at scale the index is written
+  sorted by (surt, ts) so the prefix filter prunes row groups /
+  partitions at the scan; here it is the same predicate over the
+  in-session index.
+
+- **WET export** (`warc_to_wet`): the text-only derived archive —
+  every 2xx text/html response record becomes a `conversion` record
+  whose payload is the REAL extraction pipeline's main text (the same
+  kernel.extract_document_cols walk pipeline.extract_df runs, fed by
+  the charset-aware decode from dompa_spark.charset), framed as
+  spec-correct WARC with a warcinfo head per shard and
+  WARC-Refers-To linking each conversion back to its source record.
+  parse_warc reads the result (WET IS WARC), so the round-trip is
+  closed. Kernel is Arrow-batched per record batch; re-sharding is
+  the one groupBy shuffle, carrying each extracted text exactly once
+  (the docs_to_warc assembly shape).
+
+Scale shape: every kernel here is embarrassingly parallel over shards
+or record batches; the only shuffles are the WET shard re-assembly and
+whatever the caller does with the index (sort-on-write for pruning).
+Nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from . import warc
+from .warc import CRLF, GZIP_MAGIC
+
+
+# ---------------------------------------------------------------------------
+# SURT
+
+
+def surt_expr(url) -> Column:
+    """SURT key Column from a URL Column/name (policy pinned in the
+    module docstring). NULL url -> NULL key; a scheme-less or
+    host-less string yields a key with an empty host part (')' +
+    path), deterministic rather than an error — index rows for
+    malformed captures still sort and group."""
+    u = F.lower(url if isinstance(url, Column) else F.col(url))
+    defrag = F.regexp_replace(u, r"#.*$", "")
+    hostport = F.regexp_extract(
+        defrag, r"^[a-z][a-z0-9+.-]*://([^/?]*)", 1
+    )
+    host = F.regexp_replace(hostport, r":[0-9]+$", "")
+    host = F.regexp_replace(host, r"^www\.", "")
+    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    keep_port = ~port.isin("", "80", "443")
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    rest = F.regexp_replace(defrag, r"^[a-z][a-z0-9+.-]*://[^/?]*", "")
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    query = F.regexp_extract(rest, r"^[^?]*[?](.*)$", 1)
+    stripped = F.regexp_replace(path, r"/+$", "")
+    path_c = F.when(stripped == "", F.lit("/")).otherwise(stripped)
+    kept = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: ~F.startswith(p, F.lit("utm_")),
+        )
+    )
+    qpart = F.when(
+        (query == "") | (F.size(kept) == 0), F.lit("")
+    ).otherwise(F.concat(F.lit("?"), F.array_join(kept, "&")))
+    return F.when(
+        (u.isNull()), F.lit(None).cast("string")
+    ).otherwise(
+        F.concat(
+            rev,
+            F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(
+                F.lit("")
+            ),
+            F.lit(")"),
+            path_c,
+            qpart,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDX index
+
+CDX_SCHEMA = StructType(
+    [
+        StructField("warc_id", LongType()),
+        StructField("rec_idx", IntegerType()),
+        StructField("url", StringType()),
+        StructField("ts", StringType()),
+        StructField("warc_type", StringType()),
+        StructField("mime", StringType()),
+        StructField("http_status", IntegerType()),
+        StructField("offset", LongType()),
+        StructField("length", LongType()),
+        StructField("digest", StringType()),
+    ]
+)
+
+
+def _ts14(warc_date: str | None) -> str | None:
+    """WARC-Date (ISO 8601) -> the CDX 14-digit timestamp."""
+    if not warc_date:
+        return None
+    digits = "".join(ch for ch in warc_date if ch.isdigit())
+    return digits[:14] if len(digits) >= 14 else None
+
+
+def _record_fields(rec: bytes):
+    """(url, ts, warc_type, mime, status, payload) of ONE framed
+    record (headers + body; trailing separator tolerated). Returns
+    None when the bytes do not frame a complete record — the caller
+    treats that as truncation and stops, the warc._parse_shard
+    contract."""
+    if rec[:5] != b"WARC/":
+        return None
+    hdr_end = rec.find(b"\r\n\r\n")
+    if hdr_end < 0:
+        return None
+    _, fields = warc._parse_headers(rec[:hdr_end])
+    try:
+        clen = int(fields.get("content-length", ""))
+    except ValueError:
+        return None
+    body = rec[hdr_end + 4 : hdr_end + 4 + clen]
+    if len(body) < clen:
+        return None
+    wtype = fields.get("warc-type")
+    url = fields.get("warc-target-uri")
+    mime = fields.get("content-type")
+    ts = _ts14(fields.get("warc-date"))
+    status = None
+    payload = body
+    if wtype == "response" and (mime or "").startswith("application/http"):
+        he = body.find(b"\r\n\r\n")
+        if he >= 0:
+            status_line, hfields = warc._parse_headers(body[:he])
+            toks = status_line.split()
+            if len(toks) >= 2 and toks[1].isdigit():
+                status = int(toks[1])
+            mime = hfields.get("content-type", mime)
+            payload = body[he + 4 :]
+    return url, ts, wtype, mime, status, payload
+
+
+def _gz_member_spans(buf: bytes):
+    """Yield (offset, length, plain_bytes) per COMPLETE gzip member
+    (CRC-verified — truncated/garbled tails drop whole, the
+    warc.gunzip_members contract)."""
+    import zlib
+
+    pos = 0
+    data = buf
+    while data[:2] == GZIP_MAGIC:
+        d = zlib.decompressobj(31)
+        try:
+            member = d.decompress(data) + d.flush()
+        except zlib.error:
+            return
+        if not d.eof:
+            return
+        consumed = len(data) - len(d.unused_data)
+        yield pos, consumed, member
+        pos += consumed
+        data = d.unused_data
+
+
+def _index_shard(wid: int, buf: bytes):
+    """Yield CDX rows for one shard, plain or .warc.gz (dispatch on
+    the gzip magic). Offsets/lengths are byte-true for the shard AS
+    STORED: member spans for gz, Content-Length-framed record spans
+    for plain — fetch_record(shard, offset, length) returns exactly
+    the indexed record either way."""
+    import hashlib
+
+    if buf[:2] == GZIP_MAGIC:
+        spans = _gz_member_spans(buf)
+    else:
+        spans = (
+            (start, end - start, buf[start:end])
+            for start, end in warc._record_spans(buf)
+        )
+    idx = 0
+    for offset, length, rec in spans:
+        parsed = _record_fields(rec)
+        if parsed is None:
+            return
+        url, ts, wtype, mime, status, payload = parsed
+        yield (
+            wid,
+            idx,
+            url,
+            ts,
+            wtype,
+            mime,
+            status,
+            offset,
+            length,
+            hashlib.sha256(payload).hexdigest(),
+        )
+        idx += 1
+
+
+def cdx_index(shards: DataFrame) -> DataFrame:
+    """(warc_id, rec_idx, surt, url, ts, warc_type, mime, http_status,
+    offset, length, digest) — one row per record of each (warc_id,
+    content) shard, plain WARC or member-per-record .warc.gz. The
+    byte walk runs in an Arrow kernel (one shard per row, the object-
+    storage task unit); surt is a map-side Catalyst projection on the
+    result. To serve lookups at scale, write this sorted by
+    (surt, ts) — the prefix predicate then prunes at the scan."""
+    import pandas as pd
+
+    cols = [f.name for f in CDX_SCHEMA.fields]
+
+    def _iter(batches: Iterator["pd.DataFrame"]):
+        for pdf in batches:
+            rows = []
+            for wid, content in zip(pdf["warc_id"], pdf["content"]):
+                if content is None:
+                    continue
+                rows.extend(_index_shard(int(wid), bytes(content)))
+            yield pd.DataFrame(rows, columns=cols)
+
+    raw = shards.mapInPandas(_iter, schema=CDX_SCHEMA)
+    return raw.select(
+        "warc_id",
+        "rec_idx",
+        surt_expr("url").alias("surt"),
+        "url",
+        "ts",
+        "warc_type",
+        "mime",
+        "http_status",
+        "offset",
+        "length",
+        "digest",
+    )
+
+
+def fetch_record(shard: bytes, offset: int, length: int):
+    """The replay read: one indexed record out of one shard's bytes,
+    without touching any other byte run. Inflates a gz member when the
+    span starts with the gzip magic. Returns the parsed
+    (url, ts, warc_type, mime, status, payload) tuple, or None if the
+    span does not frame a record (a wrong offset never silently
+    returns neighboring bytes)."""
+    span = shard[offset : offset + length]
+    if span[:2] == GZIP_MAGIC:
+        import zlib
+
+        d = zlib.decompressobj(31)
+        try:
+            span = d.decompress(span) + d.flush()
+        except zlib.error:
+            return None
+        if not d.eof:
+            return None
+    return _record_fields(span)
+
+
+def cdx_lookup(index: DataFrame, surt_prefix: str) -> DataFrame:
+    """Captures under a SURT prefix (the wayback listing primitive),
+    ordered by (surt, ts, warc_id, rec_idx). The predicate is a plain
+    prefix match — against a (surt, ts)-sorted on-disk index it prunes
+    at the scan; in-session it is one codegen filter."""
+    return index.filter(
+        F.col("surt").startswith(F.lit(surt_prefix))
+    ).orderBy("surt", "ts", "warc_id", "rec_idx")
+
+
+# ---------------------------------------------------------------------------
+# WET export
+
+_WET_EXTRACT_SCHEMA = StructType(
+    [
+        StructField("warc_id", LongType()),
+        StructField("rec_idx", IntegerType()),
+        StructField("url", StringType()),
+        StructField("wet_text", StringType()),
+    ]
+)
+
+
+def warc_to_wet(shards: DataFrame, docs_per_shard: int | None = None) -> DataFrame:
+    """(warc_id, content) WARC shards -> (warc_id, content) WET shards:
+    per 2xx text/html response record one `conversion` record whose
+    payload is the extraction pipeline's main text (charset-aware
+    decode -> kernel.extract_document_cols -> text spans joined in
+    offset order), behind a warcinfo head per shard. Non-HTML records
+    (media resources, warcinfo, redirects) produce nothing — WET is
+    the text-only view. Framing is the same pure-expression record
+    builder as docs_to_warc, so the output is itself spec-parseable by
+    warc.parse_warc."""
+    import pandas as pd
+
+    from . import charset as cs
+    from .kernel import extract_document_cols
+
+    recs = warc.parse_warc(shards)
+    is_html = (
+        (F.col("warc_type") == "response")
+        & F.col("http_status").between(200, 299)
+        & F.col("mime").startswith("text/html")
+    )
+    declared = F.regexp_extract(
+        F.col("mime"), r"(?i);\s*charset=\"?\s*([A-Za-z0-9_\-]+)", 1
+    )
+    dec = cs.transcode_expr(F.col("payload"), declared, prescan=True)
+    html = recs.filter(is_html).select(
+        "warc_id", "rec_idx", "url", dec["text"].alias("html")
+    )
+
+    def _extract(batches: Iterator["pd.DataFrame"]):
+        for pdf in batches:
+            texts = []
+            for h in pdf["html"]:
+                ok, ot, _ = extract_document_cols(
+                    ["html"], [h if h is not None else ""], [None], [0]
+                )
+                texts.append(
+                    "".join(
+                        t or ""
+                        for k, t in zip(ok, ot)
+                        if k == "text"
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "warc_id": pdf["warc_id"],
+                    "rec_idx": pdf["rec_idx"],
+                    "url": pdf["url"],
+                    "wet_text": texts,
+                }
+            )
+
+    extracted = html.mapInPandas(_extract, schema=_WET_EXTRACT_SCHEMA)
+    conv = warc._warc_record(
+        "conversion",
+        F.concat(F.lit("conv:"), F.col("url")),
+        F.col("wet_text"),
+        "text/plain",
+        F.col("url"),
+    )
+    wetinfo = warc._warc_record(
+        "warcinfo",
+        F.concat(F.lit("wetinfo:"), F.col("warc_id").cast("string")),
+        F.lit(warc.WARCINFO_BODY),
+        "application/warc-fields",
+    )
+    return (
+        extracted.select(
+            "warc_id", F.col("rec_idx").alias("seq"), conv.alias("rec")
+        )
+        .groupBy("warc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seq", "rec"))),
+                    lambda st: st["rec"],
+                ),
+                "",
+            ).alias("body")
+        )
+        .select(
+            "warc_id",
+            F.concat(wetinfo, F.col("body")).cast("binary").alias("content"),
+        )
+    )

@@ -1,0 +1,327 @@
+"""cdx.py — SURT policy units, CDX index byte-truth (plain + .warc.gz),
+seekable fetch, prefix lookup, WET conversion export."""
+
+import hashlib
+import zlib
+
+import pytest
+
+from dompa_spark import cdx, warc
+
+
+# --- SURT policy -------------------------------------------------------------
+
+
+def _surt_one(spark, url):
+    from pyspark.sql import functions as F
+
+    return (
+        spark.range(1)
+        .select(cdx.surt_expr(F.lit(url)).alias("s"))
+        .first()["s"]
+    )
+
+
+@pytest.mark.parametrize(
+    "url,key",
+    [
+        # lowercase + host reversal + scheme dropped
+        ("https://Example.ORG/A/B", "org,example)/a/b"),
+        # http == https, default ports dropped
+        ("http://example.org:80/x", "org,example)/x"),
+        ("https://example.org:443/x", "org,example)/x"),
+        # non-default port kept
+        ("https://example.org:8080/x", "org,example:8080)/x"),
+        # one leading www. label stripped
+        ("https://www.example.org/", "org,example)/"),
+        # deeper hosts reverse label-by-label
+        ("https://a.b.example.org/p", "org,example,b,a)/p"),
+        # fragment dropped, trailing slash runs collapse
+        ("https://example.org/a//#frag", "org,example)/a"),
+        # empty path -> '/'
+        ("https://example.org", "org,example)/"),
+        # query: utm_* dropped, survivors sorted
+        (
+            "https://example.org/p?b=2&utm_source=x&a=1",
+            "org,example)/p?a=1&b=2",
+        ),
+        # all params dropped -> no '?'
+        ("https://example.org/p?utm_x=1", "org,example)/p"),
+    ],
+)
+def test_surt_cases(spark, url, key):
+    assert _surt_one(spark, url) == key
+
+
+def test_surt_null_and_schemeless(spark):
+    from pyspark.sql import functions as F
+
+    row = (
+        spark.range(1)
+        .select(
+            cdx.surt_expr(F.lit(None).cast("string")).alias("n"),
+            cdx.surt_expr(F.lit("not-a-url")).alias("s"),
+        )
+        .first()
+    )
+    assert row["n"] is None
+    # deterministic key even without scheme/host: empty host part,
+    # the raw string riding as the path (no synthetic '/')
+    assert row["s"] == ")not-a-url"
+
+
+# --- shared fixtures ----------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    # unicode text makes octet-length != char-length, the framing trap;
+    # empty text pins the empty-extraction WET record
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta", "srcA"),
+        (1, "héllo wörld — naïve café crème brûlée über 漢字", "srcA"),
+        (2, "", "srcB"),
+        (3, "the quick brown fox jumps over the lazy dog twice", "srcB"),
+        (4, "word " * 40, "srcC"),
+        (5, "pad pad pad pad pad pad pad pad pad pad pad pad", "srcC"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+@pytest.fixture(scope="module")
+def plain_shards(docs):
+    out = warc.docs_to_warc(docs, docs_per_shard=4, media_every=2)
+    return {r["warc_id"]: bytes(r["content"]) for r in out.collect()}
+
+
+@pytest.fixture(scope="module")
+def gz_shards(docs):
+    out = warc.docs_to_warc_gz(docs, docs_per_shard=4, media_every=2)
+    return {r["warc_id"]: bytes(r["content"]) for r in out.collect()}
+
+
+def _index_rows(spark, shards):
+    df = spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in shards.items()],
+        "warc_id long, content binary",
+    )
+    return cdx.cdx_index(df).collect()
+
+
+# --- CDX index byte-truth ------------------------------------------------------
+
+
+def test_plain_index_offsets_tile_the_shard(spark, plain_shards):
+    rows = _index_rows(spark, plain_shards)
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["warc_id"], []).append(r)
+    assert set(by_shard) == set(plain_shards)
+    for wid, rs in by_shard.items():
+        rs.sort(key=lambda r: r["rec_idx"])
+        pos = 0
+        for r in rs:
+            assert r["offset"] == pos  # contiguous, no gaps or overlap
+            pos += r["length"]
+        assert pos == len(plain_shards[wid])  # covers every byte
+
+
+def test_gz_index_offsets_tile_the_shard(spark, gz_shards):
+    rows = _index_rows(spark, gz_shards)
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["warc_id"], []).append(r)
+    for wid, rs in by_shard.items():
+        rs.sort(key=lambda r: r["rec_idx"])
+        pos = 0
+        for r in rs:
+            assert r["offset"] == pos
+            pos += r["length"]
+        assert pos == len(gz_shards[wid])
+
+
+def test_fetch_record_replays_every_indexed_record(
+    spark, plain_shards, gz_shards
+):
+    for shards in (plain_shards, gz_shards):
+        for r in _index_rows(spark, shards):
+            rec = cdx.fetch_record(
+                shards[r["warc_id"]], r["offset"], r["length"]
+            )
+            assert rec is not None
+            url, ts, wtype, mime, status, payload = rec
+            assert url == r["url"]
+            assert ts == r["ts"] == "20240101000000"
+            assert wtype == r["warc_type"]
+            assert mime == r["mime"]
+            assert status == r["http_status"]
+            assert hashlib.sha256(payload).hexdigest() == r["digest"]
+
+
+def test_plain_and_gz_agree_record_for_record(spark, plain_shards, gz_shards):
+    p = {
+        (r["warc_id"], r["rec_idx"]): (r["url"], r["digest"], r["surt"])
+        for r in _index_rows(spark, plain_shards)
+    }
+    g = {
+        (r["warc_id"], r["rec_idx"]): (r["url"], r["digest"], r["surt"])
+        for r in _index_rows(spark, gz_shards)
+    }
+    assert p == g and len(p) > 0
+
+
+def test_index_shape_and_surt_projection(spark, plain_shards):
+    rows = _index_rows(spark, plain_shards)
+    info = [r for r in rows if r["warc_type"] == "warcinfo"]
+    resp = [r for r in rows if r["warc_type"] == "response"]
+    res = [r for r in rows if r["warc_type"] == "resource"]
+    assert len(info) == len(plain_shards) and len(resp) == 6
+    # media_every=2 -> doc_ids 0,2,4
+    assert len(res) == 3
+    for r in info:
+        assert r["surt"] is None and r["offset"] == 0
+    for r in resp:
+        src = r["url"].split("https://")[1].split(".")[0]
+        did = r["url"].rsplit("/", 1)[1]
+        assert r["surt"] == f"org,example,{src.lower()})/doc/{did}"
+        assert r["http_status"] == 200 and r["mime"] == "text/html"
+
+
+def test_wrong_offset_never_returns_neighbor_bytes(spark, plain_shards):
+    wid, shard = next(iter(plain_shards.items()))
+    rows = [
+        r
+        for r in _index_rows(spark, {wid: shard})
+        if r["rec_idx"] == 1
+    ]
+    (r,) = rows
+    # off-by-one start: not a WARC/ header -> refused, not mis-parsed
+    assert cdx.fetch_record(shard, r["offset"] + 1, r["length"]) is None
+    # truncated length cutting into the BODY (past the 4-byte record
+    # separator, which a fetch tolerates losing): incomplete -> refused
+    assert cdx.fetch_record(shard, r["offset"], r["length"] - 6) is None
+
+
+def test_truncated_gz_tail_drops_whole_member(spark, gz_shards):
+    wid, shard = next(iter(gz_shards.items()))
+    whole = _index_rows(spark, {wid: shard})
+    cut = _index_rows(spark, {wid: shard[: len(shard) - 5]})
+    assert len(cut) == len(whole) - 1
+    assert [r["rec_idx"] for r in cut] == list(range(len(cut)))
+
+
+def test_truncated_gz_member_still_replays_surviving_records(
+    spark, gz_shards
+):
+    wid, shard = next(iter(gz_shards.items()))
+    cut = shard[: len(shard) - 5]
+    for r in _index_rows(spark, {wid: cut}):
+        rec = cdx.fetch_record(cut, r["offset"], r["length"])
+        assert rec is not None
+        assert hashlib.sha256(rec[5]).hexdigest() == r["digest"]
+
+
+# --- lookup -------------------------------------------------------------------
+
+
+def test_cdx_lookup_prefix_and_order(spark, plain_shards):
+    df = spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in plain_shards.items()],
+        "warc_id long, content binary",
+    )
+    idx = cdx.cdx_index(df)
+    got = cdx.cdx_lookup(idx, "org,example,srcb)").collect()
+    # docs 2 and 3 live on srcB; doc 2 also has its image resource
+    urls = [r["url"] for r in got]
+    assert urls == sorted(urls, key=lambda u: u)  # surt order == url order here
+    assert {u.rsplit("/", 1)[1] for u in urls} == {"2", "3", "2.png"}
+    assert cdx.cdx_lookup(idx, "org,nosuch)").count() == 0
+
+
+# --- WET export ---------------------------------------------------------------
+
+
+def test_wet_roundtrip_text_identity(spark, docs):
+    from pyspark.sql import functions as F
+
+    shards = warc.docs_to_warc(docs, docs_per_shard=4, media_every=2)
+    wet = cdx.warc_to_wet(shards)
+    recs = warc.parse_warc(wet)
+    conv = recs.filter("warc_type = 'conversion'").select(
+        F.regexp_extract("url", r"/doc/(\d+)", 1).cast("long").alias("doc_id"),
+        F.col("mime").alias("mime"),
+        F.col("payload").cast("string").alias("wet_text"),
+    )
+    got = {r["doc_id"]: (r["mime"], r["wet_text"]) for r in conv.collect()}
+    want = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert set(got) == set(want)
+    for did, (mime, text) in got.items():
+        assert mime == "text/plain"
+        # the single-<p> template extracts to exactly the source text
+        # (empty text -> empty conversion payload, still one record)
+        assert text == want[did]
+    # media resources and warcinfo records produce NO conversion rows
+    n_info = recs.filter("warc_type = 'warcinfo'").count()
+    assert n_info == 2  # one per shard
+    assert recs.count() == n_info + len(want)
+
+
+def test_wet_shards_are_indexable_and_seekable(spark, docs):
+    shards = warc.docs_to_warc(docs, docs_per_shard=4, media_every=2)
+    wet = cdx.warc_to_wet(shards)
+    wet_shards = {r["warc_id"]: bytes(r["content"]) for r in wet.collect()}
+    rows = _index_rows(spark, wet_shards)
+    assert {r["warc_type"] for r in rows} == {"warcinfo", "conversion"}
+    for r in rows:
+        rec = cdx.fetch_record(
+            wet_shards[r["warc_id"]], r["offset"], r["length"]
+        )
+        assert rec is not None
+        assert hashlib.sha256(rec[5]).hexdigest() == r["digest"]
+
+
+def test_wet_charset_tier_handles_cp1252_payload(spark):
+    """A response whose HTML bytes are cp1252 (invalid UTF-8) must
+    decode through the charset tiers before extraction — a UTF-8-only
+    WET path would mangle the € into replacement garbage."""
+    # long enough to clear the extractor's text-density gate
+    text = "price € and dash — the naïve café charges twenty € per crème"
+    html = "<html><body><p>" + text + "</p></body></html>"
+    payload = html.encode("cp1252")
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        + b"Content-Length: "
+        + str(len(payload)).encode()
+        + b"\r\n\r\n"
+        + payload
+    )
+    rec = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Record-ID: <urn:md5:" + b"0" * 32 + b">\r\n"
+        b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+        b"WARC-Target-URI: https://legacy.example.org/doc/9\r\n"
+        b"Content-Type: application/http;msgtype=response\r\n"
+        b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n"
+        + http
+        + b"\r\n\r\n"
+    )
+    df = spark.createDataFrame(
+        [(7, bytearray(rec))], "warc_id long, content binary"
+    )
+    wet = cdx.warc_to_wet(df)
+    out = warc.parse_warc(wet).filter("warc_type = 'conversion'").collect()
+    assert len(out) == 1
+    assert bytes(out[0]["payload"]).decode("utf-8") == text
+
+
+def test_zlib_member_span_walk_matches_gunzip(gz_shards):
+    """The index's member walk and the parser's inflater must agree
+    byte-for-byte about what the archive contains."""
+    for shard in gz_shards.values():
+        via_spans = b"".join(m for _, _, m in cdx._gz_member_spans(shard))
+        assert via_spans == warc.gunzip_members(shard)
+        # spans really are the compressed spans
+        for off, ln, member in cdx._gz_member_spans(shard):
+            assert (
+                zlib.decompress(shard[off : off + ln], 31) == member
+            )
