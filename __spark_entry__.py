@@ -1018,6 +1018,45 @@ def q_wet_roundtrip(spark, sf_dir):
     )
 
 
+def q_wat_roundtrip(spark, sf_dir):
+    """WAT metadata export, end-to-end: documents -> WARC shards
+    carrying the boiler page template (title + nav links, so the
+    metadata is non-trivial) -> warc_to_wat (charset-aware decode +
+    the REAL parser per record for title/links, canonical WAT-subset
+    JSON, spec-framed `metadata` records) -> parse_warc of the WAT
+    shards. One row per metadata record; the oracle reconstructs the
+    canonical JSON byte-for-byte from the template (sorted keys, no
+    whitespace), so a parser, JSON-canonicalization, or framing bug
+    each fails the sha. cdx.warc_to_wat; tests/test_cdx.py."""
+    from dompa_spark import cdx, textops, warc
+
+    docs = _docs(spark, sf_dir)
+    shards = warc.docs_to_warc(
+        docs,
+        html_pre=textops.BOILER_TEMPLATE_PRE,
+        html_post=textops.BOILER_TEMPLATE_POST,
+    )
+    recs = warc.parse_warc(cdx.warc_to_wat(shards))
+    payload_s = F.col("payload").cast("string")
+    return recs.filter(F.col("warc_type") == "metadata").select(
+        F.regexp_extract("url", r"/(?:doc|img)/(\d+)", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.when(F.col("url").contains("/img/"), F.lit("resource"))
+        .otherwise(F.lit("response"))
+        .alias("kind"),
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+        F.sha2("payload", 256).alias("wat_sha"),
+        F.get_json_object(payload_s, "$.title").alias("title"),
+        F.get_json_object(payload_s, "$.status").cast("long").alias(
+            "status"
+        ),
+        F.json_array_length(
+            F.get_json_object(payload_s, "$.links")
+        ).cast("long").alias("n_links"),
+    )
+
+
 def q_wds_roundtrip(spark, sf_dir):
     """WebDataset ingestion boundary, end-to-end: serialize documents
     into deterministic tar shards (one member per modality per sample:
@@ -2237,6 +2276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_index": q_cdx_index,
         "cdx_lookup": q_cdx_lookup,
         "wet_roundtrip": q_wet_roundtrip,
+        "wat_roundtrip": q_wat_roundtrip,
         "wds_roundtrip": q_wds_roundtrip,
         "iceberg_scan": q_iceberg_scan,
         "iceberg_sink": q_iceberg_sink,
@@ -5344,6 +5384,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM numbered
             WHERE surt LIKE 'org,example,src1%'
         """,
+        # wat_roundtrip: the canonical WAT-subset JSON reconstructed
+        # byte-for-byte — the boiler template's title is 'T' and its
+        # two nav anchors are the whole link set, and json.dumps with
+        # sorted keys / compact separators is exactly this string
+        # concatenation (@MEDIA_EVERY@ substituted below)
+        "wat_roundtrip": """
+            WITH d AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     coalesce(source, 'src') AS source
+              FROM documents),
+            u AS (
+              SELECT doc_id, 'response' AS kind,
+                     '{"links":[{"text":"home","url":"/"},' ||
+                     '{"text":"about","url":"/about"}],' ||
+                     '"mime":"text/html","status":200,"title":"T",' ||
+                     '"uri":"https://' || source ||
+                     '.example.org/doc/' || doc_id || '"}' AS j
+              FROM d
+              UNION ALL
+              SELECT doc_id, 'resource',
+                     '{"links":[],"mime":"image/png","status":null,' ||
+                     '"title":null,"uri":"https://' || source ||
+                     '.example.org/img/' || doc_id || '.png"}'
+              FROM d WHERE doc_id % @MEDIA_EVERY@ = 0)
+            SELECT doc_id, kind,
+                   CAST(octet_length(encode(j)) AS BIGINT) AS n_bytes,
+                   sha256(j) AS wat_sha,
+                   CASE WHEN kind = 'response' THEN 'T' END AS title,
+                   CASE WHEN kind = 'response'
+                        THEN CAST(200 AS BIGINT) END AS status,
+                   CAST(CASE WHEN kind = 'response' THEN 2 ELSE 0 END
+                        AS BIGINT) AS n_links
+            FROM u
+        """.replace("@MEDIA_EVERY@", str(warc_media_every)),
         # wet_roundtrip: the extraction closed form for the writer's
         # single-<p> template — the text survives the density walk
         # iff >= 30 chars (html tag_count 3 x TEXT_DENSITY_MIN 10),

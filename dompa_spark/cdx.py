@@ -341,6 +341,158 @@ _WET_EXTRACT_SCHEMA = StructType(
 )
 
 
+def _html_meta(html: str):
+    """(title, links) of one HTML string via the REAL parser
+    (kernel.parse_flat): title = the first <title>'s direct text,
+    links = every <a href=...> in document order as {'text','url'}
+    dicts (text = the anchor's text-node descendants concatenated;
+    boolean/valueless href attributes are skipped — there is no URL
+    to record)."""
+    from .constants import TEXT_NAME
+    from .kernel import parse_flat
+
+    d = parse_flat(html or "")
+    title = None
+    links = []
+    for i in range(len(d)):
+        nm = d.name[i]
+        if nm == "title" and title is None:
+            title = "".join(
+                d.value[j] or ""
+                for j in range(i + 1, d.ext[i])
+                if d.parent[j] == i and d.name[j] == TEXT_NAME
+            )
+        elif nm == "a":
+            href = (d.attrs[i] or {}).get("href")
+            if isinstance(href, str):
+                text = "".join(
+                    d.value[j] or ""
+                    for j in range(i + 1, d.ext[i])
+                    if d.name[j] == TEXT_NAME
+                )
+                links.append({"text": text, "url": href})
+    return title, links
+
+
+_WAT_EXTRACT_SCHEMA = StructType(
+    [
+        StructField("warc_id", LongType()),
+        StructField("rec_idx", IntegerType()),
+        StructField("url", StringType()),
+        StructField("wat_json", StringType()),
+    ]
+)
+
+
+def warc_to_wat(shards: DataFrame) -> DataFrame:
+    """(warc_id, content) WARC shards -> (warc_id, content) WAT shards:
+    per response/resource record one `metadata` WARC record whose
+    payload is a deterministic WAT-subset JSON envelope —
+    {"links":[{"text","url"}...],"mime",...,"status","title","uri"},
+    canonical form (sorted keys, no whitespace) so the bytes are
+    template-reproducible. HTML responses decode charset-aware and
+    parse with the real parser for title/links; non-HTML records carry
+    null title and empty links. Same shard framing as warc_to_wet
+    (warcinfo head, one groupBy re-shard)."""
+    import json
+
+    import pandas as pd
+
+    from . import charset as cs
+
+    recs = warc.parse_warc(shards)
+    is_meta = F.col("warc_type").isin("response", "resource") & F.col(
+        "url"
+    ).isNotNull()
+    is_html = (
+        (F.col("warc_type") == "response")
+        & F.col("http_status").between(200, 299)
+        & F.col("mime").startswith("text/html")
+    )
+    declared = F.regexp_extract(
+        F.col("mime"), r"(?i);\s*charset=\"?\s*([A-Za-z0-9_\-]+)", 1
+    )
+    dec = cs.transcode_expr(
+        F.when(is_html, F.col("payload")), declared, prescan=True
+    )
+    base = recs.filter(is_meta).select(
+        "warc_id",
+        "rec_idx",
+        "url",
+        "mime",
+        "http_status",
+        dec["text"].alias("html"),
+    )
+
+    def _meta(batches: Iterator["pd.DataFrame"]):
+        for pdf in batches:
+            out = []
+            for h, url, mime, status in zip(
+                pdf["html"], pdf["url"], pdf["mime"], pdf["http_status"]
+            ):
+                if h is not None:
+                    title, links = _html_meta(h)
+                else:
+                    title, links = None, []
+                out.append(
+                    json.dumps(
+                        {
+                            "links": links,
+                            "mime": mime,
+                            "status": None
+                            if status is None or pd.isna(status)
+                            else int(status),
+                            "title": title,
+                            "uri": url,
+                        },
+                        sort_keys=True,
+                        separators=(",", ":"),
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "warc_id": pdf["warc_id"],
+                    "rec_idx": pdf["rec_idx"],
+                    "url": pdf["url"],
+                    "wat_json": out,
+                }
+            )
+
+    extracted = base.mapInPandas(_meta, schema=_WAT_EXTRACT_SCHEMA)
+    meta_rec = warc._warc_record(
+        "metadata",
+        F.concat(F.lit("wat:"), F.col("url")),
+        F.col("wat_json"),
+        "application/json",
+        F.col("url"),
+    )
+    watinfo = warc._warc_record(
+        "warcinfo",
+        F.concat(F.lit("watinfo:"), F.col("warc_id").cast("string")),
+        F.lit(warc.WARCINFO_BODY),
+        "application/warc-fields",
+    )
+    return (
+        extracted.select(
+            "warc_id", F.col("rec_idx").alias("seq"), meta_rec.alias("rec")
+        )
+        .groupBy("warc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seq", "rec"))),
+                    lambda st: st["rec"],
+                ),
+                "",
+            ).alias("body")
+        )
+        .select(
+            "warc_id",
+            F.concat(watinfo, F.col("body")).cast("binary").alias("content"),
+        )
+    )
+
+
 def warc_to_wet(shards: DataFrame, docs_per_shard: int | None = None) -> DataFrame:
     """(warc_id, content) WARC shards -> (warc_id, content) WET shards:
     per 2xx text/html response record one `conversion` record whose

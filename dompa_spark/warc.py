@@ -105,6 +105,8 @@ def docs_to_warc(
     docs: DataFrame,
     docs_per_shard: int = DOCS_PER_SHARD,
     media_every: int = MEDIA_EVERY,
+    html_pre: str = WARC_HTML_PRE,
+    html_post: str = WARC_HTML_POST,
 ) -> DataFrame:
     """(warc_id, content) WARC shards from a documents table: per shard
     a `warcinfo` head record, then per doc (in doc_id order) one
@@ -122,9 +124,12 @@ def docs_to_warc(
         F.coalesce(F.col("text"), F.lit("")).alias("text"),
         F.coalesce(F.col("source"), F.lit("src")).alias("source"),
     )
-    html = F.concat(
-        F.lit(WARC_HTML_PRE), F.col("text"), F.lit(WARC_HTML_POST)
-    )
+    # html_pre/html_post parameterize the page template (default: the
+    # bare single-<p> page; pass a richer template — e.g. textops'
+    # boiler chrome — when the archive should carry titles/links for
+    # the WAT metadata path). The oracle algebra stays closed-form
+    # because the template is still a constant pre/post pair.
+    html = F.concat(F.lit(html_pre), F.col("text"), F.lit(html_post))
     url = F.concat(
         F.lit("https://"), F.col("source"), F.lit(".example.org/doc/"),
         F.col("doc_id").cast("string"),

@@ -1,5 +1,5 @@
 """cdx.py — SURT policy units, CDX index byte-truth (plain + .warc.gz),
-seekable fetch, prefix lookup, WET conversion export."""
+seekable fetch, prefix lookup, WET conversion + WAT metadata export."""
 
 import hashlib
 import zlib
@@ -325,3 +325,113 @@ def test_zlib_member_span_walk_matches_gunzip(gz_shards):
             assert (
                 zlib.decompress(shard[off : off + ln], 31) == member
             )
+
+
+# --- WAT export ---------------------------------------------------------------
+
+
+def test_html_meta_title_and_links():
+    title, links = cdx._html_meta(
+        "<html><head><title>The Title</title></head><body>"
+        '<a href="/x">first <b>bold</b> link</a>'
+        "<a href>valueless-href skipped</a>"
+        '<a name="anchor-only">no href skipped</a>'
+        '<a href="https://e.org/y">second</a>'
+        "<title>second title ignored</title></body></html>"
+    )
+    assert title == "The Title"
+    assert links == [
+        # nested-element text nodes concatenate in document order
+        {"text": "first bold link", "url": "/x"},
+        {"text": "second", "url": "https://e.org/y"},
+    ]
+
+
+def test_html_meta_empty_and_missing():
+    assert cdx._html_meta("") == (None, [])
+    assert cdx._html_meta("<p>no head</p>") == (None, [])
+
+
+def test_wat_roundtrip_canonical_json(spark, docs):
+    import json
+
+    from pyspark.sql import functions as F
+
+    from dompa_spark import textops
+
+    shards = warc.docs_to_warc(
+        docs,
+        docs_per_shard=4,
+        media_every=2,
+        html_pre=textops.BOILER_TEMPLATE_PRE,
+        html_post=textops.BOILER_TEMPLATE_POST,
+    )
+    recs = warc.parse_warc(cdx.warc_to_wat(shards))
+    meta = recs.filter("warc_type = 'metadata'").select(
+        "url", F.col("payload").cast("string").alias("j")
+    )
+    got = {r["url"]: r["j"] for r in meta.collect()}
+    srcs = {r["doc_id"]: r["source"] for r in docs.collect()}
+    # 6 responses + 3 resources (docs 0,2,4)
+    assert len(got) == 9
+    for did, src in srcs.items():
+        url = f"https://{src}.example.org/doc/{did}"
+        want = json.dumps(
+            {
+                "links": [
+                    {"text": "home", "url": "/"},
+                    {"text": "about", "url": "/about"},
+                ],
+                "mime": "text/html",
+                "status": 200,
+                "title": "T",
+                "uri": url,
+            },
+            sort_keys=True,
+            separators=(",", ":"),
+        )
+        assert got[url] == want
+        if did % 2 == 0:
+            img = f"https://{src}.example.org/img/{did}.png"
+            want_img = json.dumps(
+                {
+                    "links": [],
+                    "mime": "image/png",
+                    "status": None,
+                    "title": None,
+                    "uri": img,
+                },
+                sort_keys=True,
+                separators=(",", ":"),
+            )
+            assert got[img] == want_img
+
+
+def test_wat_shards_are_indexable_and_seekable(spark, docs):
+    shards = warc.docs_to_warc(docs, docs_per_shard=4, media_every=2)
+    wat = cdx.warc_to_wat(shards)
+    wat_shards = {r["warc_id"]: bytes(r["content"]) for r in wat.collect()}
+    rows = _index_rows(spark, wat_shards)
+    assert {r["warc_type"] for r in rows} == {"warcinfo", "metadata"}
+    for r in rows:
+        rec = cdx.fetch_record(
+            wat_shards[r["warc_id"]], r["offset"], r["length"]
+        )
+        assert rec is not None
+        assert hashlib.sha256(rec[5]).hexdigest() == r["digest"]
+
+
+def test_wat_default_template_has_no_links(spark, docs):
+    from pyspark.sql import functions as F
+
+    shards = warc.docs_to_warc(docs, docs_per_shard=4, media_every=2)
+    recs = warc.parse_warc(cdx.warc_to_wat(shards))
+    meta = recs.filter(
+        "warc_type = 'metadata' AND url LIKE '%/doc/%'"
+    ).select(F.col("payload").cast("string").alias("j"))
+    for r in meta.collect():
+        import json
+
+        env = json.loads(r["j"])
+        assert env["links"] == [] and env["title"] is None
+        assert env["status"] == 200 and env["mime"] == "text/html"
