@@ -435,3 +435,81 @@ def test_wat_default_template_has_no_links(spark, docs):
         env = json.loads(r["j"])
         assert env["links"] == [] and env["title"] is None
         assert env["status"] == 200 and env["mime"] == "text/html"
+
+
+# --- publish_archive job --------------------------------------------------------
+
+
+def test_publish_archive_job_end_to_end(spark, docs, tmp_path):
+    """Publish mode writes all three artifacts; lookup mode answers a
+    SURT-prefix query from the persisted index alone, with the prefix
+    predicate PUSHED to the parquet scan (the pruning contract the
+    (surt, ts) range-partitioned layout exists for)."""
+    import json
+
+    from dompa_spark.jobs import publish_archive
+
+    shards = warc.docs_to_warc(docs, docs_per_shard=4, media_every=2)
+    src = str(tmp_path / "shards")
+    shards.write.parquet(src)
+    out = str(tmp_path / "derived")
+
+    rc = publish_archive.main(
+        [
+            "--input", src,
+            "--output", out,
+            "--input-format", "parquet",
+            "--index-parts", "3",
+        ]
+    )
+    assert rc == 0
+
+    idx = spark.read.parquet(f"{out}/cdx")
+    # 2 shards: warcinfo x2 + 6 responses + 3 resources
+    assert idx.count() == 11
+    # per-file sorted-by-key layout: every file's rows are
+    # non-decreasing in (surt, ts)
+    import pyspark.sql.functions as F
+
+    files = [
+        r["f"]
+        for r in idx.select(
+            F.input_file_name().alias("f")
+        ).distinct().collect()
+    ]
+    for f in files:
+        surts = [
+            r["surt"]
+            for r in spark.read.parquet(f).select("surt").collect()
+            if r["surt"] is not None
+        ]
+        assert surts == sorted(surts)
+
+    # WET/WAT shards parse as WARC
+    wet = warc.parse_warc(spark.read.parquet(f"{out}/wet"))
+    assert wet.filter("warc_type = 'conversion'").count() == 6
+    wat = warc.parse_warc(spark.read.parquet(f"{out}/wat"))
+    assert wat.filter("warc_type = 'metadata'").count() == 9
+
+    # lookup mode: index-only, pushed prefix filter
+    look_out = str(tmp_path / "hits")
+    rc = publish_archive.main(
+        [
+            "--lookup", "org,example,srcb)",
+            "--output", out,
+            "--lookup-out", look_out,
+        ]
+    )
+    assert rc == 0
+    hits = spark.read.parquet(look_out)
+    assert {r["url"].rsplit("/", 1)[1] for r in hits.collect()} == {
+        "2", "3", "2.png"
+    }
+    plan = (
+        spark.read.parquet(f"{out}/cdx")
+        .filter(F.col("surt").startswith("org,example,srcb)"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "StringStartsWith(surt,org,example,srcb)" in plan
