@@ -1018,6 +1018,40 @@ def q_wet_roundtrip(spark, sf_dir):
     )
 
 
+def q_cdx_revisits(spark, sf_dir):
+    """Re-fetch dedup from the capture index ALONE (the Common Crawl
+    pattern: revisit records carry WARC-Profile
+    identical-payload-digest and no payload): a re-crawl snapshot of
+    the same pages lands under shifted doc_ids, both crawls archive
+    into WARC, and revisit_candidates groups the INDEX's digests —
+    never re-reading archive bytes — keeping the earliest capture per
+    payload. saved_bytes (the revisit record's whole length) is what
+    the rewrite would save. Oracle: the payload is the templated html
+    (the URL is NOT in the payload), so capture groups are text
+    groups; keeper = min doc_id; the revisit's record length is the
+    same header-octet algebra cdx_index pins. cdx.revisit_candidates;
+    tests/test_cdx.py."""
+    from dompa_spark import cdx, warc
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "source")
+    recrawl = docs.withColumn(
+        "doc_id", (F.col("doc_id") + F.lit(100000)).cast("long")
+    )
+    idx = cdx.cdx_index(warc.docs_to_warc(docs.unionByName(recrawl)))
+    rev = cdx.revisit_candidates(idx)
+    return rev.select(
+        F.regexp_extract("url", r"/doc/(\d+)", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "digest",
+        "is_revisit",
+        F.regexp_extract("keeper_url", r"/doc/(\d+)", 1)
+        .cast("long")
+        .alias("keeper_doc"),
+        "saved_bytes",
+    )
+
+
 def q_wat_roundtrip(spark, sf_dir):
     """WAT metadata export, end-to-end: documents -> WARC shards
     carrying the boiler page template (title + nav links, so the
@@ -2277,6 +2311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_lookup": q_cdx_lookup,
         "wet_roundtrip": q_wet_roundtrip,
         "wat_roundtrip": q_wat_roundtrip,
+        "cdx_revisits": q_cdx_revisits,
         "wds_roundtrip": q_wds_roundtrip,
         "iceberg_scan": q_iceberg_scan,
         "iceberg_sink": q_iceberg_sink,
@@ -5383,6 +5418,45 @@ def oracle_sql() -> dict[str, str]:
               FROM recs)
             SELECT * FROM numbered
             WHERE surt LIKE 'org,example,src1%'
+        """,
+        # cdx_revisits: capture groups are TEXT groups (the payload is
+        # the templated html; the URL is not in it), keeper = min
+        # doc_id (the writer's (warc_id, rec_idx) order IS doc_id
+        # order), and a revisit's saved bytes are the same record
+        # header-octet algebra cdx_index pins
+        "cdx_revisits": f"""
+            WITH d AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     coalesce(text, '') AS t,
+                     coalesce(source, 'src') AS source
+              FROM documents),
+            u AS (
+              SELECT doc_id, t, source FROM d
+              UNION ALL
+              SELECT doc_id + 100000, t, source FROM d),
+            h AS (
+              SELECT doc_id, source,
+                     '{textops_warc_pre}' || t ||
+                     '{textops_warc_post}' AS html,
+                     'https://' || source || '.example.org/doc/' ||
+                       doc_id AS url
+              FROM u),
+            g AS (
+              SELECT *,
+                     min(doc_id) OVER (PARTITION BY html) AS keeper,
+                     62 + length(CAST(octet_length(encode(html))
+                                      AS VARCHAR))
+                        + octet_length(encode(html)) AS clen
+              FROM h)
+            SELECT doc_id,
+                   sha256(html) AS digest,
+                   doc_id <> keeper AS is_revisit,
+                   keeper AS keeper_doc,
+                   CAST(CASE WHEN doc_id <> keeper
+                        THEN 175 + 8 + octet_length(encode(url)) + 33
+                             + length(CAST(clen AS VARCHAR)) + clen
+                        ELSE 0 END AS BIGINT) AS saved_bytes
+            FROM g
         """,
         # wat_roundtrip: the canonical WAT-subset JSON reconstructed
         # byte-for-byte — the boiler template's title is 'T' and its

@@ -328,6 +328,44 @@ def cdx_lookup(index: DataFrame, surt_prefix: str) -> DataFrame:
     ).orderBy("surt", "ts", "warc_id", "rec_idx")
 
 
+def revisit_candidates(index: DataFrame) -> DataFrame:
+    """Re-fetch dedup from the index ALONE — no archive bytes touched:
+    response records sharing a payload digest form one capture group;
+    the earliest capture (min (warc_id, rec_idx)) is the keeper, every
+    later one is a revisit candidate (what a crawler would rewrite as
+    a WARC `revisit` record with
+    WARC-Profile: identical-payload-digest, saving the payload bytes).
+    Output: one row per response record — (warc_id, rec_idx, url,
+    digest, is_revisit, keeper_url, saved_bytes) where saved_bytes is
+    the record's length for revisits and 0 for keepers.
+
+    Scale shape: one partial-aggregatable groupBy(min) on the digest
+    plus one equi-join back — no window, so a viral page captured 10^8
+    times costs a map-side combine, not a single-task sort (the same
+    discipline as textops.url_normalize's dup grouping)."""
+    resp = index.filter(F.col("warc_type") == "response").select(
+        "warc_id", "rec_idx", "url", "digest", "length"
+    )
+    keepers = resp.groupBy("digest").agg(
+        F.min(F.struct("warc_id", "rec_idx", "url")).alias("k")
+    )
+    is_rev = (F.col("warc_id") != F.col("k.warc_id")) | (
+        F.col("rec_idx") != F.col("k.rec_idx")
+    )
+    return resp.join(keepers, "digest").select(
+        "warc_id",
+        "rec_idx",
+        "url",
+        "digest",
+        is_rev.alias("is_revisit"),
+        F.col("k.url").alias("keeper_url"),
+        F.when(is_rev, F.col("length"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("saved_bytes"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # WET export
 

@@ -513,3 +513,54 @@ def test_publish_archive_job_end_to_end(spark, docs, tmp_path):
         .toString()
     )
     assert "StringStartsWith(surt,org,example,srcb)" in plan
+
+
+# --- revisit detection ----------------------------------------------------------
+
+
+def test_revisit_candidates_from_index_alone(spark):
+    """Two crawls of the same pages + an intra-crawl duplicate: the
+    earliest capture per payload digest is the keeper, every later one
+    is a revisit whose saved_bytes equal its whole record length."""
+    from pyspark.sql import functions as F
+
+    text_a = "alpha beta gamma delta epsilon zeta eta theta iota"
+    text_b = "the quick brown fox jumps over the lazy dog at noon"
+    rows = [
+        (0, text_a, "s"),
+        (1, text_b, "s"),
+        (2, text_a, "s"),        # intra-crawl duplicate of doc 0
+        (100, text_a, "s2"),     # re-crawl of doc 0 on another host
+        (101, text_b, "s2"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    idx = cdx.cdx_index(warc.docs_to_warc(docs, docs_per_shard=4,
+                                          media_every=1000))
+    rev = cdx.revisit_candidates(idx)
+    got = {
+        int(r["url"].rsplit("/", 1)[1]): r for r in rev.collect()
+    }
+    assert len(got) == 5
+    # doc 0 keeps; 2 and 100 are revisits of it (same payload —
+    # the URL/host is NOT in the payload)
+    assert not got[0]["is_revisit"]
+    for did in (2, 100):
+        assert got[did]["is_revisit"]
+        assert got[did]["keeper_url"] == got[0]["url"]
+        assert got[did]["digest"] == got[0]["digest"]
+    assert not got[1]["is_revisit"]
+    assert got[101]["is_revisit"]
+    assert got[101]["keeper_url"] == got[1]["url"]
+    # saved_bytes: the revisit's full record length from the index;
+    # keepers save nothing
+    lengths = {
+        int(r["url"].rsplit("/", 1)[1]): r["length"]
+        for r in idx.filter("warc_type = 'response'").collect()
+    }
+    for did, r in got.items():
+        assert r["saved_bytes"] == (lengths[did] if r["is_revisit"] else 0)
+    # the plan stays window-free: partial-agg groupBy + equi-join only
+    plan = rev._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
