@@ -269,6 +269,20 @@ def q_robots_filter(spark, sf_dir):
         textops.frontier_urls(docs), rules, textops.ROBOTS_AGENT)
 
 
+def q_robots_crawl_delay(spark, sf_dir):
+    """Effective Crawl-delay per host for agent 'mybot' over the
+    engineered delay corpus: specific groups override '*' wholesale
+    (including the no-delay and junk-value specific groups, which
+    yield NO row rather than a '*' fallback), max wins among
+    applicable lines, floats parse, 0 pins explicit-unlimited (NULL
+    fetches_per_hour). textops.robots_crawl_delay shares
+    robots_parse's group definition, so group attachment can never
+    drift from the allow/disallow surface."""
+    return textops.robots_crawl_delay(
+        textops.crawl_delay_corpus(_docs(spark, sf_dir))
+    )
+
+
 def q_extract_interleaved(spark, sf_dir):
     wrapped = textops.interleaved_wrapped(_docs(spark, sf_dir))
     out = pipeline.extract_df(wrapped)
@@ -2312,6 +2326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wet_roundtrip": q_wet_roundtrip,
         "wat_roundtrip": q_wat_roundtrip,
         "cdx_revisits": q_cdx_revisits,
+        "robots_crawl_delay": q_robots_crawl_delay,
         "wds_roundtrip": q_wds_roundtrip,
         "iceberg_scan": q_iceberg_scan,
         "iceberg_sink": q_iceberg_sink,
@@ -5418,6 +5433,29 @@ def oracle_sql() -> dict[str, str]:
               FROM recs)
             SELECT * FROM numbered
             WHERE surt LIKE 'org,example,src1%'
+        """,
+        # robots_crawl_delay: the fixture branches replayed — k%4==0
+        # takes the specific group's single k%7 line (0 = explicit
+        # unlimited -> NULL fetches_per_hour), k%4==1 takes the '*'
+        # group's max(10, 12.5-on-every-fifth-host), k%4 in (2,3)
+        # chose a specific group with no valid delay -> no row
+        "robots_crawl_delay": """
+            WITH d AS (
+              SELECT DISTINCT CAST(doc_id AS BIGINT) AS k
+              FROM documents WHERE CAST(doc_id AS BIGINT) < 50),
+            del AS (
+              SELECT 'h' || k || '.example' AS host,
+                     CASE WHEN k % 4 = 0 THEN CAST(k % 7 AS DOUBLE)
+                          WHEN k % 5 = 0 THEN CAST(12.5 AS DOUBLE)
+                          ELSE CAST(10 AS DOUBLE)
+                     END AS crawl_delay_s
+              FROM d WHERE k % 4 IN (0, 1))
+            SELECT host, crawl_delay_s,
+                   CASE WHEN crawl_delay_s > 0
+                        THEN CAST(floor(3600.0 / crawl_delay_s)
+                                  AS BIGINT)
+                   END AS fetches_per_hour
+            FROM del
         """,
         # cdx_revisits: capture groups are TEXT groups (the payload is
         # the templated html; the URL is not in it), keeper = min

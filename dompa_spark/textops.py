@@ -3182,7 +3182,10 @@ def _robots_lines(
 
 
 def robots_parse(
-    df: DataFrame, host_col: str = "host", txt_col: str = "robots_txt"
+    df: DataFrame,
+    host_col: str = "host",
+    txt_col: str = "robots_txt",
+    include_crawl_delay: bool = False,
 ) -> DataFrame:
     """Robots-exclusion parsing — the crawl-politeness half of the URL
     frontier (fetch policy; url_filter's blocklist is the editorial
@@ -3261,12 +3264,20 @@ def robots_parse(
     )
     # rule lines attach to the LAST group started before them; rules
     # before any group are dropped (size(...) = 0 -> element_at fails
-    # on 0, so guard with the same count)
+    # on 0, so guard with the same count). Crawl-delay (the de-facto
+    # politeness extension, not in RFC 9309) rides the same group
+    # attachment when asked for — rule='crawl-delay', path=the value
+    # token — so robots_crawl_delay shares this one group definition.
+    kinds = (
+        ("allow", "disallow", "crawl-delay")
+        if include_crawl_delay
+        else ("allow", "disallow")
+    )
     per = F.flatten(
         F.transform(
             F.filter(
                 F.col("idx"),
-                lambda i: fld(i).isin("allow", "disallow")
+                lambda i: fld(i).isin(*kinds)
                 & (F.size(F.filter(F.col("gstarts"), lambda s: s < i)) > 0),
             ),
             lambda i: F.transform(
@@ -3432,6 +3443,121 @@ def robots_filter(
             (F.col("s").isNull() | (F.col("s") % 2 == 1)).alias("allowed"),
             F.expr("s div 2").cast("long").alias("match_len"),
         )
+    )
+
+
+def robots_crawl_delay(
+    df: DataFrame,
+    agent: str = ROBOTS_AGENT,
+    host_col: str = "host",
+    txt_col: str = "robots_txt",
+) -> DataFrame:
+    """Effective Crawl-delay per host for one crawler agent — the
+    de-facto politeness extension (not in RFC 9309, but honored by
+    Bing/Yandex-class crawlers and present on a large share of real
+    robots.txt files). Group semantics are EXACTLY robots_filter's:
+    if a host has any group naming our agent, only THOSE groups'
+    Crawl-delay lines count (a '*' delay is ignored wholesale — a
+    specific group WITHOUT a delay means no delay, not a fallback);
+    otherwise the '*' groups' lines count. Values must be non-negative
+    numbers ('fast', '-1' are ignored, the lenient convention real
+    parsers use); when several applicable lines conflict the MAXIMUM
+    wins (the conservative politeness reading, pinned here because the
+    extension has no spec to defer to). Output one row per host that
+    has an applicable valid delay: (host, crawl_delay_s,
+    fetches_per_hour) — fetches_per_hour = floor(3600/delay), NULL for
+    delay 0 (explicitly unlimited).
+
+    Scale shape: the parse is robots_parse's map-side pass (shared
+    group definition — the two can never disagree about which group a
+    line belongs to); precedence is one slim distinct + left join on
+    host; the delay pick is a partial-aggregatable groupBy(max). All
+    rules-cardinality, no frontier-sized shuffle anywhere."""
+    my = agent.lower()
+    rules = robots_parse(
+        df, host_col=host_col, txt_col=txt_col, include_crawl_delay=True
+    ).select(
+        F.lower(F.col("host")).alias("host"),
+        F.lower(F.col("agent")).alias("agent"),
+        "rule",
+        "path",
+    )
+    # specificity from ALL of a host's groups (a crawler first picks
+    # its group, THEN looks for the group's delay) — judging it from
+    # crawl-delay rows alone would wrongly fall back to '*' when the
+    # specific group simply has no delay line
+    spec_hosts = (
+        rules.where(F.col("agent") == my)
+        .select("host")
+        .distinct()
+        .withColumn("has_spec", F.lit(True))
+    )
+    num = F.when(
+        F.col("path").rlike(r"^[0-9]+([.][0-9]+)?$"),
+        F.col("path").cast("double"),
+    )
+    delays = (
+        rules.where(F.col("rule") == "crawl-delay")
+        .where(F.col("agent").isin(my, "*"))
+        .join(spec_hosts, "host", "left")
+        .where((F.col("agent") == my) | F.col("has_spec").isNull())
+        .select("host", num.alias("delay_s"))
+        .where(F.col("delay_s").isNotNull())
+        .groupBy("host")
+        .agg(F.max("delay_s").alias("crawl_delay_s"))
+    )
+    return delays.select(
+        "host",
+        "crawl_delay_s",
+        F.when(
+            F.col("crawl_delay_s") > 0,
+            F.floor(F.lit(3600.0) / F.col("crawl_delay_s")),
+        )
+        .cast("long")
+        .alias("fetches_per_hour"),
+    )
+
+
+def crawl_delay_corpus(df: DataFrame) -> DataFrame:
+    """(host, robots_txt) fixture over a 50-host space (doc_id < 50,
+    SF-stable) for the Crawl-delay surface — separate from
+    robots_corpus so the allow/disallow oracles stay untouched. Per
+    host: a '*' group with Crawl-delay 10 (plus a second 12.5 line on
+    every fifth host — max wins within the applicable groups), then by
+    doc_id % 4: (0) a mybot group with a single 'Crawl-delay: k%7'
+    line — k%7 = 0 pins the explicit-unlimited row; (1) no mybot group
+    — the '*' delay applies; (2) a mybot group whose delay value is
+    the junk token 'fast' — the specific group is chosen, its delay is
+    invalid, NO row (never a '*' fallback); (3) a mybot group with no
+    delay line at all — same, NO row."""
+    k = F.col("doc_id").cast("long")
+    sid = F.col("doc_id").cast("string")
+    txt = F.concat(
+        F.lit("User-agent: *\nDisallow: /private\nCrawl-delay: 10\n"),
+        F.when(k % 5 == 0, F.lit("Crawl-delay: 12.5\n")).otherwise(
+            F.lit("")
+        ),
+        F.when(
+            k % 4 == 0,
+            F.concat(
+                F.lit("\nUser-agent: MyBot\nDisallow: /m\nCrawl-delay: "),
+                (k % 7).cast("string"),
+                F.lit("\n"),
+            ),
+        )
+        .when(
+            k % 4 == 2,
+            F.lit("\nUser-agent: MyBot\nCrawl-delay: fast\n"),
+        )
+        .when(
+            k % 4 == 3,
+            F.lit("\nUser-agent: MyBot\nDisallow: /m\n"),
+        )
+        .otherwise(F.lit("")),
+    )
+    return df.where(k < 50).select(
+        F.concat(F.lit("h"), sid, F.lit(".example")).alias("host"),
+        txt.alias("robots_txt"),
     )
 
 

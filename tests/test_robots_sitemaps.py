@@ -57,3 +57,81 @@ def test_sitemap_lines_never_become_rules(spark):
 
 def test_no_sitemap_lines_no_rows(spark):
     assert _sm(spark, "User-agent: *\nDisallow: /\n") == []
+
+
+# --- Crawl-delay ---------------------------------------------------------------
+
+
+def _delays(spark, txt, agent="mybot"):
+    from dompa_spark import textops
+
+    df = spark.createDataFrame(
+        [("H.Example", txt)], "host string, robots_txt string"
+    )
+    return {
+        r["host"]: (r["crawl_delay_s"], r["fetches_per_hour"])
+        for r in textops.robots_crawl_delay(df, agent=agent).collect()
+    }
+
+
+def test_crawl_delay_star_group_applies(spark):
+    got = _delays(spark, "User-agent: *\nDisallow: /x\nCrawl-delay: 10\n")
+    assert got == {"h.example": (10.0, 360)}
+
+
+def test_crawl_delay_specific_group_overrides_star(spark):
+    got = _delays(
+        spark,
+        "User-agent: *\nCrawl-delay: 10\n\n"
+        "User-agent: MyBot\nCrawl-delay: 2.5\n",
+    )
+    assert got == {"h.example": (2.5, 1440)}
+
+
+def test_crawl_delay_specific_group_without_delay_suppresses_star(spark):
+    # the crawler picked its group; that group has no delay — the '*'
+    # delay must NOT leak through as a fallback
+    got = _delays(
+        spark,
+        "User-agent: *\nCrawl-delay: 10\n\n"
+        "User-agent: MyBot\nDisallow: /m\n",
+    )
+    assert got == {}
+
+
+def test_crawl_delay_junk_and_negative_values_ignored(spark):
+    got = _delays(
+        spark,
+        "User-agent: MyBot\nCrawl-delay: fast\nCrawl-delay: -1\n",
+    )
+    assert got == {}
+
+
+def test_crawl_delay_max_wins_and_zero_is_unlimited(spark):
+    got = _delays(
+        spark, "User-agent: *\nCrawl-delay: 3\nCrawl-delay: 7\n"
+    )
+    assert got == {"h.example": (7.0, 514)}
+    got = _delays(spark, "User-agent: *\nCrawl-delay: 0\n")
+    assert got == {"h.example": (0.0, None)}
+
+
+def test_crawl_delay_field_case_insensitive_and_pre_group_ignored(spark):
+    got = _delays(
+        spark,
+        "Crawl-delay: 99\n"  # before any group: ignored
+        "User-agent: *\nCRAWL-DELAY: 4\n",
+    )
+    assert got == {"h.example": (4.0, 900)}
+
+
+def test_crawl_delay_does_not_change_default_robots_parse(spark):
+    from dompa_spark import textops
+
+    df = spark.createDataFrame(
+        [("h.example", "User-agent: *\nCrawl-delay: 5\nDisallow: /x\n")],
+        "host string, robots_txt string",
+    )
+    rows = textops.robots_parse(df).collect()
+    # default surface: allow/disallow only — the delay line is invisible
+    assert [(r["rule"], r["path"]) for r in rows] == [("disallow", "/x")]
