@@ -121,6 +121,46 @@ def frames_stream(
     return writer.start()
 
 
+def cdx_index_stream(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    checkpoint: str,
+    available_now: bool = True,
+    max_files_per_trigger: int = 8,
+):
+    """Stream CDX indexing: WARC shards land as (warc_id, content)
+    parquet drops -> cdx.cdx_index's byte-walk kernel (plain or
+    member-per-record .warc.gz, dispatch on the magic) -> parquet
+    index sink. The 'index each shard once, as it arrives' form of
+    the publish job's batch pass: a crawl appends shards continuously
+    and the capture index stays current without ever re-walking old
+    shards. Stateless (one map per shard): no state store, no
+    watermark; exactly-once via the same source-offset + sink-commit
+    contract as extract_stream, and because indexing is per-shard
+    pure, stream == batch row-for-row over the union of arrivals.
+    (The sorted-by-(surt, ts) pruning layout stays a periodic COMPACT
+    concern — jobs/publish_archive.py — exactly like the text index's
+    LSM deltas: stream appends, compaction sorts.)"""
+    from . import cdx
+
+    shards = (
+        spark.readStream.schema("warc_id long, content binary")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(in_path)
+    )
+    out = cdx.cdx_index(shards)
+    writer = (
+        out.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 EVENTS_SCHEMA_DDL = (
     "event_id long, ts timestamp_ntz, user_id long, event_type string, "
     "value double, props string"

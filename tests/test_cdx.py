@@ -564,3 +564,46 @@ def test_revisit_candidates_from_index_alone(spark):
     # the plan stays window-free: partial-agg groupBy + equi-join only
     plan = rev._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
+
+
+# --- streaming index ------------------------------------------------------------
+
+
+def test_cdx_index_stream_matches_batch_across_two_waves(
+    spark, docs, tmp_path
+):
+    """Shards land in two waves; the streamed index over the union
+    equals the batch index row-for-row, and the second run indexes
+    ONLY the new arrivals (exactly-once on the source offsets)."""
+    from dompa_spark import streaming
+
+    in_path = str(tmp_path / "shards_in")
+    out_path = str(tmp_path / "idx_out")
+    ckpt = str(tmp_path / "ckpt")
+
+    plain = warc.docs_to_warc(docs, docs_per_shard=4, media_every=2)
+    gz = warc.docs_to_warc_gz(docs, docs_per_shard=4, media_every=2)
+    # wave 1: the plain shards
+    plain.write.mode("append").parquet(in_path)
+    q = streaming.cdx_index_stream(spark, in_path, out_path, ckpt)
+    q.awaitTermination(300)
+    n1 = spark.read.parquet(out_path).count()
+    assert n1 == 11  # 2 warcinfo + 6 responses + 3 resources
+    # wave 2: gz shards under shifted ids (new files only)
+    gz.selectExpr("warc_id + 100 AS warc_id", "content").write.mode(
+        "append"
+    ).parquet(in_path)
+    q = streaming.cdx_index_stream(spark, in_path, out_path, ckpt)
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(out_path)
+    assert got.count() == 22  # wave 1 indexed exactly once
+    batch = cdx.cdx_index(
+        spark.read.parquet(in_path).select("warc_id", "content")
+    )
+    key = ["warc_id", "rec_idx"]
+    g = {tuple(r[k] for k in key): (r["surt"], r["offset"], r["digest"])
+         for r in got.collect()}
+    b = {tuple(r[k] for k in key): (r["surt"], r["offset"], r["digest"])
+         for r in batch.collect()}
+    assert g == b
