@@ -283,6 +283,38 @@ def q_robots_crawl_delay(spark, sf_dir):
     )
 
 
+def q_politeness_budget(spark, sf_dir):
+    """Per-host crawl budgets from Crawl-delay, applied as a
+    VARIABLE-cap salted rank over the frontier fixture: a 0.001 h
+    (3.6 s) window turns the corpus's effective delays into caps
+    floor(3.6/delay) — the '*'-delay hosts defer wholesale (cap 0),
+    the fast specific hosts keep their first 1–3 fetches by doc_id,
+    delay-0 and no-delay hosts pass through uncapped with a NULL rank
+    (unlimited is 'no verdict', never a single-task global sort).
+    textops.domain_cap_budgets + robots_crawl_delay; the frontier job
+    wires the same composition behind --politeness-window."""
+    docs = _docs(spark, sf_dir)
+    urls = textops.frontier_urls(docs)
+    delays = textops.robots_crawl_delay(
+        textops.crawl_delay_corpus(docs)
+    )
+    budgets = delays.filter(F.col("crawl_delay_s") > 0).select(
+        F.col("host").alias("source"),
+        F.floor(F.lit(3.6) / F.col("crawl_delay_s")).alias("cap_n"),
+    )
+    kept = textops.domain_cap_budgets(
+        urls.select(
+            "doc_id", textops.host_of(F.col("url")).alias("source")
+        ),
+        budgets,
+    )
+    return kept.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("source").alias("host"),
+        "rank_in_source",
+    )
+
+
 def q_extract_interleaved(spark, sf_dir):
     wrapped = textops.interleaved_wrapped(_docs(spark, sf_dir))
     out = pipeline.extract_df(wrapped)
@@ -2327,6 +2359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wat_roundtrip": q_wat_roundtrip,
         "cdx_revisits": q_cdx_revisits,
         "robots_crawl_delay": q_robots_crawl_delay,
+        "politeness_budget": q_politeness_budget,
         "wds_roundtrip": q_wds_roundtrip,
         "iceberg_scan": q_iceberg_scan,
         "iceberg_sink": q_iceberg_sink,
@@ -5456,6 +5489,35 @@ def oracle_sql() -> dict[str, str]:
                                   AS BIGINT)
                    END AS fetches_per_hour
             FROM del
+        """,
+        # politeness_budget: host k = (doc_id div 9) % 50 replays the
+        # crawl_delay_corpus branches — k%4==0 & k%7==0 is delay 0
+        # (unlimited, NULL rank), other k%4==0 hosts cap at
+        # floor(3.6/(k%7)), k%4==1 hosts ('*' delay 10/12.5) cap at 0
+        # (deferred), k%4 in (2,3) have no applicable delay (uncapped)
+        "politeness_budget": """
+            WITH u AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     ((CAST(doc_id AS BIGINT) // 9) % 50) AS k
+              FROM documents),
+            b AS (
+              SELECT k,
+                     CASE WHEN k % 4 = 0 AND k % 7 > 0
+                          THEN floor(3.6 / (k % 7))
+                          WHEN k % 4 = 1 THEN 0
+                     END AS cap_n,
+                     (k % 4 IN (0, 1)) AND NOT
+                       (k % 4 = 0 AND k % 7 = 0) AS has_budget
+              FROM (SELECT DISTINCT k FROM u)),
+            r AS (
+              SELECT u.doc_id, u.k, b.cap_n, b.has_budget,
+                     ROW_NUMBER() OVER (PARTITION BY u.k
+                                        ORDER BY u.doc_id) AS rn
+              FROM u JOIN b USING (k))
+            SELECT doc_id, 'h' || k || '.example' AS host,
+                   CASE WHEN has_budget THEN CAST(rn AS BIGINT)
+                   END AS rank_in_source
+            FROM r WHERE (NOT has_budget) OR rn <= cap_n
         """,
         # cdx_revisits: capture groups are TEXT groups (the payload is
         # the templated html; the URL is not in it), keeper = min

@@ -71,6 +71,12 @@ def main(argv=None) -> int:
                         "it can ingest them with --sitemaps")
     p.add_argument("--per-host-cap", type=int, default=None,
                    help="keep at most N fetches per host (salted rank)")
+    p.add_argument("--politeness-window", type=float, default=None,
+                   help="hours of crawl budget: cap each host's "
+                        "fetches at floor(3600*H / its effective "
+                        "Crawl-delay) from --robots (hosts without an "
+                        "applicable delay are uncapped; delay 0 is "
+                        "explicitly unlimited)")
     p.add_argument("--keep-denied", action="store_true",
                    help="write every URL with verdict columns instead "
                         "of only the surviving fetch list")
@@ -86,6 +92,14 @@ def main(argv=None) -> int:
             "combined with --keep-denied (the audit form carries no "
             "cap verdict) — run the two forms separately"
         )
+    if args.politeness_window is not None:
+        if not args.robots:
+            p.error("--politeness-window requires --robots")
+        if args.keep_denied:
+            p.error("--politeness-window applies to the fetch list "
+                    "and cannot be combined with --keep-denied")
+        if args.politeness_window <= 0:
+            p.error("--politeness-window must be > 0 hours")
 
     from pyspark.sql import functions as F
     from pyspark.sql import SparkSession
@@ -241,6 +255,29 @@ def main(argv=None) -> int:
         )
     else:
         kept = cand.filter(~F.col("denied") & F.col("robots_allowed"))
+        if args.politeness_window is not None:
+            # per-host fetch budget from the effective Crawl-delay:
+            # floor(3600*H / delay). Hosts with no applicable delay
+            # (or an explicit delay 0) stay uncapped; a delay longer
+            # than the whole window defers the host (cap 0). The cap
+            # itself is the variable-budget salted rank — no
+            # single-task sort on a viral host.
+            delays = textops.robots_crawl_delay(
+                spark.read.parquet(args.robots),
+                agent=args.agent or textops.ROBOTS_AGENT,
+            )
+            budgets = delays.filter(F.col("crawl_delay_s") > 0).select(
+                F.col("host").alias("source"),
+                F.floor(
+                    F.lit(3600.0 * args.politeness_window)
+                    / F.col("crawl_delay_s")
+                ).alias("cap_n"),
+            )
+            kept_b = textops.domain_cap_budgets(
+                kept.select("doc_id", F.col("host").alias("source")),
+                budgets,
+            )
+            kept = kept.join(kept_b.select("doc_id"), "doc_id")
         if args.per_host_cap:
             # domain_cap returns only the surviving rows (salted
             # two-phase rank; a mega-host never sorts in one task)

@@ -4115,6 +4115,55 @@ def domain_cap(
     )
 
 
+def domain_cap_budgets(
+    df: DataFrame, budgets: DataFrame, n_salts: int = DOMAIN_CAP_SALTS
+) -> DataFrame:
+    """domain_cap with a VARIABLE per-source cap — the politeness-
+    budget shape: `budgets` is (source, cap_n) and each source keeps
+    its lowest-doc_id cap_n rows; sources with NO budget row pass
+    through uncapped (rank NULL — unlimited is 'no verdict', not
+    'rank you anyway', which would be the single-task sort this
+    operator exists to avoid); cap_n = 0 defers the whole source.
+
+    Same exactness argument as domain_cap, per source with its own b:
+    phase 1 keeps <= b per (source, salt) bucket — every globally-
+    top-b row is top-b within its bucket (fewer competitors there) —
+    and phase 2 re-ranks the <= b*n_salts survivors, a bounded window
+    whatever the input skew. The budgets side is rules-cardinality
+    slim and broadcast."""
+    from pyspark.sql.window import Window
+
+    b = F.broadcast(
+        budgets.select(
+            F.col("source"), F.col("cap_n").cast("long").alias("cap_n")
+        )
+    )
+    salt = F.abs(F.xxhash64(F.col("doc_id").cast("long"))) % n_salts
+    base = df.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source"
+    ).join(b, "source", "left")
+    uncapped = base.filter(F.col("cap_n").isNull()).select(
+        "doc_id", "source", F.lit(None).cast("long").alias(
+            "rank_in_source"
+        )
+    )
+    w1 = Window.partitionBy("source", "salt").orderBy("doc_id")
+    w2 = Window.partitionBy("source").orderBy("doc_id")
+    capped = (
+        base.filter(F.col("cap_n").isNotNull())
+        .withColumn("salt", salt.cast("int"))
+        .withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= F.col("cap_n"))
+        .drop("r1", "salt")
+        .withColumn(
+            "rank_in_source", F.row_number().over(w2).cast("long")
+        )
+        .filter(F.col("rank_in_source") <= F.col("cap_n"))
+        .select("doc_id", "source", "rank_in_source")
+    )
+    return capped.unionByName(uncapped)
+
+
 CURATE_QUALITY_MIN = 0.5
 
 
