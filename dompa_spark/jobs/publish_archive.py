@@ -33,6 +33,16 @@ pushed StringStartsWith filter (pinned by tests/test_cdx.py's plan
 assertion). This is the deployment split the index exists for: one
 expensive publish per crawl, unlimited cheap lookups after.
 
+``--compact APPEND_DIR`` mode folds streaming.cdx_index_stream's
+unsorted appends into the sorted index: union ``<output>/cdx`` (if
+present) with the append directory, rewrite range-partitioned +
+sorted, and report the row count. The LSM pattern the text index
+uses: the stream appends cheaply, compaction restores the pruning
+layout, lookups in between still work (just without file pruning on
+the unsorted tail). Index rows are append-only facts keyed by
+(warc_id, rec_idx) — shards are immutable once written — so the
+union IS the merge; nothing rewrites archive bytes.
+
 Prints one JSON stats line either way. Scale shape: everything rides
 the shard-per-task kernels; the only wide operations are the WET/WAT
 re-shard groupBys and the index's range partitioning (a sample-based
@@ -66,6 +76,10 @@ def main(argv=None) -> int:
     p.add_argument("--lookup", default=None,
                    help="SURT prefix: query the persisted index at "
                         "<output>/cdx instead of publishing")
+    p.add_argument("--compact", default=None, metavar="APPEND_DIR",
+                   help="fold a streaming-append index directory into "
+                        "the sorted index at <output>/cdx instead of "
+                        "publishing")
     p.add_argument("--lookup-out", default=None,
                    help="write --lookup results here (default: print "
                         "count only)")
@@ -76,7 +90,9 @@ def main(argv=None) -> int:
     bad = [f for f in fmts if f not in FORMATS]
     if bad:
         p.error(f"unknown formats: {bad} (choose from {FORMATS})")
-    if args.lookup is None and not args.input:
+    if args.lookup is not None and args.compact is not None:
+        p.error("--lookup and --compact are separate modes")
+    if args.lookup is None and args.compact is None and not args.input:
         p.error("--input is required in publish mode")
 
     from pyspark.sql import SparkSession
@@ -92,6 +108,37 @@ def main(argv=None) -> int:
     stats: dict = {"job": "publish_archive"}
 
     try:
+        if args.compact is not None:
+            import os
+
+            parts = args.index_parts or int(
+                spark.conf.get("spark.sql.shuffle.partitions")
+            )
+            srcs = [args.compact]
+            # the sorted base may not exist yet (first compaction of a
+            # stream-only index)
+            if os.path.exists(f"{args.output}/cdx"):
+                srcs.append(f"{args.output}/cdx")
+            merged = spark.read.parquet(*srcs)
+            tmp = f"{args.output}/cdx_compacting"
+            (
+                merged.repartitionByRange(parts, "surt", "ts")
+                .sortWithinPartitions("surt", "ts")
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+            # two-step rewrite: the merge cannot overwrite a path it
+            # is reading, so it lands in cdx_compacting first; the
+            # copy into the live path carries Spark's usual overwrite
+            # visibility (a reader mid-swap should retry, same as any
+            # overwritten table without a catalog)
+            final = spark.read.parquet(tmp)
+            n = final.count()
+            final.write.mode("overwrite").parquet(f"{args.output}/cdx")
+            stats.update({"mode": "compact", "cdx_records": n})
+            print(json.dumps(stats, sort_keys=True))
+            return 0
+
         if args.lookup is not None:
             idx = spark.read.parquet(f"{args.output}/cdx")
             hits = cdx.cdx_lookup(idx, args.lookup)

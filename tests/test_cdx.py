@@ -607,3 +607,59 @@ def test_cdx_index_stream_matches_batch_across_two_waves(
     b = {tuple(r[k] for k in key): (r["surt"], r["offset"], r["digest"])
          for r in batch.collect()}
     assert g == b
+
+
+def test_publish_archive_compact_folds_stream_appends(spark, docs, tmp_path):
+    """Stream-append an unsorted index tail, compact, and the live
+    index equals the batch index over everything — sorted per file."""
+    from dompa_spark import streaming
+    from dompa_spark.jobs import publish_archive
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "derived")
+    # publish wave 1 (sorted base)
+    shards1 = warc.docs_to_warc(docs, docs_per_shard=4, media_every=2)
+    src1 = str(tmp_path / "w1")
+    shards1.write.parquet(src1)
+    assert publish_archive.main(
+        ["--input", src1, "--output", out,
+         "--input-format", "parquet", "--formats", "cdx",
+         "--index-parts", "2"]
+    ) == 0
+    # wave 2 lands via the stream (unsorted appends)
+    in2 = str(tmp_path / "w2_in")
+    app = str(tmp_path / "append")
+    ckpt = str(tmp_path / "ckpt")
+    warc.docs_to_warc_gz(docs, docs_per_shard=4, media_every=2).selectExpr(
+        "warc_id + 100 AS warc_id", "content"
+    ).write.parquet(in2)
+    q = streaming.cdx_index_stream(spark, in2, app, ckpt)
+    q.awaitTermination(300)
+    # compact: union base + appends, restore the sorted layout
+    assert publish_archive.main(
+        ["--compact", app, "--output", out, "--index-parts", "2"]
+    ) == 0
+    live = spark.read.parquet(f"{out}/cdx")
+    assert live.count() == 22
+    both = spark.read.parquet(src1).unionByName(
+        spark.read.parquet(in2)
+    )
+    batch = cdx.cdx_index(both.select("warc_id", "content"))
+    key = lambda r: (r["warc_id"], r["rec_idx"])  # noqa: E731
+    assert {key(r): r["digest"] for r in live.collect()} == {
+        key(r): r["digest"] for r in batch.collect()
+    }
+    # sorted-per-file layout restored over the WHOLE index
+    files = [
+        r["f"]
+        for r in live.select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    ]
+    for f in files:
+        surts = [
+            r["surt"]
+            for r in spark.read.parquet(f).select("surt").collect()
+            if r["surt"] is not None
+        ]
+        assert surts == sorted(surts)
