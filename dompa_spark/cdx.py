@@ -531,7 +531,7 @@ def warc_to_wat(shards: DataFrame) -> DataFrame:
     )
 
 
-def warc_to_wet(shards: DataFrame, docs_per_shard: int | None = None) -> DataFrame:
+def warc_to_wet(shards: DataFrame) -> DataFrame:
     """(warc_id, content) WARC shards -> (warc_id, content) WET shards:
     per 2xx text/html response record one `conversion` record whose
     payload is the extraction pipeline's main text (charset-aware
