@@ -1006,6 +1006,7 @@ def q_cdx_index(spark, sf_dir):
         "warc_type",
         "mime",
         F.col("http_status").cast("long").alias("http_status"),
+        "redirect",
         "offset",
         "length",
         "digest",
@@ -1095,6 +1096,24 @@ def q_cdx_revisits(spark, sf_dir):
         .cast("long")
         .alias("keeper_doc"),
         "saved_bytes",
+    )
+
+
+def q_redirect_resolve(spark, sf_dir):
+    """Redirect-chain resolution over the capture index: the
+    redirect-fixture archive carries one-hop 301s (/r/k -> /doc/k on
+    every 3rd doc), two-hop chains (/rr/k -> /r/k on every 9th) and a
+    /c1 <-> /c2 301 cycle pair (every 27th), all parsed from REAL
+    HTTP Location headers through the byte walk; resolve_redirects
+    follows chains by pointer doubling and refuses the cycles
+    (resolved=false, NULL final/hops — implementation-independent).
+    cdx.resolve_redirects; tests/test_cdx.py."""
+    from dompa_spark import cdx, warc
+
+    docs = _docs(spark, sf_dir)
+    idx = cdx.cdx_index(warc.docs_to_warc_redirects(docs))
+    return cdx.resolve_redirects(idx).select(
+        "url", "final_url", "hops", "resolved"
     )
 
 
@@ -2360,6 +2379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_revisits": q_cdx_revisits,
         "robots_crawl_delay": q_robots_crawl_delay,
         "politeness_budget": q_politeness_budget,
+        "redirect_resolve": q_redirect_resolve,
         "wds_roundtrip": q_wds_roundtrip,
         "iceberg_scan": q_iceberg_scan,
         "iceberg_sink": q_iceberg_sink,
@@ -5405,6 +5425,7 @@ def oracle_sql() -> dict[str, str]:
                           ORDER BY seq) AS BIGINT) AS rec_idx,
                      surt, url, '20240101000000' AS ts,
                      warc_type, mime, http_status,
+                     CAST(NULL AS VARCHAR) AS redirect,
                      CAST(242 + coalesce(SUM(rec_len) OVER (
                           PARTITION BY warc_id ORDER BY seq
                           ROWS BETWEEN UNBOUNDED PRECEDING
@@ -5418,6 +5439,7 @@ def oracle_sql() -> dict[str, str]:
                      '20240101000000' AS ts, 'warcinfo' AS warc_type,
                      'application/warc-fields' AS mime,
                      CAST(NULL AS BIGINT) AS http_status,
+                     CAST(NULL AS VARCHAR) AS redirect,
                      CAST(0 AS BIGINT) AS "offset",
                      CAST(242 AS BIGINT) AS "length",
                      sha256(e'{warc_info_body_e}') AS digest
@@ -5489,6 +5511,36 @@ def oracle_sql() -> dict[str, str]:
                                   AS BIGINT)
                    END AS fetches_per_hour
             FROM del
+        """,
+        # redirect_resolve: the fixture chains replayed — /r/k
+        # resolves to /doc/k in 1 hop (every 3rd doc), /rr/k to
+        # /doc/k in 2 (every 9th), the /c1 <-> /c2 pair is a cycle
+        # (every 27th): resolved=false, NULL final/hops
+        "redirect_resolve": """
+            WITH d AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     'https://' || coalesce(source, 'src') ||
+                       '.example.org' AS origin
+              FROM documents),
+            hop1 AS (
+              SELECT origin || '/r/' || doc_id AS url,
+                     origin || '/doc/' || doc_id AS final_url,
+                     CAST(1 AS BIGINT) AS hops, TRUE AS resolved
+              FROM d WHERE doc_id % 3 = 0),
+            hop2 AS (
+              SELECT origin || '/rr/' || doc_id,
+                     origin || '/doc/' || doc_id,
+                     CAST(2 AS BIGINT), TRUE
+              FROM d WHERE doc_id % 9 = 0),
+            cyc AS (
+              SELECT origin || c || doc_id,
+                     CAST(NULL AS VARCHAR),
+                     CAST(NULL AS BIGINT), FALSE
+              FROM d, (VALUES ('/c1/'), ('/c2/')) AS t(c)
+              WHERE doc_id % 27 = 0)
+            SELECT * FROM hop1
+            UNION ALL SELECT * FROM hop2
+            UNION ALL SELECT * FROM cyc
         """,
         # politeness_budget: host k = (doc_id div 9) % 50 replays the
         # crawl_delay_corpus branches — k%4==0 & k%7==0 is delay 0

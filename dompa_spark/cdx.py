@@ -150,6 +150,9 @@ CDX_SCHEMA = StructType(
         StructField("warc_type", StringType()),
         StructField("mime", StringType()),
         StructField("http_status", IntegerType()),
+        # the CDX 'redirect' field: the HTTP Location target of a 3xx
+        # response capture, NULL otherwise
+        StructField("redirect", StringType()),
         StructField("offset", LongType()),
         StructField("length", LongType()),
         StructField("digest", StringType()),
@@ -166,11 +169,11 @@ def _ts14(warc_date: str | None) -> str | None:
 
 
 def _record_fields(rec: bytes):
-    """(url, ts, warc_type, mime, status, payload) of ONE framed
-    record (headers + body; trailing separator tolerated). Returns
-    None when the bytes do not frame a complete record — the caller
-    treats that as truncation and stops, the warc._parse_shard
-    contract."""
+    """(url, ts, warc_type, mime, status, location, payload) of ONE
+    framed record (headers + body; trailing separator tolerated).
+    Returns None when the bytes do not frame a complete record — the
+    caller treats that as truncation and stops, the
+    warc._parse_shard contract."""
     if rec[:5] != b"WARC/":
         return None
     hdr_end = rec.find(b"\r\n\r\n")
@@ -189,6 +192,7 @@ def _record_fields(rec: bytes):
     mime = fields.get("content-type")
     ts = _ts14(fields.get("warc-date"))
     status = None
+    location = None
     payload = body
     if wtype == "response" and (mime or "").startswith("application/http"):
         he = body.find(b"\r\n\r\n")
@@ -198,8 +202,9 @@ def _record_fields(rec: bytes):
             if len(toks) >= 2 and toks[1].isdigit():
                 status = int(toks[1])
             mime = hfields.get("content-type", mime)
+            location = hfields.get("location")
             payload = body[he + 4 :]
-    return url, ts, wtype, mime, status, payload
+    return url, ts, wtype, mime, status, location, payload
 
 
 def _gz_member_spans(buf: bytes):
@@ -244,7 +249,7 @@ def _index_shard(wid: int, buf: bytes):
         parsed = _record_fields(rec)
         if parsed is None:
             return
-        url, ts, wtype, mime, status, payload = parsed
+        url, ts, wtype, mime, status, location, payload = parsed
         yield (
             wid,
             idx,
@@ -253,6 +258,7 @@ def _index_shard(wid: int, buf: bytes):
             wtype,
             mime,
             status,
+            location,
             offset,
             length,
             hashlib.sha256(payload).hexdigest(),
@@ -291,6 +297,7 @@ def cdx_index(shards: DataFrame) -> DataFrame:
         "warc_type",
         "mime",
         "http_status",
+        "redirect",
         "offset",
         "length",
         "digest",
@@ -301,7 +308,8 @@ def fetch_record(shard: bytes, offset: int, length: int):
     """The replay read: one indexed record out of one shard's bytes,
     without touching any other byte run. Inflates a gz member when the
     span starts with the gzip magic. Returns the parsed
-    (url, ts, warc_type, mime, status, payload) tuple, or None if the
+    (url, ts, warc_type, mime, status, location, payload) tuple, or
+    None if the
     span does not frame a record (a wrong offset never silently
     returns neighboring bytes)."""
     span = shard[offset : offset + length]
@@ -326,6 +334,81 @@ def cdx_lookup(index: DataFrame, surt_prefix: str) -> DataFrame:
     return index.filter(
         F.col("surt").startswith(F.lit(surt_prefix))
     ).orderBy("surt", "ts", "warc_id", "rec_idx")
+
+
+def resolve_redirects(index: DataFrame, max_hops: int = 8) -> DataFrame:
+    """Redirect-chain resolution over the capture index: 3xx captures
+    carry their Location in the `redirect` column; this follows each
+    chain to its final target by POINTER DOUBLING — ceil(log2(
+    max_hops)) self-join rounds instead of max_hops sequential joins,
+    the graphops connected-components discipline — and refuses cycles
+    and over-long chains instead of chasing them. Output: one row per
+    redirect capture, (url, final_url, hops, resolved); unresolved
+    rows (a cycle, or a chain longer than max_hops) carry
+    resolved=false and NULL final_url/hops — implementation-
+    independent, so the oracle never has to replicate the doubling
+    schedule's intermediate counts.
+
+    Scale shape: the edge set is redirect-cardinality slim (3xx
+    captures only); each round is one equi-join on the target URL.
+    10^9 redirects resolve in <= 3-4 rounds for real-web chain
+    lengths; a hot redirect target fans into an ordinary skewed join
+    the AQE config already handles."""
+    import math
+
+    edges = (
+        index.filter(
+            F.col("redirect").isNotNull()
+            & F.col("http_status").between(300, 399)
+        )
+        .select(
+            F.col("url").alias("src"),
+            F.col("redirect").alias("dst"),
+        )
+        .distinct()
+    )
+    cur = edges.select(
+        "src", "dst", F.lit(1).cast("long").alias("hops")
+    )
+    rounds = max(1, math.ceil(math.log2(max(2, max_hops))))
+    for _ in range(rounds):
+        nxt = cur.alias("a").join(
+            cur.select(
+                F.col("src").alias("b_src"),
+                F.col("dst").alias("b_dst"),
+                F.col("hops").alias("b_hops"),
+            ),
+            F.col("a.dst") == F.col("b_src"),
+            "left",
+        )
+        cur = nxt.select(
+            F.col("a.src").alias("src"),
+            F.coalesce(F.col("b_dst"), F.col("a.dst")).alias("dst"),
+            (
+                F.col("a.hops")
+                + F.coalesce(F.col("b_hops"), F.lit(0))
+            ).alias("hops"),
+        )
+        # cycles double their hop count every round; capping here
+        # keeps the fixpoint finite and marks them unresolved below
+        cur = cur.withColumn(
+            "hops",
+            F.when(F.col("hops") > max_hops, F.lit(max_hops + 1))
+            .otherwise(F.col("hops")),
+        )
+    # resolved = the final dst is not itself a redirect source and
+    # the chain fit in max_hops
+    srcs = edges.select(F.col("src").alias("dst")).distinct().withColumn(
+        "dst_redirects", F.lit(True)
+    )
+    out = cur.join(srcs, "dst", "left")
+    ok = F.col("dst_redirects").isNull() & (F.col("hops") <= max_hops)
+    return out.select(
+        F.col("src").alias("url"),
+        F.when(ok, F.col("dst")).alias("final_url"),
+        F.when(ok, F.col("hops")).alias("hops"),
+        ok.alias("resolved"),
+    )
 
 
 def revisit_candidates(index: DataFrame) -> DataFrame:

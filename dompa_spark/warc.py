@@ -202,6 +202,129 @@ def docs_to_warc(
     )
 
 
+def _redirect_record(code_line: str, seed: Column, url: Column,
+                     target: Column) -> Column:
+    """One 3xx response record: HTTP status line + Location header,
+    empty body — what a crawler actually archives for a redirect."""
+    http_block = F.concat(
+        F.lit("HTTP/1.1 " + code_line + CRLF + "Location: "),
+        target,
+        F.lit(CRLF + "Content-Length: 0" + CRLF + CRLF),
+    )
+    return _warc_record(
+        "response", seed, http_block,
+        "application/http;msgtype=response", url,
+    )
+
+
+def docs_to_warc_redirects(
+    docs: DataFrame, docs_per_shard: int = DOCS_PER_SHARD
+) -> DataFrame:
+    """Redirect-chain WARC fixture (the crawl-graph surface): every
+    doc keeps its 200 response; every 3rd doc adds a 301 capture at
+    /r/{id} whose Location is the doc URL; every 9th adds a 302 at
+    /rr/{id} -> /r/{id} (a two-hop chain); every 27th adds a
+    /c1/{id} <-> /c2/{id} 301 pair (a cycle, the pathology a resolver
+    must refuse to chase). Same deterministic framing discipline as
+    docs_to_warc, so offsets/digests stay template algebra."""
+    base = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+        F.coalesce(F.col("source"), F.lit("src")).alias("source"),
+    )
+    origin = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.org")
+    )
+    doc_url = F.concat(origin, F.lit("/doc/"), F.col("doc_id").cast("string"))
+    html = F.concat(
+        F.lit(WARC_HTML_PRE), F.col("text"), F.lit(WARC_HTML_POST)
+    )
+    http_block = F.concat(
+        F.lit("HTTP/1.1 200 OK" + CRLF + "Content-Type: text/html" + CRLF),
+        F.lit("Content-Length: "),
+        F.octet_length(html).cast("string"),
+        F.lit(CRLF + CRLF),
+        html,
+    )
+    sid = F.col("doc_id").cast("string")
+
+    def u(prefix):
+        return F.concat(origin, F.lit(prefix), sid)
+
+    response = base.select(
+        "doc_id",
+        (F.col("doc_id") * 8).alias("seq"),
+        _warc_record(
+            "response",
+            F.concat(F.lit("resp:"), sid),
+            http_block,
+            "application/http;msgtype=response",
+            doc_url,
+        ).alias("rec"),
+    )
+    hop1 = base.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id",
+        (F.col("doc_id") * 8 + 1).alias("seq"),
+        _redirect_record(
+            "301 Moved Permanently",
+            F.concat(F.lit("r1:"), sid), u("/r/"), doc_url,
+        ).alias("rec"),
+    )
+    hop2 = base.filter(F.col("doc_id") % 9 == 0).select(
+        "doc_id",
+        (F.col("doc_id") * 8 + 2).alias("seq"),
+        _redirect_record(
+            "302 Found",
+            F.concat(F.lit("r2:"), sid), u("/rr/"), u("/r/"),
+        ).alias("rec"),
+    )
+    cyc1 = base.filter(F.col("doc_id") % 27 == 0).select(
+        "doc_id",
+        (F.col("doc_id") * 8 + 3).alias("seq"),
+        _redirect_record(
+            "301 Moved Permanently",
+            F.concat(F.lit("c1:"), sid), u("/c1/"), u("/c2/"),
+        ).alias("rec"),
+    )
+    cyc2 = base.filter(F.col("doc_id") % 27 == 0).select(
+        "doc_id",
+        (F.col("doc_id") * 8 + 4).alias("seq"),
+        _redirect_record(
+            "301 Moved Permanently",
+            F.concat(F.lit("c2:"), sid), u("/c2/"), u("/c1/"),
+        ).alias("rec"),
+    )
+    recs = response.unionByName(hop1).unionByName(hop2)
+    recs = recs.unionByName(cyc1).unionByName(cyc2)
+    warcinfo = _warc_record(
+        "warcinfo",
+        F.concat(F.lit("shard:"), F.col("warc_id").cast("string")),
+        F.lit(WARCINFO_BODY),
+        "application/warc-fields",
+    )
+    return (
+        recs.withColumn(
+            "warc_id", (F.col("doc_id") / docs_per_shard).cast("long")
+        )
+        .groupBy("warc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seq", "rec"))),
+                    lambda st: st["rec"],
+                ),
+                "",
+            ).alias("body")
+        )
+        .select(
+            "warc_id",
+            F.concat(warcinfo, F.col("body")).cast("binary").alias(
+                "content"
+            ),
+        )
+    )
+
+
 GZIP_MAGIC = b"\x1f\x8b"
 
 
@@ -314,6 +437,9 @@ WARC_PARSE_SCHEMA = StructType(
         StructField("url", StringType()),
         StructField("mime", StringType()),
         StructField("http_status", IntegerType()),
+        # the HTTP Location header of an unwrapped response (the 3xx
+        # redirect target a crawl graph resolves); NULL otherwise
+        StructField("location", StringType()),
         StructField("payload", BinaryType()),
     ]
 )
@@ -357,6 +483,7 @@ def _parse_shard(wid, buf: bytes):
         url = fields.get("warc-target-uri")
         mime = fields.get("content-type")
         status = None
+        location = None
         payload = body
         if wtype == "response" and (mime or "").startswith(
             "application/http"
@@ -368,8 +495,9 @@ def _parse_shard(wid, buf: bytes):
                 if len(toks) >= 2 and toks[1].isdigit():
                     status = int(toks[1])
                 mime = hfields.get("content-type", mime)
+                location = hfields.get("location")
                 payload = body[he + 4 :]
-        yield (wid, idx, wtype, url, mime, status, payload)
+        yield (wid, idx, wtype, url, mime, status, location, payload)
         idx += 1
 
 

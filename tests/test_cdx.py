@@ -149,7 +149,7 @@ def test_fetch_record_replays_every_indexed_record(
                 shards[r["warc_id"]], r["offset"], r["length"]
             )
             assert rec is not None
-            url, ts, wtype, mime, status, payload = rec
+            url, ts, wtype, mime, status, location, payload = rec
             assert url == r["url"]
             assert ts == r["ts"] == "20240101000000"
             assert wtype == r["warc_type"]
@@ -218,7 +218,7 @@ def test_truncated_gz_member_still_replays_surviving_records(
     for r in _index_rows(spark, {wid: cut}):
         rec = cdx.fetch_record(cut, r["offset"], r["length"])
         assert rec is not None
-        assert hashlib.sha256(rec[5]).hexdigest() == r["digest"]
+        assert hashlib.sha256(rec[-1]).hexdigest() == r["digest"]
 
 
 # --- lookup -------------------------------------------------------------------
@@ -277,7 +277,7 @@ def test_wet_shards_are_indexable_and_seekable(spark, docs):
             wet_shards[r["warc_id"]], r["offset"], r["length"]
         )
         assert rec is not None
-        assert hashlib.sha256(rec[5]).hexdigest() == r["digest"]
+        assert hashlib.sha256(rec[-1]).hexdigest() == r["digest"]
 
 
 def test_wet_charset_tier_handles_cp1252_payload(spark):
@@ -418,7 +418,7 @@ def test_wat_shards_are_indexable_and_seekable(spark, docs):
             wat_shards[r["warc_id"]], r["offset"], r["length"]
         )
         assert rec is not None
-        assert hashlib.sha256(rec[5]).hexdigest() == r["digest"]
+        assert hashlib.sha256(rec[-1]).hexdigest() == r["digest"]
 
 
 def test_wat_default_template_has_no_links(spark, docs):
@@ -663,3 +663,74 @@ def test_publish_archive_compact_folds_stream_appends(spark, docs, tmp_path):
             if r["surt"] is not None
         ]
         assert surts == sorted(surts)
+
+
+# --- redirect resolution ----------------------------------------------------------
+
+
+def test_resolve_redirects_chains_cycles_and_caps(spark):
+    from dompa_spark import cdx as _cdx
+
+    def idx(edges):
+        rows = [
+            (u, 301, d) for u, d in edges
+        ]
+        return spark.createDataFrame(
+            rows, "url string, http_status int, redirect string"
+        )
+
+    # chain a->b->c->FINAL, a 2-cycle, and a chain longer than max_hops
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "F"),
+        ("x", "y"), ("y", "x"),
+    ] + [(f"l{i}", f"l{i+1}") for i in range(5)]  # l0..l5, 5 hops
+    out = {
+        r["url"]: (r["final_url"], r["hops"], r["resolved"])
+        for r in _cdx.resolve_redirects(idx(edges), max_hops=3).collect()
+    }
+    assert out["a"] == ("F", 3, True)
+    assert out["b"] == ("F", 2, True)
+    assert out["c"] == ("F", 1, True)
+    for u in ("x", "y"):
+        assert out[u] == (None, None, False)
+    # l0 needs 5 hops > max_hops=3 -> refused; l3 needs 2 -> resolved
+    assert out["l0"] == (None, None, False)
+    assert out["l3"] == ("l5", 2, True)
+
+
+def test_resolve_redirects_hot_target_fan_in(spark):
+    from dompa_spark import cdx as _cdx
+
+    rows = [(f"u{i}", 301, "hub") for i in range(200)] + [
+        ("hub", 301, "FINAL")
+    ]
+    idx = spark.createDataFrame(
+        rows, "url string, http_status int, redirect string"
+    )
+    out = _cdx.resolve_redirects(idx).collect()
+    assert len(out) == 201
+    assert all(r["resolved"] for r in out)
+    assert {r["final_url"] for r in out} == {"FINAL"}
+    hubs = [r for r in out if r["url"] == "hub"]
+    assert hubs[0]["hops"] == 1
+
+
+def test_redirect_fixture_location_through_byte_walk(spark, docs):
+    """The 3xx records carry REAL HTTP Location headers; both the
+    parser and the index surface them, and non-3xx rows stay NULL."""
+    from pyspark.sql import functions as F
+
+    shards = warc.docs_to_warc_redirects(docs, docs_per_shard=4)
+    recs = warc.parse_warc(shards)
+    r = recs.filter("url LIKE '%/r/0'").first()
+    assert r["http_status"] == 301
+    assert r["location"].endswith("/doc/0")
+    assert bytes(r["payload"]) == b""
+    assert (
+        recs.filter("http_status = 200 AND location IS NOT NULL").count()
+        == 0
+    )
+    idx = cdx.cdx_index(shards)
+    assert idx.filter("redirect IS NOT NULL").count() == idx.filter(
+        "http_status BETWEEN 300 AND 399"
+    ).count() > 0
