@@ -734,3 +734,92 @@ def test_redirect_fixture_location_through_byte_walk(spark, docs):
     assert idx.filter("redirect IS NOT NULL").count() == idx.filter(
         "http_status BETWEEN 300 AND 399"
     ).count() > 0
+
+
+# --- SURT differential fuzz -------------------------------------------------------
+
+
+def _surt_py(url):
+    """Independent pure-Python mirror of cdx.surt_expr's pinned policy
+    (module docstring) — written against the POLICY, not the Catalyst
+    expression tree, so a drift in either implementation fails."""
+    import re
+
+    if url is None:
+        return None
+    u = url.lower()
+    u = re.sub(r"#.*$", "", u)
+    m = re.match(r"^([a-z][a-z0-9+.-]*)://([^/?]*)", u)
+    if m:
+        hostport = m.group(2)
+        rest = u[m.end():]
+    else:
+        hostport = ""
+        rest = u
+    pm = re.search(r":([0-9]+)$", hostport)
+    port = pm.group(1) if pm else ""
+    host = re.sub(r":[0-9]+$", "", hostport)
+    host = re.sub(r"^www\.", "", host)
+    rev = ",".join(reversed(host.split(".")))
+    keep_port = port not in ("", "80", "443")
+    qpos = rest.find("?")
+    path, query = (
+        (rest[:qpos], rest[qpos + 1:]) if qpos >= 0 else (rest, "")
+    )
+    stripped = re.sub(r"/+$", "", path)
+    path_c = stripped if stripped else "/"
+    kept = sorted(
+        p for p in query.split("&") if not p.startswith("utm_")
+    )
+    qpart = (
+        "?" + "&".join(kept) if (query != "" and kept) else ""
+    )
+    return (
+        rev + (":" + port if keep_port else "") + ")" + path_c + qpart
+    )
+
+
+def test_surt_differential_fuzz(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(42)
+    schemes = ["http", "https", "ftp", ""]
+    labels = ["Example", "www", "a", "B2", "x-y"]
+    tlds = ["org", "COM", "co.uk"]
+    paths = ["", "/", "/A/b", "/a//", "/p.json", "/a/b/c///"]
+    ports = ["", ":80", ":443", ":8080", ":0"]
+    frags = ["", "#F", "#a/b?c"]
+    urls = []
+    for _ in range(300):
+        s = rng.choice(schemes)
+        host = (
+            ".".join(rng.sample(labels, rng.randint(1, 3)))
+            + "."
+            + rng.choice(tlds)
+        )
+        qn = rng.randint(0, 4)
+        params = [
+            rng.choice(["b=2", "a=1", "utm_source=x", "utm_x", "z", "a=2"])
+            for _ in range(qn)
+        ]
+        q = ("?" + "&".join(params)) if qn else ""
+        url = (
+            (s + "://" if s else "")
+            + host
+            + rng.choice(ports)
+            + rng.choice(paths)
+            + q
+            + rng.choice(frags)
+        )
+        urls.append(url)
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {
+        r["url"]: r["s"]
+        for r in df.select(
+            "url", cdx.surt_expr("url").alias("s")
+        ).collect()
+    }
+    for u in urls:
+        assert got[u] == _surt_py(u), u
