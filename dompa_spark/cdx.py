@@ -342,30 +342,47 @@ def resolve_redirects(index: DataFrame, max_hops: int = 8) -> DataFrame:
     chain to its final target by POINTER DOUBLING — ceil(log2(
     max_hops)) self-join rounds instead of max_hops sequential joins,
     the graphops connected-components discipline — and refuses cycles
-    and over-long chains instead of chasing them. Output: one row per
-    redirect capture, (url, final_url, hops, resolved); unresolved
+    and over-long chains instead of chasing them. Output: ONE row per
+    redirect source URL, (url, final_url, hops, resolved); unresolved
     rows (a cycle, or a chain longer than max_hops) carry
     resolved=false and NULL final_url/hops — implementation-
     independent, so the oracle never has to replicate the doubling
     schedule's intermediate counts.
 
+    FUNCTIONAL-GRAPH PIN: a URL re-captured across crawls can carry
+    DIFFERENT Location targets; keeping both would make the graph
+    non-functional and pointer doubling would multiply one row per
+    PATH (multiplicative fan-out across conflicting snapshots). The
+    edge set is therefore deduped to one edge per source before any
+    join: the LATEST capture wins — max (ts, warc_id, rec_idx) when
+    those index columns are present (the CDX 14-digit ts sorts
+    chronologically as text), max dst as the deterministic tie-break
+    when they are not (bare (url, http_status, redirect) frames).
+
     Scale shape: the edge set is redirect-cardinality slim (3xx
-    captures only); each round is one equi-join on the target URL.
-    10^9 redirects resolve in <= 3-4 rounds for real-web chain
-    lengths; a hot redirect target fans into an ordinary skewed join
-    the AQE config already handles."""
+    captures only); the latest-capture dedup is one partial-
+    aggregatable groupBy(max-struct) on it, then each round is one
+    equi-join on the target URL. 10^9 redirects resolve in <= 3-4
+    rounds for real-web chain lengths; a hot redirect target fans
+    into an ordinary skewed join the AQE config already handles."""
     import math
 
+    cand = index.filter(
+        F.col("redirect").isNotNull()
+        & F.col("http_status").between(300, 399)
+    )
+    order_cols = [
+        c for c in ("ts", "warc_id", "rec_idx") if c in cand.columns
+    ]
     edges = (
-        index.filter(
-            F.col("redirect").isNotNull()
-            & F.col("http_status").between(300, 399)
-        )
-        .select(
+        cand.select(
             F.col("url").alias("src"),
             F.col("redirect").alias("dst"),
+            *[F.col(c) for c in order_cols],
         )
-        .distinct()
+        .groupBy("src")
+        .agg(F.max(F.struct(*order_cols, "dst")).alias("m"))
+        .select("src", F.col("m.dst").alias("dst"))
     )
     cur = edges.select(
         "src", "dst", F.lit(1).cast("long").alias("hops")

@@ -715,6 +715,56 @@ def test_resolve_redirects_hot_target_fan_in(spark):
     assert hubs[0]["hops"] == 1
 
 
+def test_resolve_redirects_conflicting_captures_latest_wins(spark):
+    """A URL re-captured across crawls with DIFFERENT Location
+    targets must resolve via its NEWEST observation only — one row
+    per source, never one row per path (the functional-graph pin)."""
+    from dompa_spark import cdx as _cdx
+
+    # full index columns: the 2020 capture sends a -> old, the 2021
+    # re-crawl sends a -> new; new chains one more hop to NF
+    rows = [
+        (1, 0, "a", "20200101000000", 301, "old"),
+        (2, 0, "a", "20210101000000", 301, "new"),
+        (2, 1, "new", "20210101000000", 301, "NF"),
+    ]
+    idx = spark.createDataFrame(
+        rows,
+        "warc_id long, rec_idx int, url string, ts string, "
+        "http_status int, redirect string",
+    )
+    out = {
+        r["url"]: (r["final_url"], r["hops"], r["resolved"])
+        for r in _cdx.resolve_redirects(idx).collect()
+    }
+    assert len(out) == 2  # one row per SOURCE, not per path
+    assert out["a"] == ("NF", 2, True)
+    assert out["new"] == ("NF", 1, True)
+
+    # bare frame (no ts/warc_id/rec_idx): max dst is the pinned
+    # deterministic tie-break, still one row per source
+    bare = spark.createDataFrame(
+        [("a", 301, "b1"), ("a", 301, "b2")],
+        "url string, http_status int, redirect string",
+    )
+    rows_b = _cdx.resolve_redirects(bare).collect()
+    assert len(rows_b) == 1
+    assert rows_b[0]["final_url"] == "b2"
+
+    # same-ts conflict: (warc_id, rec_idx) breaks the tie
+    same_ts = spark.createDataFrame(
+        [
+            (1, 0, "a", "20200101000000", 301, "first"),
+            (1, 5, "a", "20200101000000", 301, "later"),
+        ],
+        "warc_id long, rec_idx int, url string, ts string, "
+        "http_status int, redirect string",
+    )
+    rows_s = _cdx.resolve_redirects(same_ts).collect()
+    assert len(rows_s) == 1
+    assert rows_s[0]["final_url"] == "later"
+
+
 def test_redirect_fixture_location_through_byte_walk(spark, docs):
     """The 3xx records carry REAL HTTP Location headers; both the
     parser and the index surface them, and non-3xx rows stay NULL."""
