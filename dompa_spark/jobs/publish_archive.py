@@ -120,6 +120,15 @@ def main(argv=None) -> int:
             if os.path.exists(f"{args.output}/cdx"):
                 srcs.append(f"{args.output}/cdx")
             merged = spark.read.parquet(*srcs)
+            # full-row dedup makes compaction IDEMPOTENT: re-running
+            # with the same append dir (or appends overlapping the
+            # base after a stream replay) re-folds byte-identical
+            # rows, which would otherwise double-count the index —
+            # the recrawl_schedule covered-pair lesson. Full row, not
+            # a key: genuinely distinct captures of the same URL
+            # differ in (ts, offset, digest) and are all kept, which
+            # is the point of a capture index.
+            merged = merged.dropDuplicates()
             tmp = f"{args.output}/cdx_compacting"
             (
                 merged.repartitionByRange(parts, "surt", "ts")

@@ -663,6 +663,17 @@ def test_publish_archive_compact_folds_stream_appends(spark, docs, tmp_path):
             if r["surt"] is not None
         ]
         assert surts == sorted(surts)
+    # compaction is IDEMPOTENT: re-running with the SAME append dir
+    # (operator retry, stream replay) must not double-count — the
+    # already-folded rows are byte-identical and dedupe away
+    assert publish_archive.main(
+        ["--compact", app, "--output", out, "--index-parts", "2"]
+    ) == 0
+    again = spark.read.parquet(f"{out}/cdx")
+    assert again.count() == 22
+    assert {key(r): r["digest"] for r in again.collect()} == {
+        key(r): r["digest"] for r in batch.collect()
+    }
 
 
 # --- redirect resolution ----------------------------------------------------------
