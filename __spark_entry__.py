@@ -1289,6 +1289,69 @@ def q_iceberg_sink(spark, sf_dir):
     )
 
 
+def q_iceberg_deletes(spark, sf_dir):
+    """V2 MERGE-ON-READ closed end-to-end: documents written as an
+    Iceberg table, then a POSITIONAL-delete snapshot (every
+    doc_id % 7 == 0 row, located through the same parquet
+    _metadata.row_index machinery the reader matches on) and an
+    EQUALITY-delete snapshot (doc_id % 5 == 3 on the doc_id field,
+    null-safe keys, strictly-greater sequence visibility) —
+    icebergio.scan_table must drop exactly those rows at read time
+    while TIME TRAVEL to the pre-delete snapshot still reads every
+    row. Two read shapes in one result; the oracle recomputes both
+    memberships from the documents table. The positional collect is
+    bounded by the delete-set size (delete files are metadata-scale
+    next to the data — the spec's design point).
+    icebergio.commit_position_deletes / commit_equality_deletes;
+    tests/test_icebergio.py."""
+    import os
+    import shutil
+    import tempfile
+
+    from dompa_spark import icebergio
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    loc = os.path.join(
+        tempfile.gettempdir(),
+        f"dompa_iceberg_del_{abs(hash(sf_dir)) % 10**9}",
+    )
+    shutil.rmtree(loc, ignore_errors=True)
+    s1 = icebergio.write_table(docs, loc)
+    withpos = spark.read.parquet(*icebergio.table_files(loc)).select(
+        "doc_id",
+        F.col("_metadata.file_path").alias("p"),
+        F.col("_metadata.row_index").alias("pos"),
+    )
+    kill = [
+        (r["p"], r["pos"])
+        for r in withpos.filter(F.col("doc_id") % 7 == 0).collect()
+    ]
+    icebergio.commit_position_deletes(spark, loc, kill)
+    icebergio.commit_equality_deletes(
+        spark,
+        loc,
+        docs.filter(F.col("doc_id") % 5 == 3).select("doc_id"),
+        ["doc_id"],
+    )
+
+    def agg(df, label):
+        return df.agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum("doc_id").cast("long").alias("sum_doc_id"),
+        ).select(F.lit(label).alias("snapshot"), "n_docs",
+                 "total_chars", "sum_doc_id")
+
+    cur = agg(icebergio.scan_table(spark, loc), "current")
+    pre = agg(
+        icebergio.scan_table(spark, loc, snapshot_id=s1), "pre_delete"
+    )
+    return cur.unionByName(pre)
+
+
 def q_media_dedup(spark, sf_dir):
     """Multimodal path end-to-end: derive a media table from documents
     (content = utf-8 text bytes; every 7th doc repeats the previous
@@ -2383,6 +2446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wds_roundtrip": q_wds_roundtrip,
         "iceberg_scan": q_iceberg_scan,
         "iceberg_sink": q_iceberg_sink,
+        "iceberg_deletes": q_iceberg_deletes,
         "media_dedup": q_media_dedup,
         "media_dhash": q_media_dhash,
         "wav_near_dup": q_wav_near_dup,
@@ -7021,5 +7085,24 @@ def oracle_sql() -> dict[str, str]:
                     THEN 1 ELSE 0 END AS BIGINT) AS n_spans,
                CAST(2 AS BIGINT) AS n_snapshots
         FROM documents
+    """
+    # iceberg_deletes: merge-on-read membership only — the current
+    # snapshot drops positional (doc_id%7=0) and equality (doc_id%5=3)
+    # victims, the pre-delete snapshot reads everything
+    oracles["iceberg_deletes"] = """
+        WITH d AS (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                 CAST(n_chars AS BIGINT) AS n_chars
+          FROM documents)
+        SELECT 'current' AS snapshot,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+        FROM d WHERE doc_id % 7 <> 0 AND doc_id % 5 <> 3
+        UNION ALL
+        SELECT 'pre_delete', CAST(count(*) AS BIGINT),
+               CAST(sum(n_chars) AS BIGINT),
+               CAST(sum(doc_id) AS BIGINT)
+        FROM d
     """
     return oracles

@@ -24,12 +24,17 @@ north rule's storage layer:
 
 - **Reader** (`scan_table` / `table_files`): resolve the latest (or a
   requested) snapshot from the newest metadata JSON, decode its
-  manifest list, decode each data manifest, honor entry status
-  (deleted entries drop out), refuse delete manifests / non-parquet
-  data files loudly, optionally prune identity partitions BEFORE the
-  scan, and hand the surviving file list to `spark.read.parquet` — so
-  Catalyst still owns the columnar scan, pushdown, and pruning below
-  the file level. Time travel = pass `snapshot_id`.
+  manifest list, decode each manifest, honor entry status (deleted
+  entries drop out), refuse non-parquet data files loudly, optionally
+  prune identity partitions BEFORE the scan, and hand the surviving
+  file list to `spark.read.parquet` — so Catalyst still owns the
+  columnar scan, pushdown, and pruning below the file level. Time
+  travel = pass `snapshot_id`. V2 row-level deletes apply at read
+  time (MERGE-ON-READ, `scan_table`): positional delete files via
+  `_metadata.row_index` + broadcast anti-join, equality delete files
+  via null-safe-key broadcast anti-joins, both under the spec's
+  sequence-number visibility rules (`commit_position_deletes` /
+  `commit_equality_deletes` write the fixture side).
 
 - **Fixture writer** (`write_table` / `append_snapshot`): writes a
   spec-shaped table — per-identity-partition parquet data files (each
@@ -431,6 +436,14 @@ def _manifest_schema(partition_fields: list[tuple[str, str]]) -> dict:
             {"name": "partition", "type": part},
             {"name": "record_count", "type": "long"},
             {"name": "file_size_in_bytes", "type": "long"},
+            # equality delete files name the fields they match on by
+            # TABLE SCHEMA FIELD ID (spec: data_file.equality_ids);
+            # null for data files and positional delete files
+            {
+                "name": "equality_ids",
+                "type": ["null", {"type": "array", "items": "int"}],
+                "default": None,
+            },
         ],
     }
     return {
@@ -617,19 +630,30 @@ def committed_chunks(location: str) -> dict[int, int]:
 
 
 def _commit(
-    df: DataFrame,
+    df: DataFrame | None,
     location: str,
     data_files: list[dict],
     partition_by: str | None = None,
     summary: dict | None = None,
+    manifest_content: int = 0,
+    operation: str = "append",
 ) -> int:
     """Shared commit tail: wrap `data_files` in ADDED manifest entries,
     write manifest + manifest list (prior manifests carried forward),
     and publish the next vN.metadata.json + version-hint atomically
-    last — a crash before the hint write leaves the old version live."""
+    last — a crash before the hint write leaves the old version live.
+
+    `manifest_content` 0 commits a data manifest, 1 a delete manifest
+    (the entries then carry delete files — content 1/2). Delete
+    commits pass df=None: they cannot bootstrap a table, so the
+    current metadata's schema/spec carry forward unchanged."""
     mdir = os.path.join(location, "metadata")
     os.makedirs(mdir, exist_ok=True)
     ver, meta, seq, snap_id = _next_ids(location)
+    if df is None and meta is None:
+        raise ValueError(
+            "iceberg: delete commit needs an existing table"
+        )
     part_fields: list[tuple[str, str]] = []
     if partition_by:
         dt = df.schema[partition_by].dataType
@@ -651,7 +675,7 @@ def _commit(
         "manifest_path": man_path,
         "manifest_length": os.path.getsize(man_path),
         "partition_spec_id": 0,
-        "content": 0,  # data manifest
+        "content": manifest_content,
         "sequence_number": seq,
         "min_sequence_number": seq,
         "added_snapshot_id": snap_id,
@@ -682,37 +706,47 @@ def _commit(
         "timestamp-ms": _TS_MS + snap_id,
         "manifest-list": mlist_path,
         "summary": {
-            "operation": "append",
+            "operation": operation,
             **{k: str(v) for k, v in (summary or {}).items()},
         },
         "schema-id": 0,
     }
-    spec_fields = []
-    if partition_by:
-        src = next(
-            f["id"] for f in _schema_json(df)["fields"]
-            if f["name"] == partition_by
-        )
-        spec_fields = [
-            {
-                "name": partition_by,
-                "transform": "identity",
-                "source-id": src,
-                "field-id": 1000,
-            }
-        ]
+    if df is None:
+        schemas = meta["schemas"]
+        last_col = meta["last-column-id"]
+        part_specs = meta["partition-specs"]
+        last_part = meta["last-partition-id"]
+    else:
+        spec_fields = []
+        if partition_by:
+            src = next(
+                f["id"] for f in _schema_json(df)["fields"]
+                if f["name"] == partition_by
+            )
+            spec_fields = [
+                {
+                    "name": partition_by,
+                    "transform": "identity",
+                    "source-id": src,
+                    "field-id": 1000,
+                }
+            ]
+        schemas = [_schema_json(df)]
+        last_col = len(df.schema.fields)
+        part_specs = [{"spec-id": 0, "fields": spec_fields}]
+        last_part = 1000 if partition_by else 999
     new_meta = {
         "format-version": 2,
         "table-uuid": "00000000-0000-0000-0000-000000000000",
         "location": location,
         "last-sequence-number": seq,
         "last-updated-ms": _TS_MS + snap_id,
-        "last-column-id": len(df.schema.fields),
+        "last-column-id": last_col,
         "current-schema-id": 0,
-        "schemas": [_schema_json(df)],
+        "schemas": schemas,
         "default-spec-id": 0,
-        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
-        "last-partition-id": 1000 if partition_by else 999,
+        "partition-specs": part_specs,
+        "last-partition-id": last_part,
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],
         "current-snapshot-id": snap_id,
@@ -727,15 +761,18 @@ def _commit(
     return snap_id
 
 
-def table_files(
+def _plan(
     location: str,
     snapshot_id: int | None = None,
     partition_filter: dict | None = None,
-) -> list[str]:
-    """The planning step: metadata JSON -> manifest list -> manifests ->
-    pruned parquet file list. Pure driver-side metadata walk (kilobytes
-    per thousand files); refuses delete manifests / delete files /
-    non-parquet formats loudly rather than returning wrong rows."""
+) -> tuple[dict, list[dict], list[dict], list[dict]]:
+    """The planning step: metadata JSON -> manifest list -> manifests
+    -> (meta, data entries, positional deletes, equality deletes),
+    each entry carrying its data sequence number (v2 inheritance: an
+    entry with a null sequence_number takes its manifest's). Pure
+    driver-side metadata walk (kilobytes per thousand files); refuses
+    non-parquet formats and malformed content codes loudly rather
+    than returning wrong rows."""
     _, meta = _latest_metadata(location)
     if meta.get("format-version") != 2:
         raise ValueError("iceberg: only format-version 2 supported")
@@ -743,31 +780,98 @@ def table_files(
     snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
     if snap_id not in snaps:
         raise ValueError(f"iceberg: snapshot {snap_id} not found")
-    files: list[str] = []
+    data: list[dict] = []
+    pos_del: list[dict] = []
+    eq_del: list[dict] = []
     for mf in avro_read(snaps[snap_id]["manifest-list"]):
-        if mf.get("content", 0) != 0:
-            raise ValueError(
-                "iceberg: delete manifests unsupported (row-level "
-                "deletes need a merge-on-read path)"
-            )
+        m_content = mf.get("content", 0)
         for entry in avro_read(mf["manifest_path"]):
             if entry["status"] == 2:  # DELETED
                 continue
+            seq = entry.get("sequence_number")
+            if seq is None:  # v2 sequence inheritance
+                seq = mf.get("sequence_number", 0)
             dfile = entry["data_file"]
-            if dfile.get("content", 0) != 0:
-                raise ValueError("iceberg: delete files unsupported")
             if dfile["file_format"].upper() != "PARQUET":
                 raise ValueError(
                     f"iceberg: {dfile['file_format']} data unsupported"
                 )
-            part = dfile.get("partition") or {}
-            if partition_filter and any(
-                k in part and part[k] != v
-                for k, v in partition_filter.items()
-            ):
-                continue  # identity-partition pruning: file never scans
-            files.append(dfile["file_path"])
-    return files
+            c = dfile.get("content", 0)
+            if m_content == 0:
+                if c != 0:
+                    raise ValueError(
+                        "iceberg: data manifests carry data files "
+                        f"only (content={c})"
+                    )
+                part = dfile.get("partition") or {}
+                if partition_filter and any(
+                    k in part and part[k] != v
+                    for k, v in partition_filter.items()
+                ):
+                    continue  # identity pruning: file never scans
+                data.append({"path": dfile["file_path"], "seq": seq})
+            elif c == 1:  # positional delete file
+                pos_del.append({"path": dfile["file_path"], "seq": seq})
+            elif c == 2:  # equality delete file
+                ids = dfile.get("equality_ids")
+                if not ids:
+                    raise ValueError(
+                        "iceberg: equality delete without equality_ids"
+                    )
+                eq_del.append(
+                    {"path": dfile["file_path"], "seq": seq, "ids": ids}
+                )
+            else:
+                raise ValueError(
+                    "iceberg: delete manifests carry delete files "
+                    f"only (content={c})"
+                )
+    return meta, data, pos_del, eq_del
+
+
+def table_files(
+    location: str,
+    snapshot_id: int | None = None,
+    partition_filter: dict | None = None,
+) -> list[str]:
+    """Pruned parquet data-file list for a snapshot. Refuses tables
+    with live delete manifests: a raw file list cannot apply
+    merge-on-read deletes, so handing it to a scan would resurrect
+    deleted rows — scan_table applies them."""
+    _, data, pos_del, eq_del = _plan(
+        location, snapshot_id, partition_filter
+    )
+    if pos_del or eq_del:
+        raise ValueError(
+            "iceberg: snapshot has delete manifests; table_files "
+            "would resurrect deleted rows — use scan_table "
+            "(merge-on-read)"
+        )
+    return [d["path"] for d in data]
+
+
+def _norm_path(p: str) -> str:
+    """Manifest file_paths are plain paths or file: URIs; Spark's
+    _metadata.file_path is always a file: URI — normalize both."""
+    if p.startswith("file://"):
+        return p[7:]
+    if p.startswith("file:"):
+        return p[5:]
+    return p
+
+
+def _field_names(meta: dict, ids: list[int]) -> list[str]:
+    sid = meta.get("current-schema-id", 0)
+    schema = next(
+        s for s in meta["schemas"] if s.get("schema-id", 0) == sid
+    )
+    by_id = {f["id"]: f["name"] for f in schema["fields"]}
+    try:
+        return [by_id[i] for i in ids]
+    except KeyError as e:
+        raise ValueError(
+            f"iceberg: equality_ids references unknown field id {e}"
+        ) from None
 
 
 def scan_table(
@@ -778,8 +882,182 @@ def scan_table(
 ) -> DataFrame:
     """Iceberg table -> DataFrame via the from-scratch planning walk;
     the scan itself is Spark's native parquet reader (pushdown, column
-    pruning, AQE all intact below the file level)."""
-    files = table_files(location, snapshot_id, partition_filter)
-    if not files:
+    pruning, AQE all intact below the file level).
+
+    MERGE-ON-READ: v2 row-level deletes apply per spec. Positional
+    delete files (content=1: rows of (file_path, pos)) remove a data
+    row when the delete's sequence number >= the data file's; equality
+    delete files (content=2 + equality_ids) remove rows matching on
+    the named fields (null matches null, hence the null-safe join
+    keys) when the delete's sequence number is STRICTLY greater — an
+    equality delete never touches rows appended with or after it.
+    Row positions come from Spark's parquet `_metadata.row_index`, so
+    position matching costs no extra scan; per-file data sequence
+    numbers join in from a broadcast (file -> seq) map. Each delete
+    set applies as one broadcast LEFT ANTI hash join — delete files
+    are metadata-scale next to the data (the spec's design point), and
+    unprobed data columns still prune at the scan."""
+    meta, data, pos_del, eq_del = _plan(
+        location, snapshot_id, partition_filter
+    )
+    if not data:
         raise ValueError("iceberg: snapshot selects no data files")
-    return spark.read.parquet(*files)
+    df = spark.read.parquet(*[d["path"] for d in data])
+    if not pos_del and not eq_del:
+        return df
+    from pyspark.sql import functions as F
+
+    out_cols = df.columns
+    seq_df = spark.createDataFrame(
+        [(_norm_path(d["path"]), d["seq"]) for d in data],
+        "_ice_path string, _ice_seq long",
+    )
+    df = (
+        df.withColumn(
+            "_ice_path",
+            F.regexp_replace(
+                F.col("_metadata.file_path"), "^file:(//)?", ""
+            ),
+        )
+        .withColumn("_ice_pos", F.col("_metadata.row_index"))
+        .join(F.broadcast(seq_df), "_ice_path")
+    )
+    if pos_del:
+        dels = None
+        for pd_ in pos_del:
+            one = spark.read.parquet(pd_["path"]).select(
+                F.regexp_replace(
+                    F.col("file_path"), "^file:(//)?", ""
+                ).alias("_d_path"),
+                F.col("pos").cast("long").alias("_d_pos"),
+                F.lit(pd_["seq"]).cast("long").alias("_d_seq"),
+            )
+            dels = one if dels is None else dels.unionByName(one)
+        df = df.join(
+            F.broadcast(dels),
+            (F.col("_ice_path") == F.col("_d_path"))
+            & (F.col("_ice_pos") == F.col("_d_pos"))
+            & (F.col("_d_seq") >= F.col("_ice_seq")),
+            "left_anti",
+        )
+    if eq_del:
+        groups: dict[tuple[int, ...], list[dict]] = {}
+        for ed in eq_del:
+            groups.setdefault(tuple(ed["ids"]), []).append(ed)
+        for ids, eds in sorted(groups.items()):
+            cols = _field_names(meta, list(ids))
+            dels = None
+            for ed in eds:
+                one = spark.read.parquet(ed["path"]).select(
+                    *[F.col(c).alias(f"_d_{c}") for c in cols],
+                    F.lit(ed["seq"]).cast("long").alias("_d_seq"),
+                )
+                dels = one if dels is None else dels.unionByName(one)
+            cond = F.col("_d_seq") > F.col("_ice_seq")
+            for c in cols:
+                cond = cond & F.col(c).eqNullSafe(F.col(f"_d_{c}"))
+            df = df.join(F.broadcast(dels), cond, "left_anti")
+    return df.select(*out_cols)
+
+
+def commit_position_deletes(
+    spark: SparkSession,
+    location: str,
+    deletes: list[tuple[str, int]],
+    summary: dict | None = None,
+) -> int:
+    """Commit positional deletes — (data_file_path, row_position)
+    pairs — as a v2 delete snapshot: one parquet delete file (rows
+    sorted by (file_path, pos), the spec's required order) under a
+    delete manifest (content=1). Metadata-only next to the data;
+    scan_table applies it at read time (merge-on-read)."""
+    if not deletes:
+        raise ValueError("iceberg: empty positional delete commit")
+    _, _, _, snap_id = _next_ids(location)
+    fpath = _write_delete_parquet(
+        spark,
+        location,
+        snap_id,
+        spark.createDataFrame(
+            sorted(deletes), "file_path string, pos long"
+        ),
+    )
+    data_file = {
+        "content": 1,  # POSITION_DELETES
+        "file_path": fpath,
+        "file_format": "PARQUET",
+        "partition": {},
+        "record_count": len(deletes),
+        "file_size_in_bytes": os.path.getsize(fpath),
+    }
+    return _commit(
+        None,
+        location,
+        [data_file],
+        summary=summary,
+        manifest_content=1,
+        operation="delete",
+    )
+
+
+def commit_equality_deletes(
+    spark: SparkSession,
+    location: str,
+    rows: DataFrame,
+    eq_cols: list[str],
+    summary: dict | None = None,
+) -> int:
+    """Commit equality deletes: every table row matching a `rows` row
+    on `eq_cols` (null matches null) and written BEFORE this snapshot
+    is deleted. Field names resolve to table-schema field ids for the
+    manifest's equality_ids, per spec. Metadata-only next to the data;
+    scan_table applies it at read time (merge-on-read)."""
+    _, meta = _latest_metadata(location)
+    sid = meta.get("current-schema-id", 0)
+    schema = next(
+        s for s in meta["schemas"] if s.get("schema-id", 0) == sid
+    )
+    by_name = {f["name"]: f["id"] for f in schema["fields"]}
+    try:
+        ids = [by_name[c] for c in eq_cols]
+    except KeyError as e:
+        raise ValueError(
+            f"iceberg: equality column {e} not in table schema"
+        ) from None
+    _, _, _, snap_id = _next_ids(location)
+    dedup = rows.select(*eq_cols).dropDuplicates()
+    fpath = _write_delete_parquet(spark, location, snap_id, dedup)
+    import pyarrow.parquet as pq
+
+    data_file = {
+        "content": 2,  # EQUALITY_DELETES
+        "file_path": fpath,
+        "file_format": "PARQUET",
+        "partition": {},
+        "record_count": pq.ParquetFile(fpath).metadata.num_rows,
+        "file_size_in_bytes": os.path.getsize(fpath),
+        "equality_ids": ids,
+    }
+    return _commit(
+        None,
+        location,
+        [data_file],
+        summary=summary,
+        manifest_content=1,
+        operation="delete",
+    )
+
+
+def _write_delete_parquet(
+    spark: SparkSession, location: str, snap_id: int, df: DataFrame
+) -> str:
+    ddir = os.path.join(location, "data", f"snap-{snap_id}", "deletes")
+    df.coalesce(1).write.mode("overwrite").parquet(ddir)
+    files = [
+        n
+        for n in os.listdir(ddir)
+        if n.endswith(".parquet") and not n.startswith(".")
+    ]
+    if len(files) != 1:
+        raise ValueError("iceberg: expected one delete file")
+    return os.path.join(ddir, files[0])

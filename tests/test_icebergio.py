@@ -173,7 +173,8 @@ def test_refusal_surface(spark, tmp_path):
     s1 = ib.write_table(docs, loc)
     with pytest.raises(ValueError, match="snapshot 99"):
         ib.table_files(loc, snapshot_id=99)
-    # delete manifests refuse loudly (merge-on-read unimplemented)
+    # a malformed delete manifest (its entries carry content=0 data
+    # files) refuses loudly
     mlist = os.path.join(loc, "metadata", f"snap-{s1}.avro")
     recs = ib.avro_read(mlist)
     recs[0]["content"] = 1
@@ -223,3 +224,126 @@ def test_read_input_iceberg_native(spark, tmp_path):
     out = pipeline.read_input(spark, loc, fmt="iceberg-native")
     assert out.count() == 12
     assert out.columns == ["doc_id", "spans"]
+
+
+# ------------------------------------------------- merge-on-read deletes
+
+
+def test_positional_deletes_merge_on_read(spark, tmp_path):
+    """Positional delete files (content=1) drop exactly the named
+    (file, pos) rows at scan time; time travel to the pre-delete
+    snapshot still reads everything; table_files refuses the raw list
+    rather than resurrecting deleted rows."""
+    from pyspark.sql import functions as F
+
+    loc = _loc(tmp_path)
+    docs = _docs(spark, [(i, f"t{i}", "en") for i in range(10)])
+    s1 = ib.write_table(docs, loc)
+    files = ib.table_files(loc)
+    # the (file, pos) pairs of doc_ids 2 and 5, via the same
+    # _metadata columns the reader uses — file: URIs on purpose, so
+    # normalization against the manifest's plain paths is exercised
+    withpos = spark.read.parquet(*files).select(
+        "doc_id",
+        F.col("_metadata.file_path").alias("p"),
+        F.col("_metadata.row_index").alias("pos"),
+    )
+    kill = [
+        (r["p"], r["pos"])
+        for r in withpos.filter(F.col("doc_id").isin(2, 5)).collect()
+    ]
+    s2 = ib.commit_position_deletes(spark, loc, kill)
+    assert s2 != s1
+    got = sorted(
+        r["doc_id"] for r in ib.scan_table(spark, loc).collect()
+    )
+    assert got == [0, 1, 3, 4, 6, 7, 8, 9]
+    # time travel: the pre-delete snapshot is untouched
+    assert ib.scan_table(spark, loc, snapshot_id=s1).count() == 10
+    with pytest.raises(ValueError, match="delete manifests"):
+        ib.table_files(loc)
+    # no cartesian fallback: the anti joins are hash joins
+    plan = ib.scan_table(spark, loc)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_equality_deletes_strict_sequence_and_nulls(spark, tmp_path):
+    """Equality delete files (content=2) remove matching rows written
+    strictly BEFORE the delete; rows appended after survive even with
+    identical values; null matches null on the equality columns."""
+    loc = _loc(tmp_path)
+    docs = _docs(
+        spark, [(i, None if i == 4 else f"t{i}", "en") for i in range(8)]
+    )
+    s1 = ib.write_table(docs, loc)
+    s2 = ib.commit_equality_deletes(
+        spark,
+        loc,
+        spark.createDataFrame([(6,), (7,)], "doc_id long"),
+        ["doc_id"],
+    )
+    assert sorted(
+        r["doc_id"] for r in ib.scan_table(spark, loc).collect()
+    ) == [0, 1, 2, 3, 4, 5]
+    # a LATER append with a deleted value survives (strictly-greater
+    # sequence rule): the delete is not a tombstone on future rows
+    ib.append_snapshot(
+        _docs(spark, [(7, "resurrected", "en")]), loc
+    )
+    rows = {
+        r["doc_id"]: r["text"]
+        for r in ib.scan_table(spark, loc).collect()
+    }
+    assert rows[7] == "resurrected"
+    assert len(rows) == 7
+    # null-matches-null: deleting text=NULL removes doc 4
+    ib.commit_equality_deletes(
+        spark,
+        loc,
+        spark.createDataFrame([(None,)], "text string"),
+        ["text"],
+    )
+    assert sorted(
+        r["doc_id"] for r in ib.scan_table(spark, loc).collect()
+    ) == [0, 1, 2, 3, 5, 7]
+    # pre-delete snapshots replay exactly
+    assert ib.scan_table(spark, loc, snapshot_id=s1).count() == 8
+    assert ib.scan_table(spark, loc, snapshot_id=s2).count() == 6
+
+
+def test_mixed_deletes_and_refusals(spark, tmp_path):
+    """Positional + equality deletes compose; malformed delete commits
+    refuse loudly."""
+    from pyspark.sql import functions as F
+
+    loc = _loc(tmp_path)
+    docs = _docs(spark, [(i, f"t{i}", "en") for i in range(6)])
+    ib.write_table(docs, loc)
+    withpos = spark.read.parquet(*ib.table_files(loc)).select(
+        "doc_id",
+        F.col("_metadata.file_path").alias("p"),
+        F.col("_metadata.row_index").alias("pos"),
+    )
+    kill = [
+        (r["p"], r["pos"])
+        for r in withpos.filter(F.col("doc_id") == 0).collect()
+    ]
+    ib.commit_position_deletes(spark, loc, kill)
+    ib.commit_equality_deletes(
+        spark, loc, spark.createDataFrame([(3,)], "doc_id long"),
+        ["doc_id"],
+    )
+    assert sorted(
+        r["doc_id"] for r in ib.scan_table(spark, loc).collect()
+    ) == [1, 2, 4, 5]
+    with pytest.raises(ValueError, match="empty positional"):
+        ib.commit_position_deletes(spark, loc, [])
+    with pytest.raises(ValueError, match="not in table schema"):
+        ib.commit_equality_deletes(
+            spark, loc,
+            spark.createDataFrame([(1,)], "nope long"), ["nope"],
+        )
+    with pytest.raises(ValueError, match="existing table"):
+        ib.commit_position_deletes(
+            spark, str(tmp_path / "missing"), [("f", 0)]
+        )
