@@ -982,6 +982,34 @@ def q_warc_gz_roundtrip(spark, sf_dir):
     )
 
 
+def q_warc_zst_roundtrip(spark, sf_dir):
+    """The .warc.zst ingestion boundary (the framing modern crawl
+    archives ship as — Common Crawl's current WARC distribution):
+    the same documents -> WARC serialization, then FRAME-PER-RECORD
+    Zstandard (warc.docs_to_warc_zst: libzstd bytes under
+    dompa_spark.zstdio's from-scratch RFC 8878 frame walk), then
+    parse_warc's transparent member inflation off the zstd magic and
+    the same Content-Length record walk. Lossless, so the recovered
+    records are byte-identical to the plain path and the oracle is
+    warc_roundtrip's template algebra verbatim — a framing bug in
+    EITHER the block-header walker or the per-frame decode fails the
+    per-record payload hash. zstdio.frame_spans; tests/test_zstd.py."""
+    from dompa_spark import warc
+
+    docs = _docs(spark, sf_dir)
+    recs = warc.parse_warc(warc.docs_to_warc_zst(docs))
+    return recs.select(
+        F.regexp_extract("url", r"/(?:doc|img)/(\d+)", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "warc_type",
+        "mime",
+        "http_status",
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+        F.sha2("payload", 256).alias("payload_sha"),
+    )
+
+
 def q_cdx_index(spark, sf_dir):
     """CDX capture index over plain WARC shards: one row per record
     with its BYTE OFFSET and LENGTH inside the shard (the seek map a
@@ -2435,6 +2463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "warc_roundtrip": q_warc_roundtrip,
         "warc_gz_roundtrip": q_warc_gz_roundtrip,
+        "warc_zst_roundtrip": q_warc_zst_roundtrip,
         "cdx_index": q_cdx_index,
         "cdx_lookup": q_cdx_lookup,
         "wet_roundtrip": q_wet_roundtrip,
@@ -7012,6 +7041,8 @@ def oracle_sql() -> dict[str, str]:
     # members), so it shares the plain round-trip's template-algebra
     # oracle verbatim
     oracles["warc_gz_roundtrip"] = oracles["warc_roundtrip"]
+    # warc_zst_roundtrip: lossless framing, same algebra verbatim
+    oracles["warc_zst_roundtrip"] = oracles["warc_roundtrip"]
     # wds_roundtrip: one row per tar member — txt/json bytes predicted
     # exactly by template algebra (key = doc_id, canonical compact
     # JSON), png members by the closed-form fixture pixels through the

@@ -230,15 +230,24 @@ def _gz_member_spans(buf: bytes):
 
 
 def _index_shard(wid: int, buf: bytes):
-    """Yield CDX rows for one shard, plain or .warc.gz (dispatch on
-    the gzip magic). Offsets/lengths are byte-true for the shard AS
-    STORED: member spans for gz, Content-Length-framed record spans
-    for plain — fetch_record(shard, offset, length) returns exactly
-    the indexed record either way."""
+    """Yield CDX rows for one shard — plain, .warc.gz, or .warc.zst
+    (dispatch on the gzip / zstd magic). Offsets/lengths are
+    byte-true for the shard AS STORED: gzip member spans, zstd frame
+    spans (the from-scratch RFC 8878 block-header walk), or
+    Content-Length-framed record spans for plain —
+    fetch_record(shard, offset, length) returns exactly the indexed
+    record in every case."""
     import hashlib
+
+    from . import zstdio
 
     if buf[:2] == GZIP_MAGIC:
         spans = _gz_member_spans(buf)
+    elif buf[:4] == zstdio.ZSTD_MAGIC:
+        spans = (
+            (off, length, zstdio.decompress_frame(buf[off : off + length]))
+            for off, length, _ in zstdio.frame_spans(buf)
+        )
     else:
         spans = (
             (start, end - start, buf[start:end])
@@ -323,6 +332,13 @@ def fetch_record(shard: bytes, offset: int, length: int):
             return None
         if not d.eof:
             return None
+    elif span[:4] == b"\x28\xb5\x2f\xfd":  # zstd frame magic
+        from . import zstdio
+
+        try:
+            span = zstdio.decompress_frame(span)
+        except Exception:
+            return None  # wrong offset / garbled frame, never guess
     return _record_fields(span)
 
 

@@ -73,8 +73,9 @@ def main(argv=None) -> int:
     if args.input_format == "binary":
         shards = (
             spark.read.format("binaryFile")
-            # *.warc and *.warc.gz both match; parse_warc inflates
-            # member-per-record gzip transparently off the magic
+            # *.warc, *.warc.gz, and *.warc.zst all match; parse_warc
+            # inflates member-per-record gzip / frame-per-record zstd
+            # transparently off the magic
             .option("pathGlobFilter", "*.warc*")
             .load(args.input)
             .select(

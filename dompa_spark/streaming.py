@@ -130,8 +130,9 @@ def cdx_index_stream(
     max_files_per_trigger: int = 8,
 ):
     """Stream CDX indexing: WARC shards land as (warc_id, content)
-    parquet drops -> cdx.cdx_index's byte-walk kernel (plain or
-    member-per-record .warc.gz, dispatch on the magic) -> parquet
+    parquet drops -> cdx.cdx_index's byte-walk kernel (plain,
+    member-per-record .warc.gz, or frame-per-record .warc.zst —
+    dispatch on the magic) -> parquet
     index sink. The 'index each shard once, as it arrives' form of
     the publish job's batch pass: a crawl appends shards continuously
     and the capture index stays current without ever re-walking old
