@@ -1010,6 +1010,34 @@ def q_warc_zst_roundtrip(spark, sf_dir):
     )
 
 
+def q_warc_http_decode(spark, sf_dir):
+    """HTTP entity decoding at the ingestion boundary: WARC stores
+    response bodies AS DELIVERED, so the coded fixture
+    (warc.docs_to_warc_http_coded) stores each entity per doc_id % 5
+    as identity / chunked / gzip / gzip-under-chunked / zstd, and
+    parse_warc's _http_decode_body must recover payload bytes
+    IDENTICAL to the plain path for every variant — any de-chunk or
+    decompress slip fails that record's payload hash. Oracle =
+    warc_roundtrip's template algebra verbatim (the decode is exact,
+    not best-effort); the non-vacuousness of the coded framings is
+    pytest-pinned (tests/test_http_coding.py asserts the stored
+    shards really carry chunked/gzip/zstd headers and magics)."""
+    from dompa_spark import warc
+
+    docs = _docs(spark, sf_dir)
+    recs = warc.parse_warc(warc.docs_to_warc_http_coded(docs))
+    return recs.select(
+        F.regexp_extract("url", r"/(?:doc|img)/(\d+)", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "warc_type",
+        "mime",
+        "http_status",
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+        F.sha2("payload", 256).alias("payload_sha"),
+    )
+
+
 def q_cdx_index(spark, sf_dir):
     """CDX capture index over plain WARC shards: one row per record
     with its BYTE OFFSET and LENGTH inside the shard (the seek map a
@@ -2464,6 +2492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip": q_warc_roundtrip,
         "warc_gz_roundtrip": q_warc_gz_roundtrip,
         "warc_zst_roundtrip": q_warc_zst_roundtrip,
+        "warc_http_decode": q_warc_http_decode,
         "cdx_index": q_cdx_index,
         "cdx_lookup": q_cdx_lookup,
         "wet_roundtrip": q_wet_roundtrip,
@@ -7043,6 +7072,9 @@ def oracle_sql() -> dict[str, str]:
     oracles["warc_gz_roundtrip"] = oracles["warc_roundtrip"]
     # warc_zst_roundtrip: lossless framing, same algebra verbatim
     oracles["warc_zst_roundtrip"] = oracles["warc_roundtrip"]
+    # warc_http_decode: the transfer/content decode is exact, so the
+    # recovered payloads equal the plain path's — same algebra
+    oracles["warc_http_decode"] = oracles["warc_roundtrip"]
     # wds_roundtrip: one row per tar member — txt/json bytes predicted
     # exactly by template algebra (key = doc_id, canonical compact
     # JSON), png members by the closed-form fixture pixels through the

@@ -35,6 +35,7 @@ record.
 
 from __future__ import annotations
 
+import re
 from typing import Iterator
 
 from pyspark.sql import Column, DataFrame
@@ -51,6 +52,8 @@ from pyspark.sql.types import (
 from . import zstdio
 
 CRLF = "\r\n"
+# fixture doc ids ride the /doc/<n> (or /img/<n>) URL path segment
+_DOC_ID_RE = re.compile(r"/(?:doc|img)/(\d+)")
 # fixed by design: a deterministic archive (same input -> same bytes)
 # is what makes the byte-level oracle and exact resume possible.
 WARC_DATE = "2024-01-01T00:00:00Z"
@@ -434,6 +437,120 @@ def docs_to_warc_zst(
     return plain.mapInPandas(_iter, schema="warc_id long, content binary")
 
 
+def _http_encode_variant(payload: bytes, variant: int, chunk: int):
+    """(extra HTTP headers, coded body) for one response entity —
+    the AS-DELIVERED framings a real server uses. Variants:
+    0 identity (untouched), 1 chunked, 2 gzip, 3 gzip content-coding
+    under chunked transfer-coding (the common modern pairing),
+    4 zstd. Deterministic: zlib writes gzip mtime 0, libzstd at a
+    fixed level."""
+    import zlib
+
+    hdrs: list[tuple[str, str]] = []
+    body = payload
+    if variant in (2, 3):
+        c = zlib.compressobj(6, zlib.DEFLATED, 31)
+        body = c.compress(body) + c.flush()
+        hdrs.append(("Content-Encoding", "gzip"))
+    elif variant == 4:
+        body = zstdio.compress_frame(body)
+        hdrs.append(("Content-Encoding", "zstd"))
+    if variant in (1, 3):
+        out = bytearray()
+        for i in range(0, len(body), chunk):
+            piece = body[i : i + chunk]
+            out += format(len(piece), "x").encode() + b"\r\n"
+            out += piece + b"\r\n"
+        out += b"0\r\n\r\n"
+        body = bytes(out)
+        hdrs.append(("Transfer-Encoding", "chunked"))
+    return hdrs, body
+
+
+def _reframe_http_record(rec: bytes, variant: int, chunk: int) -> bytes:
+    """Re-frame ONE WARC record's HTTP entity per variant: the entity
+    body is coded, the coding headers join the HTTP block (HTTP
+    Content-Length updated — and DROPPED under chunked, per RFC
+    9112), and the WARC Content-Length re-counts the new block.
+    Non-response records and variant 0 pass through untouched."""
+    if variant == 0:
+        return rec
+    hdr_end = rec.find(b"\r\n\r\n")
+    warc_hdr = rec[:hdr_end]
+    _, fields = _parse_headers(warc_hdr)
+    clen = int(fields["content-length"])
+    body = rec[hdr_end + 4 : hdr_end + 4 + clen]
+    tail = rec[hdr_end + 4 + clen :]
+    if fields.get("warc-type") != "response" or not (
+        fields.get("content-type") or ""
+    ).startswith("application/http"):
+        return rec
+    he = body.find(b"\r\n\r\n")
+    if he < 0:
+        return rec
+    payload = body[he + 4 :]
+    extra, coded = _http_encode_variant(payload, variant, chunk)
+    chunked = any(k == "Transfer-Encoding" for k, _ in extra)
+    lines = [
+        ln
+        for ln in body[:he].split(b"\r\n")
+        if not ln.lower().startswith(b"content-length:")
+    ]
+    if not chunked:
+        lines.append(b"Content-Length: %d" % len(coded))
+    lines += [f"{k}: {v}".encode() for k, v in extra]
+    new_http = b"\r\n".join(lines) + b"\r\n\r\n" + coded
+    out_hdr = []
+    for ln in warc_hdr.split(b"\r\n"):
+        if ln.lower().startswith(b"content-length:"):
+            ln = b"Content-Length: %d" % len(new_http)
+        out_hdr.append(ln)
+    return b"\r\n".join(out_hdr) + b"\r\n\r\n" + new_http + tail
+
+
+def docs_to_warc_http_coded(
+    docs: DataFrame,
+    docs_per_shard: int = DOCS_PER_SHARD,
+    media_every: int = MEDIA_EVERY,
+    chunk: int = 7,
+) -> DataFrame:
+    """docs_to_warc with each response entity stored AS A REAL SERVER
+    DELIVERS IT, cycling doc_id % 5 over identity / chunked / gzip /
+    gzip+chunked / zstd (_http_encode_variant). parse_warc must
+    recover payload bytes IDENTICAL to the plain path for every
+    variant — the Transfer-/Content-Encoding decode contract a crawl
+    ingest lives or dies by. Arrow kernel over the plain writer's
+    shards (byte re-framing only; deterministic codings, so the
+    archive stays byte-stable)."""
+    import pandas as pd
+
+    plain = docs_to_warc(docs, docs_per_shard, media_every)
+
+    def _iter(batches: Iterator["pd.DataFrame"]):
+        for pdf in batches:
+            out = []
+            for content in pdf["content"]:
+                buf = bytes(content)
+                parts = []
+                for start, end in _record_spans(buf):
+                    rec = buf[start:end]
+                    _, fields = _parse_headers(
+                        rec[: rec.find(b"\r\n\r\n")]
+                    )
+                    url = fields.get("warc-target-uri") or ""
+                    m = _DOC_ID_RE.search(url)
+                    variant = int(m.group(1)) % 5 if m else 0
+                    parts.append(
+                        _reframe_http_record(rec, variant, chunk)
+                    )
+                out.append(b"".join(parts))
+            yield pd.DataFrame(
+                {"warc_id": pdf["warc_id"], "content": out}
+            )
+
+    return plain.mapInPandas(_iter, schema="warc_id long, content binary")
+
+
 def docs_to_warc_gz(
     docs: DataFrame,
     docs_per_shard: int = DOCS_PER_SHARD,
@@ -490,11 +607,99 @@ def _parse_headers(block: bytes) -> tuple[str, dict]:
     return lines[0], fields
 
 
+def _dechunk(body: bytes):
+    """RFC 9112 chunked transfer decoding: hex-size lines (chunk
+    extensions tolerated), CRLF-framed chunk data, a zero-size final
+    chunk (trailer section ignored). Returns the joined chunk data,
+    or None when the framing is malformed or truncated — the caller
+    falls back to the stored bytes (archival leniency: never drop or
+    invent bytes over a bad envelope)."""
+    out = bytearray()
+    pos = 0
+    n = len(body)
+    while True:
+        eol = body.find(b"\r\n", pos)
+        if eol < 0:
+            return None
+        size_tok = body[pos:eol].split(b";", 1)[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            return None
+        pos = eol + 2
+        if size == 0:
+            return bytes(out)
+        if pos + size + 2 > n:
+            return None
+        out += body[pos : pos + size]
+        if body[pos + size : pos + size + 2] != b"\r\n":
+            return None
+        pos += size + 2
+
+
+def _http_decode_body(hfields: dict, body: bytes) -> bytes:
+    """Transfer-Encoding + Content-Encoding decode of one archived
+    HTTP entity body: WARC stores responses AS DELIVERED, so a crawl
+    pipeline must de-chunk and decompress before any text processing
+    (charset sniffing over a gzip body detects garbage). Codings
+    handled: chunked (the final transfer coding per RFC 9112),
+    gzip/x-gzip, deflate (zlib-wrapped with a raw-DEFLATE retry — the
+    historical server ambiguity), and zstd frames that declare their
+    content size. Brotli ('br') falls back to the stored bytes — the
+    only brotli in this environment (pyarrow) cannot decode without a
+    known output size. Every malformed coding ALSO falls back to the
+    stored bytes whole: downstream extraction then yields empty text
+    for that capture instead of the pipeline crashing, and no byte is
+    ever invented. (CDX payload digests stay over the STORED bytes —
+    the index describes the archive, not the decoded view.)"""
+    te = (hfields.get("transfer-encoding") or "").lower()
+    if "chunked" in te:
+        dechunked = _dechunk(body)
+        if dechunked is None:
+            return body
+        body = dechunked
+    ce = (hfields.get("content-encoding") or "").strip().lower()
+    if not ce or ce == "identity":
+        return body
+    import zlib
+
+    data = body
+    # codings were applied left-to-right; decode in reverse
+    for coding in reversed(
+        [c.strip() for c in ce.split(",") if c.strip()]
+    ):
+        if coding in ("gzip", "x-gzip"):
+            try:
+                data = zlib.decompress(data, 47)
+            except zlib.error:
+                return body
+        elif coding == "deflate":
+            try:
+                data = zlib.decompress(data, 15)
+            except zlib.error:
+                try:
+                    data = zlib.decompress(data, -15)
+                except zlib.error:
+                    return body
+        elif coding == "zstd":
+            try:
+                data = zstdio.decompress_frame(data)
+            except Exception:
+                return body
+        elif coding == "identity":
+            continue
+        else:  # br and unknown codings: no decoder here — keep stored
+            return body
+    return data
+
+
 def _parse_shard(wid, buf: bytes):
     """Yield (warc_id, rec_idx, type, url, mime, status, payload) per
     record. Framing by Content-Length ONLY; stops at the first
     truncated or non-WARC byte run (partial shards surface what they
-    carry — the resume-side contract)."""
+    carry — the resume-side contract). Response payloads are
+    transfer- and content-decoded (_http_decode_body) so every
+    consumer sees entity bytes, not wire bytes."""
     pos, idx = 0, 0
     n = len(buf)
     while pos < n:
@@ -531,7 +736,7 @@ def _parse_shard(wid, buf: bytes):
                     status = int(toks[1])
                 mime = hfields.get("content-type", mime)
                 location = hfields.get("location")
-                payload = body[he + 4 :]
+                payload = _http_decode_body(hfields, body[he + 4 :])
         yield (wid, idx, wtype, url, mime, status, location, payload)
         idx += 1
 
