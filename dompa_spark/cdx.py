@@ -243,7 +243,7 @@ def _index_shard(wid: int, buf: bytes):
 
     if buf[:2] == GZIP_MAGIC:
         spans = _gz_member_spans(buf)
-    elif buf[:4] == zstdio.ZSTD_MAGIC:
+    elif zstdio.looks_like_zstd(buf):
         spans = (
             (off, length, zstdio.decompress_frame(buf[off : off + length]))
             for off, length, _ in zstdio.frame_spans(buf)
@@ -332,13 +332,14 @@ def fetch_record(shard: bytes, offset: int, length: int):
             return None
         if not d.eof:
             return None
-    elif span[:4] == b"\x28\xb5\x2f\xfd":  # zstd frame magic
+    else:
         from . import zstdio
 
-        try:
-            span = zstdio.decompress_frame(span)
-        except Exception:
-            return None  # wrong offset / garbled frame, never guess
+        if span[:4] == zstdio.ZSTD_MAGIC:
+            try:
+                span = zstdio.decompress_frame(span)
+            except Exception:
+                return None  # wrong offset / garbled frame, never guess
     return _record_fields(span)
 
 

@@ -850,16 +850,6 @@ def table_files(
     return [d["path"] for d in data]
 
 
-def _norm_path(p: str) -> str:
-    """Manifest file_paths are plain paths or file: URIs; Spark's
-    _metadata.file_path is always a file: URI — normalize both."""
-    if p.startswith("file://"):
-        return p[7:]
-    if p.startswith("file:"):
-        return p[5:]
-    return p
-
-
 def _field_names(meta: dict, ids: list[int]) -> list[str]:
     sid = meta.get("current-schema-id", 0)
     schema = next(
@@ -892,50 +882,58 @@ def scan_table(
     keys) when the delete's sequence number is STRICTLY greater — an
     equality delete never touches rows appended with or after it.
     Row positions come from Spark's parquet `_metadata.row_index`, so
-    position matching costs no extra scan; per-file data sequence
-    numbers join in from a broadcast (file -> seq) map. Each delete
-    set applies as one broadcast LEFT ANTI hash join — delete files
-    are metadata-scale next to the data (the spec's design point), and
-    unprobed data columns still prune at the scan."""
+    position matching costs no extra scan. Per-file data sequence
+    numbers attach as LITERALS on per-sequence-group scans (a
+    snapshot has few distinct sequences), never via a path-keyed
+    join: Spark's `_metadata.file_path` is a percent-encoded URI
+    while manifests store raw paths, so string-matching full paths
+    would silently drop every row of a file whose path needs
+    encoding. Positional matching keys on the file NAME + row
+    position — engine-written parquet names are UUID-unique by
+    construction and contain no URI-encodable characters, so the
+    name is representation-immune across manifest paths, delete-file
+    paths, and Spark's URIs. Each delete set applies as one
+    broadcast LEFT ANTI hash join — delete files are metadata-scale
+    next to the data (the spec's design point), and unprobed data
+    columns still prune at the scan."""
     meta, data, pos_del, eq_del = _plan(
         location, snapshot_id, partition_filter
     )
     if not data:
         raise ValueError("iceberg: snapshot selects no data files")
-    df = spark.read.parquet(*[d["path"] for d in data])
     if not pos_del and not eq_del:
-        return df
+        return spark.read.parquet(*[d["path"] for d in data])
     from pyspark.sql import functions as F
 
-    out_cols = df.columns
-    seq_df = spark.createDataFrame(
-        [(_norm_path(d["path"]), d["seq"]) for d in data],
-        "_ice_path string, _ice_seq long",
+    by_seq: dict[int, list[str]] = {}
+    for d in data:
+        by_seq.setdefault(d["seq"], []).append(d["path"])
+    fname = F.element_at(
+        F.split(F.col("_metadata.file_path"), "/"), -1
     )
-    df = (
-        df.withColumn(
-            "_ice_path",
-            F.regexp_replace(
-                F.col("_metadata.file_path"), "^file:(//)?", ""
-            ),
+    df = None
+    for seq, fps in sorted(by_seq.items()):
+        one = (
+            spark.read.parquet(*fps)
+            .withColumn("_ice_name", fname)
+            .withColumn("_ice_pos", F.col("_metadata.row_index"))
+            .withColumn("_ice_seq", F.lit(seq).cast("long"))
         )
-        .withColumn("_ice_pos", F.col("_metadata.row_index"))
-        .join(F.broadcast(seq_df), "_ice_path")
-    )
+        df = one if df is None else df.unionByName(one)
+    out_cols = [c for c in df.columns if not c.startswith("_ice_")]
     if pos_del:
         dels = None
         for pd_ in pos_del:
             one = spark.read.parquet(pd_["path"]).select(
-                F.regexp_replace(
-                    F.col("file_path"), "^file:(//)?", ""
-                ).alias("_d_path"),
+                F.element_at(F.split(F.col("file_path"), "/"), -1)
+                .alias("_d_name"),
                 F.col("pos").cast("long").alias("_d_pos"),
                 F.lit(pd_["seq"]).cast("long").alias("_d_seq"),
             )
             dels = one if dels is None else dels.unionByName(one)
         df = df.join(
             F.broadcast(dels),
-            (F.col("_ice_path") == F.col("_d_path"))
+            (F.col("_ice_name") == F.col("_d_name"))
             & (F.col("_ice_pos") == F.col("_d_pos"))
             & (F.col("_d_seq") >= F.col("_ice_seq")),
             "left_anti",
@@ -973,6 +971,12 @@ def commit_position_deletes(
     scan_table applies it at read time (merge-on-read)."""
     if not deletes:
         raise ValueError("iceberg: empty positional delete commit")
+    try:  # validate BEFORE writing — no orphan delete dirs on refusal
+        _latest_metadata(location)
+    except (ValueError, FileNotFoundError):
+        raise ValueError(
+            "iceberg: delete commit needs an existing table"
+        ) from None
     _, _, _, snap_id = _next_ids(location)
     fpath = _write_delete_parquet(
         spark,
@@ -1012,7 +1016,12 @@ def commit_equality_deletes(
     is deleted. Field names resolve to table-schema field ids for the
     manifest's equality_ids, per spec. Metadata-only next to the data;
     scan_table applies it at read time (merge-on-read)."""
-    _, meta = _latest_metadata(location)
+    try:  # validate BEFORE writing — no orphan delete dirs on refusal
+        _, meta = _latest_metadata(location)
+    except (ValueError, FileNotFoundError):
+        raise ValueError(
+            "iceberg: delete commit needs an existing table"
+        ) from None
     sid = meta.get("current-schema-id", 0)
     schema = next(
         s for s in meta["schemas"] if s.get("schema-id", 0) == sid
@@ -1025,7 +1034,14 @@ def commit_equality_deletes(
             f"iceberg: equality column {e} not in table schema"
         ) from None
     _, _, _, snap_id = _next_ids(location)
-    dedup = rows.select(*eq_cols).dropDuplicates()
+    # sort for byte-stable delete files (the positional path sorts
+    # its pairs too) — dropDuplicates alone leaves shuffle order
+    dedup = (
+        rows.select(*eq_cols)
+        .dropDuplicates()
+        .coalesce(1)
+        .sortWithinPartitions(*eq_cols)
+    )
     fpath = _write_delete_parquet(spark, location, snap_id, dedup)
     import pyarrow.parquet as pq
 

@@ -622,10 +622,14 @@ def _dechunk(body: bytes):
         if eol < 0:
             return None
         size_tok = body[pos:eol].split(b";", 1)[0].strip()
-        try:
-            size = int(size_tok, 16)
-        except ValueError:
+        # strict hex only: int(tok, 16) would also accept '+', '-',
+        # '0x' prefixes and '_' separators, turning malformed framing
+        # into silently wrong bytes instead of the None fallback
+        if not size_tok or any(
+            c not in b"0123456789abcdefABCDEF" for c in size_tok
+        ):
             return None
+        size = int(size_tok, 16)
         pos = eol + 2
         if size == 0:
             return bytes(out)
@@ -665,14 +669,31 @@ def _http_decode_body(hfields: dict, body: bytes) -> bytes:
 
     data = body
     # codings were applied left-to-right; decode in reverse
+    def _gunzip_all(z: bytes):
+        # a gzip entity may be several concatenated members (RFC
+        # 1952; flushing servers and proxies produce them, browsers
+        # decode them) — zlib.decompress(z, 47) would silently stop
+        # after the FIRST member, truncating the entity
+        out = bytearray()
+        while z:
+            d = zlib.decompressobj(47)
+            try:
+                out += d.decompress(z) + d.flush()
+            except zlib.error:
+                return None
+            if not d.eof:
+                return None
+            z = d.unused_data
+        return bytes(out)
+
     for coding in reversed(
         [c.strip() for c in ce.split(",") if c.strip()]
     ):
         if coding in ("gzip", "x-gzip"):
-            try:
-                data = zlib.decompress(data, 47)
-            except zlib.error:
+            full = _gunzip_all(data)
+            if full is None:
                 return body
+            data = full
         elif coding == "deflate":
             try:
                 data = zlib.decompress(data, 15)
@@ -761,7 +782,7 @@ def parse_warc(shards: DataFrame) -> DataFrame:
                 content = bytes(content)
                 if content[:2] == GZIP_MAGIC:
                     content = gunzip_members(content)
-                elif content[:4] == zstdio.ZSTD_MAGIC:
+                elif zstdio.looks_like_zstd(content):
                     content = zstdio.unzstd_members(content)
                 rows.extend(_parse_shard(int(wid), content))
             yield pd.DataFrame(rows, columns=cols)

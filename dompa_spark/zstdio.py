@@ -68,6 +68,23 @@ def _codec(level: int | None = None):
     return pa.Codec("zstd", compression_level=level)
 
 
+def looks_like_zstd(buf: bytes) -> bool:
+    """Format dispatch for a shard: a .warc.zst stream may open with
+    a SKIPPABLE frame rather than a data frame (Common Crawl's layout
+    leads with a skippable dictionary frame), so dispatching on the
+    data magic alone would misroute such shards to the plain parser
+    and silently yield zero records. Skippable-first shards route
+    here and then either hop the frame (no dictionary referenced) or
+    refuse loudly at decompress (dictionary frames are unsupported) —
+    never a silent empty parse."""
+    if buf[:4] == ZSTD_MAGIC:
+        return True
+    if len(buf) >= 4:
+        magic = int.from_bytes(buf[:4], "little")
+        return _SKIPPABLE_LOW <= magic <= _SKIPPABLE_HIGH
+    return False
+
+
 def compress_frame(data: bytes, level: int | None = None) -> bytes:
     """One complete zstd frame for `data` (libzstd always writes the
     frame-content-size field, which decompress_frame requires)."""

@@ -175,3 +175,43 @@ def test_coded_fixture_deterministic(spark, docs):
         for r in warc.docs_to_warc_http_coded(docs).collect()
     }
     assert a == b
+
+
+def test_multi_member_gzip_entity_decodes_fully():
+    """A gzip entity of several concatenated members (RFC 1952) must
+    decode ALL members — zlib.decompress(data, 47) alone would stop
+    silently after the first."""
+    import zlib as _z
+
+    def gz(b):
+        c = _z.compressobj(6, _z.DEFLATED, 31)
+        return c.compress(b) + c.flush()
+
+    a, b = b"first member " * 10, b"second member " * 10
+    got = warc._http_decode_body(
+        {"content-encoding": "gzip"}, gz(a) + gz(b)
+    )
+    assert got == a + b
+    # member + trailing garbage: fallback keeps stored bytes whole
+    stored = gz(a) + b"trailing garbage"
+    assert warc._http_decode_body(
+        {"content-encoding": "gzip"}, stored
+    ) == stored
+
+
+def test_dechunk_rejects_lenient_hex_forms():
+    """int(tok, 16) leniency ('+', '-', '0x', '_') must NOT be
+    accepted as chunk sizes — each of these is malformed framing and
+    returns None (stored bytes kept), never wrong bytes."""
+    for bad in (
+        b"+0\r\n\r\n",
+        b"-2\r\n0\r\n\r\n",
+        b"0x0\r\n\r\n",
+        b"0x3\r\nabc\r\n0\r\n\r\n",
+        b"1_0\r\n" + b"a" * 16 + b"\r\n0\r\n\r\n",
+        b" \r\n\r\n",
+    ):
+        assert warc._dechunk(bad) is None, bad
+    # plain uppercase hex stays fine
+    assert warc._dechunk(b"A\r\n" + b"x" * 10 + b"\r\n0\r\n\r\n") \
+        == b"x" * 10

@@ -347,3 +347,68 @@ def test_mixed_deletes_and_refusals(spark, tmp_path):
         ib.commit_position_deletes(
             spark, str(tmp_path / "missing"), [("f", 0)]
         )
+
+
+def test_deletes_survive_uri_encodable_table_paths(spark, tmp_path):
+    """Spark's _metadata.file_path is a PERCENT-ENCODED URI while
+    manifests store raw paths: a table under a path needing encoding
+    (a space) must still apply deletes without silently dropping any
+    data row — the basename+position matching pin."""
+    from pyspark.sql import functions as F
+
+    loc = str(tmp_path / "tbl with space")
+    docs = _docs(spark, [(i, f"t{i}", "en") for i in range(8)])
+    ib.write_table(docs, loc)
+    withpos = spark.read.parquet(*ib.table_files(loc)).select(
+        "doc_id",
+        F.col("_metadata.file_path").alias("p"),
+        F.col("_metadata.row_index").alias("pos"),
+    )
+    assert "%20" in withpos.first()["p"]  # the scenario is real
+    kill = [
+        (r["p"], r["pos"])
+        for r in withpos.filter(F.col("doc_id") == 1).collect()
+    ]
+    ib.commit_position_deletes(spark, loc, kill)
+    ib.commit_equality_deletes(
+        spark, loc, spark.createDataFrame([(5,)], "doc_id long"),
+        ["doc_id"],
+    )
+    got = sorted(
+        r["doc_id"] for r in ib.scan_table(spark, loc).collect()
+    )
+    assert got == [0, 2, 3, 4, 6, 7]  # nothing silently vanished
+
+
+def test_refused_delete_commit_leaves_no_orphan_dirs(spark, tmp_path):
+    missing = str(tmp_path / "never_a_table")
+    with pytest.raises(ValueError, match="existing table"):
+        ib.commit_position_deletes(spark, missing, [("f", 0)])
+    with pytest.raises(ValueError, match="existing table"):
+        ib.commit_equality_deletes(
+            spark, missing,
+            spark.createDataFrame([(1,)], "doc_id long"), ["doc_id"],
+        )
+    assert not os.path.exists(missing)  # no half-created skeleton
+
+
+def test_equality_delete_file_bytes_deterministic(spark, tmp_path):
+    """Delete files are part of the byte-stable fixture contract:
+    the same logical equality delete must produce identical parquet
+    bytes (sorted rows), like the positional path's sorted pairs."""
+    import glob
+
+    def build(where):
+        loc = str(where / "tbl")
+        docs = _docs(spark, [(i, f"t{i}", "en") for i in range(6)])
+        ib.write_table(docs, loc)
+        rows = spark.createDataFrame(
+            [(3,), (1,), (5,)], "doc_id long"
+        ).repartition(4)  # scramble partitioning on purpose
+        ib.commit_equality_deletes(spark, loc, rows, ["doc_id"])
+        (f,) = glob.glob(f"{loc}/data/snap-2/deletes/*.parquet")
+        return open(f, "rb").read()
+
+    a = build(tmp_path / "a")
+    b = build(tmp_path / "b")
+    assert a == b

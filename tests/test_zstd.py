@@ -198,3 +198,33 @@ def test_cdx_over_zst_offsets_seek_true(spark, docs):
     assert {key(r): r["digest"] for r in rows} == {
         key(r): r["digest"] for r in plain_rows
     }
+
+
+def test_skippable_first_shard_still_dispatches(spark, docs):
+    """Common Crawl's .warc.zst layout leads with a SKIPPABLE frame:
+    a shard whose first bytes are not the data magic must still route
+    to the zstd walk (looks_like_zstd), never silently parse as plain
+    WARC with zero records."""
+    import pandas as pd
+
+    skip = (0x184D2A50).to_bytes(4, "little") + (3).to_bytes(
+        4, "little"
+    ) + b"dic"
+    zst = warc.docs_to_warc_zst(docs, docs_per_shard=4, media_every=2)
+    rows = [
+        (int(r["warc_id"]), skip + bytes(r["content"]))
+        for r in zst.collect()
+    ]
+    shards = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["warc_id", "content"]),
+        "warc_id long, content binary",
+    )
+    parsed = warc.parse_warc(shards).collect()
+    plain = warc.parse_warc(
+        warc.docs_to_warc(docs, docs_per_shard=4, media_every=2)
+    ).collect()
+    assert len(parsed) == len(plain) > 0
+    # the CDX walk dispatches too
+    from dompa_spark import cdx
+
+    assert cdx.cdx_index(shards).count() == len(plain)
