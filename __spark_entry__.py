@@ -2350,6 +2350,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # split_holdout, user_paths, props_stats, length_quantiles,
 # normalize_text) whose underlying components ARE in the window, or
 # trivial deterministic splits; all ten stay parity-tested in-repo.
+#
+# Session-18 swap: the three headline additions of this session —
+# warc_zst_roundtrip (the .warc.zst frame walk), warc_http_decode
+# (transfer/content decoding of archived entities), iceberg_deletes
+# (v2 merge-on-read) — take the slots of three entries whose
+# correctness signal is least additive because their machinery is
+# already driver-covered by OTHER in-window entries: wav_near_dup
+# (same banded+salted pairer as in-window media_dhash, audio decode
+# driver-green in r2-r3 via wav_decode), sitemap_index (recursion
+# over r4-green sitemap_urls; in-window robots_sitemaps covers
+# discovery), graph_degrees (trivial aggregation over the SAME
+# templated graph as in-window link_graph_rank + graph_components).
+# All three stay parity-tested in-repo like everything else.
 _R5_DRIVER_WINDOW = [
     "extract_main_text",
     "parse_roundtrip",
@@ -2374,7 +2387,7 @@ _R5_DRIVER_WINDOW = [
     "semdedup",
     "warc_roundtrip",
     "media_dhash",
-    "wav_near_dup",
+    "warc_zst_roundtrip",
     "bloom_dedup",
     "corpus_diff",
     "extract_code",
@@ -2391,8 +2404,8 @@ _R5_DRIVER_WINDOW = [
     "graph_components",
     "embedding_stats",
     "feed_entries",
-    "sitemap_index",
-    "graph_degrees",
+    "warc_http_decode",
+    "iceberg_deletes",
     "bitext_mine",
     "robots_sitemaps",
     "recrawl_priority",
