@@ -1155,6 +1155,42 @@ def q_cdx_revisits(spark, sf_dir):
     )
 
 
+def q_cdx_rewrite(spark, sf_dir):
+    """Archive compaction by revisit rewriting — the ACTION the
+    cdx_revisits gauge points at: a two-crawl union archives into
+    WARC, cdx.rewrite_revisits keeps each payload-digest group's
+    earliest response capture and REWRITES every later one as a
+    spec-shaped `revisit` record (WARC-Profile
+    identical-payload-digest, Refers-To headers at the keeper, body
+    truncated to the HTTP response header), and the result parses
+    back through the ordinary record walk. Oracle: capture groups
+    are text groups (keeper = min doc_id — original crawl beats the
+    +100000 re-crawl); a kept response's payload is the html
+    template, a revisit's payload is the truncated HTTP head whose
+    bytes are closed-form (status line + Content-Type +
+    Content-Length: <octets of the html> + blank line); media and
+    warcinfo records pass through warc_roundtrip's algebra doubled.
+    cdx.rewrite_revisits; tests/test_cdx.py."""
+    from dompa_spark import cdx, warc
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "source")
+    recrawl = docs.withColumn(
+        "doc_id", (F.col("doc_id") + F.lit(100000)).cast("long")
+    )
+    shards = warc.docs_to_warc(docs.unionByName(recrawl))
+    recs = warc.parse_warc(cdx.rewrite_revisits(shards))
+    return recs.select(
+        F.regexp_extract("url", r"/(?:doc|img)/(\d+)", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "warc_type",
+        "mime",
+        "http_status",
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+        F.sha2("payload", 256).alias("payload_sha"),
+    )
+
+
 def q_redirect_resolve(spark, sf_dir):
     """Redirect-chain resolution over the capture index: the
     redirect-fixture archive carries one-hop 301s (/r/k -> /doc/k on
@@ -2511,6 +2547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wet_roundtrip": q_wet_roundtrip,
         "wat_roundtrip": q_wat_roundtrip,
         "cdx_revisits": q_cdx_revisits,
+        "cdx_rewrite": q_cdx_rewrite,
         "robots_crawl_delay": q_robots_crawl_delay,
         "politeness_budget": q_politeness_budget,
         "redirect_resolve": q_redirect_resolve,
@@ -5744,6 +5781,76 @@ def oracle_sql() -> dict[str, str]:
                              + length(CAST(clen AS VARCHAR)) + clen
                         ELSE 0 END AS BIGINT) AS saved_bytes
             FROM g
+        """,
+        # cdx_rewrite: the revisit REWRITE replayed in closed form —
+        # kept responses carry the html template, revisits carry the
+        # truncated HTTP head (status line + Content-Type +
+        # Content-Length: <octets> + blank line) under the record's
+        # own content type; media/warcinfo pass through the
+        # warc_roundtrip algebra doubled (100000 % 5 = 0, so the
+        # re-crawl's media ids hit the same doc_id % 5 residues)
+        "cdx_rewrite": f"""
+            WITH d AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     coalesce(text, '') AS t
+              FROM documents),
+            u AS (
+              SELECT doc_id, t FROM d
+              UNION ALL
+              SELECT doc_id + 100000, t FROM d),
+            h AS (
+              SELECT doc_id,
+                     '{textops_warc_pre}' || t ||
+                     '{textops_warc_post}' AS html,
+                     min(doc_id) OVER (
+                       PARTITION BY t) AS keeper
+              FROM u),
+            hh AS (
+              SELECT *,
+                     e'HTTP/1.1 200 OK\\r\\nContent-Type: ' ||
+                     e'text/html\\r\\nContent-Length: ' ||
+                     CAST(octet_length(encode(html)) AS VARCHAR) ||
+                     e'\\r\\n\\r\\n' AS head
+              FROM h),
+            resp AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id = keeper THEN 'response'
+                          ELSE 'revisit' END AS warc_type,
+                     CASE WHEN doc_id = keeper THEN 'text/html'
+                          ELSE 'application/http;msgtype=response'
+                          END AS mime,
+                     CASE WHEN doc_id = keeper
+                          THEN CAST(200 AS INTEGER)
+                          ELSE CAST(NULL AS INTEGER)
+                          END AS http_status,
+                     CAST(CASE WHEN doc_id = keeper
+                          THEN octet_length(encode(html))
+                          ELSE octet_length(encode(head))
+                          END AS BIGINT) AS n_bytes,
+                     CASE WHEN doc_id = keeper THEN sha256(html)
+                          ELSE sha256(head) END AS payload_sha
+              FROM hh),
+            res AS (
+              SELECT doc_id, 'resource' AS warc_type,
+                     'image/png' AS mime,
+                     CAST(NULL AS INTEGER) AS http_status,
+                     CAST(32 AS BIGINT) AS n_bytes,
+                     sha256(md5(doc_id::VARCHAR || ':png'))
+                       AS payload_sha
+              FROM u WHERE doc_id % {warc_media_every} = 0),
+            info AS (
+              SELECT CAST(NULL AS BIGINT) AS doc_id,
+                     'warcinfo' AS warc_type,
+                     'application/warc-fields' AS mime,
+                     CAST(NULL AS INTEGER) AS http_status,
+                     CAST(octet_length(encode(
+                       e'{warc_info_body_e}')) AS BIGINT) AS n_bytes,
+                     sha256(e'{warc_info_body_e}') AS payload_sha
+              FROM (SELECT DISTINCT doc_id // {warc_docs_per_shard}
+                    FROM u))
+            SELECT * FROM resp
+            UNION ALL SELECT * FROM res
+            UNION ALL SELECT * FROM info
         """,
         # wat_roundtrip: the canonical WAT-subset JSON reconstructed
         # byte-for-byte — the boiler template's title is 'T' and its

@@ -483,6 +483,153 @@ def revisit_candidates(index: DataFrame) -> DataFrame:
     )
 
 
+REVISIT_PROFILE = (
+    "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest"
+)
+
+
+def _ts14_to_iso(ts: str | None) -> str | None:
+    if not ts or len(ts) != 14:
+        return None
+    return (
+        f"{ts[0:4]}-{ts[4:6]}-{ts[6:8]}"
+        f"T{ts[8:10]}:{ts[10:12]}:{ts[12:14]}Z"
+    )
+
+
+def _revisit_record(
+    rec: bytes, digest: str, keeper_url: str, keeper_ts: str | None
+) -> bytes:
+    """Rewrite ONE framed response record as a spec-shaped `revisit`
+    record: WARC-Type flips, WARC-Profile identical-payload-digest +
+    WARC-Refers-To-Target-URI/-Date + WARC-Payload-Digest headers
+    join the block, and the body truncates to the HTTP response
+    HEADER (through its blank line — the spec's revisit block), with
+    the WARC Content-Length re-counted. All other headers keep their
+    bytes and order."""
+    hdr_end = rec.find(b"\r\n\r\n")
+    _, fields = warc._parse_headers(rec[:hdr_end])
+    clen = int(fields.get("content-length", "0"))
+    body = rec[hdr_end + 4 : hdr_end + 4 + clen]
+    tail = rec[hdr_end + 4 + clen :]
+    he = body.find(b"\r\n\r\n")
+    new_body = body[: he + 4] if he >= 0 else b""
+    extra = [
+        b"WARC-Profile: " + REVISIT_PROFILE.encode(),
+        b"WARC-Payload-Digest: sha256:" + digest.encode(),
+        b"WARC-Refers-To-Target-URI: " + keeper_url.encode(),
+    ]
+    iso = _ts14_to_iso(keeper_ts)
+    if iso:
+        extra.append(b"WARC-Refers-To-Date: " + iso.encode())
+    out = []
+    for ln in rec[:hdr_end].split(b"\r\n"):
+        low = ln.lower()
+        if low.startswith(b"warc-type:"):
+            out.append(b"WARC-Type: revisit")
+            out.extend(extra)
+        elif low.startswith(b"content-length:"):
+            out.append(b"Content-Length: %d" % len(new_body))
+        else:
+            out.append(ln)
+    return b"\r\n".join(out) + b"\r\n\r\n" + new_body + tail
+
+
+def rewrite_revisits(shards: DataFrame) -> DataFrame:
+    """Archive compaction by revisit rewriting — the ACTION that
+    revisit_candidates gauges (the Common Crawl dedup): re-index the
+    shards, keep each payload-digest group's EARLIEST response
+    capture intact, and rewrite every later one as a `revisit`
+    record pointing at the keeper (_revisit_record). Returns
+    (warc_id, content) shards in the SAME framing family they
+    arrived in (plain / .warc.gz / .warc.zst — members re-encode at
+    the writers' default levels), still parseable, indexable, and
+    seekable; non-response records (media resources, warcinfo,
+    redirects) pass through untouched.
+
+    Scale shape: the verdict set is revisit-cardinality slim — one
+    groupBy(min-struct) on the digest (window-free, map-side
+    combinable), one equi-join back, then collect_list groups the
+    few verdict rows per shard id for one slim equi-join against the
+    shard bytes; the byte rewrite runs in the per-shard Arrow
+    kernel. Kept payload bytes are never shuffled a second time."""
+    import pandas as pd
+
+    idx = cdx_index(shards)
+    resp = idx.filter(F.col("warc_type") == "response").select(
+        "warc_id", "rec_idx", "url", "ts", "digest"
+    )
+    keep = resp.groupBy("digest").agg(
+        F.min(F.struct("warc_id", "rec_idx", "url", "ts")).alias("k")
+    )
+    verd = (
+        resp.join(keep, "digest")
+        .filter(
+            (F.col("warc_id") != F.col("k.warc_id"))
+            | (F.col("rec_idx") != F.col("k.rec_idx"))
+        )
+        .select(
+            "warc_id",
+            F.struct(
+                "rec_idx",
+                "digest",
+                F.col("k.url").alias("keeper_url"),
+                F.col("k.ts").alias("keeper_ts"),
+            ).alias("v"),
+        )
+        .groupBy("warc_id")
+        .agg(F.collect_list("v").alias("rv"))
+    )
+
+    def _rewrite(batches: Iterator["pd.DataFrame"]):
+        from . import zstdio
+
+        for pdf in batches:
+            out = []
+            for content, rv in zip(pdf["content"], pdf["rv"]):
+                buf = bytes(content)
+                if rv is None or len(rv) == 0:
+                    out.append(buf)
+                    continue
+                fmt = "plain"
+                if buf[:2] == GZIP_MAGIC:
+                    fmt, buf = "gz", warc.gunzip_members(buf)
+                elif zstdio.looks_like_zstd(buf):
+                    fmt, buf = "zst", zstdio.unzstd_members(buf)
+                by_idx = {
+                    int(v["rec_idx"]): v for v in rv
+                }
+                parts = []
+                for i, (start, end) in enumerate(
+                    warc._record_spans(buf)
+                ):
+                    rec = buf[start:end]
+                    v = by_idx.get(i)
+                    if v is not None:
+                        rec = _revisit_record(
+                            rec,
+                            v["digest"],
+                            v["keeper_url"],
+                            v["keeper_ts"],
+                        )
+                    parts.append(rec)
+                plain = b"".join(parts)
+                if fmt == "gz":
+                    out.append(warc.gzip_shard(plain))
+                elif fmt == "zst":
+                    out.append(zstdio.zstd_shard(plain))
+                else:
+                    out.append(plain)
+            yield pd.DataFrame(
+                {"warc_id": pdf["warc_id"], "content": out}
+            )
+
+    joined = shards.join(verd, "warc_id", "left")
+    return joined.mapInPandas(
+        _rewrite, schema="warc_id long, content binary"
+    )
+
+
 # ---------------------------------------------------------------------------
 # WET export
 

@@ -884,3 +884,114 @@ def test_surt_differential_fuzz(spark):
     }
     for u in urls:
         assert got[u] == _surt_py(u), u
+
+
+# --- revisit rewriting -----------------------------------------------------
+
+
+def test_rewrite_revisits_headers_and_truncation(spark, docs):
+    """Duplicate captures rewrite as spec-shaped revisit records:
+    WARC-Type flips, Profile/Refers-To/Payload-Digest headers join,
+    the body truncates to the HTTP head, and the shard stays
+    parseable + indexable and SHRINKS."""
+    from pyspark.sql import functions as F
+
+    from dompa_spark import cdx as _cdx
+
+    two = docs.unionByName(
+        docs.withColumn(
+            "doc_id", (F.col("doc_id") + F.lit(100000)).cast("long")
+        )
+    )
+    shards = warc.docs_to_warc(two, docs_per_shard=4, media_every=2)
+    before = {r["warc_id"]: bytes(r["content"]) for r in shards.collect()}
+    out = _cdx.rewrite_revisits(shards)
+    after = {r["warc_id"]: bytes(r["content"]) for r in out.collect()}
+    assert after.keys() == before.keys()
+    blob = b"".join(after.values())
+    assert b"WARC-Type: revisit" in blob
+    assert _cdx.REVISIT_PROFILE.encode() in blob
+    assert b"WARC-Refers-To-Target-URI: " in blob
+    assert b"WARC-Payload-Digest: sha256:" in blob
+    # shrinkage: the ~200-byte revisit headers only pay off when the
+    # deduped payload is bigger than that — assert on a realistically
+    # sized payload (the module fixture's texts are tiny, where a
+    # rewrite legitimately GROWS the record)
+    big = spark.createDataFrame(
+        [(0, "lorem ipsum " * 500, "srcA"), (1, "lorem ipsum " * 500, "srcA")],
+        "doc_id long, text string, source string",
+    )
+    big_shards = warc.docs_to_warc(big, docs_per_shard=4, media_every=2)
+    big_before = sum(
+        len(bytes(r["content"])) for r in big_shards.collect()
+    )
+    big_after = sum(
+        len(bytes(r["content"]))
+        for r in _cdx.rewrite_revisits(big_shards).collect()
+    )
+    assert big_after < big_before
+    # rewritten shards still parse and index; responses+revisits
+    # partition the original response set
+    recs = warc.parse_warc(out).collect()
+    kinds = {}
+    for r in recs:
+        kinds[r["warc_type"]] = kinds.get(r["warc_type"], 0) + 1
+    plain_recs = warc.parse_warc(shards).collect()
+    n_resp_before = sum(
+        1 for r in plain_recs if r["warc_type"] == "response"
+    )
+    assert kinds["response"] + kinds["revisit"] == n_resp_before
+    assert kinds["revisit"] > 0
+    idx = _cdx.cdx_index(out)
+    assert idx.filter(F.col("warc_type") == "revisit").count() == \
+        kinds["revisit"]
+    # a revisit's payload is the HTTP head (starts with the status
+    # line, ends with the blank line)
+    rev = [r for r in recs if r["warc_type"] == "revisit"][0]
+    assert bytes(rev["payload"]).startswith(b"HTTP/1.1 200 OK\r\n")
+    assert bytes(rev["payload"]).endswith(b"\r\n\r\n")
+
+
+def test_rewrite_revisits_preserves_framing_family(spark, docs):
+    """gz shards rewrite to gz, zst to zst; the recovered records
+    equal the plain-path rewrite record-for-record; dup-free shards
+    pass through byte-identical."""
+    from pyspark.sql import functions as F
+
+    from dompa_spark import cdx as _cdx, zstdio
+
+    two = docs.unionByName(
+        docs.withColumn(
+            "doc_id", (F.col("doc_id") + F.lit(100000)).cast("long")
+        )
+    )
+    key = lambda r: (r["warc_id"], r["rec_idx"])  # noqa: E731
+    plain_out = warc.parse_warc(
+        _cdx.rewrite_revisits(
+            warc.docs_to_warc(two, docs_per_shard=4, media_every=2)
+        )
+    ).collect()
+    want = {key(r): (r["warc_type"], bytes(r["payload"] or b""))
+            for r in plain_out}
+    for maker, magic_check in (
+        (warc.docs_to_warc_gz, lambda b: b[:2] == warc.GZIP_MAGIC),
+        (warc.docs_to_warc_zst, zstdio.looks_like_zstd),
+    ):
+        out = _cdx.rewrite_revisits(
+            maker(two, docs_per_shard=4, media_every=2)
+        )
+        rows = out.collect()
+        assert all(magic_check(bytes(r["content"])) for r in rows)
+        got = {
+            key(r): (r["warc_type"], bytes(r["payload"] or b""))
+            for r in warc.parse_warc(out).collect()
+        }
+        assert got == want
+    # no dups -> bytes untouched
+    solo = warc.docs_to_warc(docs, docs_per_shard=4, media_every=2)
+    before = {r["warc_id"]: bytes(r["content"]) for r in solo.collect()}
+    after = {
+        r["warc_id"]: bytes(r["content"])
+        for r in _cdx.rewrite_revisits(solo).collect()
+    }
+    assert after == before
