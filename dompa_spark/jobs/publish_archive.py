@@ -43,6 +43,15 @@ the unsorted tail). Index rows are append-only facts keyed by
 (warc_id, rec_idx) — shards are immutable once written — so the
 union IS the merge; nothing rewrites archive bytes.
 
+``--rewrite-revisits OUT_DIR`` (publish mode) first compacts the
+archive itself: cdx.rewrite_revisits rewrites every later capture of
+an identical payload as a spec-shaped `revisit` record pointing at
+the keeper, the compacted shards land at OUT_DIR as (warc_id,
+content) parquet, and the derived artifacts (cdx/wet/wat) are
+published over the COMPACTED shards — the Common Crawl shipping
+shape, where revisit records save the duplicate payload bytes in the
+archive and every derived product agrees with what actually shipped.
+
 Prints one JSON stats line either way. Scale shape: everything rides
 the shard-per-task kernels; the only wide operations are the WET/WAT
 re-shard groupBys and the index's range partitioning (a sample-based
@@ -83,6 +92,12 @@ def main(argv=None) -> int:
     p.add_argument("--lookup-out", default=None,
                    help="write --lookup results here (default: print "
                         "count only)")
+    p.add_argument("--rewrite-revisits", default=None,
+                   metavar="OUT_DIR",
+                   help="publish mode: compact the archive first — "
+                        "rewrite duplicate captures as revisit "
+                        "records, write the compacted shards here, "
+                        "and publish the derived artifacts over them")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
 
@@ -92,6 +107,10 @@ def main(argv=None) -> int:
         p.error(f"unknown formats: {bad} (choose from {FORMATS})")
     if args.lookup is not None and args.compact is not None:
         p.error("--lookup and --compact are separate modes")
+    if args.rewrite_revisits is not None and (
+        args.lookup is not None or args.compact is not None
+    ):
+        p.error("--rewrite-revisits is a publish-mode option")
     if args.lookup is None and args.compact is None and not args.input:
         p.error("--input is required in publish mode")
 
@@ -179,6 +198,25 @@ def main(argv=None) -> int:
                 "warc_id", "content"
             )
 
+        if args.rewrite_revisits is not None:
+            # compact the archive itself, then publish over the
+            # compacted shards so every derived artifact agrees with
+            # what actually ships. The revisit count rides the cdx
+            # publish's existing by-type aggregate below when that
+            # format is requested (no extra index pass just for the
+            # stats line — the frontier-job lesson).
+            cdx.rewrite_revisits(shards).write.mode(
+                "overwrite"
+            ).parquet(args.rewrite_revisits)
+            shards = spark.read.parquet(args.rewrite_revisits)
+            stats["compacted_shards"] = args.rewrite_revisits
+            if "cdx" not in fmts:
+                stats["revisit_records"] = (
+                    cdx.cdx_index(shards)
+                    .filter(F.col("warc_type") == "revisit")
+                    .count()
+                )
+
         if "cdx" in fmts:
             parts = args.index_parts or int(
                 spark.conf.get("spark.sql.shuffle.partitions")
@@ -203,6 +241,8 @@ def main(argv=None) -> int:
             }
             stats["cdx_records"] = sum(counts.values())
             stats["cdx_by_type"] = counts
+            if args.rewrite_revisits is not None:
+                stats["revisit_records"] = counts.get("revisit", 0)
         if "wet" in fmts:
             cdx.warc_to_wet(shards).write.mode("overwrite").parquet(
                 f"{args.output}/wet"

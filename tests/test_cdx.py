@@ -995,3 +995,49 @@ def test_rewrite_revisits_preserves_framing_family(spark, docs):
         for r in _cdx.rewrite_revisits(solo).collect()
     }
     assert after == before
+
+
+def test_publish_archive_rewrite_revisits_mode(spark, docs, tmp_path):
+    """--rewrite-revisits compacts the archive first and publishes
+    the derived artifacts over the COMPACTED shards: the index sees
+    revisit records, WET text comes from the keepers only, and the
+    compacted shard set replays."""
+    from pyspark.sql import functions as F
+
+    from dompa_spark.jobs import publish_archive
+
+    two = docs.unionByName(
+        docs.withColumn(
+            "doc_id", (F.col("doc_id") + F.lit(100000)).cast("long")
+        )
+    )
+    src = str(tmp_path / "warcs")
+    warc.docs_to_warc(two, docs_per_shard=4, media_every=2).write \
+        .parquet(src)
+    out = str(tmp_path / "derived")
+    compacted = str(tmp_path / "compacted")
+    assert publish_archive.main(
+        ["--input", src, "--output", out, "--input-format", "parquet",
+         "--formats", "cdx,wet", "--index-parts", "2",
+         "--rewrite-revisits", compacted]
+    ) == 0
+    idx = spark.read.parquet(f"{out}/cdx")
+    n_rev = idx.filter(F.col("warc_type") == "revisit").count()
+    assert n_rev > 0
+    # revisit count equals the dup count of the original archive
+    from dompa_spark import cdx as _cdx
+
+    orig_idx = _cdx.cdx_index(spark.read.parquet(src))
+    dups = _cdx.revisit_candidates(orig_idx).filter("is_revisit")
+    assert n_rev == dups.count()
+    # the compacted shards themselves replay via the published index
+    raw = {
+        r["warc_id"]: bytes(r["content"])
+        for r in spark.read.parquet(compacted).collect()
+    }
+    some = idx.filter(F.col("warc_type") == "revisit").limit(3).collect()
+    for r in some:
+        rec = _cdx.fetch_record(
+            raw[r["warc_id"]], r["offset"], r["length"]
+        )
+        assert rec is not None and rec[2] == "revisit"
