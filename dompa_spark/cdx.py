@@ -445,26 +445,42 @@ def resolve_redirects(index: DataFrame, max_hops: int = 8) -> DataFrame:
     )
 
 
+# sha256 of an EMPTY payload: every zero-payload response (3xx
+# redirects, 204s, HEAD captures) aliases to this one digest, so
+# treating them as a capture group would "dedup" unrelated records —
+# and a rewrite would destroy redirect captures while saving nothing
+_EMPTY_SHA256 = (
+    "e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855"
+)
+
+
 def revisit_candidates(index: DataFrame) -> DataFrame:
     """Re-fetch dedup from the index ALONE — no archive bytes touched:
     response records sharing a payload digest form one capture group;
-    the earliest capture (min (warc_id, rec_idx)) is the keeper, every
-    later one is a revisit candidate (what a crawler would rewrite as
-    a WARC `revisit` record with
+    the EARLIEST capture (min (ts, warc_id, rec_idx) — timestamp
+    first, so a binary-ingested archive with hash-valued warc_ids
+    still keeps the oldest capture; captures without a parsable date
+    sort first) is the keeper, every later one is a revisit candidate
+    (what a crawler would rewrite as a WARC `revisit` record with
     WARC-Profile: identical-payload-digest, saving the payload bytes).
-    Output: one row per response record — (warc_id, rec_idx, url,
-    digest, is_revisit, keeper_url, saved_bytes) where saved_bytes is
-    the record's length for revisits and 0 for keepers.
+    ZERO-PAYLOAD responses (3xx redirects, 204s) are NOT candidates:
+    they all alias to sha256 of the empty string, and deduping them
+    would collapse unrelated captures while saving no bytes.
+    Output: one row per candidate response record — (warc_id,
+    rec_idx, url, digest, is_revisit, keeper_url, keeper_ts,
+    saved_bytes) where saved_bytes is the record's length for
+    revisits and 0 for keepers.
 
     Scale shape: one partial-aggregatable groupBy(min) on the digest
     plus one equi-join back — no window, so a viral page captured 10^8
     times costs a map-side combine, not a single-task sort (the same
     discipline as textops.url_normalize's dup grouping)."""
-    resp = index.filter(F.col("warc_type") == "response").select(
-        "warc_id", "rec_idx", "url", "digest", "length"
-    )
+    resp = index.filter(
+        (F.col("warc_type") == "response")
+        & (F.col("digest") != F.lit(_EMPTY_SHA256))
+    ).select("warc_id", "rec_idx", "url", "ts", "digest", "length")
     keepers = resp.groupBy("digest").agg(
-        F.min(F.struct("warc_id", "rec_idx", "url")).alias("k")
+        F.min(F.struct("ts", "warc_id", "rec_idx", "url")).alias("k")
     )
     is_rev = (F.col("warc_id") != F.col("k.warc_id")) | (
         F.col("rec_idx") != F.col("k.rec_idx")
@@ -476,6 +492,7 @@ def revisit_candidates(index: DataFrame) -> DataFrame:
         "digest",
         is_rev.alias("is_revisit"),
         F.col("k.url").alias("keeper_url"),
+        F.col("k.ts").alias("keeper_ts"),
         F.when(is_rev, F.col("length"))
         .otherwise(F.lit(0))
         .cast("long")
@@ -505,8 +522,12 @@ def _revisit_record(
     WARC-Refers-To-Target-URI/-Date + WARC-Payload-Digest headers
     join the block, and the body truncates to the HTTP response
     HEADER (through its blank line — the spec's revisit block), with
-    the WARC Content-Length re-counted. All other headers keep their
-    bytes and order."""
+    the WARC Content-Length re-counted. Any pre-existing
+    WARC-Payload-Digest / WARC-Block-Digest headers are DROPPED (the
+    block changed, so a kept Block-Digest would be stale, and two
+    conflicting Payload-Digest lines fail validators on archives
+    that already carry digests). All other headers keep their bytes
+    and order."""
     hdr_end = rec.find(b"\r\n\r\n")
     _, fields = warc._parse_headers(rec[:hdr_end])
     clen = int(fields.get("content-length", "0"))
@@ -530,6 +551,10 @@ def _revisit_record(
             out.extend(extra)
         elif low.startswith(b"content-length:"):
             out.append(b"Content-Length: %d" % len(new_body))
+        elif low.startswith(
+            (b"warc-payload-digest:", b"warc-block-digest:")
+        ):
+            continue  # stale after truncation / replaced above
         else:
             out.append(ln)
     return b"\r\n".join(out) + b"\r\n\r\n" + new_body + tail
@@ -547,6 +572,13 @@ def rewrite_revisits(shards: DataFrame) -> DataFrame:
     seekable; non-response records (media resources, warcinfo,
     redirects) pass through untouched.
 
+    The dedup POLICY is revisit_candidates' — the gauge and the
+    action share one keeper selection (timestamp-first, zero-payload
+    responses excluded), so they cannot drift. Truncated tails are
+    PRESERVED on this write path: an incomplete trailing record
+    re-frames as its own member, incomplete container bytes append
+    verbatim — a rewrite never deletes stored archive bytes.
+
     Scale shape: the verdict set is revisit-cardinality slim — one
     groupBy(min-struct) on the digest (window-free, map-side
     combinable), one equi-join back, then collect_list groups the
@@ -555,26 +587,13 @@ def rewrite_revisits(shards: DataFrame) -> DataFrame:
     kernel. Kept payload bytes are never shuffled a second time."""
     import pandas as pd
 
-    idx = cdx_index(shards)
-    resp = idx.filter(F.col("warc_type") == "response").select(
-        "warc_id", "rec_idx", "url", "ts", "digest"
-    )
-    keep = resp.groupBy("digest").agg(
-        F.min(F.struct("warc_id", "rec_idx", "url", "ts")).alias("k")
-    )
     verd = (
-        resp.join(keep, "digest")
-        .filter(
-            (F.col("warc_id") != F.col("k.warc_id"))
-            | (F.col("rec_idx") != F.col("k.rec_idx"))
-        )
+        revisit_candidates(cdx_index(shards))
+        .filter(F.col("is_revisit"))
         .select(
             "warc_id",
             F.struct(
-                "rec_idx",
-                "digest",
-                F.col("k.url").alias("keeper_url"),
-                F.col("k.ts").alias("keeper_ts"),
+                "rec_idx", "digest", "keeper_url", "keeper_ts"
             ).alias("v"),
         )
         .groupBy("warc_id")
@@ -582,24 +601,45 @@ def rewrite_revisits(shards: DataFrame) -> DataFrame:
     )
 
     def _rewrite(batches: Iterator["pd.DataFrame"]):
+        import zlib
+
         from . import zstdio
+
+        def _gz_member(b: bytes) -> bytes:
+            c = zlib.compressobj(6, zlib.DEFLATED, 31)
+            return c.compress(b) + c.flush()
 
         for pdf in batches:
             out = []
             for content, rv in zip(pdf["content"], pdf["rv"]):
-                buf = bytes(content)
-                if rv is None or len(rv) == 0:
-                    out.append(buf)
+                if content is None:  # mirror cdx_index's None guard
+                    out.append(None)
                     continue
-                fmt = "plain"
-                if buf[:2] == GZIP_MAGIC:
-                    fmt, buf = "gz", warc.gunzip_members(buf)
-                elif zstdio.looks_like_zstd(buf):
-                    fmt, buf = "zst", zstdio.unzstd_members(buf)
-                by_idx = {
-                    int(v["rec_idx"]): v for v in rv
-                }
-                parts = []
+                orig = bytes(content)
+                if rv is None or len(rv) == 0:
+                    out.append(orig)
+                    continue
+                fmt, buf, raw_tail = "plain", orig, b""
+                if orig[:2] == GZIP_MAGIC:
+                    fmt = "gz"
+                    pieces, pos = [], 0
+                    for off, length, member in _gz_member_spans(orig):
+                        pieces.append(member)
+                        pos = off + length
+                    buf, raw_tail = b"".join(pieces), orig[pos:]
+                elif zstdio.looks_like_zstd(orig):
+                    fmt = "zst"
+                    pieces, pos = [], 0
+                    for off, length, _cs in zstdio.frame_spans(orig):
+                        pieces.append(
+                            zstdio.decompress_frame(
+                                orig[off : off + length]
+                            )
+                        )
+                        pos = off + length
+                    buf, raw_tail = b"".join(pieces), orig[pos:]
+                by_idx = {int(v["rec_idx"]): v for v in rv}
+                parts, consumed = [], 0
                 for i, (start, end) in enumerate(
                     warc._record_spans(buf)
                 ):
@@ -613,13 +653,20 @@ def rewrite_revisits(shards: DataFrame) -> DataFrame:
                             v["keeper_ts"],
                         )
                     parts.append(rec)
+                    consumed = end
                 plain = b"".join(parts)
+                plain_tail = buf[consumed:]  # incomplete record bytes
                 if fmt == "gz":
-                    out.append(warc.gzip_shard(plain))
+                    enc = warc.gzip_shard(plain)
+                    if plain_tail:
+                        enc += _gz_member(plain_tail)
                 elif fmt == "zst":
-                    out.append(zstdio.zstd_shard(plain))
+                    enc = zstdio.zstd_shard(plain)
+                    if plain_tail:
+                        enc += zstdio.compress_frame(plain_tail)
                 else:
-                    out.append(plain)
+                    enc = plain + plain_tail
+                out.append(enc + raw_tail)
             yield pd.DataFrame(
                 {"warc_id": pdf["warc_id"], "content": out}
             )

@@ -202,20 +202,14 @@ def main(argv=None) -> int:
             # compact the archive itself, then publish over the
             # compacted shards so every derived artifact agrees with
             # what actually ships. The revisit count rides the cdx
-            # publish's existing by-type aggregate below when that
-            # format is requested (no extra index pass just for the
-            # stats line — the frontier-job lesson).
+            # publish's existing by-type aggregate below ONLY when
+            # that format is requested — never an extra index pass
+            # just for a stats number (the frontier-job lesson).
             cdx.rewrite_revisits(shards).write.mode(
                 "overwrite"
             ).parquet(args.rewrite_revisits)
             shards = spark.read.parquet(args.rewrite_revisits)
             stats["compacted_shards"] = args.rewrite_revisits
-            if "cdx" not in fmts:
-                stats["revisit_records"] = (
-                    cdx.cdx_index(shards)
-                    .filter(F.col("warc_type") == "revisit")
-                    .count()
-                )
 
         if "cdx" in fmts:
             parts = args.index_parts or int(

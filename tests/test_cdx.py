@@ -1041,3 +1041,98 @@ def test_publish_archive_rewrite_revisits_mode(spark, docs, tmp_path):
             raw[r["warc_id"]], r["offset"], r["length"]
         )
         assert rec is not None and rec[2] == "revisit"
+
+
+def test_rewrite_leaves_redirect_captures_alone(spark, docs):
+    """Zero-payload responses (3xx redirects) all share sha256('') —
+    they must NOT form a capture group: the redirect fixture passes
+    through the rewrite byte-identical and its index keeps every
+    redirect row."""
+    from dompa_spark import cdx as _cdx
+
+    shards = warc.docs_to_warc_redirects(docs)
+    before = {r["warc_id"]: bytes(r["content"]) for r in shards.collect()}
+    after = {
+        r["warc_id"]: bytes(r["content"])
+        for r in _cdx.rewrite_revisits(shards).collect()
+    }
+    assert after == before
+    idx = _cdx.cdx_index(_cdx_df(spark, after))
+    n_redirects = idx.filter("redirect IS NOT NULL").count()
+    orig = _cdx.cdx_index(_cdx_df(spark, before))
+    assert n_redirects == orig.filter("redirect IS NOT NULL").count() > 0
+
+
+def _cdx_df(spark, shards):
+    return spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in shards.items()],
+        "warc_id long, content binary",
+    )
+
+
+def test_rewrite_keeper_is_earliest_by_timestamp(spark):
+    """With hash-valued warc_ids (binary ingest) the keeper must be
+    the OLDEST capture by ts, not the smallest warc_id."""
+    from dompa_spark import cdx as _cdx
+
+    rows = [
+        # big warc_id, OLD ts  vs  small warc_id, NEW ts
+        (900, 0, "https://a/doc/1", "20200101000000", "response",
+         "text/html", 200, None, 0, 100, "d1"),
+        (1, 0, "https://b/doc/1", "20240101000000", "response",
+         "text/html", 200, None, 0, 100, "d1"),
+    ]
+    idx = spark.createDataFrame(rows, _cdx.CDX_SCHEMA)
+    out = {r["url"]: r for r in _cdx.revisit_candidates(idx).collect()}
+    assert out["https://a/doc/1"]["is_revisit"] is False
+    assert out["https://b/doc/1"]["is_revisit"] is True
+    assert out["https://b/doc/1"]["keeper_ts"] == "20200101000000"
+
+
+def test_rewrite_preserves_truncated_tails(spark, docs):
+    """A rewrite never deletes stored archive bytes: foreign tail
+    bytes on a shard WITH duplicates survive the rewrite verbatim."""
+    from pyspark.sql import functions as F
+
+    from dompa_spark import cdx as _cdx
+
+    two = docs.unionByName(
+        docs.withColumn(
+            "doc_id", (F.col("doc_id") + F.lit(100000)).cast("long")
+        )
+    )
+    shards = warc.docs_to_warc(two, docs_per_shard=100, media_every=2)
+    # concatenate the crawl shards into ONE shard (records are
+    # self-framed) so the duplicate pair and the dirty tail coexist
+    blob = b"".join(
+        bytes(r["content"])
+        for r in sorted(shards.collect(), key=lambda r: r["warc_id"])
+    )
+    dirty = blob + b"FOREIGN-TAIL-BYTES"
+    out = _cdx.rewrite_revisits(_cdx_df(spark, {0: dirty})).collect()
+    got = bytes(out[0]["content"])
+    assert got.endswith(b"FOREIGN-TAIL-BYTES")
+    assert b"WARC-Type: revisit" in got
+
+
+def test_rewrite_digest_header_hygiene():
+    """Pre-existing Payload/Block digest headers drop out of a
+    rewritten record — never two conflicting digest lines."""
+    from dompa_spark import cdx as _cdx
+
+    body = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\nPAYLOAD"
+    rec = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Payload-Digest: sha1:OLDBASE32\r\n"
+        b"WARC-Block-Digest: sha1:OLDBLOCK\r\n"
+        b"WARC-Target-URI: https://x/doc/1\r\n"
+        b"Content-Length: %d\r\n\r\n" % len(body)
+    ) + body + b"\r\n\r\n"
+    out = _cdx._revisit_record(rec, "cafe", "https://keeper", None)
+    head = out[: out.find(b"\r\n\r\n")]
+    assert head.count(b"WARC-Payload-Digest:") == 1
+    assert b"sha256:cafe" in head
+    assert b"OLDBASE32" not in head and b"OLDBLOCK" not in head
+    assert out.find(b"\r\n\r\nHTTP/1.1 200 OK") > 0
+    assert b"PAYLOAD" not in out  # truncated to the HTTP head
