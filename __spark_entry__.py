@@ -1776,6 +1776,65 @@ def q_video_near_dup(spark, sf_dir):
     return media.media_near_dup(ids, id_col="doc_id", hash_col="vfp")
 
 
+def q_vtt_cues(spark, sf_dir):
+    """WebVTT subtitle parsing end-to-end, Python-free both ways:
+    render each document as a deterministic caption track
+    (vtt.docs_to_vtt — pure Catalyst string building that cycles every
+    parser branch: optional cue identifiers, HH:MM:SS.mmm AND short
+    MM:SS.mmm timestamps, multi-line payloads, NOTE/STYLE comment
+    blocks, annotated headers), then recover one row per cue through
+    vtt.parse_vtt (split + HOF filter + one posexplode, all inside
+    whole-stage codegen). The oracle reconstructs every field —
+    including the md5-derived payload text — closed-form from the
+    fixture formula, so a parser that miscounted blocks, misread either
+    timestamp form, or failed to skip comment blocks fails a row."""
+    from dompa_spark import vtt
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    out = vtt.parse_vtt(vtt.docs_to_vtt(docs))
+    return out.select(
+        "doc_id", "cue_idx", "cue_id", "start_ms", "end_ms",
+        "n_lines", "text",
+    )
+
+
+def q_caption_frame_align(spark, sf_dir):
+    """The multimodal PAIRING op — (frame, caption) training pairs,
+    the CLIP/video-text shape: real Y4M videos through the from-scratch
+    codec -> media.sample_frames (stream-intrinsic clock, 250 ms
+    cadence) joined by timestamp to the WebVTT cues of the SAME
+    documents (vtt.align_caption_frames — equi-join on doc_id with the
+    time-range predicate as a join residual; frames outside every cue
+    drop). The fixture geometry makes the join selective and varied:
+    frame timestamps k*250 against cue windows [i*400, i*400+350), so
+    which frames pair depends on BOTH the video's intrinsic frame
+    count and the track's cue count. Oracle generates both sides
+    closed-form and joins in SQL."""
+    from dompa_spark import media, vtt
+
+    docs = _docs_par(spark, sf_dir)
+    frames = media.sample_frames(
+        media.docs_to_y4m(docs), every_ms=250
+    ).select(
+        F.element_at(F.split("media_ref", "/"), -1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("ts_ms").cast("long").alias("ts_ms"),
+    )
+    cues = vtt.parse_vtt(vtt.docs_to_vtt(docs))
+    out = vtt.align_caption_frames(cues, frames)
+    return out.select(
+        "doc_id",
+        "frame_idx",
+        "ts_ms",
+        F.col("cue_idx").cast("long").alias("cue_idx"),
+        "caption",
+    )
+
+
 RESIZE_W, RESIZE_H = 16, 12
 
 
@@ -2570,6 +2629,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "charset_transcode": q_charset_transcode,
         "video_frames": q_video_frames,
         "video_near_dup": q_video_near_dup,
+        "vtt_cues": q_vtt_cues,
+        "caption_frame_align": q_caption_frame_align,
         "png_resize": q_png_resize,
         "wav_decode": q_wav_decode,
         "pdf_layout": q_pdf_layout,
@@ -6419,6 +6480,69 @@ def oracle_sql() -> dict[str, str]:
                      AS thumb_checksum
             FROM base,
                  UNNEST(generate_series(0, CAST(nf AS BIGINT) - 1)) AS u(k)
+        """,
+        # vtt_cues: the WebVTT fixture is closed-form in doc_id
+        # (dompa_spark/vtt.py formula block), so the oracle regenerates
+        # every cue — identifiers, timings, md5-derived payload text —
+        # without a parser; the engine goes render -> parse through the
+        # pure-Catalyst WebVTT machinery
+        "vtt_cues": """
+            WITH base AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     1 + CAST(doc_id AS BIGINT) % 3 AS nc
+              FROM documents)
+            SELECT doc_id,
+                   CAST(u.i AS INT) AS cue_idx,
+                   CASE WHEN u.i % 2 = 1
+                        THEN 'c' || doc_id || '-' || u.i END AS cue_id,
+                   CAST(u.i * 400 AS BIGINT) AS start_ms,
+                   CAST(u.i * 400 + 350 AS BIGINT) AS end_ms,
+                   CAST(CASE WHEN u.i % 3 = 2 THEN 2 ELSE 1 END AS INT)
+                     AS n_lines,
+                   'Cue ' || u.i || ' for doc ' || doc_id || ': ' ||
+                     substr(md5(doc_id || ':' || u.i), 1, 8) ||
+                     CASE WHEN u.i % 3 = 2
+                          THEN chr(10) || '(line two ' || doc_id || ')'
+                          ELSE '' END AS text
+            FROM base,
+                 UNNEST(generate_series(0, nc - 1)) AS u(i)
+        """,
+        # caption_frame_align: both sides are closed-form — frame
+        # timestamps from the Y4M fixture's intrinsic clock (k*250 ms),
+        # cue windows from the WebVTT fixture ([i*400, i*400+350)) —
+        # so the oracle generates and joins them in SQL; the engine
+        # decodes the real video, samples frames, parses the real VTT,
+        # and joins by timestamp
+        "caption_frame_align": """
+            WITH base AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     2 + CAST(doc_id AS BIGINT) % 4 AS nf,
+                     1 + CAST(doc_id AS BIGINT) % 3 AS nc
+              FROM documents),
+            frames AS (
+              SELECT doc_id, u.k AS frame_idx, u.k * 250 AS ts_ms
+              FROM base,
+                   UNNEST(generate_series(0, nf - 1)) AS u(k)),
+            cues AS (
+              SELECT doc_id, v.i AS cue_idx,
+                     v.i * 400 AS s, v.i * 400 + 350 AS e,
+                     'Cue ' || v.i || ' for doc ' || doc_id || ': ' ||
+                       substr(md5(doc_id || ':' || v.i), 1, 8) ||
+                       CASE WHEN v.i % 3 = 2
+                            THEN chr(10) || '(line two ' || doc_id
+                                 || ')'
+                            ELSE '' END AS caption
+              FROM base,
+                   UNNEST(generate_series(0, nc - 1)) AS v(i))
+            SELECT f.doc_id,
+                   CAST(f.frame_idx AS BIGINT) AS frame_idx,
+                   CAST(f.ts_ms AS BIGINT) AS ts_ms,
+                   CAST(c.cue_idx AS BIGINT) AS cue_idx,
+                   c.caption
+            FROM frames f
+            JOIN cues c
+              ON f.doc_id = c.doc_id
+                 AND f.ts_ms >= c.s AND f.ts_ms < c.e
         """,
         # video_near_dup: the variant-Y4M luma payload is closed-form in
         # doc_id (media.docs_to_y4m_variants), so the oracle predicts
