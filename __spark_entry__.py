@@ -1835,6 +1835,38 @@ def q_caption_frame_align(spark, sf_dir):
     )
 
 
+def q_image_metadata(spark, sf_dir):
+    """EXIF provenance extraction end-to-end WITHOUT pixel decode:
+    deterministic JPEGs with a spliced APP1 TIFF block
+    (media.docs_to_jpeg_exif — both TIFF byte orders on the wire,
+    EXIF absent entirely for every 6th doc, GPS absent for every 3rd)
+    -> media.image_metadata, a header-walk kernel (JPEG SOF dims +
+    jpegcodec.parse_exif IFD walk; a few hundred bytes per row, never
+    the entropy stream — the scale shape metadata extraction needs at
+    10^9 images). GPS comes back as exact 1e-7-degree integers
+    (common-denominator scaling then ONE integer division — no float),
+    so the oracle reproduces latitude/longitude bit-for-bit along with
+    orientation, camera strings, and the capture timestamp."""
+    from dompa_spark import media
+
+    docs = _docs_par(spark, sf_dir)
+    out = media.image_metadata(media.docs_to_jpeg_exif(docs))
+    return out.select(
+        F.element_at(F.split("media_ref", "/"), -1)
+        .cast("long")
+        .alias("doc_id"),
+        "format",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("orientation").cast("long").alias("orientation"),
+        "make",
+        "model",
+        "captured_at",
+        "gps_lat_e7",
+        "gps_lon_e7",
+    )
+
+
 RESIZE_W, RESIZE_H = 16, 12
 
 
@@ -2631,6 +2663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_near_dup": q_video_near_dup,
         "vtt_cues": q_vtt_cues,
         "caption_frame_align": q_caption_frame_align,
+        "image_metadata": q_image_metadata,
         "png_resize": q_png_resize,
         "wav_decode": q_wav_decode,
         "pdf_layout": q_pdf_layout,
@@ -6543,6 +6576,55 @@ def oracle_sql() -> dict[str, str]:
             JOIN cues c
               ON f.doc_id = c.doc_id
                  AND f.ts_ms >= c.s AND f.ts_ms < c.e
+        """,
+        # image_metadata: every EXIF field is closed-form in doc_id
+        # (media.docs_to_jpeg_exif formula), including the exact
+        # integer GPS fixed-point — common-denominator scaling then one
+        # floor division, mirrored here; the engine walks the real
+        # APP1/TIFF bytes in both byte orders
+        "image_metadata": """
+            WITH base AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents)
+            SELECT doc_id,
+                   'jpeg' AS format,
+                   CAST(8 + doc_id % 9 AS BIGINT) AS width,
+                   CAST(8 + doc_id % 7 AS BIGINT) AS height,
+                   CASE WHEN doc_id % 6 = 5 THEN NULL
+                        ELSE CAST(1 + doc_id % 8 AS BIGINT)
+                   END AS orientation,
+                   CASE WHEN doc_id % 6 = 5 THEN NULL
+                        ELSE 'Acme' END AS make,
+                   CASE WHEN doc_id % 6 = 5 THEN NULL
+                        ELSE 'Cam-' || (doc_id % 5) END AS model,
+                   CASE WHEN doc_id % 6 = 5 THEN NULL
+                        ELSE '2026:01:'
+                          || lpad(CAST(1 + doc_id % 28 AS VARCHAR),
+                                  2, '0')
+                          || ' '
+                          || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0')
+                          || ':'
+                          || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0')
+                          || ':'
+                          || lpad(CAST(doc_id * 7 % 60 AS VARCHAR),
+                                  2, '0')
+                   END AS captured_at,
+                   CASE WHEN doc_id % 6 = 5 OR doc_id % 3 = 0 THEN NULL
+                        ELSE (CASE WHEN doc_id % 2 = 0
+                                   THEN 1 ELSE -1 END)
+                          * CAST((((doc_id % 90) * 360000
+                                   + ((doc_id * 3) % 60) * 6000
+                                   + (doc_id * 511) % 6000)
+                                  * 10000000) // 360000 AS BIGINT)
+                   END AS gps_lat_e7,
+                   CASE WHEN doc_id % 6 = 5 OR doc_id % 3 = 0 THEN NULL
+                        ELSE (CASE WHEN doc_id % 7 < 3
+                                   THEN -1 ELSE 1 END)
+                          * CAST(((((doc_id * 2) % 180) * 360000
+                                   + ((doc_id * 5) % 60) * 6000
+                                   + (doc_id * 317) % 6000)
+                                  * 10000000) // 360000 AS BIGINT)
+                   END AS gps_lon_e7
+            FROM base
         """,
         # video_near_dup: the variant-Y4M luma payload is closed-form in
         # doc_id (media.docs_to_y4m_variants), so the oracle predicts

@@ -1214,3 +1214,284 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
                             np.rint(blk) + 128.0, 0.0, 255.0
                         ).astype(np.uint8)
     return width, height, out[:height, :width].tobytes()
+
+
+# ---------------------------------------------------------------------------
+# EXIF (APP1) metadata — TIFF 6.0 IFD structure per the Exif 2.3 spec.
+# A crawl's image corpus carries provenance in EXIF (camera, capture
+# time, orientation, GPS), and orientation in particular changes what a
+# perceptual hash should see. The writer exists for deterministic
+# fixtures; the parser is the production kernel: a marker walk that
+# stops at SOS (EXIF always precedes the entropy stream) plus a
+# bounds-checked IFD walk in either byte order. Parsing never decodes
+# pixels — metadata extraction at corpus scale is a header read, not an
+# entropy decode.
+
+_EXIF_HEADER = b"Exif\x00\x00"
+_TAG_MAKE = 0x010F
+_TAG_MODEL = 0x0110
+_TAG_ORIENTATION = 0x0112
+_TAG_DATETIME = 0x0132
+_TAG_GPS_IFD = 0x8825
+_GPS_LAT_REF = 0x0001
+_GPS_LAT = 0x0002
+_GPS_LON_REF = 0x0003
+_GPS_LON = 0x0004
+
+_TYPE_ASCII = 2
+_TYPE_SHORT = 3
+_TYPE_LONG = 4
+_TYPE_RATIONAL = 5
+_TYPE_SIZE = {_TYPE_ASCII: 1, _TYPE_SHORT: 2, _TYPE_LONG: 4,
+              _TYPE_RATIONAL: 8}
+
+
+def _pack_ifd(entries, ifd_off: int, e: str) -> bytes:
+    """Pack one IFD at absolute TIFF offset ifd_off: entries are
+    (tag, type, values) with values already normalized (list of ints,
+    bytes for ASCII, or list of (num, den) for RATIONAL). Out-of-line
+    values land in a data area directly after the entry table; the
+    next-IFD pointer is 0."""
+    entries = sorted(entries, key=lambda t: t[0])  # spec: ascending tag
+    table = struct.pack(e + "H", len(entries))
+    data_off = ifd_off + 2 + 12 * len(entries) + 4
+    data = bytearray()
+    for tag, typ, values in entries:
+        if typ == _TYPE_ASCII:
+            raw = bytes(values)
+            count = len(raw)
+        elif typ == _TYPE_RATIONAL:
+            raw = b"".join(
+                struct.pack(e + "II", n, d) for n, d in values
+            )
+            count = len(values)
+        else:
+            fmt = "H" if typ == _TYPE_SHORT else "I"
+            raw = b"".join(struct.pack(e + fmt, v) for v in values)
+            count = len(values)
+        if len(raw) <= 4:
+            val = raw + b"\x00" * (4 - len(raw))
+        else:
+            val = struct.pack(e + "I", data_off + len(data))
+            data += raw
+        table += struct.pack(e + "HHI", tag, typ, count) + val
+    return table + struct.pack(e + "I", 0) + bytes(data)
+
+
+def exif_app1(
+    *,
+    orientation: int = 1,
+    make: str | None = None,
+    model: str | None = None,
+    datetime: str | None = None,
+    gps: tuple | None = None,
+    big_endian: bool = False,
+) -> bytes:
+    """Build a complete APP1 segment (marker + length + Exif header +
+    TIFF blob). gps is (lat_ref, (d,m,s100), lon_ref, (d,m,s100)) with
+    seconds in centiseconds — encoded as the conventional rationals
+    (d,1), (m,1), (s100,100). Either byte order (the parser must accept
+    both; real files ship both)."""
+    e = ">" if big_endian else "<"
+    ifd0 = [(_TAG_ORIENTATION, _TYPE_SHORT, [orientation])]
+    if make is not None:
+        ifd0.append((_TAG_MAKE, _TYPE_ASCII, make.encode() + b"\x00"))
+    if model is not None:
+        ifd0.append((_TAG_MODEL, _TYPE_ASCII, model.encode() + b"\x00"))
+    if datetime is not None:
+        ifd0.append(
+            (_TAG_DATETIME, _TYPE_ASCII, datetime.encode() + b"\x00")
+        )
+    # IFD0 size must be known before the GPS pointer value is; compute
+    # with the pointer entry included, then fill the real offset in.
+    if gps is not None:
+        ifd0.append((_TAG_GPS_IFD, _TYPE_LONG, [0]))
+    probe = _pack_ifd(ifd0, 8, e)
+    if gps is not None:
+        gps_off = 8 + len(probe)
+        lat_ref, (lad, lam, las100), lon_ref, (lod, lom, los100) = gps
+        gps_ifd = [
+            (_GPS_LAT_REF, _TYPE_ASCII, lat_ref.encode() + b"\x00"),
+            (_GPS_LAT, _TYPE_RATIONAL,
+             [(lad, 1), (lam, 1), (las100, 100)]),
+            (_GPS_LON_REF, _TYPE_ASCII, lon_ref.encode() + b"\x00"),
+            (_GPS_LON, _TYPE_RATIONAL,
+             [(lod, 1), (lom, 1), (los100, 100)]),
+        ]
+        ifd0 = [t for t in ifd0 if t[0] != _TAG_GPS_IFD]
+        ifd0.append((_TAG_GPS_IFD, _TYPE_LONG, [gps_off]))
+        tiff_body = _pack_ifd(ifd0, 8, e) + _pack_ifd(gps_ifd, gps_off, e)
+    else:
+        tiff_body = probe
+    endian_mark = b"MM" if big_endian else b"II"
+    tiff = endian_mark + struct.pack(e + "HI", 42, 8) + tiff_body
+    payload = _EXIF_HEADER + tiff
+    return b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
+
+
+def insert_app1(jpeg: bytes, app1: bytes) -> bytes:
+    """Splice an APP1 segment into an encoded JPEG, after the APP0
+    (JFIF) segment when present, else right after SOI. Works for both
+    baseline and progressive streams — marker insertion is independent
+    of the frame type."""
+    if jpeg[:2] != SOI:
+        raise ValueError("not a JPEG (bad SOI)")
+    pos = 2
+    if jpeg[pos : pos + 2] == b"\xff\xe0":
+        (seg_len,) = struct.unpack_from(">H", jpeg, pos + 2)
+        pos += 2 + seg_len
+    return jpeg[:pos] + app1 + jpeg[pos:]
+
+
+def _ifd_entries(tiff: bytes, off: int, e: str):
+    """Yield (tag, type, count, value_bytes) for one IFD; every access
+    bounds-checked (truncated IFDs raise ValueError)."""
+    if off + 2 > len(tiff):
+        raise ValueError("truncated IFD")
+    (n,) = struct.unpack_from(e + "H", tiff, off)
+    if off + 2 + 12 * n + 4 > len(tiff):
+        raise ValueError("truncated IFD entry table")
+    for i in range(n):
+        ent = off + 2 + 12 * i
+        tag, typ, count = struct.unpack_from(e + "HHI", tiff, ent)
+        size = _TYPE_SIZE.get(typ)
+        if size is None:
+            continue  # unknown value type: skip, per TIFF readers
+        nbytes = size * count
+        if nbytes <= 4:
+            raw = tiff[ent + 8 : ent + 8 + nbytes]
+        else:
+            (voff,) = struct.unpack_from(e + "I", tiff, ent + 8)
+            if voff + nbytes > len(tiff):
+                raise ValueError("IFD value out of bounds")
+            raw = tiff[voff : voff + nbytes]
+        yield tag, typ, count, raw
+
+
+def _ascii(raw: bytes) -> str:
+    return raw.split(b"\x00", 1)[0].decode("ascii", "replace")
+
+
+def _gps_e7(raws, e: str) -> int | None:
+    """Exact integer 1e-7-degree fixed point from 3 GPS rationals
+    (deg, min, sec): scale to the common denominator first, divide
+    once — no float anywhere, so the SQL oracle reproduces it."""
+    if len(raws) != 24:
+        return None
+    dn, dd, mn, md, sn, sd = struct.unpack(e + "IIIIII", raws)
+    if dd == 0 or md == 0 or sd == 0:
+        return None
+    num = dn * md * sd * 3600 + mn * dd * sd * 60 + sn * dd * md
+    return (num * 10**7) // (dd * md * sd * 3600)
+
+
+def parse_exif(data: bytes) -> dict | None:
+    """Extract EXIF metadata from a JPEG: walk markers up to SOS, find
+    the APP1 segment with the Exif header, parse the TIFF IFDs (either
+    byte order). Returns a dict with any of orientation / make / model
+    / datetime / gps_lat_e7 / gps_lon_e7 present in the file (lat/lon
+    as exact 1e-7-degree integers, south/west negative), or None when
+    the file carries no EXIF. Malformed TIFF structure raises
+    ValueError (same contract as decode_jpeg; strict=False callers
+    treat it as absent)."""
+    if data[:2] != SOI:
+        raise ValueError("not a JPEG (bad SOI)")
+    pos = 2
+    tiff = None
+    while pos + 2 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = data[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker in (0xD9, 0xDA):  # EOI / SOS: EXIF always precedes
+            break
+        if pos + 4 > len(data):
+            raise ValueError(f"truncated marker 0xff{marker:02x}")
+        (seg_len,) = struct.unpack_from(">H", data, pos + 2)
+        if pos + 2 + seg_len > len(data):
+            raise ValueError(f"truncated segment 0xff{marker:02x}")
+        seg = data[pos + 4 : pos + 2 + seg_len]
+        pos += 2 + seg_len
+        if marker == 0xE1 and seg[: len(_EXIF_HEADER)] == _EXIF_HEADER:
+            tiff = seg[len(_EXIF_HEADER) :]
+            break
+    if tiff is None:
+        return None
+    if len(tiff) < 8:
+        raise ValueError("truncated TIFF header")
+    if tiff[:2] == b"II":
+        e = "<"
+    elif tiff[:2] == b"MM":
+        e = ">"
+    else:
+        raise ValueError("bad TIFF byte-order mark")
+    magic, ifd0_off = struct.unpack_from(e + "HI", tiff, 2)
+    if magic != 42:
+        raise ValueError("bad TIFF magic")
+    out: dict = {}
+    gps_off = None
+    for tag, typ, count, raw in _ifd_entries(tiff, ifd0_off, e):
+        if tag == _TAG_ORIENTATION and typ == _TYPE_SHORT and count:
+            out["orientation"] = struct.unpack_from(e + "H", raw)[0]
+        elif tag == _TAG_MAKE and typ == _TYPE_ASCII:
+            out["make"] = _ascii(raw)
+        elif tag == _TAG_MODEL and typ == _TYPE_ASCII:
+            out["model"] = _ascii(raw)
+        elif tag == _TAG_DATETIME and typ == _TYPE_ASCII:
+            out["datetime"] = _ascii(raw)
+        elif tag == _TAG_GPS_IFD and typ in (_TYPE_LONG, _TYPE_SHORT):
+            fmt = "I" if typ == _TYPE_LONG else "H"
+            gps_off = struct.unpack_from(e + fmt, raw)[0]
+    if gps_off is not None:
+        lat = lon = None
+        lat_sign = lon_sign = 1
+        for tag, typ, count, raw in _ifd_entries(tiff, gps_off, e):
+            if tag == _GPS_LAT_REF and typ == _TYPE_ASCII:
+                lat_sign = -1 if _ascii(raw) == "S" else 1
+            elif tag == _GPS_LON_REF and typ == _TYPE_ASCII:
+                lon_sign = -1 if _ascii(raw) == "W" else 1
+            elif tag == _GPS_LAT and typ == _TYPE_RATIONAL:
+                lat = _gps_e7(raw, e)
+            elif tag == _GPS_LON and typ == _TYPE_RATIONAL:
+                lon = _gps_e7(raw, e)
+        if lat is not None:
+            out["gps_lat_e7"] = lat_sign * lat
+        if lon is not None:
+            out["gps_lon_e7"] = lon_sign * lon
+    return out or None
+
+
+def jpeg_dims(data: bytes) -> tuple[int, int]:
+    """(width, height) from the SOF segment alone — a marker walk with
+    no entropy decode, the cheap path corpus-scale metadata extraction
+    takes. Raises ValueError when no supported SOF appears."""
+    if data[:2] != SOI:
+        raise ValueError("not a JPEG (bad SOI)")
+    pos = 2
+    while pos + 2 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = data[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9:
+            break
+        if pos + 4 > len(data):
+            raise ValueError(f"truncated marker 0xff{marker:02x}")
+        (seg_len,) = struct.unpack_from(">H", data, pos + 2)
+        if pos + 2 + seg_len > len(data):
+            raise ValueError(f"truncated segment 0xff{marker:02x}")
+        if marker in (0xC0, 0xC2):
+            height, width = struct.unpack_from(">HH", data, pos + 5)
+            return width, height
+        pos += 2 + seg_len
+    raise ValueError("no SOF segment")

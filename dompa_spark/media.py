@@ -1500,3 +1500,161 @@ def synth_media_table(spark, n: int = 64, seed: int = 42) -> DataFrame:
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Image metadata (EXIF) — header-walk extraction, no pixel decode.
+
+IMAGE_META_SCHEMA = StructType(
+    [
+        StructField("media_ref", StringType(), nullable=False),
+        StructField("format", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("orientation", IntegerType()),
+        StructField("make", StringType()),
+        StructField("model", StringType()),
+        StructField("captured_at", StringType()),
+        StructField("gps_lat_e7", LongType()),
+        StructField("gps_lon_e7", LongType()),
+    ]
+)
+
+
+def image_metadata(df: DataFrame, strict: bool = True) -> DataFrame:
+    """(MEDIA_SCHEMA rows) -> per-image metadata WITHOUT decoding
+    pixels: format + dimensions from the header walk (JPEG SOF / PNG
+    IHDR / GIF LSD) and, for JPEG, the EXIF APP1 fields — orientation,
+    camera make/model, capture time, GPS as exact 1e-7-degree integers
+    (jpegcodec.parse_exif; south/west negative). This is the
+    provenance/telemetry pass a corpus runs over billions of images:
+    per row it reads a few hundred header bytes, never the entropy
+    stream, so the kernel cost is microseconds — embarrassingly
+    parallel, zero shuffles, Arrow-batched like every media kernel.
+    Fields a file doesn't carry come back NULL; undecodable bytes
+    raise (strict) or drop (corpus-hygiene mode)."""
+    import pandas as pd
+
+    def _one(content: bytes):
+        if content[:2] == jpegcodec.SOI:
+            w, h = jpegcodec.jpeg_dims(content)
+            meta = jpegcodec.parse_exif(content) or {}
+            return ("jpeg", w, h, meta)
+        if content[:8] == b"\x89PNG\r\n\x1a\n":
+            if len(content) < 24:
+                raise ValueError("truncated PNG IHDR")
+            w, h = struct.unpack_from(">II", content, 16)
+            return ("png", w, h, {})
+        if content[:6] in (b"GIF89a", b"GIF87a"):
+            if len(content) < 10:
+                raise ValueError("truncated GIF descriptor")
+            w, h = struct.unpack_from("<HH", content, 6)
+            return ("gif", w, h, {})
+        raise ValueError("unrecognized image format")
+
+    def _iter(batches: Iterator["pd.DataFrame"]):
+        for pdf in batches:
+            rows = []
+            for ref, content in zip(pdf["media_ref"], pdf["content"]):
+                content = bytes(content) if content is not None else b""
+                try:
+                    fmt, w, h, meta = _one(content)
+                except ValueError:
+                    if strict:
+                        raise
+                    continue
+                rows.append(
+                    (ref, fmt, w, h, meta.get("orientation"),
+                     meta.get("make"), meta.get("model"),
+                     meta.get("datetime"), meta.get("gps_lat_e7"),
+                     meta.get("gps_lon_e7"))
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in IMAGE_META_SCHEMA]
+            ).astype(
+                {
+                    "width": "Int32", "height": "Int32",
+                    "orientation": "Int32", "gps_lat_e7": "Int64",
+                    "gps_lon_e7": "Int64",
+                }
+            )
+
+    return df.mapInPandas(_iter, schema=IMAGE_META_SCHEMA)
+
+
+def docs_to_jpeg_exif(docs: DataFrame) -> DataFrame:
+    """docs_to_jpeg variants with a deterministic EXIF APP1 spliced in
+    (closed-form in doc_id, so the SQL oracle reproduces every field —
+    including the exact integer GPS fixed-point — without a parser):
+
+        big-endian TIFF when doc_id odd (both byte orders on the wire)
+        EXIF absent entirely   when doc_id % 6 == 5
+        orientation = 1 + doc_id % 8
+        make = "Acme",  model = "Cam-" || (doc_id % 5)
+        captured_at = 2026:01:DD HH:MM:SS with
+            DD = 1 + doc_id % 28, HH = doc_id % 24,
+            MM = doc_id % 60,     SS = (doc_id * 7) % 60
+        GPS absent when doc_id % 3 == 0; otherwise
+            lat: ref N/S by doc_id even/odd,
+                 (d, m, s100) = (doc_id % 90, (doc_id*3) % 60,
+                                 (doc_id*511) % 6000)
+            lon: ref E, W when doc_id % 7 < 3,
+                 (d, m, s100) = ((doc_id*2) % 180, (doc_id*5) % 60,
+                                 (doc_id*317) % 6000)
+            e7 = sign * ((d*360000 + m*6000 + s100) * 10^7) // 360000
+    """
+    import pandas as pd
+
+    def _iter(batches: Iterator["pd.DataFrame"]):
+        for pdf in batches:
+            refs, contents = [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w = 8 + doc_id % 9
+                h = 8 + doc_id % 7
+                bw = (w + 7) // 8
+                j = np.arange(w * h, dtype=np.int64)
+                blk = (j // w // 8) * bw + (j % w) // 8
+                px = (((doc_id * 31) % 251 + blk * 53) % 251).astype(
+                    np.uint8).tobytes()
+                jpg = jpegcodec.encode_jpeg(px, w, h)
+                if doc_id % 6 != 5:
+                    gps = None
+                    if doc_id % 3 != 0:
+                        gps = (
+                            "N" if doc_id % 2 == 0 else "S",
+                            (doc_id % 90, (doc_id * 3) % 60,
+                             (doc_id * 511) % 6000),
+                            "W" if doc_id % 7 < 3 else "E",
+                            ((doc_id * 2) % 180, (doc_id * 5) % 60,
+                             (doc_id * 317) % 6000),
+                        )
+                    app1 = jpegcodec.exif_app1(
+                        orientation=1 + doc_id % 8,
+                        make="Acme",
+                        model=f"Cam-{doc_id % 5}",
+                        datetime=(
+                            f"2026:01:{1 + doc_id % 28:02d} "
+                            f"{doc_id % 24:02d}:{doc_id % 60:02d}:"
+                            f"{doc_id * 7 % 60:02d}"
+                        ),
+                        gps=gps,
+                        big_endian=doc_id % 2 == 1,
+                    )
+                    jpg = jpegcodec.insert_app1(jpg, app1)
+                refs.append(f"jpg://doc/{doc_id}")
+                contents.append(jpg)
+            yield pd.DataFrame(
+                {
+                    "media_ref": refs,
+                    "kind": ["image"] * len(refs),
+                    "content": contents,
+                    "mime": ["image/jpeg"] * len(refs),
+                    "width": pd.array([None] * len(refs), dtype="Int32"),
+                    "height": pd.array([None] * len(refs), dtype="Int32"),
+                    "duration_ms": pd.array([None] * len(refs),
+                                            dtype="Int64"),
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(_iter, schema=MEDIA_SCHEMA)
