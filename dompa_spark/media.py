@@ -1174,7 +1174,25 @@ DHASH_BAND_BITS = DHASH_BITS // DHASH_BANDS  # 14
 DHASH_BAND_MASK = (1 << DHASH_BAND_BITS) - 1
 
 
-def dhash_images(df: DataFrame, strict: bool = True) -> DataFrame:
+# EXIF orientation value -> the numpy transform that displays the
+# STORED pixel array upright (the PIL exif_transpose mapping: 2
+# mirror, 3 rot180, 4 vertical flip, 5 transpose, 6 rot 90 CW, 7
+# transverse/anti-transpose, 8 rot 90 CCW). np.rot90's positive k is
+# counter-clockwise.
+_ORIENT_UPRIGHT = {
+    2: lambda a: np.fliplr(a),
+    3: lambda a: np.rot90(a, 2),
+    4: lambda a: np.flipud(a),
+    5: lambda a: a.T,
+    6: lambda a: np.rot90(a, -1),
+    7: lambda a: np.rot90(a.T, 2),
+    8: lambda a: np.rot90(a, 1),
+}
+
+
+def dhash_images(
+    df: DataFrame, strict: bool = True, orient: bool = False
+) -> DataFrame:
     """(MEDIA_SCHEMA rows with PNG/JPEG/GIF content) -> (media_ref, dhash):
     a 56-bit difference hash over the REAL decoded pixels
     (magic-dispatched codec). Robust to re-encoding and global
@@ -1183,7 +1201,14 @@ def dhash_images(df: DataFrame, strict: bool = True) -> DataFrame:
     stored once as PNG and once as JPEG. Arrow-batched; per image the
     hash reads 63 sampled pixels, so the decode dominates — pair it
     with media_near_dup for the banded near-dup join. strict=False
-    drops undecodable rows."""
+    drops undecodable rows.
+
+    orient=True applies the EXIF orientation (JPEG APP1, when present)
+    before hashing, so a camera-rotated capture hashes identically to
+    its upright original — without it, a rotated duplicate is
+    invisible to perceptual dedup (the gradient grid rotates with the
+    pixels). Costs one header walk per JPEG; malformed EXIF follows
+    the row's strict/drop policy."""
     import pandas as pd
 
     gw, gh = DHASH_GRID_W, DHASH_GRID_H
@@ -1195,11 +1220,20 @@ def dhash_images(df: DataFrame, strict: bool = True) -> DataFrame:
                 content = bytes(content) if content is not None else b""
                 try:
                     w, h, px = _decode_image(content)
+                    arr0 = np.frombuffer(px, np.uint8).reshape(h, w)
+                    if orient and content[:2] == jpegcodec.SOI:
+                        meta = jpegcodec.parse_exif(content) or {}
+                        fix = _ORIENT_UPRIGHT.get(
+                            meta.get("orientation")
+                        )
+                        if fix is not None:
+                            arr0 = fix(arr0)
+                            h, w = arr0.shape
                 except ValueError:
                     if strict:
                         raise
                     continue
-                arr = np.frombuffer(px, np.uint8).reshape(h, w)
+                arr = arr0
                 ys = (np.arange(gh) * h) // gh
                 xs = (np.arange(gw) * w) // gw
                 cells = arr[np.ix_(ys, xs)]

@@ -143,3 +143,53 @@ def test_image_metadata_strict_vs_drop(spark):
         media.image_metadata(df, strict=True).collect()
     got = media.image_metadata(df, strict=False).collect()
     assert [r.media_ref for r in got] == ["ok"]
+
+
+def test_orientation_aware_dhash(spark):
+    import numpy as np
+    import pandas as pd
+
+    from dompa_spark import media
+
+    # upright 16x16 image, constant within 8x8 blocks (bit-exact
+    # through JPEG with the default all-ones quant), asymmetric so
+    # every rotation/flip changes the un-corrected hash grid
+    upright = np.zeros((16, 16), np.uint8)
+    upright[:8, :8], upright[:8, 8:] = 10, 200
+    upright[8:, :8], upright[8:, 8:] = 90, 30
+    # stored = inverse of the display transform for each tag value
+    inverse = {
+        2: lambda a: np.fliplr(a), 3: lambda a: np.rot90(a, 2),
+        4: lambda a: np.flipud(a), 5: lambda a: a.T,
+        6: lambda a: np.rot90(a, 1), 7: lambda a: np.rot90(a.T, 2),
+        8: lambda a: np.rot90(a, -1),
+    }
+    refs, contents = ["plain"], [
+        J.encode_jpeg(upright.tobytes(), 16, 16)
+    ]
+    for tag, inv in inverse.items():
+        stored = np.ascontiguousarray(inv(upright))
+        sh, sw = stored.shape
+        refs.append(f"o{tag}")
+        contents.append(
+            J.insert_app1(
+                J.encode_jpeg(stored.tobytes(), sw, sh),
+                J.exif_app1(orientation=tag),
+            )
+        )
+    df = spark.createDataFrame(
+        pd.DataFrame({"media_ref": refs, "content": contents})
+    )
+    fixed = {
+        r.media_ref: r.dhash
+        for r in media.dhash_images(df, orient=True).collect()
+    }
+    base = fixed["plain"]
+    assert all(v == base for v in fixed.values()), fixed
+    # without correction the rotated copies hash differently
+    raw = {
+        r.media_ref: r.dhash
+        for r in media.dhash_images(df, orient=False).collect()
+    }
+    assert raw["plain"] == base
+    assert any(v != base for k, v in raw.items() if k != "plain")
