@@ -1867,6 +1867,34 @@ def q_image_metadata(spark, sf_dir):
     )
 
 
+def q_orient_near_dup(spark, sf_dir):
+    """ORIENTATION-robust perceptual dedup end-to-end: every 5th doc
+    stores the previous doc's image physically rotated/transposed on
+    disk with the matching EXIF tag (media.docs_to_jpeg_oriented — tag
+    cycles rot180/transpose/90CW/90CCW; different bytes, different
+    stored dimensions, same upright content), then
+    dhash_images(orient=True) undoes the orientation before hashing
+    and the SAME banded+salted hamming pairer as media_dhash recovers
+    the engineered pairs. The fixture keeps dimensions multiples of 8
+    so rotation preserves DCT block alignment and the decode stays
+    bit-exact — which is why the oracle only ever needs the UPRIGHT
+    pixel formula: a correct orientation fix makes rotation vanish
+    from the algebra entirely."""
+    from dompa_spark import media
+
+    docs = _docs_par(spark, sf_dir)
+    hashes = media.dhash_images(
+        media.docs_to_jpeg_oriented(docs), orient=True
+    )
+    ids = hashes.select(
+        F.element_at(F.split("media_ref", "/"), -1)
+        .cast("long")
+        .alias("doc_id"),
+        "dhash",
+    )
+    return media.media_near_dup(ids, id_col="doc_id", hash_col="dhash")
+
+
 RESIZE_W, RESIZE_H = 16, 12
 
 
@@ -2664,6 +2692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vtt_cues": q_vtt_cues,
         "caption_frame_align": q_caption_frame_align,
         "image_metadata": q_image_metadata,
+        "orient_near_dup": q_orient_near_dup,
         "png_resize": q_png_resize,
         "wav_decode": q_wav_decode,
         "pdf_layout": q_pdf_layout,
@@ -6625,6 +6654,57 @@ def oracle_sql() -> dict[str, str]:
                                   * 10000000) // 360000 AS BIGINT)
                    END AS gps_lon_e7
             FROM base
+        """,
+        # orient_near_dup: a correct EXIF orientation fix makes the
+        # rotation vanish — every doc's oriented hash equals the dhash
+        # of its SOURCE's upright pixels (src = doc_id-1 for the
+        # engineered rotated copies), so the oracle computes the
+        # upright 56-bit dhash closed-form and mirrors the banded +
+        # salted hamming pairing; no rotation algebra appears here
+        "orient_near_dup": f"""
+            WITH base AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     CASE WHEN doc_id % 5 = 4
+                          THEN CAST(doc_id AS BIGINT) - 1
+                          ELSE CAST(doc_id AS BIGINT) END AS src
+              FROM documents),
+            dims AS (
+              SELECT doc_id, src,
+                     8 * (1 + src % 2) AS w,
+                     8 * (1 + src % 3) AS h,
+                     1 + src % 2 AS bw
+              FROM base),
+            dh AS (
+              SELECT doc_id,
+                CAST(list_sum(list_transform(generate_series(0, 55), i ->
+                  CASE WHEN cells[CAST(i//8*9 + i%8 AS INT) + 1] <
+                            cells[CAST(i//8*9 + i%8 AS INT) + 2]
+                  THEN CAST(1 AS BIGINT) << CAST(i AS INT)
+                  ELSE 0 END)) AS BIGINT) AS dhash
+              FROM (
+                SELECT doc_id,
+                  list_transform(generate_series(0, 62),
+                    c -> (src*31
+                          + ((c//9*h//7)//8*bw + ((c%9)*w//9)//8)*53)
+                         % 251) AS cells
+                FROM dims)),
+            obanded AS (
+              SELECT doc_id, b.band,
+                     CAST((dhash >> CAST(b.band * 14 AS INT)) & 16383
+                          AS VARCHAR) AS bkey
+              FROM dh, (SELECT unnest(generate_series(0, 3)) AS band) b),
+            {_salted_keyed_cte(64, src='obanded')},
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_id_a, bb.doc_id AS doc_id_b
+              FROM keyed a JOIN keyed bb
+                ON a.band = bb.band AND a.skey = bb.skey
+                   AND a.doc_id < bb.doc_id)
+            SELECT c.doc_id_a, c.doc_id_b,
+                   CAST(bit_count(xor(x.dhash, y.dhash)) AS BIGINT)
+                     AS hamming
+            FROM cand c JOIN dh x ON x.doc_id = c.doc_id_a
+                        JOIN dh y ON y.doc_id = c.doc_id_b
+            WHERE bit_count(xor(x.dhash, y.dhash)) <= 4
         """,
         # video_near_dup: the variant-Y4M luma payload is closed-form in
         # doc_id (media.docs_to_y4m_variants), so the oracle predicts

@@ -1692,3 +1692,66 @@ def docs_to_jpeg_exif(docs: DataFrame) -> DataFrame:
             )
 
     return docs.select("doc_id").mapInPandas(_iter, schema=MEDIA_SCHEMA)
+
+
+def docs_to_jpeg_oriented(docs: DataFrame) -> DataFrame:
+    """Deterministic JPEGs with engineered ORIENTATION near-duplicates:
+    every 5th doc (doc_id % 5 == 4) stores the PREVIOUS doc's image
+    rotated/transposed on disk with the matching EXIF orientation tag
+    (tag cycles 3/5/6/8 by doc_id % 4 — rot180, transpose, both 90s);
+    all other docs are upright untagged encodings of their own pixels.
+
+    Closed-form (src = doc_id-1 when doc_id % 5 == 4 else doc_id):
+        w = 8 * (1 + src % 2),  h = 8 * (1 + src % 3),  bw = w // 8
+        pixel(x, y) = (src*31 + ((y//8)*bw + x//8) * 53) % 251
+    Dimensions are MULTIPLES OF 8 so every rotation/transpose keeps
+    8x8 DCT block alignment: the stored image stays block-constant in
+    its own frame and the all-ones-quant round-trip stays bit-exact —
+    dhash_images(orient=True) therefore recovers EXACTLY the source's
+    upright pixels, and the SQL oracle only ever needs the upright
+    formula (rotation never appears in SQL)."""
+    import pandas as pd
+
+    # stored = inverse of the display transform _ORIENT_UPRIGHT[tag]
+    inv = {3: lambda a: np.rot90(a, 2), 5: lambda a: a.T,
+           6: lambda a: np.rot90(a, 1), 8: lambda a: np.rot90(a, -1)}
+
+    def _iter(batches: Iterator["pd.DataFrame"]):
+        for pdf in batches:
+            refs, contents = [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                src = doc_id - 1 if doc_id % 5 == 4 else doc_id
+                w = 8 * (1 + src % 2)
+                h = 8 * (1 + src % 3)
+                bw = w // 8
+                j = np.arange(w * h, dtype=np.int64)
+                blk = (j // w // 8) * bw + (j % w) // 8
+                arr = (((src * 31) % 251 + blk * 53) % 251).astype(
+                    np.uint8).reshape(h, w)
+                if doc_id % 5 == 4:
+                    tag = (3, 5, 6, 8)[doc_id % 4]
+                    stored = np.ascontiguousarray(inv[tag](arr))
+                    sh, sw = stored.shape
+                    jpg = jpegcodec.insert_app1(
+                        jpegcodec.encode_jpeg(stored.tobytes(), sw, sh),
+                        jpegcodec.exif_app1(orientation=tag),
+                    )
+                else:
+                    jpg = jpegcodec.encode_jpeg(arr.tobytes(), w, h)
+                refs.append(f"jpg://doc/{doc_id}")
+                contents.append(jpg)
+            yield pd.DataFrame(
+                {
+                    "media_ref": refs,
+                    "kind": ["image"] * len(refs),
+                    "content": contents,
+                    "mime": ["image/jpeg"] * len(refs),
+                    "width": pd.array([None] * len(refs), dtype="Int32"),
+                    "height": pd.array([None] * len(refs), dtype="Int32"),
+                    "duration_ms": pd.array([None] * len(refs),
+                                            dtype="Int64"),
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(_iter, schema=MEDIA_SCHEMA)
