@@ -1895,6 +1895,36 @@ def q_orient_near_dup(spark, sf_dir):
     return media.media_near_dup(ids, id_col="doc_id", hash_col="dhash")
 
 
+def q_gif_anim_decode(spark, sf_dir):
+    """ANIMATED-GIF decode with full compositing end-to-end: each doc
+    renders as a multi-frame GIF89a (full first frame + disposal-none
+    region updates, media.docs_to_gif_anim), and media.decode_video —
+    the SAME kernel as Y4M/AVI/MP4, dispatched via
+    gifcodec.is_animated — composites every frame onto the persistent
+    canvas and reports stream statistics. The luma_checksum weights by
+    global stream position, so a mis-composited region, wrong paint
+    order, or frame skip fails a row; fps comes from the GCE delay
+    (the fixture plants duration_ms=7777 to pin the stream-intrinsic
+    clock). GIF is lossless, so the oracle predicts every composited
+    pixel closed-form via a last-writer CASE over the rect algebra."""
+    from dompa_spark import media
+
+    docs = _docs_par(spark, sf_dir)
+    out = media.decode_video(media.docs_to_gif_anim(docs))
+    return out.select(
+        F.element_at(F.split("media_ref", "/"), -1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("n_frames").cast("long").alias("n_frames"),
+        F.col("fps_num").cast("long").alias("fps_num"),
+        F.col("fps_den").cast("long").alias("fps_den"),
+        "luma_sum",
+        "luma_checksum",
+    )
+
+
 RESIZE_W, RESIZE_H = 16, 12
 
 
@@ -2693,6 +2723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "caption_frame_align": q_caption_frame_align,
         "image_metadata": q_image_metadata,
         "orient_near_dup": q_orient_near_dup,
+        "gif_anim_decode": q_gif_anim_decode,
         "png_resize": q_png_resize,
         "wav_decode": q_wav_decode,
         "pdf_layout": q_pdf_layout,
@@ -3780,6 +3811,20 @@ def oracle_sql() -> dict[str, str]:
     warc_docs_per_shard = _warc.DOCS_PER_SHARD
     warc_info_body_e = _warc.WARCINFO_BODY.replace("\r", "\\r").replace(
         "\n", "\\n"
+    )
+    # gif_anim_decode: last-writer-wins compositing as a CASE — later
+    # region frames checked first (the fixture caps n_frames at 4, so
+    # region frames are 1..3); each branch tests the 3x2 rect cover
+    # and reproduces the region value at that pixel
+    gif_anim_branches = "".join(
+        f"""
+                 WHEN u.f >= {k}
+                      AND (v.p % w) - ({k} % (w - 2)) BETWEEN 0 AND 2
+                      AND (v.p // w) - ({k} % (h - 1)) BETWEEN 0 AND 1
+                 THEN (doc_id * 29 + {k} * 43
+                       + (((v.p // w) - ({k} % (h - 1))) * 3
+                          + ((v.p % w) - ({k} % (w - 2)))) * 17) % 251"""
+        for k in (3, 2, 1)
     )
     oracles = {
         "extract_main_text": """
@@ -6705,6 +6750,39 @@ def oracle_sql() -> dict[str, str]:
             FROM cand c JOIN dh x ON x.doc_id = c.doc_id_a
                         JOIN dh y ON y.doc_id = c.doc_id_b
             WHERE bit_count(xor(x.dhash, y.dhash)) <= 4
+        """,
+        # gif_anim_decode: GIF is lossless and the fixture's updates
+        # are disposal-none, so composited pixel (f, p) is the last
+        # region frame covering p (else frame 0) — a pure CASE over
+        # the rect algebra; the checksum weights by global stream
+        # position, pinning frame order and compositing alike
+        "gif_anim_decode": f"""
+            WITH base AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     6 + CAST(doc_id AS BIGINT) % 7 AS w,
+                     5 + CAST(doc_id AS BIGINT) % 5 AS h,
+                     2 + CAST(doc_id AS BIGINT) % 3 AS nf,
+                     10 + CAST(doc_id AS BIGINT) % 5 AS d
+              FROM documents),
+            vals AS (
+              SELECT doc_id, w, h, nf, d, u.f, v.p,
+                     CASE {gif_anim_branches}
+                          ELSE (doc_id * 29 + v.p * 17) % 251
+                     END AS val
+              FROM base,
+                   UNNEST(generate_series(0, nf - 1)) AS u(f),
+                   UNNEST(generate_series(0, w * h - 1)) AS v(p))
+            SELECT doc_id,
+                   CAST(w AS BIGINT) AS width,
+                   CAST(h AS BIGINT) AS height,
+                   CAST(nf AS BIGINT) AS n_frames,
+                   CAST(100 AS BIGINT) AS fps_num,
+                   CAST(d AS BIGINT) AS fps_den,
+                   CAST(sum(val) AS BIGINT) AS luma_sum,
+                   CAST(sum(val * (f * w * h + p + 1)) AS BIGINT)
+                     AS luma_checksum
+            FROM vals
+            GROUP BY doc_id, w, h, nf, d
         """,
         # video_near_dup: the variant-Y4M luma payload is closed-form in
         # doc_id (media.docs_to_y4m_variants), so the oracle predicts

@@ -298,3 +298,240 @@ def _decode_gif(data: bytes) -> tuple[int, int, bytes]:
             raise ValueError("no image data before trailer")
         else:
             raise ValueError(f"unknown block 0x{block:02x}")
+
+
+# ---------------------------------------------------------------------------
+# Animation — multi-frame GIF89a with full compositing semantics.
+# GIF is the dominant lossless web ANIMATION format; normalizing to the
+# first frame (decode_gif above, the image-kernel contract) throws away
+# the temporal signal the video operators need. decode_gif_frames
+# composites every frame the way a browser does — region updates onto a
+# persistent canvas, Graphic Control Extension disposal methods
+# (none / keep, restore-to-background, restore-to-previous) and
+# transparent-index skip — and returns full-canvas frames, which is
+# what the video fingerprint / frame-sampling machinery consumes.
+
+_DISPOSALS = (0, 1, 2, 3)
+
+
+def is_animated(data: bytes) -> bool:
+    """True iff the bytes are a GIF with MORE than one image
+    descriptor — a cheap block walk (color tables and data sub-blocks
+    skipped by length, no LZW). Malformed streams return False: the
+    caller's still-image path owns the error story."""
+    if data[:6] not in GIF_MAGICS:
+        return False
+    try:
+        _sw, _sh, flags, _bg, _aspect = struct.unpack_from(
+            "<HHBBB", data, 6)
+        pos = 13
+        if flags & 0x80:
+            pos += 3 * (2 << (flags & 0x07))
+        n_images = 0
+        while pos < len(data):
+            block = data[pos]
+            pos += 1
+            if block == 0x21:
+                pos = _skip_subblocks(data, pos + 1)
+            elif block == 0x2C:
+                n_images += 1
+                if n_images > 1:
+                    return True
+                _l, _t, _w, _h, iflags = struct.unpack_from(
+                    "<HHHHB", data, pos)
+                pos += 9
+                if iflags & 0x80:
+                    pos += 3 * (2 << (iflags & 0x07))
+                pos = _skip_subblocks(data, pos + 1)  # min-code byte
+            elif block == 0x3B:
+                break
+            else:
+                return False
+        return False
+    except (IndexError, struct.error, ValueError):
+        return False
+
+
+def encode_gif_anim(
+    frames: list[tuple[int, int, int, int, bytes]],
+    width: int,
+    height: int,
+    *,
+    delays_cs: list[int] | None = None,
+    disposals: list[int] | None = None,
+    transparents: list[int | None] | None = None,
+    loop: int | None = 0,
+) -> bytes:
+    """Encode an animated GIF89a: frames are REGION updates
+    (left, top, w, h, row-major grayscale pixels) onto a width x height
+    logical screen, each preceded by a Graphic Control Extension
+    carrying its delay (centiseconds), disposal method, and optional
+    transparent index. loop=None omits the NETSCAPE2.0 block; loop=0
+    is the standard 'forever'. The global color table is the identity
+    grayscale palette, so indices ARE intensities (the still-encoder
+    contract) and compositing is exact."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    n = len(frames)
+    delays_cs = list(delays_cs) if delays_cs is not None else [10] * n
+    disposals = list(disposals) if disposals is not None else [0] * n
+    transparents = (list(transparents) if transparents is not None
+                    else [None] * n)
+    if not (len(delays_cs) == len(disposals) == len(transparents) == n):
+        raise ValueError("per-frame parameter length mismatch")
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0xF7, 0, 0)
+    for i in range(256):
+        out += bytes((i, i, i))
+    if loop is not None:
+        out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01"
+        out += struct.pack("<H", loop) + b"\x00"
+    for (left, top, w, h, px), delay, disp, trans in zip(
+        frames, delays_cs, disposals, transparents
+    ):
+        if len(px) != w * h:
+            raise ValueError(f"frame buffer {len(px)} != {w}x{h}")
+        if left + w > width or top + h > height or w == 0 or h == 0:
+            raise ValueError("frame rect outside the logical screen")
+        if disp not in _DISPOSALS:
+            raise ValueError(f"bad disposal {disp}")
+        flags = (disp << 2) | (1 if trans is not None else 0)
+        out += b"\x21\xf9\x04" + bytes([flags])
+        out += struct.pack("<H", delay)
+        out += bytes([trans if trans is not None else 0, 0])
+        out += b"\x2c" + struct.pack("<HHHHB", left, top, w, h, 0)
+        out.append(8)
+        data = _lzw_encode(px, 8)
+        for i in range(0, len(data), 255):
+            chunk = data[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif_frames(
+    data: bytes,
+) -> tuple[int, int, list[bytes], list[int]]:
+    """Decode an animated (or still) GIF with full compositing ->
+    (width, height, composited full-canvas frames, per-frame delays in
+    centiseconds). Region updates paint onto a persistent canvas
+    initialized to the background intensity; disposal 2 restores the
+    frame's rect to background afterwards, disposal 3 restores the
+    canvas to its pre-frame state; a GCE transparent index skips those
+    pixels during the paint. Grayscale-palette contract as decode_gif
+    (indices ARE intensities). Raises ValueError outside the subset."""
+    try:
+        return _decode_gif_frames(data)
+    except (IndexError, struct.error) as exc:
+        raise ValueError(f"truncated or malformed GIF ({exc})")
+
+
+def _decode_gif_frames(data: bytes):
+    if data[:6] not in GIF_MAGICS:
+        raise ValueError("not a GIF (bad magic)")
+    sw, sh, flags, bg, _aspect = struct.unpack_from("<HHBBB", data, 6)
+    if sw == 0 or sh == 0:
+        raise ValueError("empty logical screen")
+    pos = 13
+    gct: bytes | None = None
+    if flags & 0x80:
+        gct, pos = _read_color_table(data, pos, 2 << (flags & 0x07))
+    bg_val = gct[bg] if gct is not None and bg < len(gct) else 0
+    canvas = bytearray([bg_val]) * (sw * sh)
+    frames: list[bytes] = []
+    delays: list[int] = []
+    # pending GCE state (applies to the NEXT image descriptor only)
+    disp, delay, trans = 0, 0, None
+    while True:
+        if pos >= len(data):
+            raise ValueError("missing trailer")
+        block = data[pos]
+        pos += 1
+        if block == 0x21:
+            if pos >= len(data):
+                raise ValueError("truncated extension")
+            label = data[pos]
+            if label == 0xF9 and pos + 5 < len(data) and data[pos + 1] == 4:
+                gflags = data[pos + 2]
+                (delay,) = struct.unpack_from("<H", data, pos + 3)
+                disp = (gflags >> 2) & 0x07
+                if disp not in _DISPOSALS:
+                    raise ValueError(f"reserved disposal {disp}")
+                trans = data[pos + 5] if gflags & 0x01 else None
+            pos = _skip_subblocks(data, pos + 1)
+        elif block == 0x2C:
+            left, top, w, h, iflags = struct.unpack_from(
+                "<HHHHB", data, pos)
+            pos += 9
+            if iflags & 0x40:
+                raise ValueError("interlaced GIF unsupported")
+            if w == 0 or h == 0 or left + w > sw or top + h > sh:
+                raise ValueError("frame rect outside the logical screen")
+            pal = gct
+            if iflags & 0x80:
+                pal, pos = _read_color_table(
+                    data, pos, 2 << (iflags & 0x07))
+            if pal is None:
+                raise ValueError("no color table for image")
+            min_code = data[pos]
+            pos += 1
+            chunks = []
+            while True:
+                if pos >= len(data):
+                    raise ValueError("truncated image data")
+                n = data[pos]
+                pos += 1
+                if n == 0:
+                    break
+                chunks.append(data[pos : pos + n])
+                if len(chunks[-1]) != n:
+                    raise ValueError("truncated image data sub-block")
+                pos += n
+            idx = _lzw_decode(b"".join(chunks), min_code, w * h)
+            if len(idx) != w * h:
+                raise ValueError(
+                    f"decoded {len(idx)} indices for {w}x{h} frame")
+            if max(idx) >= len(pal):
+                raise ValueError("palette index out of range")
+            pal_map = bytes(pal) + bytes(256 - len(pal))
+            saved = bytes(canvas) if disp == 3 else None
+            for y in range(h):
+                row = idx[y * w : (y + 1) * w]
+                base = (top + y) * sw + left
+                if trans is None:
+                    canvas[base : base + w] = row.translate(pal_map)
+                else:
+                    for x, i in enumerate(row):
+                        if i != trans:
+                            canvas[base + x] = pal_map[i]
+            frames.append(bytes(canvas))
+            delays.append(delay)
+            if disp == 2:
+                for y in range(h):
+                    base = (top + y) * sw + left
+                    canvas[base : base + w] = bytes([bg_val]) * w
+            elif disp == 3:
+                canvas = bytearray(saved)
+            disp, delay, trans = 0, 0, None
+        elif block == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown block 0x{block:02x}")
+    if not frames:
+        raise ValueError("no image data before trailer")
+    return sw, sh, frames, delays
+
+
+def anim_stream(
+    data: bytes,
+) -> tuple[int, int, int, int, list[bytes]]:
+    """decode_gif_frames adapted to the video-stream contract
+    (w, h, fps_num, fps_den, luma_frames): GIF delays are
+    centiseconds, so fps = 100 / delay using the FIRST frame's delay
+    (the dominant real-world shape is a uniform delay); a zero delay
+    maps to the de-facto browser default of 10 cs."""
+    w, h, frames, delays = decode_gif_frames(data)
+    d = delays[0] if delays and delays[0] > 0 else 10
+    return w, h, 100, d, frames

@@ -118,10 +118,14 @@ def _decode_image(content: bytes) -> tuple:
 
 
 def _video_magic(content: bytes) -> bool:
+    # an ANIMATED GIF is a video (multi-frame temporal signal for the
+    # frame/fingerprint kernels); a still GIF stays on the image path —
+    # is_animated is a cheap block walk, no LZW
     return (
         content[: len(y4mcodec.Y4M_MAGIC)] == y4mcodec.Y4M_MAGIC
         or avicodec.is_avi(content)
         or mp4codec.is_mp4(content)
+        or gifcodec.is_animated(content)
     )
 
 
@@ -160,8 +164,14 @@ def _decode_video_stream(
         return avicodec.decode_avi(content)
     if mp4codec.is_mp4(content):
         return mp4codec.decode_mp4(content)
+    if gifcodec.is_animated(content):
+        # animated GIF: full compositing (region updates, disposal
+        # methods, transparency) to full-canvas frames; fps from the
+        # GCE delay (gifcodec.anim_stream)
+        return gifcodec.anim_stream(content)
     raise ValueError(
-        "unrecognized video magic (not Y4M, MJPEG AVI, or ISO BMFF)")
+        "unrecognized video magic "
+        "(not Y4M, MJPEG AVI, ISO BMFF, or animated GIF)")
 
 
 def _decode_stub(content: bytes, kind: str, strict: bool):
@@ -1751,6 +1761,64 @@ def docs_to_jpeg_oriented(docs: DataFrame) -> DataFrame:
                     "height": pd.array([None] * len(refs), dtype="Int32"),
                     "duration_ms": pd.array([None] * len(refs),
                                             dtype="Int64"),
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(_iter, schema=MEDIA_SCHEMA)
+
+
+def docs_to_gif_anim(docs: DataFrame) -> DataFrame:
+    """Render each document row as a deterministic ANIMATED GIF
+    (MEDIA_SCHEMA, kind='video'): a full-canvas first frame, then
+    disposal-none 3x2 REGION updates — the canonical animation shape,
+    every frame's canvas is the running composite. GIF is lossless, so
+    the SQL oracle predicts every composited pixel closed-form:
+        w = 6 + doc_id % 7,  h = 5 + doc_id % 5
+        n_frames = 2 + doc_id % 3,  delay_cs = 10 + doc_id % 5
+        frame 0 pixel(p)  = (doc_id*29 + p*17) % 251        (row-major)
+        frame f>=1 rect   = (left, top, 3, 2) with
+                            left = f % (w-2),  top = f % (h-1)
+        rect value(r)     = (doc_id*29 + f*43 + r*17) % 251  (r region
+                            row-major)
+    composited value(f, p) = the LAST frame f' <= f whose rect covers
+    p (else frame 0's value). The table duration_ms deliberately
+    disagrees (7777): the video kernels must clock off the stream's
+    GCE delays. Disposal 2/3 and transparency are unit-tested against
+    a reference compositor (the oracle keeps disposal-none so the SQL
+    stays a 3-branch CASE, not a temporal fold)."""
+    import pandas as pd
+
+    def _iter(batches: Iterator["pd.DataFrame"]):
+        for pdf in batches:
+            refs, contents, durs = [], [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w = 6 + doc_id % 7
+                h = 5 + doc_id % 5
+                nf = 2 + doc_id % 3
+                base = (doc_id * 29) % 251
+                p = np.arange(w * h, dtype=np.int64)
+                f0 = ((base + p * 17) % 251).astype(np.uint8).tobytes()
+                frames = [(0, 0, w, h, f0)]
+                for f in range(1, nf):
+                    r = np.arange(6, dtype=np.int64)
+                    px = ((base + f * 43 + r * 17) % 251).astype(
+                        np.uint8).tobytes()
+                    frames.append((f % (w - 2), f % (h - 1), 3, 2, px))
+                refs.append(f"gifv://doc/{doc_id}")
+                contents.append(gifcodec.encode_gif_anim(
+                    frames, w, h,
+                    delays_cs=[10 + doc_id % 5] * nf))
+                durs.append(7777)
+            yield pd.DataFrame(
+                {
+                    "media_ref": refs,
+                    "kind": ["video"] * len(refs),
+                    "content": contents,
+                    "mime": ["image/gif"] * len(refs),
+                    "width": pd.array([None] * len(refs), dtype="Int32"),
+                    "height": pd.array([None] * len(refs), dtype="Int32"),
+                    "duration_ms": pd.array(durs, dtype="Int64"),
                 }
             )
 
