@@ -1925,6 +1925,32 @@ def q_gif_anim_decode(spark, sf_dir):
     )
 
 
+def q_shot_detect(spark, sf_dir):
+    """Shot-boundary detection end-to-end through the real Y4M codec:
+    engineered scene cuts (media.docs_to_y4m_shots — frames pair into
+    shots, pixels re-based across scenes so within-shot transitions
+    diff to exactly 0 and across-shot transitions to a large modular
+    delta) -> media.shot_boundaries, per-transition integer
+    |luma delta| sums with a cross-multiplied mean-threshold verdict
+    (no float anywhere). Scene segmentation is the step that turns
+    raw footage into shot-level training samples; the oracle
+    reproduces every transition's exact delta sum from the formula —
+    including the wrap-around cases — and the cut verdicts
+    bit-exactly."""
+    from dompa_spark import media
+
+    docs = _docs_par(spark, sf_dir)
+    out = media.shot_boundaries(media.docs_to_y4m_shots(docs))
+    return out.select(
+        F.element_at(F.split("media_ref", "/"), -1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        "diff_sum",
+        "is_cut",
+    )
+
+
 RESIZE_W, RESIZE_H = 16, 12
 
 
@@ -2724,6 +2750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_metadata": q_image_metadata,
         "orient_near_dup": q_orient_near_dup,
         "gif_anim_decode": q_gif_anim_decode,
+        "shot_detect": q_shot_detect,
         "png_resize": q_png_resize,
         "wav_decode": q_wav_decode,
         "pdf_layout": q_pdf_layout,
@@ -6783,6 +6810,36 @@ def oracle_sql() -> dict[str, str]:
                      AS luma_checksum
             FROM vals
             GROUP BY doc_id, w, h, nf, d
+        """,
+        # shot_detect: the scene-cut fixture is closed-form — scene
+        # s = f//2, pixel(f,j) = (doc*41 + s*97 + j*11) % 247 — so the
+        # per-transition |delta| sum is a direct pixel-sum (within-shot
+        # transitions share a scene and sum to 0 without a special
+        # case) and the cut verdict is the same cross-multiplied
+        # integer inequality the kernel uses (threshold 40000 milli)
+        "shot_detect": """
+            WITH base AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     8 + CAST(doc_id AS BIGINT) % 13 AS w,
+                     8 + CAST(doc_id AS BIGINT) % 3 AS h,
+                     4 + CAST(doc_id AS BIGINT) % 3 AS nf
+              FROM documents),
+            tr AS (
+              SELECT doc_id, w, h, u.f,
+                     CAST(list_sum(list_transform(
+                       generate_series(0, w * h - 1), j ->
+                         abs((doc_id * 41 + (u.f // 2) * 97 + j * 11)
+                             % 247
+                             - (doc_id * 41 + ((u.f - 1) // 2) * 97
+                                + j * 11) % 247))) AS BIGINT)
+                       AS diff_sum
+              FROM base,
+                   UNNEST(generate_series(1, nf - 1)) AS u(f))
+            SELECT doc_id,
+                   CAST(f AS BIGINT) AS frame_idx,
+                   diff_sum,
+                   diff_sum * 1000 >= 40000 * w * h AS is_cut
+            FROM tr
         """,
         # video_near_dup: the variant-Y4M luma payload is closed-form in
         # doc_id (media.docs_to_y4m_variants), so the oracle predicts

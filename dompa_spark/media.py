@@ -32,6 +32,7 @@ from . import (avicodec, flaccodec, gifcodec, jpegcodec, mp4codec,
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    BooleanType,
     FloatType,
     IntegerType,
     LongType,
@@ -1819,6 +1820,113 @@ def docs_to_gif_anim(docs: DataFrame) -> DataFrame:
                     "width": pd.array([None] * len(refs), dtype="Int32"),
                     "height": pd.array([None] * len(refs), dtype="Int32"),
                     "duration_ms": pd.array(durs, dtype="Int64"),
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(_iter, schema=MEDIA_SCHEMA)
+
+
+SHOTS_SCHEMA = StructType(
+    [
+        StructField("media_ref", StringType(), nullable=False),
+        StructField("frame_idx", IntegerType()),
+        StructField("diff_sum", LongType()),
+        StructField("is_cut", BooleanType()),
+    ]
+)
+
+
+def shot_boundaries(
+    df: DataFrame, threshold_milli: int = 40_000, strict: bool = True
+) -> DataFrame:
+    """(MEDIA_SCHEMA video rows) -> one row per frame TRANSITION
+    (frame_idx >= 1 marks the transition into that frame):
+    diff_sum = sum(|luma_f - luma_{f-1}|) over the canvas, and
+    is_cut = diff_sum * 1000 >= threshold_milli * n_pixels — i.e. the
+    mean absolute luma delta exceeds threshold_milli/1000 intensity
+    units. Shot segmentation is how a video training pipeline turns
+    raw footage into scene-level samples (one keyframe per shot beats
+    every-N-ms sampling for caption pairing); the comparison is pure
+    integer (sum and count, one cross-multiplied inequality — no
+    float), so the SQL oracle reproduces cut verdicts bit-exactly.
+    Works on every real container the stream decoder handles
+    (Y4M / MJPEG AVI / MP4 / animated GIF). Arrow-batched,
+    embarrassingly parallel; strict=False drops undecodable rows."""
+    import pandas as pd
+
+    def _iter(batches: Iterator["pd.DataFrame"]):
+        for pdf in batches:
+            rows = []
+            for ref, content in zip(pdf["media_ref"], pdf["content"]):
+                content = bytes(content) if content is not None else b""
+                try:
+                    w, h, _fn, _fd, frames = _decode_video_stream(
+                        content)
+                except ValueError:
+                    if strict:
+                        raise
+                    continue
+                n_px = w * h
+                prev = None
+                for f, frame in enumerate(frames):
+                    cur = np.frombuffer(frame, np.uint8).astype(
+                        np.int64)
+                    if prev is not None:
+                        d = int(np.abs(cur - prev).sum())
+                        rows.append(
+                            (ref, f, d,
+                             d * 1000 >= threshold_milli * n_px)
+                        )
+                    prev = cur
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in SHOTS_SCHEMA]
+            ).astype({"frame_idx": "int32"})
+
+    return df.mapInPandas(_iter, schema=SHOTS_SCHEMA)
+
+
+def docs_to_y4m_shots(docs: DataFrame) -> DataFrame:
+    """Deterministic Y4M videos with engineered SCENE CUTS: frames
+    pair into shots (scene s = f // 2), pixels constant-formula within
+    a scene and re-based across scenes, so within-shot transitions
+    have diff 0 and across-shot transitions a large wrap-around
+    modular delta:
+        w = 8 + doc_id % 13,  h = 8 + doc_id % 3
+        n_frames = 4 + doc_id % 3   (2-3 shots, F4:1)
+        pixel(f, j) = (doc_id*41 + (f // 2)*97 + j*11) % 247
+    Everything stays closed-form for the SQL oracle, including each
+    cut's exact |delta| sum (the wrap makes per-pixel deltas vary, so
+    the oracle proves the abs-diff algebra, not just zero/nonzero)."""
+    import pandas as pd
+
+    def _iter(batches: Iterator["pd.DataFrame"]):
+        for pdf in batches:
+            refs, contents = [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w = 8 + doc_id % 13
+                h = 8 + doc_id % 3
+                nf = 4 + doc_id % 3
+                base = (doc_id * 41) % 247
+                j = np.arange(w * h, dtype=np.int64)
+                frames = [
+                    ((base + (f // 2) * 97 + j * 11) % 247)
+                    .astype(np.uint8).tobytes()
+                    for f in range(nf)
+                ]
+                refs.append(f"y4ms://doc/{doc_id}")
+                contents.append(
+                    y4mcodec.encode_y4m(frames, w, h, fps_num=4))
+            yield pd.DataFrame(
+                {
+                    "media_ref": refs,
+                    "kind": ["video"] * len(refs),
+                    "content": contents,
+                    "mime": ["video/x-yuv4mpeg"] * len(refs),
+                    "width": pd.array([None] * len(refs), dtype="Int32"),
+                    "height": pd.array([None] * len(refs), dtype="Int32"),
+                    "duration_ms": pd.array([None] * len(refs),
+                                            dtype="Int64"),
                 }
             )
 
