@@ -1951,6 +1951,36 @@ def q_shot_detect(spark, sf_dir):
     )
 
 
+def q_shot_keyframes(spark, sf_dir):
+    """One keyframe per detected shot — the sampling policy a
+    video-text pipeline wants (a representative frame per scene, not
+    every-N-ms frames that oversample static shots): the engineered
+    scene-cut videos segment at the integer cut verdicts and emit the
+    middle frame of each segment as a real 4x4 luma thumbnail
+    (media.shot_keyframes, one decode per video). The fixture's shots
+    are frame pairs, so segment bounds, key frames, and every thumb
+    byte are closed-form; the thumb checksum is unpacked JVM-side
+    (hex + aggregate HOF — no Python after the kernel)."""
+    from dompa_spark import media
+
+    docs = _docs_par(spark, sf_dir)
+    out = media.shot_keyframes(media.docs_to_y4m_shots(docs))
+    return out.select(
+        F.element_at(F.split("media_ref", "/"), -1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("shot_idx").cast("long").alias("shot_idx"),
+        F.col("start_frame").cast("long").alias("start_frame"),
+        F.col("end_frame").cast("long").alias("end_frame"),
+        F.col("key_frame").cast("long").alias("key_frame"),
+        F.expr(
+            "aggregate(sequence(0, 15), cast(0 as bigint),"
+            " (acc, p) -> acc + cast(conv(substring(hex(thumb),"
+            " p*2 + 1, 2), 16, 10) as bigint) * (p + 1))"
+        ).alias("thumb_checksum"),
+    )
+
+
 RESIZE_W, RESIZE_H = 16, 12
 
 
@@ -2751,6 +2781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orient_near_dup": q_orient_near_dup,
         "gif_anim_decode": q_gif_anim_decode,
         "shot_detect": q_shot_detect,
+        "shot_keyframes": q_shot_keyframes,
         "png_resize": q_png_resize,
         "wav_decode": q_wav_decode,
         "pdf_layout": q_pdf_layout,
@@ -6840,6 +6871,33 @@ def oracle_sql() -> dict[str, str]:
                    diff_sum,
                    diff_sum * 1000 >= 40000 * w * h AS is_cut
             FROM tr
+        """,
+        # shot_keyframes: the engineered shots are frame PAIRS (last
+        # shot may be a singleton when n_frames is odd), so shot s
+        # spans [2s, min(2s+1, nf-1)], the middle frame is always 2s,
+        # and each thumb byte is the 4x4 nearest-neighbor sample of
+        # the closed-form scene pixel formula
+        "shot_keyframes": """
+            WITH base AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     8 + CAST(doc_id AS BIGINT) % 13 AS w,
+                     8 + CAST(doc_id AS BIGINT) % 3 AS h,
+                     4 + CAST(doc_id AS BIGINT) % 3 AS nf
+              FROM documents)
+            SELECT doc_id,
+                   CAST(u.s AS BIGINT) AS shot_idx,
+                   CAST(2 * u.s AS BIGINT) AS start_frame,
+                   CAST(least(2 * u.s + 1, nf - 1) AS BIGINT)
+                     AS end_frame,
+                   CAST(2 * u.s AS BIGINT) AS key_frame,
+                   CAST(list_sum(list_transform(
+                     generate_series(0, 15), p ->
+                       ((doc_id * 41 + u.s * 97
+                         + (((p // 4) * h // 4) * w
+                            + (p % 4) * w // 4) * 11) % 247)
+                       * (p + 1))) AS BIGINT) AS thumb_checksum
+            FROM base,
+                 UNNEST(generate_series(0, (nf + 1) // 2 - 1)) AS u(s)
         """,
         # video_near_dup: the variant-Y4M luma payload is closed-form in
         # doc_id (media.docs_to_y4m_variants), so the oracle predicts

@@ -1931,3 +1931,71 @@ def docs_to_y4m_shots(docs: DataFrame) -> DataFrame:
             )
 
     return docs.select("doc_id").mapInPandas(_iter, schema=MEDIA_SCHEMA)
+
+
+KEYFRAMES_SCHEMA = StructType(
+    [
+        StructField("media_ref", StringType(), nullable=False),
+        StructField("shot_idx", IntegerType()),
+        StructField("start_frame", IntegerType()),
+        StructField("end_frame", IntegerType()),
+        StructField("key_frame", IntegerType()),
+        StructField("thumb", BinaryType()),
+    ]
+)
+
+
+def shot_keyframes(
+    df: DataFrame, threshold_milli: int = 40_000, strict: bool = True
+) -> DataFrame:
+    """(MEDIA_SCHEMA video rows) -> one KEYFRAME per detected shot:
+    segment the stream at the shot_boundaries cut verdicts (same
+    integer threshold), then emit the middle frame of each segment —
+    key_frame = (start + end) // 2 — as a real 4x4 nearest-neighbor
+    luma thumbnail. This is the sampling policy a video-text training
+    pipeline actually wants: one representative frame per scene,
+    instead of every-N-ms frames that oversample static shots and
+    straddle cuts. One decode per video (cuts and thumbs from the
+    same frame list); Arrow-batched, embarrassingly parallel."""
+    import pandas as pd
+
+    def _iter(batches: Iterator["pd.DataFrame"]):
+        for pdf in batches:
+            rows = []
+            for ref, content in zip(pdf["media_ref"], pdf["content"]):
+                content = bytes(content) if content is not None else b""
+                try:
+                    w, h, _fn, _fd, frames = _decode_video_stream(
+                        content)
+                except ValueError:
+                    if strict:
+                        raise
+                    continue
+                n_px = w * h
+                arrs = [
+                    np.frombuffer(f, np.uint8).astype(np.int64)
+                    for f in frames
+                ]
+                cuts = [
+                    f for f in range(1, len(arrs))
+                    if int(np.abs(arrs[f] - arrs[f - 1]).sum()) * 1000
+                    >= threshold_milli * n_px
+                ]
+                bounds = [0] + cuts + [len(arrs)]
+                for s in range(len(bounds) - 1):
+                    start, end = bounds[s], bounds[s + 1] - 1
+                    key = (start + end) // 2
+                    rows.append(
+                        (ref, s, start, end, key,
+                         _luma_thumb(frames[key], w, h))
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in KEYFRAMES_SCHEMA]
+            ).astype(
+                {
+                    "shot_idx": "int32", "start_frame": "int32",
+                    "end_frame": "int32", "key_frame": "int32",
+                }
+            )
+
+    return df.mapInPandas(_iter, schema=KEYFRAMES_SCHEMA)

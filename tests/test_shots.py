@@ -92,3 +92,31 @@ def test_shots_fixture_formula(spark):
         # scene structure: odd transitions quiet, even ones cuts
         for f in range(1, nf):
             assert got[d][f][1] == (f % 2 == 0)
+
+
+def test_keyframes_segmentation(spark):
+    from dompa_spark import media
+
+    w, h = 4, 4
+    A = bytes([10] * 16)
+    B = bytes([200] * 16)
+    # shots: [A A A] [B B] -> keys 1 and 4 (middle frames)
+    df = _video_df(spark, [A, A, A, B, B], w, h)
+    rows = sorted(
+        (r.shot_idx, r.start_frame, r.end_frame, r.key_frame,
+         bytes(r.thumb)[0])
+        for r in media.shot_keyframes(df).collect()
+    )
+    assert rows == [(0, 0, 2, 1, 10), (1, 3, 4, 3, 200)]
+
+
+def test_keyframes_no_cuts_single_shot(spark):
+    from dompa_spark import media
+
+    df = _video_df(spark, [bytes([9] * 16)] * 4, 4, 4)
+    rows = media.shot_keyframes(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.shot_idx, r.start_frame, r.end_frame, r.key_frame) == (
+        0, 0, 3, 1,
+    )
