@@ -6773,9 +6773,10 @@ def oracle_sql() -> dict[str, str]:
               FROM documents),
             dims AS (
               SELECT doc_id, src,
-                     8 * (1 + src % 2) AS w,
-                     8 * (1 + src % 3) AS h,
-                     1 + src % 2 AS bw
+                     8 * (9 + src % 3) AS w,
+                     8 * (7 + src % 2) AS h,
+                     9 + src % 3 AS bw,
+                     1 + src % 17 AS m
               FROM base),
             dh AS (
               SELECT doc_id,
@@ -6786,10 +6787,11 @@ def oracle_sql() -> dict[str, str]:
                   ELSE 0 END)) AS BIGINT) AS dhash
               FROM (
                 SELECT doc_id,
-                  list_transform(generate_series(0, 62),
-                    c -> (src*31
-                          + ((c//9*h//7)//8*bw + ((c%9)*w//9)//8)*53)
-                         % 251) AS cells
+                  list_transform(
+                    list_transform(generate_series(0, 62),
+                      c -> (c//9*h//7)//8*bw + ((c%9)*w//9)//8),
+                    blk -> (src*31 + blk*53 + blk*blk*m) % 251)
+                    AS cells
                 FROM dims)),
             obanded AS (
               SELECT doc_id, b.band,

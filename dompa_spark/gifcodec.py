@@ -1,4 +1,4 @@
-"""From-scratch GIF codec (stdlib-only), 8-bit grayscale.
+"""From-scratch GIF codec (struct + numpy), 8-bit grayscale.
 
 Fourth real-bytes decode path for the multimodal column family,
 alongside pngcodec.py (PNG) and jpegcodec.py (baseline JFIF): GIF is
@@ -32,6 +32,8 @@ block-constant restriction like JPEG's.
 from __future__ import annotations
 
 import struct
+
+import numpy as np
 
 GIF_MAGICS = (b"GIF87a", b"GIF89a")
 
@@ -237,6 +239,49 @@ def _skip_subblocks(data: bytes, pos: int) -> int:
         pos += n
 
 
+
+
+def _read_frame(data: bytes, pos: int, gct: bytes | None):
+    """Parse one image descriptor starting at pos (the byte after the
+    0x2C introducer): rect, flags, optional local color table, LZW
+    data -> (left, top, w, h, raw indices, 256-byte palette map,
+    new pos). The ONE descriptor/LZW parsing path shared by the
+    still decoder and the animation compositor — indices stay raw so
+    the caller can honor a GCE transparent index before mapping."""
+    left, top, w, h, iflags = struct.unpack_from("<HHHHB", data, pos)
+    pos += 9
+    if iflags & 0x40:
+        raise ValueError("interlaced GIF unsupported")
+    if w == 0 or h == 0:
+        raise ValueError("empty image descriptor")
+    pal = gct
+    if iflags & 0x80:  # local color table overrides
+        pal, pos = _read_color_table(data, pos, 2 << (iflags & 0x07))
+    if pal is None:
+        raise ValueError("no color table for image")
+    min_code = data[pos]
+    pos += 1
+    chunks = []
+    while True:
+        if pos >= len(data):
+            raise ValueError("truncated image data")
+        n = data[pos]
+        pos += 1
+        if n == 0:
+            break
+        chunks.append(data[pos : pos + n])
+        if len(chunks[-1]) != n:
+            raise ValueError("truncated image data sub-block")
+        pos += n
+    idx = _lzw_decode(b"".join(chunks), min_code, w * h)
+    if len(idx) != w * h:
+        raise ValueError(
+            f"decoded {len(idx)} indices for {w}x{h} image")
+    if max(idx) >= len(pal):
+        raise ValueError("palette index out of range")
+    return left, top, w, h, idx, bytes(pal) + bytes(256 - len(pal)), pos
+
+
 def _decode_gif(data: bytes) -> tuple[int, int, bytes]:
     if data[:6] not in GIF_MAGICS:
         raise ValueError("not a GIF (bad magic)")
@@ -255,45 +300,13 @@ def _decode_gif(data: bytes) -> tuple[int, int, bytes]:
                 raise ValueError("truncated extension")
             pos = _skip_subblocks(data, pos + 1)
         elif block == 0x2C:  # image descriptor — decode this frame
-            left, top, w, h, iflags = struct.unpack_from("<HHHHB", data, pos)
-            pos += 9
-            if iflags & 0x40:
-                raise ValueError("interlaced GIF unsupported")
-            if w == 0 or h == 0:
-                raise ValueError("empty image descriptor")
+            left, top, w, h, idx, pal_map, pos = _read_frame(
+                data, pos, gct)
             if (left, top) != (0, 0) or (w, h) != (sw, sh):
                 raise ValueError(
                     "first frame does not cover the logical screen"
                 )
-            pal = gct
-            if iflags & 0x80:  # local color table overrides
-                pal, pos = _read_color_table(
-                    data, pos, 2 << (iflags & 0x07)
-                )
-            if pal is None:
-                raise ValueError("no color table for image")
-            min_code = data[pos]
-            pos += 1
-            chunks = []
-            while True:
-                if pos >= len(data):
-                    raise ValueError("truncated image data")
-                n = data[pos]
-                pos += 1
-                if n == 0:
-                    break
-                chunks.append(data[pos : pos + n])
-                if len(chunks[-1]) != n:
-                    raise ValueError("truncated image data sub-block")
-                pos += n
-            idx = _lzw_decode(b"".join(chunks), min_code, w * h)
-            if len(idx) != w * h:
-                raise ValueError(
-                    f"decoded {len(idx)} indices for {w}x{h} image"
-                )
-            if max(idx) >= len(pal):
-                raise ValueError("palette index out of range")
-            return w, h, idx.translate(bytes(pal) + bytes(256 - len(pal)))
+            return w, h, idx.translate(pal_map)
         elif block == 0x3B:  # trailer before any image
             raise ValueError("no image data before trailer")
         else:
@@ -462,50 +475,23 @@ def _decode_gif_frames(data: bytes):
                 trans = data[pos + 5] if gflags & 0x01 else None
             pos = _skip_subblocks(data, pos + 1)
         elif block == 0x2C:
-            left, top, w, h, iflags = struct.unpack_from(
-                "<HHHHB", data, pos)
-            pos += 9
-            if iflags & 0x40:
-                raise ValueError("interlaced GIF unsupported")
-            if w == 0 or h == 0 or left + w > sw or top + h > sh:
+            left, top, w, h, idx, pal_map, pos = _read_frame(
+                data, pos, gct)
+            if left + w > sw or top + h > sh:
                 raise ValueError("frame rect outside the logical screen")
-            pal = gct
-            if iflags & 0x80:
-                pal, pos = _read_color_table(
-                    data, pos, 2 << (iflags & 0x07))
-            if pal is None:
-                raise ValueError("no color table for image")
-            min_code = data[pos]
-            pos += 1
-            chunks = []
-            while True:
-                if pos >= len(data):
-                    raise ValueError("truncated image data")
-                n = data[pos]
-                pos += 1
-                if n == 0:
-                    break
-                chunks.append(data[pos : pos + n])
-                if len(chunks[-1]) != n:
-                    raise ValueError("truncated image data sub-block")
-                pos += n
-            idx = _lzw_decode(b"".join(chunks), min_code, w * h)
-            if len(idx) != w * h:
-                raise ValueError(
-                    f"decoded {len(idx)} indices for {w}x{h} frame")
-            if max(idx) >= len(pal):
-                raise ValueError("palette index out of range")
-            pal_map = bytes(pal) + bytes(256 - len(pal))
             saved = bytes(canvas) if disp == 3 else None
-            for y in range(h):
-                row = idx[y * w : (y + 1) * w]
-                base = (top + y) * sw + left
-                if trans is None:
-                    canvas[base : base + w] = row.translate(pal_map)
-                else:
-                    for x, i in enumerate(row):
-                        if i != trans:
-                            canvas[base + x] = pal_map[i]
+            region = idx.translate(pal_map)
+            if trans is None:
+                for y in range(h):
+                    base = (top + y) * sw + left
+                    canvas[base : base + w] = region[y * w : (y + 1) * w]
+            else:
+                # masked paint, vectorized: opaque pixels only
+                cv = np.frombuffer(canvas, np.uint8).reshape(sh, sw)
+                reg = np.frombuffer(region, np.uint8).reshape(h, w)
+                mask = np.frombuffer(idx, np.uint8).reshape(h, w) != trans
+                view = cv[top : top + h, left : left + w]
+                view[mask] = reg[mask]
             frames.append(bytes(canvas))
             delays.append(delay)
             if disp == 2:

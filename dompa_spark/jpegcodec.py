@@ -1385,19 +1385,16 @@ def _gps_e7(raws, e: str) -> int | None:
     return (num * 10**7) // (dd * md * sd * 3600)
 
 
-def parse_exif(data: bytes) -> dict | None:
-    """Extract EXIF metadata from a JPEG: walk markers up to SOS, find
-    the APP1 segment with the Exif header, parse the TIFF IFDs (either
-    byte order). Returns a dict with any of orientation / make / model
-    / datetime / gps_lat_e7 / gps_lon_e7 present in the file (lat/lon
-    as exact 1e-7-degree integers, south/west negative), or None when
-    the file carries no EXIF. Malformed TIFF structure raises
-    ValueError (same contract as decode_jpeg; strict=False callers
-    treat it as absent)."""
+def _header_segments(data: bytes):
+    """Yield (marker, payload) over the length-prefixed header
+    segments of a JPEG — the ONE marker-walk loop every header reader
+    shares (parse_exif / jpeg_dims / jpeg_header_info). Fill bytes and
+    parameterless TEM/RSTn markers are skipped per T.81 B.1.1.2;
+    iteration STOPS at SOS or EOI (header metadata always precedes the
+    entropy stream). Truncated streams raise ValueError."""
     if data[:2] != SOI:
         raise ValueError("not a JPEG (bad SOI)")
     pos = 2
-    tiff = None
     while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
@@ -1408,20 +1405,21 @@ def parse_exif(data: bytes) -> dict | None:
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
-        if marker in (0xD9, 0xDA):  # EOI / SOS: EXIF always precedes
-            break
+        if marker in (0xD9, 0xDA):  # EOI / SOS: header walk is over
+            return
         if pos + 4 > len(data):
             raise ValueError(f"truncated marker 0xff{marker:02x}")
         (seg_len,) = struct.unpack_from(">H", data, pos + 2)
         if pos + 2 + seg_len > len(data):
             raise ValueError(f"truncated segment 0xff{marker:02x}")
-        seg = data[pos + 4 : pos + 2 + seg_len]
+        yield marker, data[pos + 4 : pos + 2 + seg_len]
         pos += 2 + seg_len
-        if marker == 0xE1 and seg[: len(_EXIF_HEADER)] == _EXIF_HEADER:
-            tiff = seg[len(_EXIF_HEADER) :]
-            break
-    if tiff is None:
-        return None
+
+
+def _parse_tiff(tiff: bytes) -> dict | None:
+    """Parse an EXIF TIFF blob (either byte order) -> metadata dict
+    (orientation / make / model / datetime / gps_*_e7), or None when
+    no known field is present. Malformed structure raises ValueError."""
     if len(tiff) < 8:
         raise ValueError("truncated TIFF header")
     if tiff[:2] == b"II":
@@ -1466,32 +1464,47 @@ def parse_exif(data: bytes) -> dict | None:
     return out or None
 
 
+def parse_exif(data: bytes) -> dict | None:
+    """Extract EXIF metadata from a JPEG: walk the header segments,
+    find the APP1 with the Exif header, parse the TIFF IFDs (either
+    byte order). Returns a dict with any of orientation / make / model
+    / datetime / gps_lat_e7 / gps_lon_e7 present in the file (lat/lon
+    as exact 1e-7-degree integers, south/west negative), or None when
+    the file carries no EXIF. Malformed TIFF structure raises
+    ValueError (same contract as decode_jpeg; strict=False callers
+    treat it as absent)."""
+    for marker, seg in _header_segments(data):
+        if marker == 0xE1 and seg[: len(_EXIF_HEADER)] == _EXIF_HEADER:
+            return _parse_tiff(seg[len(_EXIF_HEADER) :])
+    return None
+
+
 def jpeg_dims(data: bytes) -> tuple[int, int]:
-    """(width, height) from the SOF segment alone — a marker walk with
+    """(width, height) from the SOF segment alone — a header walk with
     no entropy decode, the cheap path corpus-scale metadata extraction
     takes. Raises ValueError when no supported SOF appears."""
-    if data[:2] != SOI:
-        raise ValueError("not a JPEG (bad SOI)")
-    pos = 2
-    while pos + 2 <= len(data):
-        if data[pos] != 0xFF:
-            raise ValueError(f"expected marker at {pos}")
-        marker = data[pos + 1]
-        if marker == 0xFF:
-            pos += 1
-            continue
-        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
-            pos += 2
-            continue
-        if marker == 0xD9:
-            break
-        if pos + 4 > len(data):
-            raise ValueError(f"truncated marker 0xff{marker:02x}")
-        (seg_len,) = struct.unpack_from(">H", data, pos + 2)
-        if pos + 2 + seg_len > len(data):
-            raise ValueError(f"truncated segment 0xff{marker:02x}")
+    for marker, seg in _header_segments(data):
         if marker in (0xC0, 0xC2):
-            height, width = struct.unpack_from(">HH", data, pos + 5)
+            height, width = struct.unpack_from(">HH", seg, 1)
             return width, height
-        pos += 2 + seg_len
     raise ValueError("no SOF segment")
+
+
+def jpeg_header_info(data: bytes) -> tuple[int, int, dict | None]:
+    """ONE header walk -> (width, height, exif metadata dict or None):
+    the per-row read media.image_metadata does — dims and EXIF in a
+    single pass over the segment stream."""
+    dims = None
+    tiff = None
+    for marker, seg in _header_segments(data):
+        if marker in (0xC0, 0xC2) and dims is None:
+            height, width = struct.unpack_from(">HH", seg, 1)
+            dims = (width, height)
+        elif (marker == 0xE1 and tiff is None
+              and seg[: len(_EXIF_HEADER)] == _EXIF_HEADER):
+            tiff = seg[len(_EXIF_HEADER) :]
+    if dims is None:
+        raise ValueError("no SOF segment")
+    return dims[0], dims[1], (
+        _parse_tiff(tiff) if tiff is not None else None
+    )

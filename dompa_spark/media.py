@@ -1582,9 +1582,8 @@ def image_metadata(df: DataFrame, strict: bool = True) -> DataFrame:
 
     def _one(content: bytes):
         if content[:2] == jpegcodec.SOI:
-            w, h = jpegcodec.jpeg_dims(content)
-            meta = jpegcodec.parse_exif(content) or {}
-            return ("jpeg", w, h, meta)
+            w, h, meta = jpegcodec.jpeg_header_info(content)
+            return ("jpeg", w, h, meta or {})
         if content[:8] == b"\x89PNG\r\n\x1a\n":
             if len(content) < 24:
                 raise ValueError("truncated PNG IHDR")
@@ -1713,8 +1712,16 @@ def docs_to_jpeg_oriented(docs: DataFrame) -> DataFrame:
     all other docs are upright untagged encodings of their own pixels.
 
     Closed-form (src = doc_id-1 when doc_id % 5 == 4 else doc_id):
-        w = 8 * (1 + src % 2),  h = 8 * (1 + src % 3),  bw = w // 8
-        pixel(x, y) = (src*31 + ((y//8)*bw + x//8) * 53) % 251
+        w = 8 * (9 + src % 3),  h = 8 * (7 + src % 2),  bw = w // 8
+        m = 1 + src % 17
+        blk(x, y) = (y//8)*bw + x//8
+        pixel(x, y) = (src*31 + blk*53 + blk*blk*m) % 251
+    The block grid is AT LEAST 9x7 so every dhash grid cell samples a
+    DISTINCT 8x8 block, and the quadratic per-block texture (the
+    docs_to_png_textured recipe) keeps those block values varied —
+    together they give ~441 distinct hashes over 600 docs (measured),
+    so the engineered rotation pairs dominate the band join instead of
+    drowning in block-constant hash collisions.
     Dimensions are MULTIPLES OF 8 so every rotation/transpose keeps
     8x8 DCT block alignment: the stored image stays block-constant in
     its own frame and the all-ones-quant round-trip stays bit-exact —
@@ -1733,13 +1740,14 @@ def docs_to_jpeg_oriented(docs: DataFrame) -> DataFrame:
             for doc_id in pdf["doc_id"]:
                 doc_id = int(doc_id)
                 src = doc_id - 1 if doc_id % 5 == 4 else doc_id
-                w = 8 * (1 + src % 2)
-                h = 8 * (1 + src % 3)
+                w = 8 * (9 + src % 3)
+                h = 8 * (7 + src % 2)
                 bw = w // 8
+                m = 1 + src % 17
                 j = np.arange(w * h, dtype=np.int64)
                 blk = (j // w // 8) * bw + (j % w) // 8
-                arr = (((src * 31) % 251 + blk * 53) % 251).astype(
-                    np.uint8).reshape(h, w)
+                arr = (((src * 31) % 251 + blk * 53 + blk * blk * m)
+                       % 251).astype(np.uint8).reshape(h, w)
                 if doc_id % 5 == 4:
                     tag = (3, 5, 6, 8)[doc_id % 4]
                     stored = np.ascontiguousarray(inv[tag](arr))
@@ -1826,6 +1834,18 @@ def docs_to_gif_anim(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(_iter, schema=MEDIA_SCHEMA)
 
 
+def _cut_indices(arrs, n_px: int, threshold_milli: int) -> list[int]:
+    """Frame indices whose transition from the previous frame is a CUT:
+    sum|delta| * 1000 >= threshold_milli * n_px (pure integer — the
+    single definition of the cut rule, shared by shot_boundaries and
+    shot_keyframes so the two can never drift)."""
+    return [
+        f for f in range(1, len(arrs))
+        if int(np.abs(arrs[f] - arrs[f - 1]).sum()) * 1000
+        >= threshold_milli * n_px
+    ]
+
+
 SHOTS_SCHEMA = StructType(
     [
         StructField("media_ref", StringType(), nullable=False),
@@ -1867,17 +1887,14 @@ def shot_boundaries(
                         raise
                     continue
                 n_px = w * h
-                prev = None
-                for f, frame in enumerate(frames):
-                    cur = np.frombuffer(frame, np.uint8).astype(
-                        np.int64)
-                    if prev is not None:
-                        d = int(np.abs(cur - prev).sum())
-                        rows.append(
-                            (ref, f, d,
-                             d * 1000 >= threshold_milli * n_px)
-                        )
-                    prev = cur
+                arrs = [
+                    np.frombuffer(f, np.uint8).astype(np.int64)
+                    for f in frames
+                ]
+                cuts = set(_cut_indices(arrs, n_px, threshold_milli))
+                for f in range(1, len(arrs)):
+                    d = int(np.abs(arrs[f] - arrs[f - 1]).sum())
+                    rows.append((ref, f, d, f in cuts))
             yield pd.DataFrame(
                 rows, columns=[f.name for f in SHOTS_SCHEMA]
             ).astype({"frame_idx": "int32"})
@@ -1976,11 +1993,7 @@ def shot_keyframes(
                     np.frombuffer(f, np.uint8).astype(np.int64)
                     for f in frames
                 ]
-                cuts = [
-                    f for f in range(1, len(arrs))
-                    if int(np.abs(arrs[f] - arrs[f - 1]).sum()) * 1000
-                    >= threshold_milli * n_px
-                ]
+                cuts = _cut_indices(arrs, n_px, threshold_milli)
                 bounds = [0] + cuts + [len(arrs)]
                 for s in range(len(bounds) - 1):
                     start, end = bounds[s], bounds[s + 1] - 1

@@ -100,7 +100,7 @@ def test_keyframes_segmentation(spark):
     w, h = 4, 4
     A = bytes([10] * 16)
     B = bytes([200] * 16)
-    # shots: [A A A] [B B] -> keys 1 and 4 (middle frames)
+    # shots: [A A A] [B B] -> middle frames 1 and 3
     df = _video_df(spark, [A, A, A, B, B], w, h)
     rows = sorted(
         (r.shot_idx, r.start_frame, r.end_frame, r.key_frame,
