@@ -2604,6 +2604,25 @@ def entry(spark: SparkSession) -> DataFrame:
 # discovery), graph_degrees (trivial aggregation over the SAME
 # templated graph as in-window link_graph_rank + graph_components).
 # All three stay parity-tested in-repo like everything else.
+#
+# Session-19 swap: six headline additions — vtt_cues (WebVTT subtitle
+# parse), caption_frame_align (the frame-caption pairing op),
+# image_metadata (EXIF header-walk extraction), orient_near_dup
+# (EXIF-orientation-robust perceptual dedup), gif_anim_decode
+# (animated-GIF compositing), shot_detect (scene segmentation) — take
+# the slots of six entries whose correctness signal is least
+# additive: pq_codes (ann_pq_topk in-window runs the same PQ encode +
+# ADC join), wet_roundtrip (warc_roundtrip + warc_zst_roundtrip +
+# warc_http_decode hold three warc slots and the WET payload is the
+# in-window extract_main_text kernel), char_entropy (telemetry family
+# keeps script_profile + distinct_sketch + heavy_hitters in-window),
+# funnel_steps (events family keeps retention_cohorts), embedding_
+# stats (embedding machinery is driver-covered by semdedup + the PQ
+# family + bitext_mine, all in-window), graph_components (the same
+# graphops.connected_components core is driver-green from r04 via
+# dedup_clusters / dedup_clusters_lsh). shot_keyframes stays outside
+# (shot_detect proves the shared cut rule in-window). All displaced
+# entries stay parity-tested in-repo like everything else.
 _R5_DRIVER_WINDOW = [
     "extract_main_text",
     "parse_roundtrip",
@@ -2620,8 +2639,8 @@ _R5_DRIVER_WINDOW = [
     "segment_dedup",
     "span_dedup",
     "retention_cohorts",
-    "funnel_steps",
-    "pq_codes",
+    "orient_near_dup",
+    "vtt_cues",
     "ann_pq_topk",
     "jpeg_decode",
     "ann_ivfpq_topk",
@@ -2637,13 +2656,13 @@ _R5_DRIVER_WINDOW = [
     "heavy_hitters",
     "bm25_topk",
     "pmi_topk",
-    "char_entropy",
+    "image_metadata",
     "script_profile",
     "cdx_index",
     "dom_templates",
     "cdx_lookup",
-    "graph_components",
-    "embedding_stats",
+    "shot_detect",
+    "gif_anim_decode",
     "feed_entries",
     "warc_http_decode",
     "iceberg_deletes",
@@ -2651,7 +2670,7 @@ _R5_DRIVER_WINDOW = [
     "robots_sitemaps",
     "recrawl_priority",
     "extract_coverage",
-    "wet_roundtrip",
+    "caption_frame_align",
     "winnow_contamination",
     "lm2_surprisal",
     "tokenizer_fertility",
