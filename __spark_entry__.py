@@ -1981,6 +1981,40 @@ def q_shot_keyframes(spark, sf_dir):
     )
 
 
+def q_keyframe_captions(spark, sf_dir):
+    """Shot-ADAPTIVE caption pairing — the refinement over fixed-
+    cadence caption_frame_align: one keyframe per detected scene
+    (media.shot_keyframes over the engineered-cut videos, timestamp
+    off the stream clock) joined to the WebVTT cue active at that
+    moment (vtt.align_caption_frames — the SAME range-join machinery,
+    different frame source). This is the pair-mining policy a
+    video-text corpus actually ships: a static 10-second shot
+    contributes ONE (keyframe, caption) pair instead of forty
+    near-identical ones. Both sides closed-form; the oracle generates
+    shots and cues and joins them in SQL."""
+    from dompa_spark import media, vtt
+
+    docs = _docs_par(spark, sf_dir)
+    kf = media.shot_keyframes(media.docs_to_y4m_shots(docs)).select(
+        F.element_at(F.split("media_ref", "/"), -1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("shot_idx").cast("long").alias("shot_idx"),
+        F.col("key_frame").cast("long").alias("key_frame"),
+        "ts_ms",
+    )
+    cues = vtt.parse_vtt(vtt.docs_to_vtt(docs))
+    out = vtt.align_caption_frames(cues, kf)
+    return out.select(
+        "doc_id",
+        "shot_idx",
+        "key_frame",
+        "ts_ms",
+        F.col("cue_idx").cast("long").alias("cue_idx"),
+        "caption",
+    )
+
+
 RESIZE_W, RESIZE_H = 16, 12
 
 
@@ -2801,6 +2835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gif_anim_decode": q_gif_anim_decode,
         "shot_detect": q_shot_detect,
         "shot_keyframes": q_shot_keyframes,
+        "keyframe_captions": q_keyframe_captions,
         "png_resize": q_png_resize,
         "wav_decode": q_wav_decode,
         "pdf_layout": q_pdf_layout,
@@ -6919,6 +6954,44 @@ def oracle_sql() -> dict[str, str]:
                        * (p + 1))) AS BIGINT) AS thumb_checksum
             FROM base,
                  UNNEST(generate_series(0, (nf + 1) // 2 - 1)) AS u(s)
+        """,
+        # keyframe_captions: shots are frame pairs (key = 2s, stream
+        # clock 250 ms/frame -> ts = 500s) and the cue windows come
+        # from the WebVTT fixture; the oracle generates both sides and
+        # joins on the half-open window in SQL
+        "keyframe_captions": """
+            WITH base AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     4 + CAST(doc_id AS BIGINT) % 3 AS nf,
+                     1 + CAST(doc_id AS BIGINT) % 3 AS nc
+              FROM documents),
+            shots AS (
+              SELECT doc_id, u.s AS shot_idx, 2 * u.s AS key_frame,
+                     u.s * 500 AS ts_ms
+              FROM base,
+                   UNNEST(generate_series(0, (nf + 1) // 2 - 1))
+                     AS u(s)),
+            cues AS (
+              SELECT doc_id, v.i AS cue_idx,
+                     v.i * 400 AS st, v.i * 400 + 350 AS en,
+                     'Cue ' || v.i || ' for doc ' || doc_id || ': ' ||
+                       substr(md5(doc_id || ':' || v.i), 1, 8) ||
+                       CASE WHEN v.i % 3 = 2
+                            THEN chr(10) || '(line two ' || doc_id
+                                 || ')'
+                            ELSE '' END AS caption
+              FROM base,
+                   UNNEST(generate_series(0, nc - 1)) AS v(i))
+            SELECT s.doc_id,
+                   CAST(s.shot_idx AS BIGINT) AS shot_idx,
+                   CAST(s.key_frame AS BIGINT) AS key_frame,
+                   CAST(s.ts_ms AS BIGINT) AS ts_ms,
+                   CAST(c.cue_idx AS BIGINT) AS cue_idx,
+                   c.caption
+            FROM shots s
+            JOIN cues c
+              ON s.doc_id = c.doc_id
+                 AND s.ts_ms >= c.st AND s.ts_ms < c.en
         """,
         # video_near_dup: the variant-Y4M luma payload is closed-form in
         # doc_id (media.docs_to_y4m_variants), so the oracle predicts

@@ -1957,6 +1957,7 @@ KEYFRAMES_SCHEMA = StructType(
         StructField("start_frame", IntegerType()),
         StructField("end_frame", IntegerType()),
         StructField("key_frame", IntegerType()),
+        StructField("ts_ms", LongType()),
         StructField("thumb", BinaryType()),
     ]
 )
@@ -1982,7 +1983,7 @@ def shot_keyframes(
             for ref, content in zip(pdf["media_ref"], pdf["content"]):
                 content = bytes(content) if content is not None else b""
                 try:
-                    w, h, _fn, _fd, frames = _decode_video_stream(
+                    w, h, fn, fd, frames = _decode_video_stream(
                         content)
                 except ValueError:
                     if strict:
@@ -1998,8 +1999,11 @@ def shot_keyframes(
                 for s in range(len(bounds) - 1):
                     start, end = bounds[s], bounds[s + 1] - 1
                     key = (start + end) // 2
+                    # keyframe timestamp off the STREAM clock — the
+                    # column caption alignment joins against
+                    ts = key * 1000 * fd // fn
                     rows.append(
-                        (ref, s, start, end, key,
+                        (ref, s, start, end, key, ts,
                          _luma_thumb(frames[key], w, h))
                     )
             yield pd.DataFrame(
