@@ -1882,7 +1882,14 @@ def q_orient_near_dup(spark, sf_dir):
     from the algebra entirely."""
     from dompa_spark import media
 
-    docs = _docs_par(spark, sf_dir)
+    # 25% sample in CONSECUTIVE runs of 5 (doc_id % 20 < 5): every
+    # engineered (d-1, d) rotation pair survives whole. This fixture
+    # renders the largest images of any media query (>= 72x56 px — the
+    # 9x7-block floor the dhash grid needs for distinct cells) through
+    # the pure-Python JPEG encode+decode pair, so the full corpus
+    # would spend its wall on fixture rendering, not the operator
+    # under test; the oracle applies the same predicate.
+    docs = _docs_par(spark, sf_dir).filter(F.col("doc_id") % 20 < 5)
     hashes = media.dhash_images(
         media.docs_to_jpeg_oriented(docs), orient=True
     )
@@ -6824,7 +6831,8 @@ def oracle_sql() -> dict[str, str]:
                      CASE WHEN doc_id % 5 = 4
                           THEN CAST(doc_id AS BIGINT) - 1
                           ELSE CAST(doc_id AS BIGINT) END AS src
-              FROM documents),
+              FROM documents
+              WHERE doc_id % 20 < 5),
             dims AS (
               SELECT doc_id, src,
                      8 * (9 + src % 3) AS w,
