@@ -2022,6 +2022,32 @@ def q_keyframe_captions(spark, sf_dir):
     )
 
 
+def q_audio_vad(spark, sf_dir):
+    """Voice-activity segmentation end-to-end through the real WAV
+    codec — the audio analog of shot_detect and the precursor an
+    audio-text pipeline runs before pairing speech with transcripts:
+    engineered two-window speech bursts separated by two-window
+    silences (media.docs_to_wav_speech) -> media.audio_segments,
+    fixed 25 ms windows with a cross-multiplied integer mean-|sample|
+    threshold and consecutive-active-window merging. The oracle
+    predicts every segment's bounds AND exact integer energy sum from
+    the closed form — a kernel that mis-merged runs, misjudged the
+    threshold, or dropped the trailing segment fails a row."""
+    from dompa_spark import media
+
+    docs = _docs_par(spark, sf_dir)
+    out = media.audio_segments(media.docs_to_wav_speech(docs))
+    return out.select(
+        F.element_at(F.split("media_ref", "/"), -1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("seg_idx").cast("long").alias("seg_idx"),
+        "start_ms",
+        "end_ms",
+        "energy_sum",
+    )
+
+
 RESIZE_W, RESIZE_H = 16, 12
 
 
@@ -2843,6 +2869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shot_detect": q_shot_detect,
         "shot_keyframes": q_shot_keyframes,
         "keyframe_captions": q_keyframe_captions,
+        "audio_vad": q_audio_vad,
         "png_resize": q_png_resize,
         "wav_decode": q_wav_decode,
         "pdf_layout": q_pdf_layout,
@@ -7000,6 +7027,32 @@ def oracle_sql() -> dict[str, str]:
             JOIN cues c
               ON s.doc_id = c.doc_id
                  AND s.ts_ms >= c.st AND s.ts_ms < c.en
+        """,
+        # audio_vad: activity comes in two-window bursts (window w
+        # active iff (w//2)%2 == 0), so segment s spans windows
+        # [4s, min(4s+1, nw-1)] and its energy is the |sample| sum
+        # over exactly those windows — all closed-form in doc_id
+        "audio_vad": """
+            WITH base AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     4 + CAST(doc_id AS BIGINT) % 4 AS nw
+              FROM documents),
+            segs AS (
+              SELECT doc_id, nw, u.s,
+                     4 * u.s AS sw,
+                     least(4 * u.s + 1, nw - 1) AS ew
+              FROM base,
+                   UNNEST(generate_series(0, (nw + 3) // 4 - 1))
+                     AS u(s))
+            SELECT doc_id,
+                   CAST(s AS BIGINT) AS seg_idx,
+                   CAST(sw * 25 AS BIGINT) AS start_ms,
+                   CAST((ew + 1) * 25 AS BIGINT) AS end_ms,
+                   CAST(list_sum(list_transform(
+                     generate_series(sw * 200, (ew + 1) * 200 - 1),
+                     j -> abs((doc_id * 17 + j * 13) % 1201 - 600)))
+                     AS BIGINT) AS energy_sum
+            FROM segs
         """,
         # video_near_dup: the variant-Y4M luma payload is closed-form in
         # doc_id (media.docs_to_y4m_variants), so the oracle predicts

@@ -2016,3 +2016,127 @@ def shot_keyframes(
             )
 
     return df.mapInPandas(_iter, schema=KEYFRAMES_SCHEMA)
+
+
+AUDIO_SEGMENTS_SCHEMA = StructType(
+    [
+        StructField("media_ref", StringType(), nullable=False),
+        StructField("seg_idx", IntegerType()),
+        StructField("start_ms", LongType()),
+        StructField("end_ms", LongType()),
+        StructField("energy_sum", LongType()),
+    ]
+)
+
+
+def audio_segments(
+    df: DataFrame,
+    frame_ms: int = 25,
+    threshold_milli: int = 50_000,
+    strict: bool = True,
+) -> DataFrame:
+    """(MEDIA_SCHEMA audio rows) -> one row per ACTIVITY SEGMENT: the
+    VAD-style windowing an audio-text pipeline runs before pairing
+    speech with transcripts — fixed frame_ms windows over channel 0,
+    window active iff sum(|sample|) * 1000 >= threshold_milli *
+    window_len (mean |amplitude| over threshold_milli/1000 units,
+    pure integer), consecutive active windows merged into segments
+    [start_ms, end_ms) carrying their exact integer energy sum. A
+    trailing partial window is judged against its own length. Works
+    on every container the audio decoder handles (PCM/ADPCM WAV,
+    FLAC). Arrow-batched, embarrassingly parallel; strict=False
+    drops undecodable rows."""
+    import pandas as pd
+
+    def _iter(batches: Iterator["pd.DataFrame"]):
+        for pdf in batches:
+            rows = []
+            for ref, content in zip(pdf["media_ref"], pdf["content"]):
+                content = bytes(content) if content is not None else b""
+                try:
+                    rate, nch, samples = _decode_audio_stream(content)
+                except ValueError:
+                    if strict:
+                        raise
+                    continue
+                mono = np.abs(np.asarray(
+                    samples[::nch], dtype=np.int64))
+                spw = max(1, rate * frame_ms // 1000)
+                n_win = (mono.size + spw - 1) // spw
+                seg = -1
+                seg_start = seg_end = 0
+                seg_energy = 0
+                prev_active = False
+                for w in range(n_win):
+                    chunk = mono[w * spw : (w + 1) * spw]
+                    e = int(chunk.sum())
+                    active = e * 1000 >= threshold_milli * chunk.size
+                    if active and not prev_active:
+                        seg += 1
+                        seg_start = w
+                        seg_energy = 0
+                    if active:
+                        seg_end = w
+                        seg_energy += e
+                    elif prev_active:
+                        rows.append(
+                            (ref, seg, seg_start * frame_ms,
+                             (seg_end + 1) * frame_ms, seg_energy)
+                        )
+                    prev_active = active
+                if prev_active:
+                    rows.append(
+                        (ref, seg, seg_start * frame_ms,
+                         (seg_end + 1) * frame_ms, seg_energy)
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_SEGMENTS_SCHEMA]
+            ).astype({"seg_idx": "int32"})
+
+    return df.mapInPandas(_iter, schema=AUDIO_SEGMENTS_SCHEMA)
+
+
+def docs_to_wav_speech(docs: DataFrame) -> DataFrame:
+    """Deterministic WAV clips with engineered SPEECH/SILENCE
+    alternation (the VAD fixture): 8 kHz mono, 25 ms windows of 200
+    samples, window w ACTIVE iff (w // 2) % 2 == 0 — activity comes
+    in two-window bursts separated by two-window silences:
+        n_windows = 4 + doc_id % 4        (no partial tail)
+        active sample(j) = ((doc_id*17 + j*13) % 1201) - 600   (j the
+                           global sample index; mean |s| ~300, far
+                           over the 50-unit default threshold)
+        silent sample(j) = 0
+    Segment structure is closed-form — segment s spans windows
+    [4s, min(4s+1, nw-1)] — so the SQL oracle predicts bounds AND the
+    exact integer energy sums without a decoder."""
+    import pandas as pd
+
+    def _iter(batches: Iterator["pd.DataFrame"]):
+        for pdf in batches:
+            refs, contents, durs = [], [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                nw = 4 + doc_id % 4
+                n = nw * 200
+                j = np.arange(n, dtype=np.int64)
+                base = (doc_id * 17) % 1201
+                vals = ((base + j * 13) % 1201) - 600
+                w = j // 200
+                vals[(w // 2) % 2 == 1] = 0
+                refs.append(f"wavv://doc/{doc_id}")
+                contents.append(
+                    wavcodec.encode_wav(vals.tolist(), 8000, 1))
+                durs.append(nw * 25)
+            yield pd.DataFrame(
+                {
+                    "media_ref": refs,
+                    "kind": ["audio"] * len(refs),
+                    "content": contents,
+                    "mime": ["audio/wav"] * len(refs),
+                    "width": pd.array([None] * len(refs), dtype="Int32"),
+                    "height": pd.array([None] * len(refs), dtype="Int32"),
+                    "duration_ms": pd.array(durs, dtype="Int64"),
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(_iter, schema=MEDIA_SCHEMA)
