@@ -138,3 +138,49 @@ def test_video_kernels_take_animated_gifs(spark):
         )
     )
     assert media.decode_video(df, strict=False).count() == 0
+
+
+# --- randomized compositing: arbitrary rects, disposals, and
+# transparency vs the independent reference compositor above
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _anim(draw):
+    sw = draw(st.integers(3, 12))
+    sh = draw(st.integers(3, 10))
+    n = draw(st.integers(1, 5))
+    frames, disposals, transparents = [], [], []
+    for f in range(n):
+        if f == 0:
+            left = top = 0
+            w, h = sw, sh
+        else:
+            w = draw(st.integers(1, sw))
+            h = draw(st.integers(1, sh))
+            left = draw(st.integers(0, sw - w))
+            top = draw(st.integers(0, sh - h))
+        px = bytes(
+            draw(st.lists(st.integers(0, 255), min_size=w * h,
+                          max_size=w * h))
+        )
+        frames.append((left, top, w, h, px))
+        disposals.append(draw(st.sampled_from([0, 1, 2, 3])))
+        transparents.append(
+            draw(st.one_of(st.none(), st.integers(0, 255)))
+        )
+    return sw, sh, frames, disposals, transparents
+
+
+@settings(max_examples=40, deadline=None)
+@given(_anim())
+def test_random_compositing_matches_reference(anim):
+    sw, sh, frames, disposals, transparents = anim
+    data = G.encode_gif_anim(
+        frames, sw, sh, disposals=disposals, transparents=transparents
+    )
+    w, h, got, _delays = G.decode_gif_frames(data)
+    assert (w, h) == (sw, sh)
+    assert got == _reference(frames, sw, sh, disposals, transparents)

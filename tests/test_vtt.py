@@ -122,3 +122,69 @@ def test_align_inner_join_semantics(spark):
     # ts==end_ms is OUT (half-open window), unmatched frames drop,
     # doc_id 2's cue never pairs across documents
     assert got == {(1, 0, 0, "first"), (1, 2, 1, "second")}
+
+
+# --- differential property test: an INDEPENDENT Python renderer
+# (string building below, sharing nothing with vtt.docs_to_vtt's
+# Catalyst expressions) generates random-but-valid tracks; parse_vtt
+# must recover exactly the cue structure the renderer intended.
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_payload_line = st.text(
+    alphabet=st.characters(
+        min_codepoint=0x20, max_codepoint=0x7E,
+        blacklist_characters="-",
+    ),
+    min_size=1, max_size=20,
+).map(str.strip).filter(bool)
+
+_cue = st.tuples(
+    st.one_of(st.none(), st.from_regex(r"[a-z]{1,8}", fullmatch=True)),
+    st.integers(0, 3_599_000),           # start_ms
+    st.integers(1, 60_000),              # duration
+    st.lists(_payload_line, min_size=1, max_size=3),
+    st.booleans(),                       # hours form
+)
+
+
+def _fmt(ms, long_form):
+    h, rem = divmod(ms, 3600000)
+    m, rem = divmod(rem, 60000)
+    s, frac = divmod(rem, 1000)
+    if long_form:
+        return f"{h:02d}:{m:02d}:{s:02d}.{frac:03d}"
+    return f"{h * 60 + m:02d}:{s:02d}.{frac:03d}"
+
+
+def _render(cues, crlf):
+    blocks = ["WEBVTT"]
+    for ident, start, dur, lines, long_form in cues:
+        body = []
+        if ident is not None:
+            body.append(ident)
+        body.append(
+            f"{_fmt(start, long_form)} --> {_fmt(start + dur, long_form)}"
+        )
+        body.extend(lines)
+        blocks.append("\n".join(body))
+    text = "\n\n".join(blocks) + "\n"
+    return text.replace("\n", "\r\n") if crlf else text
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(_cue, min_size=0, max_size=5), st.booleans())
+def test_parse_matches_independent_renderer(spark, cues, crlf):
+    df = spark.createDataFrame(
+        [(1, _render(cues, crlf))], "doc_id long, vtt string"
+    )
+    got = [
+        (r.cue_idx, r.cue_id, r.start_ms, r.end_ms, r.n_lines, r.text)
+        for r in vtt.parse_vtt(df).orderBy("cue_idx").collect()
+    ]
+    exp = [
+        (i, ident, start, start + dur, len(lines), "\n".join(lines))
+        for i, (ident, start, dur, lines, _lf) in enumerate(cues)
+    ]
+    assert got == exp
