@@ -2690,6 +2690,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # dedup_clusters / dedup_clusters_lsh). shot_keyframes stays outside
 # (shot_detect proves the shared cut rule in-window). All displaced
 # entries stay parity-tested in-repo like everything else.
+# Late-session swap: audio_vad (voice-activity segmentation — a new
+# modality family) takes heavy_hitters' slot; the bounded-key-space
+# partial-aggregation shape it shares with distinct_sketch and
+# script_profile stays driver-covered by both, and heavy_hitters
+# remains parity-tested in-repo.
 _R5_DRIVER_WINDOW = [
     "extract_main_text",
     "parse_roundtrip",
@@ -2720,7 +2725,7 @@ _R5_DRIVER_WINDOW = [
     "extract_code",
     "cluster_topics",
     "distinct_sketch",
-    "heavy_hitters",
+    "audio_vad",
     "bm25_topk",
     "pmi_topk",
     "image_metadata",
