@@ -866,3 +866,82 @@ def cms_sketch_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def shots_stream(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    checkpoint: str,
+    threshold_milli: int = 40_000,
+    keyframes: bool = False,
+    available_now: bool = True,
+    max_files_per_trigger: int = 8,
+):
+    """Stream shot segmentation: media-table file source -> the
+    shot_boundaries (or, keyframes=True, shot_keyframes) Arrow kernel
+    -> parquet sink. 'Segment new footage as it lands' — each video
+    row is self-contained (the cut rule sees one stream's frames), so
+    the operator is STATELESS on the stream even though it is temporal
+    within a row; stream == batch row-for-row by construction.
+    Undecodable payloads drop (the stream hygiene mode, matching
+    frames_stream); exactly-once via the same source-offset +
+    sink-commit-log contract as extract_stream."""
+    from . import media
+
+    tbl = (
+        spark.readStream.schema(media.MEDIA_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(in_path)
+    )
+    if keyframes:
+        out = media.shot_keyframes(
+            tbl, threshold_milli=threshold_milli, strict=False)
+    else:
+        out = media.shot_boundaries(
+            tbl, threshold_milli=threshold_milli, strict=False)
+    writer = (
+        out.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def vad_stream(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    checkpoint: str,
+    frame_ms: int = 25,
+    threshold_milli: int = 50_000,
+    available_now: bool = True,
+    max_files_per_trigger: int = 8,
+):
+    """Stream voice-activity segmentation: media-table file source ->
+    the audio_segments Arrow kernel -> parquet sink. Same shape as
+    shots_stream — per-row temporal, cross-row stateless — so the
+    stream emits exactly the batch segments for every clip that has
+    landed. Undecodable payloads drop (stream hygiene mode)."""
+    from . import media
+
+    tbl = (
+        spark.readStream.schema(media.MEDIA_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(in_path)
+    )
+    out = media.audio_segments(
+        tbl, frame_ms=frame_ms, threshold_milli=threshold_milli,
+        strict=False)
+    writer = (
+        out.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1104,3 +1104,110 @@ def test_media_near_dup_stream_image_kind_and_refusal(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="kind"):
         streaming.media_near_dup_stream(spark, in_path, kind="text")
+
+
+def test_shots_stream_matches_batch_and_resumes(spark, tmp_path):
+    """Stream == batch for shot segmentation over mixed containers
+    (engineered-cut Y4M + animated GIF + undecodable), and a late
+    drop segments only the new videos."""
+    from dompa_spark import media
+
+    in_path = str(tmp_path / "sin")
+    out_path = str(tmp_path / "sout")
+    ckpt = str(tmp_path / "sckpt")
+
+    docs = spark.createDataFrame([(i,) for i in range(15)],
+                                 "doc_id long")
+    tbl = media.docs_to_y4m_shots(docs).unionByName(
+        media.docs_to_gif_anim(docs)
+    ).unionByName(
+        spark.createDataFrame(
+            [("vid://junk", "video", bytearray(b"mp4garbage"),
+              "video/mp4", None, None, 900)],
+            media.MEDIA_SCHEMA,
+        )
+    )
+    tbl.coalesce(2).write.parquet(in_path)
+
+    q = streaming.shots_stream(spark, in_path, out_path, ckpt)
+    q.awaitTermination(300)
+    got = sorted(
+        (r.media_ref, r.frame_idx, r.diff_sum, r.is_cut)
+        for r in spark.read.parquet(out_path).collect()
+    )
+    batch = sorted(
+        (r.media_ref, r.frame_idx, r.diff_sum, r.is_cut)
+        for r in media.shot_boundaries(
+            spark.read.parquet(in_path), strict=False
+        ).collect()
+    )
+    assert got == batch and got
+    refs = {g[0] for g in got}
+    assert any(r.startswith("y4ms://") for r in refs)
+    assert any(r.startswith("gifv://") for r in refs)
+    assert "vid://junk" not in refs  # undecodable dropped whole
+
+    late = spark.createDataFrame([(i,) for i in range(15, 20)],
+                                 "doc_id long")
+    media.docs_to_y4m_shots(late).coalesce(1).write.mode(
+        "append").parquet(in_path)
+    q = streaming.shots_stream(spark, in_path, out_path, ckpt)
+    q.awaitTermination(300)
+    refs2 = {r.media_ref
+             for r in spark.read.parquet(out_path).collect()}
+    assert f"y4ms://doc/19" in refs2
+    # no duplicates from reprocessing wave-1 files
+    n = spark.read.parquet(out_path).count()
+    batch2 = media.shot_boundaries(
+        spark.read.parquet(in_path), strict=False).count()
+    assert n == batch2
+
+
+def test_vad_stream_matches_batch(spark, tmp_path):
+    """Stream == batch for voice-activity segmentation, keyframes
+    variant of shots_stream covered too."""
+    from dompa_spark import media
+
+    in_path = str(tmp_path / "vin")
+    out_path = str(tmp_path / "vout")
+    ckpt = str(tmp_path / "vckpt")
+
+    docs = spark.createDataFrame([(i,) for i in range(12)],
+                                 "doc_id long")
+    media.docs_to_wav_speech(docs).coalesce(2).write.parquet(in_path)
+
+    q = streaming.vad_stream(spark, in_path, out_path, ckpt)
+    q.awaitTermination(300)
+    got = sorted(
+        (r.media_ref, r.seg_idx, r.start_ms, r.end_ms, r.energy_sum)
+        for r in spark.read.parquet(out_path).collect()
+    )
+    batch = sorted(
+        (r.media_ref, r.seg_idx, r.start_ms, r.end_ms, r.energy_sum)
+        for r in media.audio_segments(
+            spark.read.parquet(in_path), strict=False
+        ).collect()
+    )
+    assert got == batch and got
+
+    # keyframes variant: stream == batch thumbs + bounds
+    kin = str(tmp_path / "kin")
+    kout = str(tmp_path / "kout")
+    kckpt = str(tmp_path / "kckpt")
+    media.docs_to_y4m_shots(docs).coalesce(2).write.parquet(kin)
+    q = streaming.shots_stream(spark, kin, kout, kckpt,
+                               keyframes=True)
+    q.awaitTermination(300)
+    gk = sorted(
+        (r.media_ref, r.shot_idx, r.key_frame, r.ts_ms,
+         bytes(r.thumb))
+        for r in spark.read.parquet(kout).collect()
+    )
+    bk = sorted(
+        (r.media_ref, r.shot_idx, r.key_frame, r.ts_ms,
+         bytes(r.thumb))
+        for r in media.shot_keyframes(
+            spark.read.parquet(kin), strict=False
+        ).collect()
+    )
+    assert gk == bk and gk
