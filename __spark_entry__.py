@@ -2048,6 +2048,33 @@ def q_audio_vad(spark, sf_dir):
     )
 
 
+def q_tiff_decode(spark, sf_dir):
+    """Real-bytes TIFF decode end-to-end — the archival/scan format
+    digitized-document corpora ship: render each document as a
+    deterministic grayscale TIFF (tiffcodec.py, which reuses
+    jpegcodec's bounds-checked IFD walk — the fixture cycles BOTH
+    byte orders and single- vs multi-strip layouts), then recover
+    width/height/pixel statistics through the strip-assembly decoder
+    inside the same Arrow kernel as PNG/JPEG/GIF
+    (media.decode_images, magic-dispatched). Uncompressed strips are
+    raw pixel bytes, so the round-trip is bit-exact and the oracle
+    predicts every decoded pixel closed-form."""
+    from dompa_spark import media
+
+    docs = _docs_par(spark, sf_dir)
+    out = media.decode_images(media.docs_to_tiff(docs))
+    return out.select(
+        F.element_at(F.split("media_ref", "/"), -1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "n_pixels",
+        "pixel_sum",
+        "pixel_checksum",
+    )
+
+
 RESIZE_W, RESIZE_H = 16, 12
 
 
@@ -2875,6 +2902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shot_keyframes": q_shot_keyframes,
         "keyframe_captions": q_keyframe_captions,
         "audio_vad": q_audio_vad,
+        "tiff_decode": q_tiff_decode,
         "png_resize": q_png_resize,
         "wav_decode": q_wav_decode,
         "pdf_layout": q_pdf_layout,
@@ -6540,6 +6568,29 @@ def oracle_sql() -> dict[str, str]:
                      generate_series(0, w*h - 1),
                      j -> ((doc_id*41 + j*13) % 251) * (j+1))) AS BIGINT)
                      AS pixel_checksum
+            FROM base
+        """,
+        # tiff_decode: uncompressed strips are raw pixel bytes, so the
+        # oracle predicts every decoded pixel closed-form; byte order
+        # and strip layout vary per doc but never change the pixels
+        "tiff_decode": """
+            WITH base AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     6 + CAST(doc_id AS BIGINT) % 11 AS w,
+                     5 + CAST(doc_id AS BIGINT) % 6 AS h
+              FROM documents)
+            SELECT doc_id,
+                   CAST(w AS BIGINT) AS width,
+                   CAST(h AS BIGINT) AS height,
+                   CAST(w * h AS BIGINT) AS n_pixels,
+                   CAST(list_sum(list_transform(
+                     generate_series(0, w*h - 1),
+                     j -> (doc_id*43 + j*29) % 241)) AS BIGINT)
+                     AS pixel_sum,
+                   CAST(list_sum(list_transform(
+                     generate_series(0, w*h - 1),
+                     j -> ((doc_id*43 + j*29) % 241) * (j+1)))
+                     AS BIGINT) AS pixel_checksum
             FROM base
         """,
         # y4m_decode: Y4M is lossless (raw luma planes), so the oracle

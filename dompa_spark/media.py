@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from . import (avicodec, flaccodec, gifcodec, jpegcodec, mp4codec,
-               pngcodec, wavcodec, y4mcodec)
+               pngcodec, tiffcodec, wavcodec, y4mcodec)
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -115,7 +115,10 @@ def _decode_image(content: bytes) -> tuple:
         return jpegcodec.decode_jpeg(content)
     if content[:6] in gifcodec.GIF_MAGICS:
         return gifcodec.decode_gif(content)
-    raise ValueError("unrecognized image magic (not PNG, JPEG, or GIF)")
+    if content[:4] in tiffcodec.TIFF_MAGICS:
+        return tiffcodec.decode_tiff(content)
+    raise ValueError(
+        "unrecognized image magic (not PNG, JPEG, GIF, or TIFF)")
 
 
 def _video_magic(content: bytes) -> bool:
@@ -185,6 +188,7 @@ def _decode_stub(content: bytes, kind: str, strict: bool):
         content[:8] == pngcodec.PNG_SIG
         or content[:2] == jpegcodec.SOI
         or content[:6] in gifcodec.GIF_MAGICS
+        or content[:4] in tiffcodec.TIFF_MAGICS
     ):
         # recognized magic: decode for real; a corrupt payload raises
         # ValueError through to the caller's strict/skip policy.
@@ -1594,6 +1598,9 @@ def image_metadata(df: DataFrame, strict: bool = True) -> DataFrame:
                 raise ValueError("truncated GIF descriptor")
             w, h = struct.unpack_from("<HH", content, 6)
             return ("gif", w, h, {})
+        if content[:4] in tiffcodec.TIFF_MAGICS:
+            w, h = tiffcodec.tiff_dims(content)
+            return ("tiff", w, h, {})
         raise ValueError("unrecognized image format")
 
     def _iter(batches: Iterator["pd.DataFrame"]):
@@ -2136,6 +2143,51 @@ def docs_to_wav_speech(docs: DataFrame) -> DataFrame:
                     "width": pd.array([None] * len(refs), dtype="Int32"),
                     "height": pd.array([None] * len(refs), dtype="Int32"),
                     "duration_ms": pd.array(durs, dtype="Int64"),
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(_iter, schema=MEDIA_SCHEMA)
+
+
+def docs_to_tiff(docs: DataFrame) -> DataFrame:
+    """Render each document row as a deterministic grayscale TIFF
+    (MEDIA_SCHEMA). TIFF strips are uncompressed raw bytes, so the SQL
+    oracle predicts every decoded pixel closed-form with NO
+    block-constant restriction (the PNG/GIF-class lossless contract):
+        w = 6 + doc_id % 11,  h = 5 + doc_id % 6
+        pixel(j) = (doc_id*43 + j*29) % 241       (j row-major)
+    Moduli/multipliers distinct from every other media fixture. The
+    fixture cycles BOTH byte orders (doc_id % 2) and single- vs
+    multi-strip layouts (one strip when doc_id % 3 == 0, else
+    1 + doc_id % 4 rows per strip) so the decoder's strip-assembly
+    path is exercised end-to-end."""
+    import pandas as pd
+
+    def _iter(batches: Iterator["pd.DataFrame"]):
+        for pdf in batches:
+            refs, contents = [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w = 6 + doc_id % 11
+                h = 5 + doc_id % 6
+                j = np.arange(w * h, dtype=np.int64)
+                base = (doc_id * 43) % 241
+                px = ((base + j * 29) % 241).astype(np.uint8).tobytes()
+                rps = None if doc_id % 3 == 0 else 1 + doc_id % 4
+                refs.append(f"tif://doc/{doc_id}")
+                contents.append(tiffcodec.encode_tiff(
+                    px, w, h, big_endian=doc_id % 2 == 1,
+                    rows_per_strip=rps))
+            yield pd.DataFrame(
+                {
+                    "media_ref": refs,
+                    "kind": ["image"] * len(refs),
+                    "content": contents,
+                    "mime": ["image/tiff"] * len(refs),
+                    "width": pd.array([None] * len(refs), dtype="Int32"),
+                    "height": pd.array([None] * len(refs), dtype="Int32"),
+                    "duration_ms": pd.array([None] * len(refs),
+                                            dtype="Int64"),
                 }
             )
 
