@@ -1996,6 +1996,9 @@ def shot_keyframes(
                     if strict:
                         raise
                     continue
+                if not frames:
+                    continue  # zero-frame stream: no shots, like
+                    # shot_boundaries' no-transitions case
                 n_px = w * h
                 arrs = [
                     np.frombuffer(f, np.uint8).astype(np.int64)

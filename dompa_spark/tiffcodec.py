@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import struct
 
-from .jpegcodec import _ifd_entries, _pack_ifd
+from .jpegcodec import _TYPE_LONG, _TYPE_SHORT, _ifd_entries, _pack_ifd
 
 TIFF_MAGICS = (b"II*\x00", b"MM\x00*")
 
@@ -37,10 +37,6 @@ _T_STRIP_OFFSETS = 0x0111
 _T_SAMPLES_PER_PX = 0x0115
 _T_ROWS_PER_STRIP = 0x0116
 _T_STRIP_COUNTS = 0x0117
-
-_TYPE_SHORT = 3
-_TYPE_LONG = 4
-
 
 def encode_tiff(
     pixels: bytes,
@@ -154,7 +150,7 @@ def _decode_tiff(data: bytes) -> tuple[int, int, bytes]:
         raise ValueError(
             f"strips carry {len(out)} bytes for {width}x{height}")
     if photometric == 0:  # WhiteIsZero: invert to the BlackIsZero frame
-        out = bytes(255 - b for b in out)
+        out = bytes(out).translate(bytes(range(255, -1, -1)))
     return width, height, bytes(out)
 
 
@@ -175,6 +171,9 @@ def tiff_dims(data: bytes) -> tuple[int, int]:
                     height = _scalars(typ, 1, raw, e)[0]
         if width is None or height is None:
             raise ValueError("missing image dimensions")
+        if width <= 0 or height <= 0:  # same refusal as decode_tiff —
+            # the metadata pass must not report files decode refuses
+            raise ValueError(f"bad dimensions {width}x{height}")
         return width, height
     except (IndexError, struct.error) as exc:
         raise ValueError(f"truncated or malformed TIFF ({exc})")

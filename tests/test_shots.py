@@ -120,3 +120,28 @@ def test_keyframes_no_cuts_single_shot(spark):
     assert (r.shot_idx, r.start_frame, r.end_frame, r.key_frame) == (
         0, 0, 3, 1,
     )
+
+
+def test_zero_frame_video_yields_no_shots(spark):
+    """A header-only (zero-frame) stream must produce no rows from
+    BOTH shot kernels — not crash past the strict policy (regression:
+    shot_keyframes indexed frames[-1] on an empty list)."""
+    import pandas as pd
+
+    from dompa_spark import media
+
+    header_only = b"YUV4MPEG2 W4 H4 F4:1 Ip A1:1 C420\n"
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_ref": ["z"], "kind": ["video"],
+                "content": [header_only], "mime": ["video/x-yuv4mpeg"],
+                "width": pd.array([None], dtype="Int32"),
+                "height": pd.array([None], dtype="Int32"),
+                "duration_ms": pd.array([None], dtype="Int64"),
+            }
+        )
+    )
+    assert media.shot_boundaries(df, strict=False).count() == 0
+    assert media.shot_keyframes(df, strict=False).count() == 0
+    assert media.shot_keyframes(df, strict=True).count() == 0

@@ -110,3 +110,16 @@ def test_fixture_formula(spark):
         assert (r.width, r.height, r.n_pixels) == (w, h, w * h)
         assert r.pixel_sum == int(px.sum())
         assert r.pixel_checksum == int((px * (j + 1)).sum())
+
+
+def test_zero_dim_refused_by_both_surfaces():
+    """tiff_dims must refuse exactly what decode_tiff refuses — a
+    zero ImageWidth can't slip a ('tiff', 0, 0) row into the
+    metadata pass (regression)."""
+    base = bytearray(T.encode_tiff(bytes([5] * 6), 3, 2))
+    i = bytes(base).find(struct.pack("<H", 0x0100))  # ImageWidth
+    struct.pack_into("<I", base, i + 8, 0)
+    with pytest.raises(ValueError):
+        T.decode_tiff(bytes(base))
+    with pytest.raises(ValueError):
+        T.tiff_dims(bytes(base))
