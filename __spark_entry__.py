@@ -2075,6 +2075,33 @@ def q_tiff_decode(spark, sf_dir):
     )
 
 
+def q_bmp_decode(spark, sf_dir):
+    """Real-bytes BMP decode end-to-end — the uncompressed Windows
+    bitmap legacy web exports still serve: render each document as a
+    deterministic 8-bpp grayscale BMP (bmpcodec.py; the fixture
+    cycles bottom-up AND top-down row orders, which the decoder must
+    normalize to top-to-bottom), then recover width/height/pixel
+    statistics through the same Arrow kernel as every other image
+    format (media.decode_images, magic-dispatched). Uncompressed rows
+    are raw bytes, so the round-trip is bit-exact and the oracle
+    predicts every pixel closed-form; the position-weighted checksum
+    fails any row whose vertical flip was mishandled."""
+    from dompa_spark import media
+
+    docs = _docs_par(spark, sf_dir)
+    out = media.decode_images(media.docs_to_bmp(docs))
+    return out.select(
+        F.element_at(F.split("media_ref", "/"), -1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "n_pixels",
+        "pixel_sum",
+        "pixel_checksum",
+    )
+
+
 RESIZE_W, RESIZE_H = 16, 12
 
 
@@ -2903,6 +2930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyframe_captions": q_keyframe_captions,
         "audio_vad": q_audio_vad,
         "tiff_decode": q_tiff_decode,
+        "bmp_decode": q_bmp_decode,
         "png_resize": q_png_resize,
         "wav_decode": q_wav_decode,
         "pdf_layout": q_pdf_layout,
@@ -6590,6 +6618,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(list_sum(list_transform(
                      generate_series(0, w*h - 1),
                      j -> ((doc_id*43 + j*29) % 241) * (j+1)))
+                     AS BIGINT) AS pixel_checksum
+            FROM base
+        """,
+        # bmp_decode: uncompressed rows are raw bytes and the decoder
+        # normalizes both row orders to top-to-bottom, so the oracle
+        # is one closed-form pixel formula regardless of doc parity
+        "bmp_decode": """
+            WITH base AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     5 + CAST(doc_id AS BIGINT) % 9 AS w,
+                     4 + CAST(doc_id AS BIGINT) % 7 AS h
+              FROM documents)
+            SELECT doc_id,
+                   CAST(w AS BIGINT) AS width,
+                   CAST(h AS BIGINT) AS height,
+                   CAST(w * h AS BIGINT) AS n_pixels,
+                   CAST(list_sum(list_transform(
+                     generate_series(0, w*h - 1),
+                     j -> (doc_id*47 + j*31) % 239)) AS BIGINT)
+                     AS pixel_sum,
+                   CAST(list_sum(list_transform(
+                     generate_series(0, w*h - 1),
+                     j -> ((doc_id*47 + j*31) % 239) * (j+1)))
                      AS BIGINT) AS pixel_checksum
             FROM base
         """,

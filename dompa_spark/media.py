@@ -27,8 +27,8 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from . import (avicodec, flaccodec, gifcodec, jpegcodec, mp4codec,
-               pngcodec, tiffcodec, wavcodec, y4mcodec)
+from . import (avicodec, bmpcodec, flaccodec, gifcodec, jpegcodec,
+               mp4codec, pngcodec, tiffcodec, wavcodec, y4mcodec)
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -117,8 +117,10 @@ def _decode_image(content: bytes) -> tuple:
         return gifcodec.decode_gif(content)
     if content[:4] in tiffcodec.TIFF_MAGICS:
         return tiffcodec.decode_tiff(content)
+    if content[:2] == bmpcodec.BMP_MAGIC:
+        return bmpcodec.decode_bmp(content)
     raise ValueError(
-        "unrecognized image magic (not PNG, JPEG, GIF, or TIFF)")
+        "unrecognized image magic (not PNG, JPEG, GIF, TIFF, or BMP)")
 
 
 def _video_magic(content: bytes) -> bool:
@@ -189,6 +191,7 @@ def _decode_stub(content: bytes, kind: str, strict: bool):
         or content[:2] == jpegcodec.SOI
         or content[:6] in gifcodec.GIF_MAGICS
         or content[:4] in tiffcodec.TIFF_MAGICS
+        or content[:2] == bmpcodec.BMP_MAGIC
     ):
         # recognized magic: decode for real; a corrupt payload raises
         # ValueError through to the caller's strict/skip policy.
@@ -1601,6 +1604,9 @@ def image_metadata(df: DataFrame, strict: bool = True) -> DataFrame:
         if content[:4] in tiffcodec.TIFF_MAGICS:
             w, h = tiffcodec.tiff_dims(content)
             return ("tiff", w, h, {})
+        if content[:2] == bmpcodec.BMP_MAGIC:
+            w, h = bmpcodec.bmp_dims(content)
+            return ("bmp", w, h, {})
         raise ValueError("unrecognized image format")
 
     def _iter(batches: Iterator["pd.DataFrame"]):
@@ -2187,6 +2193,47 @@ def docs_to_tiff(docs: DataFrame) -> DataFrame:
                     "kind": ["image"] * len(refs),
                     "content": contents,
                     "mime": ["image/tiff"] * len(refs),
+                    "width": pd.array([None] * len(refs), dtype="Int32"),
+                    "height": pd.array([None] * len(refs), dtype="Int32"),
+                    "duration_ms": pd.array([None] * len(refs),
+                                            dtype="Int64"),
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(_iter, schema=MEDIA_SCHEMA)
+
+
+def docs_to_bmp(docs: DataFrame) -> DataFrame:
+    """Render each document row as a deterministic grayscale BMP
+    (MEDIA_SCHEMA). BMP is uncompressed, so the SQL oracle predicts
+    every decoded pixel closed-form (lossless contract):
+        w = 5 + doc_id % 9,  h = 4 + doc_id % 7
+        pixel(j) = (doc_id*47 + j*31) % 239       (j row-major)
+    The fixture cycles bottom-up and top-down row orders (doc_id % 2)
+    so the decoder's row-flip path is exercised; the oracle is
+    order-invariant by construction (the decoder normalizes to
+    top-to-bottom)."""
+    import pandas as pd
+
+    def _iter(batches: Iterator["pd.DataFrame"]):
+        for pdf in batches:
+            refs, contents = [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w = 5 + doc_id % 9
+                h = 4 + doc_id % 7
+                j = np.arange(w * h, dtype=np.int64)
+                base = (doc_id * 47) % 239
+                px = ((base + j * 31) % 239).astype(np.uint8).tobytes()
+                refs.append(f"bmp://doc/{doc_id}")
+                contents.append(bmpcodec.encode_bmp(
+                    px, w, h, top_down=doc_id % 2 == 1))
+            yield pd.DataFrame(
+                {
+                    "media_ref": refs,
+                    "kind": ["image"] * len(refs),
+                    "content": contents,
+                    "mime": ["image/bmp"] * len(refs),
                     "width": pd.array([None] * len(refs), dtype="Int32"),
                     "height": pd.array([None] * len(refs), dtype="Int32"),
                     "duration_ms": pd.array([None] * len(refs),
