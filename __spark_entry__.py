@@ -2102,6 +2102,32 @@ def q_bmp_decode(spark, sf_dir):
     )
 
 
+def q_pgm_decode(spark, sf_dir):
+    """Real-bytes netpbm decode end-to-end — the graymap interchange
+    format research pipelines emit: render each document as a
+    deterministic PGM (pnmcodec.py; the fixture cycles binary P5 and
+    ASCII P2 forms plus header comments, all of which the
+    whitespace-and-comment-tolerant header scan must absorb), then
+    recover width/height/pixel statistics through the same Arrow
+    kernel as every other image format. maxval=255 raster is raw
+    bytes, so the round-trip is bit-exact and one closed-form oracle
+    covers both wire forms."""
+    from dompa_spark import media
+
+    docs = _docs_par(spark, sf_dir)
+    out = media.decode_images(media.docs_to_pgm(docs))
+    return out.select(
+        F.element_at(F.split("media_ref", "/"), -1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "n_pixels",
+        "pixel_sum",
+        "pixel_checksum",
+    )
+
+
 RESIZE_W, RESIZE_H = 16, 12
 
 
@@ -2931,6 +2957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_vad": q_audio_vad,
         "tiff_decode": q_tiff_decode,
         "bmp_decode": q_bmp_decode,
+        "pgm_decode": q_pgm_decode,
         "png_resize": q_png_resize,
         "wav_decode": q_wav_decode,
         "pdf_layout": q_pdf_layout,
@@ -6641,6 +6668,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(list_sum(list_transform(
                      generate_series(0, w*h - 1),
                      j -> ((doc_id*47 + j*31) % 239) * (j+1)))
+                     AS BIGINT) AS pixel_checksum
+            FROM base
+        """,
+        # pgm_decode: the maxval-255 raster is raw bytes in P5 and the
+        # same integers in P2, so one closed-form formula covers both
+        # wire forms the fixture cycles
+        "pgm_decode": """
+            WITH base AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     4 + CAST(doc_id AS BIGINT) % 10 AS w,
+                     3 + CAST(doc_id AS BIGINT) % 8 AS h
+              FROM documents)
+            SELECT doc_id,
+                   CAST(w AS BIGINT) AS width,
+                   CAST(h AS BIGINT) AS height,
+                   CAST(w * h AS BIGINT) AS n_pixels,
+                   CAST(list_sum(list_transform(
+                     generate_series(0, w*h - 1),
+                     j -> (doc_id*53 + j*37) % 233)) AS BIGINT)
+                     AS pixel_sum,
+                   CAST(list_sum(list_transform(
+                     generate_series(0, w*h - 1),
+                     j -> ((doc_id*53 + j*37) % 233) * (j+1)))
                      AS BIGINT) AS pixel_checksum
             FROM base
         """,

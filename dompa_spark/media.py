@@ -28,7 +28,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from . import (avicodec, bmpcodec, flaccodec, gifcodec, jpegcodec,
-               mp4codec, pngcodec, tiffcodec, wavcodec, y4mcodec)
+               mp4codec, pngcodec, pnmcodec, tiffcodec, wavcodec,
+               y4mcodec)
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -119,8 +120,11 @@ def _decode_image(content: bytes) -> tuple:
         return tiffcodec.decode_tiff(content)
     if content[:2] == bmpcodec.BMP_MAGIC:
         return bmpcodec.decode_bmp(content)
+    if content[:2] in pnmcodec.PGM_MAGICS:
+        return pnmcodec.decode_pgm(content)
     raise ValueError(
-        "unrecognized image magic (not PNG, JPEG, GIF, TIFF, or BMP)")
+        "unrecognized image magic "
+        "(not PNG, JPEG, GIF, TIFF, BMP, or PGM)")
 
 
 def _video_magic(content: bytes) -> bool:
@@ -192,6 +196,7 @@ def _decode_stub(content: bytes, kind: str, strict: bool):
         or content[:6] in gifcodec.GIF_MAGICS
         or content[:4] in tiffcodec.TIFF_MAGICS
         or content[:2] == bmpcodec.BMP_MAGIC
+        or content[:2] in pnmcodec.PGM_MAGICS
     ):
         # recognized magic: decode for real; a corrupt payload raises
         # ValueError through to the caller's strict/skip policy.
@@ -1607,6 +1612,9 @@ def image_metadata(df: DataFrame, strict: bool = True) -> DataFrame:
         if content[:2] == bmpcodec.BMP_MAGIC:
             w, h = bmpcodec.bmp_dims(content)
             return ("bmp", w, h, {})
+        if content[:2] in pnmcodec.PGM_MAGICS:
+            w, h, _px = pnmcodec.decode_pgm(content)
+            return ("pgm", w, h, {})
         raise ValueError("unrecognized image format")
 
     def _iter(batches: Iterator["pd.DataFrame"]):
@@ -2234,6 +2242,47 @@ def docs_to_bmp(docs: DataFrame) -> DataFrame:
                     "kind": ["image"] * len(refs),
                     "content": contents,
                     "mime": ["image/bmp"] * len(refs),
+                    "width": pd.array([None] * len(refs), dtype="Int32"),
+                    "height": pd.array([None] * len(refs), dtype="Int32"),
+                    "duration_ms": pd.array([None] * len(refs),
+                                            dtype="Int64"),
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(_iter, schema=MEDIA_SCHEMA)
+
+
+def docs_to_pgm(docs: DataFrame) -> DataFrame:
+    """Render each document row as a deterministic grayscale PGM
+    (MEDIA_SCHEMA), cycling binary P5 and ASCII P2 forms (doc_id % 3
+    picks P2) and header comments (doc_id % 4 == 0). PGM at
+    maxval=255 is raw bytes, so the SQL oracle predicts every decoded
+    pixel closed-form regardless of form:
+        w = 4 + doc_id % 10,  h = 3 + doc_id % 8
+        pixel(j) = (doc_id*53 + j*37) % 233       (j row-major)
+    Moduli/multipliers distinct from every other media fixture."""
+    import pandas as pd
+
+    def _iter(batches: Iterator["pd.DataFrame"]):
+        for pdf in batches:
+            refs, contents = [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w = 4 + doc_id % 10
+                h = 3 + doc_id % 8
+                j = np.arange(w * h, dtype=np.int64)
+                base = (doc_id * 53) % 233
+                px = ((base + j * 37) % 233).astype(np.uint8).tobytes()
+                refs.append(f"pgm://doc/{doc_id}")
+                contents.append(pnmcodec.encode_pgm(
+                    px, w, h, ascii_form=doc_id % 3 == 0,
+                    comment=("synthetic" if doc_id % 4 == 0 else None)))
+            yield pd.DataFrame(
+                {
+                    "media_ref": refs,
+                    "kind": ["image"] * len(refs),
+                    "content": contents,
+                    "mime": ["image/x-portable-graymap"] * len(refs),
                     "width": pd.array([None] * len(refs), dtype="Int32"),
                     "height": pd.array([None] * len(refs), dtype="Int32"),
                     "duration_ms": pd.array([None] * len(refs),
