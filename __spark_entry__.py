@@ -2128,6 +2128,33 @@ def q_pgm_decode(spark, sf_dir):
     )
 
 
+def q_ico_decode(spark, sf_dir):
+    """Favicon decode end-to-end: every crawled site ships
+    /favicon.ico, a DIRECTORY of independently-encoded icons. The
+    fixture writes two entries per doc (a small icon and a strictly
+    larger one) cycling classic DIB entries (doubled-height
+    BITMAPINFOHEADER + AND mask) and modern PNG entries; the decode
+    path must walk the directory and normalize to the LARGEST entry,
+    so the oracle is closed-form on the large entry's pixel formula
+    alone — a decoder that returned the first/small entry, misread
+    the doubled height, or skipped the AND mask wrong fails every
+    row."""
+    from dompa_spark import media
+
+    docs = _docs_par(spark, sf_dir)
+    out = media.decode_images(media.docs_to_ico(docs))
+    return out.select(
+        F.element_at(F.split("media_ref", "/"), -1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "n_pixels",
+        "pixel_sum",
+        "pixel_checksum",
+    )
+
+
 RESIZE_W, RESIZE_H = 16, 12
 
 
@@ -2958,6 +2985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tiff_decode": q_tiff_decode,
         "bmp_decode": q_bmp_decode,
         "pgm_decode": q_pgm_decode,
+        "ico_decode": q_ico_decode,
         "png_resize": q_png_resize,
         "wav_decode": q_wav_decode,
         "pdf_layout": q_pdf_layout,
@@ -6691,6 +6719,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(list_sum(list_transform(
                      generate_series(0, w*h - 1),
                      j -> ((doc_id*53 + j*37) % 233) * (j+1)))
+                     AS BIGINT) AS pixel_checksum
+            FROM base
+        """,
+        # ico_decode: the favicon normalization picks the LARGEST
+        # directory entry, and the fixture's large entry is strictly
+        # larger than its small one, so the oracle is the large
+        # entry's lossless pixel formula alone
+        "ico_decode": """
+            WITH base AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     7 + CAST(doc_id AS BIGINT) % 6 AS w,
+                     6 + CAST(doc_id AS BIGINT) % 5 AS h
+              FROM documents)
+            SELECT doc_id,
+                   CAST(w AS BIGINT) AS width,
+                   CAST(h AS BIGINT) AS height,
+                   CAST(w * h AS BIGINT) AS n_pixels,
+                   CAST(list_sum(list_transform(
+                     generate_series(0, w*h - 1),
+                     j -> (doc_id*61 + j*43) % 227)) AS BIGINT)
+                     AS pixel_sum,
+                   CAST(list_sum(list_transform(
+                     generate_series(0, w*h - 1),
+                     j -> ((doc_id*61 + j*43) % 227) * (j+1)))
                      AS BIGINT) AS pixel_checksum
             FROM base
         """,

@@ -27,9 +27,9 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from . import (avicodec, bmpcodec, flaccodec, gifcodec, jpegcodec,
-               mp4codec, pngcodec, pnmcodec, tiffcodec, wavcodec,
-               y4mcodec)
+from . import (avicodec, bmpcodec, flaccodec, gifcodec, icocodec,
+               jpegcodec, mp4codec, pngcodec, pnmcodec, tiffcodec,
+               wavcodec, y4mcodec)
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -122,9 +122,12 @@ def _decode_image(content: bytes) -> tuple:
         return bmpcodec.decode_bmp(content)
     if content[:2] in pnmcodec.PGM_MAGICS:
         return pnmcodec.decode_pgm(content)
+    if content[:4] == icocodec.ICO_MAGIC:
+        # favicon container: normalize to the largest entry
+        return icocodec.largest_icon(content)
     raise ValueError(
         "unrecognized image magic "
-        "(not PNG, JPEG, GIF, TIFF, BMP, or PGM)")
+        "(not PNG, JPEG, GIF, TIFF, BMP, PGM, or ICO)")
 
 
 def _video_magic(content: bytes) -> bool:
@@ -197,6 +200,7 @@ def _decode_stub(content: bytes, kind: str, strict: bool):
         or content[:4] in tiffcodec.TIFF_MAGICS
         or content[:2] == bmpcodec.BMP_MAGIC
         or content[:2] in pnmcodec.PGM_MAGICS
+        or content[:4] == icocodec.ICO_MAGIC
     ):
         # recognized magic: decode for real; a corrupt payload raises
         # ValueError through to the caller's strict/skip policy.
@@ -1615,6 +1619,9 @@ def image_metadata(df: DataFrame, strict: bool = True) -> DataFrame:
         if content[:2] in pnmcodec.PGM_MAGICS:
             w, h, _px = pnmcodec.decode_pgm(content)
             return ("pgm", w, h, {})
+        if content[:4] == icocodec.ICO_MAGIC:
+            w, h = icocodec.ico_dims(content)
+            return ("ico", w, h, {})
         raise ValueError("unrecognized image format")
 
     def _iter(batches: Iterator["pd.DataFrame"]):
@@ -2283,6 +2290,54 @@ def docs_to_pgm(docs: DataFrame) -> DataFrame:
                     "kind": ["image"] * len(refs),
                     "content": contents,
                     "mime": ["image/x-portable-graymap"] * len(refs),
+                    "width": pd.array([None] * len(refs), dtype="Int32"),
+                    "height": pd.array([None] * len(refs), dtype="Int32"),
+                    "duration_ms": pd.array([None] * len(refs),
+                                            dtype="Int64"),
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(_iter, schema=MEDIA_SCHEMA)
+
+
+def docs_to_ico(docs: DataFrame) -> DataFrame:
+    """Render each document row as a deterministic favicon
+    (MEDIA_SCHEMA): a TWO-entry ICO — a small icon plus a strictly
+    larger one — cycling all-DIB and all-PNG entry encodings by
+    doc_id % 2. The decode path must pick the LARGEST entry (the
+    favicon normalization), so the oracle is closed-form on the large
+    entry alone:
+        small: w1 = 3 + doc_id % 4, h1 = 2 + doc_id % 3,
+               px1(j) = (doc_id*59 + j*41) % 229
+        large: w2 = 7 + doc_id % 6, h2 = 6 + doc_id % 5,
+               px2(j) = (doc_id*61 + j*43) % 227
+    (w2*h2 >= 42 > 24 >= w1*h1 always, so "largest" is unambiguous;
+    a decoder that returned the first/small entry fails every row)."""
+    import pandas as pd
+
+    def _iter(batches: Iterator["pd.DataFrame"]):
+        for pdf in batches:
+            refs, contents = [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w1, h1 = 3 + doc_id % 4, 2 + doc_id % 3
+                w2, h2 = 7 + doc_id % 6, 6 + doc_id % 5
+                j1 = np.arange(w1 * h1, dtype=np.int64)
+                j2 = np.arange(w2 * h2, dtype=np.int64)
+                px1 = (((doc_id * 59) % 229 + j1 * 41) % 229).astype(
+                    np.uint8).tobytes()
+                px2 = (((doc_id * 61) % 227 + j2 * 43) % 227).astype(
+                    np.uint8).tobytes()
+                refs.append(f"ico://doc/{doc_id}")
+                contents.append(icocodec.encode_ico(
+                    [(w1, h1, px1), (w2, h2, px2)],
+                    png_entries=doc_id % 2 == 1))
+            yield pd.DataFrame(
+                {
+                    "media_ref": refs,
+                    "kind": ["image"] * len(refs),
+                    "content": contents,
+                    "mime": ["image/x-icon"] * len(refs),
                     "width": pd.array([None] * len(refs), dtype="Int32"),
                     "height": pd.array([None] * len(refs), dtype="Int32"),
                     "duration_ms": pd.array([None] * len(refs),
